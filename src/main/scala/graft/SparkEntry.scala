@@ -108,6 +108,49 @@ object SparkEntry {
       Consolidate.jobCounters(c, Issues.deriveIssues(c))
     }),
 
+    // §3.2 reprocess + J5/W4 — user edits, DISCARD exclusion, issue merge,
+    // deterministic resolution recompute
+    "q_reprocess_resolution" -> ((s, dir) => {
+      val c = classified(s, dir)
+      val staging0 = c.select(
+        col("row_number").as("staging_id"),
+        col("job_id"),
+        trimmed(col("email")).as("staging_email"),
+        trimmed(col("first_name")).as("staging_first_name"),
+        trimmed(col("last_name")).as("staging_last_name"),
+        trimmed(col("company")).as("staging_company"),
+        col("staging_status"),
+        col("issue_type").as("issue_type0"))
+      // Simulated user edits: fix INVALID_EMAIL rows, discard blank-email rows.
+      val edited = staging0
+        .withColumn("staging_email",
+          when(col("issue_type0") === "INVALID_EMAIL",
+            concat(lit("fixed"), col("staging_id").cast("string"), lit("@example.com")))
+            .otherwise(col("staging_email")))
+        .withColumn("staging_status",
+          when(col("staging_email") === "", lit("DISCARD"))
+            .otherwise(col("staging_status")))
+      val working = edited.filter(col("staging_status") =!= "DISCARD")
+        .select(col("staging_id").as("row_number"), col("staging_id"), col("job_id"),
+          col("staging_email").as("email"), col("staging_first_name").as("first_name"),
+          col("staging_last_name").as("last_name"), col("staging_company").as("company"))
+      val reclass = Validate.classify(working, contactsStandIn(s, dir), "u1")
+      val newStatus = edited.select("staging_id")
+        .join(reclass.select(col("staging_id"), col("staging_status").as("ns")),
+          Seq("staging_id"), "left")
+        .select(col("staging_id"), coalesce(col("ns"), lit("DISCARD")).as("staging_status"))
+      val issuesAll = Issues.mergeIssues(
+        Issues.deriveIssues(c, "row_", "row_number"),
+        Issues.deriveIssues(reclass, "staging_", "staging_id"))
+      val items0 = Issues.deriveIssueItems(c, "row_", "row_number")
+      val derived2 = Issues.deriveIssueItems(reclass, "staging_", "staging_id")
+      val itemsAll = items0.unionByName(derived2.join(items0,
+        Seq("issues_job_id", "issue_type", "issue_key", "item_staging_id"), "left_anti"))
+      Issues.recomputeResolution(issuesAll, itemsAll, newStatus)
+        .select("issue_type", "issue_key", "unresolved_items", "issue_resolved")
+        .orderBy("issue_type", "issue_key")
+    }),
+
     // J8/W6 — consolidation projection (READY -> contacts)
     "q_consolidate" -> ((s, dir) => {
       val c = classified(s, dir)
@@ -199,6 +242,71 @@ object SparkEntry {
         |                ELSE 'row_' || CAST(row_number AS VARCHAR) END AS issue_key
         |    FROM classified WHERE issue_type IS NOT NULL))
         |SELECT * FROM s, i""".stripMargin),
+
+    "q_reprocess_resolution" -> withCtes(
+      s""", staging0 AS (
+         |  SELECT row_number AS staging_id, job_id, trim(email) AS staging_email,
+         |         trim(first_name) AS staging_first_name, trim(last_name) AS staging_last_name,
+         |         trim(company) AS staging_company, staging_status, issue_type AS issue_type0
+         |  FROM classified),
+         |edited AS (
+         |  SELECT staging_id, job_id,
+         |    CASE WHEN issue_type0 = 'INVALID_EMAIL'
+         |         THEN 'fixed' || CAST(staging_id AS VARCHAR) || '@example.com'
+         |         ELSE staging_email END AS email,
+         |    staging_first_name AS first_name, staging_last_name AS last_name,
+         |    staging_company AS company, staging_status
+         |  FROM staging0),
+         |edited2 AS (
+         |  SELECT *, CASE WHEN email = '' THEN 'DISCARD' ELSE staging_status END AS status1
+         |  FROM edited),
+         |working AS (SELECT * FROM edited2 WHERE status1 <> 'DISCARD'),
+         |dups2 AS (
+         |  SELECT lower(trim(email)) AS ne FROM working
+         |  WHERE trim(email) <> '' GROUP BY 1 HAVING count(*) > 1),
+         |reclass AS (
+         |  SELECT w.staging_id, lower(trim(w.email)) AS norm_email2,
+         |    CASE WHEN trim(w.email) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN trim(w.first_name) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN trim(w.last_name) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN trim(w.company) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN NOT regexp_matches(trim(w.email), '$emailRegexSql') THEN 'INVALID_EMAIL'
+         |         WHEN d.ne IS NOT NULL THEN 'DUPLICATE_EMAIL'
+         |         WHEN e.contact_email IS NOT NULL THEN 'EXISTING_EMAIL'
+         |         ELSE NULL END AS issue_type2
+         |  FROM working w
+         |  LEFT JOIN dups2 d ON lower(trim(w.email)) = d.ne
+         |  LEFT JOIN existing e ON lower(trim(w.email)) = e.contact_email),
+         |status_all AS (
+         |  SELECT e2.staging_id,
+         |         CASE WHEN r.staging_id IS NULL THEN 'DISCARD'
+         |              WHEN r.issue_type2 IS NULL THEN 'READY'
+         |              ELSE 'ISSUE' END AS staging_status
+         |  FROM edited2 e2 LEFT JOIN reclass r ON e2.staging_id = r.staging_id),
+         |flagged0 AS (
+         |  SELECT *, CASE WHEN norm_email <> '' THEN norm_email
+         |                 ELSE 'row_' || CAST(row_number AS VARCHAR) END AS issue_key
+         |  FROM classified WHERE issue_type IS NOT NULL),
+         |flagged2 AS (
+         |  SELECT *, CASE WHEN norm_email2 <> '' THEN norm_email2
+         |                 ELSE 'staging_' || CAST(staging_id AS VARCHAR) END AS issue_key
+         |  FROM reclass WHERE issue_type2 IS NOT NULL),
+         |issues_all AS (
+         |  SELECT issue_type, issue_key FROM flagged0
+         |  UNION
+         |  SELECT issue_type2, issue_key FROM flagged2),
+         |items_all AS (
+         |  SELECT issue_type, issue_key, row_number AS item_staging_id FROM flagged0
+         |  UNION
+         |  SELECT issue_type2, issue_key, staging_id FROM flagged2)
+         |SELECT i.issue_type, i.issue_key,
+         |  CAST(coalesce(sum(CASE WHEN sa.staging_status = 'ISSUE' THEN 1 ELSE 0 END), 0) AS BIGINT) AS unresolved_items,
+         |  coalesce(sum(CASE WHEN sa.staging_status = 'ISSUE' THEN 1 ELSE 0 END), 0) = 0 AS issue_resolved
+         |FROM issues_all i
+         |LEFT JOIN items_all it ON i.issue_type = it.issue_type AND i.issue_key = it.issue_key
+         |LEFT JOIN status_all sa ON it.item_staging_id = sa.staging_id
+         |GROUP BY 1, 2
+         |ORDER BY i.issue_type, i.issue_key""".stripMargin),
 
     "q_consolidate" -> withCtes(
       """SELECT row_number AS staging_id, 'u1' AS contacts_user_id,

@@ -1,0 +1,62 @@
+package graft.io
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Batched JDBC upsert — the custom sink helper for the UPDATE-shaped writes
+  * the reference performs (staging status W2, issue resolve W4, job counters
+  * W7/W8; SURVEY.md §7.4). Spark's JDBC writer is insert-only, so each
+  * partition opens one connection and executes batched
+  * `INSERT ... ON CONFLICT (keys) DO UPDATE SET ...` statements — set-based
+  * write amplification (one round-trip per batch) instead of the reference's
+  * per-row commit (staging_repository.py:106).
+  *
+  * Executor-side `foreachPartition`: connections scale with partitions, not
+  * rows; idempotent by construction (re-running a batch converges), which is
+  * what makes at-least-once message replay safe (README ADR-001).
+  */
+object JdbcUpsert {
+
+  def upsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keyCols: Seq[String],
+      props: java.util.Properties,
+      batchSize: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    val updatable = cols.filterNot(keyCols.contains)
+    val sql =
+      s"""INSERT INTO $table (${cols.mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})
+         |ON CONFLICT (${keyCols.mkString(", ")})
+         |DO UPDATE SET ${updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"""
+        .stripMargin
+    val user = Option(props.getProperty("user"))
+    val password = Option(props.getProperty("password"))
+
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn: Connection = (user, password) match {
+          case (Some(u), Some(p)) => DriverManager.getConnection(url, u, p)
+          case _ => DriverManager.getConnection(url)
+        }
+        try {
+          conn.setAutoCommit(false)
+          val st: PreparedStatement = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            cols.zipWithIndex.foreach { case (c, i) =>
+              st.setObject(i + 1, r.getAs[Any](c))
+            }
+            st.addBatch()
+            n += 1
+            if (n % batchSize == 0) { st.executeBatch(); conn.commit() }
+          }
+          st.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+}

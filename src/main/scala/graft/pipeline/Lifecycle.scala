@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas.{JobStatus, StagingStatus}
+import graft.ops.{Consolidate, Issues, Normalize, Validate}
+
+/** The three job flows (SURVEY.md §3) as pure DataFrame -> DataFrame
+  * pipelines. Storage commits happen outside (the caller holds a
+  * [[graft.io.TableStore]]); everything here is a lazy plan, so each flow is
+  * one Catalyst-optimized job when the caller materializes it.
+  */
+object Lifecycle {
+
+  import Normalize._
+
+  /** Result of a processing flow, pre-commit. All members are lazy plans. */
+  case class FlowResult(
+      staging: DataFrame,     // full post-run staging snapshot for the job
+      issues: DataFrame,      // full post-run issue set (with issue_resolved)
+      issueItems: DataFrame,  // full post-run link set
+      newContacts: DataFrame, // rows to append to contacts ([] unless consolidated)
+      jobStatus: String,      // NEEDS_REVIEW | COMPLETED
+      counters: DataFrame)    // 1-row job counters (A4-A8)
+
+  /** Deterministic surrogate staging id: (job_id << 40) | row_number.
+    * Unlike the reference's DB autoincrement this is stable across resumes —
+    * replaying a message assigns the same ids, keeping issue_items joins
+    * idempotent. Nothing in the contract depends on density (SURVEY.md §1.5). */
+  def stagingId(jobId: Column, rowNumber: Column): Column =
+    (jobId.cast("long") * lit(1L << 40)) + rowNumber.cast("long")
+
+  /** Natural pair key for issue_items merges. */
+  private val itemPairKey = Seq("issues_job_id", "issue_type", "issue_key", "item_staging_id")
+
+  /** Commit a flow result to storage in the reference's consolidation order
+    * (contacts -> staging/issues/links; processor.py:728-788), with the
+    * contacts append FIRST — while the staging snapshot its plan reads still
+    * exists — and the three snapshots replaced via the store's two-phase
+    * overwriteAll (their plans read each other's pre-run state). The job
+    * status update (W7: 1 row) is the caller's last step, making a crash
+    * anywhere before it a repairable retry (ADR-001 idempotent resume). */
+  def commit(store: graft.io.TableStore, r: FlowResult): Unit = {
+    store.append("contacts", r.newContacts)
+    store.overwriteAll(Seq(
+      "staging" -> r.staging,
+      "issues" -> r.issues,
+      "issue_items" -> r.issueItems))
+  }
+
+  /** INITIAL PROCESSING (§3.1, processor.py:124-388).
+    *
+    * @param input cleaned numbered CSV contract frame:
+    *              row_number, email, first_name, last_name, company
+    * @param existingStaging prior staging rows of this job (resume case;
+    *                        empty frame on first pass)
+    */
+  def initialProcess(
+      input: DataFrame,
+      jobId: Int,
+      userId: String,
+      existingStaging: DataFrame,
+      existingIssues: DataFrame,
+      existingItems: DataFrame,
+      contacts: DataFrame): FlowResult = {
+
+    require(!input.isEmpty, "CSV file is empty") // processor.py:149-151
+
+    val withJob = input.withColumn("job_id", lit(jobId))
+    // Validation sets (duplicates, existing-contacts) are built from ALL CSV
+    // rows — including rows later skipped by the idempotency check
+    // (processor.py:153-163 runs before the row loop).
+    val classified = Validate.classify(withJob, contacts, userId)
+      .withColumn("staging_row_hash",
+        rowHash(col("job_id"), col("row_number"), col("email"),
+          col("first_name"), col("last_name"), col("company")))
+      .withColumn("staging_id", stagingId(col("job_id"), col("row_number")))
+
+    // J1: skip rows whose (job, hash) already landed (resume idempotency).
+    val newRows = classified.join(
+      existingStaging.select(col("staging_job_id").as("job_id"), col("staging_row_hash")),
+      Seq("job_id", "staging_row_hash"), "left_anti")
+
+    val newStaging = newRows.select(
+      col("staging_id"),
+      col("job_id").as("staging_job_id"),
+      col("email").as("staging_email"),
+      col("first_name").as("staging_first_name"),
+      col("last_name").as("staging_last_name"),
+      col("company").as("staging_company"),
+      col("staging_status"),
+      col("staging_row_hash"))
+    val stagingAfter = existingStaging.unionByName(newStaging, allowMissingColumns = true)
+
+    // Issues/links derived from the NEW rows only (skipped rows already have
+    // theirs from the prior pass); merge = set-based get_or_create.
+    val derivedIssues = Issues.deriveIssues(newRows, "row_", "row_number")
+    val issuesAfter = Issues.mergeIssues(existingIssues, derivedIssues)
+    val derivedItems = Issues.deriveIssueItems(newRows, "row_", "row_number")
+      .withColumn("item_staging_id", stagingId(col("issues_job_id"), col("item_staging_id")))
+    // Pair-unique merge on the FULL (issue natural key, staging) pair — a
+    // staging row can legitimately link to several issues across passes
+    // (issue_repository.py:93-102 enforces pair uniqueness, not row uniqueness).
+    val itemsAfter = existingItems.unionByName(
+      derivedItems.join(existingItems, itemPairKey, "left_anti"),
+      allowMissingColumns = true)
+
+    finalizeFlow(stagingAfter, issuesAfter, itemsAfter, contacts, jobId, userId)
+  }
+
+  /** REPROCESSING (§3.2, processor.py:390-672): re-validate the staging set
+    * (user-edited), skipping DISCARD rows (user decision honored —
+    * excluded from BOTH re-validation and the duplicate set,
+    * processor.py:428-459); recompute issue resolution deterministically.
+    */
+  def reprocess(
+      staging: DataFrame,
+      issues: DataFrame,
+      issueItems: DataFrame,
+      contacts: DataFrame,
+      jobId: Int,
+      userId: String): FlowResult = {
+
+    require(!staging.isEmpty, s"No staging records found for job $jobId")
+
+    val working = staging
+      .filter(coalesce(col("staging_status"), lit("")) =!= StagingStatus.Discard)
+      .select(
+        col("staging_id").as("row_number"), // classify's generic row id
+        col("staging_id"),
+        lit(jobId).as("job_id"),
+        col("staging_email").as("email"),
+        col("staging_first_name").as("first_name"),
+        col("staging_last_name").as("last_name"),
+        col("staging_company").as("company"),
+        col("staging_row_hash"))
+
+    val classified = Validate.classify(working, contacts, userId)
+
+    // New statuses: re-validated for working rows, DISCARD preserved.
+    val revalidated = classified.select(
+      col("staging_id"),
+      col("job_id").as("staging_job_id"),
+      col("email").as("staging_email"),
+      col("first_name").as("staging_first_name"),
+      col("last_name").as("staging_last_name"),
+      col("company").as("staging_company"),
+      col("staging_status"),
+      col("staging_row_hash"))
+    val stagingAfter = staging.filter(col("staging_status") === StagingStatus.Discard)
+      .select(revalidated.columns.map(col): _*)
+      .unionByName(revalidated)
+
+    // New failures create/link issues keyed by norm_email or staging_{id}
+    // (processor.py:518-519).
+    val derivedIssues = Issues.deriveIssues(classified, "staging_", "staging_id")
+    val issuesAfter = Issues.mergeIssues(issues, derivedIssues)
+    val derivedItems = Issues.deriveIssueItems(classified, "staging_", "staging_id")
+    val itemsAfter = issueItems.unionByName(
+      derivedItems.join(issueItems, itemPairKey, "left_anti"),
+      allowMissingColumns = true)
+
+    finalizeFlow(stagingAfter, issuesAfter, itemsAfter, contacts, jobId, userId)
+  }
+
+  /** Shared finalization (§3.3): recompute resolution, gate on unresolved
+    * issues (ADR-002), and consolidate when clean. Empty READY set still
+    * completes (processor.py:750-756).
+    */
+  private def finalizeFlow(
+      stagingAfter: DataFrame,
+      issuesAfter: DataFrame,
+      itemsAfter: DataFrame,
+      contacts: DataFrame,
+      jobId: Int,
+      userId: String): FlowResult = {
+
+    val resolvedIssues =
+      Issues.recomputeResolution(issuesAfter, itemsAfter, stagingAfter)
+    val unresolved = resolvedIssues.filter(!col("issue_resolved")).count()
+
+    if (unresolved > 0) {
+      FlowResult(
+        staging = stagingAfter,
+        issues = resolvedIssues,
+        issueItems = itemsAfter,
+        newContacts = Consolidate.readyToContacts(stagingAfter, userId).limit(0),
+        jobStatus = JobStatus.NeedsReview,
+        counters = Consolidate.jobCounters(stagingAfter, resolvedIssues))
+    } else {
+      // staging_id is UNIQUE on contacts (contact.py:17): anti-join makes a
+      // replayed consolidation a no-op instead of a loud failure.
+      val dedupedContacts = Consolidate.readyToContacts(stagingAfter, userId)
+        .join(
+          if (contacts.columns.contains("staging_id")) contacts.select("staging_id")
+          else contacts.sparkSession.emptyDataFrame
+            .selectExpr("CAST(null AS BIGINT) AS staging_id").limit(0),
+          Seq("staging_id"), "left_anti")
+      val consolidatedStaging = stagingAfter.withColumn(
+        "staging_status",
+        when(col("staging_status") === StagingStatus.Ready, lit(StagingStatus.Success))
+          .otherwise(col("staging_status")))
+      FlowResult(
+        staging = consolidatedStaging,
+        issues = resolvedIssues,
+        issueItems = itemsAfter,
+        newContacts = dedupedContacts,
+        jobStatus = JobStatus.Completed,
+        counters = Consolidate.jobCounters(consolidatedStaging, resolvedIssues))
+    }
+  }
+}
