@@ -27,6 +27,46 @@ object SparkEntry {
   private def withCtes(body: String): String =
     s"WITH $inputCte,\n$contactsCte,\n$classifySql\n$body"
 
+  // ---- DuckDB SQL generators mirroring functions/ (1-based list indexing) --
+
+  private def dotSql(a: String, b: String, dims: Int): String =
+    (1 to dims).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def cosSql(a: String, b: String, dims: Int): String =
+    s"round((${dotSql(a, b, dims)}) / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 6)"
+
+  private def bucketSql(v: String, bits: Int): String =
+    (1 to bits).map(i => s"CASE WHEN CAST($v[$i] AS DOUBLE) >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
+      .mkString(" + ")
+
+  private val simhashVotesSql: String = (0 until 32)
+    .map(j => s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$j")
+    .mkString(",\n    ")
+
+  private val simhashValueSql: String = (0 until 32)
+    .map(j => s"CASE WHEN v_$j > 0 THEN CAST(${1L << (31 - j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
+  /** Shared shingle CTEs over `documents` (4-gram, distinct per doc). */
+  private val shingleCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(text, '\s+')) AS w,
+      |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+      |  FROM documents),
+      |sh_raw AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win AS shingle
+      |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL)""".stripMargin
+
+  private val minhashSigsCte: String = {
+    val aggs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS m_$i").mkString(", ")
+    val fallbacks = (0 until 8).map(i => s"coalesce(m_$i, md5('$i:' || d.text)) AS sig_$i").mkString(", ")
+    s"""m AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+       |sigs AS (SELECT d.doc_id, $fallbacks FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)""".stripMargin
+  }
+
   private def classified(s: SparkSession, dir: String): DataFrame =
     Validate.classify(csvInput(s, dir), contactsStandIn(s, dir), "u1")
 
@@ -149,6 +189,178 @@ object SparkEntry {
       Issues.recomputeResolution(issuesAll, itemsAll, newStatus)
         .select("issue_type", "issue_key", "unresolved_items", "issue_resolved")
         .orderBy("issue_type", "issue_key")
+    }),
+
+    // ---- beyond-reference: text analysis over `documents` (SURVEY §7.6) --
+
+    // token / subword / punctuation statistics (narrow, shuffle-free)
+    "q_text_stats" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      pq(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        wordCount(col("text")).cast("long").as("n_words"),
+        subwordCount(col("text")).cast("long").as("n_subwords"),
+        punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID by stopword voting with deterministic tie-break
+    "q_text_langid" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      val scored = langScores("text").foldLeft(pq(s, dir, "documents")) {
+        case (d, (name, c)) => d.withColumn(name, c.cast("long"))
+      }
+      scored.select(
+        col("doc_id") +: stopwords.map(l => col(s"hits_${l._1}")) :+
+          langPredict(stopwords.map(l => s"hits_${l._1}")).as("predicted_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // composite quality score (length, cleanliness, stopword density)
+    "q_text_quality" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      pq(s, dir, "documents").select(
+        col("doc_id"),
+        qualityScore(col("text"), stopwordHits(col("text"), stopwords.head._2))
+          .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // rolling-hash fingerprint (min md5 over 4-gram shingles)
+    "q_text_fingerprint" -> ((s, dir) => {
+      import graft.functions.TextAnalysis._
+      fingerprints(pq(s, dir, "documents"), "doc_id", "text", 4).orderBy("doc_id")
+    }),
+
+    // ---- beyond-reference: dedup family over `documents` -----------------
+
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.functions.Dedup.exact(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.functions.Dedup.minhashSignatures(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_dedup_lsh_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.lshCandidatePairs(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      graft.functions.Dedup.jaccardPairs(pq(s, dir, "documents"), "doc_id", "text",
+        n = 4, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.functions.Dedup.simhash(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- beyond-reference: similarity search over `embeddings` -----------
+
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      graft.functions.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", dims = 64, k = 5)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q_knn_bucketed" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      graft.functions.Similarity.bucketedTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", dims = 64, k = 3)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      graft.functions.Similarity.embeddingDupPairs(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // ---- beyond-reference: event-stream analytics (batch-mode windows) ---
+
+    // tumbling-hour aggregation (decimal sums: order-independent exactness)
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // gap-based sessionization (30-min inactivity closes a session)
+    "q_events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || expr("timestampdiff(MICROSECOND, prev, ts)") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // top-k by aggregate with deterministic tie-break (post-agg window is
+    // tiny: cardinality = distinct users, never raw events)
+    "q_events_topk_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,6)")).as("total_value"),
+          count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("total_value").desc, col("user_id"))).cast("long"))
+        .filter(col("rnk") <= 10)
+        .orderBy("rnk")
+    }),
+
+    // ---- beyond-reference: columnar-scan heft (TPC-H-style shapes) -------
+
+    // Q1-like pricing summary: wide scan + grouped decimal aggregation
+    "q_tpch_pricing" -> ((s, dir) =>
+      pq(s, dir, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty",
+          round(col("sum_qty").cast("double") / col("n").cast("double"), 6))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // 3-way join + grouped revenue (customer ⋈ orders ⋈ lineitem)
+    "q_tpch_revenue" -> ((s, dir) => {
+      val c = pq(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = pq(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+      val l = pq(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    }),
+
+    // ---- beyond-reference: multimodal plumbing (stubbed codec; no SQL
+    // oracle — binary payloads aren't DuckDB-expressible, driver records the
+    // weaker rows-only check) ----------------------------------------------
+    "q_multimodal_features" -> ((s, dir) => {
+      import graft.functions.Multimodal
+      val media = Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF().orderBy("media_id")
     }),
 
     // J8/W6 — consolidation projection (READY -> contacts)
@@ -307,6 +519,221 @@ object SparkEntry {
          |LEFT JOIN status_all sa ON it.item_staging_id = sa.staging_id
          |GROUP BY 1, 2
          |ORDER BY i.issue_type, i.issue_key""".stripMargin),
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,3}')) AS BIGINT) AS n_subwords,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('el','los','las','una','y'))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('le','les','et','est','dans'))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('的','是','了','和','在'))) AS BIGINT) AS hits_zh
+        |  FROM documents)
+        |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |  CASE
+        |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |    WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |    WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |    WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n_words,
+        |    round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(0.4 * (least(n_words, 100.0) / 100.0)
+        |      + 0.3 * (1.0 - punct_ratio)
+        |      + 0.3 * least(stop_hits / greatest(n_words, 1.0) * 5.0, 1.0), 6) AS quality
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win AS shingle
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |fp AS (SELECT doc_id, min(md5(shingle)) AS fp FROM sh WHERE shingle IS NOT NULL GROUP BY 1)
+        |SELECT d.doc_id, coalesce(fp.fp, md5(d.text)) AS fingerprint
+        |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(value AS DECIMAL(18,6))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |g AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q_events_topk_users" ->
+      """WITH agg AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS total_value,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY total_value DESC, user_id) AS BIGINT) AS rnk
+        |  FROM agg)
+        |SELECT user_id, total_value, n, rnk FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q_tpch_pricing" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, n,
+        |       round(CAST(sum_qty AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty
+        |FROM agg ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_revenue" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+        |  FROM documents)
+        |SELECT doc_id, text_hash,
+        |  min(doc_id) OVER (PARTITION BY text_hash) AS survivor_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_duplicate
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shingleCtes,
+         |$minhashSigsCte
+         |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_lsh_pairs" ->
+      s"""WITH $shingleCtes,
+         |$minhashSigsCte,
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sigs
+         |  UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
+         |  UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
+         |  UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $simhashVotesSql
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $simhashValueSql AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin,
+
+    "q_knn_brute" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (
+         |  SELECT vec_id, embedding AS cv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM c CROSS JOIN q WHERE vec_id <> query_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_knn_bucketed" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, ${bucketSql("embedding", 8)} AS bucket,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (
+         |  SELECT vec_id, embedding AS cv, ${bucketSql("embedding", 8)} AS bucket,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, c.vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS id_a, embedding AS va,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS na
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id AS id_b, embedding AS vb,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nb
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT id_a, id_b, round((${dotSql("va", "vb", 64)}) / (na * nb), 6) AS cos_sim
+         |  FROM a CROSS JOIN b WHERE id_a < id_b)
+         |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_consolidate" -> withCtes(
       """SELECT row_number AS staging_id, 'u1' AS contacts_user_id,

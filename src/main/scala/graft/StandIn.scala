@@ -23,6 +23,15 @@ object StandIn {
   def pq(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** `events` with its TIMESTAMP(NANOS) column converted to a Spark
+    * timestamp (microseconds). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session; integer
+    * `div` avoids the double-precision loss a float division would cause on
+    * ~1e18 nano values. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** CSV-shaped input rows derived from `customer`. row_number = c_custkey
     * (deterministic surrogate for per-file CSV order, SURVEY.md §2.4 H2). */
   def csvInput(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for training-data pipelines: exact,
+  * MinHash+LSH, n-gram Jaccard, SimHash (SURVEY.md §7.6).
+  *
+  * All hashing is md5-based (identical lowercase-hex semantics in Spark and
+  * the DuckDB oracle), and minhashes are min-of-hex-strings — a uniform
+  * ordering, so lexicographic min is a valid minhash without any bigint
+  * conversion.
+  *
+  * Scale notes (100 TB):
+  *   - exact dedup shuffles once by content hash — embarrassingly scalable.
+  *   - minhash signatures are one groupBy(doc) over exploded shingles;
+  *     LSH banding turns candidate generation into an equi-join on
+  *     (band, key) — never all-pairs.
+  *   - the Jaccard verifier joins on shingle; a document-frequency cap
+  *     (`dfCap`) drops stop-shingles to bound the worst bucket (skew guard);
+  *     AQE skew-join handles residual imbalance.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content (lower + collapsed whitespace).
+    * Survivor = min doc id per content hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.select(col(idCol), md5(norm).as("text_hash"))
+      .withColumn("survivor_id", min(col(idCol)).over(Window.partitionBy("text_hash")))
+      .withColumn("is_duplicate", col(idCol) =!= col("survivor_id"))
+  }
+
+  /** Distinct word n-gram shingles per document. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    TextAnalysis.shingles(df, idCol, textCol, n)
+      .select(col(idCol), col("shingle")).distinct()
+
+  /** MinHash signatures: k independent permutations simulated by
+    * min(md5("seed:shingle")). Documents shorter than one shingle fall back
+    * to hashing the whole text. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 4, k: Int = 8): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    val sigs = sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val fallbacks = (0 until k).map(i =>
+      coalesce(col(s"sig_$i"), md5(concat(lit(s"$i:"), col(textCol)))).as(s"sig_$i"))
+    df.select(col(idCol), col(textCol)).join(sigs, Seq(idCol), "left")
+      .select(col(idCol) +: fallbacks: _*)
+  }
+
+  /** LSH banding over the minhash signature: band key = md5(sig_a||sig_b);
+    * two documents are candidates iff they share ANY band bucket. Returns
+    * distinct candidate pairs (id_a < id_b). */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val rowsPerBand = k / bands
+    val banded = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      sigs.select(col(idCol), lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
+    * pairs sharing >= 1 shingle, jaccard = |inter| / |union| >= threshold.
+    * `dfCap` (0 = off) drops shingles present in more than dfCap documents
+    * from the index — the candidate set loses only pairs whose ONLY overlap
+    * is stop-shingles (which can't reach a meaningful threshold anyway) and
+    * the join's worst bucket is bounded. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.8, dfCap: Int = 0): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+
+    val interPairs =
+      if (dfCap <= 0) {
+        // Single-pass exact path: inverted-index self-join on every shingle.
+        a.join(b, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      } else {
+        // Skew-guarded path: stop-shingles (document frequency > dfCap)
+        // are dropped ONLY for candidate generation — bounding the join's
+        // worst bucket — then the exact intersection is recomputed on the
+        // full shingle sets for the (small) candidate pair set. A pair
+        // whose every shared shingle is a stop-shingle is lost, but such a
+        // pair can't reach a meaningful threshold.
+        val capped = sh
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("df") <= dfCap).drop("df")
+        val cand = capped.select(col(idCol).as("id_a"), col("shingle"))
+          .join(capped.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand.join(a, Seq("id_a"))
+          .join(b, Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      }
+
+    interPairs
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over the word multiset: bit j of the hash is the sign of
+    * the sum of (+-1) votes from bit j of each token's md5 (high bit of hex
+    * nibble j). One explode + one groupBy(doc) — linear in corpus size. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val votes = (0 until 32).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v_$j")
+    }
+    val summed = toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    val hashVal = (0 until 32).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << (31 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col(idCol), hashVal.as("simhash"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]): brute-force
+  * cosine top-k as the exact baseline, and a bucketed variant as the scale
+  * path (SURVEY.md §7.6).
+  *
+  * Cosine is generated as an explicit fixed-association term chain in DOUBLE
+  * (`CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE) + ...`): identical values,
+  * identical op order, IEEE doubles => bit-identical results in Spark and
+  * the DuckDB oracle (rounded to 6 decimals as belt-and-braces). The chain
+  * stays inside whole-stage codegen — no UDF.
+  *
+  * Scale path: brute force is O(N*Q) — fine when the query side is small and
+  * broadcast. For N x N near-dup joins, bucket first (sign-bit partitioner
+  * below; swap for IVF centroid assignment at real scale — the plumbing,
+  * a bucket equi-join instead of a cross join, is identical).
+  */
+object Similarity {
+
+  /** Fixed-association dot product over `dims` elements (0-based Spark SQL
+    * indexing). */
+  def dotExpr(a: String, b: String, dims: Int): Column =
+    expr((0 until dims)
+      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + "))
+
+  def cosineExpr(a: String, b: String, dims: Int): Column =
+    round(dotExpr(a, b, dims) /
+      (sqrt(dotExpr(a, a, dims)) * sqrt(dotExpr(b, b, dims))), 6)
+
+  /** Cosine from a precomputed-norm pair: numerically identical to
+    * [[cosineExpr]] (same values, same op order) but evaluates each vector's
+    * norm ONCE per row instead of once per pair — 3x less compute and the
+    * remaining single dot chain stays under the codegen method-size limit
+    * (the 3-chain version trips `CodeGenerator: failed to compile` and falls
+    * back to interpreted eval). */
+  private def cosineWithNorms(a: String, b: String, na: Column, nb: Column, dims: Int): Column =
+    round(dotExpr(a, b, dims) / (na * nb), 6)
+
+  /** Brute-force cosine top-k: each query row against the full corpus.
+    * Queries are broadcast (small side); ranking is a per-query window. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", sqrt(dotExpr("qv", "qv", dims)))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc"), dims))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Sign-bit bucket id over the first `bits` dimensions — a crude but
+    * deterministic space partitioner (demo stand-in for IVF centroids). */
+  def signBucket(vecCol: String, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(expr(s"CAST($vecCol[$i] AS DOUBLE)") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: candidates = same sign-bucket only, then exact
+    * cosine within the bucket. Trades recall for turning the cross join into
+    * a bucket equi-join — the shape that survives 100 TB. */
+  def bucketedTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", signBucket("qv", bits))
+      .withColumn("nq", sqrt(dotExpr("qv", "qv", dims)))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", signBucket("cv", bits))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc"), dims))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    * threshold). Brute force here; at scale, prefilter with [[signBucket]]
+    * or LSH and verify within buckets. */
+  def embeddingDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double): DataFrame = {
+    // Repartition the streamed side: a small single-file corpus would
+    // otherwise put the whole O(N^2) pair stream on ONE task. The broadcast
+    // side stays whole; parallelism = shuffle partitions.
+    val parallelism = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", sqrt(dotExpr("va", "va", dims)))
+      .repartition(parallelism)
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", sqrt(dotExpr("vb", "vb", dims)))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

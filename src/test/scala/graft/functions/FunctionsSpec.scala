@@ -1,0 +1,127 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the beyond-reference operator families (SURVEY.md §7.6). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines and data"),
+    (4L, "THE  Quick brown fox jumps over the lazy dog"), // exact dup of 1 after normalize? (no: 'THE Quick' lowers to 'the quick')
+    (5L, "tiny doc"),
+    (6L, "the quick brown fox jumps over the lazy dog") // exact copy of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized duplicates collapse to min-id survivor") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "survivor_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(got(4L) === ((1L, true)))  // lower+collapse-ws == doc 1
+    assert(got(6L) === ((1L, true)))  // byte-identical
+    assert(got(1L) === ((1L, false)))
+    assert(got(2L) === ((2L, false))) // near-dup is NOT exact-dup
+  }
+
+  test("minhash signatures: identical docs share all sigs, near-dups share most") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i))).toMap
+    assert(sigs(1L) === sigs(6L)) // identical text -> identical shingle set
+    // doc 4 differs in case ("THE Quick"): shingles are case-sensitive, so
+    // only the case-unaffected tail shingles agree
+    val shared14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(shared14 >= 2 && shared14 < 8)
+    val shared12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(shared12 >= 4, s"near-dups should share most minhashes, shared $shared12")
+    val shared13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(shared13 === 0)
+  }
+
+  test("LSH candidate pairs contain the true near-dup pair, not unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 6L)))
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.contains((3L, 5L)))
+  }
+
+  test("jaccard pairs: exact similarity with threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 6L)))
+    assert(pairs((1L, 6L)) === 1.0) // identical 3-gram sets
+    // docs 1/2 differ only in the last word: 6 of 7 shingles shared -> 6/8
+    assert(pairs.contains((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 0.75) < 1e-9)
+  }
+
+  test("jaccard dfCap prunes stop-shingle candidates but keeps exact scores") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5, dfCap = 3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // Candidates come from the capped index, but jaccard is EXACT (full sets):
+    assert(pairs.contains((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 0.75) < 1e-9)
+  }
+
+  test("simhash: identical token multisets give identical hashes; near-dups close") {
+    val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) <= 8, "near-dups should be close in hamming space")
+    assert(h.values.forall(v => v >= 0 && v <= 0xffffffffL))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)),  // close to 0
+    (2L, Array(0f, 1f, 0f, 0f)),      // orthogonal
+    (3L, Array(-1f, 0f, 0f, 0f))      // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: correct neighbor order, self excluded") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 4, 3)
+      .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L)) // by cosine: 0.99, 0, -1
+  }
+
+  test("bucketed top-k only searches same sign-bucket (scale-path recall tradeoff)") {
+    val got = Similarity.bucketedTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 4, 3, bits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(1L))  // same bucket, found
+    assert(!got.contains(3L)) // negative first dim -> different bucket, unsearched
+  }
+
+  test("embedding dup pairs: threshold filters to genuinely close pairs") {
+    val pairs = Similarity.embeddingDupPairs(vecs, "vec_id", "embedding", 4, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+  }
+
+  test("multimodal: stubbed decode is deterministic, plumbing batches by bytes") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, targetBytesPerTask = 64)
+    val rows = feats.collect().sortBy(_.media_id)
+    assert(rows.length === 6)
+    assert(rows.forall(_.features.length === Multimodal.FeatureDim))
+    assert(rows.forall(r => r.n_bytes > 0 && r.width >= 16 && r.height >= 16))
+    // determinism: rerun gives identical checksums
+    val again = Multimodal.extractFeatures(media, targetBytesPerTask = 1024)
+      .collect().sortBy(_.media_id)
+    assert(rows.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+    assert(rows.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
+  }
+
+  test("text analysis: tokenization and langid are deterministic and sane") {
+    val df = Seq((1L, "the cat and the dog of the house")).toDF("doc_id", "text")
+    val hits = TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords.head._2)
+    assert(df.select(hits).head().getInt(0) === 5) // the,and,the,of,the
+    val scored = TextAnalysis.langScores("text").foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    val pred = scored.select(TextAnalysis.langPredict(
+      TextAnalysis.stopwords.map(l => s"hits_${l._1}")).as("p")).head().getString(0)
+    assert(pred === "en")
+  }
+}
