@@ -320,6 +320,14 @@ object SparkEntry {
         .orderBy("rnk")
     }),
 
+    // S2/F6 — JSON message parsing (the dispatch shell's from_json shape,
+    // exercised batch-mode over the events.props JSON column)
+    "q_json_parse" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
     // ---- beyond-reference: columnar-scan heft (TPC-H-style shapes) -------
 
     // Q1-like pricing summary: wide scan + grouped decimal aggregation
@@ -606,6 +614,10 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (ORDER BY total_value DESC, user_id) AS BIGINT) AS rnk
         |  FROM agg)
         |SELECT user_id, total_value, n, rnk FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_tpch_pricing" ->
       """WITH agg AS (

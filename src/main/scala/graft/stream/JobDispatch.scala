@@ -1,0 +1,230 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import graft.io.TableStore
+import graft.ingest.CsvSource
+import graft.model.Schemas.JobStatus
+import graft.pipeline.{Lifecycle, Router}
+
+/** Structured Streaming dispatch shell (SURVEY.md §2.10, §3.1 step 1).
+  *
+  * The reference long-polls SQS one message at a time (consumer.py:55-111).
+  * Spark has no built-in SQS source, so the sanctioned bridge (SURVEY.md
+  * §7.4) is a message FILE stream: an SQS drainer (or any producer) appends
+  * JSON-lines job messages to a directory; `readStream.text` tails it with
+  * exactly-once file tracking via the checkpoint. PRODUCER CONTRACT: files
+  * must APPEAR atomically (write to a temp name, then rename into the
+  * directory) — Spark's file source lists a file once and can observe a
+  * partial write otherwise. Everything downstream of a
+  * message is the bounded batch pipeline, dispatched per micro-batch through
+  * `foreachBatch`.
+  *
+  * Delivery contract kept from the reference (README ADR-001):
+  *   - at-least-once + idempotent pipeline => replay is a no-op
+  *     (COMPLETED short-circuit + row-hash anti-join J1)
+  *   - malformed JSON = poison pill, dropped immediately with a dead-letter
+  *     record (consumer.py:180-190)
+  *   - processing errors do NOT ack: the job stays in its prior state and
+  *     the failure is recorded for redelivery/inspection (consumer.py:164-176)
+  */
+object JobDispatch {
+
+  /** SQS body schema: {"job_id": int, "s3_key": string} (consumer.py:131-136). */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("job_id", IntegerType),
+    StructField("s3_key", StringType)))
+
+  /** S2: parse + classify raw message bodies.
+    * Returns columns: body, job_id, s3_key, disposition
+    * (VALID | POISON_MALFORMED | POISON_MISSING_FIELD). */
+  def parseMessages(raw: DataFrame, bodyCol: String = "value"): DataFrame = {
+    // PERMISSIVE from_json yields a struct of nulls (not a null struct) for
+    // garbage input; the corrupt-record column is the reliable malformed
+    // signal, distinguishing poison pills (dropped, consumer.py:180-190)
+    // from valid JSON missing required fields (error path).
+    val schemaWithCorrupt = messageSchema.add("_corrupt", StringType)
+    val parsed = raw.withColumn("msg",
+      from_json(col(bodyCol), schemaWithCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")))
+    parsed.select(
+      col(bodyCol).as("body"),
+      col("msg.job_id").as("job_id"),
+      col("msg.s3_key").as("s3_key"),
+      when(col("msg").isNull || col("msg._corrupt").isNotNull, lit("POISON_MALFORMED"))
+        .when(col("msg.job_id").isNull || col("msg.s3_key").isNull, lit("POISON_MISSING_FIELD"))
+        .otherwise(lit("VALID"))
+        .as("disposition"))
+  }
+
+  /** Outcome of one processed message (driver-side record). */
+  case class MessageOutcome(job_id: Option[Int], body: String, outcome: String, detail: String)
+
+  /** Process one micro-batch of raw message bodies against the store.
+    * Message cardinality is jobs-per-trigger (control plane, not data
+    * plane), so collecting the parsed batch to the driver is correct — the
+    * DATA each message fans out to (the CSV, the staging set) stays fully
+    * distributed inside the Lifecycle plans. */
+  def processBatch(
+      spark: SparkSession,
+      store: TableStore,
+      batch: DataFrame,
+      resolveCsv: String => String): Seq[MessageOutcome] = {
+    val messages = parseMessages(batch).collect()
+    messages.toSeq.map { m =>
+      val body = m.getAs[String]("body")
+      m.getAs[String]("disposition") match {
+        case "POISON_MALFORMED" =>
+          MessageOutcome(None, body, "DROPPED_POISON", "malformed JSON")
+        case "POISON_MISSING_FIELD" =>
+          MessageOutcome(Option(m.getAs[Integer]("job_id")).map(_.toInt), body,
+            "DROPPED_POISON", "missing job_id/s3_key")
+        case _ =>
+          val jobId = m.getAs[Int]("job_id")
+          val s3Key = m.getAs[String]("s3_key")
+          try processOne(spark, store, jobId, s3Key, resolveCsv)
+          catch {
+            case e: Exception =>
+              if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+              // Not acked in the reference (visibility timeout redelivers);
+              // here the file-source offset IS committed, so the failure is
+              // recorded for an external retry queue. Job state was set to
+              // FAILED by processOne's error path.
+              MessageOutcome(Some(jobId), body, "FAILED", String.valueOf(e.getMessage))
+          }
+      }
+    }
+  }
+
+  private def emptyLike(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Route + run one job message end-to-end (the reference's
+    * Processor.process_job, §2.11 flow router). */
+  def processOne(
+      spark: SparkSession,
+      store: TableStore,
+      jobId: Int,
+      s3Key: String,
+      resolveCsv: String => String): MessageOutcome = {
+    import graft.model.Schemas
+
+    val jobs = if (store.exists("jobs")) store.load("jobs") else null
+    val jobRow = Option(jobs).flatMap(_.filter(col("job_id") === jobId).collect().headOption)
+    val jobStatus = jobRow.map(_.getAs[String]("job_status"))
+    val userId = jobRow.map(_.getAs[String]("job_user_id")).getOrElse("")
+
+    def tbl(name: String, schema: StructType): DataFrame =
+      if (store.exists(name)) store.load(name) else emptyLike(spark, schema)
+    val staging = tbl("staging", stagingShape)
+    val hasStaging = store.exists("staging") &&
+      !staging.filter(col("staging_job_id") === jobId).isEmpty
+
+    Router.route(jobStatus, hasStaging) match {
+      case Router.SkipMissingJob =>
+        MessageOutcome(Some(jobId), s3Key, "SKIPPED", "job not found (stale message)")
+      case Router.SkipCompleted =>
+        MessageOutcome(Some(jobId), s3Key, "SKIPPED", "job already COMPLETED")
+      case route =>
+        setJobStatus(store, jobId, JobStatus.Processing)
+        try {
+          val issues = tbl("issues", issuesShape)
+          val items = tbl("issue_items", itemsShape)
+          val contacts = tbl("contacts", contactsShape)
+          val result = route match {
+            case Router.Reprocessing =>
+              Lifecycle.reprocess(
+                staging.filter(col("staging_job_id") === jobId),
+                issues.filter(col("issues_job_id") === jobId),
+                items.filter(col("issues_job_id") === jobId),
+                contacts, jobId, userId)
+            case _ =>
+              val input = CsvSource.toContract(CsvSource.read(spark, resolveCsv(s3Key)))
+              Lifecycle.initialProcess(
+                input, jobId, userId,
+                staging.filter(col("staging_job_id") === jobId),
+                issues.filter(col("issues_job_id") === jobId),
+                items.filter(col("issues_job_id") === jobId),
+                contacts)
+          }
+          // Rows of OTHER jobs must survive the snapshot commit; normalize
+          // every side to the canonical table shape first.
+          def norm(df: DataFrame, shape: StructType): DataFrame =
+            df.select(shape.fieldNames.map(col).toSeq: _*)
+          val merged = result.copy(
+            staging = norm(staging, stagingShape).filter(col("staging_job_id") =!= jobId)
+              .unionByName(norm(result.staging, stagingShape)),
+            issues = norm(issues, issuesShape).filter(col("issues_job_id") =!= jobId)
+              .unionByName(norm(result.issues, issuesShape)),
+            issueItems = norm(items, itemsShape).filter(col("issues_job_id") =!= jobId)
+              .unionByName(norm(result.issueItems, itemsShape)))
+          Lifecycle.commit(store, merged)
+          setJobStatus(store, jobId, result.jobStatus) // W7 last: crash-repairable
+          MessageOutcome(Some(jobId), s3Key, result.jobStatus, "ok")
+        } catch {
+          case e: Exception =>
+            setJobStatus(store, jobId, JobStatus.Failed)
+            throw e
+        }
+    }
+  }
+
+  /** W7: single-row job status update (driver-side; 1-row table op). */
+  def setJobStatus(store: TableStore, jobId: Int, status: String): Unit =
+    if (store.exists("jobs")) {
+      store.overwrite("jobs", store.load("jobs").withColumn(
+        "job_status",
+        when(col("job_id") === jobId, lit(status)).otherwise(col("job_status"))))
+    }
+
+  /** Start the dispatch stream over a JSON-lines message directory. */
+  def start(
+      spark: SparkSession,
+      store: TableStore,
+      messagesDir: String,
+      checkpointDir: String,
+      resolveCsv: String => String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    spark.readStream
+      .text(messagesDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val outcomes = processBatch(spark, store, batch, resolveCsv)
+        outcomes.foreach(o => println(s"[dispatch] $o"))
+      }
+      .start()
+  }
+
+  // Minimal shapes for absent tables (first message ever).
+  private val stagingShape = StructType(Seq(
+    StructField("staging_id", org.apache.spark.sql.types.LongType),
+    StructField("staging_job_id", IntegerType),
+    StructField("staging_email", StringType),
+    StructField("staging_first_name", StringType),
+    StructField("staging_last_name", StringType),
+    StructField("staging_company", StringType),
+    StructField("staging_status", StringType),
+    StructField("staging_row_hash", StringType)))
+  private val issuesShape = StructType(Seq(
+    StructField("issues_job_id", IntegerType),
+    StructField("issue_type", StringType),
+    StructField("issue_key", StringType),
+    StructField("issue_description", StringType),
+    StructField("issue_resolved", org.apache.spark.sql.types.BooleanType)))
+  private val itemsShape = StructType(Seq(
+    StructField("issues_job_id", IntegerType),
+    StructField("issue_type", StringType),
+    StructField("issue_key", StringType),
+    StructField("item_staging_id", org.apache.spark.sql.types.LongType)))
+  private val contactsShape = StructType(Seq(
+    StructField("staging_id", org.apache.spark.sql.types.LongType),
+    StructField("contacts_user_id", StringType),
+    StructField("contact_email", StringType),
+    StructField("contact_first_name", StringType),
+    StructField("contact_last_name", StringType),
+    StructField("contact_company", StringType)))
+}
