@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Fixed-association dot product over `dims` elements (0-based Spark SQL
-    * indexing). */
+  /** Fixed-association dot product: the native codegen'd
+    * [[FloatArrayDot]] expression (tight primitive loop). Its left-to-right
+    * double accumulation is bit-identical to the equivalent
+    * `CAST(a[i] AS DOUBLE)*CAST(b[i] AS DOUBLE) + ...` chain the DuckDB
+    * oracle evaluates. `dims` documents the contract; iteration bounds by
+    * the arrays themselves. */
   def dotExpr(a: String, b: String, dims: Int): Column =
-    expr((0 until dims)
-      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
-      .mkString(" + "))
+    ArrayDot.floatDot(col(a), col(b))
 
   def cosineExpr(a: String, b: String, dims: Int): Column =
     round(dotExpr(a, b, dims) /
