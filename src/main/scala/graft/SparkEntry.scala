@@ -256,6 +256,24 @@ object SparkEntry {
       graft.functions.Dedup.simhash(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Capstone composite: training-corpus preparation in ONE plan —
+    // quality-filter, drop near-duplicate losers (keep min doc id), count
+    // tokens. The shape a 100 TB pretraining pipeline runs nightly.
+    "q_corpus_prep" -> ((s, dir) => {
+      import graft.functions.{Dedup, TextAnalysis}
+      val docs = pq(s, dir, "documents")
+      val dupLosers = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs
+        .withColumn("quality", TextAnalysis.qualityScore(col("text"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords.head._2)))
+        .filter(col("quality") >= 0.6)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("quality"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- beyond-reference: similarity search over `embeddings` -----------
 
     "q_knn_brute" -> ((s, dir) => {
@@ -695,6 +713,37 @@ object SparkEntry {
          |  FROM toks GROUP BY doc_id)
          |SELECT doc_id, $simhashValueSql AS simhash
          |FROM votes ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_prep" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM pairs
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_words,
+         |    round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits
+         |  FROM documents),
+         |quality AS (
+         |  SELECT doc_id, text,
+         |    round(0.4 * (least(n_words, 100.0) / 100.0)
+         |        + 0.3 * (1.0 - punct_ratio)
+         |        + 0.3 * least(stop_hits / greatest(n_words, 1.0) * 5.0, 1.0), 6) AS quality
+         |  FROM scored)
+         |SELECT q.doc_id, q.quality,
+         |       CAST(len(string_split_regex(q.text, '\\s+')) AS BIGINT) AS n_tokens
+         |FROM quality q
+         |WHERE q.quality >= 0.6 AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY q.doc_id""".stripMargin,
 
     "q_knn_brute" ->
       s"""WITH q AS (
