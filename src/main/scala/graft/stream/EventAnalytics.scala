@@ -1,0 +1,97 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analytics over event streams: watermarked windowed
+  * aggregation and stateful gap-based sessionization.
+  *
+  * The reference's only stream is the job queue (SURVEY.md §2.10 — no
+  * event-time anywhere), but an ingestion engine at 100 TB needs event-time
+  * analytics as a first-class capability; these mirror the batch
+  * q_events_hourly / q_events_sessionize semantics in streaming mode, so the
+  * same question can be answered over a table or a live stream.
+  *
+  * Input contract (both functions): columns `ts: timestamp`,
+  * `user_id: long`, `event_type: string`, `value: double` — exactly the
+  * `events` table schema, so `spark.readStream` over the same parquet
+  * directory Just Works.
+  */
+object EventAnalytics {
+
+  /** Watermarked tumbling-window counts/sums per event type. Late events
+    * beyond `lateness` are dropped; state is purged as the watermark
+    * advances, so state size is bounded by (windows in flight x types) —
+    * the property that keeps this runnable forever at scale. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Int)
+
+  case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Int)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState: a session
+    * closes after `gapSeconds` of inactivity (processing-time timeout) and
+    * is emitted exactly once. State per user is O(1) — one open session —
+    * regardless of stream length. Same 30-minute-gap semantics as the batch
+    * q_events_sessionize.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+
+    def fn(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      if (useTimeout && state.hasTimedOut) {
+        val out = state.getOption.map(s =>
+          Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+        state.remove()
+        out.iterator
+      } else {
+        val closed = Seq.newBuilder[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapSeconds * 1000 =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            case Some(s) =>
+              closed += Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
+  }
+}

@@ -161,7 +161,12 @@ object JobDispatch {
             issueItems = norm(items, itemsShape).filter(col("issues_job_id") =!= jobId)
               .unionByName(norm(result.issueItems, itemsShape)))
           Lifecycle.commit(store, merged)
-          setJobStatus(store, jobId, result.jobStatus) // W7 last: crash-repairable
+          // W7/W8 last (crash-repairable): status + counters in one 1-row update.
+          val c = result.counters.collect().head
+          updateJob(store, jobId, result.jobStatus,
+            totalRows = c.getAs[Long]("total_rows"),
+            processedRows = c.getAs[Long]("total_rows"), // all rows seen (processor.py:313-330)
+            issueCount = c.getAs[Long]("unresolved_issues"))
           MessageOutcome(Some(jobId), s3Key, result.jobStatus, "ok")
         } catch {
           case e: Exception =>
@@ -178,6 +183,31 @@ object JobDispatch {
         "job_status",
         when(col("job_id") === jobId, lit(status)).otherwise(col("job_status"))))
     }
+
+  /** W7+W8: status + progress counters + process_end in one update
+    * (processor.py:313-330, job_repository.py:32-110). Metadata columns are
+    * created on first use so seed jobs tables can stay minimal. */
+  def updateJob(
+      store: TableStore, jobId: Int, status: String,
+      totalRows: Long, processedRows: Long, issueCount: Long): Unit = {
+    if (!store.exists("jobs")) return
+    var jobs = store.load("jobs")
+    def ensure(name: String, dt: String): Unit =
+      if (!jobs.columns.contains(name))
+        jobs = jobs.withColumn(name, lit(null).cast(dt))
+    Seq("job_total_rows" -> "long", "job_processed_rows" -> "long",
+      "job_issue_count" -> "long", "job_process_end" -> "timestamp")
+      .foreach { case (n, t) => ensure(n, t) }
+    val isJob = col("job_id") === jobId
+    store.overwrite("jobs", jobs
+      .withColumn("job_status", when(isJob, lit(status)).otherwise(col("job_status")))
+      .withColumn("job_total_rows", when(isJob, lit(totalRows)).otherwise(col("job_total_rows")))
+      .withColumn("job_processed_rows", when(isJob, lit(processedRows)).otherwise(col("job_processed_rows")))
+      .withColumn("job_issue_count", when(isJob, lit(issueCount)).otherwise(col("job_issue_count")))
+      .withColumn("job_process_end",
+        when(isJob && lit(status == graft.model.Schemas.JobStatus.Completed), current_timestamp())
+          .otherwise(col("job_process_end"))))
+  }
 
   /** Start the dispatch stream over a JSON-lines message directory. */
   def start(

@@ -1,0 +1,72 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Streaming event analytics: watermarked windows drop late data and bound
+  * state; stateful sessionization emits closed sessions exactly once. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+  import EventAnalytics._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedCounts: tumbling windows aggregate by type; late event dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = windowedCounts(events, windowLength = "10 minutes", lateness = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    input.addData((ts(1), 1L, "click", 1.0), (ts(2), 1L, "click", 2.0), (ts(3), 2L, "view", 5.0))
+    q.processAllAvailable()
+    // Advance the watermark far past the first window, then send a LATE
+    // event into it — must be dropped, and the first window finalizes:
+    input.addData((ts(60), 1L, "click", 1.0))
+    q.processAllAvailable()
+    input.addData((ts(2), 9L, "click", 100.0)) // late by ~55 min > 5 min watermark
+    q.processAllAvailable()
+    input.addData((ts(120), 1L, "click", 1.0)) // push watermark to close window 2
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("win_out")
+      .selectExpr("window_start", "event_type", "n", "CAST(total_value AS DOUBLE) v")
+      .as[(Timestamp, String, Long, Double)].collect()
+    val firstWindowClicks = out.filter(r => r._1 == Timestamp.valueOf("2024-01-01 10:00:00") && r._2 == "click")
+    assert(firstWindowClicks.length === 1)
+    assert(firstWindowClicks.head._3 === 2L)   // late 100.0 click NOT counted
+    assert(firstWindowClicks.head._4 === 3.0)
+    assert(out.exists(r => r._2 == "view" && r._3 == 1L))
+  }
+
+  test("sessionize: gap closes sessions, state emits each session once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // NoTimeout in the test: the first session closes when the second burst
+    // arrives; the processing-time flush of the FINAL open session is the
+    // production default but stalls processAllAvailable under the test
+    // harness's trigger loop.
+    val q = sessionize(input.toDS(), gapSeconds = 600,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    // user 1: two bursts separated by > 10 min -> first session closes when
+    // the second burst arrives in a later batch.
+    input.addData(Event(ts(0), 1L, "click", 1.0), Event(ts(5), 1L, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(ts(30), 1L, "click", 1.0), Event(ts(31), 1L, "click", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[Session].collect()
+    assert(closed.length === 1)
+    assert(closed.head.user_id === 1L)
+    assert(closed.head.n_events === 2)
+    assert(closed.head.session_start === ts(0) && closed.head.session_end === ts(5))
+    q.stop()
+  }
+}

@@ -57,6 +57,12 @@ class JobDispatchSpec extends SparkSpec {
       .as[(Int, String)].collect().toMap
     assert(jobs(1) === JobStatus.Completed)
     assert(jobs(7) === JobStatus.Completed)
+    // W8 job metadata written on completion (columns created on first use):
+    val meta = store.load("jobs").filter(col("job_id") === 1).collect().head
+    assert(meta.getAs[Long]("job_total_rows") === 2L)
+    assert(meta.getAs[Long]("job_processed_rows") === 2L)
+    assert(meta.getAs[Long]("job_issue_count") === 0L)
+    assert(meta.getAs[java.sql.Timestamp]("job_process_end") !== null)
     assert(store.load("contacts").count() === 2)
     assert(store.load("staging").filter(col("staging_status") === "SUCCESS").count() === 2)
 
