@@ -151,7 +151,10 @@ object SparkEntry {
     // §3.2 reprocess + J5/W4 — user edits, DISCARD exclusion, issue merge,
     // deterministic resolution recompute
     "q_reprocess_resolution" -> ((s, dir) => {
-      val c = classified(s, dir)
+      // The classified frame feeds staging0, issues0, and items0; without
+      // caching, each reference re-expands the whole classify subtree (56
+      // scans / 107 exchanges at plan level) — a non-starter at scale.
+      val c = classified(s, dir).cache()
       val staging0 = c.select(
         col("row_number").as("staging_id"),
         col("job_id"),
@@ -174,7 +177,7 @@ object SparkEntry {
         .select(col("staging_id").as("row_number"), col("staging_id"), col("job_id"),
           col("staging_email").as("email"), col("staging_first_name").as("first_name"),
           col("staging_last_name").as("last_name"), col("staging_company").as("company"))
-      val reclass = Validate.classify(working, contactsStandIn(s, dir), "u1")
+      val reclass = Validate.classify(working, contactsStandIn(s, dir), "u1").cache()
       val newStatus = edited.select("staging_id")
         .join(reclass.select(col("staging_id"), col("staging_status").as("ns")),
           Seq("staging_id"), "left")

@@ -70,11 +70,15 @@ object Lifecycle {
     // Validation sets (duplicates, existing-contacts) are built from ALL CSV
     // rows — including rows later skipped by the idempotency check
     // (processor.py:153-163 runs before the row loop).
+    // Cached: the classified frame is referenced by the staging snapshot,
+    // the issue derivation, AND the link derivation — uncached, every
+    // commit materialization would re-run the whole classify subtree.
     val classified = Validate.classify(withJob, contacts, userId)
       .withColumn("staging_row_hash",
         rowHash(col("job_id"), col("row_number"), col("email"),
           col("first_name"), col("last_name"), col("company")))
       .withColumn("staging_id", stagingId(col("job_id"), col("row_number")))
+      .cache()
 
     // J1: skip rows whose (job, hash) already landed (resume idempotency).
     val newRows = classified.join(
@@ -135,7 +139,7 @@ object Lifecycle {
         col("staging_company").as("company"),
         col("staging_row_hash"))
 
-    val classified = Validate.classify(working, contacts, userId)
+    val classified = Validate.classify(working, contacts, userId).cache()
 
     // New statuses: re-validated for working rows, DISCARD preserved.
     val revalidated = classified.select(

@@ -160,9 +160,13 @@ object JobDispatch {
               .unionByName(norm(result.issues, issuesShape)),
             issueItems = norm(items, itemsShape).filter(col("issues_job_id") =!= jobId)
               .unionByName(norm(result.issueItems, itemsShape)))
+          // Counters must materialize BEFORE the commit: their plan reads the
+          // pre-commit table snapshots, which overwriteAll replaces — a
+          // post-commit collect() hits deleted files from the second job of a
+          // session onward.
+          val c = result.counters.collect().head
           Lifecycle.commit(store, merged)
           // W7/W8 last (crash-repairable): status + counters in one 1-row update.
-          val c = result.counters.collect().head
           updateJob(store, jobId, result.jobStatus,
             totalRows = c.getAs[Long]("total_rows"),
             processedRows = c.getAs[Long]("total_rows"), // all rows seen (processor.py:313-330)
