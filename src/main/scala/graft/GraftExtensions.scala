@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.FloatArrayDot
+
+/** Session extension registering graft's native expressions for SQL use.
+  *
+  * Deployment: `--conf spark.sql.extensions=graft.GraftExtensions`, after
+  * which `SELECT float_array_dot(a, b)` parses anywhere SQL does. For an
+  * already-running session (notebooks, tests), [[GraftFunctions.register]]
+  * installs the same functions into the session's registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction(GraftFunctions.floatArrayDot)
+  }
+}
+
+object GraftFunctions {
+
+  private[graft] val floatArrayDot = (
+    FunctionIdentifier("float_array_dot"),
+    new ExpressionInfo(
+      classOf[FloatArrayDot].getCanonicalName,
+      null,
+      "float_array_dot",
+      "_FUNC_(a, b) - dot product of two array<float> columns in double " +
+        "(native codegen loop; left-to-right accumulation)",
+      ""),
+    (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      FloatArrayDot(exprs(0), exprs(1)))
+
+  /** Register graft SQL functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val (ident, info, builder) = floatArrayDot
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}
