@@ -349,6 +349,24 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // Deterministic KMV distinct sketch — oracle-verifiable approximate
+    // distinct counting (engine-portable, unlike HLL registers)
+    "q_sketch_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.kmvDistinct(pq(s, dir, "lineitem"), "l_orderkey", k = 256)),
+
+    // Salted two-phase duplicate count — identical results to q_dup_emails,
+    // hot keys spread over 16 reducers before the final combine (skew guard,
+    // SURVEY §7.5 hard part 5)
+    "q_dup_emails_salted" -> ((s, dir) =>
+      graft.functions.Sketches
+        .saltedCount(
+          csvInput(s, dir)
+            .select(normEmail(col("email")).as("norm_email"))
+            .filter(col("norm_email") =!= ""),
+          "norm_email", salts = 16)
+        .filter(col("cnt") > 1)
+        .orderBy("norm_email")),
+
     // ---- beyond-reference: columnar-scan heft (TPC-H-style shapes) -------
 
     // Q1-like pricing summary: wide scan + grouped decimal aggregation
@@ -639,6 +657,25 @@ object SparkEntry {
     "q_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_sketch_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT (CAST(l_orderkey AS BIGINT) * 2654435761) % 2147483647 AS hv
+        |  FROM lineitem),
+        |sk AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(hv) AS h_k FROM sk),
+        |ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct FROM lineitem)
+        |SELECT
+        |  round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |             ELSE 255.0 * 2147483647.0 / CAST(h_k AS DOUBLE) END, 4) AS approx_distinct,
+        |  n_sketch, exact_distinct
+        |FROM agg, ex""".stripMargin,
+
+    "q_dup_emails_salted" -> withCtes(
+      """SELECT lower(trim(email)) AS norm_email, CAST(count(*) AS BIGINT) AS cnt
+        |FROM input WHERE trim(email) <> ''
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY norm_email""".stripMargin),
 
     "q_tpch_pricing" ->
       """WITH agg AS (

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate query processing and skew-proof aggregation
+  * patterns.
+  *
+  * The KMV (k-minimum-values) distinct-count sketch here is deliberately
+  * DETERMINISTIC — hashes come from Knuth multiplicative hashing in exact
+  * int64 arithmetic, so the estimate is bit-identical across engines and
+  * oracle-verifiable, unlike HLL implementations whose registers differ per
+  * engine. (Spark's built-in `approx_count_distinct` HLL++ remains the
+  * production default when cross-engine determinism isn't required; this
+  * sketch exists where it is.)
+  */
+object Sketches {
+
+  /** Knuth multiplicative hash of an integer key into [0, 2^31-1). Exact
+    * int64 arithmetic — deterministic in any engine. */
+  def knuthHash(key: Column): Column =
+    pmod(key.cast("long") * lit(2654435761L), lit(2147483647L))
+
+  /** KMV distinct-count estimate: keep the k smallest distinct hash values;
+    * estimate = (k-1) * M / h_k where h_k is the k-th smallest hash and M
+    * the hash range. One distinct-agg + a top-k — no full distinct count
+    * materialization; sketch size is O(k) regardless of cardinality.
+    *
+    * Returns a 1-row frame: approx_distinct (double, rounded), n_sketch
+    * (hashes kept), exact_distinct for comparison.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    val hashes = df.select(knuthHash(col(keyCol)).as("hv")).distinct()
+    val sketch = hashes.orderBy("hv").limit(k)
+    val agg = sketch.agg(
+      count(lit(1)).as("n_sketch"),
+      max(col("hv")).as("h_k"))
+    val exact = df.select(col(keyCol)).distinct().agg(count(lit(1)).as("exact_distinct"))
+    agg.crossJoin(exact).select(
+      // Under-filled sketch (< k hashes) means we saw every distinct value.
+      round(
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(2147483647.0) / col("h_k").cast("double")),
+        4).as("approx_distinct"),
+      col("n_sketch"),
+      col("exact_distinct"))
+  }
+
+  /** Salted two-phase aggregation: pre-aggregate on (key, salt) so one hot
+    * key spreads over `salts` reducers before the final combine — the
+    * explicit form of the skew guard for aggregations whose partial
+    * aggregation alone can't save (e.g. collect-like or high-cardinality
+    * states). For plain counts the result is provably identical to the
+    * direct groupBy. Salt derives from a hash of the full row — no RNG, so
+    * plans stay deterministic and replayable.
+    */
+  def saltedCount(df: DataFrame, keyCol: String, salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_partial")).as("cnt"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions: column pruning, pushed filters, and broadcast
+  * join selection are part of the contract, not an accident — a regression
+  * that reads all columns for a 2-column projection should fail CI, not
+  * wait for a 100 TB bill (builder brief: ".explain shows PushedFilters /
+  * ReadSchema; a scan that reads all columns for a 2-column projection is
+  * wrong").
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def readSchemas(plan: String): Seq[String] =
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+
+  test("q_norm_email prunes the customer scan to the single needed column") {
+    val schemas = readSchemas(planOf("q_norm_email"))
+    assert(schemas.nonEmpty)
+    // email derives from c_custkey only; c_mktsegment must NOT be read.
+    assert(schemas.forall(s => !s.contains("c_mktsegment")), schemas.mkString("; "))
+    assert(schemas.forall(s => s.split(",").length <= 1), schemas.mkString("; "))
+  }
+
+  test("q_classify reads only the two derivation columns from customer") {
+    val schemas = readSchemas(planOf("q_classify"))
+    assert(schemas.forall(s => s.split(",").length <= 2), schemas.mkString("; "))
+    assert(schemas.forall(s => !s.contains("c_acctbal") && !s.contains("c_name")))
+  }
+
+  test("q_tpch_pricing pushes the shipdate filter into the parquet scan") {
+    val plan = planOf("q_tpch_pricing")
+    assert(plan.contains("PushedFilters:"), "no pushed filters section")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
+      "l_shipdate predicate not pushed to the scan")
+  }
+
+  test("q_tpch_revenue broadcasts the small dimension side") {
+    val plan = planOf("q_tpch_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast hash join")
+  }
+
+  test("q_dup_emails aggregates with partial (map-side) combine") {
+    val plan = planOf("q_dup_emails")
+    // two HashAggregates around one Exchange = partial+final (skew-resistant
+    // counting; one hot email never concentrates raw rows on one reducer)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(400))
+  }
+
+  test("no query plan falls back out of whole-stage codegen") {
+    // A failed codegen compile logs and silently degrades; spot-check the
+    // expression-heavy queries still contain codegen stages.
+    Seq("q_row_hash", "q_knn_brute", "q_dedup_simhash").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      // collect() executes THIS frame's QueryExecution (count() would build a
+      // new one, leaving this AQE plan initial and codegen-unwrapped); the
+      // finalized plan marks codegened stages "*(n)" in simple mode
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"$q plan not finalized")
+      assert(plan.contains("*("), s"$q lost whole-stage codegen")
+    }
+  }
+}
