@@ -349,6 +349,15 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // Transitive near-dup clusters (connected components over jaccard>=0.8
+    // pairs via min-label propagation, 5 unrolled rounds)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val pairs = graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8)
+      graft.functions.Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 5)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic KMV distinct sketch — oracle-verifiable approximate
     // distinct counting (engine-portable, unlike HLL registers)
     "q_sketch_distinct" -> ((s, dir) =>
@@ -657,6 +666,34 @@ object SparkEntry {
     "q_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_dedup_clusters" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""l$i AS (
+           |  SELECT l.doc_id, least(l.cluster_id, coalesce(m.nbr, l.cluster_id)) AS cluster_id
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT e.src AS doc_id, min(x.cluster_id) AS nbr
+           |    FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY 1) m
+           |  USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |ip AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM ip
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+         |$rounds
+         |SELECT doc_id, cluster_id FROM l5 ORDER BY doc_id""".stripMargin
+    },
 
     "q_sketch_distinct" ->
       """WITH h AS (

@@ -120,6 +120,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Transitive near-duplicate clusters: connected components over the
+    * candidate-pair graph by iterative min-label propagation. Pairs tell you
+    * A~B and B~C; survivor selection needs the A,B,C cluster — this labels
+    * every node with the minimum reachable id in `iterations` rounds
+    * (iterations >= graph diameter; near-dup clusters are tiny, so a small
+    * fixed count converges and stays engine-deterministic — the same loop
+    * unrolls as oracle SQL).
+    *
+    * Scale: each round is one equi-join + groupBy-min — the standard
+    * large-graph label propagation shape (no driver-side union-find).
+    */
+  def clusterLabels(
+      nodes: DataFrame, idCol: String, pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges
+        .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as(idCol))
+        .agg(min(col("dst_label")).as("nbr_min"))
+      labels = labels.join(nbrMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+    }
+    labels
+  }
+
   /** 32-bit SimHash over the word multiset: bit j of the hash is the sign of
     * the sum of (+-1) votes from bit j of each token's md5 (high bit of hex
     * nibble j). One explode + one groupBy(doc) — linear in corpus size. */

@@ -66,6 +66,17 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 0.75) < 1e-9)
   }
 
+  test("clusterLabels: transitive chains collapse to one min-id cluster") {
+    // A~B and B~C but no A~C pair: pairwise dedup misses the group; the
+    // component labeling must not.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterLabels(nodes, "doc_id", pairs, iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L)
+    assert(labels(4L) === 4L && labels(5L) === 4L)
+  }
+
   test("simhash: identical token multisets give identical hashes; near-dups close") {
     val h = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
