@@ -265,7 +265,13 @@ object SparkEntry {
     "q_corpus_prep" -> ((s, dir) => {
       import graft.functions.{Dedup, TextAnalysis}
       val docs = pq(s, dir, "documents")
-      val dupLosers = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8)
+      // Production path runs the SKEW-GUARDED jaccard: stop-shingles (df >
+      // ~1% of corpus) are dropped from candidate generation, bounding the
+      // inverted-index join's worst bucket. A pair whose only overlap is
+      // stop-shingles can't reach threshold 0.8, so the guarded result equals
+      // the exact oracle (q_dedup_jaccard stays unguarded as the witness).
+      val dupLosers = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8,
+        dfCap = math.max(8, (docs.count() / 100).toInt))
         .select(col("id_b").as("doc_id")).distinct()
       docs
         .withColumn("quality", TextAnalysis.qualityScore(col("text"),
@@ -300,14 +306,25 @@ object SparkEntry {
         pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // The production embedding-dedup path: sign-bucket equi-join prefilter +
+    // exact verify (the oracle carries the same bucket-join semantics).
+    "q_dedup_embedding_bucketed" -> ((s, dir) =>
+      graft.functions.Similarity.embeddingDupPairsBucketed(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // ---- beyond-reference: event-stream analytics (batch-mode windows) ---
 
-    // tumbling-hour aggregation (decimal sums: order-independent exactness)
+    // tumbling-hour aggregation (decimal sums: order-independent exactness).
+    // Final decimal aggregates are pinned to DECIMAL(38,6) on BOTH engine and
+    // oracle sides: Spark widens sum(dec(18,6)) to dec(28,6), DuckDB to
+    // dec(38,6) — same digits, different physical parquet encoding, which the
+    // driver's hash compare distinguishes.
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
         .orderBy("hour", "event_type")),
 
     // gap-based sessionization (30-min inactivity closes a session)
@@ -327,17 +344,23 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
-    // top-k by aggregate with deterministic tie-break (post-agg window is
-    // tiny: cardinality = distinct users, never raw events)
+    // top-k by aggregate with deterministic tie-break. Scale-safe shape:
+    // sort+limit plans as TakeOrderedAndProject (per-partition top-k, then a
+    // k-row merge) — no global window over the full distinct-user set. The
+    // rank is assigned AFTER the limit, over exactly k surviving rows; the
+    // constant partitionBy keeps WindowExec off the no-partition warning path
+    // while the frame is provably <= k rows.
     "q_events_topk_users" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      events(s, dir)
+      val top = events(s, dir)
         .groupBy("user_id")
-        .agg(sum(col("value").cast("decimal(18,6)")).as("total_value"),
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"),
           count(lit(1)).as("n"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(10)
+      top
         .withColumn("rnk", row_number().over(
-          Window.orderBy(col("total_value").desc, col("user_id"))).cast("long"))
-        .filter(col("rnk") <= 10)
+          Window.partitionBy(lit(1)).orderBy(col("total_value").desc, col("user_id"))).cast("long"))
         .orderBy("rnk")
     }),
 
@@ -353,7 +376,9 @@ object SparkEntry {
     // pairs via min-label propagation, 5 unrolled rounds)
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      val pairs = graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8)
+      // Skew-guarded jaccard (see q_corpus_prep note) feeding the clustering.
+      val pairs = graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8,
+        dfCap = math.max(8, (docs.count() / 100).toInt))
       graft.functions.Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 5)
         .orderBy("doc_id")
     }),
@@ -378,16 +403,24 @@ object SparkEntry {
 
     // ---- beyond-reference: columnar-scan heft (TPC-H-style shapes) -------
 
-    // Q1-like pricing summary: wide scan + grouped decimal aggregation
+    // Q1-like pricing summary: wide scan + grouped decimal aggregation.
+    // Every final decimal aggregate is pinned to DECIMAL(38,6) on both sides
+    // (see q_events_hourly note). The discount product is cast to dec(18,6)
+    // BEFORE the sum: prices/discounts carry 2 decimal digits, so the 4-digit
+    // product is exact at scale 6 — and summing dec(18,6) avoids Spark's
+    // precision-overflow scale reduction (sum of the raw dec(37,12) product
+    // would be silently rounded to dec(38,6) mid-aggregation while DuckDB
+    // keeps dec(38,12)).
     "q_tpch_pricing" -> ((s, dir) =>
       pq(s, dir, "lineitem")
         .filter(col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,6)")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,6)") *
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,6)") *
             (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .cast("decimal(18,6)")).cast("decimal(38,6)")
             .as("sum_disc_price"),
           count(lit(1)).as("n"))
         .withColumn("avg_qty",
@@ -403,20 +436,43 @@ object SparkEntry {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,6)") *
+          sum((col("l_extendedprice").cast("decimal(18,6)") *
             (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .cast("decimal(18,6)")).cast("decimal(38,6)")
             .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
-    // ---- beyond-reference: multimodal plumbing (stubbed codec; no SQL
-    // oracle — binary payloads aren't DuckDB-expressible, driver records the
-    // weaker rows-only check) ----------------------------------------------
+    // ---- beyond-reference: multimodal plumbing (stubbed codec) ------------
+    // The decode stub's byte-level checksum/features aren't DuckDB-
+    // expressible, so this query has no SQL oracle (driver records the weaker
+    // rows-only check). Every output column is a comparison-stable SCALAR —
+    // the raw array<float> crashed the driver's sort-based comparator, so the
+    // feature vector is projected as a fixed-format CSV string.
     "q_multimodal_features" -> ((s, dir) => {
       import graft.functions.Multimodal
       val media = Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media).toDF().orderBy("media_id")
+      Multimodal.extractFeatures(media).toDF()
+        .select(
+          col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+          col("width"), col("height"),
+          concat_ws(",",
+            transform(col("features"), f => format_string("%.6f", f))).as("features_csv"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal metadata plumbing (schema, kind routing, byte accounting) —
+    // the codec-independent half of the media table, fully SQL-expressible,
+    // so it carries the oracle coverage for the multimodal source path.
+    "q_multimodal_meta" -> ((s, dir) => {
+      import graft.functions.Multimodal
+      Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text").toDF()
+        .select(
+          col("media_id"), col("kind"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("source"))
+        .orderBy("media_id")
     }),
 
     // J8/W6 — consolidation projection (READY -> contacts)
@@ -635,7 +691,7 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(value AS DECIMAL(18,6))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_events_sessionize" ->
@@ -655,7 +711,7 @@ object SparkEntry {
 
     "q_events_topk_users" ->
       """WITH agg AS (
-        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS total_value,
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),
         |ranked AS (
@@ -717,10 +773,11 @@ object SparkEntry {
     "q_tpch_pricing" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |        AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem
         |  WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -731,8 +788,9 @@ object SparkEntry {
 
     "q_tpch_revenue" ->
       """SELECT c_mktsegment, o_orderpriority,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
-        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -870,6 +928,30 @@ object SparkEntry {
          |scored AS (
          |  SELECT id_a, id_b, round((${dotSql("va", "vb", 64)}) / (na * nb), 6) AS cos_sim
          |  FROM a CROSS JOIN b WHERE id_a < id_b)
+         |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'synthetic/' || CAST(doc_id AS VARCHAR) AS source
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_dedup_embedding_bucketed" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS id_a, embedding AS va, ${bucketSql("embedding", 8)} AS bucket,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS na
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id AS id_b, embedding AS vb, ${bucketSql("embedding", 8)} AS bucket,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nb
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT id_a, id_b, round((${dotSql("va", "vb", 64)}) / (na * nb), 6) AS cos_sim
+         |  FROM a JOIN b ON a.bucket = b.bucket WHERE id_a < id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 

@@ -54,21 +54,33 @@ object Dedup {
 
   /** LSH banding over the minhash signature: band key = md5(sig_a||sig_b);
     * two documents are candidates iff they share ANY band bucket. Returns
-    * distinct candidate pairs (id_a < id_b). */
+    * distinct candidate pairs (id_a < id_b).
+    *
+    * Plan shape: the signature row EXPLODES into its `bands` (band, bkey)
+    * rows in one pass (no per-band union), and pairs are expanded
+    * bucket-locally from one groupBy (no self-join) — so the expensive
+    * shingle→minhash subtree is evaluated exactly ONCE, with no cache needed.
+    * Bucket cardinality = near-dup family size (tiny by construction); a
+    * degenerate mega-bucket would hurt any LSH formulation equally and is the
+    * signature-length/bands tuning knob, not a plan problem. */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, k: Int = 8, bands: Int = 4): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
-    val banded = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      sigs.select(col(idCol), lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
-    }.reduce(_ unionByName _)
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.groupBy("band", "bkey")
+      .agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index:
@@ -133,9 +145,20 @@ object Dedup {
     */
   def clusterLabels(
       nodes: DataFrame, idCol: String, pairs: DataFrame, iterations: Int = 5): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id"))
+    // Iterative plans MUST truncate lineage: without it each round re-expands
+    // the full pair-generation subtree AND the prior rounds' joins, growing
+    // the plan multiplicatively (and the optimizer/DAG cost with it). The
+    // expensive pair generation is materialized ONCE (checkpointing the
+    // union of two projections of `pairs` instead would still evaluate the
+    // subtree twice — measured 2x); every round's labels are
+    // localCheckpoint'ed (eager), so round i's plan is one join + one
+    // aggregate over materialized inputs — constant size. On a real cluster,
+    // swap localCheckpoint for reliable checkpoint() if executor loss during
+    // the loop must be survivable.
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).localCheckpoint()
     for (_ <- 1 to iterations) {
       val nbrMin = edges
         .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("dst_label")), Seq("dst"))
@@ -144,6 +167,7 @@ object Dedup {
       labels = labels.join(nbrMin, Seq(idCol), "left")
         .select(col(idCol),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
     }
     labels
   }

@@ -90,9 +90,33 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
-    * threshold). Brute force here; at scale, prefilter with [[signBucket]]
-    * or LSH and verify within buckets. */
+  /** Embedding-cosine near-duplicate pairs with a sign-bucket prefilter —
+    * THE production entry point for embedding dedup: candidates = same
+    * sign-bucket only (equi-join, O(N²/2^bits) work), then exact cosine
+    * verify within the bucket. Pairs whose vectors land in different sign
+    * buckets are by design not candidates (tune recall with `bits`; swap the
+    * partitioner for IVF centroids at real scale — the join shape is
+    * identical). Use [[embeddingDupPairs]] only as the exact O(N²) witness. */
+  def embeddingDupPairsBucketed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double, bits: Int = 8): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("bucket", signBucket("va", bits))
+      .withColumn("na", sqrt(dotExpr("va", "va", dims)))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("bucket", signBucket("vb", bits))
+      .withColumn("nb", sqrt(dotExpr("vb", "vb", dims)))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    * (id_a < id_b, cosine >= threshold). O(N²) by construction — the
+    * exactness witness for [[embeddingDupPairsBucketed]], which is the
+    * entry point a production pipeline should use. */
   def embeddingDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, threshold: Double): DataFrame = {

@@ -85,6 +85,12 @@ object TextAnalysis {
     * is partitioned by document, so it shuffles by doc_id once and scales
     * with documents, never with corpus size per partition. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // Deliberately a lead()-over-Window formulation, NOT a row-local
+    // transform(sequence, slice) chain: the window costs one exchange on
+    // doc_id, but downstream self-joins then REUSE that exchange
+    // (ReusedExchange), whereas higher-order array functions are interpreted
+    // (not codegen'd) and re-evaluate once per plan reference — measured
+    // ~1.5x slower across the dedup family at sf0.1.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("pos")
     val exploded = df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "w")))

@@ -17,21 +17,54 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object JdbcUpsert {
 
+  /** Upsert statement for one row, plus the column bind order its `?`
+    * placeholders expect. Two dialects:
+    *   - "postgres": INSERT ... ON CONFLICT (keys) DO UPDATE (the
+    *     reference's target database)
+    *   - "merge": ANSI MERGE against a 1-row dummy table (Derby/DB2 shape;
+    *     also what the embedded-Derby spec drives, since ON CONFLICT is
+    *     Postgres-only)
+    */
+  def upsertSql(
+      table: String,
+      cols: Seq[String],
+      keyCols: Seq[String],
+      dialect: String = "postgres",
+      dummyTable: String = "SYSIBM.SYSDUMMY1"): (String, Seq[String]) = {
+    val updatable = cols.filterNot(keyCols.contains)
+    dialect match {
+      case "postgres" =>
+        val sql =
+          s"""INSERT INTO $table (${cols.mkString(", ")})
+             |VALUES (${cols.map(_ => "?").mkString(", ")})
+             |ON CONFLICT (${keyCols.mkString(", ")})
+             |DO UPDATE SET ${updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"""
+            .stripMargin
+        (sql, cols)
+      case "merge" =>
+        val sql =
+          s"""MERGE INTO $table t
+             |USING $dummyTable
+             |ON ${keyCols.map(k => s"t.$k = ?").mkString(" AND ")}
+             |WHEN MATCHED THEN UPDATE SET ${updatable.map(c => s"$c = ?").mkString(", ")}
+             |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+             |VALUES (${cols.map(_ => "?").mkString(", ")})"""
+            .stripMargin
+        (sql, keyCols ++ updatable ++ cols)
+      case other => throw new IllegalArgumentException(s"unknown upsert dialect: $other")
+    }
+  }
+
   def upsert(
       df: DataFrame,
       url: String,
       table: String,
       keyCols: Seq[String],
       props: java.util.Properties,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      dialect: String = "postgres"): Unit = {
     val cols = df.columns.toSeq
-    val updatable = cols.filterNot(keyCols.contains)
-    val sql =
-      s"""INSERT INTO $table (${cols.mkString(", ")})
-         |VALUES (${cols.map(_ => "?").mkString(", ")})
-         |ON CONFLICT (${keyCols.mkString(", ")})
-         |DO UPDATE SET ${updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"""
-        .stripMargin
+    val (sql, bindOrder) = upsertSql(table, cols, keyCols, dialect)
     val user = Option(props.getProperty("user"))
     val password = Option(props.getProperty("password"))
 
@@ -46,7 +79,7 @@ object JdbcUpsert {
           val st: PreparedStatement = conn.prepareStatement(sql)
           var n = 0
           rows.foreach { r =>
-            cols.zipWithIndex.foreach { case (c, i) =>
+            bindOrder.zipWithIndex.foreach { case (c, i) =>
               st.setObject(i + 1, r.getAs[Any](c))
             }
             st.addBatch()
@@ -55,6 +88,12 @@ object JdbcUpsert {
           }
           st.executeBatch()
           conn.commit()
+        } catch {
+          case e: Throwable =>
+            // Roll back the open transaction so close() doesn't throw
+            // "transaction still active" and mask the real failure.
+            try conn.rollback() catch { case _: Exception => () }
+            throw e
         } finally conn.close()
       }
     }

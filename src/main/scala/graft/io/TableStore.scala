@@ -13,6 +13,11 @@ import org.apache.hadoop.fs.Path
   * runs) and JDBC (production parity — see [[JdbcUpsert]] for the
   * UPDATE-shaped writes Spark's JDBC writer lacks).
   */
+/** One commit unit of a per-job write: replace only the rows of `table`
+  * whose `partCol` equals `value` with `df` (df must contain only such
+  * rows). */
+case class PartitionCommit(table: String, df: DataFrame, partCol: String, value: Any)
+
 trait TableStore {
   def load(table: String): DataFrame
   def exists(table: String): Boolean
@@ -26,6 +31,24 @@ trait TableStore {
     * stores override with a two-phase write-then-swap. */
   def overwriteAll(tables: Seq[(String, DataFrame)]): Unit =
     tables.foreach { case (t, df) => overwrite(t, df) }
+
+  /** Per-job commit: replace ONLY each table's touched partition, leaving
+    * every other job's data physically untouched — at scale a job commit must
+    * not rewrite the whole corpus. Plans may read the pre-commit snapshots,
+    * so implementations materialize every df before replacing anything.
+    * Default (for stores without physical partitioning) falls back to a
+    * merge + full snapshot replace — correct, not scale-safe. */
+  def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    overwriteAll(commits.map { c =>
+      val merged =
+        if (exists(c.table))
+          load(c.table).filter(!(col(c.partCol) <=> lit(c.value)))
+            .unionByName(c.df, allowMissingColumns = true)
+        else c.df
+      c.table -> merged
+    })
+  }
 }
 
 /** Parquet-backed store. `overwrite` writes to a temp dir then swaps, so a
@@ -40,6 +63,8 @@ class ParquetTableStore(
     root: String,
     partitionByCols: Map[String, Seq[String]] = Map(
       "staging" -> Seq("staging_job_id"),
+      "issues" -> Seq("issues_job_id"),
+      "issue_items" -> Seq("issues_job_id"),
       "contacts" -> Seq("contacts_user_id"))
 ) extends TableStore {
 
@@ -79,6 +104,39 @@ class ParquetTableStore(
     tmps.foreach { case (t, tmp) => swap(t, tmp) }
   }
 
+  /** Per-job commit, physically: each df is written (hive-partitioned by its
+    * partCol) to a tmp dir FIRST — while every pre-commit snapshot the plans
+    * read still exists — then only the touched partition directory is swapped
+    * into the table. A 10-job staging table sees exactly one partition dir
+    * replaced per message; the other jobs' files are never rewritten (nor
+    * their plans re-run). The committed value's partition is removed even
+    * when df is empty, so a job that now derives zero issues doesn't leave
+    * last run's rows behind. */
+  override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit = {
+    val staged = commits.map { c =>
+      val tmp = new Path(dir(c.table) + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      c.df.write.partitionBy(c.partCol).parquet(tmp.toString)
+      (c, tmp)
+    }
+    staged.foreach { case (c, tmp) =>
+      val tableDir = new Path(dir(c.table))
+      val written = fs.listStatus(tmp).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(c.partCol + "=")).toSet
+      (written + s"${c.partCol}=${c.value}").foreach { name =>
+        val target = new Path(tableDir, name)
+        if (fs.exists(target)) fs.delete(target, true)
+        val src = new Path(tmp, name)
+        if (fs.exists(src)) {
+          // Don't create the table dir for an all-empty commit: an existing
+          // but file-less dir would read as a present-yet-unloadable table.
+          if (!fs.exists(tableDir)) fs.mkdirs(tableDir)
+          fs.rename(src, target)
+        }
+      }
+      fs.delete(tmp, true)
+    }
+  }
+
   override def append(table: String, df: DataFrame): Unit = {
     // An empty partitioned write emits no schema-bearing files (only
     // _SUCCESS), which would poison later reads — nothing to append anyway.
@@ -109,4 +167,34 @@ class JdbcTableStore(
 
   override def append(table: String, df: DataFrame): Unit =
     df.write.mode("append").jdbc(url, table, props)
+
+  /** Per-job commit, SQL-side: materialize each result into a temp table
+    * (so plans that read the target finish BEFORE it is mutated), then
+    * DELETE the job's rows + INSERT ... SELECT server-side — no driver-side
+    * row materialization, and other jobs' rows are never rewritten. */
+  override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit = {
+    val staged = commits.map { c =>
+      val tmp = s"${c.table}_commit_tmp"
+      c.df.write.mode("overwrite").jdbc(url, tmp, props)
+      (c, tmp, c.df.columns.toSeq)
+    }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      staged.foreach { case (c, tmp, cols) =>
+        val lit = c.value match {
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case v => String.valueOf(v)
+        }
+        // Spark's JDBC writer creates DELIMITED (case-exact) identifiers;
+        // raw SQL must quote them the same way or Derby/Postgres upcase them.
+        def q(id: String) = "\"" + id + "\""
+        val colList = cols.map(q).mkString(", ")
+        st.executeUpdate(s"DELETE FROM ${c.table} WHERE ${q(c.partCol)} = $lit")
+        st.executeUpdate(
+          s"INSERT INTO ${c.table} ($colList) SELECT $colList FROM $tmp")
+        st.executeUpdate(s"DROP TABLE $tmp")
+      }
+    } finally conn.close()
+  }
 }

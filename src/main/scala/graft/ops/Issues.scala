@@ -73,8 +73,16 @@ object Issues {
     * `staging`:     staging_id, staging_status
     *
     * Returns the issues frame with a recomputed `issue_resolved` +
-    * `unresolved_items` count.
+    * `unresolved_items` count, plus the system-resolution audit trail the
+    * reference writes on resolve (issue_repository.py:190-194, 267-268):
+    * `issue_resolved_at` = now, `issue_resolved_by` = "system",
+    * `issue_resolution_comment` — stamped on resolved issues, nulled on
+    * unresolved ones (un-resolve clears the trail, matching the recompute
+    * semantics of the procedural resolve/un-resolve pair).
     */
+  val SystemResolvedBy = "system"
+  val SystemResolutionComment = "All related staging records resolved during reprocessing"
+
   def recomputeResolution(
       issues: DataFrame,
       issueItems: DataFrame,
@@ -87,9 +95,16 @@ object Issues {
         .cast("long").as("unresolved_items"))
 
     issues
-      .drop("issue_resolved", "unresolved_items")
+      .drop("issue_resolved", "unresolved_items",
+        "issue_resolved_at", "issue_resolved_by", "issue_resolution_comment")
       .join(unresolvedPerIssue, key, "left")
       .withColumn("unresolved_items", coalesce(col("unresolved_items"), lit(0L)))
       .withColumn("issue_resolved", col("unresolved_items") === 0L)
+      .withColumn("issue_resolved_at",
+        when(col("issue_resolved"), current_timestamp()).otherwise(lit(null).cast("timestamp")))
+      .withColumn("issue_resolved_by",
+        when(col("issue_resolved"), lit(SystemResolvedBy)).otherwise(lit(null).cast("string")))
+      .withColumn("issue_resolution_comment",
+        when(col("issue_resolved"), lit(SystemResolutionComment)).otherwise(lit(null).cast("string")))
   }
 }

@@ -149,23 +149,30 @@ object JobDispatch {
                 items.filter(col("issues_job_id") === jobId),
                 contacts)
           }
-          // Rows of OTHER jobs must survive the snapshot commit; normalize
-          // every side to the canonical table shape first.
+          // Per-job commit: normalize THIS job's result rows to the canonical
+          // table shapes (columns absent from a result frame become typed
+          // nulls) and replace only this job's partitions. Other jobs' files
+          // are never rewritten, and their rows never flow through this
+          // job's plan — at 100 TB a message commit touches one partition,
+          // not the corpus.
           def norm(df: DataFrame, shape: StructType): DataFrame =
-            df.select(shape.fieldNames.map(col).toSeq: _*)
-          val merged = result.copy(
-            staging = norm(staging, stagingShape).filter(col("staging_job_id") =!= jobId)
-              .unionByName(norm(result.staging, stagingShape)),
-            issues = norm(issues, issuesShape).filter(col("issues_job_id") =!= jobId)
-              .unionByName(norm(result.issues, issuesShape)),
-            issueItems = norm(items, itemsShape).filter(col("issues_job_id") =!= jobId)
-              .unionByName(norm(result.issueItems, itemsShape)))
+            df.select(shape.fields.toSeq.map(f =>
+              (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+               else lit(null).cast(f.dataType)).as(f.name)): _*)
           // Counters must materialize BEFORE the commit: their plan reads the
-          // pre-commit table snapshots, which overwriteAll replaces — a
+          // pre-commit table snapshots, which the commit replaces — a
           // post-commit collect() hits deleted files from the second job of a
-          // session onward.
+          // session onward. (The contacts append runs first for the same
+          // reason: its plan reads the pre-commit staging snapshot.)
           val c = result.counters.collect().head
-          Lifecycle.commit(store, merged)
+          store.append("contacts", result.newContacts)
+          store.overwritePartitionsAll(Seq(
+            graft.io.PartitionCommit("staging", norm(result.staging, stagingShape),
+              "staging_job_id", jobId),
+            graft.io.PartitionCommit("issues", norm(result.issues, issuesShape),
+              "issues_job_id", jobId),
+            graft.io.PartitionCommit("issue_items", norm(result.issueItems, itemsShape),
+              "issues_job_id", jobId)))
           // W7/W8 last (crash-repairable): status + counters in one 1-row update.
           updateJob(store, jobId, result.jobStatus,
             totalRows = c.getAs[Long]("total_rows"),
@@ -180,12 +187,31 @@ object JobDispatch {
     }
   }
 
-  /** W7: single-row job status update (driver-side; 1-row table op). */
+  /** Add any missing metadata columns as typed nulls (seed jobs tables can
+    * stay minimal; columns appear on first use). */
+  private def ensureCols(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
+    cols.foldLeft(df) { case (d, (name, dt)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, lit(null).cast(dt))
+    }
+
+  /** W7: single-row job status update (driver-side; 1-row table op).
+    * Entering PROCESSING stamps `job_process_start` and CLEARS
+    * `job_process_end` — a restarted job must not carry the previous cycle's
+    * end time (processor.py:143, job_repository.py:58-61). */
   def setJobStatus(store: TableStore, jobId: Int, status: String): Unit =
     if (store.exists("jobs")) {
-      store.overwrite("jobs", store.load("jobs").withColumn(
-        "job_status",
-        when(col("job_id") === jobId, lit(status)).otherwise(col("job_status"))))
+      val jobs = ensureCols(store.load("jobs"),
+        Seq("job_process_start" -> "timestamp", "job_process_end" -> "timestamp"))
+      val isJob = col("job_id") === jobId
+      val entering = status == JobStatus.Processing
+      store.overwrite("jobs", jobs
+        .withColumn("job_status", when(isJob, lit(status)).otherwise(col("job_status")))
+        .withColumn("job_process_start",
+          if (entering) when(isJob, current_timestamp()).otherwise(col("job_process_start"))
+          else col("job_process_start"))
+        .withColumn("job_process_end",
+          if (entering) when(isJob, lit(null).cast("timestamp")).otherwise(col("job_process_end"))
+          else col("job_process_end")))
     }
 
   /** W7+W8: status + progress counters + process_end in one update
@@ -195,13 +221,9 @@ object JobDispatch {
       store: TableStore, jobId: Int, status: String,
       totalRows: Long, processedRows: Long, issueCount: Long): Unit = {
     if (!store.exists("jobs")) return
-    var jobs = store.load("jobs")
-    def ensure(name: String, dt: String): Unit =
-      if (!jobs.columns.contains(name))
-        jobs = jobs.withColumn(name, lit(null).cast(dt))
-    Seq("job_total_rows" -> "long", "job_processed_rows" -> "long",
-      "job_issue_count" -> "long", "job_process_end" -> "timestamp")
-      .foreach { case (n, t) => ensure(n, t) }
+    val jobs = ensureCols(store.load("jobs"),
+      Seq("job_total_rows" -> "long", "job_processed_rows" -> "long",
+        "job_issue_count" -> "long", "job_process_end" -> "timestamp"))
     val isJob = col("job_id") === jobId
     store.overwrite("jobs", jobs
       .withColumn("job_status", when(isJob, lit(status)).otherwise(col("job_status")))
@@ -248,7 +270,10 @@ object JobDispatch {
     StructField("issue_type", StringType),
     StructField("issue_key", StringType),
     StructField("issue_description", StringType),
-    StructField("issue_resolved", org.apache.spark.sql.types.BooleanType)))
+    StructField("issue_resolved", org.apache.spark.sql.types.BooleanType),
+    StructField("issue_resolved_at", org.apache.spark.sql.types.TimestampType),
+    StructField("issue_resolved_by", StringType),
+    StructField("issue_resolution_comment", StringType)))
   private val itemsShape = StructType(Seq(
     StructField("issues_job_id", IntegerType),
     StructField("issue_type", StringType),

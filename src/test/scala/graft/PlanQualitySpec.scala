@@ -52,6 +52,40 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(400))
   }
 
+  test("q_events_topk_users plans as TakeOrderedAndProject, not a global window") {
+    // Global-window top-k moves every distinct user to one partition; the
+    // sort+limit shape is per-partition top-k + a k-row merge.
+    val plan = planOf("q_events_topk_users")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("q_dedup_lsh_pairs evaluates the minhash subtree once") {
+    // One-pass banding (explode) + bucket-local pair expansion: the plan must
+    // contain at most 2 scans of `documents` (shingles + short-doc fallback),
+    // not the 8+ of a per-band-union self-join.
+    val plan = planOf("q_dedup_lsh_pairs")
+    val scans = "ReadSchema:".r.findAllIn(plan).length
+    assert(scans <= 2, s"documents scanned $scans times:\n${plan.take(600)}")
+  }
+
+  test("q_dedup_clusters final frame is lineage-truncated (constant plan size per round)") {
+    // Each label-propagation round localCheckpoints: the returned frame's
+    // plan is a scan of materialized rows + sort — NOT five rounds of joins
+    // over the re-expanded jaccard subtree.
+    val plan = planOf("q_dedup_clusters")
+    assert(!plan.contains("Join"), plan.take(600))
+  }
+
+  test("q_corpus_prep runs the df-capped jaccard; q_dedup_jaccard stays the exact witness") {
+    // The skew guard filters per-shingle document frequency against the cap
+    // (max(8, 1%) = 8 at sf0.001); the unguarded witness must not carry it.
+    // ("Window" alone can't discriminate: shingle generation itself uses one.)
+    val capped = planOf("q_corpus_prep")
+    assert(capped.contains("<= 8"), "df <= cap filter missing from q_corpus_prep")
+    assert(!planOf("q_dedup_jaccard").contains("<= 8"),
+      "exactness witness q_dedup_jaccard unexpectedly capped")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.

@@ -1,0 +1,74 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** JDBC write-path coverage against embedded Derby (the only database in the
+  * container — Derby ships with Spark). The Postgres `ON CONFLICT` dialect is
+  * asserted at the statement-generation level; the ANSI `MERGE` dialect and
+  * the per-partition commit are driven end-to-end: real connections, real
+  * batching, executor-side upserts.
+  */
+class JdbcStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graft_jdbc;create=true"
+  private val props = new java.util.Properties()
+
+  private def exec(sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(sql) finally conn.close()
+  }
+
+  test("upsertSql: postgres ON CONFLICT shape and bind order") {
+    val (sql, order) = JdbcUpsert.upsertSql("t", Seq("k1", "k2", "a", "b"), Seq("k1", "k2"))
+    assert(sql.contains("INSERT INTO t (k1, k2, a, b)"))
+    assert(sql.contains("ON CONFLICT (k1, k2)"))
+    assert(sql.contains("DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b"))
+    assert(order === Seq("k1", "k2", "a", "b"))
+  }
+
+  test("upsertSql: ANSI MERGE shape and bind order") {
+    val (sql, order) = JdbcUpsert.upsertSql("t", Seq("k", "a", "b"), Seq("k"), "merge")
+    assert(sql.contains("MERGE INTO t t"))
+    assert(sql.contains("ON t.k = ?"))
+    assert(sql.contains("UPDATE SET a = ?, b = ?"))
+    assert(sql.contains("INSERT (k, a, b)"))
+    assert(order === Seq("k", "a", "b", "k", "a", "b"))
+  }
+
+  test("merge-dialect upsert against Derby: inserts, updates, multi-batch") {
+    exec("CREATE TABLE ups (k INT NOT NULL PRIMARY KEY, v VARCHAR(32), n BIGINT)")
+    // 2500 rows with batchSize 1000 exercises the executeBatch + commit loop
+    // mid-stream (twice) AND the final flush. coalesce(1): embedded Derby's
+    // MERGE is not safe under concurrent writers (internal NPE) — Postgres,
+    // the production target, takes the partition-parallel path.
+    val df1 = (1 to 2500).map(i => (i, s"v$i", i.toLong)).toDF("k", "v", "n").coalesce(1)
+    JdbcUpsert.upsert(df1, url, "ups", Seq("k"), props, batchSize = 1000, dialect = "merge")
+    assert(spark.read.jdbc(url, "ups", props).count() === 2500)
+
+    // Re-upserting a slice must UPDATE in place, not duplicate:
+    val df2 = (1 to 10).map(i => (i, s"w$i", i * 2L)).toDF("k", "v", "n")
+    JdbcUpsert.upsert(df2, url, "ups", Seq("k"), props, batchSize = 1000, dialect = "merge")
+    val after = spark.read.jdbc(url, "ups", props)
+    assert(after.count() === 2500)
+    // (select through the analyzer: Derby upcases unquoted DDL identifiers,
+    // and Row.getAs is case-sensitive)
+    assert(after.filter(col("k") === 1).select(col("v"), col("n"))
+      .as[(String, Long)].head() === ("w1", 2L))
+    assert(after.filter(col("k") === 11).select(col("v")).as[String].head() === "v11")
+  }
+
+  test("JdbcTableStore per-partition commit rewrites only the target job's rows") {
+    val store = new JdbcTableStore(spark, url, props)
+    store.append("ptab", Seq((1, "a"), (1, "b"), (2, "c")).toDF("job_id", "payload"))
+    // Replace job 2's rows from a plan that READS the target table (the
+    // store must materialize to the temp table before mutating):
+    val replacement = store.load("ptab").filter(col("job_id") === 2)
+      .withColumn("payload", lit("z"))
+      .unionByName(Seq((2, "y")).toDF("job_id", "payload"))
+    store.overwritePartitionsAll(Seq(PartitionCommit("ptab", replacement, "job_id", 2)))
+    val rows = store.load("ptab").as[(Int, String)].collect().toSet
+    assert(rows === Set((1, "a"), (1, "b"), (2, "z"), (2, "y")))
+  }
+}

@@ -147,6 +147,38 @@ class LifecycleSpec extends SparkSpec {
     assert(r2.newContacts.count() === 0)
   }
 
+  test("system resolution stamps the audit trail; unresolved issues carry none") {
+    val r1 = runInitial()
+    // Fix/discard everything (same edits as the consolidation test) -> all
+    // issues resolve -> W4 audit fields per issue_repository.py:190-194,267-268.
+    val edited = r1.staging
+      .withColumn("staging_email",
+        when(col("staging_email") === "", lit("bob@b.co"))
+          .when(col("staging_email") === "not-an-email", lit("cat@b.co"))
+          .otherwise(col("staging_email")))
+      .withColumn("staging_status",
+        when(col("staging_email").isin("DUP@b.co", "old@b.co"), lit(StagingStatus.Discard))
+          .otherwise(col("staging_status")))
+    val r2 = Lifecycle.reprocess(edited, r1.issues, r1.issueItems, contacts0, 9, "u1")
+    val resolved = r2.issues.filter(col("issue_resolved"))
+    assert(resolved.count() === 4)
+    assert(resolved.filter(col("issue_resolved_at").isNull).count() === 0)
+    assert(resolved.select("issue_resolved_by").distinct().as[String].collect().toSeq
+      === Seq(graft.ops.Issues.SystemResolvedBy))
+    assert(resolved.select("issue_resolution_comment").distinct().as[String].collect().toSeq
+      === Seq(graft.ops.Issues.SystemResolutionComment))
+
+    // A re-failing issue stays unresolved with a NULL audit trail:
+    val broken = r1.staging.withColumn("staging_email",
+      when(col("staging_email") === "ok@b.co", lit("broken")).otherwise(col("staging_email")))
+    val r3 = Lifecycle.reprocess(broken, r1.issues, r1.issueItems, contacts0, 9, "u1")
+    val open = r3.issues.filter(!col("issue_resolved"))
+    assert(open.count() > 0)
+    assert(open.filter(col("issue_resolved_at").isNotNull
+      || col("issue_resolved_by").isNotNull
+      || col("issue_resolution_comment").isNotNull).count() === 0)
+  }
+
   test("router: decision table incl. completed-replay and stale-job skips") {
     assert(Router.route(None, hasStaging = false) === Router.SkipMissingJob)
     assert(Router.route(Some(JobStatus.Completed), hasStaging = true) === Router.SkipCompleted)

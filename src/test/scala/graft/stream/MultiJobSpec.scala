@@ -36,4 +36,73 @@ class MultiJobSpec extends SparkSpec {
     assert(meta(3) === 2L)
     assert((1 to 5).filterNot(_ == 3).forall(meta(_) === 1L))
   }
+
+  test("per-job commit leaves other jobs' partition files byte-identical") {
+    val root = Files.createTempDirectory("graft_partcommit").toString
+    val store = new ParquetTableStore(spark, root + "/tables")
+    Files.createDirectories(Paths.get(root + "/uploads"))
+    store.overwrite("jobs", Seq((1, "u1", JobStatus.Pending), (2, "u1", JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status"))
+    // Job 1 carries an issue row so staging/issues/issue_items partitions all exist.
+    Files.writeString(Paths.get(s"$root/uploads/f1.csv"),
+      "email,first_name,last_name,company\na@b.co,F,L,C\n,missing,Cee,Biz\n")
+    Files.writeString(Paths.get(s"$root/uploads/f2.csv"),
+      "email,first_name,last_name,company\nb@b.co,F,L,C\n")
+    JobDispatch.processOne(spark, store, 1, "f1.csv", k => s"$root/uploads/$k")
+
+    // Fingerprint every data file in job 1's partitions (path, size, mtime).
+    def job1Files(): Map[String, (Long, Long)] = {
+      val it = Files.walk(Paths.get(root + "/tables")).iterator()
+      val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p) && p.toString.contains("_job_id=1"))
+          acc(p.toString) = (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      }
+      acc.toMap
+    }
+    val before = job1Files()
+    assert(before.nonEmpty, "job 1 partitions missing")
+
+    JobDispatch.processOne(spark, store, 2, "f2.csv", k => s"$root/uploads/$k")
+    assert(job1Files() === before,
+      "another job's commit rewrote job 1's partition files")
+    // Both jobs' rows are present and correct after the partitioned commits:
+    assert(store.load("staging").select("staging_job_id").distinct().count() === 2)
+    assert(store.load("issues").filter(col("issues_job_id") === 1).count() === 1)
+  }
+
+  test("job lifecycle: process_start on PROCESSING, process_end cleared on restart") {
+    val root = Files.createTempDirectory("graft_lifecycle").toString
+    val store = new ParquetTableStore(spark, root + "/tables")
+    Files.createDirectories(Paths.get(root + "/uploads"))
+    store.overwrite("jobs", Seq((1, "u1", JobStatus.Pending), (2, "u1", JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status"))
+    Files.writeString(Paths.get(s"$root/uploads/clean.csv"),
+      "email,first_name,last_name,company\na@b.co,F,L,C\n")
+    Files.writeString(Paths.get(s"$root/uploads/issue.csv"),
+      "email,first_name,last_name,company\n,missing,Cee,Biz\n")
+
+    JobDispatch.processOne(spark, store, 1, "clean.csv", k => s"$root/uploads/$k")
+    val done = store.load("jobs").filter(col("job_id") === 1).head()
+    assert(done.getAs[java.sql.Timestamp]("job_process_start") != null)
+    assert(done.getAs[java.sql.Timestamp]("job_process_end") != null)
+
+    JobDispatch.processOne(spark, store, 2, "issue.csv", k => s"$root/uploads/$k")
+    val review = store.load("jobs").filter(col("job_id") === 2).head()
+    assert(review.getAs[String]("job_status") === JobStatus.NeedsReview)
+    val firstStart = review.getAs[java.sql.Timestamp]("job_process_start")
+    assert(firstStart != null)
+    assert(review.getAs[java.sql.Timestamp]("job_process_end") == null)
+
+    // Simulate a stale process_end, then restart (reprocess route): entering
+    // PROCESSING must clear it (job_repository.py:58-61) and re-stamp start.
+    store.overwrite("jobs", store.load("jobs").withColumn("job_process_end",
+      when(col("job_id") === 2, current_timestamp()).otherwise(col("job_process_end"))))
+    JobDispatch.processOne(spark, store, 2, "issue.csv", k => s"$root/uploads/$k")
+    val restarted = store.load("jobs").filter(col("job_id") === 2).head()
+    assert(restarted.getAs[java.sql.Timestamp]("job_process_end") == null,
+      "stale process_end survived a restart")
+    assert(!restarted.getAs[java.sql.Timestamp]("job_process_start").before(firstStart))
+  }
 }
