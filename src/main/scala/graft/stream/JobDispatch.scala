@@ -235,6 +235,33 @@ object JobDispatch {
           .otherwise(col("job_process_end"))))
   }
 
+  /** Start the dispatch stream over a message QUEUE directory (one file per
+    * message) via the native [[graft.stream.queue.QueueSourceProvider]]
+    * source — full reference delivery protocol: messages are DELETED only
+    * when the epoch commits (ack-on-success, consumer.py:152-156), and a
+    * failed/interrupted epoch leaves them visible for redelivery on restart
+    * (the visibility-timeout analog, consumer.py:171-177). Use [[start]] for
+    * the simpler exactly-once JSON-lines file bridge. */
+  def startQueue(
+      spark: SparkSession,
+      store: TableStore,
+      queueDir: String,
+      checkpointDir: String,
+      resolveCsv: String => String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    spark.readStream
+      .format("graft-queue")
+      .load(queueDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val outcomes = processBatch(spark, store, batch.select("value"), resolveCsv)
+        outcomes.foreach(o => println(s"[dispatch] $o"))
+      }
+      .start()
+  }
+
   /** Start the dispatch stream over a JSON-lines message directory. */
   def start(
       spark: SparkSession,
