@@ -301,6 +301,17 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // IVF ANN: coarse-quantizer assignment (inverted lists) + probed exact
+    // search — the billion-scale index dataflow, oracle-verified end to end.
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      graft.functions.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dims = 64, k = 3, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     "q_dedup_embedding" -> ((s, dir) =>
       graft.functions.Similarity.embeddingDupPairs(
         pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
@@ -913,6 +924,40 @@ object SparkEntry {
          |ranked AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
          |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_knn_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c AS (
+         |  SELECT vec_id, embedding AS cv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
+         |  FROM embeddings WHERE vec_id < 5),
+         |assign AS (
+         |  SELECT vec_id, cent_id, cv, nc,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
+         |  FROM c CROSS JOIN cents),
+         |lists AS (SELECT cent_id, vec_id, cv, nc FROM assign WHERE arnk = 1),
+         |probes AS (
+         |  SELECT cent_id, query_id, qv, nq FROM (
+         |    SELECT cent_id, query_id, qv, nq,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round((${dotSql("qv", "centv", 64)}) / (nq * ncent), 6) DESC, cent_id) AS prnk
+         |    FROM q CROSS JOIN cents) WHERE prnk <= 4),
+         |scored AS (
+         |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk FROM scored)
          |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
 

@@ -159,15 +159,27 @@ object Dedup {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = nodes.select(col(idCol), col(idCol).as("cluster_id")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var round = 0
+    var converged = false
+    while (round < iterations && !converged) {
       val nbrMin = edges
         .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("dst_label")), Seq("dst"))
         .groupBy(col("src").as(idCol))
         .agg(min(col("dst_label")).as("nbr_min"))
-      labels = labels.join(nbrMin, Seq(idCol), "left")
+      val next = labels.join(nbrMin, Seq(idCol), "left")
         .select(col(idCol),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
+      // Early exit on fixpoint: a converged round is the identity, so
+      // skipping the remaining rounds returns the same labels as running
+      // them (the unrolled oracle SQL always runs all rounds — identical
+      // result) while sparing useless full passes over the label table.
+      converged = next
+        .join(labels.select(col(idCol), col("cluster_id").as("prev")), Seq(idCol))
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
     }
     labels
   }

@@ -90,6 +90,62 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k — the billion-scale index shape: corpus
+    * vectors are assigned to their nearest of `nlist` coarse centroids (the
+    * inverted lists, ONE aggregable pass: a broadcast of the centroids + a
+    * map-side-combinable max-of-struct, no corpus shuffle by window); each
+    * query probes its `nprobe` closest centroids and exact-searches only
+    * those lists (broadcast probe join — the corpus never moves).
+    *
+    * Centroids are a deterministic sample (the `nlist` lowest-id corpus
+    * vectors), standing in for k-means-trained centroids: training improves
+    * recall but doesn't change the dataflow — swap `cents` for a trained set
+    * without touching a join. Deterministic + SQL-expressible => the oracle
+    * hash-verifies the whole index path.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", sqrt(dotExpr("qv", "qv", dims)))
+
+    // Inverted lists: nearest centroid per corpus vector. max(struct(sim,
+    // -cent_id, ...)) == "highest sim, lowest cent_id on ties" and is a
+    // partial-aggregable groupBy — the scale-safe argmax (a row_number
+    // window here would shuffle nlist x corpus rows).
+    val lists = c.crossJoin(broadcast(cents))
+      .withColumn("cent_sim",
+        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
+        col("cv"), col("nc"))).as("best"))
+      .select((-col("best.neg_id")).as("cent_id"), col("vec_id"),
+        col("best.cv").as("cv"), col("best.nc").as("nc"))
+
+    // Probes: nprobe nearest centroids per query (query side is small).
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cent_sim",
+        round(dotExpr("qv", "centv", dims) / (col("nq") * col("ncent")), 6))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select("cent_id", "query_id", "qv", "nq")
+
+    lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc"), dims))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs with a sign-bucket prefilter —
     * THE production entry point for embedding dedup: candidates = same
     * sign-bucket only (equi-join, O(N²/2^bits) work), then exact cosine
