@@ -283,7 +283,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Token-budget sequence packing (pretraining batch assembly): greedy
+    // packs in id order within deterministic shards — partitioned prefix
+    // sum, no global window.
+    "q_token_packing" -> ((s, dir) =>
+      graft.functions.TextAnalysis.packTokens(pq(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 512, shardSize = 100)
+        .orderBy("doc_id")),
+
     // ---- beyond-reference: similarity search over `embeddings` -----------
+
+    // Deterministic int8 max-abs quantization (ANN storage compression)
+    "q_embedding_quantize" -> ((s, dir) =>
+      graft.functions.Similarity.quantizeInt8(pq(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
 
     "q_knn_brute" -> ((s, dir) => {
       val emb = pq(s, dir, "embeddings")
@@ -926,6 +939,32 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(floor(doc_id / 100) AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+        |  n_tokens, cum_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_embedding_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(127.0 / maxabs, 6) AS qscale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_knn_ivf" ->
       s"""WITH cents AS (

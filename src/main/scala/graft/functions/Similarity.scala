@@ -90,6 +90,24 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Deterministic int8 max-abs quantization of an embedding column:
+    * scale = 127 / max(|v_i|), q_i = floor(v_i * scale + 0.5) — half-up via
+    * floor, avoiding engine-specific round() tie behavior, so Spark and the
+    * DuckDB oracle produce identical codes. The quantized vector is emitted
+    * as a CSV scalar (the driver comparator can't sort raw arrays) plus the
+    * dequantization scale. Narrow, shuffle-free — 4x storage reduction for
+    * ANN candidate stores at 100 TB. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = greatest(
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))), lit(1e-12))
+    val scale = lit(127.0) / maxAbs
+    df.select(
+      col(idCol),
+      round(scale, 6).as("qscale"),
+      concat_ws(",", transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("string"))).as("q_csv"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the billion-scale index shape: corpus
     * vectors are assigned to their nearest of `nlist` coarse centroids (the
     * inverted lists, ONE aggregable pass: a broadcast of the centroids + a

@@ -114,4 +114,27 @@ object TextAnalysis {
       .join(sh, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("fp"), col("whole_fp")).as("fingerprint"))
   }
+
+  /** Token-budget sequence packing — the pretraining batch-assembly shape:
+    * documents are assigned to fixed-token-budget packs greedily in id order
+    * WITHIN deterministic shards (`shard = id / shardSize`). Sharding is the
+    * two-level form of a parallel prefix sum: the running-total window is
+    * partitioned (bounded partitions — no global single-partition window at
+    * 100 TB) while assignment stays deterministic and SQL-expressible. A
+    * document lands in the pack where its cumulative START offset falls, so
+    * a pack may overflow by at most one document — the standard greedy
+    * packing contract.
+    */
+  def packTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, shardSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    df.select(col(idCol), wordCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", floor(col(idCol) / shardSize).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
+      .select(col(idCol), col("shard"), col("pack_id"), col("n_tokens"), col("cum_tokens"))
+  }
 }

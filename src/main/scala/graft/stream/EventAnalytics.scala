@@ -37,6 +37,21 @@ object EventAnalytics {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop rows whose `idCols` already appeared within
+    * the watermark horizon (keep-first — the streaming mirror of batch
+    * `Dedup.exact`). dropDuplicatesWithinWatermark purges key state as the
+    * watermark advances, so state is bounded by keys-per-horizon instead of
+    * growing with the whole stream — the only dedup that can run forever at
+    * 100 TB/day. A duplicate arriving later than `lateness` is NOT caught;
+    * that tail belongs to the batch dedup pass. */
+  def dedupStream(
+      events: DataFrame,
+      lateness: String = "10 minutes",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
   case class SessionState(start: Long, last: Long, n: Int)

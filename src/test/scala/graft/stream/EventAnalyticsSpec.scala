@@ -44,6 +44,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.exists(r => r._2 == "view" && r._3 == 1L))
   }
 
+  test("dedupStream: duplicate ids within the watermark horizon are dropped, state-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = EventAnalytics.dedupStream(events, lateness = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    input.addData((ts(1), 100L, "click", 1.0), (ts(2), 101L, "view", 2.0))
+    q.processAllAvailable()
+    // Same ids again within the horizon (different payloads): dropped.
+    input.addData((ts(3), 100L, "click", 9.0), (ts(3), 101L, "view", 9.0),
+      (ts(4), 102L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out")
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(100L, 101L, 102L))
+    // Keep-first: the original payloads survived, the replayed ones didn't.
+    assert(out.toSeq === Seq((100L, 1.0), (101L, 2.0), (102L, 3.0)))
+  }
+
   test("sessionize: gap closes sessions, state emits each session once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
