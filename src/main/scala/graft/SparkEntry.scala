@@ -291,6 +291,62 @@ object SparkEntry {
         budgetTokens = 512, shardSize = 100)
         .orderBy("doc_id")),
 
+    // Word-repetition profile (Gopher-style boilerplate/spam signal)
+    "q_doc_repetition" -> ((s, dir) =>
+      graft.functions.TextAnalysis.repetitionProfile(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Top-3 TF-IDF terms per document (smoothed idf, deterministic ties)
+    "q_tfidf_top" -> ((s, dir) =>
+      graft.functions.TextAnalysis.tfidfTopTerms(pq(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")),
+
+    // Eval-set decontamination: 8-gram overlap of every document against the
+    // benchmark stand-in (source = 'src0'), benchmark side broadcast.
+    "q_contamination" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.TextAnalysis.contaminationRate(
+        docs, docs.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic per-source Bernoulli sampling (corpus mixing): content-
+    // hash decisions, reproducible on any cluster layout — never df.sample()
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.functions.Sampling.stratifiedSample(
+        pq(s, dir, "documents").select("doc_id", "source"), "doc_id", "source",
+        rates = Map("src0" -> 0.25, "src1" -> 0.5), defaultRate = 0.75)
+        .orderBy("doc_id")),
+
+    // Per-source quota (domain-cap primitive): keep 10 docs per source by
+    // ascending doc_id priority — partitioned window, no global sort
+    "q_source_cap" -> ((s, dir) =>
+      graft.functions.Sampling.capPerKey(
+        pq(s, dir, "documents").select("doc_id", "source"), "source", "doc_id", cap = 10)
+        .orderBy("doc_id")),
+
+    // PII redaction (narrow map stage) over a contact-ish text built from
+    // the CSV-input stand-in: emails + NNN-NNN-NNNN phones scrubbed, match
+    // counts on the original text
+    "q_pii_scrub" -> ((s, dir) => {
+      val txt = csvInput(s, dir).select(col("row_number"),
+        concat(lit("reach "), col("email"), lit(" at 555-"),
+          lpad((col("row_number") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("row_number") % 10000).cast("string"), 4, "0")).as("text"))
+      graft.functions.Pii.redact(txt, "row_number", "text").orderBy("row_number")
+    }),
+
+    // Exact per-group percentiles (sort-based `percentile`, oracle
+    // bit-parity). Exactness costs a per-group sort; at 100 TB swap in
+    // approx_percentile (t-digest, mergeable) when the group count explodes —
+    // here groups = |event_type| = 5, so exact is the right default.
+    "q_events_percentiles" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // ---- beyond-reference: similarity search over `embeddings` -----------
 
     // Deterministic int8 max-abs quantization (ANN storage compression)
@@ -395,6 +451,49 @@ object SparkEntry {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
+
+    // As-of join: each click joined to the user's most recent prior
+    // purchase — union + one partitioned running-last window, NO inequality
+    // join (which Spark would plan as a per-key cross product)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.Joins.asofJoin(
+        clicks, purchases, Seq("user_id"), "ts", Seq("ts", "value"), prefix = "p_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          // null-free projection: the driver comparator hashes strings, and
+          // NULL timestamp/double render engine-dependently
+          coalesce(col("p_ts"), lit("1970-01-01 00:00:00").cast("timestamp")).as("purchase_ts"),
+          coalesce(col("p_value"), lit(-1.0)).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // Bucketed range join: events against 30 fixed 6-hour campaign windows
+    // (09:00-15:00 UTC daily) — interval containment WITHOUT a cross join:
+    // intervals explode onto a 6h bucket grid, points equi-join their bucket
+    "q_range_join" -> ((s, dir) => {
+      // 2024-01-01T09:00:00Z in epoch micros; windows are day i at 09:00+6h
+      val base = 1704099600000000L
+      val day = 86400000000L
+      val iv = s.range(30).select(
+        col("id").cast("long").as("window_id"),
+        (lit(base) + col("id") * day).as("ws"),
+        (lit(base) + col("id") * day + 21600000000L).as("we"))
+      val pts = events(s, dir).select(unix_micros(col("ts")).as("us"), col("value"))
+      val joined = graft.operators.Joins.rangeJoinByBucket(
+        pts, iv, "us", "ws", "we", bucketWidth = 21600000000L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("tv"))
+      iv.select("window_id").join(joined, Seq("window_id"), "left")
+        .select(col("window_id"),
+          coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"),
+          coalesce(col("tv"), lit(0).cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
+        .orderBy("window_id")
+    }),
 
     // Transitive near-dup clusters (connected components over jaccard>=0.8
     // pairs via min-label propagation, 5 unrolled rounds)
@@ -746,6 +845,134 @@ object SparkEntry {
     "q_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  coalesce(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS purchase_ts,
+        |  coalesce(p.value, -1.0) AS purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT CAST(i AS BIGINT) AS window_id,
+        |         1704099600000000 + CAST(i AS BIGINT) * 86400000000 AS ws,
+        |         1704099600000000 + CAST(i AS BIGINT) * 86400000000 + 21600000000 AS we
+        |  FROM generate_series(0, 29) t(i)),
+        |pts AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |j AS (
+        |  SELECT window_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS tv
+        |  FROM pts JOIN iv ON us >= ws AND us < we GROUP BY 1)
+        |SELECT iv.window_id,
+        |  CAST(coalesce(j.n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(j.tv, 0) AS DECIMAL(38,6)) AS total_value
+        |FROM iv LEFT JOIN j ON iv.window_id = j.window_id
+        |ORDER BY iv.window_id""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_c
+        |  FROM wc GROUP BY 1)
+        |SELECT doc_id, n_words, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS dup_frac,
+        |  round(CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_word_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |docfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+        |    round(CAST(tf.tf AS DOUBLE) * ln((n.n_docs + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN docfreq d ON tf.term = d.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |sh_raw AS (
+        |  SELECT doc_id, source,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+        |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+        |    lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+        |    lead(w, 7) OVER win AS shingle
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh8 AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL),
+        |bench AS (
+        |  SELECT DISTINCT shingle FROM sh_raw WHERE source = 'src0' AND shingle IS NOT NULL),
+        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh8 GROUP BY 1),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM sh8
+        |  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+        |        greatest(CAST(coalesce(p.n_shingles, 0) AS DOUBLE), 1.0), 6) AS contamination
+        |FROM documents d
+        |LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5('graft:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN '40000000' WHEN 'src1' THEN '80000000'
+        |       ELSE 'c0000000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" -> withCtes(
+      """, pii AS (
+        |  SELECT row_number,
+        |    'reach ' || email || ' at 555-' ||
+        |    lpad(CAST(row_number % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(row_number % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM input)
+        |SELECT row_number,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+        |FROM pii ORDER BY row_number""".stripMargin),
+
+    "q_events_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_dedup_clusters" -> {
       val rounds = (1 to 5).map { i =>

@@ -115,6 +115,80 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("fp"), col("whole_fp")).as("fingerprint"))
   }
 
+  /** Word-repetition profile (Gopher-style repetition quality signals):
+    * per document, the fraction of tokens that are repeats of an earlier
+    * token (`dup_frac`) and the frequency share of the single most common
+    * token (`top_word_frac`). High values flag boilerplate / spam for
+    * pretraining filtering. One explode + two aggregations, both keyed by
+    * doc — scales linearly and shuffles only on doc_id. */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+          .as("dup_frac"),
+        round(col("top_c").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_word_frac"))
+
+  /** Top-k terms per document by TF-IDF with smoothed IDF
+    * `ln((N+1)/(df+1))`. Corpus-wide document frequency is one small
+    * aggregate (vocabulary-sized — broadcast-joined back), term frequency is
+    * per-document; ranking is a window PARTITIONED by doc (bounded frames).
+    * Ties rank by rounded score then term text, keeping the order identical
+    * across engines despite last-ulp `ln` differences. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(col(idCol)).distinct().count()
+    val scored = tf.join(broadcast(docFreq), Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0)), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("tfidf"), col("rnk"))
+  }
+
+  /** Benchmark-contamination rate: for each corpus document, the fraction of
+    * its word n-gram shingles that appear anywhere in `benchmark` (the
+    * eval-set decontamination check every pretraining pipeline runs).
+    * The benchmark shingle set is distinct-ed and broadcast when small
+    * (eval suites are tiny next to the corpus — left-semi broadcast join, no
+    * shuffle on the corpus side beyond the per-doc count). Documents shorter
+    * than one shingle score 0. */
+  def contaminationRate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val docSh = shingles(corpus, idCol, textCol, n)
+      .select(col(idCol), col("shingle")).distinct()
+    val benchSh = shingles(benchmark, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val perDoc = docSh
+      .groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val hit = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(hit, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).cast("long").as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("contamination"))
+  }
+
   /** Token-budget sequence packing — the pretraining batch-assembly shape:
     * documents are assigned to fixed-token-budget packs greedily in id order
     * WITHIN deterministic shards (`shard = id / shardSize`). Sharding is the

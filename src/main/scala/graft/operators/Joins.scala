@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark SQL lacks as built-ins, implemented in their
+  * scale-safe distributed forms (no cross products, no global windows).
+  */
+object Joins {
+
+  /** Distributed as-of join: for every left row, attach the most recent
+    * right row with `right.tsCol <= left.tsCol` within the same `keyCols`
+    * group (the time-series "last known value" join; DuckDB/kdb `ASOF JOIN`,
+    * pandas `merge_asof`).
+    *
+    * Shape: instead of an inequality join (which Spark plans as a cross
+    * product per key), tag both sides, UNION them, and run ONE partitioned
+    * running `last(ignoreNulls)` window ordered by (ts, side) — right rows
+    * sort before left rows at equal ts, making the match inclusive. Cost is
+    * a single shuffle by key and a streaming window frame (running last is
+    * O(1) memory per row) — survives 100 TB as long as no single key holds
+    * an unsorted-window-sized slice, the same bound a join would have.
+    *
+    * Right rows should be unique per (keyCols, tsCol); with duplicates the
+    * row sorting last by `rightCols` struct order wins (deterministic but
+    * arbitrary). Left rows with no prior right row get NULLs.
+    *
+    * @param rightCols right-side payload columns to attach, emitted as
+    *                  `prefix + name`.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val rv = struct(rightCols.map(col): _*)
+    val r2 = right
+      .select((keyCols :+ tsCol).map(col) :+ rv.as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val rvType = r2.schema("__rv").dataType
+    val leftPayload = left.columns.filterNot((keyCols :+ tsCol).contains)
+    val l2 = left
+      .select((keyCols :+ tsCol).map(col) :+ struct(leftPayload.map(col): _*).as("__lp"): _*)
+      .withColumn("__rv", lit(null).cast(rvType))
+      .withColumn("__side", lit(1))
+    val unioned = l2.unionByName(r2.withColumn("__lp", lit(null).cast(l2.schema("__lp").dataType)))
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+    val out = keyCols.map(col) ++ Seq(col(tsCol)) ++
+      leftPayload.map(c => col(s"__lp.$c").as(c)) ++
+      rightCols.map(c => col(s"__match.$c").as(prefix + c))
+    filled.where(col("__side") === 1).select(out: _*)
+  }
+
+  /** Bucketed range (interval-containment) join: attach to each point row
+    * the interval rows with `startCol <= pointCol < endCol`. No shared
+    * equi-key exists, so a naive formulation is a cross join; instead both
+    * sides are mapped onto a bucket grid of `bucketWidth` (long domain —
+    * epoch micros, byte offsets, ...): each interval EXPLODES onto the
+    * buckets it spans, each point lands in exactly one, and the match
+    * becomes an equi-join on bucket + a residual containment filter.
+    *
+    * Cost: shuffle is |points| + |intervals| * avg-buckets-per-interval;
+    * pick `bucketWidth` near the typical interval length so the explode
+    * factor stays ~1-2. Intervals spanning many buckets multiply only the
+    * (small) interval side. Inner-join semantics: points in no interval
+    * drop, points in k overlapping intervals emit k rows.
+    */
+  def rangeJoinByBucket(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    val bucketed = intervals.withColumn(
+      "__bucket",
+      explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    points
+      .withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
+      .join(bucketed, Seq("__bucket"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -52,6 +52,33 @@ object EventAnalytics {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join (attribution): each view joined to the
+    * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so Spark can purge buffered state on each side once the
+    * watermark passes `ts + maxDelay` — bounded state, the requirement for
+    * an unbounded 100 TB/day stream. Inner join: unmatched views simply
+    * never emit (an outer variant would wait out the watermark, same state
+    * bound).
+    *
+    * Input contract: both frames carry `user_id`, `ts`; views' remaining
+    * columns are emitted with a `view_` prefix, clicks' with `click_`. */
+  def attributeClicks(
+      views: DataFrame,
+      clicks: DataFrame,
+      maxDelay: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", lateness).alias("v")
+    val c = clicks.withWatermark("ts", lateness).alias("c")
+    val payload =
+      views.columns.filterNot(Set("user_id", "ts")).map(n => col(s"v.$n").as(s"view_$n")) ++
+        clicks.columns.filterNot(Set("user_id", "ts")).map(n => col(s"c.$n").as(s"click_$n"))
+    v.join(c,
+        expr(s"v.user_id = c.user_id AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL $maxDelay"))
+      .select(Seq(col("v.user_id").as("user_id"),
+        col("v.ts").as("view_ts"), col("c.ts").as("click_ts")) ++ payload: _*)
+  }
+
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
   case class SessionState(start: Long, last: Long, n: Int)

@@ -86,6 +86,29 @@ class PlanQualitySpec extends SparkSpec {
       "exactness witness q_dedup_jaccard unexpectedly capped")
   }
 
+  test("q_asof_join plans as one window over a union — no join operator at all") {
+    // The as-of join's whole point: an inequality join would plan as a
+    // per-key cross product (BroadcastNestedLoopJoin / CartesianProduct).
+    val plan = planOf("q_asof_join")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
+    assert(plan.contains("Window"), "expected the running-last window")
+    assert(plan.contains("Union"), "expected the tagged union")
+  }
+
+  test("q_range_join is an equi-join on the bucket grid, not a cross product") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
+    assert(plan.contains("Join"), "expected a real equi-join on __bucket")
+  }
+
+  test("q_stratified_sample is a narrow map stage (no exchange before the sort)") {
+    // The deterministic sampler must not shuffle: one scan, one filter, and
+    // only the final presentation ORDER BY's exchange.
+    val plan = planOf("q_stratified_sample")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"sampler introduced extra shuffles:\n${plan.take(600)}")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.

@@ -135,4 +135,59 @@ class FunctionsSpec extends SparkSpec {
       TextAnalysis.stopwords.map(l => s"hits_${l._1}")).as("p")).head().getString(0)
     assert(pred === "en")
   }
+
+  test("pii redaction: rules apply in order, counts measured on original text") {
+    val df = Seq(
+      (1L, "mail a@b.com or c.d@e.org call 555-123-4567 from 10.0.0.1"),
+      (2L, "nothing sensitive here")).toDF("id", "text")
+    val out = Pii.redact(df, "id", "text").orderBy("id").collect()
+    assert(out(0).getString(1) === "mail <EMAIL> or <EMAIL> call <PHONE> from <IP>")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) === ((2L, 1L, 1L)))
+    assert(out(1).getString(1) === "nothing sensitive here")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) === ((0L, 0L, 0L)))
+  }
+
+  test("repetitionProfile: dup_frac and top_word_frac count word repeats") {
+    val df = Seq(
+      (1L, "a a a b"),      // 4 words, 2 distinct, top 'a' x3
+      (2L, "w x y z")       // no repeats
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_words", "n_distinct", "dup_frac", "top_word_frac")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out(0) === ((4L, 2L, 0.5, 0.75)))
+    assert(out(1) === ((4L, 4L, 0.0, 0.25)))
+  }
+
+  test("tfidfTopTerms: corpus-frequent terms rank below doc-specific terms") {
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common blah"),
+      (3L, "common blah")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'common' has df=3 -> idf=ln(4/4)=0; doc-unique terms win.
+    assert(top(1L) === "rare1")
+    assert(top(2L) === "blah")
+    // rank column is deterministic and bounded by k
+    val all = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+    assert(all.filter(col("rnk") > 2).count() === 0L)
+  }
+
+  test("contaminationRate: benchmark overlap fraction per document") {
+    val bench = Seq((100L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark's exact 8-gram -> 1 hit of 2 shingles
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationRate(corpus, bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .select("n_shingles", "n_hit", "contamination")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0) === ((2L, 1L, 0.5)))
+    assert(out(1)._2 === 0L)
+    assert(out(1)._3 === 0.0)
+  }
 }

@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
 class JdbcStoreSpec extends SparkSpec {
   import spark.implicits._
 
-  private val url = "jdbc:derby:memory:graft_jdbc;create=true"
+  // Unique DB per suite instantiation: in-memory Derby state survives for
+  // the life of the JVM, so a reused JVM (sbt server, repeated testOnly)
+  // would otherwise see tables from a previous run.
+  private val url =
+    s"jdbc:derby:memory:graft_jdbc_${java.util.UUID.randomUUID().toString.take(8)};create=true"
   private val props = new java.util.Properties()
 
   private def exec(sql: String): Unit = {

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("asofJoin: most recent prior right row per key, inclusive at equal ts") {
+    val left = Seq(
+      (1L, ts(5), "l1"),
+      (1L, ts(10), "l2"),
+      (1L, ts(2), "l0"), // before any right row -> null match
+      (2L, ts(7), "l3")  // key with no right rows at all
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts(3), 30.0),
+      (1L, ts(5), 50.0), // equal ts to l1 -> inclusive match
+      (1L, ts(9), 90.0)
+    ).toDF("k", "ts", "v")
+
+    val out = Joins.asofJoin(left, right, Seq("k"), "ts", Seq("ts", "v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+
+    assert(out("l0").isEmpty)
+    assert(out("l1").contains(50.0))
+    assert(out("l2").contains(90.0))
+    assert(out("l3").isEmpty)
+  }
+
+  test("asofJoin: keeps left payload columns and attaches prefixed right columns") {
+    val left = Seq((1L, ts(5), "a", 7)).toDF("k", "ts", "name", "extra")
+    val right = Seq((1L, ts(1), 1.5)).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "ts", Seq("v"), prefix = "r_")
+    assert(out.columns.toSet === Set("k", "ts", "name", "extra", "r_v"))
+    assert(out.select("name", "extra", "r_v").as[(String, Int, Double)].collect()
+      .toSeq === Seq(("a", 7, 1.5)))
+  }
+
+  test("rangeJoinByBucket: containment semantics across bucket boundaries") {
+    // bucketWidth 10; interval [5, 25) spans buckets 0..2
+    val intervals = Seq((100L, 5L, 25L), (200L, 40L, 50L)).toDF("iv_id", "s", "e")
+    val points = Seq(4L, 5L, 14L, 24L, 25L, 40L, 49L, 50L).toDF("p")
+    val out = Joins.rangeJoinByBucket(points, intervals, "p", "s", "e", bucketWidth = 10L)
+      .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((5L, 100L), (14L, 100L), (24L, 100L), (40L, 200L), (49L, 200L)))
+  }
+
+  test("rangeJoinByBucket: overlapping intervals emit one row per containing interval") {
+    val intervals = Seq((1L, 0L, 20L), (2L, 10L, 30L)).toDF("iv_id", "s", "e")
+    val points = Seq(15L).toDF("p")
+    val out = Joins.rangeJoinByBucket(points, intervals, "p", "s", "e", bucketWidth = 8L)
+      .select("iv_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L))
+  }
+}

@@ -67,6 +67,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, 1.0), (101L, 2.0), (102L, 3.0)))
   }
 
+  test("attributeClicks: stream-stream interval join, per-user, bounded window") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Timestamp, Long, String)]
+    val cIn = MemoryStream[(Timestamp, Long, Double)]
+    val views = vIn.toDF().toDF("ts", "user_id", "page")
+    val clicks = cIn.toDF().toDF("ts", "user_id", "value")
+    val q = EventAnalytics.attributeClicks(views, clicks, maxDelay = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("attr_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    vIn.addData((ts(0), 1L, "home"))
+    cIn.addData(
+      (ts(3), 1L, 1.0),   // within 5 min of user 1's view -> match
+      (ts(10), 1L, 2.0),  // beyond maxDelay -> no match
+      (ts(3), 2L, 3.0))   // different user -> no match
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attr_out")
+      .selectExpr("user_id", "view_page", "click_value")
+      .as[(Long, String, Double)].collect()
+    assert(out.toSeq === Seq((1L, "home", 1.0)))
+  }
+
   test("sessionize: gap closes sessions, state emits each session once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
