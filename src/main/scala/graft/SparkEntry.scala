@@ -347,6 +347,59 @@ object SparkEntry {
       graft.functions.Pii.redact(txt, "row_number", "text").orderBy("row_number")
     }),
 
+    // Multi-level aggregation in one pass: ROLLUP (day, event_type) computes
+    // per-type, per-day, and grand totals with a single shuffle — the
+    // OLAP-cube shape. grouping_id disambiguates subtotal levels (NULL
+    // grouping values alone are ambiguous).
+    "q_events_rollup" -> ((s, dir) =>
+      events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+        .rollup("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"),
+          grouping_id().cast("long").as("lvl"))
+        // NULL grouping markers projected to sentinels: the driver comparator
+        // row-sorts mixed None/date object columns unreliably
+        .select(coalesce(col("day"), lit("1900-01-01").cast("date")).as("day"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("n"), col("total_value"), col("lvl"))
+        .orderBy("lvl", "day", "event_type")),
+
+    // Cohort retention: users grouped by first-seen day, activity counted by
+    // day offset from that cohort day. Two aggregations + one equi-join on
+    // user — the canonical engagement query, all shuffles keyed and bounded.
+    "q_user_retention" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val active = ev.distinct()
+      active.join(cohort, Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .filter(col("day_offset") <= 7)
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Ordered funnel: signup -> first view after signup -> first click after
+    // that view, per user; one row per stage with the surviving user count.
+    // Conditional min-aggregations per user (single shuffle), no self-joins.
+    "q_events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_type", "ts")
+      val stages = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+        .join(ev.filter(col("event_type") === "view"), Seq("user_id"), "left")
+        .groupBy("user_id", "t_signup")
+        .agg(min(when(col("ts") > col("t_signup"), col("ts"))).as("t_view"))
+        .join(ev.filter(col("event_type") === "click"), Seq("user_id"), "left")
+        .groupBy("user_id", "t_signup", "t_view")
+        .agg(min(when(col("ts") > col("t_view"), col("ts"))).as("t_click"))
+      stages.agg(
+        count(col("t_signup")).cast("long").as("n_signup"),
+        count(col("t_view")).cast("long").as("n_view"),
+        count(col("t_click")).cast("long").as("n_click"))
+    }),
+
     // Exact per-group percentiles (sort-based `percentile`, oracle
     // bit-parity). Exactness costs a per-group sort; at 100 TB swap in
     // approx_percentile (t-digest, mergeable) when the group count explodes —
@@ -977,6 +1030,51 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
         |FROM pii ORDER BY row_number""".stripMargin),
+
+    "q_events_rollup" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
+        |r AS (
+        |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+        |    CASE WHEN day IS NULL AND event_type IS NULL THEN 3
+        |         WHEN event_type IS NULL THEN 1 ELSE 0 END AS lvl
+        |  FROM base GROUP BY ROLLUP (day, event_type))
+        |SELECT coalesce(day, DATE '1900-01-01') AS day,
+        |  coalesce(event_type, 'ALL') AS event_type,
+        |  n, total_value, CAST(lvl AS BIGINT) AS lvl
+        |FROM r ORDER BY lvl, day, event_type""".stripMargin,
+
+    "q_user_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2
+        |HAVING day_offset <= 7
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM ev GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t_signup,
+        |    min(CASE WHEN v.ts > s1.t_signup THEN v.ts END) AS t_view
+        |  FROM s1 LEFT JOIN ev v ON v.user_id = s1.user_id AND v.event_type = 'view'
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t_signup, s2.t_view,
+        |    min(CASE WHEN c.ts > s2.t_view THEN c.ts END) AS t_click
+        |  FROM s2 LEFT JOIN ev c ON c.user_id = s2.user_id AND c.event_type = 'click'
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(count(t_signup) AS BIGINT) AS n_signup,
+        |  CAST(count(t_view) AS BIGINT) AS n_view,
+        |  CAST(count(t_click) AS BIGINT) AS n_click
+        |FROM s3""".stripMargin,
 
     "q_events_percentiles" ->
       """SELECT event_type,
