@@ -400,6 +400,33 @@ object SparkEntry {
         count(col("t_click")).cast("long").as("n_click"))
     }),
 
+    // Pivot (long -> wide): per-day counts pivoted into one column per event
+    // type. Values pinned explicitly — an unpinned pivot runs an extra
+    // distinct pass AND makes the output schema data-dependent (a schema
+    // that changes with the data is an anti-pattern at any scale).
+    "q_events_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+      pivoted.select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+        .orderBy("day")
+    }),
+
+    // Per-group approximate distinct via the KMV typed Aggregator: O(k)
+    // mergeable state per group — the sketch shape that replaces
+    // COUNT(DISTINCT) at 100 TB (and unlike HLL, oracle-verifiable).
+    "q_kmv_groups" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udaf
+      val kmv = udaf(new graft.functions.KmvAggregator(256))
+      events(s, dir)
+        .select(col("event_type"), graft.functions.Sketches.knuthHash(col("user_id")).as("hv"))
+        .groupBy("event_type")
+        .agg(kmv(col("hv")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     // Exact per-group percentiles (sort-based `percentile`, oracle
     // bit-parity). Exactness costs a per-group sort; at 100 TB swap in
     // approx_percentile (t-digest, mergeable) when the group count explodes —
@@ -1030,6 +1057,32 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
         |FROM pii ORDER BY row_number""".stripMargin),
+
+    "q_events_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_kmv_groups" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    (user_id * 2654435761) % 2147483647 AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sketch, max(hv) AS h_k
+        |  FROM r WHERE rn <= 256 GROUP BY 1)
+        |SELECT event_type,
+        |  round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |        ELSE 255.0 * 2147483647.0 / CAST(h_k AS DOUBLE) END, 4) AS approx_users
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q_events_rollup" ->
       """WITH base AS (

@@ -136,6 +136,25 @@ class FunctionsSpec extends SparkSpec {
     assert(pred === "en")
   }
 
+  test("KMV aggregator: exact when under-filled, merge is partition-invariant") {
+    import org.apache.spark.sql.functions.udaf
+    val kmv = udaf(new KmvAggregator(64))
+    val hv = Sketches.knuthHash(col("k"))
+
+    // 40 distinct keys < 64 buffer: the sketch degenerates to an exact count.
+    val small = (0L until 400L).map(i => ("g", i % 40)).toDF("g", "k")
+    assert(small.groupBy("g").agg(kmv(hv).as("d")).select("d").as[Double].head() === 40.0)
+
+    // 500 distinct keys > 64: approximate, but merge order must not matter —
+    // the same estimate regardless of how rows are partitioned.
+    val big = (0L until 2000L).map(i => ("g", i % 500)).toDF("g", "k")
+    val est1 = big.repartition(1).groupBy("g").agg(kmv(hv).as("d")).select("d").as[Double].head()
+    val est13 = big.repartition(13).groupBy("g").agg(kmv(hv).as("d")).select("d").as[Double].head()
+    assert(est1 === est13)
+    // and it's a sane estimate (within 35% of truth for k=64)
+    assert(math.abs(est1 - 500.0) / 500.0 < 0.35, s"estimate $est1")
+  }
+
   test("pii redaction: rules apply in order, counts measured on original text") {
     val df = Seq(
       (1L, "mail a@b.com or c.d@e.org call 555-123-4567 from 10.0.0.1"),
