@@ -80,6 +80,20 @@ object SparkEntry {
     classifiedCache.getOrElseUpdate((s, dir),
       Validate.classify(csvInput(s, dir), contactsStandIn(s, dir), "u1").cache())
 
+  /** Skew-guarded near-duplicate pairs over `documents` — the production
+    * dedup frame, shared by q_corpus_prep and q_dedup_clusters exactly like
+    * a nightly pipeline computes pairs ONCE and feeds both the survivor
+    * filter and the clustering (q_dedup_jaccard stays the uncached,
+    * unguarded exactness witness). Cached per (session, dir). */
+  private val guardedPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def guardedPairs(s: SparkSession, dir: String): DataFrame =
+    guardedPairsCache.getOrElseUpdate((s, dir), {
+      val docs = pq(s, dir, "documents")
+      graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8,
+        dfCap = math.max(8, (docs.count() / 100).toInt)).cache()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S7/S8 — trim + drop-empty-rows (clean pass)
     "q_clean_rows" -> ((s, dir) => {
@@ -281,8 +295,7 @@ object SparkEntry {
       // inverted-index join's worst bucket. A pair whose only overlap is
       // stop-shingles can't reach threshold 0.8, so the guarded result equals
       // the exact oracle (q_dedup_jaccard stays unguarded as the witness).
-      val dupLosers = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8,
-        dfCap = math.max(8, (docs.count() / 100).toInt))
+      val dupLosers = guardedPairs(s, dir)
         .select(col("id_b").as("doc_id")).distinct()
       docs
         .withColumn("quality", TextAnalysis.qualityScore(col("text"),
@@ -590,10 +603,9 @@ object SparkEntry {
     // pairs via min-label propagation, 5 unrolled rounds)
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      // Skew-guarded jaccard (see q_corpus_prep note) feeding the clustering.
-      val pairs = graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8,
-        dfCap = math.max(8, (docs.count() / 100).toInt))
-      graft.functions.Dedup.clusterLabels(docs, "doc_id", pairs, iterations = 5)
+      // Skew-guarded jaccard (see q_corpus_prep note) feeding the clustering;
+      // the pairs frame is shared with q_corpus_prep via guardedPairs.
+      graft.functions.Dedup.clusterLabels(docs, "doc_id", guardedPairs(s, dir), iterations = 5)
         .orderBy("doc_id")
     }),
 
