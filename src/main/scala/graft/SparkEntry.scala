@@ -413,6 +413,27 @@ object SparkEntry {
         count(col("t_click")).cast("long").as("n_click"))
     }),
 
+    // Distributed variance via single-pass algebraic moments (n, sum, sum of
+    // squares): the moments are map-side-combinable and merge associatively —
+    // the one-pass shape for statistics at 100 TB (vs two-pass mean-then-
+    // deviation). Exact here: quantities are integer-valued, so the double
+    // sums are order-independent, making the result oracle-verifiable
+    // (built-in stddev/var would differ across engines in the last bits).
+    "q_brand_stats" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val part = pq(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"))
+        .select(col("p_brand"), col("n"),
+          round(col("s1") / col("n"), 6).as("avg_qty"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
+            .as("var_qty"))
+        .orderBy("p_brand")
+    }),
+
     // Pivot (long -> wide): per-day counts pivoted into one column per event
     // type. Values pinned explicitly — an unpinned pivot runs an extra
     // distinct pass AND makes the output schema data-dependent (a schema
@@ -1069,6 +1090,14 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
         |FROM pii ORDER BY row_number""".stripMargin),
+
+    "q_brand_stats" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |  round((sum(l_quantity * l_quantity) - sum(l_quantity) * sum(l_quantity) / count(*))
+        |        / (count(*) - 1), 6) AS var_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "q_events_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
