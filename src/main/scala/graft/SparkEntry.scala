@@ -596,6 +596,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Calendar-spine gap fill: an hourly spine per user carried forward to
+    // the last known event value (as-of semantics) — the standard
+    // time-series densification, built on the same no-cross-join asofJoin
+    "q_gap_fill" -> ((s, dir) => {
+      // 720 hours of Jan 2024 x users 0-4; 2024-01-01T00:00:00Z in micros
+      val spine = s.range(720)
+        .select(timestamp_micros(lit(1704067200000000L) + col("id") * 3600000000L).as("ts"),
+          explode(array((0 until 5).map(u => lit(u.toLong)): _*)).as("user_id"))
+      val ev = events(s, dir).filter(col("user_id") < 5)
+        .select("user_id", "ts", "value")
+      graft.operators.Joins.asofJoin(spine, ev, Seq("user_id"), "ts", Seq("value"), prefix = "last_")
+        .select(col("user_id"), col("ts"),
+          coalesce(col("last_value"), lit(-1.0)).as("last_value"))
+        .orderBy("user_id", "ts")
+    }),
+
     // Bucketed range join: events against 30 fixed 6-hour campaign windows
     // (09:00-15:00 UTC daily) — interval containment WITHOUT a cross join:
     // intervals explode onto a 6h bucket grid, points equi-join their bucket
@@ -981,6 +997,19 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH hrs AS (
+        |  SELECT make_timestamp(1704067200000000 + CAST(h AS BIGINT) * 3600000000) AS ts
+        |  FROM generate_series(0, 719) t(h)),
+        |spine AS (
+        |  SELECT ts, CAST(u AS BIGINT) AS user_id
+        |  FROM hrs CROSS JOIN generate_series(0, 4) g(u)),
+        |ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 5)
+        |SELECT s.user_id, s.ts, coalesce(e.value, -1.0) AS last_value
+        |FROM spine s ASOF LEFT JOIN ev e
+        |  ON s.user_id = e.user_id AND s.ts >= e.ts
+        |ORDER BY s.user_id, s.ts""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (

@@ -42,8 +42,11 @@ object Joins {
       .withColumn("__side", lit(0))
     val rvType = r2.schema("__rv").dataType
     val leftPayload = left.columns.filterNot((keyCols :+ tsCol).contains)
+    // a payload-less left side (e.g. a generated calendar spine) still needs
+    // a placeholder column so both union legs share one schema
+    val lp = if (leftPayload.isEmpty) lit(0) else struct(leftPayload.map(col): _*)
     val l2 = left
-      .select((keyCols :+ tsCol).map(col) :+ struct(leftPayload.map(col): _*).as("__lp"): _*)
+      .select((keyCols :+ tsCol).map(col) :+ lp.as("__lp"): _*)
       .withColumn("__rv", lit(null).cast(rvType))
       .withColumn("__side", lit(1))
     val unioned = l2.unionByName(r2.withColumn("__lp", lit(null).cast(l2.schema("__lp").dataType)))

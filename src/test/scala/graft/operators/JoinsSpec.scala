@@ -40,6 +40,14 @@ class JoinsSpec extends SparkSpec {
       .toSeq === Seq(("a", 7, 1.5)))
   }
 
+  test("asofJoin: payload-less left side (spine) works") {
+    val spine = Seq((1L, ts(5)), (1L, ts(10))).toDF("k", "ts")
+    val right = Seq((1L, ts(7), 7.0)).toDF("k", "ts", "v")
+    val out = Joins.asofJoin(spine, right, Seq("k"), "ts", Seq("v"))
+      .orderBy("ts").select("asof_v").as[Option[Double]].collect()
+    assert(out.toSeq === Seq(None, Some(7.0)))
+  }
+
   test("rangeJoinByBucket: containment semantics across bucket boundaries") {
     // bucketWidth 10; interval [5, 25) spans buckets 0..2
     val intervals = Seq((100L, 5L, 25L), (200L, 40L, 50L)).toDF("iv_id", "s", "e")
