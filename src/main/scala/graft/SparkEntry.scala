@@ -413,6 +413,27 @@ object SparkEntry {
         count(col("t_click")).cast("long").as("n_click"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): selective dim filter broadcast
+    // into a fact-fact equi-join, aggregate, then TakeOrdered top-10 — the
+    // third heft witness (Q1 = q_tpch_pricing, Q5 = q_tpch_revenue)
+    "q_tpch_shipping" -> ((s, dir) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val cust = pq(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = pq(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = pq(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
     // Distributed variance via single-pass algebraic moments (n, sum, sum of
     // squares): the moments are map-side-combinable and merge associatively —
     // the one-pass shape for statistics at 100 TB (vs two-pass mean-then-
@@ -1119,6 +1140,20 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
         |FROM pii ORDER BY row_number""".stripMargin),
+
+    "q_tpch_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,6)) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q_brand_stats" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
