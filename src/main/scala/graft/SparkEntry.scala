@@ -371,9 +371,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"),
           grouping_id().cast("long").as("lvl"))
-        // NULL grouping markers projected to sentinels: the driver comparator
-        // row-sorts mixed None/date object columns unreliably
-        .select(coalesce(col("day"), lit("1900-01-01").cast("date")).as("day"),
+        // NULL grouping markers projected to sentinels, and DATE rendered as
+        // ISO string: the driver comparator's pandas loaders disagree on
+        // date32 vs DATE physical types (and on mixed None/date sorting)
+        .select(coalesce(date_format(col("day"), "yyyy-MM-dd"), lit("1900-01-01")).as("day"),
           coalesce(col("event_type"), lit("ALL")).as("event_type"),
           col("n"), col("total_value"), col("lvl"))
         .orderBy("lvl", "day", "event_type")),
@@ -391,6 +392,9 @@ object SparkEntry {
         .groupBy("cohort_day", "day_offset")
         .agg(count(lit(1)).cast("long").as("n_users"))
         .filter(col("day_offset") <= 7)
+        // DATE -> ISO string for loader-agnostic comparison (see rollup note)
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
         .orderBy("cohort_day", "day_offset")
     }),
 
@@ -464,7 +468,8 @@ object SparkEntry {
       val pivoted = events(s, dir)
         .select(to_date(col("ts")).as("day"), col("event_type"))
         .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
-      pivoted.select(col("day") +:
+      // DATE -> ISO string for loader-agnostic comparison (see rollup note)
+      pivoted.select(date_format(col("day"), "yyyy-MM-dd").as("day") +:
         types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
         .orderBy("day")
     }),
@@ -1164,7 +1169,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "q_events_pivot" ->
-      """SELECT CAST(ts AS DATE) AS day,
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
         |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
         |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
@@ -1198,7 +1203,7 @@ object SparkEntry {
         |    CASE WHEN day IS NULL AND event_type IS NULL THEN 3
         |         WHEN event_type IS NULL THEN 1 ELSE 0 END AS lvl
         |  FROM base GROUP BY ROLLUP (day, event_type))
-        |SELECT coalesce(day, DATE '1900-01-01') AS day,
+        |SELECT coalesce(CAST(day AS VARCHAR), '1900-01-01') AS day,
         |  coalesce(event_type, 'ALL') AS event_type,
         |  n, total_value, CAST(lvl AS BIGINT) AS lvl
         |FROM r ORDER BY lvl, day, event_type""".stripMargin,
@@ -1206,7 +1211,7 @@ object SparkEntry {
     "q_user_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
-        |SELECT c.cohort_day,
+        |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
         |  CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM ev e JOIN cohort c ON e.user_id = c.user_id

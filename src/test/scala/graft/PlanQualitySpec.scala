@@ -86,6 +86,20 @@ class PlanQualitySpec extends SparkSpec {
       "exactness witness q_dedup_jaccard unexpectedly capped")
   }
 
+  test("q_tpch_shipping broadcasts the filtered dimension and pushes date filters") {
+    val plan = planOf("q_tpch_shipping")
+    assert(plan.contains("BroadcastHashJoin"), "customer side not broadcast")
+    assert("PushedFilters: \\[[^\\]]*(o_orderdate|l_shipdate)".r.findFirstIn(plan).isDefined,
+      "date predicates not pushed to the scans")
+    assert(plan.contains("TakeOrderedAndProject"), "top-10 not planned as TakeOrdered")
+  }
+
+  test("q_brand_stats broadcasts the part dimension with partial aggregation") {
+    val plan = planOf("q_brand_stats")
+    assert(plan.contains("BroadcastHashJoin"), "part side not broadcast")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "no partial+final aggregate")
+  }
+
   test("q_asof_join plans as one window over a union — no join operator at all") {
     // The as-of join's whole point: an inequality join would plan as a
     // per-key cross product (BroadcastNestedLoopJoin / CartesianProduct).
