@@ -72,6 +72,21 @@ class MultiJobSpec extends SparkSpec {
     assert(store.load("issues").filter(col("issues_job_id") === 1).count() === 1)
   }
 
+  test("per-job staging read prunes to the job's partition at the scan") {
+    val root = Files.createTempDirectory("graft_prune").toString
+    val store = new ParquetTableStore(spark, root + "/tables")
+    store.overwrite("staging", Seq(
+      (1, 1L, "a@b.co"), (1, 2L, "b@b.co"), (2, 3L, "c@b.co"))
+      .toDF("staging_job_id", "staging_id", "staging_email"))
+    val q = store.load("staging").filter(col("staging_job_id") === 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // Hive-partitioned layout: the filter must land in PartitionFilters (file
+    // pruning before any IO) — not as a post-scan Filter over all jobs' rows.
+    assert("PartitionFilters: \\[[^\\]]*staging_job_id".r.findFirstIn(plan).isDefined,
+      s"job filter not applied as a partition filter:\n${plan.take(500)}")
+  }
+
   test("job lifecycle: process_start on PROCESSING, process_end cleared on restart") {
     val root = Files.createTempDirectory("graft_lifecycle").toString
     val store = new ParquetTableStore(spark, root + "/tables")
