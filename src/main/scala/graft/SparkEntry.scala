@@ -284,6 +284,20 @@ object SparkEntry {
       graft.functions.Dedup.simhash(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Incremental dedup: the newest 20% of documents deduped against the
+    // older 80% via broadcast Bloom prefilter + exact verify — history never
+    // shuffles; result equals the plain anti-join (oracle below).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val cut = 400L // doc_id < cut = history, rest = the incoming batch
+      val history = docs.filter(col("doc_id") < cut)
+      val batch = docs.filter(col("doc_id") >= cut)
+      graft.functions.Dedup.incrementalDedup(
+        batch.select("doc_id", "text"), history, "doc_id", "text",
+        expectedCorpusItems = cut)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Capstone composite: training-corpus preparation in ONE plan —
     // quality-filter, drop near-duplicate losers (keep min doc id), count
     // tokens. The shape a 100 TB pretraining pipeline runs nightly.
@@ -1328,6 +1342,17 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY text_hash) AS survivor_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_duplicate
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents WHERE doc_id >= 400)
+        |SELECT doc_id FROM batch
+        |WHERE h NOT IN (SELECT h FROM hist)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $shingleCtes,

