@@ -209,13 +209,12 @@ object Dedup {
     // also simply means nothing can be a duplicate.
     if (corpusH.isEmpty) return newDocs
     val bloom = corpusH.stat.bloomFilter("__h", math.max(expectedCorpusItems, 1L), fpp)
-    val bloomBc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => h != null && bloomBc.value.mightContainString(h))
     val batchH = hashed(newDocs)
     // Sliver of possible duplicates -> exact verify; certain-new rows skip
-    // the join entirely. (The UDF is off the 99%-of-rows hot path by
-    // construction: it runs once per row, and only the positives join.)
-    val candidates = batchH.filter(mightContain(col("__h")))
+    // the join entirely. The probe is a native codegen'd Expression (runs
+    // once per batch row — a UDF here would break whole-stage codegen on
+    // the big side).
+    val candidates = batchH.filter(BloomMightContain.probe(col("__h"), bloom))
       .join(corpusH.select(col("__h")).distinct(), Seq("__h"), "left_semi")
       .select(col(idCol))
     batchH.join(candidates, Seq(idCol), "left_anti").drop("__h")

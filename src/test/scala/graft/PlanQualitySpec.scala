@@ -126,7 +126,7 @@ class PlanQualitySpec extends SparkSpec {
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
-    Seq("q_row_hash", "q_knn_brute", "q_dedup_simhash").foreach { q =>
+    Seq("q_row_hash", "q_knn_brute", "q_dedup_simhash", "q_dedup_incremental").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
       // collect() executes THIS frame's QueryExecution (count() would build a
       // new one, leaving this AQE plan initial and codegen-unwrapped); the
