@@ -473,6 +473,30 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Fixed-width histogram of event values per type: one groupBy on
+    // (type, bucket) — the profiling shape that replaces driver-side
+    // .collect() histograms at scale
+    "q_value_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") / 100.0).cast("long").as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("event_type", "bucket")),
+
+    // Dataset profiling: null rate / distinct count / min / max per column
+    // in ONE pass over the table (every aggregate is partial+final) — the
+    // data-quality snapshot a pipeline emits before training ingestion
+    "q_profile_documents" -> ((s, dir) =>
+      pq(s, dir, "documents").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        count(col("text")).cast("long").as("text_nonnull"),
+        countDistinct(col("lang")).cast("long").as("lang_distinct"),
+        countDistinct(col("source")).cast("long").as("source_distinct"),
+        min(col("n_chars")).cast("long").as("chars_min"),
+        max(col("n_chars")).cast("long").as("chars_max"),
+        round(avg(col("n_chars")), 6).as("chars_avg"))),
+
     // Pivot (long -> wide): per-day counts pivoted into one column per event
     // type. Values pinned explicitly — an unpinned pivot runs an extra
     // distinct pass AND makes the output schema data-dependent (a schema
@@ -1181,6 +1205,21 @@ object SparkEntry {
         |        / (count(*) - 1), 6) AS var_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q_profile_documents" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(text) AS BIGINT) AS text_nonnull,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+        |  CAST(min(n_chars) AS BIGINT) AS chars_min,
+        |  CAST(max(n_chars) AS BIGINT) AS chars_max,
+        |  round(avg(n_chars), 6) AS chars_avg
+        |FROM documents""".stripMargin,
 
     "q_events_pivot" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
