@@ -473,6 +473,17 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
+    // Salted skew-proof join: every event joined to its type's profile —
+    // event_type has 5 heavily-hot keys, the exact shape where a plain
+    // shuffle join piles each type onto one reducer. Provably identical to
+    // the plain join (the oracle), with the hot keys spread over 16 reducers.
+    "q_skew_join_salted" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "event_type", "value")
+      val dim = ev.groupBy("event_type").agg(round(avg(col("value")), 6).as("type_avg"))
+      graft.operators.Joins.saltedJoin(ev, dim, Seq("event_type"), salts = 16)
+        .orderBy("event_id")
+    }),
+
     // Fixed-width histogram of event values per type: one groupBy on
     // (type, bucket) — the profiling shape that replaces driver-side
     // .collect() histograms at scale
@@ -1205,6 +1216,14 @@ object SparkEntry {
         |        / (count(*) - 1), 6) AS var_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q_skew_join_salted" ->
+      """WITH dim AS (
+        |  SELECT event_type, round(avg(value), 6) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value, type_avg
+        |FROM events e JOIN dim USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     "q_value_histogram" ->
       """SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS bucket,

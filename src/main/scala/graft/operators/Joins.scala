@@ -61,6 +61,27 @@ object Joins {
     filled.where(col("__side") === 1).select(out: _*)
   }
 
+  /** Salted equi-join — the skew guard for joins (the join-side sibling of
+    * `Sketches.saltedCount`): when BOTH sides are too large to broadcast and
+    * the key distribution is skewed, a plain shuffle join lands every row of
+    * a hot key on one reducer. Salting spreads the big side over `salts`
+    * reducers per key (salt = deterministic hash of the full row — no RNG,
+    * replayable) and replicates the small side once per salt, so the result
+    * is EXACTLY the plain join while the hottest reducer shrinks by ~salts.
+    * Use AQE skew-join first; reach for explicit salting when the skew is
+    * known and stable (e.g. a fixed hot tenant) or AQE's post-shuffle split
+    * can't help (aggregation-after-join pipelines).
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      keyCols: Seq[String], salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn(
+      "__salt", pmod(hash(big.columns.map(col): _*), lit(salts)))
+    val saltedSmall = small.withColumn(
+      "__salt", explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, keyCols :+ "__salt").drop("__salt")
+  }
+
   /** Bucketed range (interval-containment) join: attach to each point row
     * the interval rows with `startCol <= pointCol < endCol`. No shared
     * equi-key exists, so a naive formulation is a cross join; instead both

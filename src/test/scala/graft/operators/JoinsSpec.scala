@@ -57,6 +57,19 @@ class JoinsSpec extends SparkSpec {
     assert(out === Set((5L, 100L), (14L, 100L), (24L, 100L), (40L, 200L), (49L, 200L)))
   }
 
+  test("saltedJoin: identical result set to the plain join, any salt count") {
+    val big = (0L until 200L).map(i => (i, s"k${i % 3}", i * 1.5)).toDF("id", "key", "v")
+    val small = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k9", "unmatched"))
+      .toDF("key", "tag")
+    val plain = big.join(small, Seq("key")).select("id", "tag")
+      .as[(Long, String)].collect().toSet
+    Seq(1, 4, 16).foreach { salts =>
+      val salted = Joins.saltedJoin(big, small, Seq("key"), salts)
+        .select("id", "tag").as[(Long, String)].collect().toSet
+      assert(salted === plain, s"salts=$salts")
+    }
+  }
+
   test("rangeJoinByBucket: overlapping intervals emit one row per containing interval") {
     val intervals = Seq((1L, 0L, 20L), (2L, 10L, 30L)).toDF("iv_id", "s", "e")
     val points = Seq(15L).toDF("p")
