@@ -624,6 +624,14 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // Sessionization via the BUILT-IN session_window aggregate (merging
+    // windows, engine-managed state) — same question as q_events_sessionize
+    // answered declaratively; boundary semantics differ (>= gap starts a
+    // new session, end = last + gap), mirrored exactly in the oracle
+    "q_events_session_window" -> ((s, dir) =>
+      graft.stream.EventAnalytics.sessionizeBuiltin(events(s, dir))
+        .orderBy("user_id", "session_start")),
+
     // top-k by aggregate with deterministic tie-break. Scale-safe shape:
     // sort+limit plans as TakeOrderedAndProject (per-partition top-k, then a
     // k-row merge) — no global window over the full distinct-user set. The
@@ -1046,6 +1054,23 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q_events_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR date_diff('microsecond', prev, ts) >= 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+        |g AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_events_topk_users" ->
       """WITH agg AS (

@@ -79,6 +79,30 @@ object EventAnalytics {
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts")) ++ payload: _*)
   }
 
+  /** Sessionization via the BUILT-IN `session_window` aggregation — the
+    * declarative alternative to [[sessionize]]'s flatMapGroupsWithState:
+    * state handling, merging, and watermark purge come from the engine.
+    * Semantics differ from the lag-based formulation at one boundary: an
+    * event exactly `gap` after the previous one starts a NEW session
+    * (windows are half-open [start, last+gap)); the custom operator keeps
+    * it in-session. `session_end` here is last_ts + gap (window end), not
+    * last_ts. Works identically over a batch frame or a watermarked
+    * stream — the reason to prefer built-ins when their contract fits. */
+  def sessionizeBuiltin(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes",
+      streaming: Boolean = false): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", lateness) else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events").cast("long").as("n_events"))
+  }
+
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
   case class SessionState(start: Long, last: Long, n: Int)

@@ -91,6 +91,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "home", 1.0)))
   }
 
+  test("sessionizeBuiltin: streaming session_window emits finalized sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventAnalytics.sessionizeBuiltin(events,
+      gap = "10 minutes", lateness = "5 minutes", streaming = true)
+      .writeStream.outputMode("append").format("memory").queryName("swin_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    input.addData((ts(1), 1L, "click", 1.0), (ts(5), 1L, "view", 1.0))
+    q.processAllAvailable()
+    // push the watermark far past session end -> the session finalizes
+    input.addData((ts(120), 2L, "click", 1.0))
+    q.processAllAvailable()
+    input.addData((ts(240), 2L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("swin_out")
+      .selectExpr("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect()
+    assert(out.contains((1L, ts(1), 2L)), out.mkString("; "))
+  }
+
   test("sessionize: gap closes sessions, state emits each session once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
