@@ -549,6 +549,12 @@ object SparkEntry {
 
     // ---- beyond-reference: similarity search over `embeddings` -----------
 
+    // Per-label class centroids (k-means/IVF training pass, per-class
+    // prototypes) — element-wise means, partial+final all the way
+    "q_label_centroids" -> ((s, dir) =>
+      graft.functions.Similarity.labelCentroids(pq(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")),
+
     // Deterministic int8 max-abs quantization (ANN storage compression)
     "q_embedding_quantize" -> ((s, dir) =>
       graft.functions.Similarity.quantizeInt8(pq(s, dir, "embeddings"), "vec_id", "embedding")
@@ -1561,6 +1567,19 @@ object SparkEntry {
         |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
         |  n_tokens, cum_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, pos, count(*) AS n,
+        |    round(avg(CAST(v AS DOUBLE)), 6) AS m
+        |  FROM x GROUP BY 1, 2)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |  string_agg(printf('%.6f', m), ',' ORDER BY pos) AS centroid_csv
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
 
     "q_embedding_quantize" ->
       """WITH m AS (

@@ -108,6 +108,22 @@ object Similarity {
         x => floor(x.cast("double") * scale + lit(0.5)).cast("string"))).as("q_csv"))
   }
 
+  /** Per-label embedding centroids (class means) — the training pass behind
+    * k-means / IVF coarse quantizers and per-class prototypes. Element-wise
+    * mean via posexplode + one groupBy(label, dim): every aggregate is
+    * partial+final, so the corpus streams through map-side combines and the
+    * shuffle carries labels x dims rows, not vectors. Emitted as a rounded
+    * CSV scalar (driver comparator can't sort arrays) + member count. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(count(lit(1)).as("n"), round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(labelCol)
+      .agg(max(col("n")).cast("long").as("n_vectors"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => format_string("%.6f", s.getField("m")))).as("centroid_csv"))
+
   /** IVF (inverted-file) ANN top-k — the billion-scale index shape: corpus
     * vectors are assigned to their nearest of `nlist` coarse centroids (the
     * inverted lists, ONE aggregable pass: a broadcast of the centroids + a
