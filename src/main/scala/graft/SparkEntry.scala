@@ -576,6 +576,13 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // One Lloyd's k-means iteration (assign to nearest seed + recompute
+    // means) — the IVF coarse-quantizer training-loop body as aggregates
+    "q_kmeans_step" -> ((s, dir) =>
+      graft.functions.Similarity.kmeansStep(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, k = 8)
+        .orderBy("cent_id")),
+
     // IVF ANN: coarse-quantizer assignment (inverted lists) + probed exact
     // search — the billion-scale index dataflow, oracle-verified end to end.
     "q_knn_ivf" -> ((s, dir) => {
@@ -1591,6 +1598,32 @@ object SparkEntry {
         |  array_to_string(list_transform(embedding,
         |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "q_kmeans_step" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |c AS (
+         |  SELECT vec_id, embedding AS cv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, cent_id, cv,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
+         |  FROM c CROSS JOIN cents),
+         |mem AS (
+         |  SELECT cent_id, unnest(cv) AS x,
+         |    unnest(generate_series(1, len(cv))) AS pos
+         |  FROM assign WHERE arnk = 1),
+         |d AS (
+         |  SELECT cent_id, pos, count(*) AS n,
+         |    round(avg(CAST(x AS DOUBLE)), 6) AS m
+         |  FROM mem GROUP BY 1, 2)
+         |SELECT cent_id, CAST(max(n) AS BIGINT) AS n_members,
+         |  string_agg(printf('%.6f', m), ',' ORDER BY pos) AS centroid_csv
+         |FROM d GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
     "q_knn_ivf" ->
       s"""WITH cents AS (

@@ -124,6 +124,37 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => format_string("%.6f", s.getField("m")))).as("centroid_csv"))
 
+  /** One Lloyd's (k-means) iteration: assign every vector to its nearest of
+    * k seed centroids (cosine), then recompute each cluster's element-wise
+    * mean. Seeds are the k lowest-id vectors (deterministic — swap for the
+    * previous iteration's output to iterate). Assignment is the same
+    * scale-safe argmax as [[ivfTopK]]'s inverted lists (broadcast centroids
+    * + partial-aggregable max-of-struct, no corpus shuffle); recompute is
+    * the [[labelCentroids]] shape. Together: the training loop body behind
+    * IVF coarse quantizers, run entirely as Spark aggregates. */
+  def kmeansStep(
+      df: DataFrame, idCol: String, vecCol: String, dims: Int, k: Int): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+    val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("cent_sim",
+        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cv"))).as("best"))
+      .select((-col("best.neg_id")).as("cent_id"), col("best.cv").as("cv"))
+    assigned.select(col("cent_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy("cent_id", "pos")
+      .agg(count(lit(1)).as("n"), round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy("cent_id")
+      .agg(max(col("n")).cast("long").as("n_members"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => format_string("%.6f", s.getField("m")))).as("centroid_csv"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the billion-scale index shape: corpus
     * vectors are assigned to their nearest of `nlist` coarse centroids (the
     * inverted lists, ONE aggregable pass: a broadcast of the centroids + a
