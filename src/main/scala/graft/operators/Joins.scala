@@ -103,11 +103,15 @@ object Joins {
       startCol: String,
       endCol: String,
       bucketWidth: Long): DataFrame = {
-    val bucketed = intervals.withColumn(
-      "__bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    val bucketed = intervals
+      // an empty interval [s, s) matches nothing, and its bucket sequence
+      // would be DESCENDING (sequence auto-steps -1) — junk rows; drop first
+      .where(col(endCol) > col(startCol))
+      .withColumn(
+        "__bucket",
+        explode(sequence(
+          floor(col(startCol) / bucketWidth).cast("long"),
+          floor((col(endCol) - 1) / bucketWidth).cast("long"))))
     points
       .withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
       .join(bucketed, Seq("__bucket"))

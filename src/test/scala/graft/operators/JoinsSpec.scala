@@ -70,6 +70,14 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoinByBucket: empty intervals match nothing") {
+    val intervals = Seq((1L, 10L, 10L), (2L, 10L, 11L)).toDF("iv_id", "s", "e")
+    val points = Seq(10L).toDF("p")
+    val out = Joins.rangeJoinByBucket(points, intervals, "p", "s", "e", bucketWidth = 4L)
+      .select("iv_id").as[Long].collect().toSet
+    assert(out === Set(2L))
+  }
+
   test("rangeJoinByBucket: overlapping intervals emit one row per containing interval") {
     val intervals = Seq((1L, 0L, 20L), (2L, 10L, 30L)).toDF("iv_id", "s", "e")
     val points = Seq(15L).toDF("p")
