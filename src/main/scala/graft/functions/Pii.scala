@@ -25,8 +25,9 @@ object Pii {
 
   val emailRule: Rule =
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-  /** NNN-NNN-NNNN phone shape (deliberately strict — broaden per corpus). */
-  val phoneRule: Rule = ("phone", "\\d{3}-\\d{3}-\\d{4}", "<PHONE>")
+  /** NNN-NNN-NNNN phone shape (deliberately strict — broaden per corpus);
+    * \b keeps it from firing inside longer digit runs. */
+  val phoneRule: Rule = ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
   val ipv4Rule: Rule = ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
 
   val defaultRules: Seq[Rule] = Seq(emailRule, phoneRule, ipv4Rule)
