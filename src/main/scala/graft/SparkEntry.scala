@@ -329,6 +329,15 @@ object SparkEntry {
         budgetTokens = 512, shardSize = 100)
         .orderBy("doc_id")),
 
+    // Corpus n-gram document frequencies, top-20: the profiling pass behind
+    // the jaccard dfCap (stop-shingle) threshold choice — explode + one
+    // groupBy + TakeOrdered, never a global sort of the full vocabulary
+    "q_ngram_freq" -> ((s, dir) =>
+      graft.functions.Dedup.shingleSets(pq(s, dir, "documents"), "doc_id", "text", n = 4)
+        .groupBy("shingle").agg(count(lit(1)).cast("long").as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("shingle"))
+        .limit(20)),
+
     // Word-repetition profile (Gopher-style boilerplate/spam signal)
     "q_doc_repetition" -> ((s, dir) =>
       graft.functions.TextAnalysis.repetitionProfile(pq(s, dir, "documents"), "doc_id", "text")
@@ -1140,6 +1149,13 @@ object SparkEntry {
         |  CAST(coalesce(j.tv, 0) AS DECIMAL(38,6)) AS total_value
         |FROM iv LEFT JOIN j ON iv.window_id = j.window_id
         |ORDER BY iv.window_id""".stripMargin,
+
+    "q_ngram_freq" ->
+      s"""WITH $shingleCtes
+         |SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+         |FROM sh GROUP BY 1
+         |ORDER BY doc_freq DESC, shingle
+         |LIMIT 20""".stripMargin,
 
     "q_doc_repetition" ->
       """WITH toks AS (
