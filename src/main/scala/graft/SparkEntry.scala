@@ -298,6 +298,25 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Sketch-accuracy audit: MinHash-estimated jaccard (signature agreement
+    // fraction) against the exact jaccard per near-dup pair — the validation
+    // pass that justifies signature length k before trusting LSH at scale
+    "q_minhash_accuracy" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val pairs = graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 4, threshold = 0.5)
+      val sigs = graft.functions.Dedup.minhashSignatures(docs, "doc_id", "text")
+      val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "id_a" else c + "_a"): _*)
+      val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "id_b" else c + "_b"): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"sig_${i}_a") === col(s"sig_${i}_b"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          round(matches.cast("double") / 8.0, 6).as("minhash_est"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Capstone composite: training-corpus preparation in ONE plan —
     // quality-filter, drop near-duplicate losers (keep min doc id), count
     // tokens. The shape a 100 TB pretraining pipeline runs nightly.
@@ -1498,6 +1517,30 @@ object SparkEntry {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_minhash_accuracy" -> {
+      val matchSql = (0 until 8)
+        .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $shingleCtes,
+         |$minhashSigsCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |  FROM pr
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5)
+         |SELECT id_a, id_b, jaccard, round(($matchSql) / 8.0, 6) AS minhash_est
+         |FROM jp
+         |JOIN sigs a ON jp.id_a = a.doc_id
+         |JOIN sigs b ON jp.id_b = b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_dedup_simhash" ->
       s"""WITH toks AS (
