@@ -411,7 +411,8 @@ object SparkEntry {
         .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
         .rollup("day", "event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"),
+          // decimal intermediate, round(double,6) output (q_tpch_pricing note)
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("total_value"),
           grouping_id().cast("long").as("lvl"))
         // NULL grouping markers projected to sentinels, and DATE rendered as
         // ISO string: the driver comparator's pandas loaders disagree on
@@ -474,10 +475,13 @@ object SparkEntry {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("decimal(38,6)").as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .cast("decimal(18,6)")).as("rev"))
+        // top-10 selected on the EXACT decimal; output projected to
+        // round(double,6) after the limit — see q_tpch_pricing note
+        .orderBy(col("rev").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(col("l_orderkey"), round(col("rev").cast("double"), 6).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
     }),
 
     // Distributed variance via single-pass algebraic moments (n, sum, sum of
@@ -636,16 +640,13 @@ object SparkEntry {
 
     // ---- beyond-reference: event-stream analytics (batch-mode windows) ---
 
-    // tumbling-hour aggregation (decimal sums: order-independent exactness).
-    // Final decimal aggregates are pinned to DECIMAL(38,6) on BOTH engine and
-    // oracle sides: Spark widens sum(dec(18,6)) to dec(28,6), DuckDB to
-    // dec(38,6) — same digits, different physical parquet encoding, which the
-    // driver's hash compare distinguishes.
+    // tumbling-hour aggregation (decimal sums: order-independent exactness;
+    // round(double,6) output — see q_tpch_pricing note)
     "q_events_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("total_value"))
         .orderBy("hour", "event_type")),
 
     // gap-based sessionization (30-min inactivity closes a session)
@@ -683,13 +684,16 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val top = events(s, dir)
         .groupBy("user_id")
-        .agg(sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"),
+        .agg(sum(col("value").cast("decimal(18,6)")).as("tv"),
           count(lit(1)).as("n"))
-        .orderBy(col("total_value").desc, col("user_id"))
+        .orderBy(col("tv").desc, col("user_id"))
         .limit(10)
       top
         .withColumn("rnk", row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("total_value").desc, col("user_id"))).cast("long"))
+          Window.partitionBy(lit(1)).orderBy(col("tv").desc, col("user_id"))).cast("long"))
+        // ranked on the EXACT decimal; round(double,6) output (q_tpch_pricing)
+        .select(col("user_id"), round(col("tv").cast("double"), 6).as("total_value"),
+          col("n"), col("rnk"))
         .orderBy("rnk")
     }),
 
@@ -756,7 +760,9 @@ object SparkEntry {
       iv.select("window_id").join(joined, Seq("window_id"), "left")
         .select(col("window_id"),
           coalesce(col("n_events"), lit(0L)).cast("long").as("n_events"),
-          coalesce(col("tv"), lit(0).cast("decimal(18,6)")).cast("decimal(38,6)").as("total_value"))
+          // decimal intermediate, round(double,6) output (q_tpch_pricing note)
+          round(coalesce(col("tv"), lit(0).cast("decimal(18,6)")).cast("double"), 6)
+            .as("total_value"))
         .orderBy("window_id")
     }),
 
@@ -791,27 +797,31 @@ object SparkEntry {
     // ---- beyond-reference: columnar-scan heft (TPC-H-style shapes) -------
 
     // Q1-like pricing summary: wide scan + grouped decimal aggregation.
-    // Every final decimal aggregate is pinned to DECIMAL(38,6) on both sides
-    // (see q_events_hourly note). The discount product is cast to dec(18,6)
-    // BEFORE the sum: prices/discounts carry 2 decimal digits, so the 4-digit
-    // product is exact at scale 6 — and summing dec(18,6) avoids Spark's
-    // precision-overflow scale reduction (sum of the raw dec(37,12) product
-    // would be silently rounded to dec(38,6) mid-aggregation while DuckDB
-    // keeps dec(38,12)).
+    // Decimal INTERMEDIATE sums keep order-independent exactness; the OUTPUT
+    // columns are round(double, 6) on both engine and oracle sides — the
+    // driver comparator loads Spark parquet decimals as python Decimal but
+    // DuckDB decimals as float64, so a decimal output column can never
+    // string-compare equal regardless of value. The discount product is cast
+    // to dec(18,6) BEFORE the sum: prices/discounts carry 2 decimal digits,
+    // so the 4-digit product is exact at scale 6 — and summing dec(18,6)
+    // avoids Spark's precision-overflow scale reduction.
     "q_tpch_pricing" -> ((s, dir) =>
       pq(s, dir, "lineitem")
         .filter(col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,6)")).as("sq"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("sbp"),
           sum((col("l_extendedprice").cast("decimal(18,6)") *
             (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-            .cast("decimal(18,6)")).cast("decimal(38,6)")
-            .as("sum_disc_price"),
+            .cast("decimal(18,6)")).as("sdp"),
           count(lit(1)).as("n"))
-        .withColumn("avg_qty",
-          round(col("sum_qty").cast("double") / col("n").cast("double"), 6))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sq").cast("double"), 6).as("sum_qty"),
+          round(col("sbp").cast("double"), 6).as("sum_base_price"),
+          round(col("sdp").cast("double"), 6).as("sum_disc_price"),
+          col("n"),
+          round(col("sq").cast("double") / col("n").cast("double"), 6).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
     // 3-way join + grouped revenue (customer ⋈ orders ⋈ lineitem)
@@ -825,9 +835,11 @@ object SparkEntry {
         .agg(
           sum((col("l_extendedprice").cast("decimal(18,6)") *
             (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
-            .cast("decimal(18,6)")).cast("decimal(38,6)")
-            .as("revenue"),
+            .cast("decimal(18,6)")).as("rev"),
           count(lit(1)).as("n_lines"))
+        // decimal intermediate, round(double,6) output — see q_tpch_pricing
+        .select(col("c_mktsegment"), col("o_orderpriority"),
+          round(col("rev").cast("double"), 6).as("revenue"), col("n_lines"))
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
@@ -1078,7 +1090,7 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
     "q_events_sessionize" ->
@@ -1115,13 +1127,14 @@ object SparkEntry {
 
     "q_events_topk_users" ->
       """WITH agg AS (
-        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS tv,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1),
         |ranked AS (
-        |  SELECT *, CAST(row_number() OVER (ORDER BY total_value DESC, user_id) AS BIGINT) AS rnk
+        |  SELECT *, CAST(row_number() OVER (ORDER BY tv DESC, user_id) AS BIGINT) AS rnk
         |  FROM agg)
-        |SELECT user_id, total_value, n, rnk FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+        |SELECT user_id, round(CAST(tv AS DOUBLE), 6) AS total_value, n, rnk
+        |FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
     "q_json_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -1165,7 +1178,7 @@ object SparkEntry {
         |  FROM pts JOIN iv ON us >= ws AND us < we GROUP BY 1)
         |SELECT iv.window_id,
         |  CAST(coalesce(j.n_events, 0) AS BIGINT) AS n_events,
-        |  CAST(coalesce(j.tv, 0) AS DECIMAL(38,6)) AS total_value
+        |  round(CAST(coalesce(j.tv, 0) AS DOUBLE), 6) AS total_value
         |FROM iv LEFT JOIN j ON iv.window_id = j.window_id
         |ORDER BY iv.window_id""".stripMargin,
 
@@ -1269,18 +1282,21 @@ object SparkEntry {
         |FROM pii ORDER BY row_number""".stripMargin),
 
     "q_tpch_shipping" ->
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
-        |       AS DECIMAL(38,6)) AS revenue,
-        |  o_orderdate, o_orderpriority
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY 1, 3, 4
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey
-        |LIMIT 10""".stripMargin,
+      """WITH agg AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS rev,
+        |    o_orderdate, o_orderpriority
+        |  FROM customer, orders, lineitem
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |    AND l_orderkey = o_orderkey
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 3, 4),
+        |top AS (
+        |  SELECT * FROM agg ORDER BY rev DESC, o_orderdate, l_orderkey LIMIT 10)
+        |SELECT l_orderkey, round(CAST(rev AS DOUBLE), 6) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM top ORDER BY revenue DESC, o_orderdate, l_orderkey""".stripMargin,
 
     "q_brand_stats" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
@@ -1344,7 +1360,7 @@ object SparkEntry {
         |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
         |r AS (
         |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value,
         |    CASE WHEN day IS NULL AND event_type IS NULL THEN 3
         |         WHEN event_type IS NULL THEN 1 ELSE 0 END AS lvl
         |  FROM base GROUP BY ROLLUP (day, event_type))
@@ -1441,24 +1457,28 @@ object SparkEntry {
     "q_tpch_pricing" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sbp,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
         |        (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
-        |        AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |        AS DECIMAL(18,6))) AS sdp,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem
         |  WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  GROUP BY 1, 2)
-        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, n,
-        |       round(CAST(sum_qty AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty
+        |SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sq AS DOUBLE), 6) AS sum_qty,
+        |       round(CAST(sbp AS DOUBLE), 6) AS sum_base_price,
+        |       round(CAST(sdp AS DOUBLE), 6) AS sum_disc_price,
+        |       n,
+        |       round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty
         |FROM agg ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_tpch_revenue" ->
       """SELECT c_mktsegment, o_orderpriority,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
         |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
-        |      AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+        |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
