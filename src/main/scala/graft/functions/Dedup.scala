@@ -132,6 +132,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** All exact-duplicate pairs (identical normalized content): one groupBy on
+    * the content hash, pairs expanded bucket-locally. Linear in corpus size —
+    * the cheap deterministic floor under any sketch-based candidate
+    * generator. */
+  def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.select(col(idCol), md5(norm).as("__h"))
+      .groupBy("__h").agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
+  }
+
+  /** Production near-dup pair generator — the 100 TB path: candidates come
+    * from LSH band collisions (linear-ish: one signature pass + an equi-join
+    * on band keys) UNIONed with the exact content-hash pairs, and the exact
+    * jaccard is computed ONLY for that candidate sliver — never for the full
+    * corpus cross-section that an inverted-index join generates.
+    *
+    * Recall contract: identical documents have identical signatures, so
+    * exact duplicates are guaranteed candidates twice over (banding AND the
+    * content-hash floor). A borderline pair (jaccard j >= threshold) is
+    * missed with probability (1 - j^r)^b per pair (r = k/bands rows per
+    * band) — at the default 4x2 configuration and j = 0.875 that is ~0.3%,
+    * shrinking fast as j -> 1; raise `bands` (more, narrower bands) to trade
+    * candidate-verify work for recall. The uncapped `jaccardPairs` remains
+    * the exactness witness (q_dedup_jaccard) pinning this generator's output
+    * on the test corpora.
+    *
+    * Shingles/sizes are re-referenced by the verify join; the shingle
+    * subtree's exchange is reused across references (ReusedExchange), so the
+    * expensive shingle generation is evaluated once. Docs shorter than one
+    * shingle never verify (empty shingle set => no exact-jaccard row) —
+    * identical short docs are still reported via the content-hash floor only
+    * if they shingle; this matches the exact-jaccard semantics the oracle
+    * computes. */
+  def nearDupPairsLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val cand = lshCandidatePairs(df, idCol, textCol, n, k, bands)
+      .unionByName(exactDupPairs(df, idCol, textCol))
+      .distinct()
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    cand.join(a, Seq("id_a"))
+      .join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Transitive near-duplicate clusters: connected components over the
     * candidate-pair graph by iterative min-label propagation. Pairs tell you
     * A~B and B~C; survivor selection needs the A,B,C cluster — this labels

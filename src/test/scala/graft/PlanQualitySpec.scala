@@ -76,14 +76,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
-  test("q_corpus_prep runs the df-capped jaccard; q_dedup_jaccard stays the exact witness") {
-    // The skew guard filters per-shingle document frequency against the cap
-    // (max(8, 1%) = 8 at sf0.001); the unguarded witness must not carry it.
-    // ("Window" alone can't discriminate: shingle generation itself uses one.)
-    val capped = planOf("q_corpus_prep")
-    assert(capped.contains("<= 8"), "df <= cap filter missing from q_corpus_prep")
-    assert(!planOf("q_dedup_jaccard").contains("<= 8"),
-      "exactness witness q_dedup_jaccard unexpectedly capped")
+  test("production pair generator is LSH-banded; q_dedup_jaccard stays the exact witness") {
+    // The production path (guardedPairs -> q_corpus_prep/q_dedup_clusters)
+    // generates candidates from LSH band buckets (collect_set expansion) +
+    // the content-hash floor — NEVER the full inverted-index self-join. The
+    // witness must keep the exact inverted-index shape (no banding).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val gen = graft.functions.Dedup
+      .nearDupPairsLsh(docs, "doc_id", "text", n = 4, threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(gen.contains("collect_set"), "LSH bucket expansion missing from pair generator")
+    assert(!planOf("q_dedup_jaccard").contains("collect_set"),
+      "exactness witness q_dedup_jaccard unexpectedly banded")
   }
 
   test("q_tpch_shipping broadcasts the filtered dimension and pushes date filters") {

@@ -66,6 +66,23 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 0.75) < 1e-9)
   }
 
+  test("nearDupPairsLsh: exact-dup floor guaranteed, no false positives vs exact jaccard") {
+    // Exact duplicates (1,6) must survive at any threshold regardless of
+    // sketch parameters — the content-hash floor.
+    val high = Dedup.nearDupPairsLsh(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(high.keySet === Set((1L, 6L)))
+    assert(high((1L, 6L)) === 1.0)
+    // Every emitted pair is exact-verified: it must appear in the uncapped
+    // exact generator with the IDENTICAL jaccard (candidates only prune,
+    // never alter scores).
+    val got = Dedup.nearDupPairsLsh(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    got.foreach { case (k, j) => assert(exact.get(k).contains(j), s"pair $k") }
+  }
+
   test("clusterLabels: transitive chains collapse to one min-id cluster") {
     // A~B and B~C but no A~C pair: pairwise dedup misses the group; the
     // component labeling must not.
