@@ -78,7 +78,7 @@ class QueueTable(dir: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = QueueSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new QueueMicroBatchStream(dir)
+          new QueueMicroBatchStream(dir, checkpointLocation)
       }
     }
 }
@@ -92,17 +92,65 @@ case class QueueOffset(last: String) extends Offset {
   }
 }
 
-class QueueMicroBatchStream(dir: String) extends MicroBatchStream {
+class QueueMicroBatchStream(dir: String, checkpointLocation: String)
+    extends MicroBatchStream {
 
   private val dirPath = new Path(dir)
-  private def fs = dirPath.getFileSystem(
-    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  private def fs = dirPath.getFileSystem(hadoopConf)
 
   /** High-water mark survives across triggers within a run; after a restart
     * it rebuilds from the directory listing + the checkpointed start offset
     * (planInputPartitions/commit push it up), so an emptied queue never
     * regresses the offset. */
   @volatile private var maxSeen: String = ""
+
+  /** Per-epoch claim records (SQS receipt-handle analog): one file per
+    * epoch, named by the epoch's end offset, listing the message names
+    * actually PLANNED into it. `commit` acks exactly these — a name that
+    * merely sorts at or below the high-water mark (producer clock skew, a
+    * late retried write) was never delivered and MUST NOT be deleted.
+    * Persisted under the stream's checkpoint location because Spark issues
+    * the source-commit for the last epoch of a run on the NEXT run's first
+    * trigger — a fresh stream instance that never planned that epoch. */
+  private val claimsPath = new Path(checkpointLocation, "graft-claims")
+  private def claimsFs = claimsPath.getFileSystem(hadoopConf)
+
+  private def writeClaim(hi: String, names: Seq[String]): Unit = {
+    val cfs = claimsFs
+    cfs.mkdirs(claimsPath)
+    val tmp = new Path(claimsPath, s".$hi.tmp")
+    val out = cfs.create(tmp, true)
+    try out.write(names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    cfs.rename(tmp, new Path(claimsPath, hi))
+  }
+
+  private def readClaim(p: Path): Seq[String] = {
+    val in = claimsFs.open(p)
+    val body =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** (epoch end offset, claimed names) for every not-yet-committed epoch. */
+  private def allClaims(): Seq[(String, Seq[String])] = {
+    val cfs = claimsFs
+    if (!cfs.exists(claimsPath)) Seq.empty
+    else cfs.listStatus(claimsPath).iterator
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter(p => QueueSource.isVisible(p.getName))
+      .map(p => p.getName -> readClaim(p))
+      .toSeq
+  }
 
   private def visibleFiles(): Seq[String] =
     if (!fs.exists(dirPath)) Seq.empty
@@ -135,22 +183,54 @@ class QueueMicroBatchStream(dir: String) extends MicroBatchStream {
     val lo = start.asInstanceOf[QueueOffset].last
     val hi = end.asInstanceOf[QueueOffset].last
     if (hi > maxSeen) maxSeen = hi
-    visibleFiles()
-      .filter(n => n > lo && n <= hi)
+    val visible = visibleFiles()
+    // A visible name at/below the start offset that no in-flight epoch has
+    // claimed is a LATE writer (producer clock skew / retried write): it was
+    // never delivered, so sweep it into this batch — redelivery beats the
+    // silent loss of assuming every low-sorting name was already handled.
+    // (Names of the just-processed previous epoch are still visible until
+    // its commit fires one trigger later, but they sit in its claim record,
+    // so the sweep never double-plans them. Batch content for a replayed
+    // offset range may thus gain a late file — at-least-once, idempotent
+    // sink.)
+    val alreadyClaimed = allClaims().iterator
+      .filter { case (epochHi, _) => epochHi != hi } // replan overwrites self
+      .flatMap(_._2).toSet
+    val names = visible.filter(n =>
+      (n > lo && n <= hi) || (n <= lo && !alreadyClaimed(n)))
+    if (hi.nonEmpty) writeClaim(hi, names)
+    names
       .map(n => QueueMessagePartition(new Path(dirPath, n).toString, n): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new QueueReaderFactory
 
-  /** Ack: the epoch's sink work is durably committed — delete every claimed
-    * message. Failed/interrupted epochs never reach here, so their messages
-    * stay visible for redelivery (the visibility-timeout analog). */
+  /** Ack: the epoch's sink work is durably committed — delete exactly the
+    * messages PLANNED into epochs at or below this offset, never every name
+    * that happens to sort below it (a never-planned late writer would be
+    * silently lost otherwise; it is instead swept into a later batch by
+    * planInputPartitions and logged here). Failed/interrupted epochs never
+    * reach here, so their messages stay visible for redelivery (the
+    * visibility-timeout analog). */
   override def commit(end: Offset): Unit = {
     val hi = end.asInstanceOf[QueueOffset].last
     if (hi > maxSeen) maxSeen = hi
-    visibleFiles().filter(_ <= hi)
+    val (acked, inFlight) = allClaims().partition { case (epochHi, _) => epochHi <= hi }
+    acked.iterator.flatMap(_._2)
       .foreach(n => fs.delete(new Path(dirPath, n), false))
+    acked.foreach { case (epochHi, _) =>
+      claimsFs.delete(new Path(claimsPath, epochHi), false)
+    }
+    // Late names already swept into a still-in-flight epoch are claimed,
+    // not stray.
+    val inFlightNames = inFlight.iterator.flatMap(_._2).toSet
+    val strays = visibleFiles().filter(n => n <= hi && !inFlightNames(n))
+    if (strays.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft-queue: ${strays.size} late message(s) at/below the committed " +
+          s"offset were never planned (producer naming-contract violation?); " +
+          s"kept for the next batch's sweep: ${strays.take(5).mkString(", ")}")
   }
 
   override def stop(): Unit = ()

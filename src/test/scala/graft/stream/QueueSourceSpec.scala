@@ -138,4 +138,46 @@ class QueueSourceSpec extends SparkSpec {
     // m001's ack flushed with m002's epoch; m002's own ack is pending.
     assert(queueFiles(root + "/queue") === Seq("m002"))
   }
+
+  test("a late LOW-sorting message survives commit and is swept into the next batch") {
+    // Producer clock skew: a name that sorts BELOW the already-committed
+    // high-water mark appears after that epoch processed. The old-style
+    // "delete everything <= hi" ack would silently destroy it; the claim
+    // records must preserve it AND a later batch must actually deliver it.
+    val root = Files.createTempDirectory("graft_queue_skew").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-queue").load(root + "/queue")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seen ++= batch.select("value").as[String](implicitly).collect()
+          ()
+        }
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+
+    enqueue(root + "/queue", "m100", "on-time")
+    drain()
+    assert(seen.toSeq === Seq("on-time"))
+
+    // Late writer lands below the m100 mark; m200 advances the offset so the
+    // next run has a batch to construct (and to flush m100's pending ack).
+    enqueue(root + "/queue", "m050", "late-low")
+    enqueue(root + "/queue", "m200", "next")
+    drain()
+    // The commit for m100's epoch fired during this run and must NOT have
+    // taken m050 with it; the sweep delivered both new messages.
+    assert(seen.sorted === Seq("late-low", "next", "on-time"))
+
+    // Flush the (m050, m200) epoch's ack: both get deleted, nothing else.
+    enqueue(root + "/queue", "m300", "flush")
+    drain()
+    assert(seen.sorted === Seq("flush", "late-low", "next", "on-time"))
+    assert(queueFiles(root + "/queue") === Seq("m300"),
+      "late low-sorting message was not acked by the epoch that processed it")
+  }
 }
