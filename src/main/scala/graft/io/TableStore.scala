@@ -171,30 +171,55 @@ class JdbcTableStore(
   /** Per-job commit, SQL-side: materialize each result into a temp table
     * (so plans that read the target finish BEFORE it is mutated), then
     * DELETE the job's rows + INSERT ... SELECT server-side — no driver-side
-    * row materialization, and other jobs' rows are never rewritten. */
+    * row materialization, and other jobs' rows are never rewritten.
+    *
+    * Each commit's DELETE+INSERT runs in ONE transaction: a crash between
+    * them can never lose a partition (the DELETE rolls back), and a failed
+    * INSERT leaves the target exactly as it was. Temp table names carry a
+    * unique suffix so two commits against the SAME table in one call don't
+    * clobber each other's staged rows. */
   override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit = {
     val staged = commits.map { c =>
-      val tmp = s"${c.table}_commit_tmp"
+      val tmp = s"${c.table}_ctmp_${java.util.UUID.randomUUID().toString.take(8)}"
       c.df.write.mode("overwrite").jdbc(url, tmp, props)
       (c, tmp, c.df.columns.toSeq)
     }
     val conn = java.sql.DriverManager.getConnection(url, props)
+    def dropBestEffort(tmp: String): Unit =
+      try {
+        val st = conn.createStatement()
+        try { st.executeUpdate(s"DROP TABLE $tmp"); conn.commit() } finally st.close()
+      } catch { case _: Throwable => () }
     try {
+      conn.setAutoCommit(false)
       val st = conn.createStatement()
-      staged.foreach { case (c, tmp, cols) =>
-        val lit = c.value match {
-          case s: String => "'" + s.replace("'", "''") + "'"
-          case v => String.valueOf(v)
+      try {
+        staged.foreach { case (c, tmp, cols) =>
+          val lit = c.value match {
+            case s: String => "'" + s.replace("'", "''") + "'"
+            case v => String.valueOf(v)
+          }
+          // Spark's JDBC writer creates DELIMITED (case-exact) identifiers;
+          // raw SQL must quote them the same way or Derby/Postgres upcase
+          // them.
+          def q(id: String) = "\"" + id + "\""
+          val colList = cols.map(q).mkString(", ")
+          try {
+            st.executeUpdate(s"DELETE FROM ${c.table} WHERE ${q(c.partCol)} = $lit")
+            st.executeUpdate(
+              s"INSERT INTO ${c.table} ($colList) SELECT $colList FROM $tmp")
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              // Rollback BEFORE any cleanup/close: Derby otherwise masks the
+              // real failure with "transaction still active".
+              try conn.rollback() catch { case _: Throwable => () }
+              staged.foreach { case (_, t, _) => dropBestEffort(t) }
+              throw e
+          }
+          dropBestEffort(tmp)
         }
-        // Spark's JDBC writer creates DELIMITED (case-exact) identifiers;
-        // raw SQL must quote them the same way or Derby/Postgres upcase them.
-        def q(id: String) = "\"" + id + "\""
-        val colList = cols.map(q).mkString(", ")
-        st.executeUpdate(s"DELETE FROM ${c.table} WHERE ${q(c.partCol)} = $lit")
-        st.executeUpdate(
-          s"INSERT INTO ${c.table} ($colList) SELECT $colList FROM $tmp")
-        st.executeUpdate(s"DROP TABLE $tmp")
-      }
+      } finally st.close()
     } finally conn.close()
   }
 }

@@ -75,4 +75,37 @@ class JdbcStoreSpec extends SparkSpec {
     val rows = store.load("ptab").as[(Int, String)].collect().toSet
     assert(rows === Set((1, "a"), (1, "b"), (2, "z"), (2, "y")))
   }
+
+  test("two same-table commits in one call both land (unique temp tables)") {
+    val store = new JdbcTableStore(spark, url, props)
+    store.append("ptab2", Seq((1, "a"), (2, "b"), (3, "c")).toDF("job_id", "payload"))
+    // A fixed temp-table name would stage job 2's rows, then OVERWRITE them
+    // with job 3's before the first INSERT ... SELECT ran.
+    store.overwritePartitionsAll(Seq(
+      PartitionCommit("ptab2", Seq((2, "B")).toDF("job_id", "payload"), "job_id", 2),
+      PartitionCommit("ptab2", Seq((3, "C")).toDF("job_id", "payload"), "job_id", 3)))
+    val rows = store.load("ptab2").as[(Int, String)].collect().toSet
+    assert(rows === Set((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("a failed partition commit rolls back: the DELETE never lands alone") {
+    exec("CREATE TABLE ptx (k INT NOT NULL PRIMARY KEY, v VARCHAR(8))")
+    val store = new JdbcTableStore(spark, url, props)
+    val conn0 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.executeUpdate("INSERT INTO ptx VALUES (1, 'a'), (2, 'b')")
+      st.close()
+    } finally conn0.close()
+    // Duplicate PK rows make the INSERT ... SELECT violate the constraint
+    // AFTER the partition DELETE already executed in the same transaction.
+    val bad = Seq((2, "x"), (2, "y")).toDF("K", "V")
+    intercept[Exception] {
+      store.overwritePartitionsAll(Seq(PartitionCommit("ptx", bad, "K", 2)))
+    }
+    // Autocommit DELETE would have destroyed row (2,'b'); the transaction
+    // must have rolled it back.
+    val rows = spark.read.jdbc(url, "ptx", props).as[(Int, String)].collect().toSet
+    assert(rows === Set((1, "a"), (2, "b")))
+  }
 }
