@@ -264,18 +264,26 @@ object Dedup {
     }
     val corpusH = hashed(corpus).select(col("__h"))
     // Spark's bloomFilter aggregate NPEs on an empty frame; an empty history
-    // also simply means nothing can be a duplicate.
+    // also simply means nothing can be a duplicate. (isEmpty is a limit-1
+    // probe, not a history pass.)
     if (corpusH.isEmpty) return newDocs
     val bloom = corpusH.stat.bloomFilter("__h", math.max(expectedCorpusItems, 1L), fpp)
     val batchH = hashed(newDocs)
-    // Sliver of possible duplicates -> exact verify; certain-new rows skip
-    // the join entirely. The probe is a native codegen'd Expression (runs
+    // Post-Bloom sliver: the only batch hashes that can possibly be
+    // duplicates (true dups + fpp false positives) — small by construction,
+    // so it BROADCASTS. The probe is a native codegen'd Expression (runs
     // once per batch row — a UDF here would break whole-stage codegen on
     // the big side).
-    val candidates = batchH.filter(BloomMightContain.probe(col("__h"), bloom))
-      .join(corpusH.select(col("__h")).distinct(), Seq("__h"), "left_semi")
-      .select(col(idCol))
-    batchH.join(candidates, Seq(idCol), "left_anti").drop("__h")
+    val sliver = batchH.filter(BloomMightContain.probe(col("__h"), bloom))
+      .select(col("__h")).distinct()
+    // Exact verify: stream the history ONCE through a broadcast semi join.
+    // The history side carries NO Exchange — at 100 TB the corpus is never
+    // shuffled (and never distinct'ed); only sliver-sized frames move. Two
+    // full history passes total: the Bloom build and this verify (at
+    // production scale the Bloom is built once at ingest and persisted,
+    // leaving one).
+    val confirmed = corpusH.join(broadcast(sliver), Seq("__h"), "left_semi").distinct()
+    batchH.join(broadcast(confirmed), Seq("__h"), "left_anti").drop("__h")
   }
 
   /** 32-bit SimHash over the word multiset: bit j of the hash is the sign of

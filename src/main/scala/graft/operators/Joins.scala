@@ -103,6 +103,15 @@ object Joins {
       startCol: String,
       endCol: String,
       bucketWidth: Long): DataFrame = {
+    // Exact long floor-division: x/w through `/` goes via DOUBLE, whose 53
+    // significand bits silently misbucket values past 2^53 (the scaladoc
+    // advertises byte offsets). (x - pmod(x, w)) is an exact multiple of w
+    // (pmod is non-negative, so this floors for negative x too); dividing it
+    // as DECIMAL keeps every digit and the final long cast is exact.
+    def floorDiv(c: Column): Column = {
+      val w = lit(bucketWidth)
+      ((c - pmod(c, w)).cast("decimal(38,0)") / w).cast("long")
+    }
     val bucketed = intervals
       // an empty interval [s, s) matches nothing, and its bucket sequence
       // would be DESCENDING (sequence auto-steps -1) — junk rows; drop first
@@ -110,10 +119,10 @@ object Joins {
       .withColumn(
         "__bucket",
         explode(sequence(
-          floor(col(startCol) / bucketWidth).cast("long"),
-          floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+          floorDiv(col(startCol)),
+          floorDiv(col(endCol) - 1))))
     points
-      .withColumn("__bucket", floor(col(pointCol) / bucketWidth).cast("long"))
+      .withColumn("__bucket", floorDiv(col(pointCol)))
       .join(bucketed, Seq("__bucket"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

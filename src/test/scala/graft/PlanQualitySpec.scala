@@ -76,6 +76,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
+  test("q_dedup_incremental never shuffles (or distincts) the history side") {
+    // The incremental-dedup contract at 100 TB: the corpus is streamed, not
+    // shuffled. The exact verify must be a broadcast semi join whose
+    // streamed (history) subtree contains no shuffle exchange.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // sparkPlan (pre-AQE) is a traversable tree; broadcast() hints fix join
+    // selection statically, so the shape is already decided here.
+    val plan = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .queryExecution.sparkPlan
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"exact verify is not a broadcast semi join:\n$plan")
+    semis.foreach { j =>
+      val shuffles = j.left.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty, s"history side shuffled:\n${j.left}")
+    }
+  }
+
   test("production pair generator is LSH-banded; q_dedup_jaccard stays the exact witness") {
     // The production path (guardedPairs -> q_corpus_prep/q_dedup_clusters)
     // generates candidates from LSH band buckets (collect_set expansion) +

@@ -62,4 +62,35 @@ class JoinPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: rangeJoinByBucket is exact beyond 2^53 (byte-offset domain)") {
+    // Double-based bucketing loses the low bits of values past the 53-bit
+    // significand: adjacent offsets map to the same double and endpoints
+    // misbucket, silently dropping matches. The integer formulation must be
+    // exact at the top of the long domain (and for negative offsets).
+    Seq((1L << 60) + 12345L, -(1L << 60) - 12345L).foreach { base =>
+      val gen: Gen[(List[Long], List[(Long, Long)])] = for {
+        np <- Gen.choose(1, 30)
+        ni <- Gen.choose(1, 10)
+        pts <- Gen.listOfN(np, Gen.choose(-200L, 200L).map(base + _))
+        ivs <- Gen.listOfN(ni, for {
+          s <- Gen.choose(-180L, 150L); len <- Gen.choose(1L, 60L)
+        } yield (base + s, base + s + len))
+      } yield (pts, ivs)
+      samples(gen, 8).foreach { case (pts, ivsRaw) =>
+        val ivs = ivsRaw.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        val pDf = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+        val iDf = ivs.toDF("iid", "s", "e")
+        Seq(1L, 7L, 1L << 40).foreach { width =>
+          val got = Joins.rangeJoinByBucket(pDf, iDf, "p", "s", "e", width)
+            .select("pid", "iid").as[(Long, Long)].collect().toSet
+          val expected = (for {
+            (pid, p) <- pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+            (iid, s, e) <- ivs if p >= s && p < e
+          } yield (pid, iid)).toSet
+          assert(got === expected, s"base=$base width=$width pts=$pts ivs=$ivs")
+        }
+      }
+    }
+  }
 }
