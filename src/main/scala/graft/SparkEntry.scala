@@ -849,20 +849,20 @@ object SparkEntry {
     }),
 
     // ---- beyond-reference: multimodal plumbing (stubbed codec) ------------
-    // The decode stub's byte-level checksum/features aren't DuckDB-
-    // expressible, so this query has no SQL oracle (driver records the weaker
-    // rows-only check). Every output column is a comparison-stable SCALAR —
-    // the raw array<float> crashed the driver's sort-based comparator, so the
-    // feature vector is projected as a fixed-format CSV string.
+    // Oracle-checked through the stub's byte-level rolling checksum: DuckDB
+    // folds the payload's hex bytes with list_reduce, replicating
+    // (acc*31 + byte) mod 2^32 exactly, plus the width/height derivations.
+    // The float32 feature vector stays OUT of the driver query (float
+    // arithmetic isn't engine-portable); its values are pinned by
+    // FunctionsSpec's exact-determinism assertions instead.
     "q_multimodal_features" -> ((s, dir) => {
       import graft.functions.Multimodal
       val media = Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media).toDF()
         .select(
           col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
-          col("width"), col("height"),
-          concat_ws(",",
-            transform(col("features"), f => format_string("%.6f", f))).as("features_csv"))
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
         .orderBy("media_id")
     }),
 
@@ -1757,6 +1757,32 @@ object SparkEntry {
          |  FROM a CROSS JOIN b WHERE id_a < id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    encode(text) AS payload
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |         hex(payload) AS h
+        |  FROM m),
+        |c AS (
+        |  SELECT media_id, kind, n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(16 * (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+        |           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS BIGINT)
+        |         FOR i IN range(1, CAST(n_bytes AS INT) + 1)]),
+        |      (acc, x) -> (acc * 31 + x) % 4294967296) AS checksum
+        |  FROM b)
+        |SELECT media_id, kind, n_bytes, checksum,
+        |  CAST(16 + checksum % 1024 AS BIGINT) AS width,
+        |  CAST(16 + (checksum // 1024) % 1024 AS BIGINT) AS height
+        |FROM c ORDER BY media_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
