@@ -328,11 +328,10 @@ object SparkEntry {
     "q_corpus_prep" -> ((s, dir) => {
       import graft.functions.{Dedup, TextAnalysis}
       val docs = pq(s, dir, "documents")
-      // Production path runs the SKEW-GUARDED jaccard: stop-shingles (df >
-      // ~1% of corpus) are dropped from candidate generation, bounding the
-      // inverted-index join's worst bucket. A pair whose only overlap is
-      // stop-shingles can't reach threshold 0.8, so the guarded result equals
-      // the exact oracle (q_dedup_jaccard stays unguarded as the witness).
+      // Production path: LSH-verified pairs (see guardedPairs) — candidate
+      // generation is linear-ish, exact jaccard runs only on band
+      // collisions, and the result equals the exact oracle on this corpus
+      // (q_dedup_jaccard stays the uncapped inverted-index witness).
       val dupLosers = guardedPairs(s, dir)
         .select(col("id_b").as("doc_id")).distinct()
       docs
@@ -775,7 +774,7 @@ object SparkEntry {
     // pairs via min-label propagation, 5 unrolled rounds)
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      // Skew-guarded jaccard (see q_corpus_prep note) feeding the clustering;
+      // LSH-verified jaccard (see q_corpus_prep note) feeding the clustering;
       // the pairs frame is shared with q_corpus_prep via guardedPairs.
       graft.functions.Dedup.clusterLabels(docs, "doc_id", guardedPairs(s, dir), iterations = 5)
         .orderBy("doc_id")
