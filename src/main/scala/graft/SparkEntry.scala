@@ -287,6 +287,15 @@ object SparkEntry {
       graft.functions.Dedup.simhash(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // SimHash near-dup pairs: 4x8-bit band-bucket candidates + exact
+    // bit_count verify. Unlike MinHash-LSH the banding is EXACT by
+    // pigeonhole (hamming <= 3 over 4 disjoint bands forces >= 1 identical
+    // band) — the oracle is the uncompromised all-pairs hamming join.
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.simhashPairs(pq(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 1)
+        .orderBy("id_a", "id_b")),
+
     // Incremental dedup: the newest 20% of documents deduped against the
     // older 80% via broadcast Bloom prefilter + exact verify — history never
     // shuffles; result equals the plain anti-join (oracle below).
@@ -1575,6 +1584,20 @@ object SparkEntry {
          |  FROM toks GROUP BY doc_id)
          |SELECT doc_id, $simhashValueSql AS simhash
          |FROM votes ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $simhashVotesSql
+         |  FROM toks GROUP BY doc_id),
+         |hashes AS (SELECT doc_id, $simhashValueSql AS simhash FROM votes)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_corpus_prep" ->
       s"""WITH $shingleCtes,

@@ -286,6 +286,42 @@ object Dedup {
     batchH.join(broadcast(confirmed), Seq("__h"), "left_anti").drop("__h")
   }
 
+  /** SimHash near-duplicate pairs with an EXACT banding guarantee: the
+    * 32-bit simhash splits into 4 disjoint 8-bit bands; two hashes within
+    * hamming distance `maxHamming` <= 3 differ in at most 3 bands, so by
+    * pigeonhole they AGREE on at least one — banded candidate generation
+    * provably finds every qualifying pair (unlike MinHash-LSH, whose recall
+    * is probabilistic). Candidates equi-join on (band, key) with
+    * bucket-local pair expansion (no self-join); the exact hamming verify
+    * (bit_count of xor) runs only on collisions.
+    *
+    * Scale: one simhash pass + a 4x explode + a keyed groupBy — linear-ish;
+    * a degenerate band bucket (e.g. thousands of identical docs) expands
+    * quadratically, which is intrinsic to the answer size at maxHamming=0.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pigeonhole exactness over 4 bands needs maxHamming <= 3, got $maxHamming")
+    val sh = simhash(df, idCol, textCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+    }
+    val banded = sh
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    banded.groupBy("band", "bkey")
+      .agg(collect_set(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(filter(col("items"), x => x("id") > col("a.id"))).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** 32-bit SimHash over the word multiset: bit j of the hash is the sign of
     * the sum of (+-1) votes from bit j of each token's md5 (high bit of hex
     * nibble j). One explode + one groupBy(doc) — linear in corpus size. */

@@ -83,6 +83,25 @@ class FunctionsSpec extends SparkSpec {
     got.foreach { case (k, j) => assert(exact.get(k).contains(j), s"pair $k") }
   }
 
+  test("simhashPairs: banded candidates equal brute-force hamming pairs (pigeonhole)") {
+    // The 4-band split is EXACT for maxHamming <= 3: verify against the
+    // all-pairs definition on a corpus with near-dups, exact dups and noise.
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxH <- Seq(0, 1, 3)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = maxH)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= maxH
+      } yield (a, b, h.toLong)).toSet
+      assert(got === expected, s"maxHamming=$maxH")
+    }
+    // identical docs (1,6) are hamming 0 and must always pair
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet.contains((1L, 6L, 0L)))
+  }
+
   test("clusterLabels: transitive chains collapse to one min-id cluster") {
     // A~B and B~C but no A~C pair: pairwise dedup misses the group; the
     // component labeling must not.
