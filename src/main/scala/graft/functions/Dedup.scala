@@ -287,26 +287,33 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs with an EXACT banding guarantee: the
-    * 32-bit simhash splits into 4 disjoint 8-bit bands; two hashes within
-    * hamming distance `maxHamming` <= 3 differ in at most 3 bands, so by
-    * pigeonhole they AGREE on at least one — banded candidate generation
-    * provably finds every qualifying pair (unlike MinHash-LSH, whose recall
-    * is probabilistic). Candidates equi-join on (band, key) with
-    * bucket-local pair expansion (no self-join); the exact hamming verify
-    * (bit_count of xor) runs only on collisions.
+    * 32-bit simhash splits into `maxHamming + 1` disjoint bands — two
+    * hashes within hamming distance `maxHamming` can differ in at most
+    * `maxHamming` bands, so by pigeonhole they AGREE on at least one —
+    * banded candidate generation provably finds every qualifying pair
+    * (unlike MinHash-LSH, whose recall is probabilistic). Using the FEWEST
+    * bands the guarantee allows keeps each band as wide (selective) as
+    * possible: maxHamming=1 gives 2x16-bit bands (65k-value keys, tiny
+    * buckets), maxHamming=3 gives 4x8-bit. Candidates equi-join on
+    * (band, key) with bucket-local pair expansion (no self-join); the
+    * exact hamming verify (bit_count of xor) runs only on collisions.
     *
-    * Scale: one simhash pass + a 4x explode + a keyed groupBy — linear-ish;
-    * a degenerate band bucket (e.g. thousands of identical docs) expands
-    * quadratically, which is intrinsic to the answer size at maxHamming=0.
+    * Scale: one simhash pass + a (maxHamming+1)x explode + a keyed
+    * groupBy — linear-ish; a degenerate band bucket (e.g. thousands of
+    * identical docs) expands quadratically, which is intrinsic to the
+    * answer size at maxHamming=0.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"pigeonhole exactness over 4 bands needs maxHamming <= 3, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"bands need >= 2 bits each for selectivity; got maxHamming=$maxHamming")
     val sh = simhash(df, idCol, textCol)
-    val bandStructs = (0 until 4).map { b =>
+    val bands = maxHamming + 1
+    val bandStructs = (0 until bands).map { b =>
+      val start = b * 32 / bands
+      val width = (b + 1) * 32 / bands - start
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1)).as("bkey"))
     }
     val banded = sh
       .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
