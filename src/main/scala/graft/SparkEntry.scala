@@ -370,6 +370,13 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("shingle"))
         .limit(20)),
 
+    // Corpus-unigram LM score (CCNet-style perplexity-filter stand-in):
+    // mean token log-likelihood under the corpus's own unigram model,
+    // fixed-point long sums for order-independent cross-engine hashing
+    "q_unigram_logprob" -> ((s, dir) =>
+      graft.functions.TextAnalysis.unigramLogProb(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Word-repetition profile (Gopher-style boilerplate/spam signal)
     "q_doc_repetition" -> ((s, dir) =>
       graft.functions.TextAnalysis.repetitionProfile(pq(s, dir, "documents"), "doc_id", "text")
@@ -1201,6 +1208,22 @@ object SparkEntry {
          |FROM sh GROUP BY 1
          |ORDER BY doc_freq DESC, shingle
          |LIMIT 20""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        |fixedt AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT) AS lp
+        |  FROM toks JOIN freq USING (w) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM fixedt GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_doc_repetition" ->
       """WITH toks AS (

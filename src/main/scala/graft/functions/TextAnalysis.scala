@@ -66,6 +66,36 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus-unigram log-probability score — the CCNet-style language-model
+    * filter stand-in: each document scores the mean log-likelihood of its
+    * tokens under the corpus's own unigram distribution. Gibberish and
+    * rare-token soup score low; common fluent text scores high. The real
+    * pipeline swaps the corpus unigram table for a pretrained LM's.
+    *
+    * Determinism: per-token log-probs are fixed-pointed to 1e-6
+    * (round-half-away-from-zero in both engines) and summed as LONGS —
+    * order-independent, so the result hash-matches the oracle regardless
+    * of partitioning. Cost: one vocab aggregation + one token→count join
+    * (vocab broadcasts here; at 100 TB vocab scale swap in a keyed join —
+    * AQE handles the stop-word skew) + one per-doc aggregation.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    val fixed = toks
+      .join(broadcast(freq), Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(col("cnt").cast("double") / col("total")) * 1e6, 0)
+          .cast("long").as("lp"))
+    fixed.groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).as("n"))
+      .select(col(idCol), col("n").cast("long").as("n_tokens"),
+        round(col("s").cast("double") / col("n").cast("double") / lit(1e6), 6)
+          .as("logprob"))
+  }
+
   /** Composite quality score in [0,1]:
     * 0.4 * min(words,100)/100  (length credit)
     * + 0.3 * (1 - punct_ratio) (cleanliness)

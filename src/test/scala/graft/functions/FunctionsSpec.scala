@@ -160,6 +160,26 @@ class FunctionsSpec extends SparkSpec {
     assert(rows.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
   }
 
+  test("unigramLogProb: common-token docs outscore rare-token docs; exact mean") {
+    val corpus = Seq(
+      (1L, "alpha alpha alpha alpha"), // only common tokens
+      (2L, "alpha alpha rare1 rare2"), // half common, half singleton
+      (3L, "alpha beta beta alpha")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L)._1 === 4L)
+    // Hand-computed: total 12 tokens; alpha cnt=8, beta cnt=2, rare*=1.
+    def lp(c: Double) = math.round(math.log(c / 12.0) * 1e6)
+    def mean(ls: Seq[Long]) = BigDecimal(ls.sum.toDouble / ls.length / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 === mean(Seq.fill(4)(lp(8))))
+    assert(got(2L)._2 === mean(Seq(lp(8), lp(8), lp(1), lp(1))))
+    // ordering: all-common beats mixed beats nothing-below-it
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
   test("text analysis: tokenization and langid are deterministic and sane") {
     val df = Seq((1L, "the cat and the dog of the house")).toDF("doc_id", "text")
     val hits = TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords.head._2)
