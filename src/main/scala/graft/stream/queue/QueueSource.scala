@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,11 +64,14 @@ class QueueSourceProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graft-queue requires a directory path")
-    new QueueTable(path)
+    val maxFiles = Option(properties.get("maxFilesPerTrigger")).map(_.toInt)
+    maxFiles.foreach(m => require(m > 0, s"maxFilesPerTrigger must be > 0, got $m"))
+    new QueueTable(path, maxFiles)
   }
 }
 
-class QueueTable(dir: String) extends Table with SupportsRead {
+class QueueTable(dir: String, maxFilesPerTrigger: Option[Int] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-queue:$dir"
   override def schema(): StructType = QueueSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -78,7 +81,7 @@ class QueueTable(dir: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = QueueSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new QueueMicroBatchStream(dir, checkpointLocation)
+          new QueueMicroBatchStream(dir, checkpointLocation, maxFilesPerTrigger)
       }
     }
 }
@@ -92,8 +95,13 @@ case class QueueOffset(last: String) extends Offset {
   }
 }
 
-class QueueMicroBatchStream(dir: String, checkpointLocation: String)
-    extends MicroBatchStream {
+class QueueMicroBatchStream(
+    dir: String,
+    checkpointLocation: String,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val dirPath = new Path(dir)
   private def hadoopConf =
@@ -162,11 +170,46 @@ class QueueMicroBatchStream(dir: String, checkpointLocation: String)
 
   override def initialOffset(): Offset = QueueOffset("")
 
-  override def latestOffset(): Offset = {
-    val names = visibleFiles()
-    if (names.nonEmpty && names.last > maxSeen) maxSeen = names.last
+  /** Snapshot taken by Trigger.AvailableNow at query start: the run drains
+    * messages up to this name (in capped batches when maxFilesPerTrigger is
+    * set) and then terminates, ignoring later arrivals — Spark's
+    * SupportsTriggerAvailableNow contract. */
+  @volatile private var availableNowTarget: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val v = visibleFiles()
+    availableNowTarget = Some(if (v.nonEmpty && v.last > maxSeen) v.last else maxSeen)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(m => ReadLimit.maxFiles(m)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: advance the high-water mark by at most the read
+    * limit's file count per trigger, so a backlog (outage recovery, burst
+    * producer) drains as bounded micro-batches instead of one unbounded
+    * epoch — the same contract as the file source's maxFilesPerTrigger.
+    * Under AvailableNow, additionally never pass the start-of-run target. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val fresh0 = visibleFiles().filter(_ > maxSeen)
+    val fresh = availableNowTarget.fold(fresh0)(t => fresh0.filter(_ <= t))
+    val admitted = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    if (admitted.nonEmpty) maxSeen = admitted.last
     QueueOffset(maxSeen)
   }
+
+  /** The true newest visible name, regardless of admission caps (progress
+    * reporting / lag metrics). */
+  override def reportLatestOffset(): Offset = {
+    val v = visibleFiles()
+    QueueOffset(if (v.nonEmpty && v.last > maxSeen) v.last else maxSeen)
+  }
+
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"last":"(.*)"\}""".r

@@ -139,6 +139,31 @@ class QueueSourceSpec extends SparkSpec {
     assert(queueFiles(root + "/queue") === Seq("m002"))
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch; AvailableNow still drains all") {
+    // Outage-recovery admission control: a 5-message backlog with a cap of 2
+    // must drain as ceil(5/2)=3 bounded batches, not one unbounded epoch.
+    val root = Files.createTempDirectory("graft_queue_cap").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    (1 to 5).foreach(i => enqueue(root + "/queue", f"m$i%03d", s"msg$i"))
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val q = spark.readStream.format("graft-queue")
+      .option("maxFilesPerTrigger", "2")
+      .load(root + "/queue")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select("value").as[String](implicitly).collect().toSeq
+        if (rows.nonEmpty) batches += rows
+        ()
+      }
+      .start()
+    q.awaitTermination(120000); q.stop()
+    assert(batches.flatten.sorted === (1 to 5).map(i => s"msg$i"))
+    assert(batches.forall(_.size <= 2), s"batch over cap: ${batches.map(_.size)}")
+    assert(batches.size === 3)
+  }
+
   test("a late LOW-sorting message survives commit and is swept into the next batch") {
     // Producer clock skew: a name that sorts BELOW the already-committed
     // high-water mark appears after that epoch processed. The old-style
