@@ -287,6 +287,16 @@ object SparkEntry {
       graft.functions.Dedup.simhash(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Policy survivor selection: exact-dup families collapse to the best
+    // (priority, id) row — curated source (src1) beats everything else
+    "q_dedup_survivor" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+        .withColumn("prio", when(col("source") === "src1", 0).otherwise(1))
+      graft.functions.Dedup.exactWithPolicy(docs, "doc_id", "text", "prio")
+        .select(col("doc_id"), col("text_hash"), col("survivor_id"), col("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs: 4x8-bit band-bucket candidates + exact
     // bit_count verify. Unlike MinHash-LSH the banding is EXACT by
     // pigeonhole (hamming <= 3 over 4 disjoint bands forces >= 1 identical
@@ -1528,6 +1538,17 @@ object SparkEntry {
         |SELECT doc_id, text_hash,
         |  min(doc_id) OVER (PARTITION BY text_hash) AS survivor_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_duplicate
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_survivor" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN source = 'src1' THEN 0 ELSE 1 END AS prio,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+        |  FROM documents)
+        |SELECT doc_id, text_hash,
+        |  first_value(doc_id) OVER (PARTITION BY text_hash ORDER BY prio, doc_id) AS survivor_id,
+        |  doc_id <> first_value(doc_id) OVER (PARTITION BY text_hash ORDER BY prio, doc_id) AS is_duplicate
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->

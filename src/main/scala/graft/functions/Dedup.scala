@@ -32,6 +32,20 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("survivor_id"))
   }
 
+  /** Exact dedup with a survivor POLICY: within each content-hash family
+    * the surviving row is the first by (priority asc, id asc) — e.g. prefer
+    * a curated source over a crawl dump when collapsing duplicates, rather
+    * than `exact`'s arbitrary min-id. Same single hash shuffle. */
+  def exactWithPolicy(
+      df: DataFrame, idCol: String, textCol: String, priorityCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val w = Window.partitionBy("text_hash")
+      .orderBy(col(priorityCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(priorityCol), md5(norm).as("text_hash"))
+      .withColumn("survivor_id", first(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("survivor_id"))
+  }
+
   /** Distinct word n-gram shingles per document. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     TextAnalysis.shingles(df, idCol, textCol, n)

@@ -26,6 +26,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2L) === ((2L, false))) // near-dup is NOT exact-dup
   }
 
+  test("exactWithPolicy: the preferred-source copy survives, not the min id") {
+    val prioritized = Seq(
+      (1L, "same text here", 1),  // crawl copy, lowest id
+      (2L, "same text here", 0),  // curated copy — must win despite higher id
+      (3L, "same text here", 1),
+      (4L, "unique", 0)
+    ).toDF("doc_id", "text", "prio")
+    val got = Dedup.exactWithPolicy(prioritized, "doc_id", "text", "prio")
+      .select("doc_id", "survivor_id", "is_duplicate")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2L, true)))
+    assert(got(2L) === ((2L, false)))
+    assert(got(3L) === ((2L, true)))
+    assert(got(4L) === ((4L, false)))
+  }
+
   test("minhash signatures: identical docs share all sigs, near-dups share most") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 8)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i))).toMap
