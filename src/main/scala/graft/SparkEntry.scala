@@ -387,6 +387,13 @@ object SparkEntry {
       graft.functions.TextAnalysis.unigramLogProb(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // C4-style rule filter with auditable reason codes (keep/drop verdict
+    // per document; reasons in fixed order for deterministic reporting)
+    "q_filter_report" -> ((s, dir) =>
+      graft.functions.TextAnalysis.filterReport(pq(s, dir, "documents"), "doc_id", "text",
+        minWords = 30, maxPunct = 0.2, maxTopWordFrac = 0.2)
+        .orderBy("doc_id")),
+
     // Word-repetition profile (Gopher-style boilerplate/spam signal)
     "q_doc_repetition" -> ((s, dir) =>
       graft.functions.TextAnalysis.repetitionProfile(pq(s, dir, "documents"), "doc_id", "text")
@@ -1247,6 +1254,33 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS dup_frac,
         |  round(CAST(top_c AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_word_frac
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_filter_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_word_frac
+        |  FROM wc GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id,
+        |    round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio
+        |  FROM documents),
+        |f AS (
+        |  SELECT rep.doc_id, n_words, punct_ratio, top_word_frac,
+        |    n_words < 30 AS too_short,
+        |    punct_ratio > 0.2 AS high_punct,
+        |    top_word_frac > 0.2 AS repetitive
+        |  FROM rep JOIN p ON rep.doc_id = p.doc_id)
+        |SELECT doc_id, n_words, punct_ratio, top_word_frac,
+        |  (NOT too_short AND NOT high_punct AND NOT repetitive) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN too_short THEN 'too_short' END,
+        |    CASE WHEN high_punct THEN 'high_punct' END,
+        |    CASE WHEN repetitive THEN 'repetitive' END) AS reasons
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_tfidf_top" ->
       """WITH toks AS (

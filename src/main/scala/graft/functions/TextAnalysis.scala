@@ -166,6 +166,32 @@ object TextAnalysis {
         round(col("top_c").cast("double") / col("n_words").cast("double"), 6)
           .as("top_word_frac"))
 
+  /** C4/RefinedWeb-style rule filter with an auditable verdict: each
+    * document gets a keep/drop flag plus the comma-joined reason codes that
+    * fired (fixed order — deterministic). The per-reason counts a pipeline
+    * reports before training ingestion fall out of one groupBy on
+    * `reasons`. Signals: word count (too_short), punctuation density
+    * (high_punct) and top-word concentration (repetitive) — one narrow map
+    * + the repetition aggregate; no extra shuffles. */
+  def filterReport(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 30, maxPunct: Double = 0.2,
+      maxTopWordFrac: Double = 0.2): DataFrame = {
+    val rep = repetitionProfile(df, idCol, textCol)
+      .select(col(idCol), col("n_words"), col("top_word_frac"))
+    val punct = df.select(col(idCol), punctRatio(col(textCol)).as("punct_ratio"))
+    val flagged = rep.join(punct, Seq(idCol))
+      .withColumn("too_short", col("n_words") < minWords)
+      .withColumn("high_punct", col("punct_ratio") > maxPunct)
+      .withColumn("repetitive", col("top_word_frac") > maxTopWordFrac)
+    flagged.select(col(idCol), col("n_words"), col("punct_ratio"), col("top_word_frac"),
+      (!col("too_short") && !col("high_punct") && !col("repetitive")).as("keep"),
+      concat_ws(",",
+        when(col("too_short"), lit("too_short")),
+        when(col("high_punct"), lit("high_punct")),
+        when(col("repetitive"), lit("repetitive"))).as("reasons"))
+  }
+
   /** Top-k terms per document by TF-IDF with smoothed IDF
     * `ln((N+1)/(df+1))`. Corpus-wide document frequency is one small
     * aggregate (vocabulary-sized — broadcast-joined back), term frequency is

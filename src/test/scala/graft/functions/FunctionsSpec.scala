@@ -196,6 +196,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
   }
 
+  test("filterReport: reasons fire independently in fixed order; clean docs keep") {
+    val corpus = Seq(
+      (1L, Seq.fill(40)("w").zipWithIndex.map { case (w, i) => w + i }.mkString(" ")), // clean
+      (2L, (1 to 10).map("w" + _).mkString(" ")),          // too_short only (10 distinct words)
+      (3L, ("spam " * 40).trim),                           // too-repetitive (and long enough)
+      (4L, (1 to 40).map(i => s"w$i!!!").mkString(" "))    // punct-heavy, distinct words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterReport(corpus, "doc_id", "text")
+      .select("doc_id", "keep", "reasons")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((true, "")))
+    assert(got(2L) === ((false, "too_short")))
+    assert(got(3L)._1 === false && got(3L)._2.contains("repetitive"))
+    assert(got(4L)._1 === false && got(4L)._2.contains("high_punct"))
+  }
+
   test("text analysis: tokenization and langid are deterministic and sane") {
     val df = Seq((1L, "the cat and the dog of the house")).toDF("doc_id", "text")
     val hits = TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords.head._2)
