@@ -652,6 +652,28 @@ object SparkEntry {
         pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, k = 8)
         .orderBy("cent_id")),
 
+    // IVF recall audit: recall@3 of the probed IVF search against the
+    // brute-force ground truth per query — the validation pass that sizes
+    // nlist/nprobe before trusting the index at scale (the ANN sibling of
+    // q_minhash_accuracy). Ties inside the top-k are broken by vec_id on
+    // both paths, so the comparison is deterministic.
+    "q_knn_recall" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val brute = graft.functions.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", dims = 64, k = 3)
+        .select("query_id", "vec_id")
+      val ivf = graft.functions.Similarity.ivfTopK(
+        emb, qs, "vec_id", "embedding", dims = 64, k = 3, nlist = 16, nprobe = 4)
+        .select("query_id", "vec_id")
+      val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      qs.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("h"), lit(0)).cast("double") / 3.0, 6).as("recall_at_3"))
+        .orderBy("query_id")
+    }),
+
     // IVF ANN: coarse-quantizer assignment (inverted lists) + probed exact
     // search — the billion-scale index dataflow, oracle-verified end to end.
     "q_knn_ivf" -> ((s, dir) => {
@@ -1808,6 +1830,53 @@ object SparkEntry {
          |SELECT cent_id, CAST(max(n) AS BIGINT) AS n_members,
          |  string_agg(printf('%.6f', m), ',' ORDER BY pos) AS centroid_csv
          |FROM d GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+
+    "q_knn_recall" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
+         |  FROM embeddings WHERE vec_id < 5),
+         |c AS (
+         |  SELECT vec_id, embedding AS cv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |bscored AS (
+         |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM c CROSS JOIN q WHERE vec_id <> query_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM bscored),
+         |btop AS (SELECT query_id, vec_id FROM branked WHERE rnk <= 3),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id, cv, nc,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
+         |  FROM c CROSS JOIN cents),
+         |lists AS (SELECT cent_id, vec_id, cv, nc FROM assign WHERE arnk = 1),
+         |probes AS (
+         |  SELECT cent_id, query_id, qv, nq FROM (
+         |    SELECT cent_id, query_id, qv, nq,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round((${dotSql("qv", "centv", 64)}) / (nq * ncent), 6) DESC, cent_id) AS prnk
+         |    FROM q CROSS JOIN cents) WHERE prnk <= 4),
+         |iscored AS (
+         |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
+         |iranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM iscored),
+         |itop AS (SELECT query_id, vec_id FROM iranked WHERE rnk <= 3),
+         |hits AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
+         |  FROM btop b JOIN itop i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, round(coalesce(h, 0) / 3.0, 6) AS recall_at_3
+         |FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hits USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin,
 
     "q_knn_ivf" ->
       s"""WITH cents AS (

@@ -76,6 +76,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
+  test("q_unigram_logprob broadcasts the vocab and total (no sort-merge join)") {
+    // The token->count join must be a broadcast hash join at this vocab
+    // scale; a sort-merge join would shuffle the full exploded token set
+    // twice (the scaladoc documents the keyed-join swap for 100 TB vocab).
+    val plan = planOf("q_unigram_logprob")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "vocab join degraded to sort-merge")
+  }
+
+  test("q_dedup_simhash_pairs: banded equi-join, no cross product, simhash computed once") {
+    val plan = planOf("q_dedup_simhash_pairs")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
+    // one simhash aggregation feeds banding + verify (bucket-local
+    // expansion, no self-join): the 32-vote aggregate appears once
+    assert("v_31".r.findAllIn(plan).length <= 2, "simhash subtree duplicated")
+  }
+
+  test("q_dedup_survivor is one hash shuffle + window (no join)") {
+    val plan = planOf("q_dedup_survivor")
+    assert(!plan.contains("Join"), plan.take(600))
+    assert(plan.contains("Window"), "expected the survivor-selection window")
+  }
+
   test("q_dedup_incremental never shuffles (or distincts) the history side") {
     // The incremental-dedup contract at 100 TB: the corpus is streamed, not
     // shuffled. The exact verify must be a broadcast semi join whose
