@@ -320,6 +320,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup: the newest 20% of documents near-dedup'ed
+    // against the older 80% — batch bands/shingles broadcast, corpus
+    // shingle-verified only where bands collide (daily-ingest shape)
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val cut = 400L
+      graft.functions.Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut),
+        "doc_id", "text", n = 4, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Sketch-accuracy audit: MinHash-estimated jaccard (signature agreement
     // fraction) against the exact jaccard per near-dup pair — the validation
     // pass that justifies signature length k before trusting LSH at scale.
@@ -1622,6 +1634,22 @@ object SparkEntry {
       s"""WITH $shingleCtes,
          |$minhashSigsCte
          |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental_near" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |ip AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |FROM ip
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_lsh_pairs" ->
       s"""WITH $shingleCtes,

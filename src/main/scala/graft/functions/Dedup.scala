@@ -204,6 +204,68 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental NEAR-dup: candidate pairs between a new `batch` and an
+    * existing `corpus` (jaccard >= threshold) — the daily-ingest sibling of
+    * [[incrementalDedup]] for near-duplicates. The batch's band keys and
+    * shingle sets are small and BROADCAST; the corpus pays one signature
+    * pass for candidate generation (at production scale the corpus band
+    * index is precomputed at ingest and persisted, leaving zero corpus
+    * passes) and shingle-verifies ONLY the docs that collide in a band.
+    * Exact cross-duplicates are guaranteed by a content-hash floor; the
+    * recall contract for borderline pairs is the same (1-j^r)^b bound as
+    * [[nearDupPairsLsh]].
+    *
+    * Returns (id_a = corpus id, id_b = batch id, jaccard) — callers drop or
+    * keep batch rows by policy. Assumes batch and corpus ids are disjoint.
+    */
+  def incrementalNearDupPairs(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
+    def banded(df: DataFrame) = {
+      val sigs = minhashSignatures(df, idCol, textCol, n, k)
+      val rowsPerBand = k / bands
+      val bandStructs = (0 until bands).map { b =>
+        val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
+      }
+      sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+        .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    }
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    def hashed(df: DataFrame) = df.select(col(idCol), md5(norm).as("__h"))
+    // Band collisions: corpus streams, batch bands broadcast.
+    val lshCand = banded(corpus).join(
+        broadcast(banded(batch).select(col(idCol).as("id_b"), col("band"), col("bkey"))),
+        Seq("band", "bkey"))
+      .select(col(idCol).as("id_a"), col("id_b"))
+    // Exact-duplicate floor: identical normalized content always pairs.
+    val exactCand = hashed(corpus).join(
+        broadcast(hashed(batch).select(col(idCol).as("id_b"), col("__h"))), Seq("__h"))
+      .select(col(idCol).as("id_a"), col("id_b"))
+    val cand = lshCand.unionByName(exactCand).distinct()
+    // Exact verify: corpus shingles ONLY for colliding docs (semi-join
+    // prune), batch shingle sets broadcast.
+    val candCorpus = corpus.join(
+      cand.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val shA = shingleSets(candCorpus, idCol, textCol, n)
+      .select(col(idCol).as("id_a"), col("shingle"))
+    val shB = shingleSets(batch, idCol, textCol, n)
+      .select(col(idCol).as("id_b"), col("shingle"))
+    val sizesA = shA.groupBy("id_a").agg(count(lit(1)).as("n_a"))
+    val sizesB = shB.groupBy("id_b").agg(count(lit(1)).as("n_b"))
+    cand.join(shA, Seq("id_a"))
+      .join(broadcast(shB), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizesA, Seq("id_a"))
+      .join(broadcast(sizesB), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Transitive near-duplicate clusters: connected components over the
     * candidate-pair graph by iterative min-label propagation. Pairs tell you
     * A~B and B~C; survivor selection needs the A,B,C cluster — this labels

@@ -118,6 +118,28 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet.contains((1L, 6L, 0L)))
   }
 
+  test("incrementalNearDupPairs: batch-vs-corpus pairs match the exact cross join") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and data"),
+      (3L, "sphinx of black quartz judge my vow now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog !"), // near dup of 1
+      (12L, "wholly novel text with no relatives anywhere")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupPairs(batch, corpus, "doc_id", "text",
+      n = 3, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.keySet.contains((1L, 10L)))
+    assert(got((1L, 10L)) === 1.0)
+    assert(got.keySet.contains((1L, 11L))) // 7 of 8 shingles shared = 0.875
+    assert(!got.keySet.exists { case (_, b) => b == 12L })
+    // no corpus-corpus or batch-batch pairs leak in
+    assert(got.keySet.forall { case (a, b) => a <= 3L && b >= 10L })
+  }
+
   test("clusterLabels: transitive chains collapse to one min-id cluster") {
     // A~B and B~C but no A~C pair: pairwise dedup misses the group; the
     // component labeling must not.
