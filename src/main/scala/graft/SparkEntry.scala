@@ -308,10 +308,13 @@ object SparkEntry {
 
     // Incremental dedup: the newest 20% of documents deduped against the
     // older 80% via broadcast Bloom prefilter + exact verify — history never
-    // shuffles; result equals the plain anti-join (oracle below).
+    // shuffles; result equals the plain anti-join (oracle below). The cut is
+    // data-relative (top 20% of ids) so the history/batch proportions hold
+    // at every SF (a fixed cut degenerates to a 8%/92% split at sf0.1,
+    // inverting the small-batch-vs-big-history shape the operator is for).
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      val cut = 400L // doc_id < cut = history, rest = the incoming batch
+      val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1) * 4 / 5
       val history = docs.filter(col("doc_id") < cut)
       val batch = docs.filter(col("doc_id") >= cut)
       graft.functions.Dedup.incrementalDedup(
@@ -322,10 +325,11 @@ object SparkEntry {
 
     // Incremental NEAR-dup: the newest 20% of documents near-dedup'ed
     // against the older 80% — batch bands/shingles broadcast, corpus
-    // shingle-verified only where bands collide (daily-ingest shape)
+    // shingled once (reused exchange). Data-relative cut, see
+    // q_dedup_incremental.
     "q_dedup_incremental_near" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      val cut = 400L
+      val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1) * 4 / 5
       graft.functions.Dedup.incrementalNearDupPairs(
         docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut),
         "doc_id", "text", n = 4, threshold = 0.8)
@@ -1620,12 +1624,13 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
-      """WITH hist AS (
+      """WITH cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS c FROM documents),
+        |hist AS (
         |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        |  FROM documents WHERE doc_id < 400),
+        |  FROM documents, cut WHERE doc_id < c),
         |batch AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        |  FROM documents WHERE doc_id >= 400)
+        |  FROM documents, cut WHERE doc_id >= c)
         |SELECT doc_id FROM batch
         |WHERE h NOT IN (SELECT h FROM hist)
         |ORDER BY doc_id""".stripMargin,
@@ -1637,11 +1642,12 @@ object SparkEntry {
 
     "q_dedup_incremental_near" ->
       s"""WITH $shingleCtes,
+         |cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS c FROM documents),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |ip AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-         |  WHERE a.doc_id < 400 AND b.doc_id >= 400
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle, cut
+         |  WHERE a.doc_id < c AND b.doc_id >= c
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard

@@ -244,11 +244,13 @@ object Dedup {
         broadcast(hashed(batch).select(col(idCol).as("id_b"), col("__h"))), Seq("__h"))
       .select(col(idCol).as("id_a"), col("id_b"))
     val cand = lshCand.unionByName(exactCand).distinct()
-    // Exact verify: corpus shingles ONLY for colliding docs (semi-join
-    // prune), batch shingle sets broadcast.
-    val candCorpus = corpus.join(
-      cand.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_semi")
-    val shA = shingleSets(candCorpus, idCol, textCol, n)
+    // Exact verify against the FULL corpus shingle frame: its plan is
+    // identical to the signature pass's shingle subtree, so Spark reuses
+    // that exchange and the corpus is shingled exactly once in-session (a
+    // semi-join prune here would break the reuse and shingle the corpus a
+    // second time; with a PRECOMPUTED sig index — the production setup —
+    // flip to pruning, since the verify pass is then the only shingler).
+    val shA = shingleSets(corpus, idCol, textCol, n)
       .select(col(idCol).as("id_a"), col("shingle"))
     val shB = shingleSets(batch, idCol, textCol, n)
       .select(col(idCol).as("id_b"), col("shingle"))
