@@ -713,6 +713,82 @@ object SparkEntry {
         pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup-style semantic dedup: coarse-quantizer cluster assignment
+    // (broadcast argmax, no corpus shuffle) + within-cluster cosine pairs —
+    // the cluster-then-compare shape that replaces the O(N²) semantic join
+    "q_semantic_dedup" -> ((s, dir) =>
+      graft.functions.Similarity.semanticDedupPairs(
+        pq(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, threshold = 0.4, nlist = 16)
+        .orderBy("id_a", "id_b")),
+
+    // Fixed-token-budget chunking with overlap (training-sequence prep) —
+    // fully narrow: tokenize + per-row chunk-range explode, zero shuffles
+    "q_doc_chunks" -> ((s, dir) =>
+      graft.functions.TextAnalysis.chunkDocs(
+        pq(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Exact corpus heavy hitters via the Misra–Gries candidates + exact
+    // recount two-pass plan: the full-vocabulary aggregation never runs —
+    // pass 2's shuffle carries only candidate keys (<= capacity)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = pq(s, dir, "documents")
+        .select(explode(graft.functions.TextAnalysis.words(col("text"))).as("w"))
+      graft.functions.FreqItems.heavyHitters(toks, "w", capacity = 2048, minFraction = 0.001)
+        .orderBy(col("cnt").desc, col("w"))
+    }),
+
+    // Deterministic weighted sampling without replacement (Efraimidis-
+    // Spirakis content-hash keys): sample docs per language proportional to
+    // length — reproducible on any cluster layout
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.functions.Sampling.weightedSampleTopK(
+        pq(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", "n_chars", k = 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("skey"), col("rnk"))
+        .orderBy("lang", "rnk")),
+
+    // Robust per-language length-outlier filter (median + MAD): the
+    // heavy-tail document screen that plain mean/stddev z-scores get wrong.
+    // Two tiny per-language aggregates broadcast back — corpus never
+    // shuffles; exact percentile is right while groups = |lang| (swap
+    // approx_percentile when the stratum count explodes)
+    "q_length_outliers" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val meds = docs.groupBy("lang").agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.join(broadcast(meds), Seq("lang"))
+        .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+      val mads = dev.groupBy("lang").agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mads), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          round(col("adev") / greatest(col("mad"), lit(1e-9)), 6).as("robust_z"),
+          (col("adev") <= lit(3.0) * col("mad")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-smoothed mixture weights (alpha = 0.5 sampling of
+    // sources, the multi-source corpus-mixing calculation): per-source
+    // sqrt(n) shares with fixed-point long sums for order-independence
+    "q_mixture_weights" -> ((s, dir) => {
+      val bySrc = pq(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("sq_fp",
+          round(sqrt(col("n").cast("double")) * 1e6, 0).cast("long"))
+      val tot = bySrc.agg(sum(col("n")).cast("long").as("n_total"),
+        sum(col("sq_fp")).cast("long").as("sum_sq_fp"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          round(col("n").cast("double") / col("n_total").cast("double"), 6).as("share"),
+          round(col("sq_fp").cast("double") / col("sum_sq_fp").cast("double"), 6)
+            .as("target_share"),
+          round(least(lit(1.0),
+            col("sq_fp").cast("double") / col("sum_sq_fp").cast("double")
+              * lit(200.0) / col("n").cast("double")), 6).as("rate"))
+        .orderBy("source")
+    }),
+
     // ---- beyond-reference: event-stream analytics (batch-mode windows) ---
 
     // tumbling-hour aggregation (decimal sums: order-independent exactness;
@@ -2010,6 +2086,107 @@ object SparkEntry {
          |  FROM a JOIN b ON a.bucket = b.bucket WHERE id_a < id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c AS (
+         |  SELECT vec_id, embedding AS cv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, cent_id, cv, nc,
+         |    round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) AS cent_sim
+         |  FROM c CROSS JOIN cents),
+         |asg AS (
+         |  SELECT vec_id, cent_id, cv, nc,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rnk
+         |  FROM scored),
+         |lists AS (SELECT cent_id, vec_id, cv, nc FROM asg WHERE rnk = 1),
+         |pairs AS (
+         |  SELECT a.cent_id AS cent_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round((${dotSql("a.cv", "b.cv", 64)}) / (a.nc * b.nc), 6) AS cos_sim
+         |  FROM lists a JOIN lists b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+         |SELECT cent_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws, n_tokens,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(floor((n_tokens - 16 + 47) / 48.0) AS BIGINT)) AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, ws, n_tokens,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 + 1 AS BIGINT) AS start_token,
+        |  CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(ws[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w)
+        |SELECT w, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS frac
+        |FROM c CROSS JOIN tot
+        |WHERE CAST(cnt AS DOUBLE) >= 0.001 * CAST(n_total AS DOUBLE)
+        |ORDER BY cnt DESC, w""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    round(ln((('0x' || substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |        / 4294967296.0)
+        |      / greatest(CAST(n_chars AS DOUBLE), 1e-9), 6) AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM t)
+        |SELECT lang, doc_id, n_chars, skey, rnk FROM r WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "q_length_outliers" ->
+      """WITH meds AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, meds.med,
+        |    abs(CAST(d.n_chars AS DOUBLE) - meds.med) AS adev
+        |  FROM documents d JOIN meds ON d.lang = meds.lang),
+        |mads AS (
+        |  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang)
+        |SELECT doc_id, dev.lang, n_chars, round(med, 6) AS med,
+        |  round(mads.mad, 6) AS mad,
+        |  round(adev / greatest(mads.mad, 1e-9), 6) AS robust_z,
+        |  adev <= 3.0 * mads.mad AS keep
+        |FROM dev JOIN mads ON dev.lang = mads.lang
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sq_fp
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(sq_fp) AS BIGINT) AS sum_sq_fp
+        |  FROM c)
+        |SELECT source, n,
+        |  round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+        |  round(CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE), 6) AS target_share,
+        |  round(least(1.0, (CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE)) * 200.0
+        |    / CAST(n AS DOUBLE)), 6) AS rate
+        |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
 
     "q_consolidate" -> withCtes(
       """SELECT row_number AS staging_id, 'u1' AS contacts_user_id,

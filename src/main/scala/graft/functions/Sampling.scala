@@ -43,6 +43,30 @@ object Sampling {
     df.filter(h < thr)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): per stratum, keep the k rows with the largest
+    * u^(1/w) — equivalently the largest ln(u)/w, the monotone form used
+    * here — where u is a content-hash uniform in (0,1) and w the row's
+    * weight ("sample documents proportional to token count"). Content-hash
+    * u makes the draw layout-independent and reproducible, like
+    * [[stratifiedSample]]; the selection itself is [[capPerKey]]'s
+    * partitioned-window shape (one shuffle by stratum). The sort key is
+    * rounded to 6 decimals with id as tie-break so the DuckDB oracle ranks
+    * identically despite last-ulp ln() differences. */
+  def weightedSampleTopK(
+      df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
+      k: Int, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = conv(keyHash(concat_ws(":", lit(seed), col(stratumCol),
+      col(idCol).cast("string"))), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val skey = round(log(u) / greatest(col(weightCol).cast("double"), lit(1e-9)), 6)
+    val w = Window.partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
+    df.withColumn("skey", skey)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-key quota: keep at most `cap` rows per `keyCol`, chosen by
     * ascending `orderCol` (deterministic priority — e.g. doc id, or a
     * quality rank). The domain-cap primitive ("at most N pages per domain").

@@ -234,6 +234,47 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster embeddings with a coarse quantizer, then find
+    * high-cosine pairs ONLY within each cluster — the semantic analogue of
+    * LSH banding, turning the O(N²) dedup join into per-cluster work.
+    * Cluster assignment is the same scale-safe broadcast argmax as
+    * [[ivfTopK]]'s inverted lists (no corpus shuffle by window; the
+    * aggregate is map-side combinable), so the corpus moves once, into its
+    * cluster bucket, and the pair join is an equi-join on cent_id.
+    * Centroids here are the deterministic `nlist` lowest-id vectors (swap
+    * for [[kmeansStep]]-trained centroids without touching a join — same
+    * recall/dataflow trade as ivfTopK, and cross-cluster near-dups are by
+    * design not candidates). Emits (cent_id, id_a, id_b, cos_sim >=
+    * threshold); downstream survivor selection = keep min id per cluster
+    * component, exactly like [[Dedup.clusterLabels]] over these pairs. */
+  def semanticDedupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, threshold: Double, nlist: Int = 16): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+    val clustered = c.crossJoin(broadcast(cents))
+      .withColumn("cent_sim",
+        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
+        col("cv"), col("nc"))).as("best"))
+      .select((-col("best.neg_id")).as("cent_id"), col("vec_id"),
+        col("best.cv").as("cv"), col("best.nc").as("nc"))
+    val a = clustered.select(col("cent_id"), col("vec_id").as("id_a"),
+      col("cv").as("va"), col("nc").as("na"))
+    val b = clustered.select(col("cent_id"), col("vec_id").as("id_b"),
+      col("cv").as("vb"), col("nc").as("nb"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .filter(col("cos_sim") >= threshold)
+      .select("cent_id", "id_a", "id_b", "cos_sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     * (id_a < id_b, cosine >= threshold). O(N²) by construction — the
     * exactness witness for [[embeddingDupPairsBucketed]], which is the

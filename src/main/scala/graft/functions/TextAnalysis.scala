@@ -245,6 +245,37 @@ object TextAnalysis {
           .as("contamination"))
   }
 
+  /** Fixed-token-budget document chunking with overlap — the long-document
+    * splitting pass that feeds context-window-bounded training sequences
+    * (and RAG indexing). Chunk i covers tokens [i*stride, i*stride+chunkTokens)
+    * where stride = chunkTokens - overlap; every document yields at least one
+    * chunk. Purely narrow (tokenize + explode a per-row chunk-index range):
+    * no shuffle at all, scales with input splits. Output row count is
+    * ~n_tokens/stride per doc — bounded and proportional to input size.
+    */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    val stride = chunkTokens - overlap
+    require(stride > 0, s"chunkTokens ($chunkTokens) must exceed overlap ($overlap)")
+    // ceil((n - overlap) / stride) via floor of exact small-int double division
+    // (token counts are far below 2^53), clamped to >= 1 chunk per doc.
+    val base = df.select(col(idCol), words(col(textCol)).as("ws"),
+      wordCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("n_chunks", greatest(lit(1L),
+        floor((col("n_tokens") - lit(overlap) + lit(stride - 1)).cast("double") /
+          lit(stride.toDouble)).cast("long")))
+    base
+      .select(col(idCol), col("ws"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride + 1).cast("long").as("start_token"),
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("chunk_id") * stride)
+          .cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Token-budget sequence packing — the pretraining batch-assembly shape:
     * documents are assigned to fixed-token-budget packs greedily in id order
     * WITHIN deterministic shards (`shard = id / shardSize`). Sharding is the

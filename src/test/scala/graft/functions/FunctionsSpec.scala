@@ -184,6 +184,50 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
   }
 
+  test("semanticDedupPairs: pairs only within a cluster, subset of exact pairs") {
+    // 6 vectors, nlist=2 -> centroids are vecs 0 and 1 (orthogonal axes).
+    // 0,2,3 cluster on centroid 0; 1,4 on centroid 1; 5 sits opposite
+    // centroid 1 but still assigns somewhere deterministic.
+    val six = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.95f, 0.05f, 0f, 0f)),  // near-dup of 0, same cluster
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),    // near-dup of 0 and 2
+      (4L, Array(0.05f, 0.95f, 0f, 0f)),  // near-dup of 1, other cluster
+      (5L, Array(0f, -1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupPairs(six, "vec_id", "embedding",
+      dims = 4, threshold = 0.9, nlist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.embeddingDupPairs(six, "vec_id", "embedding", 4, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), s"semantic pairs $got must be a subset of exact $exact")
+    // Within-cluster near-dups are all found
+    assert(Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)).subsetOf(got))
+    // Every pair shares a cluster: ids from different centroids never pair
+    val clusters = Map(0L -> 0L, 2L -> 0L, 3L -> 0L, 1L -> 1L, 4L -> 1L)
+    got.foreach { case (a, b) =>
+      assert(clusters.get(a) === clusters.get(b), s"cross-cluster pair ($a,$b)")
+    }
+  }
+
+  test("chunkDocs: stride/overlap arithmetic, truncation, single-chunk floor") {
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "short doc"))
+      .toDF("doc_id", "text")
+    // chunk=4, overlap=1 -> stride=3: doc 1 (10 tokens) -> ceil(9/3)=3 chunks
+    val got = TextAnalysis.chunkDocs(d, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 0L)) === ((1L, 4L, "t1 t2 t3 t4")))
+    assert(got((1L, 1L)) === ((4L, 4L, "t4 t5 t6 t7")))   // 1-token overlap
+    assert(got((1L, 2L)) === ((7L, 4L, "t7 t8 t9 t10")))
+    assert(got((2L, 0L)) === ((1L, 2L, "short doc")))     // under-budget doc: 1 chunk
+    assert(got.size === 4)
+    // Every token of doc 1 appears in some chunk (coverage, no gaps)
+    val covered = got.collect { case ((1L, _), (_, _, txt)) => txt.split(" ") }.flatten.toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("multimodal: stubbed decode is deterministic, plumbing batches by bytes") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, targetBytesPerTask = 64)

@@ -49,4 +49,34 @@ class SamplingSpec extends SparkSpec {
     assert(out === Set(("a", 1L), ("a", 2L), ("b", 10L)))
     assert(Sampling.capPerKey(df, "key", "ord", cap = 10).count() === 5L)
   }
+
+  test("weightedSampleTopK: deterministic, layout-independent, respects k") {
+    val df = (0L until 500L).map(i => (i, s"s${i % 2}", 1.0 + (i % 10)))
+      .toDF("id", "stratum", "w")
+    val once = Sampling.weightedSampleTopK(df, "id", "stratum", "w", k = 25)
+      .select("id").as[Long].collect().toSet
+    val again = Sampling.weightedSampleTopK(df.repartition(7), "id", "stratum", "w", k = 25)
+      .select("id").as[Long].collect().toSet
+    assert(once === again)
+    val perStratum = Sampling.weightedSampleTopK(df, "id", "stratum", "w", k = 25)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(perStratum.values.forall(_ === 25L))
+    // k above the group size keeps everything
+    assert(Sampling.weightedSampleTopK(df, "id", "stratum", "w", k = 1000).count() === 500L)
+  }
+
+  test("weightedSampleTopK: weights steer inclusion probability") {
+    // One row with overwhelming weight vs 99 unit-weight rows: its sort key
+    // ln(u)/w is ~0 (beats any unit-weight row whose u isn't ~1.0), so it
+    // must be selected; deterministic hashing makes this assertion stable.
+    val df = ((1L to 99L).map(i => (i, "s", 1.0)) :+ (100L, "s", 1e9))
+      .toDF("id", "stratum", "w")
+    val kept = Sampling.weightedSampleTopK(df, "id", "stratum", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(100L))
+    // And the heavy-weight row ranks first
+    val top = Sampling.weightedSampleTopK(df, "id", "stratum", "w", k = 10)
+      .filter(col("rnk") === 1).select("id").as[Long].head()
+    assert(top === 100L)
+  }
 }
