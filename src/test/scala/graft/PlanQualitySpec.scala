@@ -171,6 +171,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"sampler introduced extra shuffles:\n${plan.take(600)}")
   }
 
+  test("q_doc_chunks is fully narrow — no exchange except the presentation sort") {
+    // Chunking must be a map-side explode: any extra Exchange means the
+    // operator would reshuffle the whole corpus at 100 TB for no reason.
+    val plan = planOf("q_doc_chunks")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"chunker introduced shuffles:\n${plan.take(600)}")
+    assert(!plan.contains("Join"), "chunker must not join")
+  }
+
+  test("q_heavy_hitters pass 2 joins candidates via broadcast, never sort-merge") {
+    // The exact recount must semi-join the (<= capacity)-sized candidate set
+    // by broadcast: a sort-merge join would shuffle every token of the corpus
+    // by value — exactly the full-vocabulary aggregation the sketch avoids.
+    val plan = planOf("q_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q_semantic_dedup assigns clusters via broadcast argmax, pairs via equi-join") {
+    // Centroids broadcast; the pair stage is an equi-join on cent_id — a
+    // NestedLoop/Cartesian would mean the O(N²) semantic join came back.
+    val plan = planOf("q_semantic_dedup")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") || plan.contains("cent_id"),
+      "pair join must be keyed on cent_id")
+  }
+
+  test("q_weighted_sample shuffles once (stratum window) plus presentation sort") {
+    val plan = planOf("q_weighted_sample")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"weighted sampler extra shuffles:\n${plan.take(600)}")
+    assert(!plan.contains("Join"), "weighted sampler must not join")
+  }
+
+  test("q_length_outliers broadcasts the per-language stats back to the corpus") {
+    val plan = planOf("q_length_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
