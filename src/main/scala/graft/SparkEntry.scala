@@ -768,6 +768,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Substring-level dedup signal: per-doc fraction of 8-gram positions
+    // whose n-gram recurs in other documents (the suffix-array pass of
+    // "Deduplicating Training Data" as corpus-wide group-bys)
+    "q_repeated_ngrams" -> ((s, dir) =>
+      graft.functions.Dedup.repeatedNgramProfile(
+        pq(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
     // Temperature-smoothed mixture weights (alpha = 0.5 sampling of
     // sources, the multi-source corpus-mixing calculation): per-source
     // sqrt(n) shares with fixed-point long sums for order-independence
@@ -2171,6 +2179,39 @@ object SparkEntry {
         |  adev <= 3.0 * mads.mad AS keep
         |FROM dev JOIN mads ON dev.lang = mads.lang
         |ORDER BY doc_id""".stripMargin,
+
+    "q_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |sh_raw AS (
+        |  SELECT doc_id, pos,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+        |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+        |    lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+        |    lead(w, 7) OVER win AS shingle
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT doc_id, pos, shingle FROM sh_raw WHERE shingle IS NOT NULL),
+        |rep_sh AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(DISTINCT doc_id) AS docs FROM sh GROUP BY 1)
+        |  WHERE docs >= 2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM sh GROUP BY 1),
+        |rep AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_repeated,
+        |    CAST(min(pos) AS BIGINT) AS first_rep_pos
+        |  FROM sh WHERE shingle IN (SELECT shingle FROM rep_sh) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(r.n_repeated, 0) AS BIGINT) AS n_repeated,
+        |  round(CAST(coalesce(r.n_repeated, 0) AS DOUBLE) /
+        |    greatest(CAST(coalesce(t.n_ngrams, 0) AS DOUBLE), 1.0), 6) AS repeated_frac,
+        |  CAST(coalesce(r.first_rep_pos, -1) AS BIGINT) AS first_rep_pos
+        |FROM documents d
+        |LEFT JOIN tot t ON d.doc_id = t.doc_id
+        |LEFT JOIN rep r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_mixture_weights" ->
       """WITH c AS (

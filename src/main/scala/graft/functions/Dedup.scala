@@ -407,6 +407,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-document repeated n-gram profile — the substring-level dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv 2107.06499): for each document, how many of its
+    * word n-gram positions carry an n-gram that also occurs in at least
+    * `minDocs` distinct documents. High `repeated_frac` marks boilerplate /
+    * template spans that whole-document dedup never catches (the docs are
+    * distinct; their substrings aren't). `first_rep_pos` (1-based token
+    * position, -1 when none) is the span-trimming anchor.
+    *
+    * Scale: this is the distributed stand-in for the suffix-array pass —
+    * one shuffle keyed by shingle (inherent: global substring frequency IS
+    * a corpus-wide group-by), doc-frequency via distinct+count (two-level,
+    * partial-aggregable), then a semi-join back. The repeated-shingle set is
+    * NOT assumed broadcastable (unlike an eval benchmark it grows with the
+    * corpus) — the semi-join shuffles by shingle and AQE handles stop-phrase
+    * skew. */
+  def repeatedNgramProfile(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val sh = TextAnalysis.shingles(df, idCol, textCol, n)
+    val repeated = sh.select(col(idCol), col("shingle")).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select("shingle")
+    val tot = sh.groupBy(idCol).agg(count(lit(1)).as("n_ngrams"))
+    val rep = sh.join(repeated, Seq("shingle"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_repeated"), (min(col("pos")) + 1).as("first_rep_pos"))
+    df.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).cast("long").as("n_ngrams"),
+        coalesce(col("n_repeated"), lit(0L)).cast("long").as("n_repeated"),
+        round(coalesce(col("n_repeated"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_ngrams"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("repeated_frac"),
+        coalesce(col("first_rep_pos"), lit(-1L)).cast("long").as("first_rep_pos"))
+  }
+
   /** 32-bit SimHash over the word multiset: bit j of the hash is the sign of
     * the sum of (+-1) votes from bit j of each token's md5 (high bit of hex
     * nibble j). One explode + one groupBy(doc) — linear in corpus size. */

@@ -140,6 +140,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got.keySet.forall { case (a, b) => a <= 3L && b >= 10L })
   }
 
+  test("repeatedNgramProfile: cross-doc spans flagged, within-doc repeats ignored") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta tail one"),    // shares 4-gram with doc 2
+      (2L, "alpha beta gamma delta tail two"),    // shares 4-gram with doc 1
+      (3L, "unique words only here nothing shared"),
+      (4L, "rep rep rep rep rep rep rep rep")     // self-repeats, no cross-doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramProfile(d, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    // docs 1,2: 6 tokens -> 3 4-gram positions; the shared prefix gives
+    // "alpha beta gamma delta" + "beta gamma delta tail" repeated (pos 1,2);
+    // "gamma delta tail one/two" differ.
+    assert(got(1L) === ((3L, 2L, 1L)))
+    assert(got(2L) === ((3L, 2L, 1L)))
+    assert(got(3L) === ((3L, 0L, -1L)))
+    // doc 4's "rep rep rep rep" occurs at 5 positions WITHIN one doc but in
+    // no other doc: cross-doc df = 1 -> not repeated.
+    assert(got(4L) === ((5L, 0L, -1L)))
+  }
+
   test("clusterLabels: transitive chains collapse to one min-id cluster") {
     // A~B and B~C but no A~C pair: pairwise dedup misses the group; the
     // component labeling must not.
