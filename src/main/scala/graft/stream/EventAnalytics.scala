@@ -103,6 +103,24 @@ object EventAnalytics {
         col("n_events").cast("long").as("n_events"))
   }
 
+  /** Streaming frequent-items: the Misra–Gries typed aggregator run as a
+    * per-group streaming aggregate ("trending keys per event type"). The
+    * sketch buffer IS the streaming state — O(capacity) per group forever,
+    * merged incrementally by the engine each micro-batch; the candidate
+    * list preserves the MG recall guarantee (any key with frequency
+    * > n/(capacity+1) over the whole stream so far is present). The exact
+    * recount pass ([[graft.functions.FreqItems.heavyHitters]]) stays a
+    * batch job over the accumulated table — the standard lambda split:
+    * sketch online, verify offline. Use with update or complete output. */
+  def trendingKeys(
+      events: DataFrame, groupCol: String, keyCol: String,
+      capacity: Int = 64): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(capacity))
+    events.groupBy(col(groupCol))
+      .agg(mg(col(keyCol).cast("string")).as("c"))
+      .select(col(groupCol), col("c.keys").as("candidates"))
+  }
+
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
   case class SessionState(start: Long, last: Long, n: Int)

@@ -44,6 +44,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.exists(r => r._2 == "view" && r._3 == 1L))
   }
 
+  test("trendingKeys: MG sketch as streaming state keeps hot keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = trendingKeys(events, "event_type", "user_id", capacity = 4)
+      .writeStream.outputMode("complete").format("memory").queryName("trend_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    // Batch 1: user 7 dominates clicks; singletons churn through the sketch.
+    input.addData((1L to 10L).map(i => (ts(i.toInt), 7L, "click", 1.0)) ++
+      (1L to 6L).map(i => (ts(i.toInt), 100L + i, "click", 1.0)): _*)
+    q.processAllAvailable()
+    val after1 = spark.table("trend_out").selectExpr("event_type", "candidates")
+      .as[(String, Seq[String])].collect().toMap
+    assert(after1("click").contains("7"), s"hot key must survive batch 1: $after1")
+
+    // Batch 2: more churn — the engine merges the stored sketch with the
+    // new partials; the globally hot key must still be present.
+    input.addData((1L to 8L).map(i => (ts(i.toInt), 7L, "click", 1.0)) ++
+      (1L to 6L).map(i => (ts(i.toInt), 200L + i, "click", 1.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.table("trend_out").selectExpr("event_type", "candidates")
+      .as[(String, Seq[String])].collect().toMap
+    // n(click) = 30, capacity 4 -> bound 30/5 = 6; user 7 has 18 > 6.
+    assert(after2("click").contains("7"), s"hot key must survive merge: $after2")
+    assert(after2("click").size <= 4, "sketch state exceeded capacity")
+  }
+
   test("dedupStream: duplicate ids within the watermark horizon are dropped, state-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
