@@ -632,6 +632,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Exact GLOBAL order statistics via iterative histogram refinement — no
+    // global sort, no whole-column aggregation buffer: ~bins× candidate
+    // shrink per scan with range filters Parquet pushes down. The result is
+    // an exact element (rank ceil(q*n)), so quantile_disc oracles it.
+    "q_exact_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      // directLimit forces at least one refinement round at sf >= 0.01
+      val Seq(p50, p90, p99) = graft.functions.Quantiles.exactQuantilesDisc(
+        events(s, dir), "value", Seq(0.5, 0.9, 0.99), bins = 256, directLimit = 4096)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r6(p50), r6(p90), r6(p99))).toDF("p50", "p90", "p99")
+    }),
+
     // ---- beyond-reference: similarity search over `embeddings` -----------
 
     // Per-label class centroids (k-means/IVF training pass, per-class
@@ -2179,6 +2193,12 @@ object SparkEntry {
         |  adev <= 3.0 * mads.mad AS keep
         |FROM dev JOIN mads ON dev.lang = mads.lang
         |ORDER BY doc_id""".stripMargin,
+
+    "q_exact_quantiles" ->
+      """SELECT round(CAST(quantile_disc(value, 0.5) AS DOUBLE), 6) AS p50,
+        |  round(CAST(quantile_disc(value, 0.9) AS DOUBLE), 6) AS p90,
+        |  round(CAST(quantile_disc(value, 0.99) AS DOUBLE), 6) AS p99
+        |FROM events""".stripMargin,
 
     "q_repeated_ngrams" ->
       """WITH toks AS (
