@@ -147,6 +147,45 @@ class ParquetTableStore(
     }
     writer.mode("append").parquet(dir(table))
   }
+
+  /** Small-file compaction — the maintenance pass every append-heavy table
+    * needs at scale (each streaming micro-batch / job commit adds files;
+    * thousands of KB-sized files turn a scan into a file-listing storm and
+    * starve the scheduler with single-row tasks). Each partition directory
+    * (or the whole table when unpartitioned) whose data-file count exceeds
+    * `maxFilesPerPartition` is rewritten into ceil(bytes/targetFileBytes)
+    * files and swapped in atomically; partitions under the threshold are
+    * NOT touched (no rewrite, no mtime churn — compaction cost stays
+    * proportional to fragmentation, not table size). Sizing is by file
+    * bytes, not row counts, so deciding costs one directory listing and no
+    * data scan. Single-level hive partitioning (this store's layout). */
+  def compact(
+      table: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerPartition: Int = 4): Unit = {
+    val tableDir = new Path(dir(table))
+    if (!fs.exists(tableDir)) return
+    val partDirs = fs.listStatus(tableDir)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath).toSeq
+    val targets = if (partDirs.nonEmpty) partDirs else Seq(tableDir)
+    targets.foreach { p =>
+      val files = fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      if (files.length > maxFilesPerPartition) {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+        val tmp = new Path(p.toString + ".compact-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        // Read materializes fully into tmp while the source files still
+        // exist; only then is the directory swapped.
+        spark.read.parquet(p.toString).coalesce(nOut).write.parquet(tmp.toString)
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        fs.delete(p, true)
+        fs.rename(tmp, p)
+      }
+    }
+  }
 }
 
 /** JDBC-backed store (Postgres parity). Reads push the table/user predicate

@@ -1,0 +1,63 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** ParquetTableStore.compact: fragmented partitions shrink, cold ones are
+  * physically untouched, content is identical. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dataFiles(p: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val path = new Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Array.empty
+    else fs.listStatus(path).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+  }
+
+  test("compact merges fragmented partitions and leaves cold partitions untouched") {
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val store = new ParquetTableStore(spark, root)
+    // Partition job=hot gets 6 tiny appends (6+ files); job=cold gets one.
+    (1 to 6).foreach { i =>
+      store.append("staging", Seq((s"row$i", "hot")).toDF("payload", "staging_job_id"))
+    }
+    store.append("staging", Seq(("only", "cold")).toDF("payload", "staging_job_id"))
+
+    val hotDir = s"$root/staging/staging_job_id=hot"
+    val coldDir = s"$root/staging/staging_job_id=cold"
+    assert(dataFiles(hotDir).length >= 6)
+    val coldBefore = dataFiles(coldDir).map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    val before = store.load("staging").as[(String, String)].collect().toSet
+
+    store.compact("staging", maxFilesPerPartition = 2)
+
+    assert(dataFiles(hotDir).length === 1, "fragmented partition should collapse to one file")
+    assert(dataFiles(coldDir).map(s => (s.getPath.getName, s.getModificationTime)).toSet
+      === coldBefore, "under-threshold partition must not be rewritten")
+    assert(store.load("staging").as[(String, String)].collect().toSet === before)
+  }
+
+  test("compact handles unpartitioned tables and respects targetFileBytes") {
+    val root = java.nio.file.Files.createTempDirectory("compact2").toString
+    val store = new ParquetTableStore(spark, root, partitionByCols = Map.empty)
+    (1 to 5).foreach { i => store.append("jobs", Seq((i.toLong, s"j$i")).toDF("id", "name")) }
+    assert(dataFiles(s"$root/jobs").length >= 5)
+    val before = store.load("jobs").as[(Long, String)].collect().toSet
+
+    store.compact("jobs", maxFilesPerPartition = 1)
+    assert(dataFiles(s"$root/jobs").length === 1)
+    assert(store.load("jobs").as[(Long, String)].collect().toSet === before)
+
+    // A tiny byte target forces multiple output files.
+    val store2 = new ParquetTableStore(spark, root, partitionByCols = Map.empty)
+    (1 to 8).foreach { i =>
+      store2.append("big", (1 to 2000).map(j => (j.toLong, s"v$i-$j")).toDF("id", "v"))
+    }
+    val totalBytes = dataFiles(s"$root/big").map(_.getLen).sum
+    store2.compact("big", targetFileBytes = totalBytes / 3, maxFilesPerPartition = 1)
+    val after = dataFiles(s"$root/big").length
+    assert(after >= 3 && after <= 4, s"expected ~ceil(bytes/target)=3-4 files, got $after")
+    assert(store2.load("big").count() === 16000L)
+  }
+}
