@@ -621,6 +621,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // KMV sketch set algebra: cross-source user-set overlap (union /
+    // intersection / Jaccard) from two O(k) sketches alone — the full sets
+    // never co-shuffle; k=64 < |users| so the estimator path is exercised
+    "q_kmv_jaccard" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.functions.Sketches.kmvSetStats(
+        ev.filter(col("event_type") === "click").select("user_id"),
+        ev.filter(col("event_type") === "view").select("user_id"),
+        "user_id", k = 64)
+    }),
+
     // Exact per-group percentiles (sort-based `percentile`, oracle
     // bit-parity). Exactness costs a per-group sort; at 100 TB swap in
     // approx_percentile (t-digest, mergeable) when the group count explodes —
@@ -2193,6 +2204,41 @@ object SparkEntry {
         |  adev <= 3.0 * mads.mad AS keep
         |FROM dev JOIN mads ON dev.lang = mads.lang
         |ORDER BY doc_id""".stripMargin,
+
+    "q_kmv_jaccard" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT (CAST(user_id AS BIGINT) * 2654435761) % 2147483647 AS hv
+        |  FROM events WHERE event_type = 'click'),
+        |sa AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+        |hb AS (
+        |  SELECT DISTINCT (CAST(user_id AS BIGINT) * 2654435761) % 2147483647 AS hv
+        |  FROM events WHERE event_type = 'view'),
+        |sb AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+        |su AS (
+        |  SELECT hv FROM (
+        |    SELECT DISTINCT hv FROM (
+        |      SELECT hv FROM sa UNION ALL SELECT hv FROM sb) u) d
+        |  ORDER BY hv LIMIT 64),
+        |ua AS (SELECT CAST(count(*) AS BIGINT) AS nu, max(hv) AS hk FROM su),
+        |kk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ki FROM su
+        |  WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb)),
+        |ea AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |eb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |ex AS (SELECT
+        |  CAST((SELECT count(*) FROM ea WHERE user_id IN (SELECT user_id FROM eb)) AS BIGINT) AS exact_i,
+        |  CAST((SELECT count(DISTINCT user_id) FROM (
+        |    SELECT user_id FROM ea UNION ALL SELECT user_id FROM eb) uu) AS BIGINT) AS exact_u)
+        |SELECT
+        |  round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |             ELSE 63.0 * 2147483647.0 / CAST(hk AS DOUBLE) END, 4) AS union_est,
+        |  ki AS k_intersect,
+        |  round(CAST(ki AS DOUBLE) / CAST(nu AS DOUBLE), 6) AS jaccard_est,
+        |  round(CAST(ki AS DOUBLE) / CAST(nu AS DOUBLE) *
+        |        (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |              ELSE 63.0 * 2147483647.0 / CAST(hk AS DOUBLE) END), 4) AS intersect_est,
+        |  round(CAST(exact_i AS DOUBLE) / CAST(exact_u AS DOUBLE), 6) AS exact_jaccard
+        |FROM ua, kk, ex""".stripMargin,
 
     "q_exact_quantiles" ->
       """SELECT round(CAST(quantile_disc(value, 0.5) AS DOUBLE), 6) AS p50,

@@ -46,6 +46,44 @@ object Sketches {
       col("exact_distinct"))
   }
 
+  /** KMV sketch SET ALGEBRA (Beyer et al., SIGMOD'07 "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations"): estimate
+    * |A ∪ B|, |A ∩ B| and Jaccard(A,B) from the two k-min-value sketches
+    * ALONE. Union sketch = k smallest of the merged sketches; the fraction
+    * of union-sketch hashes present in both input sketches estimates
+    * Jaccard; intersection = that fraction × the union estimate. The
+    * full sets never co-shuffle — at 100 TB each source keeps only its
+    * O(k) sketch and the combine is k-row arithmetic, which is the whole
+    * point of sketch algebra ("what fraction of source A's users does
+    * source B share" without a distinct-join). Exact values are computed
+    * alongside as the audit columns (cheap at test scale; drop them in
+    * production). Deterministic (Knuth hashing, min-k) — oracle-verifiable
+    * bit-for-bit. */
+  def kmvSetStats(a: DataFrame, b: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    def sketch(df: DataFrame) =
+      df.select(knuthHash(col(keyCol)).as("hv")).distinct().orderBy("hv").limit(k)
+    val sa = sketch(a)
+    val sb = sketch(b)
+    val su = sa.union(sb).distinct().orderBy("hv").limit(k)
+    val kint = su.join(sa, Seq("hv"), "left_semi").join(sb, Seq("hv"), "left_semi")
+      .agg(count(lit(1)).as("ki"))
+    val uagg = su.agg(count(lit(1)).as("nu"), max(col("hv")).as("hk"))
+    val ea = a.select(col(keyCol)).distinct()
+    val eb = b.select(col(keyCol)).distinct()
+    val exact = ea.join(eb, Seq(keyCol), "inner").agg(count(lit(1)).as("exact_i"))
+      .crossJoin(ea.union(eb).distinct().agg(count(lit(1)).as("exact_u")))
+    val unionEst = when(col("nu") < k, col("nu").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(2147483647.0) / col("hk").cast("double"))
+    uagg.crossJoin(kint).crossJoin(exact).select(
+      round(unionEst, 4).as("union_est"),
+      col("ki").cast("long").as("k_intersect"),
+      round(col("ki").cast("double") / col("nu").cast("double"), 6).as("jaccard_est"),
+      round(col("ki").cast("double") / col("nu").cast("double") * unionEst, 4)
+        .as("intersect_est"),
+      round(col("exact_i").cast("double") / col("exact_u").cast("double"), 6)
+        .as("exact_jaccard"))
+  }
+
   /** Salted two-phase aggregation: pre-aggregate on (key, salt) so one hot
     * key spreads over `salts` reducers before the final combine — the
     * explicit form of the skew guard for aggregations whose partial

@@ -346,6 +346,26 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(est1 - 500.0) / 500.0 < 0.35, s"estimate $est1")
   }
 
+  test("kmvSetStats: underfilled sketches give exact set algebra; estimator tracks truth") {
+    val a = (1L to 100L).toDF("id")          // A = 1..100
+    val b = (51L to 150L).toDF("id")         // B = 51..150; |A∩B|=50, |A∪B|=150
+    // k=256 > |A∪B|: sketches see every hash -> exact values
+    val exact = Sketches.kmvSetStats(a, b, "id", k = 256)
+      .as[(Double, Long, Double, Double, Double)].head()
+    assert(exact._1 === 150.0)               // union_est exact
+    assert(exact._4 === 50.0)                // intersect_est exact
+    assert(exact._3 === exact._5)            // jaccard_est == exact_jaccard
+    // k=32 < |A∪B|: estimator path; must stay within sketch error (~1/sqrt(k))
+    val est = Sketches.kmvSetStats(a, b, "id", k = 32)
+      .as[(Double, Long, Double, Double, Double)].head()
+    assert(math.abs(est._1 - 150.0) / 150.0 < 0.5, s"union_est ${est._1}")
+    assert(math.abs(est._3 - 1.0 / 3.0) < 0.25, s"jaccard_est ${est._3}")
+    // layout independence: same result under different partitioning
+    val rep = Sketches.kmvSetStats(a.repartition(7), b.repartition(3), "id", k = 32)
+      .as[(Double, Long, Double, Double, Double)].head()
+    assert(rep === est)
+  }
+
   test("pii redaction: rules apply in order, counts measured on original text") {
     val df = Seq(
       (1L, "mail a@b.com or c.d@e.org call 555-123-4567 from 10.0.0.1"),
