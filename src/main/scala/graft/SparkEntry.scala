@@ -569,6 +569,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Adaptive skew join: hot keys measured then salted; light keys join
+    // plain — replication cost tracks actual skew, not small-side size.
+    // hotThreshold is set so some event types qualify as hot at sf0.01+
+    // (each type carries thousands of rows) — both code paths execute.
+    "q_skew_join_adaptive" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "event_type", "value")
+      val dim = ev.groupBy("event_type").agg(round(avg(col("value")), 6).as("type_avg"))
+      graft.operators.Joins.adaptiveSaltedJoin(ev, dim, Seq("event_type"),
+        salts = 16, hotThreshold = 3000L)
+        .orderBy("event_id")
+    }),
+
     // Fixed-width histogram of event values per type: one groupBy on
     // (type, bucket) — the profiling shape that replaces driver-side
     // .collect() histograms at scale
@@ -1534,6 +1546,16 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "q_skew_join_salted" ->
+      """WITH dim AS (
+        |  SELECT event_type, round(avg(value), 6) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value, type_avg
+        |FROM events e JOIN dim USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    // identical oracle to q_skew_join_salted by design: adaptive salting
+    // must be result-invisible
+    "q_skew_join_adaptive" ->
       """WITH dim AS (
         |  SELECT event_type, round(avg(value), 6) AS type_avg
         |  FROM events GROUP BY 1)

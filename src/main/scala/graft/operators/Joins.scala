@@ -82,6 +82,39 @@ object Joins {
     saltedBig.join(saltedSmall, keyCols :+ "__salt").drop("__salt")
   }
 
+  /** ADAPTIVE salted equi-join: salt only the keys that are actually hot.
+    * [[saltedJoin]] replicates the ENTIRE small side `salts`× — the right
+    * trade when most keys are skewed, waste when one tenant out of a
+    * million is. This variant first measures the big side's per-key counts
+    * (one partial-aggregable groupBy — map-side combines keep the hot key
+    * from hurting the measuring pass itself) and broadcasts the keys above
+    * `hotThreshold`; only those keys' rows get salted and only those keys'
+    * small-side rows are replicated. Light keys join on salt 0 exactly as
+    * an unsalted join would. Result is EXACTLY the plain join; shuffle
+    * volume grows by salts × |hot small rows| instead of salts × |small|.
+    * The measuring pass is one extra scan of the big side's key column —
+    * amortize it by persisting hot-key sets for known-stable skew. */
+  def adaptiveSaltedJoin(
+      big: DataFrame, small: DataFrame,
+      keyCols: Seq[String], salts: Int = 16, hotThreshold: Long = 100000L): DataFrame = {
+    val hot = big.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(keyCols.map(col): _*)
+      .withColumn("__hot", lit(true))
+    val saltedBig = big.join(broadcast(hot), keyCols, "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(hash(big.columns.map(col): _*), lit(salts)))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val saltedSmall = small.join(broadcast(hot), keyCols, "left")
+      .withColumn("__salt",
+        explode(when(col("__hot"), array((0 until salts).map(lit): _*))
+          .otherwise(array(lit(0)))))
+      .drop("__hot")
+    saltedBig.join(saltedSmall, keyCols :+ "__salt").drop("__salt")
+  }
+
   /** Bucketed range (interval-containment) join: attach to each point row
     * the interval rows with `startCol <= pointCol < endCol`. No shared
     * equi-key exists, so a naive formulation is a cross join; instead both

@@ -70,6 +70,25 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveSaltedJoin: identical to plain join whether keys are hot, cold, or mixed") {
+    // k0 is hot (120 rows), k1/k2 light (40 each); k9 unmatched on big side.
+    val big = (0L until 200L).map { i =>
+      val k = if (i < 120) "k0" else s"k${1 + (i % 2)}"
+      (i, k, i * 1.5)
+    }.toDF("id", "key", "v")
+    val small = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k9", "unmatched"))
+      .toDF("key", "tag")
+    val plain = big.join(small, Seq("key")).select("id", "tag")
+      .as[(Long, String)].collect().toSet
+    // threshold 50: only k0 salted; threshold 1: everything salted;
+    // threshold 10000: nothing salted (degenerates to a plain join)
+    Seq(1L, 50L, 10000L).foreach { thr =>
+      val got = Joins.adaptiveSaltedJoin(big, small, Seq("key"), salts = 8, hotThreshold = thr)
+        .select("id", "tag").as[(Long, String)].collect().toSet
+      assert(got === plain, s"hotThreshold=$thr")
+    }
+  }
+
   test("rangeJoinByBucket: empty intervals match nothing") {
     val intervals = Seq((1L, 10L, 10L), (2L, 10L, 11L)).toDF("iv_id", "s", "e")
     val points = Seq(10L).toDF("p")
