@@ -32,9 +32,16 @@ object GraftFunctions {
     (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       FloatArrayDot(exprs(0), exprs(1)))
 
-  /** Register graft SQL functions on a live session. */
+  /** Register graft SQL functions on a live session. Alongside the native
+    * expression, the mergeable sketch aggregators are exposed as SQL UDAFs
+    * at a fixed default capacity (SQL has no type-level parameters;
+    * Scala callers size them per call site via `functions.udaf`). */
   def register(spark: SparkSession): Unit = {
     val (ident, info, builder) = floatArrayDot
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    spark.udf.register("mg_candidates",
+      org.apache.spark.sql.functions.udaf(new graft.functions.MisraGriesAggregator(256)))
+    spark.udf.register("kmv_sketch",
+      org.apache.spark.sql.functions.udaf(new graft.functions.KmvAggregator(256)))
   }
 }

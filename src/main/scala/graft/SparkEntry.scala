@@ -633,6 +633,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Bounded per-group top-k as a MERGEABLE AGGREGATION (TopKAggregator):
+    // map-side combine cuts each (group, partition) to k rows before the
+    // shuffle — vs the window form that shuffles and sorts every row
+    // (q_events_topk_users keeps the global TakeOrdered witness)
+    "q_topk_per_key" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udaf
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top.items")).as(Seq("p", "item")))
+        .select(col("event_type"), (col("p") + 1).cast("long").as("rnk"),
+          col("item.id").as("event_id"), col("item.ord").as("value"))
+        .orderBy("event_type", "rnk")
+    }),
+
     // KMV sketch set algebra: cross-source user-set overlap (union /
     // intersection / Jaccard) from two O(k) sketches alone — the full sets
     // never co-shuffle; k=64 < |users| so the estimator path is exercised
@@ -2226,6 +2242,16 @@ object SparkEntry {
         |  adev <= 3.0 * mads.mad AS keep
         |FROM dev JOIN mads ON dev.lang = mads.lang
         |ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_key" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+        |  FROM events)
+        |SELECT event_type, rnk, event_id, value
+        |FROM r WHERE rnk <= 3
+        |ORDER BY event_type, rnk""".stripMargin,
 
     "q_kmv_jaccard" ->
       """WITH ha AS (

@@ -17,4 +17,18 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT float_array_dot(a, a) FROM vecs").as[Double].head() === 14.0)
   }
+
+  test("sketch UDAFs usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    (Seq.fill(50)("hot") ++ (1 to 5).map(i => s"rare$i")).toDF("w")
+      .createOrReplaceTempView("words")
+    val cands = spark.sql("SELECT mg_candidates(w).keys AS ks FROM words")
+      .as[Seq[String]].head()
+    assert(cands.contains("hot"))
+    (1L to 300L).toDF("id").createOrReplaceTempView("ids")
+    val est = spark.sql(
+      "SELECT kmv_sketch(pmod(id * 2654435761, 2147483647)) AS e FROM ids")
+      .as[Double].head()
+    assert(est > 150.0 && est < 600.0, s"KMV estimate off: $est")
+  }
 }

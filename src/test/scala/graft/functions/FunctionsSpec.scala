@@ -327,6 +327,27 @@ class FunctionsSpec extends SparkSpec {
       .count() === 3L)
   }
 
+  test("TopK aggregator: equals the window top-k, partition-invariant, duplicate-safe") {
+    import org.apache.spark.sql.functions.udaf
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 500L).map(i => (s"g${i % 3}", i, ((i * 37) % 101).toDouble))
+    // duplicate ord values across ids exercise the tie-break
+    val df = (rows ++ rows.take(10)).toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val expected = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("g", "rnk", "id", "v")
+      .as[(String, Int, Long, Double)].collect().toSet
+    for (p <- Seq(1, 7)) {
+      val topk = udaf(new TopKAggregator(5))
+      val got = df.repartition(p).groupBy("g").agg(topk(col("v"), col("id")).as("top"))
+        .select(col("g"), posexplode(col("top.items")).as(Seq("p", "item")))
+        .select(col("g"), (col("p") + 1).cast("int").as("rnk"),
+          col("item.id"), col("item.ord"))
+        .as[(String, Int, Long, Double)].collect().toSet
+      assert(got === expected, s"partitions=$p")
+    }
+  }
+
   test("KMV aggregator: exact when under-filled, merge is partition-invariant") {
     import org.apache.spark.sql.functions.udaf
     val kmv = udaf(new KmvAggregator(64))
