@@ -213,6 +213,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("q_topk_per_key aggregates with partial (map-side) combine, no window sort") {
+    // The whole point of TopKAggregator: two ObjectHashAggregate stages
+    // (partial + final) and NO Window operator.
+    val plan = planOf("q_topk_per_key")
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(plan).length >= 2, plan.take(800))
+    assert(!plan.contains("Window"), "top-k must not fall back to a window sort")
+  }
+
+  test("q_repeated_ngrams joins on shingle keys — never a cross product") {
+    val plan = planOf("q_repeated_ngrams")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
