@@ -821,6 +821,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Canonical text normalization (lower + accent fold + whitespace
+    // collapse) and the dedup key it produces — narrow map, zero shuffles
+    "q_text_normalize" -> ((s, dir) => {
+      val norm = graft.functions.TextAnalysis.normalizeText(col("text"))
+      pq(s, dir, "documents")
+        .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Substring-level dedup signal: per-doc fraction of 8-gram positions
     // whose n-gram recurs in other documents (the suffix-array pass of
     // "Deduplicating Training Data" as corpus-wide group-bys)
@@ -2293,6 +2302,18 @@ object SparkEntry {
         |  round(CAST(quantile_disc(value, 0.9) AS DOUBLE), 6) AS p90,
         |  round(CAST(quantile_disc(value, 0.99) AS DOUBLE), 6) AS p99
         |FROM events""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      translate(lower(text),
+        |        'àáâãäåèéêëìíîïòóôõöùúûüçñý',
+        |        'aaaaaaeeeeiiiiooooouuuucny'),
+        |      '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, md5(norm_text) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_repeated_ngrams" ->
       """WITH toks AS (

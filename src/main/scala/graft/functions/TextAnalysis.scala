@@ -18,6 +18,22 @@ object TextAnalysis {
   /** Whitespace tokenization (split on runs of whitespace). */
   def words(text: Column): Column = split(text, "\\s+")
 
+  /** Accent-fold mapping (public Latin-1/Latin-Extended folds, 1:1 — the
+    * subset `translate` can express; both engines apply it identically). */
+  private val AccentFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñý"
+  private val AccentTo = "aaaaaaeeeeiiiiooooouuuucny"
+
+  /** Canonical text normalization for dedup keys and matching: lowercase,
+    * fold accents (fixed 1:1 mapping), collapse whitespace runs, trim.
+    * Pure narrow map (no shuffle); the canonical form every exact-dedup /
+    * join-on-text pass should key on, so "Café  Noir" and "cafe noir"
+    * collapse. Deliberately NOT locale-sensitive (no Turkish-İ, no ß
+    * expansion — 1:1 folds only) so Spark and the DuckDB oracle agree
+    * byte-for-byte. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      translate(lower(text), AccentFrom, AccentTo), "\\s+", " "))
+
   def wordCount(text: Column): Column = size(words(text))
 
   /** BPE-ish subword count: greedy 1-3 char alnum chunks — a deterministic,

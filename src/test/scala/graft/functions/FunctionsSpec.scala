@@ -299,6 +299,16 @@ class FunctionsSpec extends SparkSpec {
     assert(got(4L)._1 === false && got(4L)._2.contains("high_punct"))
   }
 
+  test("normalizeText: case, accents and whitespace collapse to one canonical form") {
+    val got = Seq("  Café\t\tNOIR  ", "cafe noir", "CAFÉ  noir", "àéîõü")
+      .toDF("t").select(TextAnalysis.normalizeText(col("t")).as("n"))
+      .as[String].collect()
+    assert(got(0) === "cafe noir")
+    assert(got(1) === "cafe noir")
+    assert(got(2) === "cafe noir")
+    assert(got(3) === "aeiou")
+  }
+
   test("text analysis: tokenization and langid are deterministic and sane") {
     val df = Seq((1L, "the cat and the dog of the house")).toDF("doc_id", "text")
     val hits = TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords.head._2)
