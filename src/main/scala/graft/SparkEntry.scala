@@ -35,6 +35,11 @@ object SparkEntry {
   private def cosSql(a: String, b: String, dims: Int): String =
     s"round((${dotSql(a, b, dims)}) / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)})), 6)"
 
+  /** Subrange dot chain for PQ oracles: 1-based list offsets. */
+  private def pqSubDot(a: String, b: String, offA: Int, offB: Int, d0: Int): String =
+    (1 to d0).map(i => s"CAST($a[${offA + i}] AS DOUBLE) * CAST($b[${offB + i}] AS DOUBLE)")
+      .mkString(" + ")
+
   private def bucketSql(v: String, bits: Int): String =
     (1 to bits).map(i => s"CASE WHEN CAST($v[$i] AS DOUBLE) >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
       .mkString(" + ")
@@ -765,6 +770,25 @@ object SparkEntry {
       graft.functions.Similarity.embeddingDupPairsBucketed(
         pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
         .orderBy("id_a", "id_b")),
+
+    // Product-quantization encoding: 64-dim float vectors -> 8 byte codes
+    // (32x ANN memory compression; broadcast codebooks, partial-aggregable
+    // argmin, pinned pivot — corpus never self-joins or window-shuffles)
+    "q_pq_encode" -> ((s, dir) =>
+      graft.functions.Similarity.pqEncode(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, m = 8, ksub = 16)
+        .orderBy("vec_id")),
+
+    // PQ asymmetric-distance search: full-precision queries against the
+    // 8-byte codes via a broadcast m x ksub distance table — the scoring
+    // loop of a compressed billion-vector index
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      graft.functions.Similarity.pqAdcTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dims = 64, m = 8, ksub = 16, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
 
     // SemDeDup-style semantic dedup: coarse-quantizer cluster assignment
     // (broadcast argmax, no corpus shuffle) + within-cluster cosine pairs —
@@ -2166,6 +2190,84 @@ object SparkEntry {
          |  FROM a JOIN b ON a.bucket = b.bucket WHERE id_a < id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pq_encode" -> {
+      val d0 = 8
+      val codeCtes = (0 until 8).map { s =>
+        val off = s * d0
+        s"""code_$s AS (
+           |  SELECT vec_id, cb_id AS code FROM (
+           |    SELECT c.vec_id, t.cb_id,
+           |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+           |        round((${pqSubDot("cv", "cv", off, off, d0)})
+           |          + (${pqSubDot("cbv", "cbv", off, off, d0)})
+           |          - 2.0 * (${pqSubDot("cv", "cbv", off, off, d0)}), 6),
+           |        cb_id) AS rnk
+           |    FROM c CROSS JOIN cents t) r WHERE rnk = 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until 8)
+        .map(s => s"JOIN code_$s c$s ON c.vec_id = c$s.vec_id").mkString("\n")
+      val outs = (0 until 8).map(s => s"c$s.code AS code_$s").mkString(", ")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cb_id, embedding AS cbv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |$codeCtes
+         |SELECT c.vec_id, $outs
+         |FROM c
+         |$joins
+         |ORDER BY c.vec_id""".stripMargin
+    },
+
+    "q_pq_adc" -> {
+      val d0 = 8
+      val codeCtes = (0 until 8).map { s =>
+        val off = s * d0
+        s"""code_$s AS (
+           |  SELECT vec_id, cb_id AS code FROM (
+           |    SELECT c.vec_id, t.cb_id,
+           |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+           |        round((${pqSubDot("cv", "cv", off, off, d0)})
+           |          + (${pqSubDot("cbv", "cbv", off, off, d0)})
+           |          - 2.0 * (${pqSubDot("cv", "cbv", off, off, d0)}), 6),
+           |        cb_id) AS rnk
+           |    FROM c CROSS JOIN cents t) r WHERE rnk = 1)""".stripMargin
+      }.mkString(",\n")
+      val meltCodes = (0 until 8)
+        .map(s => s"SELECT vec_id, $s AS s, code FROM code_$s").mkString(" UNION ALL ")
+      val dtCtes = (0 until 8).map { s =>
+        val off = s * d0
+        s"""dt_$s AS (
+           |  SELECT q.vec_id AS query_id, t.cb_id,
+           |    CAST(round(((${pqSubDot("qv", "qv", off, off, d0)})
+           |      + (${pqSubDot("cbv", "cbv", off, off, d0)})
+           |      - 2.0 * (${pqSubDot("qv", "cbv", off, off, d0)})) * 1e6, 0) AS BIGINT) AS pd_fp
+           |  FROM qc q CROSS JOIN cents t)""".stripMargin
+      }.mkString(",\n")
+      val meltDt = (0 until 8)
+        .map(s => s"SELECT query_id, $s AS s, cb_id, pd_fp FROM dt_$s").mkString(" UNION ALL ")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cb_id, embedding AS cbv
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |qc AS (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |$codeCtes,
+         |$dtCtes,
+         |mc AS ($meltCodes),
+         |dt AS ($meltDt),
+         |agg AS (
+         |  SELECT dt.query_id, mc.vec_id, CAST(sum(dt.pd_fp) AS BIGINT) AS fp
+         |  FROM mc JOIN dt ON mc.s = dt.s AND mc.code = dt.cb_id
+         |  WHERE mc.vec_id <> dt.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id, round(CAST(fp AS DOUBLE) / 1e6, 6) AS adc_dist,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY fp, vec_id) AS BIGINT) AS rnk
+         |  FROM agg)
+         |SELECT query_id, vec_id, adc_dist, rnk FROM ranked WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+    },
 
     "q_semantic_dedup" ->
       s"""WITH cents AS (

@@ -211,6 +211,98 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Product-quantization encoding (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): each vector splits into
+    * `m` subvectors of dims/m; per subspace a codebook of `ksub` codewords
+    * (deterministic: the subvectors of the ksub lowest-id corpus vectors,
+    * standing in for k-means-trained codebooks exactly like [[ivfTopK]]'s
+    * coarse quantizer); encode = argmin-L2 codeword id per subspace. A
+    * 64-dim float vector (256 B) becomes m=8 byte codes — the 32× memory
+    * compression that lets a billion-vector index live in RAM, with
+    * [[ivfTopK]] routing and asymmetric-distance scoring on top.
+    *
+    * Dataflow: corpus explodes into m subvector rows (narrow), the m×ksub
+    * codeword table broadcasts, the L2 argmin is a partial-aggregable
+    * max-of-struct groupBy(vec, subspace), and codes pivot back to one row
+    * per vector (pinned subspace list — schema never data-dependent). The
+    * corpus is never shuffled by a window and never joined to itself.
+    * L2² is computed as |a|² + |b|² − 2ab from three fixed-order dot
+    * chains, rounded to 6 — bit-identical in the DuckDB oracle. */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must split evenly into m ($m) subspaces")
+    val d0 = dims / m
+    def subs(vec: Column, outName: String): Column = explode(array(
+      (0 until m).map(s => struct(lit(s).as("s"),
+        slice(vec, s * d0 + 1, d0).as(outName))): _*))
+    val cents = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("cb_id"), col(vecCol).as("cbv"))
+      .select(col("cb_id"), subs(col("cbv"), "cw").as("x"))
+      .select(col("cb_id"), col("x.s").as("s"), col("x.cw").as("cw"))
+      .withColumn("cw2", ArrayDot.floatDot(col("cw"), col("cw")))
+    val sub = corpus.select(col(idCol).as("vec_id"), subs(col(vecCol), "sv").as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+      .withColumn("sv2", ArrayDot.floatDot(col("sv"), col("sv")))
+    val coded = sub.join(broadcast(cents), Seq("s"))
+      .withColumn("d2", round(
+        col("sv2") + col("cw2") - lit(2.0) * ArrayDot.floatDot(col("sv"), col("cw")), 6))
+      .groupBy("vec_id", "s")
+      .agg(max(struct((-col("d2")).as("nd"), (-col("cb_id")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("s"), (-col("best.nid")).cast("long").as("code"))
+    coded.groupBy("vec_id")
+      .pivot("s", (0 until m).map(_.toString))
+      .agg(first(col("code")))
+      .select(col("vec_id") +: (0 until m).map(s => col(s.toString).as(s"code_$s")): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
+    * corpus vectors are their [[pqEncode]] codes; per query a distance
+    * TABLE of m×ksub subspace distances is precomputed and broadcast, and
+    * each corpus vector's approximate L2² is the sum of its m looked-up
+    * entries — the scoring loop of a billion-scale PQ index, as joins and
+    * aggregates. Per-subspace distances go through fixed-point longs so
+    * the m-way sum is order-independent (partition-proof); ranking
+    * tie-breaks on vec_id. Exact-rerank on the ADC top-k' (k' > k) is the
+    * standard production refinement and composes with [[bruteForceTopK]]
+    * over the shortlist. */
+  def pqAdcTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int = 8, ksub: Int = 16, k: Int = 3): DataFrame = {
+    val d0 = dims / m
+    val codes = pqEncode(corpus, idCol, vecCol, dims, m, ksub)
+    val melted = codes.select(col("vec_id"), explode(array(
+      (0 until m).map(s => struct(lit(s).as("s"), col(s"code_$s").as("code"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.code").as("code"))
+    val cents = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("cb_id"), col(vecCol).as("cbv"))
+      .select(col("cb_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("cbv"), s * d0 + 1, d0).as("cw"))): _*)).as("x"))
+      .select(col("cb_id"), col("x.s").as("s"), col("x.cw").as("cw"))
+    val qsub = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("qv"), s * d0 + 1, d0).as("qs"))): _*)).as("x"))
+      .select(col("query_id"), col("x.s").as("s"), col("x.qs").as("qs"))
+    // Distance table: m×ksub rows per query, fixed-point micro-units.
+    val dt = qsub.join(cents, Seq("s"))
+      .select(col("query_id"), col("s"), col("cb_id"),
+        round((ArrayDot.floatDot(col("qs"), col("qs"))
+          + ArrayDot.floatDot(col("cw"), col("cw"))
+          - lit(2.0) * ArrayDot.floatDot(col("qs"), col("cw"))) * lit(1e6), 0)
+          .cast("long").as("pd_fp"))
+    melted.join(broadcast(dt),
+        melted("s") === dt("s") && melted("code") === dt("cb_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd_fp")).as("fp"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("fp").cast("double") / 1e6, 6).as("adc_dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs with a sign-bucket prefilter —
     * THE production entry point for embedding dedup: candidates = same
     * sign-bucket only (equi-join, O(N²/2^bits) work), then exact cosine

@@ -205,6 +205,71 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
   }
 
+  test("pqEncode: codes equal brute-force per-subspace argmin, ties to lowest codebook id") {
+    val data = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0.9f, 0.1f, 0.5f, 0.5f),
+      2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0.95f, 0.05f, 0.4f, 0.6f),
+      4L -> Array(-1f, 0f, 0.5f, 0.4f))
+    val df = data.toDF("vec_id", "embedding")
+    // Brute-force expectation: codebooks = subvectors of vecs 0 and 1.
+    val m = 2; val d0 = 2
+    val cents = data.take(2)
+    def d2(a: Array[Float], b: Array[Float], off: Int): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        (0 until d0).map(i => x(off + i).toDouble * y(off + i).toDouble).sum
+      BigDecimal(dot(a, a) + dot(b, b) - 2.0 * dot(a, b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = data.map { case (id, v) =>
+      val codes = (0 until m).map { s =>
+        cents.map { case (cid, cv) => (d2(v, cv, s * d0), cid) }.min._2
+      }
+      (id, codes(0), codes(1))
+    }.toSet
+    val got = Similarity.pqEncode(df, "vec_id", "embedding", dims = 4, m = 2, ksub = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("pqAdcTopK: matches brute-force ADC over the codes, partition-invariant") {
+    val data = (0L until 12L).map { i =>
+      i -> Array.tabulate(4)(j => (((i * 7 + j * 3) % 11).toFloat - 5f) / 3f)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val m = 2; val d0 = 2; val ksub = 3
+    val cents = data.take(ksub)
+    def dot(x: Array[Float], y: Array[Float], off: Int) =
+      (0 until d0).map(i => x(off + i).toDouble * y(off + i).toDouble).sum
+    def d2(a: Array[Float], b: Array[Float], off: Int) =
+      dot(a, a, off) + dot(b, b, off) - 2.0 * dot(a, b, off)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute-force: encode all vectors, then ADC per query over fixed-point sums
+    val codes = data.map { case (id, v) =>
+      id -> (0 until m).map(s => cents.minBy { case (cid, cv) => (r6(d2(v, cv, s * d0)), cid) }._1)
+    }.toMap
+    val queries = data.take(2)
+    val expected = queries.flatMap { case (qid, qv) =>
+      val scored = data.filter(_._1 != qid).map { case (vid, _) =>
+        val fp = (0 until m).map { s =>
+          val cw = cents.find(_._1 == codes(vid)(s)).get._2
+          math.round(d2(qv, cw, s * d0) * 1e6)
+        }.sum
+        (vid, fp)
+      }.sortBy { case (vid, fp) => (fp, vid) }.take(3)
+      scored.zipWithIndex.map { case ((vid, fp), i) =>
+        (qid, vid, r6(fp.toDouble / 1e6), (i + 1).toLong)
+      }
+    }.toSet
+    for (p <- Seq(1, 5)) {
+      val got = Similarity.pqAdcTopK(df.repartition(p), df.filter($"vec_id" < 2),
+        "vec_id", "embedding", dims = 4, m = m, ksub = ksub, k = 3)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got === expected, s"partitions=$p")
+    }
+  }
+
   test("semanticDedupPairs: pairs only within a cluster, subset of exact pairs") {
     // 6 vectors, nlist=2 -> centroids are vecs 0 and 1 (orthogonal axes).
     // 0,2,3 cluster on centroid 0; 1,4 on centroid 1; 5 sits opposite
