@@ -40,6 +40,57 @@ object SparkEntry {
     (1 to d0).map(i => s"CAST($a[${offA + i}] AS DOUBLE) * CAST($b[${offB + i}] AS DOUBLE)")
       .mkString(" + ")
 
+  /** Shared CTE chain for the PQ/ADC oracles (encode + distance tables +
+    * ADC aggregation, through `ranked`). m=8, d0=8, ksub=16, queries =
+    * vec_id < 5 — mirrors the q_pq_* Spark parameters. */
+  private lazy val pqAdcCtes: String = {
+    val d0 = 8
+    val codeCtes = (0 until 8).map { s =>
+      val off = s * d0
+      s"""code_$s AS (
+         |  SELECT vec_id, cb_id AS code FROM (
+         |    SELECT c.vec_id, t.cb_id,
+         |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |        round((${pqSubDot("cv", "cv", off, off, d0)})
+         |          + (${pqSubDot("cbv", "cbv", off, off, d0)})
+         |          - 2.0 * (${pqSubDot("cv", "cbv", off, off, d0)}), 6),
+         |        cb_id) AS rnk
+         |    FROM c CROSS JOIN cents t) r WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    val meltCodes = (0 until 8)
+      .map(s => s"SELECT vec_id, $s AS s, code FROM code_$s").mkString(" UNION ALL ")
+    val dtCtes = (0 until 8).map { s =>
+      val off = s * d0
+      s"""dt_$s AS (
+         |  SELECT q.vec_id AS query_id, t.cb_id,
+         |    CAST(round(((${pqSubDot("qv", "qv", off, off, d0)})
+         |      + (${pqSubDot("cbv", "cbv", off, off, d0)})
+         |      - 2.0 * (${pqSubDot("qv", "cbv", off, off, d0)})) * 1e6, 0) AS BIGINT) AS pd_fp
+         |  FROM qc q CROSS JOIN cents t)""".stripMargin
+    }.mkString(",\n")
+    val meltDt = (0 until 8)
+      .map(s => s"SELECT query_id, $s AS s, cb_id, pd_fp FROM dt_$s").mkString(" UNION ALL ")
+    s"""cents AS (
+       |  SELECT vec_id AS cb_id, embedding AS cbv
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+       |qc AS (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |$codeCtes,
+       |$dtCtes,
+       |mc AS ($meltCodes),
+       |dt AS ($meltDt),
+       |agg AS (
+       |  SELECT dt.query_id, mc.vec_id, CAST(sum(dt.pd_fp) AS BIGINT) AS fp
+       |  FROM mc JOIN dt ON mc.s = dt.s AND mc.code = dt.cb_id
+       |  WHERE mc.vec_id <> dt.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, round(CAST(fp AS DOUBLE) / 1e6, 6) AS adc_dist,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY fp, vec_id) AS BIGINT) AS rnk
+       |  FROM agg)""".stripMargin
+  }
+
   private def bucketSql(v: String, bits: Int): String =
     (1 to bits).map(i => s"CASE WHEN CAST($v[$i] AS DOUBLE) >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
       .mkString(" + ")
@@ -787,6 +838,29 @@ object SparkEntry {
       graft.functions.Similarity.pqAdcTopK(
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         dims = 64, m = 8, ksub = 16, k = 3)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // The standard compressed-index production path: ADC shortlist (k'=10,
+    // byte codes only) -> exact cosine rerank of the shortlist (k=3).
+    // Exact vectors are fetched for 10 rows per query, not the corpus.
+    "q_pq_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = pq(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val short = graft.functions.Similarity.pqAdcTopK(
+        emb, queries, "vec_id", "embedding", dims = 64, m = 8, ksub = 16, k = 10)
+        .select("query_id", "vec_id")
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      short
+        .join(emb.select(col("vec_id"), col("embedding").as("cv")), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos_sim", graft.functions.Similarity.cosineExpr("qv", "cv", 64))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc))
+          .cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
         .orderBy("query_id", "rnk")
     }),
 
@@ -2219,55 +2293,26 @@ object SparkEntry {
          |ORDER BY c.vec_id""".stripMargin
     },
 
-    "q_pq_adc" -> {
-      val d0 = 8
-      val codeCtes = (0 until 8).map { s =>
-        val off = s * d0
-        s"""code_$s AS (
-           |  SELECT vec_id, cb_id AS code FROM (
-           |    SELECT c.vec_id, t.cb_id,
-           |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-           |        round((${pqSubDot("cv", "cv", off, off, d0)})
-           |          + (${pqSubDot("cbv", "cbv", off, off, d0)})
-           |          - 2.0 * (${pqSubDot("cv", "cbv", off, off, d0)}), 6),
-           |        cb_id) AS rnk
-           |    FROM c CROSS JOIN cents t) r WHERE rnk = 1)""".stripMargin
-      }.mkString(",\n")
-      val meltCodes = (0 until 8)
-        .map(s => s"SELECT vec_id, $s AS s, code FROM code_$s").mkString(" UNION ALL ")
-      val dtCtes = (0 until 8).map { s =>
-        val off = s * d0
-        s"""dt_$s AS (
-           |  SELECT q.vec_id AS query_id, t.cb_id,
-           |    CAST(round(((${pqSubDot("qv", "qv", off, off, d0)})
-           |      + (${pqSubDot("cbv", "cbv", off, off, d0)})
-           |      - 2.0 * (${pqSubDot("qv", "cbv", off, off, d0)})) * 1e6, 0) AS BIGINT) AS pd_fp
-           |  FROM qc q CROSS JOIN cents t)""".stripMargin
-      }.mkString(",\n")
-      val meltDt = (0 until 8)
-        .map(s => s"SELECT query_id, $s AS s, cb_id, pd_fp FROM dt_$s").mkString(" UNION ALL ")
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cb_id, embedding AS cbv
-         |  FROM embeddings ORDER BY vec_id LIMIT 16),
-         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
-         |qc AS (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |$codeCtes,
-         |$dtCtes,
-         |mc AS ($meltCodes),
-         |dt AS ($meltDt),
-         |agg AS (
-         |  SELECT dt.query_id, mc.vec_id, CAST(sum(dt.pd_fp) AS BIGINT) AS fp
-         |  FROM mc JOIN dt ON mc.s = dt.s AND mc.code = dt.cb_id
-         |  WHERE mc.vec_id <> dt.query_id
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, vec_id, round(CAST(fp AS DOUBLE) / 1e6, 6) AS adc_dist,
-         |    CAST(row_number() OVER (
-         |      PARTITION BY query_id ORDER BY fp, vec_id) AS BIGINT) AS rnk
-         |  FROM agg)
+    "q_pq_adc" ->
+      s"""WITH $pqAdcCtes
          |SELECT query_id, vec_id, adc_dist, rnk FROM ranked WHERE rnk <= 3
-         |ORDER BY query_id, rnk""".stripMargin
-    },
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_pq_rerank" ->
+      s"""WITH $pqAdcCtes,
+         |short AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 10),
+         |scored AS (
+         |  SELECT s.query_id, s.vec_id, ${cosSql("qv", "cv", 64)} AS cos_sim
+         |  FROM short s
+         |  JOIN c ON s.vec_id = c.vec_id
+         |  JOIN qc ON s.query_id = qc.vec_id),
+         |rr AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rnk FROM rr WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""WITH cents AS (

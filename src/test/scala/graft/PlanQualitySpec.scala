@@ -227,6 +227,19 @@ class PlanQualitySpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("q_pq_encode broadcasts codebooks; the corpus never sort-merge-joins") {
+    val plan = planOf("q_pq_encode")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+  }
+
+  test("q_pq_adc looks distances up via broadcast table, corpus side stays keyed") {
+    val plan = planOf("q_pq_adc")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
