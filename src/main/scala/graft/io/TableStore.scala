@@ -65,7 +65,8 @@ class ParquetTableStore(
       "staging" -> Seq("staging_job_id"),
       "issues" -> Seq("issues_job_id"),
       "issue_items" -> Seq("issues_job_id"),
-      "contacts" -> Seq("contacts_user_id"))
+      "contacts" -> Seq("contacts_user_id")),
+    keepSnapshots: Int = 0
 ) extends TableStore {
 
   private def dir(table: String) = s"$root/$table"
@@ -75,6 +76,48 @@ class ParquetTableStore(
   override def exists(table: String): Boolean = fs.exists(new Path(dir(table)))
 
   override def load(table: String): DataFrame = spark.read.parquet(dir(table))
+
+  // ---- bounded snapshot history (whole-table swap path) -----------------
+  // With keepSnapshots > 0, `overwrite`/`overwriteAll` archive the replaced
+  // table directory under _history/<table>/v<NNN> instead of deleting it —
+  // a RENAME, so archiving costs zero data movement regardless of table
+  // size — and prune to the newest `keepSnapshots`. The rollback /
+  // yesterday's-pipeline-output debugging primitive; full per-commit time
+  // travel over partition commits needs a manifest log (Delta/Iceberg
+  // territory) and is out of scope, so overwritePartitionsAll is
+  // deliberately NOT versioned.
+
+  private def historyDir(table: String) = new Path(s"$root/_history/$table")
+
+  private def snapshotVersions(table: String): Seq[(Long, Path)] = {
+    val h = historyDir(table)
+    if (!fs.exists(h)) Seq.empty
+    else fs.listStatus(h).filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        val n = p.getName
+        if (n.startsWith("v")) n.drop(1).toLongOption.map(_ -> p) else None
+      }.sortBy(_._1).toSeq
+  }
+
+  /** Load the snapshot `back` overwrites ago (1 = the state the latest
+    * overwrite replaced). Throws if that much history doesn't exist. */
+  def loadSnapshot(table: String, back: Int = 1): DataFrame = {
+    val versions = snapshotVersions(table)
+    require(back >= 1 && back <= versions.length,
+      s"no snapshot $back back for $table (history depth ${versions.length})")
+    spark.read.parquet(versions(versions.length - back)._2.toString)
+  }
+
+  private def archiveOrDelete(table: String, target: Path): Unit =
+    if (keepSnapshots <= 0) fs.delete(target, true)
+    else {
+      val versions = snapshotVersions(table)
+      val next = versions.lastOption.map(_._1 + 1).getOrElse(0L)
+      if (!fs.exists(historyDir(table))) fs.mkdirs(historyDir(table))
+      fs.rename(target, new Path(historyDir(table), f"v$next%06d"))
+      val all = snapshotVersions(table)
+      all.dropRight(keepSnapshots).foreach { case (_, p) => fs.delete(p, true) }
+    }
 
   private def writeTmp(table: String, df: DataFrame): Path = {
     val tmp = new Path(dir(table) + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
@@ -88,7 +131,7 @@ class ParquetTableStore(
 
   private def swap(table: String, tmp: Path): Unit = {
     val target = new Path(dir(table))
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(target)) archiveOrDelete(table, target)
     fs.rename(tmp, target)
   }
 

@@ -38,6 +38,25 @@ class CompactionSpec extends SparkSpec {
     assert(store.load("staging").as[(String, String)].collect().toSet === before)
   }
 
+  test("snapshot history: overwrites archive by rename, prune to keepSnapshots, loadSnapshot reads back") {
+    val root = java.nio.file.Files.createTempDirectory("snap").toString
+    val store = new ParquetTableStore(spark, root, partitionByCols = Map.empty,
+      keepSnapshots = 2)
+    (1 to 4).foreach { i =>
+      store.overwrite("jobs", Seq((i.toLong, s"gen$i")).toDF("id", "name"))
+    }
+    // current = gen4; history holds gen3 (back=1) and gen2 (back=2); gen1 pruned
+    assert(store.load("jobs").as[(Long, String)].head() === ((4L, "gen4")))
+    assert(store.loadSnapshot("jobs", 1).as[(Long, String)].head() === ((3L, "gen3")))
+    assert(store.loadSnapshot("jobs", 2).as[(Long, String)].head() === ((2L, "gen2")))
+    intercept[IllegalArgumentException] { store.loadSnapshot("jobs", 3) }
+    // default keepSnapshots=0 keeps no history (delete, not archive)
+    val plain = new ParquetTableStore(spark, root + "2", partitionByCols = Map.empty)
+    plain.overwrite("jobs", Seq((1L, "a")).toDF("id", "name"))
+    plain.overwrite("jobs", Seq((2L, "b")).toDF("id", "name"))
+    intercept[IllegalArgumentException] { plain.loadSnapshot("jobs", 1) }
+  }
+
   test("compact handles unpartitioned tables and respects targetFileBytes") {
     val root = java.nio.file.Files.createTempDirectory("compact2").toString
     val store = new ParquetTableStore(spark, root, partitionByCols = Map.empty)
