@@ -919,6 +919,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact per-language feature correlation from ALGEBRAIC INTEGER sums
+    // (n, Sx, Sy, Sxx, Syy, Sxy — all exact longs, one mergeable pass;
+    // the float formula runs once per group, so the result is bit-identical
+    // on any partitioning and in the oracle — no approximate corr())
+    "q_feature_corr" -> ((s, dir) => {
+      val d = pq(s, dir, "documents").select(col("lang"),
+        col("n_chars").cast("long").as("x"),
+        graft.functions.TextAnalysis.wordCount(col("text")).cast("long").as("y"))
+      d.groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+        .select(col("lang"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("corr_chars_words"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic training-shard plan: content-hash shard assignment +
+    // within-shard pseudo-random order — the reproducible data-ordering
+    // contract for training runs (same plan on any cluster layout)
+    "q_shard_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shard = pmod(conv(substring(md5(
+        concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(8L))
+      val orderKey = substring(md5(
+        concat(lit("order:"), col("doc_id").cast("string"))), 1, 16)
+      pq(s, dir, "documents")
+        .select(col("doc_id"), shard.as("shard"), orderKey.as("order_key"))
+        .withColumn("position", row_number().over(
+          Window.partitionBy("shard").orderBy(col("order_key"), col("doc_id")))
+          .cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical text normalization (lower + accent fold + whitespace
     // collapse) and the dedup key it produces — narrow map, zero shuffles
     "q_text_normalize" -> ((s, dir) => {
@@ -2449,6 +2488,34 @@ object SparkEntry {
         |  round(CAST(quantile_disc(value, 0.9) AS DOUBLE), 6) AS p90,
         |  round(CAST(quantile_disc(value, 0.99) AS DOUBLE), 6) AS p99
         |FROM events""".stripMargin,
+
+    "q_feature_corr" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_chars_words
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q_shard_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS shard,
+        |    substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 16) AS order_key
+        |  FROM documents)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, order_key,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY order_key, doc_id) AS BIGINT) AS position
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_normalize" ->
       """WITH n AS (
