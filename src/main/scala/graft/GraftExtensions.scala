@@ -41,7 +41,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     spark.udf.register("mg_candidates",
       org.apache.spark.sql.functions.udaf(new graft.functions.MisraGriesAggregator(256)))
-    spark.udf.register("kmv_sketch",
+    // HASHED-INPUT-ONLY, and named to say so: the KMV estimator assumes
+    // uniform hashes in [0, 2^31) — over raw values (sequential ids, say)
+    // the estimate is garbage. SQL callers pass
+    // pmod(key * 2654435761, 2147483647) (= Sketches.knuthHash).
+    spark.udf.register("kmv_sketch_hashed",
       org.apache.spark.sql.functions.udaf(new graft.functions.KmvAggregator(256)))
   }
 }

@@ -73,9 +73,14 @@ object FreqItems {
   def heavyHitters(
       df: DataFrame, keyCol: String,
       capacity: Int, minFraction: Double): DataFrame = {
-    require(minFraction * (capacity + 1) >= 1.0,
-      s"minFraction ($minFraction) below the MG recall bound 1/(capacity+1); " +
-        s"raise capacity (${capacity}) or the threshold")
+    // STRICT bound: MG only guarantees survival for freq > n/(capacity+1),
+    // while the final filter keeps cnt >= minFraction*n — at exact equality
+    // a threshold-straddling key can be evicted yet belong in the output
+    // (capacity=1, minFraction=0.5, stream a,b,a,b: candidates end empty
+    // while brute force returns both).
+    require(minFraction * (capacity + 1) > 1.0,
+      s"minFraction ($minFraction) not strictly above the MG recall bound " +
+        s"1/(capacity+1); raise capacity (${capacity}) or the threshold")
     val mg = udaf(new MisraGriesAggregator(capacity))
     val pass1 = df.agg(mg(col(keyCol)).as("c"), count(lit(1)).as("n_total"))
     val cands = pass1.select(col("n_total"), explode(col("c.keys")).as(keyCol))

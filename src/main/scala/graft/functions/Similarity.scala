@@ -228,20 +228,33 @@ object Similarity {
     * corpus is never shuffled by a window and never joined to itself.
     * L2² is computed as |a|² + |b|² − 2ab from three fixed-order dot
     * chains, rounded to 6 — bit-identical in the DuckDB oracle. */
+  /** Explode a vector column into its m subvectors: one row per subspace,
+    * as struct(s, <outName>). Shared by the PQ encode/search dataflows —
+    * the single place that owns the subspace layout. */
+  private def explodeSubvectors(
+      vec: Column, m: Int, d0: Int, outName: String): Column = explode(array(
+    (0 until m).map(s => struct(lit(s).as("s"),
+      slice(vec, s * d0 + 1, d0).as(outName))): _*))
+
+  /** The m×ksub codebook: subvectors of the ksub lowest-id corpus vectors,
+    * one row per (cb_id, s). Shared by [[pqEncode]] and [[pqAdcTopK]]. */
+  private def pqCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, d0: Int, ksub: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("cb_id"), col(vecCol).as("cbv"))
+      .select(col("cb_id"), explodeSubvectors(col("cbv"), m, d0, "cw").as("x"))
+      .select(col("cb_id"), col("x.s").as("s"), col("x.cw").as("cw"))
+
   def pqEncode(
       corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must split evenly into m ($m) subspaces")
     val d0 = dims / m
-    def subs(vec: Column, outName: String): Column = explode(array(
-      (0 until m).map(s => struct(lit(s).as("s"),
-        slice(vec, s * d0 + 1, d0).as(outName))): _*))
-    val cents = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(idCol).as("cb_id"), col(vecCol).as("cbv"))
-      .select(col("cb_id"), subs(col("cbv"), "cw").as("x"))
-      .select(col("cb_id"), col("x.s").as("s"), col("x.cw").as("cw"))
+    val cents = pqCodebook(corpus, idCol, vecCol, m, d0, ksub)
       .withColumn("cw2", ArrayDot.floatDot(col("cw"), col("cw")))
-    val sub = corpus.select(col(idCol).as("vec_id"), subs(col(vecCol), "sv").as("x"))
+    val sub = corpus
+      .select(col(idCol).as("vec_id"), explodeSubvectors(col(vecCol), m, d0, "sv").as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
       .withColumn("sv2", ArrayDot.floatDot(col("sv"), col("sv")))
     val coded = sub.join(broadcast(cents), Seq("s"))
@@ -274,14 +287,9 @@ object Similarity {
     val melted = codes.select(col("vec_id"), explode(array(
       (0 until m).map(s => struct(lit(s).as("s"), col(s"code_$s").as("code"))): _*)).as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.code").as("code"))
-    val cents = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(idCol).as("cb_id"), col(vecCol).as("cbv"))
-      .select(col("cb_id"), explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"), slice(col("cbv"), s * d0 + 1, d0).as("cw"))): _*)).as("x"))
-      .select(col("cb_id"), col("x.s").as("s"), col("x.cw").as("cw"))
+    val cents = pqCodebook(corpus, idCol, vecCol, m, d0, ksub)
     val qsub = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"), slice(col("qv"), s * d0 + 1, d0).as("qs"))): _*)).as("x"))
+      .select(col("query_id"), explodeSubvectors(col("qv"), m, d0, "qs").as("x"))
       .select(col("query_id"), col("x.s").as("s"), col("x.qs").as("qs"))
     // Distance table: m×ksub rows per query, fixed-point micro-units.
     val dt = qsub.join(cents, Seq("s"))

@@ -215,13 +215,24 @@ class ParquetTableStore(
     targets.foreach { p =>
       val files = fs.listStatus(p)
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      if (files.length > maxFilesPerPartition) {
-        val bytes = files.map(_.getLen).sum
+      val bytes = files.map(_.getLen).sum
+      // Two gates: enough files to matter AND genuinely fragmented (average
+      // file under half the target). A large healthy partition legitimately
+      // holds many target-sized files — rewriting it every run would make
+      // compaction cost proportional to table size, not fragmentation.
+      val fragmented = files.length > maxFilesPerPartition &&
+        bytes / files.length < targetFileBytes / 2
+      if (fragmented) {
         val nOut = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
-        val tmp = new Path(p.toString + ".compact-" +
-          java.util.UUID.randomUUID().toString.take(8))
-        // Read materializes fully into tmp while the source files still
-        // exist; only then is the directory swapped.
+        // Tmp lives OUTSIDE the table directory: a sibling inside it (e.g.
+        // "staging_job_id=hot.compact-x") would be picked up by partition
+        // discovery as a bogus partition if a crash strands it. The
+        // delete+rename swap below has the same (non-atomic) crash window
+        // as `swap` — a reader racing the swap can see the partition
+        // missing for an instant; acceptable for a maintenance pass run
+        // outside commit windows.
+        val tmp = new Path(root,
+          ".compact-tmp-" + java.util.UUID.randomUUID().toString.take(8))
         spark.read.parquet(p.toString).coalesce(nOut).write.parquet(tmp.toString)
         fs.delete(new Path(tmp, "_SUCCESS"), false)
         fs.delete(p, true)

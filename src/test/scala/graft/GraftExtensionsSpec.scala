@@ -27,7 +27,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cands.contains("hot"))
     (1L to 300L).toDF("id").createOrReplaceTempView("ids")
     val est = spark.sql(
-      "SELECT kmv_sketch(pmod(id * 2654435761, 2147483647)) AS e FROM ids")
+      "SELECT kmv_sketch_hashed(pmod(id * 2654435761, 2147483647)) AS e FROM ids")
       .as[Double].head()
     assert(est > 150.0 && est < 600.0, s"KMV estimate off: $est")
   }

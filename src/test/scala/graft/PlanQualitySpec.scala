@@ -193,11 +193,16 @@ class PlanQualitySpec extends SparkSpec {
     // Centroids broadcast; the pair stage is an equi-join on cent_id — a
     // NestedLoop/Cartesian would mean the O(N²) semantic join came back.
     val plan = planOf("q_semantic_dedup")
+    // Assignment: corpus x 16 broadcast centroids (BroadcastNestedLoopJoin
+    // is the correct operator for a broadcast cross join).
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       plan.take(800))
+    // Never an unbroadcast cross product anywhere.
     assert(!plan.contains("CartesianProduct"), plan.take(800))
-    assert(!plan.contains("SortMergeJoin") || plan.contains("cent_id"),
-      "pair join must be keyed on cent_id")
+    // The pair stage must be KEYED: at most the one cent_id equi-join may
+    // sort-merge (legitimate for big-big keyed joins); a second SMJ or any
+    // growth here means the O(N²) pair join came back unkeyed.
+    assert("SortMergeJoin".r.findAllIn(plan).length <= 1, plan.take(800))
   }
 
   test("q_weighted_sample shuffles once (stratum window) plus presentation sort") {

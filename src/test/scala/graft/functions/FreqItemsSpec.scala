@@ -48,9 +48,15 @@ class FreqItemsSpec extends SparkSpec {
     }
   }
 
-  test("heavyHitters rejects thresholds below the sketch recall bound") {
+  test("heavyHitters rejects thresholds at or below the sketch recall bound") {
     intercept[IllegalArgumentException] {
       FreqItems.heavyHitters(skewed, "w", capacity = 4, minFraction = 0.1)
+    }
+    // Exact equality is ALSO rejected: at minFraction == 1/(capacity+1) a
+    // key exactly at threshold can be evicted yet belong in the output
+    // (capacity=1, stream a,b,a,b -> empty candidates, brute force = both).
+    intercept[IllegalArgumentException] {
+      FreqItems.heavyHitters(skewed, "w", capacity = 1, minFraction = 0.5)
     }
   }
 }
