@@ -1,0 +1,113 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the session's new operators: each scale-shaped
+  * formulation must agree with its brute-force definition on arbitrary
+  * inputs. */
+class FunctionsPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    nd <- Gen.choose(1, 6)
+    docs <- Gen.listOfN(nd, for {
+      nt <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(nt, Gen.choose(0, 8).map(i => s"w$i"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("property: chunkDocs tiles exactly — dropping each later chunk's overlap reconstructs the doc") {
+    samples(docsGen, 8).foreach { docs =>
+      val chunkTokens = 7
+      val overlap = 2
+      val out = TextAnalysis.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens, overlap)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3) }
+      docs.foreach { case (id, text) =>
+        val chunks = out(id)
+        val rebuilt = chunks.head.split(" ").toSeq ++
+          chunks.tail.flatMap(_.split(" ").toSeq.drop(overlap))
+        assert(rebuilt === text.split("\\s+").toSeq, s"doc=$id chunks=${chunks.toSeq}")
+      }
+    }
+  }
+
+  private val groupedGen: Gen[List[(String, Long, Double)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.choose(0, 2).map(i => s"g$i")
+      v <- Gen.choose(0, 20).map(_.toDouble) // narrow range -> many ties
+    } yield (g, v))
+  } yield rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+
+  test("property: TopKAggregator equals sorted-take brute force under heavy ties") {
+    samples(groupedGen, 8).foreach { rows =>
+      val topk = udaf(new TopKAggregator(4))
+      val got = rows.toDF("g", "id", "v").repartition(5)
+        .groupBy("g").agg(topk(col("v"), col("id")).as("t"))
+        .select(col("g"), explode(col("t.items")).as("item"))
+        .select(col("g"), col("item.ord"), col("item.id"))
+        .as[(String, Double, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._3, r._2)).sortBy { case (v, id) => (-v, id) }.take(4)
+          .map { case (v, id) => (g, v, id) }
+      }.toSet
+      assert(got === expected, s"rows=$rows")
+    }
+  }
+
+  private val streamGen: Gen[List[String]] = for {
+    n <- Gen.choose(20, 120)
+    ws <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      3 -> Gen.oneOf("c1", "c2", "c3"), 4 -> Gen.choose(0, 500).map(i => s"r$i")))
+  } yield ws
+
+  test("property: heavyHitters equals brute-force threshold aggregation") {
+    samples(streamGen, 8).foreach { ws =>
+      val minFraction = 0.1
+      val capacity = 16 // 0.1 * 17 > 1 — strict recall bound holds
+      val got = FreqItems.heavyHitters(ws.toDF("w").repartition(4), "w", capacity, minFraction)
+        .select("w", "cnt").as[(String, Long)].collect().toSet
+      val n = ws.size
+      val expected = ws.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c.toDouble >= minFraction * n }.toSet
+      assert(got === expected, s"n=$n ws=${ws.take(20)}...")
+    }
+  }
+
+  test("property: weightedSampleTopK is exactly replicable from its published formula") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(stratum: String, id: Long): Double = {
+      val hex = md.digest(s"graft:$stratum:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rowsGen = for {
+      n <- Gen.choose(5, 50)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("a", "b"); w <- Gen.choose(1, 500)
+      } yield (s, w.toDouble))
+    } yield rows.zipWithIndex.map { case ((s, w), i) => (i.toLong, s, w) }
+    samples(rowsGen, 8).foreach { rows =>
+      val k = 5
+      val got = Sampling.weightedSampleTopK(rows.toDF("id", "stratum", "w").repartition(3),
+        "id", "stratum", "w", k)
+        .select("id").as[Long].collect().toSet
+      val expected = rows.groupBy(_._2).flatMap { case (s, rs) =>
+        rs.map { case (id, _, w) => (id, r6(math.log(u(s, id)) / math.max(w, 1e-9))) }
+          .sortBy { case (id, key) => (-key, id) }.take(k).map(_._1)
+      }.toSet
+      assert(got === expected, s"rows=$rows")
+    }
+  }
+}
