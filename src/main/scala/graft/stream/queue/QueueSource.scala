@@ -62,9 +62,12 @@ class QueueSourceProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
+    // Spark's convention is case-insensitive source options; a raw map
+    // lookup would silently drop .option("maxfilespertrigger", ...).
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
     require(path != null && path.nonEmpty, "graft-queue requires a directory path")
-    val maxFiles = Option(properties.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
     maxFiles.foreach(m => require(m > 0, s"maxFilesPerTrigger must be > 0, got $m"))
     new QueueTable(path, maxFiles)
   }
@@ -86,12 +89,16 @@ class QueueTable(dir: String, maxFilesPerTrigger: Option[Int] = None)
     }
 }
 
-/** Offset = the lexicographically greatest message name claimed so far
-  * ("" before any). Monotonic by the producer naming contract. */
-case class QueueOffset(last: String) extends Offset {
+/** Offset = (lexicographically greatest message name claimed so far — ""
+  * before any — monotonic by the producer naming contract) + an epoch
+  * counter. The counter lets the offset ADVANCE when only late low-sorting
+  * names (producer clock skew) are pending: Spark constructs a batch only
+  * on offset change, so without it a late message would starve until
+  * unrelated fresh traffic arrived. */
+case class QueueOffset(last: String, epoch: Long = 0L) extends Offset {
   override def json(): String = {
     val esc = last.replace("\\", "\\\\").replace("\"", "\\\"")
-    s"""{"last":"$esc"}"""
+    s"""{"last":"$esc","epoch":$epoch}"""
   }
 }
 
@@ -114,6 +121,10 @@ class QueueMicroBatchStream(
     * regresses the offset. */
   @volatile private var maxSeen: String = ""
 
+  /** Monotonic epoch counter (see [[QueueOffset]]); restored from the
+    * checkpointed offset on restart via deserializeOffset. */
+  @volatile private var curEpoch: Long = 0L
+
   /** Per-epoch claim records (SQS receipt-handle analog): one file per
     * epoch, named by the epoch's end offset, listing the message names
     * actually PLANNED into it. `commit` acks exactly these — a name that
@@ -125,14 +136,26 @@ class QueueMicroBatchStream(
   private val claimsPath = new Path(checkpointLocation, "graft-claims")
   private def claimsFs = claimsPath.getFileSystem(hadoopConf)
 
-  private def writeClaim(hi: String, names: Seq[String]): Unit = {
+  /** Claim files are keyed by zero-padded epoch number — lexicographic
+    * order IS numeric order, and a replayed epoch reuses its number. */
+  private def claimName(epoch: Long): String = f"$epoch%020d"
+
+  private def writeClaim(epoch: Long, names: Seq[String]): Unit = {
     val cfs = claimsFs
     cfs.mkdirs(claimsPath)
-    val tmp = new Path(claimsPath, s".$hi.tmp")
+    val target = new Path(claimsPath, claimName(epoch))
+    val tmp = new Path(claimsPath, s".${claimName(epoch)}.tmp")
     val out = cfs.create(tmp, true)
     try out.write(names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    cfs.rename(tmp, new Path(claimsPath, hi))
+    // rename-onto-existing returns false on HDFS-like filesystems (a
+    // replayed epoch overwriting its stale claim) — silently ignoring it
+    // would leave the old claim in place and re-deliver swept files.
+    if (!cfs.rename(tmp, target)) {
+      cfs.delete(target, false)
+      if (!cfs.rename(tmp, target))
+        throw new java.io.IOException(s"graft-queue: cannot write claim $target")
+    }
   }
 
   private def readClaim(p: Path): Seq[String] = {
@@ -148,15 +171,15 @@ class QueueMicroBatchStream(
     body.split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** (epoch end offset, claimed names) for every not-yet-committed epoch. */
-  private def allClaims(): Seq[(String, Seq[String])] = {
+  /** (epoch number, claimed names) for every not-yet-committed epoch. */
+  private def allClaims(): Seq[(Long, Seq[String])] = {
     val cfs = claimsFs
     if (!cfs.exists(claimsPath)) Seq.empty
     else cfs.listStatus(claimsPath).iterator
       .filter(_.isFile)
       .map(_.getPath)
       .filter(p => QueueSource.isVisible(p.getName))
-      .map(p => p.getName -> readClaim(p))
+      .flatMap(p => p.getName.toLongOption.map(_ -> readClaim(p)))
       .toSeq
   }
 
@@ -168,7 +191,7 @@ class QueueMicroBatchStream(
       .filter(QueueSource.isVisible)
       .toSeq.sorted
 
-  override def initialOffset(): Offset = QueueOffset("")
+  override def initialOffset(): Offset = QueueOffset("", 0L)
 
   /** Snapshot taken by Trigger.AvailableNow at query start: the run drains
     * messages up to this name (in capped batches when maxFilesPerTrigger is
@@ -188,23 +211,45 @@ class QueueMicroBatchStream(
     * limit's file count per trigger, so a backlog (outage recovery, burst
     * producer) drains as bounded micro-batches instead of one unbounded
     * epoch — the same contract as the file source's maxFilesPerTrigger.
-    * Under AvailableNow, additionally never pass the start-of-run target. */
+    * Under AvailableNow, additionally never pass the start-of-run target.
+    *
+    * The epoch counter ALSO advances when no fresh name exists but an
+    * unclaimed late name (<= maxSeen) does: the offset must change for
+    * Spark to construct the batch that sweeps it — otherwise a clock-skewed
+    * producer's message would starve until unrelated fresh traffic arrived
+    * (and an AvailableNow run would terminate without draining it). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val fresh0 = visibleFiles().filter(_ > maxSeen)
+    val visible = visibleFiles()
+    val fresh0 = visible.filter(_ > maxSeen)
     val fresh = availableNowTarget.fold(fresh0)(t => fresh0.filter(_ <= t))
     val admitted = limit match {
       case m: ReadMaxFiles => fresh.take(m.maxFiles())
       case _ => fresh
     }
-    if (admitted.nonEmpty) maxSeen = admitted.last
-    QueueOffset(maxSeen)
+    if (admitted.nonEmpty) {
+      maxSeen = admitted.last
+      curEpoch += 1
+    } else {
+      val claims = allClaims()
+      val claimed = claims.iterator.flatMap(_._2).toSet
+      val sweepable = visible.exists(n => n <= maxSeen && !claimed(n))
+      // Under AvailableNow, also flush PENDING ACKS: Spark only fires
+      // source.commit(N) while constructing batch N+1, so without one
+      // final (empty) epoch a drain-and-terminate run would exit with its
+      // last batch processed but never acked — the next run would replay
+      // it (safe but wasteful). One bump per pending claim set; the empty
+      // epoch writes no claim, so this terminates.
+      val pendingAck = availableNowTarget.isDefined && claims.exists(_._2.nonEmpty)
+      if (sweepable || pendingAck) curEpoch += 1
+    }
+    QueueOffset(maxSeen, curEpoch)
   }
 
   /** The true newest visible name, regardless of admission caps (progress
     * reporting / lag metrics). */
   override def reportLatestOffset(): Offset = {
     val v = visibleFiles()
-    QueueOffset(if (v.nonEmpty && v.last > maxSeen) v.last else maxSeen)
+    QueueOffset(if (v.nonEmpty && v.last > maxSeen) v.last else maxSeen, curEpoch)
   }
 
   override def latestOffset(): Offset =
@@ -212,20 +257,29 @@ class QueueMicroBatchStream(
       "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset = {
-    val m = """\{"last":"(.*)"\}""".r
+    val withEpoch = """\{"last":"(.*)","epoch":(\d+)\}""".r
+    val legacy = """\{"last":"(.*)"\}""".r
+    def unesc(v: String) = v.replace("\\\"", "\"").replace("\\\\", "\\")
     json match {
-      case m(v) =>
-        val last = v.replace("\\\"", "\"").replace("\\\\", "\\")
+      case withEpoch(v, e) =>
+        val last = unesc(v)
         if (last > maxSeen) maxSeen = last
-        QueueOffset(last)
+        if (e.toLong > curEpoch) curEpoch = e.toLong
+        QueueOffset(last, e.toLong)
+      case legacy(v) => // checkpoint written before the epoch counter existed
+        val last = unesc(v)
+        if (last > maxSeen) maxSeen = last
+        QueueOffset(last, 0L)
       case _ => throw new IllegalArgumentException(s"bad queue offset: $json")
     }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[QueueOffset].last
-    val hi = end.asInstanceOf[QueueOffset].last
+    val endOff = end.asInstanceOf[QueueOffset]
+    val hi = endOff.last
     if (hi > maxSeen) maxSeen = hi
+    if (endOff.epoch > curEpoch) curEpoch = endOff.epoch
     val visible = visibleFiles()
     // A visible name at/below the start offset that no in-flight epoch has
     // claimed is a LATE writer (producer clock skew / retried write): it was
@@ -237,11 +291,22 @@ class QueueMicroBatchStream(
     // offset range may thus gain a late file — at-least-once, idempotent
     // sink.)
     val alreadyClaimed = allClaims().iterator
-      .filter { case (epochHi, _) => epochHi != hi } // replan overwrites self
+      .filter { case (epoch, _) => epoch != endOff.epoch } // replan overwrites self
       .flatMap(_._2).toSet
-    val names = visible.filter(n =>
-      (n > lo && n <= hi) || (n <= lo && !alreadyClaimed(n)))
-    if (hi.nonEmpty) writeClaim(hi, names)
+    val inRange = visible.filter(n => n > lo && n <= hi)
+    // The sweep honors maxFilesPerTrigger too: the admitted range already
+    // respects the cap, so late names only fill the REMAINING budget; the
+    // rest stay unclaimed and the epoch-counter liveness path drains them
+    // over subsequent capped batches.
+    val sweepBudget = maxFilesPerTrigger
+      .map(m => math.max(0, m - inRange.length)).getOrElse(Int.MaxValue)
+    val swept = visible
+      .filter(n => n <= lo && !alreadyClaimed(n)).take(sweepBudget)
+    val names = inRange ++ swept
+    // No claim for an empty epoch (the ack-flush batch) — an empty claim
+    // would itself read as pending and loop the flush forever.
+    if (names.nonEmpty) writeClaim(endOff.epoch, names)
+    else claimsFs.delete(new Path(claimsPath, claimName(endOff.epoch)), false)
     names
       .map(n => QueueMessagePartition(new Path(dirPath, n).toString, n): InputPartition)
       .toArray
@@ -257,18 +322,19 @@ class QueueMicroBatchStream(
     * reach here, so their messages stay visible for redelivery (the
     * visibility-timeout analog). */
   override def commit(end: Offset): Unit = {
-    val hi = end.asInstanceOf[QueueOffset].last
-    if (hi > maxSeen) maxSeen = hi
-    val (acked, inFlight) = allClaims().partition { case (epochHi, _) => epochHi <= hi }
+    val endOff = end.asInstanceOf[QueueOffset]
+    if (endOff.last > maxSeen) maxSeen = endOff.last
+    if (endOff.epoch > curEpoch) curEpoch = endOff.epoch
+    val (acked, inFlight) = allClaims().partition { case (epoch, _) => epoch <= endOff.epoch }
     acked.iterator.flatMap(_._2)
       .foreach(n => fs.delete(new Path(dirPath, n), false))
-    acked.foreach { case (epochHi, _) =>
-      claimsFs.delete(new Path(claimsPath, epochHi), false)
+    acked.foreach { case (epoch, _) =>
+      claimsFs.delete(new Path(claimsPath, claimName(epoch)), false)
     }
     // Late names already swept into a still-in-flight epoch are claimed,
     // not stray.
     val inFlightNames = inFlight.iterator.flatMap(_._2).toSet
-    val strays = visibleFiles().filter(n => n <= hi && !inFlightNames(n))
+    val strays = visibleFiles().filter(n => n <= endOff.last && !inFlightNames(n))
     if (strays.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"graft-queue: ${strays.size} late message(s) at/below the committed " +

@@ -13,8 +13,10 @@ import java.nio.file.{Files, Paths}
   * epoch that failed before commit — the reference consumer's
   * visibility-timeout contract (consumer.py:55-221).
   *
-  * Spark's commit cadence acks epoch N while constructing epoch N+1, so
-  * deletion asserts run after a follow-up batch (see QueueSource scaladoc).
+  * Spark's commit cadence acks epoch N while constructing epoch N+1; under
+  * Trigger.AvailableNow the source flushes pending acks with one final empty
+  * epoch before the run terminates (SQS drain-then-shutdown), so an
+  * AvailableNow run ends with every processed message deleted.
   */
 class QueueSourceSpec extends SparkSpec {
   import spark.implicits._
@@ -58,13 +60,16 @@ class QueueSourceSpec extends SparkSpec {
     assert(store.load("jobs").select("job_status").as[String].head() === JobStatus.Completed)
     assert(store.load("contacts").count() === 1)
 
-    // The ack for the processed epoch is issued when the NEXT epoch is
-    // constructed: enqueue a replay message (idempotent no-op) and run again.
-    // m001 (success) and m002 (poison) must both be deleted.
+    // The AvailableNow drain flushes the ack before terminating: m001
+    // (success) and m002 (poison) are both deleted by the time the run ends.
+    assert(queueFiles(root + "/queue").isEmpty,
+      s"unacked messages left after drain: ${queueFiles(root + "/queue")}")
+
+    // A replayed message is an idempotent no-op (COMPLETED short-circuit)
+    // and is itself acked on the way out.
     enqueue(root + "/queue", "m003", """{"job_id": 1, "s3_key": "f1.csv"}""")
     run()
-    assert(queueFiles(root + "/queue") === Seq("m003"))
-    // Replay stayed a no-op (COMPLETED short-circuit):
+    assert(queueFiles(root + "/queue").isEmpty)
     assert(store.load("contacts").count() === 1)
   }
 
@@ -103,14 +108,11 @@ class QueueSourceSpec extends SparkSpec {
       "message was acked by a FAILED epoch")
 
     // Restart with the same checkpoint: the uncommitted message is
-    // redelivered (visibility-timeout analog) and processed exactly once.
+    // redelivered (visibility-timeout analog), processed exactly once, and
+    // acked by the run's drain flush.
     run(failFirst = false)
     assert(seen.toSeq === Seq("""{"job_id": 5, "s3_key": "x.csv"}"""))
-
-    // A follow-up epoch flushes the ack for the (now committed) redelivery.
-    enqueue(root + "/queue", "m002", "flush")
-    run(failFirst = false)
-    assert(queueFiles(root + "/queue") === Seq("m002"), "redelivered message not acked")
+    assert(queueFiles(root + "/queue").isEmpty, "redelivered message not acked")
   }
 
   test("late-arriving messages are picked up by subsequent triggers") {
@@ -135,8 +137,8 @@ class QueueSourceSpec extends SparkSpec {
     enqueue(root + "/queue", "m002", "second")
     drain()
     assert(seen.sorted === Seq("first", "second"))
-    // m001's ack flushed with m002's epoch; m002's own ack is pending.
-    assert(queueFiles(root + "/queue") === Seq("m002"))
+    // Each AvailableNow run drains its own acks before terminating.
+    assert(queueFiles(root + "/queue").isEmpty)
   }
 
   test("maxFilesPerTrigger bounds each micro-batch; AvailableNow still drains all") {
@@ -189,20 +191,53 @@ class QueueSourceSpec extends SparkSpec {
     drain()
     assert(seen.toSeq === Seq("on-time"))
 
-    // Late writer lands below the m100 mark; m200 advances the offset so the
-    // next run has a batch to construct (and to flush m100's pending ack).
+    // Late writer lands below the m100 mark (m100 itself is already acked
+    // by the first run's drain); m200 arrives as fresh traffic alongside.
     enqueue(root + "/queue", "m050", "late-low")
     enqueue(root + "/queue", "m200", "next")
     drain()
-    // The commit for m100's epoch fired during this run and must NOT have
-    // taken m050 with it; the sweep delivered both new messages.
+    // The sweep delivered both new messages, and the drain acked exactly
+    // the claimed pair — the old "delete everything <= hi" ack would have
+    // destroyed m050 before it was ever read.
     assert(seen.sorted === Seq("late-low", "next", "on-time"))
-
-    // Flush the (m050, m200) epoch's ack: both get deleted, nothing else.
-    enqueue(root + "/queue", "m300", "flush")
-    drain()
-    assert(seen.sorted === Seq("flush", "late-low", "next", "on-time"))
-    assert(queueFiles(root + "/queue") === Seq("m300"),
+    assert(queueFiles(root + "/queue").isEmpty,
       "late low-sorting message was not acked by the epoch that processed it")
+  }
+
+  test("a late LOW-sorting message is delivered even with NO fresh traffic after it") {
+    // Liveness: the epoch counter must advance the offset when only a
+    // below-high-water name is pending — without it, an AvailableNow run
+    // would terminate having drained nothing (and a continuous stream
+    // would starve the message until unrelated traffic arrived).
+    val root = Files.createTempDirectory("graft_queue_starve").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-queue").load(root + "/queue")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seen ++= batch.select("value").as[String](implicitly).collect()
+          ()
+        }
+        .start()
+      q.awaitTermination(120000); q.stop()
+    }
+
+    enqueue(root + "/queue", "m100", "on-time")
+    drain()
+    assert(seen.toSeq === Seq("on-time"))
+
+    // ONLY the clock-skewed writer arrives — nothing sorts above m100.
+    enqueue(root + "/queue", "m050", "late-low")
+    drain()
+    assert(seen.sorted === Seq("late-low", "on-time"),
+      "late low-sorting message starved without fresh traffic")
+
+    // And it acks once its epoch commits (flushed by the next run).
+    drain()
+    assert(queueFiles(root + "/queue").isEmpty,
+      s"expected empty queue, got ${queueFiles(root + "/queue")}")
   }
 }
