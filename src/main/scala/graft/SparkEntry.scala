@@ -996,6 +996,68 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Model-based quality scoring: logistic-classifier INFERENCE (fixed
+    // trained weights) + per-source percentile normalization — "drop the
+    // worst 20% of every source" instead of one absolute threshold. Scoring
+    // is narrow codegen'd arithmetic; the only shuffle is the per-source
+    // rank. Ranking uses the fixed-point score so the order is engine- and
+    // architecture-independent.
+    "q_quality_score" -> ((s, dir) => {
+      import graft.functions.{QualityModel, TextAnalysis}
+      val ws = TextAnalysis.words(col("text"))
+      val wc = size(ws).cast("double")
+      val score = QualityModel.logisticScore(-3.0, Seq(
+        log(lit(1.0) + col("n_chars")) -> 0.55,
+        (size(array_distinct(ws)).cast("double") / wc) -> 2.0,
+        (col("n_chars").cast("double") / wc) -> -0.35))
+      val scored = pq(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(score, 6).as("score"),
+          round(score * 1e6, 0).cast("long").as("score_fp"))
+      QualityModel.perGroupPercentile(scored, "source", "score_fp", "doc_id")
+        .select(col("doc_id"), col("source"), col("score"),
+          round(col("pct_rank"), 6).as("pct_rank"),
+          (col("pct_rank") >= 0.2).cast("int").cast("long").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Snapshot CDC: added / removed / changed / unchanged between two crawl
+    // snapshots (derived deterministically from `documents`: the old
+    // snapshot is missing doc_id%11==3 and carries upper-cased text for
+    // doc_id%7==2; the current one is missing doc_id%13==5). Both sides
+    // project to (key, content-hash) BEFORE the full-outer join — document
+    // text never shuffles.
+    "q_snapshot_delta" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val old = d.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 2, upper(col("text")))
+            .otherwise(col("text")))
+      val cur = d.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+      graft.operators.SnapshotDelta.delta(old, cur, "doc_id",
+        Seq("text", "lang", "source"))
+        .select(col("doc_id"), col("change"),
+          coalesce(col("old_hash"), lit("")).as("old_hash"),
+          coalesce(col("new_hash"), lit("")).as("new_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Z-order layout: Morton-interleave two dimensions into one clustering
+    // key and derive the file/bucket id from its top bits — pure projection
+    // (zero shuffles here; the write path adds ONE range exchange). Close in
+    // either dimension => same bucket => file min/max stats prune scans on
+    // both columns.
+    "q_zorder_layout" -> ((s, dir) => {
+      import graft.operators.Layout
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(256)).cast("long").as("gx"),
+          pmod(col("n_chars"), lit(256)).cast("long").as("gy"))
+        .withColumn("zval", Layout.zValue(col("gx"), col("gy"), 8).cast("long"))
+        .withColumn("bucket", Layout.zBucket(col("zval"), 8, 64).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // ---- beyond-reference: event-stream analytics (batch-mode windows) ---
 
     // tumbling-hour aggregation (decimal sums: order-independent exactness;
@@ -1199,6 +1261,31 @@ object SparkEntry {
         .select(col("c_mktsegment"), col("o_orderpriority"),
           round(col("rev").cast("double"), 6).as("revenue"), col("n_lines"))
         .orderBy("c_mktsegment", "o_orderpriority")
+    }),
+
+    // Bloom-pruned join (semi-join reduction): lineitem rows are filtered by
+    // a Bloom over the urgent orders' keys BEFORE the join shuffle — ~80% of
+    // the big side never leaves its scan partition. Result is exactly the
+    // plain join (the oracle); false probe positives die in the join.
+    "q_bloom_prune_join" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val urgent = pq(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      graft.operators.Joins.bloomPrunedJoin(li, urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+        .groupBy(pmod(col("o_custkey"), lit(10)).cast("long").as("cust_bucket"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+            .cast("decimal(18,6)")).as("rev"),
+          count(lit(1)).as("n_lines"))
+        // decimal intermediate, round(double,6) output — see q_tpch_pricing
+        .select(col("cust_bucket"),
+          round(col("rev").cast("double"), 6).as("revenue"),
+          col("n_lines").cast("long").as("n_lines"))
+        .orderBy("cust_bucket")
     }),
 
     // ---- beyond-reference: multimodal plumbing (stubbed codec) ------------
@@ -2577,6 +2664,74 @@ object SparkEntry {
         |  round(least(1.0, (CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE)) * 200.0
         |    / CAST(n AS DOUBLE)), 6) AS rate
         |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS wc,
+        |    CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) AS uw,
+        |    CAST(n_chars AS DOUBLE) AS nc
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    1.0 / (1.0 + exp(-(-3.0 + 0.55 * ln(1.0 + nc)
+        |      + 2.0 * (uw / wc) - 0.35 * (nc / wc)))) AS raw
+        |  FROM f),
+        |fp AS (
+        |  SELECT doc_id, source, round(raw, 6) AS score,
+        |    CAST(round(raw * 1e6, 0) AS BIGINT) AS score_fp
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY score_fp, doc_id) AS pr
+        |  FROM fp)
+        |SELECT doc_id, source, score, round(pr, 6) AS pct_rank,
+        |  CAST(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_delta" ->
+      """WITH olds AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    CASE WHEN doc_id % 7 = 2 THEN upper(text) ELSE text END,
+        |    lang, source)) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |curs AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS new_hash
+        |  FROM documents WHERE doc_id % 13 <> 5)
+        |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_hash <> c.new_hash THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  coalesce(o.old_hash, '') AS old_hash,
+        |  coalesce(c.new_hash, '') AS new_hash
+        |FROM olds o FULL JOIN curs c ON o.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS gx,
+        |    CAST(n_chars % 256 AS BIGINT) AS gy
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, gx, gy,
+        |    CAST(list_sum(list_transform(generate_series(0, 7),
+        |      i -> (((gx >> i) & 1) << (2 * i))
+        |         + (((gy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        |  FROM g)
+        |SELECT doc_id, gx, gy, zval, CAST(zval >> 10 AS BIGINT) AS bucket
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q_bloom_prune_join" ->
+      """SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
+        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
 
     "q_consolidate" -> withCtes(
       """SELECT row_number AS staging_id, 'u1' AS contacts_user_id,

@@ -115,6 +115,48 @@ object Joins {
     saltedBig.join(saltedSmall, keyCols :+ "__salt").drop("__salt")
   }
 
+  /** Bloom-pruned equi-join (semi-join reduction): filter the big side with
+    * a Bloom filter built over the small side's keys BEFORE the join's
+    * shuffle, so rows that cannot match never leave their input partition.
+    * A plain `big ⋈ small` shuffles ALL of `big` by the key even when the
+    * small side only matches a sliver — at 100 TB the pruned shuffle is the
+    * difference between moving terabytes and moving the matching gigabytes.
+    * Result is EXACTLY the inner join: Bloom false positives (rate `fpp`)
+    * pass the probe but are eliminated by the join itself.
+    *
+    * The probe is [[graft.functions.BloomMightContain]] — a codegen'd
+    * Catalyst expression, so the big side's scan → probe → exchange stage
+    * stays one WholeStageCodegen span. The filter object is built with one
+    * driver-side job over the small side's key column (the small side is
+    * read twice: once to build, once to join — by definition cheap relative
+    * to the big side) and ships with the plan via `addReferenceObj`.
+    *
+    * Prefer this over broadcast-join when the small side is too big to
+    * broadcast as ROWS but its key set still fits a few-MB Bloom; prefer it
+    * over a plain shuffle join whenever the join selectivity on the big
+    * side is well under 1. (Spark's own runtime row-level filtering exists
+    * behind `spark.sql.optimizer.runtime.bloomFilter.enabled` for adaptive
+    * cases; this operator makes the reduction explicit, deterministic and
+    * plan-assertable.)
+    */
+  def bloomPrunedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomMightContain
+    // Probe and build must hash identical bytes: key canonicalized to its
+    // string form on both sides (codegen'd cast, no UDF).
+    val keyed = small.select(col(smallKey).cast("string").as("__bk"))
+    // Spark's bloomFilter aggregate NPEs on an empty frame; an empty small
+    // side means an empty inner join, so skip the probe entirely.
+    if (keyed.isEmpty) big.limit(0).join(small, col(bigKey) === col(smallKey))
+    else {
+      val bloom = keyed.stat.bloomFilter("__bk", math.max(expectedItems, 1L), fpp)
+      big.filter(BloomMightContain.probe(col(bigKey).cast("string"), bloom))
+        .join(small, col(bigKey) === col(smallKey))
+    }
+  }
+
   /** Bucketed range (interval-containment) join: attach to each point row
     * the interval rows with `startCol <= pointCol < endCol`. No shared
     * equi-key exists, so a naive formulation is a cross join; instead both

@@ -245,6 +245,54 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("q_bloom_prune_join probes the big side below any exchange (scan-stage pruning)") {
+    // The whole point of the semi-join reduction: the Bloom probe filter
+    // must sit in the lineitem SCAN stage, so pruned rows never cross an
+    // exchange — a probe above the shuffle would move the full table first.
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = SparkEntry.queries("q_bloom_prune_join")(spark, dir)
+      .queryExecution.sparkPlan
+    val probes = plan.collect {
+      case f: FilterExec if f.condition.exists(
+        _.isInstanceOf[graft.functions.BloomMightContain]) => f
+    }
+    assert(probes.nonEmpty, s"no Bloom probe filter in the plan:\n$plan")
+    probes.foreach { f =>
+      val below = f.collect { case e: Exchange => e }
+      assert(below.isEmpty, s"exchange below the probe (probe ran post-shuffle):\n$f")
+    }
+  }
+
+  test("q_zorder_layout is fully narrow — the clustering key costs zero shuffles") {
+    // Z-value + bucket are pure projection arithmetic; only the
+    // presentation ORDER BY may exchange.
+    val plan = planOf("q_zorder_layout")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"zorder introduced shuffles:\n${plan.take(600)}")
+    assert(!plan.contains("Join"), "zorder must not join")
+  }
+
+  test("q_quality_score shuffles once for the per-source rank (scoring is map-side)") {
+    val plan = planOf("q_quality_score")
+    // window partition exchange + presentation sort; scoring adds none
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"scorer introduced extra shuffles:\n${plan.take(600)}")
+    assert(!plan.contains("Join"), "inference must not join")
+  }
+
+  test("q_snapshot_delta: both snapshot sides hash below their exchanges") {
+    // The full-outer join may shuffle (two sides, narrow hash projections) —
+    // but the document text must never cross an exchange.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = SparkEntry.queries("q_snapshot_delta")(spark, dir)
+      .queryExecution.sparkPlan
+    val leaky = plan.collect {
+      case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+    }
+    assert(leaky.isEmpty, s"document text crosses an exchange:\n$plan")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.

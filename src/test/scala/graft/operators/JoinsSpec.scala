@@ -104,4 +104,27 @@ class JoinsSpec extends SparkSpec {
       .select("iv_id").as[Long].collect().toSet
     assert(out === Set(1L, 2L))
   }
+
+  test("bloomPrunedJoin: identical to the plain inner join, including duplicates") {
+    // Keys on both sides that don't match (small has 1500; big lacks it),
+    // plus a duplicated big-side key — multiplicities must survive pruning.
+    val big = ((1 to 1000).map(i => (i.toLong, s"v$i")) :+ (500L, "v500b"))
+      .toDF("k", "payload")
+    val small = Seq((10L, "a"), (500L, "b"), (999L, "c"), (1500L, "d"))
+      .toDF("sk", "name")
+    val pruned = Joins.bloomPrunedJoin(big, small, "k", "sk",
+      expectedItems = 10L, fpp = 0.01)
+      .select("k", "payload", "name").as[(Long, String, String)].collect().sorted.toSeq
+    val plain = big.join(small, $"k" === $"sk")
+      .select("k", "payload", "name").as[(Long, String, String)].collect().sorted.toSeq
+    assert(pruned === plain)
+    assert(pruned.map(_._1) === Seq(10L, 500L, 500L, 999L))
+  }
+
+  test("bloomPrunedJoin: empty small side yields an empty (not failing) join") {
+    val big = (1 to 50).map(i => (i.toLong, "x")).toDF("k", "payload")
+    val small = Seq.empty[(Long, String)].toDF("sk", "name")
+    assert(Joins.bloomPrunedJoin(big, small, "k", "sk", expectedItems = 10L)
+      .count() === 0L)
+  }
 }
