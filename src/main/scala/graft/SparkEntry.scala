@@ -1058,6 +1058,60 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary coverage: top-k corpus tokens by frequency + cumulative
+    // coverage share — the tokenizer-vocab sizing curve ("how much of the
+    // corpus do the top 50 types cover?"). One token shuffle (partial+final
+    // counts), top-k via sort+limit (TakeOrdered, never a global window over
+    // the vocabulary), and the cumulative window runs on the k surviving
+    // rows only. The corpus total rides in as a broadcast 1-row frame — no
+    // driver-side action.
+    "q_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = pq(s, dir, "documents")
+        .select(explode(graft.functions.TextAnalysis.words(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast("long").as("n"))
+      val tot = freq.agg(sum(col("n")).cast("long").as("total"))
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      freq.orderBy(col("n").desc, col("tok")).limit(50)
+        .crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum_n",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rnk"), col("tok"), col("n"),
+          round(col("cum_n").cast("double") / col("total").cast("double"), 6)
+            .as("cum_coverage"))
+        .orderBy("rnk")
+    }),
+
+    // Token-budget allocation: split a fixed training-token budget across
+    // sources by temperature-smoothed TOKEN counts (alpha = 0.5) — the
+    // data-mixing calculation done in tokens (what the model trains on),
+    // not document counts. Fixed-point long sums keep every share
+    // order-independent; two tiny aggregates + a broadcast total.
+    "q_token_budget" -> ((s, dir) => {
+      val budget = 1000000L
+      val bySrc = pq(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextAnalysis.wordCount(col("text")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("toks")).cast("long").as("n_tokens"))
+        .withColumn("sq_fp",
+          round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
+      val tot = bySrc.agg(sum(col("n_tokens")).cast("long").as("tok_total"),
+        sum(col("sq_fp")).cast("long").as("sum_sq_fp"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("sq_fp").cast("double") / col("sum_sq_fp").cast("double"), 6)
+            .as("target_share"),
+          round(col("sq_fp").cast("double") / col("sum_sq_fp").cast("double")
+            * budget, 0).cast("long").as("alloc_tokens"),
+          round((col("sq_fp").cast("double") / col("sum_sq_fp").cast("double") * budget)
+            / (col("n_tokens").cast("double") / col("n_docs").cast("double")), 0)
+            .cast("long").as("est_docs"))
+        .orderBy("source")
+    }),
+
     // ---- beyond-reference: event-stream analytics (batch-mode windows) ---
 
     // tumbling-hour aggregation (decimal sums: order-independent exactness;
@@ -2732,6 +2786,46 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+        |freq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM freq),
+        |top AS (
+        |  SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT 50),
+        |ranked AS (
+        |  SELECT tok, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM top)
+        |SELECT rnk, tok, n,
+        |  round(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_coverage
+        |FROM ranked CROSS JOIN tot ORDER BY rnk""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(round(sqrt(CAST(sum(toks) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sq_fp
+        |  FROM d GROUP BY source),
+        |t AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |    CAST(sum(sq_fp) AS BIGINT) AS sum_sq_fp
+        |  FROM c)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE), 6) AS target_share,
+        |  CAST(round(CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE) * 1000000, 0)
+        |    AS BIGINT) AS alloc_tokens,
+        |  CAST(round((CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE) * 1000000)
+        |    / (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)), 0) AS BIGINT) AS est_docs
+        |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
 
     "q_consolidate" -> withCtes(
       """SELECT row_number AS staging_id, 'u1' AS contacts_user_id,

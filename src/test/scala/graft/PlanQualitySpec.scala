@@ -293,6 +293,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(leaky.isEmpty, s"document text crosses an exchange:\n$plan")
   }
 
+  test("q_vocab_coverage takes top-k by sort+limit; the cumulative window sees k rows") {
+    // The vocabulary must never be globally windowed: top-k is
+    // TakeOrderedAndProject (per-partition top-k + k-row merge), and the
+    // single-partition cumulative window runs AFTER the limit.
+    val plan = planOf("q_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      "cumulative window does not sit above the top-k limit")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
