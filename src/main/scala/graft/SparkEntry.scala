@@ -1098,8 +1098,7 @@ object SparkEntry {
           sum(col("toks")).cast("long").as("n_tokens"))
         .withColumn("sq_fp",
           round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
-      val tot = bySrc.agg(sum(col("n_tokens")).cast("long").as("tok_total"),
-        sum(col("sq_fp")).cast("long").as("sum_sq_fp"))
+      val tot = bySrc.agg(sum(col("sq_fp")).cast("long").as("sum_sq_fp"))
       bySrc.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("sq_fp").cast("double") / col("sum_sq_fp").cast("double"), 6)
@@ -2816,9 +2815,7 @@ object SparkEntry {
         |    CAST(round(sqrt(CAST(sum(toks) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sq_fp
         |  FROM d GROUP BY source),
         |t AS (
-        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
-        |    CAST(sum(sq_fp) AS BIGINT) AS sum_sq_fp
-        |  FROM c)
+        |  SELECT CAST(sum(sq_fp) AS BIGINT) AS sum_sq_fp FROM c)
         |SELECT source, n_docs, n_tokens,
         |  round(CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE), 6) AS target_share,
         |  CAST(round(CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE) * 1000000, 0)

@@ -145,7 +145,15 @@ object Joins {
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import graft.functions.BloomMightContain
     // Probe and build must hash identical bytes: key canonicalized to its
-    // string form on both sides (codegen'd cast, no UDF).
+    // string form on both sides (codegen'd cast, no UDF). That demands the
+    // key TYPES match exactly — a plain join would coerce double 500.0 to
+    // bigint 500 and match, but their strings ("500.0" vs "500") hash
+    // differently and the probe would silently drop the row. Fail loudly
+    // instead; cast one side explicitly to opt in.
+    require(big.schema(bigKey).dataType == small.schema(smallKey).dataType,
+      s"bloomPrunedJoin key types must match exactly: " +
+        s"$bigKey is ${big.schema(bigKey).dataType}, " +
+        s"$smallKey is ${small.schema(smallKey).dataType}")
     val keyed = small.select(col(smallKey).cast("string").as("__bk"))
     // Spark's bloomFilter aggregate NPEs on an empty frame; an empty small
     // side means an empty inner join, so skip the probe entirely.

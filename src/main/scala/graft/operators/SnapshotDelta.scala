@@ -26,7 +26,7 @@ object SnapshotDelta {
       keyCol: String, contentCols: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, hashName: String) =
       df.select(col(keyCol),
-        md5(concat_ws("", contentCols.map(c => col(c).cast("string")): _*))
+        md5(concat_ws("\u0001", contentCols.map(c => col(c).cast("string")): _*))
           .as(hashName))
     val o = hashed(old, "old_hash")
     val c = hashed(cur, "new_hash")

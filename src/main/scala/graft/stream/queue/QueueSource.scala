@@ -50,9 +50,15 @@ object QueueSource {
     StructField("message_id", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
 
-  /** Message files: visible = not hidden, not a temp being staged. */
+  /** Message files: visible = not hidden, not a temp being staged, and no
+    * control characters — offsets embed the name in single-line JSON that
+    * the checkpoint log stores line-oriented, so a name with a newline
+    * would corrupt the offset log and brick the restart. Such names are
+    * outside the producer contract; skipping them beats checkpoint
+    * corruption. */
   private[queue] def isVisible(name: String): Boolean =
-    !name.startsWith(".") && !name.startsWith("_") && !name.endsWith(".tmp")
+    !name.startsWith(".") && !name.startsWith("_") && !name.endsWith(".tmp") &&
+      !name.exists(_ < ' ')
 }
 
 class QueueSourceProvider extends TableProvider with DataSourceRegister {
@@ -171,7 +177,16 @@ class QueueMicroBatchStream(
     body.split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** (epoch number, claimed names) for every not-yet-committed epoch. */
+  /** (epoch number, claimed names) for every not-yet-committed epoch.
+    * Only the exact zero-padded 20-digit [[claimName]] format is accepted;
+    * anything else in the directory is a claim written by a pre-epoch
+    * version of this source (named by message name). Treating such a name
+    * leniently is dangerous both ways — a non-numeric name would orphan
+    * its messages' acks, and a NUMERIC legacy message name would parse as
+    * a bogus far-future epoch whose names are never swept but eventually
+    * deleted by commit. Deleting the stale claim instead redelivers its
+    * messages (they are still visible in the queue dir) — exactly the
+    * at-least-once answer. */
   private def allClaims(): Seq[(Long, Seq[String])] = {
     val cfs = claimsFs
     if (!cfs.exists(claimsPath)) Seq.empty
@@ -179,7 +194,18 @@ class QueueMicroBatchStream(
       .filter(_.isFile)
       .map(_.getPath)
       .filter(p => QueueSource.isVisible(p.getName))
-      .flatMap(p => p.getName.toLongOption.map(_ -> readClaim(p)))
+      .flatMap { p =>
+        val name = p.getName
+        if (name.length == 20 && name.forall(_.isDigit))
+          name.toLongOption.map(_ -> readClaim(p))
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft-queue: dropping legacy/foreign claim file $name; " +
+              "its messages stay visible and will be redelivered")
+          cfs.delete(p, false)
+          None
+        }
+      }
       .toSeq
   }
 

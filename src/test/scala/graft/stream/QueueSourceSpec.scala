@@ -240,4 +240,57 @@ class QueueSourceSpec extends SparkSpec {
     assert(queueFiles(root + "/queue").isEmpty,
       s"expected empty queue, got ${queueFiles(root + "/queue")}")
   }
+
+  test("a legacy (pre-epoch) claim file is dropped and its message redelivered") {
+    // Claims used to be keyed by message NAME; a numeric legacy name would
+    // otherwise parse as a bogus far-future epoch (never swept, eventually
+    // deleted unprocessed). The source must delete the foreign claim and
+    // let the still-visible message redeliver — at-least-once, never loss.
+    val root = Files.createTempDirectory("graft_queue_legacy").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    Files.createDirectories(Paths.get(root + "/cp/sources/0/graft-claims"))
+    enqueue(root + "/queue", "1699999999", "numeric-name")
+    // legacy claim: named by the message name, listing that message
+    Files.writeString(
+      Paths.get(root + "/cp/sources/0/graft-claims/1699999999"), "1699999999")
+
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = spark.readStream.format("graft-queue").load(root + "/queue")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        seen ++= batch.select("value").as[String](implicitly).collect()
+        ()
+      }
+      .start()
+    q.awaitTermination(120000); q.stop()
+
+    assert(seen.toSeq === Seq("numeric-name"), "legacy-claimed message not redelivered")
+    assert(queueFiles(root + "/queue").isEmpty, "redelivered message not acked")
+    assert(queueFiles(root + "/cp/sources/0/graft-claims")
+      .forall(n => n.length == 20 && n.forall(_.isDigit)),
+      "legacy claim file survived")
+  }
+
+  test("message names with control characters are ignored (offset-log safety)") {
+    val root = Files.createTempDirectory("graft_queue_ctl").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    enqueue(root + "/queue", "m001", "good")
+    Files.writeString(Paths.get(root + "/queue/m0\n2"), "bad-name")
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = spark.readStream.format("graft-queue").load(root + "/queue")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/cp")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        seen ++= batch.select("value").as[String](implicitly).collect()
+        ()
+      }
+      .start()
+    q.awaitTermination(120000); q.stop()
+    assert(seen.toSeq === Seq("good"), "control-char name was planned into a batch")
+    // the out-of-contract file is left alone, never deleted
+    assert(queueFiles(root + "/queue").contains("m0\n2"))
+  }
 }
