@@ -339,6 +339,16 @@ object SparkEntry {
         n = 4, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Prefix-filtered EXACT jaccard pairs (AllPairs/PPJoin): same answer as
+    // q_dedup_jaccard (the oracle is literally the same exact-pairs SQL) via
+    // a ~(1-t)-sized prefix index instead of the full inverted index — the
+    // exact-at-scale path between the quadratic witness and LSH's
+    // false-negative banding.
+    "q_dedup_prefix_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.jaccardPrefixFilterPairs(
+        pq(s, dir, "documents"), "doc_id", "text", n = 4, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
     "q_dedup_simhash" -> ((s, dir) =>
       graft.functions.Dedup.simhash(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1267,6 +1277,35 @@ object SparkEntry {
         .filter(col("cnt") > 1)
         .orderBy("norm_email")),
 
+    // Incremental aggregation maintenance: yesterday's persisted aggregate
+    // STATE (algebraic: count + sum) merged with today's delta equals the
+    // full recompute (the oracle recomputes from scratch). At 100 TB the
+    // state frame is loaded from the store and only the delta's raw rows
+    // are scanned — history is never rescanned. The merge is a union of two
+    // narrow aggregate frames + one re-aggregation of per-day partials.
+    "q_incremental_agg" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          col("value").cast("double").as("value"))
+      val split = lit("1970-03-01").cast("date")
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("day", "event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            // fixed-point long partials: order-independent across engines
+            sum(round(col("value") * 1e6, 0).cast("long")).as("sum_fp"))
+      val state = aggOf(ev.filter(col("day") < split))   // "persisted" state
+      val delta = aggOf(ev.filter(col("day") >= split))  // today's arrivals
+      state.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_fp")).cast("long").as("sum_fp"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+          col("n"),
+          round(col("sum_fp").cast("double") / 1e6 / col("n").cast("double"), 6)
+            .as("avg_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // ---- beyond-reference: columnar-scan heft (TPC-H-style shapes) -------
 
     // Q1-like pricing summary: wide scan + grouped decimal aggregation.
@@ -1906,6 +1945,18 @@ object SparkEntry {
         |        ELSE 255.0 * 2147483647.0 / CAST(h_k AS DOUBLE) END, 4) AS approx_users
         |FROM s ORDER BY event_type""".stripMargin,
 
+    // Oracle = full recompute from raw events: merging persisted state with
+    // the delta must be indistinguishable from rescanning history.
+    "q_incremental_agg" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(round(CAST(value AS DOUBLE) * 1e6, 0) AS BIGINT) AS v_fp
+        |  FROM events)
+        |SELECT CAST(day AS VARCHAR) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(v_fp) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE), 6) AS avg_value
+        |FROM e GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
     "q_events_rollup" ->
       """WITH base AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, value FROM events),
@@ -2101,6 +2152,23 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
          |WHERE a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same exact-pairs oracle as q_dedup_jaccard: prefix filtering is an
+    // exact algorithm, so the two queries must agree row-for-row.
+    "q_dedup_prefix_pairs" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_jaccard" ->

@@ -305,6 +305,22 @@ class PlanQualitySpec extends SparkSpec {
       "cumulative window does not sit above the top-k limit")
   }
 
+  test("q_dedup_prefix_pairs joins on shingle keys — never a cross product") {
+    val plan = planOf("q_dedup_prefix_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(800))
+  }
+
+  test("q_incremental_agg: state and delta stay partial-aggregated before the merge") {
+    // Both legs aggregate (partial+final) BEFORE the union; the merge then
+    // re-aggregates narrow state rows. Raw event rows must never reach the
+    // final aggregation — that would be the history rescan the operator
+    // exists to avoid.
+    val plan = planOf("q_incremental_agg")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan.take(800))
+    assert(!plan.contains("Join"), "merge must be a union, not a join")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.

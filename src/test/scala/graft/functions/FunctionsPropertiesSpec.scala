@@ -110,4 +110,31 @@ class FunctionsPropertiesSpec extends SparkSpec {
       assert(got === expected, s"rows=$rows")
     }
   }
+
+  test("property: prefix-filtered jaccard pairs equal the inverted-index exact pairs") {
+    // Prefix filtering is an EXACT algorithm: on any corpus, any shingle
+    // width and any threshold it must reproduce jaccardPairs verbatim —
+    // including corpora dense with near-identical docs where the prefix
+    // index does its real work.
+    val nearDupGen: Gen[List[(Long, String)]] = for {
+      nd <- Gen.choose(2, 8)
+      base <- Gen.listOfN(12, Gen.choose(0, 5).map(i => s"w$i"))
+      docs <- Gen.listOfN(nd, for {
+        mutate <- Gen.choose(0, 3)
+        extra <- Gen.listOfN(mutate, Gen.choose(0, 9).map(i => s"x$i"))
+      } yield (base ++ extra).mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    Seq(0.5, 0.8).foreach { t =>
+      samples(nearDupGen, 6).foreach { docs =>
+        val df = docs.toDF("doc_id", "text").repartition(3)
+        val exact = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = t)
+          .select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+        val prefix = Dedup.jaccardPrefixFilterPairs(df, "doc_id", "text", n = 3, threshold = t)
+          .select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+        assert(prefix === exact, s"threshold=$t docs=$docs")
+      }
+    }
+  }
 }
