@@ -1411,6 +1411,86 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Count-anomaly detection over hourly event volumes per type (ingest
+    // monitoring: "did this source spike?"). Raw events aggregate ONCE into
+    // the (hour x type) rollup; per-type moments are exact BIGINTs
+    // broadcast back onto that tiny frame, so the anomaly pass adds zero
+    // full-data scans. Flags hours with z-score > 2.
+    "q_events_anomaly" -> ((s, dir) =>
+      graft.operators.TimeSeries.countAnomalies(events(s, dir), "ts", "event_type",
+          grain = "hour", z = 2.0)
+        .orderBy("event_type", "bucket")),
+
+    // Calendar-aware rolling aggregates: per-type daily counts with a
+    // trailing 7-day RANGE window on the epoch-day index (gaps shrink the
+    // window, they don't slide it). The window runs over the tiny daily
+    // rollup, partitioned by type — never over raw events.
+    "q_events_rolling" -> ((s, dir) =>
+      graft.operators.TimeSeries.rollingDailyCounts(events(s, dir), "ts", "event_type",
+          days = 7)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("n_window"), col("days_present"), col("avg_window"))
+        .orderBy("event_type", "day")),
+
+    // Sequence-length curve: documents bucketed by token count (width 8)
+    // with the cumulative share of the corpus at or below each bucket —
+    // the distribution a training pipeline reads to pick max_seq_len /
+    // packing parameters. One narrow map + one tiny keyed agg; the
+    // cumulative window runs over <= (max_len / 8) bucket rows (bounded, so
+    // the single-partition window is fine at any corpus size).
+    "q_seq_len_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = graft.functions.TextAnalysis.wordCount(col("text")).cast("long")
+      val b = pq(s, dir, "documents")
+        .select((wc - pmod(wc, lit(8L))).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_docs"))
+      val tot = b.agg(sum(col("n_docs")).cast("long").as("total"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.crossJoin(broadcast(tot))
+        .withColumn("cum_docs", sum(col("n_docs")).over(w).cast("long"))
+        .select(col("bucket"), col("n_docs"), col("cum_docs"),
+          round(col("cum_docs").cast("double") / col("total").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy("bucket")
+    }),
+
+    // Blocked fuzzy record linkage: per-part nearest-neighbor edit distance
+    // within the p_brand block — the entity-resolution shape (typo-distance
+    // matching) no hash dedup can express. The block key turns all-pairs
+    // into an equi-join quadratic only in the largest block.
+    "q_fuzzy_nn" -> ((s, dir) =>
+      graft.operators.Linkage.nearestNeighborWithinBlocks(
+          pq(s, dir, "part"), "p_partkey", "p_name", Seq("p_brand"))
+        .select(col("id_a").as("p_partkey"), col("p_brand"), col("nn_dist"))
+        .orderBy("p_partkey")),
+
+    // Candidate duplicate pairs from the same blocked join: names within
+    // edit distance 2 inside a brand block (the screen a contact/product
+    // deduper reviews).
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.Linkage.fuzzyDupPairs(
+          pq(s, dir, "part"), "p_partkey", "p_name", Seq("p_brand"), maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
+    // Cross-source near-duplicate pairs: the shared production pair frame
+    // restricted to pairs spanning DIFFERENT sources — the inter-crawl
+    // contamination view (which sources re-host each other's content?).
+    // Costs two broadcast-ready joins on top of the cached pairs.
+    "q_dedup_cross_source" -> ((s, dir) => {
+      val src = pq(s, dir, "documents").select(col("doc_id"), col("source"))
+      guardedPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
+          Seq("id_b"))
+        .filter(col("source_a") =!= col("source_b"))
+        .select(col("id_a"), col("id_b"), col("source_a"), col("source_b"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // J8/W6 — consolidation projection (READY -> contacts)
     "q_consolidate" -> ((s, dir) => {
       val c = classified(s, dir)
@@ -2891,6 +2971,97 @@ object SparkEntry {
         |  CAST(round((CAST(sq_fp AS DOUBLE) / CAST(sum_sq_fp AS DOUBLE) * 1000000)
         |    / (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)), 0) AS BIGINT) AS est_docs
         |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM h GROUP BY 1),
+        |z AS (
+        |  SELECT event_type, bucket, n,
+        |    (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+        |      / sqrt((CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+        |             / CAST(n_buckets - 1 AS DOUBLE)) AS zr
+        |  FROM h JOIN s USING (event_type) WHERE n_buckets > 1)
+        |SELECT event_type, bucket, n, round(zr, 6) AS zscore
+        |FROM z WHERE zr > 2.0
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_events_rolling" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_num FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_window,
+        |  CAST(count(n) OVER w AS BIGINT) AS days_present,
+        |  round(CAST(sum(n) OVER w AS DOUBLE) / CAST(count(n) OVER w AS DOUBLE), 6)
+        |    AS avg_window
+        |FROM d2
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_seq_len_curve" ->
+      """WITH d AS (
+        |  SELECT len(string_split_regex(text, '\s+')) AS toks FROM documents),
+        |b AS (
+        |  SELECT toks - (toks % 8) AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM b)
+        |SELECT bucket, n_docs,
+        |  CAST(sum(n_docs) OVER cum AS BIGINT) AS cum_docs,
+        |  round(CAST(sum(n_docs) OVER cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM b CROSS JOIN t
+        |WINDOW cum AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |ORDER BY bucket""".stripMargin,
+
+    "q_fuzzy_nn" ->
+      """WITH a AS (SELECT p_partkey AS id_a, p_name AS name_a, p_brand FROM part),
+        |b AS (SELECT p_partkey AS id_b, p_name AS name_b, p_brand FROM part)
+        |SELECT id_a AS p_partkey, p_brand,
+        |  CAST(min(levenshtein(name_a, name_b)) AS BIGINT) AS nn_dist
+        |FROM a JOIN b USING (p_brand) WHERE id_a <> id_b
+        |GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH a AS (SELECT p_partkey AS id_a, p_name AS name_a, p_brand FROM part),
+        |b AS (SELECT p_partkey AS id_b, p_name AS name_b, p_brand FROM part)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM a JOIN b USING (p_brand)
+        |WHERE id_a < id_b AND levenshtein(name_a, name_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cross_source" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6)
+         |      AS jaccard
+         |  FROM pairs
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6)
+         |    >= 0.8)
+         |SELECT jp.id_a, jp.id_b, da.source AS source_a, db.source AS source_b, jaccard
+         |FROM jp
+         |JOIN documents da ON jp.id_a = da.doc_id
+         |JOIN documents db ON jp.id_b = db.doc_id
+         |WHERE da.source <> db.source
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_consolidate" -> withCtes(
       """SELECT row_number AS staging_id, 'u1' AS contacts_user_id,

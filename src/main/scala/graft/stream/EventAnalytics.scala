@@ -52,6 +52,30 @@ object EventAnalytics {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static ingest dedup: drop stream rows whose normalized text
+    * content already exists in a STATIC reference corpus (the "is this
+    * crawl page already in the training set?" gate, run continuously).
+    * A stream-static left-anti equi-join on the md5 content hash: Spark
+    * re-plans the static side per micro-batch, broadcasting it when small;
+    * at corpus scale, persist the hashed projection bucketed by `__h` so
+    * each micro-batch joins against a pruned, pre-shuffled index instead
+    * of rescanning raw text (same contract as batch
+    * [[graft.functions.Dedup.incrementalDedup]], which adds the Bloom
+    * prefilter for the one-shot case). State is zero — the join is
+    * stateless per batch, so it runs forever.
+    *
+    * Same normalization as the batch dedup family (lower + collapsed
+    * whitespace), so stream and batch agree on what "identical" means. */
+  def dedupAgainstCorpus(
+      stream: DataFrame, corpus: DataFrame, textCol: String): DataFrame = {
+    def norm(c: org.apache.spark.sql.Column) =
+      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val corpusH = corpus.select(norm(col(textCol)).as("__h")).distinct()
+    stream.withColumn("__h", norm(col(textCol)))
+      .join(corpusH, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Stream-stream interval join (attribution): each view joined to the
     * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
     * carry watermarks and the join condition bounds event time in both

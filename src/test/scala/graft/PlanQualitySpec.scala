@@ -321,6 +321,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), "merge must be a union, not a join")
   }
 
+  test("q_events_anomaly broadcasts the per-key moments back onto the rollup") {
+    // The stats frame is |keys| rows; joining it sort-merge would shuffle
+    // the rollup a second time for nothing.
+    val plan = planOf("q_events_anomaly")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q_events_rolling windows the daily rollup, partitioned by key") {
+    // Exactly one Window, running over the aggregated daily frame (two
+    // HashAggregate halves below it), partitioned — not a global window.
+    val plan = planOf("q_events_rolling")
+    assert("Window".r.findAllIn(plan).length >= 1, plan.take(800))
+    val winIdx = plan.indexOf("Window")
+    assert(plan.indexOf("HashAggregate", winIdx) > winIdx,
+      "window must sit above the daily aggregation, not above raw events")
+  }
+
+  test("q_fuzzy_nn joins on the block key — never a cross product") {
+    val plan = planOf("q_fuzzy_nn")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(800))
+  }
+
+  test("q_seq_len_curve: cumulative window runs over the bucket rollup only") {
+    // The single-partition window is safe BECAUSE it sees <= max_len/8
+    // bucket rows: it must sit above the bucket aggregation.
+    val plan = planOf("q_seq_len_curve")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan.take(600))
+    assert(plan.indexOf("HashAggregate", winIdx) > winIdx,
+      "cumulative window does not sit above the bucket aggregation")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.

@@ -96,6 +96,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, 1.0), (101L, 2.0), (102L, 3.0)))
   }
 
+  test("dedupAgainstCorpus: stream rows already in the static corpus are dropped; " +
+    "normalization matches the batch dedup family") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox"),
+      (101L, "known   Document  TWO") // normalization must catch case/ws variants
+    ).toDF("doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventAnalytics.dedupAgainstCorpus(docs, corpus, "text")
+      .writeStream.outputMode("append").format("memory").queryName("corpus_dedup")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    input.addData(
+      (1L, "the quick brown fox"),      // exact dup -> dropped
+      (2L, "Known document two"),       // dup after lower+ws collapse -> dropped
+      (3L, "a genuinely new document")) // novel -> kept
+    q.processAllAvailable()
+    input.addData((4L, "another new one")) // second batch still joins the static side
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("corpus_dedup").select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept === Set(3L, 4L))
+  }
+
   test("attributeClicks: stream-stream interval join, per-user, bounded window") {
     implicit val sqlCtx = spark.sqlContext
     val vIn = MemoryStream[(Timestamp, Long, String)]
