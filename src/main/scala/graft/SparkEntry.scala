@@ -890,6 +890,62 @@ object SparkEntry {
         pq(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 16)
         .orderBy("doc_id", "chunk_id")),
 
+    // HTML main-content extraction: pages are synthesized deterministically
+    // from the documents table (the corpus has no raw-HTML column), so the
+    // operator under test is the strip/decode/collapse itself
+    "q_html_extract" -> ((s, dir) => {
+      val pages = pq(s, dir, "documents").select(col("doc_id"),
+        concat(lit("<html><head><title>"), col("source"),
+          lit("</title><style type=\"text/css\">p { color: red }</style>"),
+          lit("</head><body><script>var n = 1 &amp;&amp; 2;</script><p>"),
+          col("text"),
+          lit(" &amp; more &lt;tags&gt;</p><div class=\"nav\">home | about"),
+          lit("</div></body></html>")).as("html"))
+      pages.select(col("doc_id"),
+        graft.functions.TextAnalysis.stripHtml(col("html")).as("content"),
+        graft.functions.TextAnalysis.htmlRetainedFrac(col("html"))
+          .as("retained_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Crawl-frontier URL dedup: raw URLs synthesized with the classic
+    // variant noise (case, default port, trailing slash, tracking params,
+    // fragment); canonicalization collapses them and the dedup is one
+    // hash aggregation on the canonical key
+    "q_url_dedup" -> ((s, dir) => {
+      val urls = pq(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Docs/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&page="), (col("doc_id") % 5).cast("string"),
+          lit("&utm_campaign=sync&gclid=g1"),
+          when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+          .as("url"))
+      urls.select(col("doc_id"), col("url"),
+        graft.functions.TextAnalysis.canonicalizeUrl(col("url"))
+          .as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).cast("long").as("n_urls"),
+          countDistinct(col("url")).cast("long").as("n_raw_variants"),
+          min("doc_id").cast("long").as("keep_doc_id"))
+        .orderBy("canonical_url")
+    }),
+
+    // BPE tokenizer-training inner loop: corpus-wide adjacent-char-pair
+    // frequencies weighted by word frequency (two bounded shuffles:
+    // vocab-sized then alphabet²-sized)
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.functions.TextAnalysis.bpePairCounts(
+        pq(s, dir, "documents"), "text", topK = 50)),
+
+    // Paragraph-level cross-doc dedup signal: fraction of each document's
+    // 32-token paragraphs that appear verbatim in other documents
+    "q_paragraph_dup" -> ((s, dir) =>
+      graft.functions.TextAnalysis.paragraphDupStats(
+        pq(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
+        .orderBy("doc_id")),
+
     // Exact corpus heavy hitters via the Misra–Gries candidates + exact
     // recount two-pass plan: the full-vocabulary aggregation never runs —
     // pass 2's shuffle carries only candidate keys (<= capacity)
@@ -2685,6 +2741,110 @@ object SparkEntry {
         |  CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS chunk_tokens,
         |  array_to_string(ws[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_html_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source ||
+        |    '</title><style type="text/css">p { color: red }</style>' ||
+        |    '</head><body><script>var n = 1 &amp;&amp; 2;</script><p>' ||
+        |    text ||
+        |    ' &amp; more &lt;tags&gt;</p><div class="nav">home | about' ||
+        |    '</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(html,
+        |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS nb FROM pages),
+        |s2 AS (SELECT doc_id, html,
+        |  regexp_replace(nb, '(?s)<[^>]*>', ' ', 'g') AS nt FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(nt, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+        |    '&amp;', '&', 'g') AS decd FROM s2),
+        |c AS (SELECT doc_id, html,
+        |  trim(regexp_replace(decd, '\s+', ' ', 'g')) AS content FROM s3)
+        |SELECT doc_id, content,
+        |  round(CAST(length(content) AS DOUBLE) /
+        |    CAST(greatest(length(html), 1) AS DOUBLE), 6) AS retained_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' || upper(source) || '.Example.COM' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+        |    '/Docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=feed&page=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '&utm_campaign=sync&gclid=g1' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$', '') AS nofrag FROM urls),
+        |c2 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nofrag, '^([^/?#]*//[^/?#]*)', 1)) ||
+        |  regexp_replace(nofrag, '^[^/?#]*//[^/?#]*', '') AS lh FROM c1),
+        |c3 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(lh,
+        |    '^(https://[^/:?#]*):443($|[/?])', '\1\2'),
+        |    '^(http://[^/:?#]*):80($|[/?])', '\1\2') AS np FROM c2),
+        |c4 AS (SELECT doc_id, url,
+        |  regexp_replace(np,
+        |    '(?i)[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS ntr
+        |  FROM c3),
+        |c5 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(ntr, '^([^?]*)&', '\1?'),
+        |    '\?$', '') AS nq FROM c4),
+        |c6 AS (SELECT doc_id, url,
+        |  regexp_replace(nq, '^([a-z]+://[^/?]+/[^?]*[^/?])/(\?|$)', '\1\2') AS canonical_url
+        |  FROM c5)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+        |FROM c6 GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+        |v AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |e AS (
+        |  SELECT word, freq,
+        |    unnest(generate_series(1, length(word) - 1)) AS i FROM v),
+        |p AS (
+        |  SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, freq FROM e)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "q_paragraph_dup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws, n_tokens,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(floor((n_tokens + 31) / 32.0) AS BIGINT)) AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(ws[(chunk_id * 32 + 1):(chunk_id * 32 + 32)], ' ')) AS ph
+        |  FROM c),
+        |d AS (SELECT ph, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY ph),
+        |j AS (SELECT h.doc_id, d.n_docs FROM h JOIN d USING (ph))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_paras,
+        |  round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(greatest(count(*), 1) AS DOUBLE), 6) AS dup_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH tok AS (

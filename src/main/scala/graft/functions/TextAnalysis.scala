@@ -314,4 +314,107 @@ object TextAnalysis {
         floor((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long"))
       .select(col(idCol), col("shard"), col("pack_id"), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Main-content extraction from raw HTML — the first step of every web
+    * crawl → training-corpus pipeline. Removes script/style subtrees (their
+    * text is never content), strips remaining tags, decodes the five
+    * predefined XML entities, and collapses whitespace. Regex-based by
+    * design: it is a narrow codegen'd map (no parser state, no shuffle) and
+    * both Spark and the DuckDB oracle evaluate the identical patterns, so
+    * the operator is hash-verifiable. Not a browser-grade parser — nested
+    * `<script>` inside strings etc. are out of contract. */
+  def stripHtml(html: Column): Column = {
+    // two passes (script, style) instead of one backreferenced pattern:
+    // the DuckDB oracle's RE2 engine has no backreferences
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noBlocks = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Fraction of raw HTML bytes that survive extraction — a boilerplate /
+    * markup-density quality signal (low retained fraction ⇒ nav-heavy or
+    * script-heavy page). */
+  def htmlRetainedFrac(html: Column): Column =
+    round(length(stripHtml(html)).cast("double") /
+      greatest(length(html), lit(1)).cast("double"), 6)
+
+  /** URL canonicalization for crawl dedup: lowercase scheme+host, drop the
+    * default port, drop the fragment, drop tracking params (`utm_*`,
+    * `fbclid`, `gclid`, `ref`), drop a now-empty query, collapse a trailing
+    * slash on a non-root path. Two URLs that canonicalize equal are the
+    * same fetch target; grouping on the canonical form is the standard
+    * crawl-frontier dedup key. Pure narrow map — the dedup itself is one
+    * hash aggregation on the canonical key. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://host[:port] (leave path/query case intact)
+    val lowerHost = concat(
+      lower(regexp_extract(noFrag, "^([^/?#]*//[^/?#]*)", 1)),
+      regexp_replace(noFrag, "^[^/?#]*//[^/?#]*", ""))
+    // two RE2-safe passes (no lookahead — the oracle's regex engine lacks it)
+    val noPort = regexp_replace(regexp_replace(lowerHost,
+      "^(https://[^/:?#]*):443($|[/?])", "$1$2"),
+      "^(http://[^/:?#]*):80($|[/?])", "$1$2")
+    // strip tracking params wherever they sit in the query, then tidy
+    // the separators that removal leaves behind
+    val noTrack = regexp_replace(noPort,
+      "(?i)[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
+    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val noEmptyQ = regexp_replace(fixedSep, "\\?$", "")
+    // strip a trailing slash only when a path segment follows the host
+    // (so the root "scheme://host/" keeps its slash)
+    regexp_replace(noEmptyQ, "^([a-z]+://[^/?]+/[^?]*[^/?])/(\\?|$)", "$1$2")
+  }
+
+  /** BPE pair counting — the inner loop of byte-pair-encoding tokenizer
+    * training: corpus-wide frequencies of adjacent character pairs inside
+    * words, weighted by word frequency. Two bounded shuffles: (1) word →
+    * count (vocabulary-sized, not corpus-sized, thanks to map-side partial
+    * aggregation), (2) pair → weighted count (alphabet²-sized). The
+    * per-word bigram expansion is a narrow transform over the DISTINCT
+    * vocabulary, so corpus scale only affects step 1's combine. */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val vocab = df
+      .select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("word"), col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").cast("long").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Paragraph-level cross-document dedup signal: chunk every document into
+    * fixed-token paragraphs (no overlap — dedup wants a partition, not a
+    * sliding window), hash each paragraph, and compute per-document how many
+    * of its paragraphs also appear verbatim in OTHER documents. High
+    * `dup_frac` ⇒ the document is largely assembled from shared boilerplate
+    * even when no whole-document hash matches. One shuffle on paragraph
+    * hash (bounded by corpus token count / chunkTokens) + one on doc id. */
+  def paragraphDupStats(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val chunks = chunkDocs(df, idCol, textCol, chunkTokens, overlap = 0)
+      .select(col(idCol), md5(col("chunk_text")).as("ph"))
+    val docsPerPara = chunks
+      .groupBy("ph").agg(countDistinct(col(idCol)).as("n_docs"))
+    chunks.join(docsPerPara, "ph")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("dup_paras"))
+      .withColumn("dup_frac",
+        round(col("dup_paras").cast("double") /
+          greatest(col("n_paras"), lit(1L)).cast("double"), 6))
+  }
 }

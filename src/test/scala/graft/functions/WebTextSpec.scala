@@ -1,0 +1,120 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the web-corpus preparation operators: HTML main-content
+  * extraction, URL canonicalization, BPE pair counting, and
+  * paragraph-level cross-document dedup (SURVEY.md §7.6).
+  */
+class WebTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- stripHtml ---------------------------------------------------------
+
+  private def strip(html: String): String =
+    Seq(html).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h")).as("c"))
+      .as[String].head()
+
+  test("stripHtml drops script/style subtrees, tags, and decodes entities") {
+    val html =
+      """<html><head><title>T</title><style>p { color: red }</style></head>
+        |<body><script>var x = 1 &amp;&amp; 2;</script>
+        |<p>Hello &amp; <b>world</b> &lt;ok&gt;</p></body></html>""".stripMargin
+    assert(strip(html) === "T Hello & world <ok>")
+  }
+
+  test("stripHtml is case-insensitive on block tags and survives attributes") {
+    val html = """<SCRIPT type="text/javascript">bad()</SCRIPT><P>keep</P>"""
+    assert(strip(html) === "keep")
+  }
+
+  test("stripHtml decodes quot and apostrophe entities") {
+    assert(strip("<p>&quot;a&#39;b&quot;</p>") === "\"a'b\"")
+  }
+
+  test("htmlRetainedFrac is low for markup-heavy pages") {
+    val frac = Seq("<div><div><div>x</div></div></div>").toDF("h")
+      .select(TextAnalysis.htmlRetainedFrac(col("h")).as("f"))
+      .as[Double].head()
+    assert(frac > 0.0 && frac < 0.2)
+  }
+
+  // ---- canonicalizeUrl ---------------------------------------------------
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .as[String].head()
+
+  test("canonicalizeUrl collapses the classic variant noise to one key") {
+    val variants = Seq(
+      "HTTPS://WWW.Example.COM:443/Docs/7?utm_source=feed&page=2#frag",
+      "https://www.example.com/Docs/7?page=2&utm_campaign=x",
+      "https://www.example.com/Docs/7/?page=2",
+      "https://www.example.com/Docs/7?gclid=abc&page=2")
+    val keys = variants.map(canon).distinct
+    assert(keys === Seq("https://www.example.com/Docs/7?page=2"))
+  }
+
+  test("canonicalizeUrl keeps path case, drops only default ports") {
+    assert(canon("http://Host.Com:80/A/B") === "http://host.com/A/B")
+    assert(canon("https://host.com:8443/x") === "https://host.com:8443/x")
+  }
+
+  test("canonicalizeUrl drops an all-tracking query entirely") {
+    assert(canon("https://h.com/p?utm_source=a&utm_medium=b") === "https://h.com/p")
+  }
+
+  test("canonicalizeUrl keeps the root slash") {
+    assert(canon("https://h.com/?ref=x") === "https://h.com/")
+  }
+
+  // ---- bpePairCounts -----------------------------------------------------
+
+  test("bpePairCounts weights pairs by word frequency") {
+    val df = Seq("aab aab ab", "xy").toDF("text")
+    val got = TextAnalysis.bpePairCounts(df, "text", topK = 10)
+      .as[(String, Long)].collect().toMap
+    // "aab" freq 2 contributes aa:2, ab:2; "ab" freq 1 contributes ab:1
+    assert(got("ab") === 3L)
+    assert(got("aa") === 2L)
+    assert(got("xy") === 1L)
+  }
+
+  test("bpePairCounts ignores single-char words and respects topK") {
+    val df = Seq("a b c dd").toDF("text")
+    val rows = TextAnalysis.bpePairCounts(df, "text", topK = 1)
+      .as[(String, Long)].collect()
+    assert(rows.toSeq === Seq(("dd", 1L)))
+  }
+
+  // ---- paragraphDupStats -------------------------------------------------
+
+  test("paragraphDupStats flags shared paragraphs across documents") {
+    val para = (1 to 32).map(i => s"w$i").mkString(" ")   // exactly one chunk
+    val uniqueA = (100 to 131).map(i => s"a$i").mkString(" ")
+    val uniqueB = (200 to 231).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$para $uniqueA"),  // chunk1 shared, chunk2 unique
+      (2L, s"$para $uniqueB"),  // chunk1 shared, chunk2 unique
+      (3L, uniqueB)             // copies doc 2's second chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDupStats(df, "doc_id", "text", 32)
+      .select("doc_id", "n_paras", "dup_paras", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 2L, 1.0))) // both its chunks appear elsewhere
+    assert(got(3L) === ((1L, 1L, 1.0)))
+  }
+
+  test("paragraphDupStats: fully unique corpus has zero dup fraction") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDupStats(df, "doc_id", "text", 32)
+      .agg(sum("dup_paras")).as[Long].head()
+    assert(got === 0L)
+  }
+}
