@@ -116,6 +116,36 @@ object SparkEntry {
       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL)""".stripMargin
 
+  /** Shared WITH-chain for the near-dup clustering oracles: exact jaccard
+    * pairs at 0.8 → symmetric edges → 5 unrolled label-propagation rounds
+    * (mirrors `Dedup.clusterLabels`; l5 = final labels). */
+  private val clusterChainSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""l$i AS (
+         |  SELECT l.doc_id, least(l.cluster_id, coalesce(m.nbr, l.cluster_id)) AS cluster_id
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.src AS doc_id, min(x.cluster_id) AS nbr
+         |    FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY 1) m
+         |  USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""$shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |ip AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM ip
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+       |$rounds""".stripMargin
+  }
+
   private val minhashSigsCte: String = {
     val aggs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS m_$i").mkString(", ")
     val fallbacks = (0 until 8).map(i => s"coalesce(m_$i, md5('$i:' || d.text)) AS sig_$i").mkString(", ")
@@ -945,6 +975,28 @@ object SparkEntry {
       graft.functions.TextAnalysis.paragraphDupStats(
         pq(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
         .orderBy("doc_id")),
+
+    // Incremental-value scoring: fraction of each document's 4-grams that
+    // first appear in it (vs any earlier doc id)
+    "q_ngram_novelty" -> ((s, dir) =>
+      graft.functions.TextAnalysis.ngramNovelty(
+        pq(s, dir, "documents"), "doc_id", "text", n = 4)
+        .orderBy("doc_id")),
+
+    // Duplicate-aware sampling weights: 1/cluster_size over the near-dup
+    // clustering, so each duplicate family carries unit sampling mass
+    // (pairs frame shared with q_dedup_clusters via guardedPairs)
+    "q_dedup_weights" -> ((s, dir) =>
+      graft.functions.Dedup.clusterWeights(
+        pq(s, dir, "documents"), "doc_id", guardedPairs(s, dir), iterations = 5)
+        .orderBy("doc_id")),
+
+    // Deterministic content-hash holdout split (~1.2% validation):
+    // assignment is stable under corpus growth — no doc ever migrates
+    "q_holdout_split" -> ((s, dir) =>
+      graft.functions.TextAnalysis.holdoutSplitCounts(
+        pq(s, dir, "documents"), "source", "text", validHexPrefixBelow = "03")
+        .orderBy("source")),
 
     // Exact corpus heavy hitters via the Misra–Gries candidates + exact
     // recount two-pass plan: the full-vocabulary aggregation never runs —
@@ -2145,33 +2197,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
-    "q_dedup_clusters" -> {
-      val rounds = (1 to 5).map { i =>
-        s"""l$i AS (
-           |  SELECT l.doc_id, least(l.cluster_id, coalesce(m.nbr, l.cluster_id)) AS cluster_id
-           |  FROM l${i - 1} l LEFT JOIN (
-           |    SELECT e.src AS doc_id, min(x.cluster_id) AS nbr
-           |    FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY 1) m
-           |  USING (doc_id))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $shingleCtes,
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |ip AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM ip
-         |  JOIN sizes sa ON id_a = sa.doc_id
-         |  JOIN sizes sb ON id_b = sb.doc_id
-         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
-         |$rounds
-         |SELECT doc_id, cluster_id FROM l5 ORDER BY doc_id""".stripMargin
-    },
+    "q_dedup_clusters" ->
+      s"""WITH $clusterChainSql
+         |SELECT doc_id, cluster_id FROM l5 ORDER BY doc_id""".stripMargin,
+
+    // Same label-propagation chain; weights layered on top.
+    "q_dedup_weights" ->
+      s"""WITH $clusterChainSql,
+         |cs AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM l5 GROUP BY cluster_id)
+         |SELECT l5.doc_id, l5.cluster_id, cs.cluster_size,
+         |  round(1.0 / CAST(cs.cluster_size AS DOUBLE), 6) AS sample_weight
+         |FROM l5 JOIN cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_sketch_distinct" ->
       """WITH h AS (
@@ -2819,6 +2858,25 @@ object SparkEntry {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "q_ngram_novelty" ->
+      s"""WITH $shingleCtes,
+         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+         |SELECT s.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_ngrams,
+         |  round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+         |FROM sh s JOIN f USING (shingle)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_holdout_split" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN substring(md5(text), 1, 2) < '03' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(count(*) - sum(CASE WHEN substring(md5(text), 1, 2) < '03' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  round(CAST(sum(CASE WHEN substring(md5(text), 1, 2) < '03' THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS valid_frac
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_paragraph_dup" ->
       """WITH t AS (

@@ -373,6 +373,25 @@ object Dedup {
     labels
   }
 
+  /** Duplicate-aware sampling weights from the near-dup clustering:
+    * `sample_weight = 1 / cluster_size`, so each duplicate FAMILY
+    * contributes unit mass to downstream sampling / loss weighting instead
+    * of being over-represented in proportion to how often it was crawled —
+    * the standard correction applied after near-dedup when outright
+    * dropping duplicates is too aggressive. One groupBy on cluster id +
+    * one keyed join beyond clusterLabels' own cost. */
+  def clusterWeights(
+      nodes: DataFrame, idCol: String, pairs: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    val labels = clusterLabels(nodes, idCol, pairs, iterations)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6)
+          .as("sample_weight"))
+  }
+
   /** Incremental exact dedup of a new batch against an existing corpus —
     * the daily-ingest shape at 100 TB: you cannot join every new batch
     * against the full history, so a Bloom filter of the history's content

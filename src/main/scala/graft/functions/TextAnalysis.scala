@@ -394,6 +394,48 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document n-gram novelty against the rest of the corpus in id
+    * order: an n-gram is "novel" for the document where it FIRST appears
+    * (min doc id). Low novelty ⇒ the document is mostly restatement of
+    * earlier content — the incremental-value signal used when ordering or
+    * pruning training corpora. Docs shorter than one n-gram carry no
+    * signal and are omitted (same contract as the shingle-based dedup
+    * family). Two keyed shuffles: first-occurrence agg on shingle, then
+    * the per-doc rollup. */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .select(col(idCol), col("shingle")).distinct()
+    val first = sh.groupBy("shingle").agg(min(col(idCol)).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_ngrams"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .cast("long").as("novel_ngrams"))
+      .withColumn("novelty_frac",
+        round(col("novel_ngrams").cast("double") /
+          col("n_ngrams").cast("double"), 6))
+  }
+
+  /** Deterministic holdout split by content hash: a document lands in the
+    * validation slice iff its md5 starts below the threshold prefix
+    * (`"03"` ⇒ 3/256 ≈ 1.2%). Hash-range assignment is stable under corpus
+    * growth and reshuffling — a document never migrates between splits —
+    * which is the property a train/valid split must have at 100 TB where
+    * re-splitting is unaffordable. Returns per-source split counts. */
+  def holdoutSplitCounts(
+      df: DataFrame, sourceCol: String, textCol: String,
+      validHexPrefixBelow: String): DataFrame =
+    df.select(col(sourceCol),
+      when(substring(md5(col(textCol)), 1, 2) < validHexPrefixBelow, 1L)
+        .otherwise(0L).as("is_valid"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("is_valid").cast("long").as("n_valid"))
+      .withColumn("n_train", (col("n_docs") - col("n_valid")).cast("long"))
+      .withColumn("valid_frac",
+        round(col("n_valid").cast("double") / col("n_docs").cast("double"), 6))
+
   /** Paragraph-level cross-document dedup signal: chunk every document into
     * fixed-token paragraphs (no overlap — dedup wants a partition, not a
     * sliding window), hash each paragraph, and compute per-document how many

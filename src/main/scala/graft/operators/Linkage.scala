@@ -45,12 +45,40 @@ object Linkage {
   }
 
   /** Candidate duplicate pairs within blocks: (id_a < id_b, dist) with
-    * levenshtein(name_a, name_b) <= maxDist. */
+    * levenshtein(name_a, name_b) <= maxDist.
+    *
+    * `lengthBand = true` adds exact length-banding on top of the user
+    * blocks: levenshtein(a, b) >= |len(a) - len(b)|, so a true pair's
+    * lengths differ by <= maxDist and their floor(len/maxDist) bands by
+    * <= 1. Side A is replicated to its band ± 1 and the join key becomes
+    * (blockCols, band): each true pair matches on exactly one replica
+    * (B's band is a single value), nothing is lost, and the per-bucket
+    * quadratic product shrinks from |block|² to ~3·(|block|/bands)·|block|
+    * — the same bounded-bucket shape LSH banding gives the jaccard
+    * verifier. Use it when name lengths SPREAD (addresses, titles, free
+    * text). Default off: on tightly-clustered lengths (e.g. generated
+    * catalog names) the band prunes almost nothing and the 3x replication
+    * only adds shuffle — measured 6.6 s plain vs 10.9 s banded at sf0.1
+    * on `part` with identical output (BASELINE.md session-4). */
   def fuzzyDupPairs(
       df: DataFrame, idCol: String, nameCol: String,
-      blockCols: Seq[String], maxDist: Int): DataFrame = {
-    val (a, b) = sides(df, idCol, nameCol, blockCols)
-    a.join(b, blockCols)
+      blockCols: Seq[String], maxDist: Int,
+      lengthBand: Boolean = false): DataFrame = {
+    val (a0, b0) = sides(df, idCol, nameCol, blockCols)
+    val (a, b, keys) =
+      if (!lengthBand) (a0, b0, blockCols)
+      else {
+        val w = math.max(maxDist, 1)
+        val aB = a0
+          .withColumn("__band0", floor(length(col("name_a")) / w).cast("long"))
+          .withColumn("__band",
+            explode(array(col("__band0") - 1, col("__band0"), col("__band0") + 1)))
+          .drop("__band0")
+        val bB = b0
+          .withColumn("__band", floor(length(col("name_b")) / w).cast("long"))
+        (aB, bB, blockCols :+ "__band")
+      }
+    a.join(b, keys)
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= maxDist)

@@ -354,6 +354,47 @@ class PlanQualitySpec extends SparkSpec {
       "cumulative window does not sit above the bucket aggregation")
   }
 
+  test("q_html_extract is a narrow map — no join, one pruned documents scan") {
+    val plan = planOf("q_html_extract")
+    assert(!plan.contains("Join"), plan.take(600))
+    val schemas = readSchemas(plan)
+    // needs doc_id, source, text — must not read lang/n_chars
+    assert(schemas.forall(s => !s.contains("lang") && !s.contains("n_chars")),
+      schemas.mkString("; "))
+  }
+
+  test("q_url_dedup aggregates the canonical key with partial combine") {
+    val plan = planOf("q_url_dedup")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("q_bpe_pairs: both aggregations partial+final; top-k via sort+limit") {
+    val plan = planOf("q_bpe_pairs")
+    // vocab count and pair count each plan partial+final = 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan.take(600))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("q_paragraph_dup joins on the paragraph hash — never a cross product") {
+    val plan = planOf("q_paragraph_dup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("q_ngram_novelty joins on shingle keys — never a cross product") {
+    val plan = planOf("q_ngram_novelty")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("q_holdout_split: pruned scan + partial-aggregated source rollup") {
+    val plan = planOf("q_holdout_split")
+    val schemas = readSchemas(plan)
+    assert(schemas.forall(s => s.split(",").length <= 2), schemas.mkString("; "))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(600))
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.

@@ -137,4 +137,60 @@ class FunctionsPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTPS", "Http")
+    host <- Gen.oneOf("Example.COM", "a.b.org", "WWW.Site.net")
+    port <- Gen.oneOf("", ":443", ":80", ":8080")
+    path <- Gen.oneOf("", "/", "/Docs/7", "/a/B/c/", "/x/")
+    query <- Gen.oneOf("", "?utm_source=f", "?page=2", "?utm_a=1&page=2&gclid=g",
+      "?page=2&ref=r", "?utm_x=1&utm_y=2")
+    frag <- Gen.oneOf("", "#frag", "#s-2")
+  } yield s"$scheme://$host$port$path$query$frag"
+
+  test("property: canonicalizeUrl is idempotent (canon(canon(u)) == canon(u))") {
+    val urls = samples(urlGen, 60).distinct
+    val df = urls.toDF("u")
+    val got = df.select(
+      TextAnalysis.canonicalizeUrl(col("u")).as("c1"),
+      TextAnalysis.canonicalizeUrl(
+        TextAnalysis.canonicalizeUrl(col("u"))).as("c2"))
+      .as[(String, String)].collect()
+    got.foreach { case (c1, c2) => assert(c1 === c2, s"not idempotent: $c1") }
+  }
+
+  test("property: paragraphDupStats equals brute-force chunk counting") {
+    samples(docsGen, 8).foreach { docs =>
+      val ct = 5
+      val out = TextAnalysis.paragraphDupStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens = ct)
+        .select("doc_id", "n_paras", "dup_paras")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // brute force: same tiling, paragraph -> set of docs containing it
+      val paras = docs.map { case (id, text) =>
+        id -> text.split("\\s+").toSeq.grouped(ct).map(_.mkString(" ")).toSeq
+      }
+      val docsPerPara = paras.flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+      paras.foreach { case (id, ps) =>
+        val dup = ps.count(p => docsPerPara(p) >= 2)
+        assert(out(id) === ((ps.size.toLong, dup.toLong)), s"doc=$id")
+      }
+    }
+  }
+
+  test("property: ngramNovelty fractions sum to the distinct n-gram count") {
+    // sum over docs of novel_ngrams == number of distinct shingles corpus-wide
+    samples(docsGen, 8).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 2)
+        .agg(sum("novel_ngrams")).as[Long].collect().head
+      val distinctShingles = docs.flatMap { case (_, t) =>
+        t.split("\\s+").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      }.distinct.size
+      val anyLongEnough = docs.exists(_._2.split("\\s+").length >= 2)
+      if (anyLongEnough) assert(out === distinctShingles.toLong)
+    }
+  }
 }

@@ -117,4 +117,63 @@ class WebTextSpec extends SparkSpec {
       .agg(sum("dup_paras")).as[Long].head()
     assert(got === 0L)
   }
+
+  // ---- ngramNovelty ------------------------------------------------------
+
+  test("ngramNovelty credits an n-gram to its first (min-id) document") {
+    val df = Seq(
+      (1L, "a b c d e"),          // bigrams ab bc cd de — all first here
+      (2L, "a b c x y"),          // ab bc repeat doc 1; cx xy novel
+      (3L, "a b")                 // ab repeats — zero novelty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 2)
+      .select("doc_id", "n_ngrams", "novel_ngrams", "novelty_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((4L, 4L, 1.0)))
+    assert(got(2L) === ((4L, 2L, 0.5)))
+    assert(got(3L) === ((1L, 0L, 0.0)))
+  }
+
+  test("ngramNovelty omits docs shorter than one n-gram") {
+    val df = Seq((1L, "one two three"), (2L, "solo")).toDF("doc_id", "text")
+    val ids = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L))
+  }
+
+  // ---- holdoutSplitCounts ------------------------------------------------
+
+  test("holdoutSplitCounts: assignment is by content hash prefix and stable") {
+    val df = Seq(
+      ("s1", "doc one"), ("s1", "doc two"), ("s2", "doc three")
+    ).toDF("source", "text")
+    val got = TextAnalysis.holdoutSplitCounts(df, "source", "text", "90")
+      .select("source", "n_docs", "n_valid", "n_train")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // md5 prefixes: "doc one"=e4.., "doc two"=86.., "doc three"=fa..
+    assert(got("s1") === ((2L, 1L, 1L)))
+    assert(got("s2") === ((1L, 0L, 1L)))
+    // growth-stability: adding docs never changes an existing assignment
+    val grown = df.union(Seq(("s2", "doc four")).toDF("source", "text"))
+    val g2 = TextAnalysis.holdoutSplitCounts(grown, "source", "text", "90")
+      .select("source", "n_valid").as[(String, Long)].collect().toMap
+    assert(g2("s1") === 1L)
+  }
+
+  // ---- clusterWeights ----------------------------------------------------
+
+  test("clusterWeights: each duplicate family carries unit total mass") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // {1,2,3} + {4} + {5}
+    val got = Dedup.clusterWeights(nodes, "doc_id", pairs)
+      .select("doc_id", "cluster_id", "cluster_size", "sample_weight")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((1L, 3L, 0.333333)))
+    assert(got(3L) === ((1L, 3L, 0.333333)))
+    assert(got(4L) === ((4L, 1L, 1.0)))
+    assert(got(5L) === ((5L, 1L, 1.0)))
+  }
 }

@@ -36,4 +36,36 @@ class LinkageSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((1L, 2L, 0L)))
   }
+
+  test("fuzzyDupPairs: length banding equals brute force, incl. band-boundary pairs") {
+    // names engineered to straddle floor(len/maxDist) band boundaries:
+    // lengths 3..13 with many cross-band near-pairs
+    val rnd = new scala.util.Random(7)
+    val names = (1 to 60).map { i =>
+      val base = "abcdefghijklm".take(3 + rnd.nextInt(11))
+      if (i % 3 == 0) base + "x" else if (i % 3 == 1) base.drop(1) else base
+    }
+    val df = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, n, s"B${i % 2}") }
+      .toDF("id", "name", "brand")
+    val banded = Linkage.fuzzyDupPairs(df, "id", "name", Seq("brand"), maxDist = 2,
+      lengthBand = true)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: plain block join, no banding
+    val rows = names.zipWithIndex.map { case (n, i) => (i.toLong, n, s"B${i % 2}") }
+    val brute = (for {
+      (ia, na, ba) <- rows; (ib, nb, bb) <- rows
+      if ba == bb && ia < ib
+      d = {
+        val m = Array.tabulate(na.length + 1, nb.length + 1) { (x, y) =>
+          if (x == 0) y else if (y == 0) x else 0 }
+        for (x <- 1 to na.length; y <- 1 to nb.length)
+          m(x)(y) = math.min(math.min(m(x - 1)(y) + 1, m(x)(y - 1) + 1),
+            m(x - 1)(y - 1) + (if (na(x - 1) == nb(y - 1)) 0 else 1))
+        m(na.length)(nb.length)
+      }
+      if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded === brute)
+  }
 }
