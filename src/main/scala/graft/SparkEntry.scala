@@ -116,6 +116,22 @@ object SparkEntry {
       |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw WHERE shingle IS NOT NULL)""".stripMargin
 
+  /** Exact jaccard pairs >= 0.8 over `documents` (ends in CTE `pairs`) —
+    * the oracle mirror of the production guardedPairs frame, shared by the
+    * clustering / weights / source-rank oracles. */
+  private val jaccardPairsCteSql: String =
+    s"""$shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |ip AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM ip
+       |  JOIN sizes sa ON id_a = sa.doc_id
+       |  JOIN sizes sb ON id_b = sb.doc_id
+       |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8)""".stripMargin
+
   /** Shared WITH-chain for the near-dup clustering oracles: exact jaccard
     * pairs at 0.8 → symmetric edges → 5 unrolled label-propagation rounds
     * (mirrors `Dedup.clusterLabels`; l5 = final labels). */
@@ -128,21 +144,54 @@ object SparkEntry {
          |    FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY 1) m
          |  USING (doc_id))""".stripMargin
     }.mkString(",\n")
-    s"""$shingleCtes,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-       |ip AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT id_a, id_b FROM ip
-       |  JOIN sizes sa ON id_a = sa.doc_id
-       |  JOIN sizes sb ON id_b = sb.doc_id
-       |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8),
+    s"""$jaccardPairsCteSql,
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+       |$rounds""".stripMargin
+  }
+
+  /** Unrolled integer fixed-point PageRank oracle (mirrors
+    * `Graph.pageRank`: 1e-9 BIGINT units, `//` integral division,
+    * damping 85/100, dangling mass redistributed uniformly) over the
+    * undirected source-duplication graph. */
+  private val sourceRankSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""dang$i AS (
+         |  SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS ds FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT src FROM outw)),
+         |ins$i AS (
+         |  SELECT e.dst, CAST(sum((e.w * r.r) // o.ow) AS BIGINT) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN outw o ON e.src = o.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    CAST((CAST(1000000000 AS BIGINT) * 15) // (100 * nc.nn) +
+         |      (85 * (coalesce(i.s, CAST(0 AS BIGINT)) + (d.ds // nc.nn))) // 100
+         |      AS BIGINT) AS r
+         |  FROM nodes n CROSS JOIN ncount nc CROSS JOIN dang$i d
+         |  LEFT JOIN ins$i i ON n.node = i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$jaccardPairsCteSql,
+       |srcmap AS (SELECT doc_id, source FROM documents),
+       |upairs AS (
+       |  SELECT least(pa.source, pb.source) AS s1,
+       |    greatest(pa.source, pb.source) AS s2,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM pairs
+       |  JOIN srcmap pa ON pairs.id_a = pa.doc_id
+       |  JOIN srcmap pb ON pairs.id_b = pb.doc_id
+       |  WHERE pa.source <> pb.source GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT s1 AS src, s2 AS dst, w FROM upairs
+       |  UNION ALL SELECT s2, s1, w FROM upairs),
+       |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT source AS node FROM documents),
+       |ncount AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(1000000000 AS BIGINT) // nc.nn AS r
+       |  FROM nodes CROSS JOIN ncount nc),
        |$rounds""".stripMargin
   }
 
@@ -997,6 +1046,46 @@ object SparkEntry {
       graft.functions.TextAnalysis.holdoutSplitCounts(
         pq(s, dir, "documents"), "source", "text", validHexPrefixBelow = "03")
         .orderBy("source")),
+
+    // Asymmetric containment dedup: small docs mostly embedded in larger
+    // ones (jaccard-invisible when sizes differ widely)
+    "q_dedup_containment" -> ((s, dir) =>
+      graft.functions.Dedup.containmentPairs(
+        pq(s, dir, "documents"), "doc_id", "text", n = 4, threshold = 0.9)
+        .orderBy("contained_id", "container_id")),
+
+    // Triangle counts over the near-dup graph (degree-ordered orientation
+    // bounds the wedge join on hub vertices): a vertex in many triangles
+    // sits in a DENSE duplicate family — stronger evidence than pair count
+    "q_dedup_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleCounts(guardedPairs(s, dir), "id_a", "id_b")
+        .orderBy("node")),
+
+    // Source-authority ranking: weighted PageRank over the undirected
+    // source-duplication graph (edge weight = cross-source near-dup pair
+    // count, shared guardedPairs frame). Integer fixed-point power
+    // iteration — bit-identical on any partitioning and in the oracle.
+    "q_source_rank" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val cross = guardedPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
+          Seq("id_b"))
+        .filter(col("source_a") =!= col("source_b"))
+      val upairs = cross.select(
+          least(col("source_a"), col("source_b")).as("s1"),
+          greatest(col("source_a"), col("source_b")).as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).cast("long").as("w"))
+      val edges = upairs.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
+        .unionByName(upairs.select(col("s2").as("src"), col("s1").as("dst"), col("w")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", "w",
+          docs.select(col("source")), "source", iterations = 5)
+        .select(col("node").as("source"), col("rank_fp"),
+          round(col("rank_fp").cast("double") / 1e9, 6).as("rank"))
+        .orderBy("source")
+    }),
 
     // Exact corpus heavy hitters via the Misra–Gries candidates + exact
     // recount two-pass plan: the full-vocabulary aggregation never runs —
@@ -2877,6 +2966,58 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN substring(md5(text), 1, 2) < '03' THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(count(*) AS DOUBLE), 6) AS valid_frac
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_source_rank" ->
+      s"""WITH $sourceRankSql
+         |SELECT node AS source, r AS rank_fp,
+         |  round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
+         |FROM r5 ORDER BY source""".stripMargin,
+
+    "q_dedup_containment" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+         |ip AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM ip
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id),
+         |d AS (
+         |  SELECT
+         |    CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+         |    CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS container_id,
+         |    round(CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 6)
+         |      AS containment
+         |  FROM j)
+         |SELECT contained_id, container_id, containment FROM d
+         |WHERE containment >= 0.9
+         |ORDER BY contained_id, container_id""".stripMargin,
+
+    "q_dedup_triangles" ->
+      s"""WITH $jaccardPairsCteSql,
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs),
+         |deg AS (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) t GROUP BY x),
+         |oe AS (
+         |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+         |    CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+         |    CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS kd
+         |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+         |tri AS (
+         |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+         |  FROM oe w1 JOIN oe w2
+         |    ON w1.src = w2.src AND (w1.kd, w1.dst) < (w2.kd, w2.dst)
+         |  JOIN oe e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+         |pv AS (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) t GROUP BY x)
+         |SELECT deg.x AS node, coalesce(pv.n, CAST(0 AS BIGINT)) AS triangles
+         |FROM deg LEFT JOIN pv ON deg.x = pv.x ORDER BY node""".stripMargin,
 
     "q_paragraph_dup" ->
       """WITH t AS (

@@ -373,6 +373,41 @@ object Dedup {
     labels
   }
 
+  /** Asymmetric containment dedup: containment(A in B) = |A∩B| / |A| —
+    * catches a document fully (or mostly) EMBEDDED in a larger one
+    * (quotes, mirrored sections, doc+appendix re-posts), which symmetric
+    * jaccard misses: a 50-shingle doc inside a 1000-shingle doc has
+    * jaccard ≈ 0.05 but containment 1.0. Emits one directed row
+    * (id_small-side = the contained doc) per pair with containment >=
+    * threshold; `inter` via the same inverted-index equi-join as the
+    * jaccard family (a dfCap is deliberately NOT applied here — the
+    * contract is exactness; compose with LSH candidates for the capped
+    * production path, as guardedPairs does for jaccard). */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.9): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    // direct each qualifying pair: the SMALLER shingle set is the
+    // contained side (ties -> id_a, deterministic)
+    inter
+      .withColumn("contained_id",
+        when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")))
+      .withColumn("container_id",
+        when(col("n_a") <= col("n_b"), col("id_b")).otherwise(col("id_a")))
+      .withColumn("containment",
+        round(col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+  }
+
   /** Duplicate-aware sampling weights from the near-dup clustering:
     * `sample_weight = 1 / cluster_size`, so each duplicate FAMILY
     * contributes unit mass to downstream sampling / loss weighting instead

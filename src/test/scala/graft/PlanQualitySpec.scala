@@ -395,6 +395,19 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(600))
   }
 
+  test("q_dedup_triangles: wedge and closing joins are keyed (no cross product)") {
+    val plan = planOf("q_dedup_triangles")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("q_source_rank: no cartesian product; the only nested-loop is the 1-row dangling broadcast") {
+    val plan = planOf("q_source_rank")
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // the dangling-mass scalar joins via broadcast; edge/rank joins must not
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"$bnlj nested-loop joins\n${plan.take(600)}")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.

@@ -162,6 +162,35 @@ class WebTextSpec extends SparkSpec {
     assert(g2("s1") === 1L)
   }
 
+  // ---- containmentPairs --------------------------------------------------
+
+  test("containmentPairs finds a small doc embedded in a large one that jaccard misses") {
+    val embedded = (1 to 10).map(i => s"e$i").mkString(" ")   // 7 4-gram shingles
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val df = Seq(
+      (1L, embedded),                    // fully contained in doc 2
+      (2L, s"$filler $embedded"),        // large container
+      (3L, "totally unrelated words here repeated unrelated words again")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    // sanity: symmetric jaccard at 0.8 would never pair them
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 4, threshold = 0.8)
+      .count()
+    assert(jac === 0L)
+  }
+
+  test("containmentPairs: partial overlap below threshold is dropped") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared unique tail words here"),   // only ~half its shingles shared
+      (2L, s"$shared other completely different continuation text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 4, threshold = 0.9)
+    assert(got.count() === 0L)
+  }
+
   // ---- clusterWeights ----------------------------------------------------
 
   test("clusterWeights: each duplicate family carries unit total mass") {
