@@ -1047,6 +1047,22 @@ object SparkEntry {
         pq(s, dir, "documents"), "source", "text", validHexPrefixBelow = "03")
         .orderBy("source")),
 
+    // Similarity-threshold calibration: cosine histogram over two
+    // deterministic hash-sampled vertex sets (bounded pairs at any N)
+    "q_sim_histogram" -> ((s, dir) =>
+      graft.functions.Similarity.simHistogram(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64,
+        rateA = 0.2, rateB = 0.2)
+        .orderBy("bucket")),
+
+    // Cluster-balanced diversity sampling: nearest-centroid cells, at most
+    // 20 kept per cell in deterministic hash order
+    "q_diverse_sample" -> ((s, dir) =>
+      graft.functions.Similarity.clusterBalancedSample(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64,
+        nlist = 16, capPerCell = 20)
+        .orderBy("vec_id")),
+
     // Asymmetric containment dedup: small docs mostly embedded in larger
     // ones (jaccard-invisible when sizes differ widely)
     "q_dedup_containment" -> ((s, dir) =>
@@ -2972,6 +2988,59 @@ object SparkEntry {
          |SELECT node AS source, r AS rank_fp,
          |  round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
          |FROM r5 ORDER BY source""".stripMargin,
+
+    // hexThreshold(0.2) = floor(0.2 * 2^32) = 0x33333333
+    "q_sim_histogram" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS id_a, embedding AS va,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS na
+         |  FROM embeddings
+         |  WHERE substring(md5('simA:' || vec_id), 1, 8) < '33333333'),
+         |b AS (
+         |  SELECT vec_id AS id_b, embedding AS vb,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nb
+         |  FROM embeddings
+         |  WHERE substring(md5('simB:' || vec_id), 1, 8) < '33333333'),
+         |p AS (
+         |  SELECT round((${dotSql("va", "vb", 64)}) / (na * nb), 6) AS cos_sim
+         |  FROM a CROSS JOIN b WHERE id_a < id_b),
+         |g AS (
+         |  SELECT CAST(floor(cos_sim * 20) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM p GROUP BY 1)
+         |SELECT bucket, n_pairs,
+         |  round(CAST(bucket AS DOUBLE) / 20, 6) AS bucket_lo
+         |FROM g ORDER BY bucket""".stripMargin,
+
+    "q_diverse_sample" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |c AS (
+         |  SELECT vec_id, embedding AS cv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |assign AS (
+         |  SELECT vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
+         |  FROM c CROSS JOIN cents),
+         |cells AS (SELECT vec_id, cent_id FROM assign WHERE arnk = 1),
+         |sizes AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS cell_n
+         |  FROM cells GROUP BY 1),
+         |keyed AS (
+         |  SELECT vec_id, cent_id,
+         |    substring(md5('divs:' || vec_id), 1, 8) || ':' ||
+         |      CAST(vec_id AS VARCHAR) AS k
+         |  FROM cells),
+         |kept AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY cent_id ORDER BY k) AS rn
+         |    FROM keyed) WHERE rn <= 20)
+         |SELECT kept.vec_id, kept.cent_id, sizes.cell_n
+         |FROM kept JOIN sizes USING (cent_id) ORDER BY vec_id""".stripMargin,
 
     "q_dedup_containment" ->
       s"""WITH $shingleCtes,

@@ -397,4 +397,66 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** Similarity-score calibration histogram — the input to choosing a
+    * near-dup / retrieval threshold: the distribution of cosine scores over
+    * a DETERMINISTIC hash-sampled pair set. Two independent content-hash
+    * vertex samples (rates rateA, rateB) are cross-joined (small × small,
+    * one side broadcast) instead of sampling the quadratic pair space — the
+    * only shape that stays bounded at corpus scale: |pairs| ≈
+    * rateA·rateB·N²/2 is set by the rates, not by N² (pick rates ∝ 1/√N
+    * for a constant-size calibration set). Buckets are width-0.05 over
+    * [-1, 1], keyed by floor(round(cos,6)·20). */
+  def simHistogram(
+      df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      rateA: Double, rateB: Double): DataFrame = {
+    def sampled(seed: String, rate: Double, idAs: String, vAs: String) =
+      df.filter(
+          substring(md5(concat(lit(s"$seed:"), col(idCol))), 1, 8) <
+            Sampling.hexThreshold(rate))
+        .select(col(idCol).as(idAs), col(vecCol).as(vAs))
+    val a = sampled("simA", rateA, "id_a", "va")
+      .withColumn("na", sqrt(dotExpr("va", "va", dims)))
+    val b = sampled("simB", rateB, "id_b", "vb")
+      .withColumn("nb", sqrt(dotExpr("vb", "vb", dims)))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .withColumn("bucket", floor(col("cos_sim") * 20).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+      .withColumn("bucket_lo", round(col("bucket").cast("double") / 20, 6))
+  }
+
+  /** Cluster-balanced diversity sampling (the SemDeDup / DCLM curation
+    * step after semantic clustering): assign every vector to its nearest
+    * coarse centroid (broadcast argmax, no corpus shuffle — same shape as
+    * [[ivfTopK]]'s inverted lists), then keep at most `capPerCell` vectors
+    * per cell in deterministic content-hash order, so no semantic region
+    * dominates the training mix. Returns kept rows with their cell and
+    * the cell's pre-cap population. */
+  def clusterBalancedSample(
+      df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      nlist: Int, capPerCell: Int): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+    val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("cent_sim",
+        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_id")).as("cent_id"))
+    val sizes = assigned.groupBy("cent_id")
+      .agg(count(lit(1)).cast("long").as("cell_n"))
+    // hash prefix + id suffix: unique ⇒ the per-cell keep order is total
+    val keyed = assigned.withColumn("__k",
+      concat(substring(md5(concat(lit("divs:"), col("vec_id"))), 1, 8),
+        lit(":"), col("vec_id").cast("string")))
+    Sampling.capPerKey(keyed, "cent_id", "__k", capPerCell)
+      .join(sizes, "cent_id")
+      .select(col("vec_id"), col("cent_id"), col("cell_n"))
+  }
 }

@@ -191,6 +191,62 @@ class WebTextSpec extends SparkSpec {
     assert(got.count() === 0L)
   }
 
+  // ---- simHistogram ------------------------------------------------------
+
+  test("simHistogram: buckets cover sampled pairs exactly; sampling is deterministic") {
+    val data = (0L until 40L).map { i =>
+      i -> Array.tabulate(4)(j => (((i * 7 + j * 3) % 11).toFloat - 5f) / 3f)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.simHistogram(df, "vec_id", "embedding", dims = 4,
+      rateA = 0.5, rateB = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // brute-force replication of the hash sampling + bucketing
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val thr = f"${(0.5 * 4294967296.0).toLong}%08x"
+    val sa = data.filter { case (i, _) => md5hex(s"simA:$i").take(8) < thr }
+    val sb = data.filter { case (i, _) => md5hex(s"simB:$i").take(8) < thr }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (ia, va) <- sa; (ib, vb) <- sb if ia < ib
+      dot = (0 until 4).map(k => va(k).toDouble * vb(k).toDouble).sum
+      na = math.sqrt((0 until 4).map(k => va(k).toDouble * va(k).toDouble).sum)
+      nb = math.sqrt((0 until 4).map(k => vb(k).toDouble * vb(k).toDouble).sum)
+    } yield math.floor(r6(dot / (na * nb)) * 20).toLong)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    assert(got.map(r => r._1 -> r._2).toMap === expected)
+    got.foreach { case (b, _, lo) => assert(lo === b / 20.0) }
+  }
+
+  // ---- clusterBalancedSample ---------------------------------------------
+
+  test("clusterBalancedSample caps every cell and reports pre-cap sizes") {
+    // 30 vectors in 2 tight clusters around two axis directions
+    val data = (0L until 30L).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      i -> base.zipWithIndex.map { case (x, j) => x + ((i * 3 + j) % 5) * 0.01f }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      dims = 4, nlist = 2, capPerCell = 5)
+      .as[(Long, Long, Long)].collect()
+    // two cells (centroids = vec 0 and vec 1), 15 members each, capped at 5
+    assert(got.length === 10)
+    val byCell = got.groupBy(_._2)
+    assert(byCell.keySet === Set(0L, 1L))
+    byCell.values.foreach { rows =>
+      assert(rows.length === 5)
+      assert(rows.forall(_._3 === 15L))   // pre-cap population preserved
+    }
+    // determinism: same input, different partitioning, same kept set
+    val again = Similarity.clusterBalancedSample(df.repartition(7), "vec_id",
+      "embedding", dims = 4, nlist = 2, capPerCell = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
+
   // ---- clusterWeights ----------------------------------------------------
 
   test("clusterWeights: each duplicate family carries unit total mass") {
