@@ -76,6 +76,25 @@ object EventAnalytics {
       .drop("__h")
   }
 
+  /** Streaming crawl-frontier URL dedup: canonicalize each URL (case,
+    * default port, fragment, tracking params, trailing slash — the batch
+    * [[graft.functions.TextAnalysis.canonicalizeUrl]] rules, so stream and
+    * batch agree on what "same fetch target" means) and emit only the
+    * FIRST arrival per canonical form within the watermark.
+    * `dropDuplicatesWithinWatermark` keeps one state row per canonical URL
+    * and purges it once the watermark passes — bounded state on an
+    * unbounded frontier, sized by the lateness horizon not the crawl
+    * history (pair with the stream-static [[dedupAgainstCorpus]] gate for
+    * "ever seen" semantics against a persisted frontier table). */
+  def dedupUrlStream(
+      stream: DataFrame, urlCol: String, tsCol: String,
+      lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("canonical_url",
+        graft.functions.TextAnalysis.canonicalizeUrl(col(urlCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("canonical_url"))
+
   /** Stream-stream interval join (attribution): each view joined to the
     * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
     * carry watermarks and the join condition bounds event time in both

@@ -198,4 +198,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(closed.head.session_start === ts(0) && closed.head.session_end === ts(5))
     q.stop()
   }
+
+  test("dedupUrlStream: canonical-form variants collapse to the first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val urls = input.toDF().toDF("ts", "url")
+    val q = EventAnalytics.dedupUrlStream(urls, "url", "ts", lateness = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("url_dedup_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    input.addData(
+      (ts(1), "HTTPS://Example.COM:443/Docs/7?utm_source=f&page=2#frag"),
+      (ts(1), "https://example.com/other"))
+    q.processAllAvailable()
+    // three canonical variants of the first URL: all dropped as duplicates
+    input.addData(
+      (ts(2), "https://example.com/Docs/7?page=2"),
+      (ts(2), "https://example.com/Docs/7/?page=2&gclid=g"),
+      (ts(3), "https://example.com/Docs/7?page=3"))  // different page -> kept
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("url_dedup_out")
+      .selectExpr("canonical_url", "url").as[(String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(
+      "https://example.com/Docs/7?page=2",
+      "https://example.com/Docs/7?page=3",
+      "https://example.com/other"))
+    // keep-first: the ORIGINAL raw url survived for the collapsed group
+    assert(out.head._2 === "HTTPS://Example.COM:443/Docs/7?utm_source=f&page=2#frag")
+  }
 }
