@@ -2935,12 +2935,13 @@ object SparkEntry {
         |    '^(https://[^/:?#]*):443($|[/?])', '\1\2'),
         |    '^(http://[^/:?#]*):80($|[/?])', '\1\2') AS np FROM c2),
         |c4 AS (SELECT doc_id, url,
-        |  regexp_replace(np,
-        |    '(?i)[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS ntr
+        |  regexp_replace(regexp_replace(regexp_replace(np,
+        |    '(?i)&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+        |    '(?i)\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?'),
+        |    '(?i)\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '') AS ntr
         |  FROM c3),
         |c5 AS (SELECT doc_id, url,
-        |  regexp_replace(regexp_replace(ntr, '^([^?]*)&', '\1?'),
-        |    '\?$', '') AS nq FROM c4),
+        |  regexp_replace(ntr, '\?$', '') AS nq FROM c4),
         |c6 AS (SELECT doc_id, url,
         |  regexp_replace(nq, '^([a-z]+://[^/?]+/[^?]*[^/?])/(\?|$)', '\1\2') AS canonical_url
         |  FROM c5)

@@ -46,10 +46,11 @@ object Dedup {
       .withColumn("is_duplicate", col(idCol) =!= col("survivor_id"))
   }
 
-  /** Distinct word n-gram shingles per document. */
+  /** Distinct word n-gram shingles per document (delegates to the one
+    * definition in [[TextAnalysis.shingleSets]] so the distinct-shingle
+    * contract lives in a single place). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    TextAnalysis.shingles(df, idCol, textCol, n)
-      .select(col(idCol), col("shingle")).distinct()
+    TextAnalysis.shingleSets(df, idCol, textCol, n)
 
   /** MinHash signatures: k independent permutations simulated by
     * min(md5("seed:shingle")). Documents shorter than one shingle fall back
@@ -103,20 +104,29 @@ object Dedup {
     * from the index — the candidate set loses only pairs whose ONLY overlap
     * is stop-shingles (which can't reach a meaningful threshold anyway) and
     * the join's worst bucket is bounded. */
+  /** Exact inverted-index pair intersection: (id_a < id_b, inter, n_a,
+    * n_b) for every pair sharing >= 1 shingle — the shared core of the
+    * set-similarity family (jaccard and containment scoring both divide
+    * these same counts). */
+  private[functions] def pairIntersectionSizes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+  }
+
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.8, dfCap: Int = 0): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-
-    val interPairs =
+    val withSizes =
       if (dfCap <= 0) {
         // Single-pass exact path: inverted-index self-join on every shingle.
-        a.join(b, Seq("shingle"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        pairIntersectionSizes(df, idCol, textCol, n)
       } else {
         // Skew-guarded path: stop-shingles (document frequency > dfCap)
         // are dropped ONLY for candidate generation — bounding the join's
@@ -124,6 +134,10 @@ object Dedup {
         // full shingle sets for the (small) candidate pair set. A pair
         // whose every shared shingle is a stop-shingle is lost, but such a
         // pair can't reach a meaningful threshold.
+        val sh = shingleSets(df, idCol, textCol, n)
+        val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+        val b = sh.select(col(idCol).as("id_b"), col("shingle"))
         val capped = sh
           .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
           .filter(col("df") <= dfCap).drop("df")
@@ -134,11 +148,10 @@ object Dedup {
         cand.join(a, Seq("id_a"))
           .join(b, Seq("id_b", "shingle"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+          .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       }
-
-    interPairs
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+    withSizes
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
@@ -386,17 +399,9 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.9): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
     // direct each qualifying pair: the SMALLER shingle set is the
     // contained side (ties -> id_a, deterministic)
-    inter
+    pairIntersectionSizes(df, idCol, textCol, n)
       .withColumn("contained_id",
         when(col("n_a") <= col("n_b"), col("id_a")).otherwise(col("id_b")))
       .withColumn("container_id",

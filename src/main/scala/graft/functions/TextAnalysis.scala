@@ -149,6 +149,13 @@ object TextAnalysis {
       .select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("shingle"))
   }
 
+  /** Distinct word n-gram shingles per document — THE distinct-shingle
+    * contract of the set-similarity family (dedup, novelty, oracles'
+    * shared `sh` CTE). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .select(col(idCol), col("shingle")).distinct()
+
   /** Rolling-hash document fingerprint: min(md5(4-gram shingle)) — a
     * winnowing-style representative hash; equal fingerprints are strong
     * near-duplicate candidates. Falls back to md5(text) for documents
@@ -362,12 +369,19 @@ object TextAnalysis {
     val noPort = regexp_replace(regexp_replace(lowerHost,
       "^(https://[^/:?#]*):443($|[/?])", "$1$2"),
       "^(http://[^/:?#]*):80($|[/?])", "$1$2")
-    // strip tracking params wherever they sit in the query, then tidy
-    // the separators that removal leaves behind
-    val noTrack = regexp_replace(noPort,
-      "(?i)[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
-    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
-    val noEmptyQ = regexp_replace(fixedSep, "\\?$", "")
+    // strip tracking params in three RE2-safe passes that each reattach
+    // the separators they consume, so a literal '&' in the PATH (a legal
+    // RFC 3986 sub-delim) is never rewritten: (1) '&'-prefixed params
+    // anywhere, (2) a leading '?param=...&' (following params take the
+    // '?'), (3) a leading '?param=...' that is the whole query. Residual
+    // out-of-contract case: a path SEGMENT spelled like '&utm_x=1' (a
+    // tracking-named key=value pair embedded in the path) still matches
+    // pass 1 — RE2 has no lookbehind to anchor the passes to the query.
+    val track = "(utm_[a-z]+|fbclid|gclid|ref)"
+    val noTrackAmp = regexp_replace(noPort, s"(?i)&$track=[^&#]*", "")
+    val noTrackLead = regexp_replace(noTrackAmp, s"(?i)\\?$track=[^&#]*&", "?")
+    val noTrack = regexp_replace(noTrackLead, s"(?i)\\?$track=[^&#]*$$", "")
+    val noEmptyQ = regexp_replace(noTrack, "\\?$", "")
     // strip a trailing slash only when a path segment follows the host
     // (so the root "scheme://host/" keeps its slash)
     regexp_replace(noEmptyQ, "^([a-z]+://[^/?]+/[^?]*[^/?])/(\\?|$)", "$1$2")
@@ -404,8 +418,7 @@ object TextAnalysis {
     * the per-doc rollup. */
   def ngramNovelty(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .select(col(idCol), col("shingle")).distinct()
+    val sh = shingleSets(df, idCol, textCol, n)
     val first = sh.groupBy("shingle").agg(min(col(idCol)).as("first_doc"))
     sh.join(first, "shingle")
       .groupBy(idCol)

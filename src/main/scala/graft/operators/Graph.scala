@@ -40,8 +40,14 @@ object Graph {
       nodes: DataFrame, nodeCol: String, iterations: Int,
       dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    // weight contract: positive integral longs (pre-scale fractional
+    // weights before calling). w <= 0 rows are dropped, and a node whose
+    // edges ALL drop correctly becomes dangling — without the ow > 0
+    // guard, Spark's `div ow` would NULL on zero and silently leak that
+    // node's whole rank mass each round (the oracle's `//` raises).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w")).localCheckpoint()
+      col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0).localCheckpoint()
     val outw = e.groupBy("src").agg(sum("w").as("ow")).localCheckpoint()
     val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
     val nCount = n.count()
@@ -79,7 +85,12 @@ object Graph {
     * vertex is the wedge center), then credited to all three corners.
     * Three keyed shuffles: degree agg, wedge join, closing-edge join. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    // canonicalize direction BEFORE distinct: an undirected edge supplied
+    // as both (a,b) and (b,a) — pageRank's required input shape — must
+    // collapse to one row, or every wedge/closing join double-counts
+    val e = edges.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     val deg = e.select(col("u").as("x"))
       .unionByName(e.select(col("v").as("x")))

@@ -142,7 +142,7 @@ class FunctionsPropertiesSpec extends SparkSpec {
     scheme <- Gen.oneOf("http", "https", "HTTPS", "Http")
     host <- Gen.oneOf("Example.COM", "a.b.org", "WWW.Site.net")
     port <- Gen.oneOf("", ":443", ":80", ":8080")
-    path <- Gen.oneOf("", "/", "/Docs/7", "/a/B/c/", "/x/")
+    path <- Gen.oneOf("", "/", "/Docs/7", "/a/B/c/", "/x/", "/a&b", "/p&q=1/r")
     query <- Gen.oneOf("", "?utm_source=f", "?page=2", "?utm_a=1&page=2&gclid=g",
       "?page=2&ref=r", "?utm_x=1&utm_y=2")
     frag <- Gen.oneOf("", "#frag", "#s-2")

@@ -71,6 +71,14 @@ class WebTextSpec extends SparkSpec {
     assert(canon("https://h.com/?ref=x") === "https://h.com/")
   }
 
+  test("canonicalizeUrl never rewrites a literal '&' in the path") {
+    // '&' is a legal RFC 3986 path sub-delim: /a&b and /a?b are DIFFERENT
+    // fetch targets and must not collide
+    assert(canon("https://h.com/a&b") === "https://h.com/a&b")
+    assert(canon("https://h.com/a&b?x=1") === "https://h.com/a&b?x=1")
+    assert(canon("https://h.com/a&b?utm_source=f&x=1") === "https://h.com/a&b?x=1")
+  }
+
   // ---- bpePairCounts -----------------------------------------------------
 
   test("bpePairCounts weights pairs by word frequency") {

@@ -72,6 +72,29 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
   }
 
+  test("triangleCounts: a both-directions edge list counts the same as one-row-per-edge") {
+    val one = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val both = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("id_a", "id_b")
+    val g1 = Graph.triangleCounts(one, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val g2 = Graph.triangleCounts(both, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(g1 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(g2 === g1)
+  }
+
+  test("pageRank: zero-weight edges drop; an all-zero-out node becomes dangling") {
+    // b's only out-edge has weight 0 -> b is dangling; mass must conserve
+    val edges = Seq(("a", "b", 1L), ("b", "a", 0L)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b").toDF("node")
+    val r = Graph.pageRank(edges, "src", "dst", "w", nodes, "node", iterations = 3)
+      .as[(String, Long)].collect().toMap
+    val total = r.values.sum
+    assert(math.abs(total - Scale) < 1000L, s"mass leaked: $r")
+    assert(r("b") > 0L)
+  }
+
   test("triangleCounts: a star graph has zero triangles (hub never wedges)") {
     val edges = (2L to 30L).map(i => (1L, i)).toDF("id_a", "id_b")
     val got = Graph.triangleCounts(edges, "id_a", "id_b")
