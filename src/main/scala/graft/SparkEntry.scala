@@ -1047,6 +1047,14 @@ object SparkEntry {
         pq(s, dir, "documents"), "source", "text", validHexPrefixBelow = "03")
         .orderBy("source")),
 
+    // Best-representative survivorship: per near-dup cluster keep the
+    // highest-quality copy (n_chars proxy; ties -> lowest id), not min-id
+    "q_dedup_best_rep" -> ((s, dir) =>
+      graft.functions.Dedup.bestRepresentative(
+        pq(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", guardedPairs(s, dir), iterations = 5)
+        .orderBy("doc_id")),
+
     // Similarity-threshold calibration: cosine histogram over two
     // deterministic hash-sampled vertex sets (bounded pairs at any N)
     "q_sim_histogram" -> ((s, dir) =>
@@ -2989,6 +2997,19 @@ object SparkEntry {
          |SELECT node AS source, r AS rank_fp,
          |  round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
          |FROM r5 ORDER BY source""".stripMargin,
+
+    "q_dedup_best_rep" ->
+      s"""WITH $clusterChainSql,
+         |q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS qv FROM documents),
+         |best AS (
+         |  SELECT cluster_id, survivor_id FROM (
+         |    SELECT l5.cluster_id, q.doc_id AS survivor_id,
+         |      row_number() OVER (PARTITION BY l5.cluster_id
+         |        ORDER BY q.qv DESC, q.doc_id) AS rn
+         |    FROM l5 JOIN q USING (doc_id)) WHERE rn = 1)
+         |SELECT l5.doc_id, l5.cluster_id, best.survivor_id,
+         |  l5.doc_id = best.survivor_id AS is_kept
+         |FROM l5 JOIN best USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     // hexThreshold(0.2) = floor(0.2 * 2^32) = 0x33333333
     "q_sim_histogram" ->

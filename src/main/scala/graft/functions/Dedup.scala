@@ -413,6 +413,28 @@ object Dedup {
       .select(col("contained_id"), col("container_id"), col("containment"))
   }
 
+  /** Best-representative near-dup survivorship: within each near-dup
+    * cluster keep the HIGHEST-quality copy (ties → lowest id), not the
+    * arbitrary min-id one — the policy real curation wants when crawl
+    * copies differ in truncation/mojibake/boilerplate. Same scale-safe
+    * `max(struct(quality, -id))` argmax as the similarity family (a
+    * partial-aggregable groupBy, not a cluster-wide window sort).
+    * Quality must be integral (cast long) so the tie-break is total and
+    * engine-independent. */
+  def bestRepresentative(
+      nodes: DataFrame, idCol: String, qualityCol: String,
+      pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val labels = clusterLabels(nodes.select(col(idCol)), idCol, pairs, iterations)
+    val q = nodes.select(col(idCol), col(qualityCol).cast("long").as("__q"))
+    val best = labels.join(q, idCol)
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__q"), (-col(idCol)).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("survivor_id"))
+    labels.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("survivor_id"),
+        (col(idCol) === col("survivor_id")).as("is_kept"))
+  }
+
   /** Duplicate-aware sampling weights from the near-dup clustering:
     * `sample_weight = 1 / cluster_size`, so each duplicate FAMILY
     * contributes unit mass to downstream sampling / loss weighting instead

@@ -257,6 +257,21 @@ class WebTextSpec extends SparkSpec {
 
   // ---- clusterWeights ----------------------------------------------------
 
+  test("bestRepresentative: highest quality survives, ties break to lowest id") {
+    val nodes = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // {1,2,3} + {4}
+    val got = Dedup.bestRepresentative(nodes, "doc_id", "quality", pairs)
+      .select("doc_id", "survivor_id", "is_kept")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // quality 9 tie between 2 and 3 -> lowest id 2 wins; min-id 1 does NOT
+    assert(got(1L) === ((2L, false)))
+    assert(got(2L) === ((2L, true)))
+    assert(got(3L) === ((2L, false)))
+    assert(got(4L) === ((4L, true)))  // singleton keeps itself
+  }
+
   test("clusterWeights: each duplicate family carries unit total mass") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // {1,2,3} + {4} + {5}
