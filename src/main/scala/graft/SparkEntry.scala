@@ -1055,6 +1055,29 @@ object SparkEntry {
         "doc_id", "n_chars", guardedPairs(s, dir), iterations = 5)
         .orderBy("doc_id")),
 
+    // Holdout-split leakage audit: every valid-split doc with a near-dup
+    // neighbor in the train split (eval decontamination gate)
+    "q_split_leakage" -> ((s, dir) =>
+      graft.functions.Dedup.splitLeakage(
+        pq(s, dir, "documents"), "doc_id", "text",
+        guardedPairs(s, dir), validHexPrefixBelow = "03")
+        .orderBy("doc_id")),
+
+    // CCNet-style paragraph dedup with reconstruction: keep each 32-token
+    // paragraph only at its globally first (doc_id, chunk_id) occurrence,
+    // reassemble surviving paragraphs in order
+    "q_paragraph_dedup_text" -> ((s, dir) =>
+      graft.functions.TextAnalysis.dedupParagraphs(
+        pq(s, dir, "documents"), "doc_id", "text", chunkTokens = 32)
+        .orderBy("doc_id")),
+
+    // Labeled-vs-detected language mismatch gate (drop mislabeled crawls
+    // before language-balanced sampling)
+    "q_lang_mismatch" -> ((s, dir) =>
+      graft.functions.TextAnalysis.langMismatch(
+        pq(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
     // Similarity-threshold calibration: cosine histogram over two
     // deterministic hash-sampled vertex sets (bounded pairs at any N)
     "q_sim_histogram" -> ((s, dir) =>
@@ -2997,6 +3020,76 @@ object SparkEntry {
          |SELECT node AS source, r AS rank_fp,
          |  round(CAST(r AS DOUBLE) / 1000000000.0, 6) AS rank
          |FROM r5 ORDER BY source""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH $jaccardPairsCteSql,
+         |sp AS (
+         |  SELECT doc_id, substring(md5(text), 1, 2) < '03' AS is_valid
+         |  FROM documents),
+         |xp AS (
+         |  SELECT CASE WHEN sa.is_valid THEN p.id_a ELSE p.id_b END AS doc_id
+         |  FROM pairs p
+         |  JOIN sp sa ON p.id_a = sa.doc_id
+         |  JOIN sp sb ON p.id_b = sb.doc_id
+         |  WHERE sa.is_valid <> sb.is_valid),
+         |lk AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_train_neighbors
+         |  FROM xp GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |  coalesce(lk.n_train_neighbors, CAST(0 AS BIGINT)) AS n_train_neighbors,
+         |  lk.doc_id IS NOT NULL AS is_leaked
+         |FROM sp s LEFT JOIN lk USING (doc_id)
+         |WHERE s.is_valid ORDER BY s.doc_id""".stripMargin,
+
+    "q_paragraph_dedup_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws, n_tokens,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(floor((n_tokens + 31) / 32.0) AS BIGINT)) AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n),
+        |h AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    array_to_string(ws[(chunk_id * 32 + 1):(chunk_id * 32 + 32)], ' ') AS chunk_text
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY md5(chunk_text)
+        |      ORDER BY doc_id, chunk_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_paras,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |    ORDER BY chunk_id), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lang_mismatch" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS hits_en,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS hits_de,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('el','los','las','una','y'))) AS BIGINT) AS hits_es,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('le','les','et','est','dans'))) AS BIGINT) AS hits_fr,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w IN ('的','是','了','和','在'))) AS BIGINT) AS hits_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |    CASE
+        |      WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |      WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |      WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |      WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang
+        |  FROM scored)
+        |SELECT doc_id, lang, predicted_lang,
+        |  lang <> predicted_lang AS is_mismatch
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_dedup_best_rep" ->
       s"""WITH $clusterChainSql,

@@ -435,6 +435,38 @@ object Dedup {
         (col(idCol) === col("survivor_id")).as("is_kept"))
   }
 
+  /** Train/valid split leakage audit: a holdout document is LEAKED when a
+    * near-duplicate of it sits in the training split — its eval loss then
+    * measures memorization, not generalization. Joins the near-dup pair
+    * frame against the deterministic content-hash split (same
+    * `md5(text) < prefix` rule as `holdoutSplitCounts`, so the split never
+    * migrates as the corpus grows) and reports every holdout document with
+    * its cross-split neighbor count. Decontaminating the eval set = drop
+    * rows where `is_leaked`.
+    *
+    * Scale: the split is a narrow projection (no shuffle); the pair frame
+    * is the production LSH output (linear-ish); the audit itself is two
+    * id-keyed joins + one aggregation on pair cardinality, all tiny
+    * relative to pair generation. */
+  def splitLeakage(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, validHexPrefixBelow: String): DataFrame = {
+    val split = df.select(col(idCol),
+      (substring(md5(col(textCol)), 1, 2) < validHexPrefixBelow).as("is_valid"))
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .join(split.select(col(idCol).as("id_a"), col("is_valid").as("va")), "id_a")
+      .join(split.select(col(idCol).as("id_b"), col("is_valid").as("vb")), "id_b")
+      .filter(col("va") =!= col("vb"))
+    val leaked = p
+      .select(when(col("va"), col("id_a")).otherwise(col("id_b")).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).cast("long").as("n_train_neighbors"))
+    split.filter(col("is_valid"))
+      .join(leaked, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_train_neighbors"), lit(0L)).as("n_train_neighbors"),
+        col("n_train_neighbors").isNotNull.as("is_leaked"))
+  }
+
   /** Duplicate-aware sampling weights from the near-dup clustering:
     * `sample_weight = 1 / cluster_size`, so each duplicate FAMILY
     * contributes unit mass to downstream sampling / loss weighting instead

@@ -82,6 +82,24 @@ object TextAnalysis {
     }
   }
 
+  /** Labeled-vs-detected language mismatch filter (the CCNet curation gate:
+    * drop documents whose claimed language disagrees with content-detected
+    * language — mislabeled crawls poison language-balanced sampling).
+    * Pure narrow map (detection is the stopword-voting langPredict, no
+    * shuffle), so it scales linearly with input splits. Returns every
+    * document with the labeled language, the detected language, and the
+    * mismatch flag; the filter is `!is_mismatch`. */
+  def langMismatch(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = langScores(textCol).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    scored.select(col(idCol), col(langCol),
+      langPredict(stopwords.map(l => s"hits_${l._1}")).as("predicted_lang"))
+      .withColumn("is_mismatch", col(langCol) =!= col("predicted_lang"))
+  }
+
   /** Corpus-unigram log-probability score — the CCNet-style language-model
     * filter stand-in: each document scores the mean log-likelihood of its
     * tokens under the corpus's own unigram distribution. Gibberish and
@@ -408,6 +426,118 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Merge one BPE pair into a word's segmentation, greedy left-to-right
+    * over non-overlapping occurrences (the standard BPE merge rule). */
+  private[graft] def bpeMergeOnce(
+      seg: Vector[String], left: String, right: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < seg.length) {
+      if (i + 1 < seg.length && seg(i) == left && seg(i + 1) == right) {
+        out += left + right; i += 2
+      } else { out += seg(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Full BPE merge-loop tokenizer training (completes `bpePairCounts`,
+    * which is one iteration's pair count): learns the ordered merge list.
+    *
+    * Scale design — the same split every production tokenizer trainer
+    * uses: the ONE corpus-scale pass is the distributed word-frequency
+    * aggregation (map-side combined, output is vocabulary-sized: Heaps'
+    * law keeps the distinct-word table ~millions of rows even at 100 TB,
+    * i.e. driver-sized by five orders of magnitude less than the corpus).
+    * The merge loop then runs on that compact weighted vocabulary locally
+    * — numMerges iterations of (count adjacent pairs, argmax, merge),
+    * each O(vocab); running it as numMerges Spark jobs would add a
+    * scheduler round-trip per merge for data that fits in one task. The
+    * collect here is vocabulary-bounded BY CONSTRUCTION, never
+    * corpus-bounded — it is not a driver-side loop over corpus rows.
+    *
+    * Determinism: argmax ties break on the lexicographically smallest
+    * (left, right) pair, so the merge list is corpus-order-independent.
+    * Returns (rank, left, right, pair_count) with rank = merge order.
+    * Stops early when no adjacent pair repeats. */
+  def bpeTrainMerges(
+      df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = df
+      .select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .as[(String, Long)].collect()
+
+    var segs: Array[(Vector[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (seg, f) =>
+        var i = 0
+        while (i + 1 < seg.length) {
+          val k = (seg(i), seg(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (c < 2) done = true  // nothing repeats: further merges are noise
+        else {
+          merges += ((rank, l, r, c))
+          segs = segs.map { case (seg, f) => (bpeMergeOnce(seg, l, r), f) }
+          rank += 1
+        }
+      }
+    }
+    merges.result()
+      .toDF("rank", "left", "right", "pair_count")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("pair_count"))
+  }
+
+  /** Apply a learned BPE merge list to segment one word (merges in rank
+    * order — equivalent to lowest-rank-first pair merging). */
+  private[graft] def bpeSegmentWord(
+      word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) {
+      case (seg, (l, r)) => bpeMergeOnce(seg, l, r)
+    }
+
+  /** Per-document BPE token counts under a learned merge list — the
+    * encode-side consumer of `bpeTrainMerges` (sizes token budgets /
+    * packing with the REAL tokenizer's segmentation instead of the
+    * whitespace proxy). The merge list broadcasts (it is numMerges rows);
+    * encoding is a narrow per-partition map with a per-partition word
+    * memo (Zipf: the same words repeat), so corpus scale only adds input
+    * splits. Genuinely iterative per-word logic — no built-in expresses
+    * the merge loop, so this is the documented mapPartitions exception. */
+  def bpeTokenCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toVector)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.Map.empty[String, Int]
+        it.map { case (id, text) =>
+          val n = text.split("\\s+").iterator.filter(_.nonEmpty).map { w =>
+            memo.getOrElseUpdate(w, bpeSegmentWord(w, ms).length)
+          }.sum
+          (id, n.toLong)
+        }
+      }
+      .toDF(idCol, "bpe_tokens")
+  }
+
   /** Per-document n-gram novelty against the rest of the corpus in id
     * order: an n-gram is "novel" for the document where it FIRST appears
     * (min doc id). Low novelty ⇒ the document is mostly restatement of
@@ -471,5 +601,43 @@ object TextAnalysis {
       .withColumn("dup_frac",
         round(col("dup_paras").cast("double") /
           greatest(col("n_paras"), lit(1L)).cast("double"), 6))
+  }
+
+  /** Paragraph-level dedup with document RECONSTRUCTION (the CCNet remove
+    * step, not just the signal): chunk into fixed-token paragraphs, keep a
+    * paragraph only at its globally FIRST occurrence — min (doc_id,
+    * chunk_id), so within-doc repeats collapse too — and reassemble each
+    * document from its surviving paragraphs in original order. Returns
+    * (id, n_paras, kept_paras, clean_text); clean_text is "" for a document
+    * whose every paragraph first appeared elsewhere (drop candidates).
+    *
+    * Scale: one shuffle keyed on paragraph hash (cardinality = corpus
+    * tokens / chunkTokens) to find first occurrences, one on doc id to
+    * reassemble. Reassembly is `sort_array(collect_list(...))` per doc —
+    * state bounded by a single document's paragraph count, never a global
+    * sort. */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val chunks = chunkDocs(df, idCol, textCol, chunkTokens, overlap = 0)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("ph"))
+    // Globally-first occurrence per paragraph hash: partial-aggregable
+    // min(struct) argmin, not a window over the hash groups.
+    val first = chunks.groupBy("ph")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("f"))
+      .select(col("ph"), col(s"f.$idCol").as("f_id"),
+        col("f.chunk_id").as("f_chunk"))
+    chunks.join(first, "ph")
+      .withColumn("__kept",
+        col(idCol) === col("f_id") && col("chunk_id") === col("f_chunk"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).cast("long")
+          .as("kept_paras"),
+        sort_array(collect_list(when(col("__kept"),
+          struct(col("chunk_id"), col("chunk_text"))))).as("__arr"))
+      .withColumn("clean_text", concat_ws(" ", col("__arr.chunk_text")))
+      .drop("__arr")
   }
 }

@@ -126,6 +126,108 @@ class WebTextSpec extends SparkSpec {
     assert(got === 0L)
   }
 
+  // ---- bpeTrainMerges / bpeTokenCounts -----------------------------------
+
+  test("bpeTrainMerges learns the hand-computed merge sequence") {
+    // vocab: aaab x3, ab x2
+    val df = Seq("aaab aaab", "aaab ab ab").toDF("text")
+    val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // iter0: (a,a)=6 beats (a,b)=5; iter1: (a,b)=3+2; iter2: (aa,ab)=3
+    assert(got === Seq(
+      (0L, "a", "a", 6L), (1L, "a", "b", 5L), (2L, "aa", "ab", 3L)))
+  }
+
+  test("bpeTrainMerges: argmax ties break to the smallest pair; numMerges caps") {
+    val df = Seq("ab ab cd cd").toDF("text")
+    val got = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq((0L, "a", "b", 2L)))
+    val full = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(full === Seq((0L, "a", "b", 2L), (1L, "c", "d", 2L)))
+  }
+
+  test("bpeTrainMerges first merge agrees with bpePairCounts top-1") {
+    val df = Seq("spark spark sparse park", "par par").toDF("text")
+    val top = TextAnalysis.bpePairCounts(df, "text", topK = 1)
+      .as[(String, Long)].head()
+    val first = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 1)
+      .as[(Long, String, String, Long)].head()
+    assert(first._2 + first._3 === top._1 && first._4 === top._2)
+  }
+
+  test("bpeTokenCounts segments with learned merges, unknown chars stay split") {
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val df = Seq((1L, "aaab ab xyz"), (2L, "q")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCounts(df, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    // aaab -> [aaab] (1), ab -> [ab] (1), xyz -> x y z (3); q -> 1
+    assert(got === Map(1L -> 5L, 2L -> 1L))
+  }
+
+  // ---- dedupParagraphs ---------------------------------------------------
+
+  test("dedupParagraphs: first occurrence survives, docs reassemble in order") {
+    val para = (1 to 32).map(i => s"w$i").mkString(" ")
+    val uniqA = (100 to 131).map(i => s"a$i").mkString(" ")
+    val uniqB = (200 to 231).map(i => s"b$i").mkString(" ")
+    val uniqC = (300 to 331).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$para $uniqA"),   // first occurrence of para -> keeps both
+      (2L, s"$para $uniqB"),   // loses para (doc 1 owns it), keeps uniqB
+      (3L, uniqB),             // its only chunk first appeared in doc 2
+      (4L, s"$uniqC $uniqC")   // within-doc repeat: keeps the FIRST copy
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(df, "doc_id", "text", 32)
+      .select("doc_id", "n_paras", "kept_paras", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 2L, s"$para $uniqA")))
+    assert(got(2L) === ((2L, 1L, uniqB)))
+    assert(got(3L) === ((1L, 0L, "")))    // fully-duplicated doc -> empty
+    assert(got(4L) === ((2L, 1L, uniqC)))
+  }
+
+  // ---- splitLeakage ------------------------------------------------------
+
+  test("splitLeakage: valid docs with train near-dups are flagged") {
+    // md5 prefixes: "doc one"=e4 "doc two"=86 "doc three"=fa "alpha"=2c
+    // "beta"=98 "delta"=63; threshold "90" -> valid = {2, 4, 6}
+    val docs = Seq(
+      (1L, "doc one"), (2L, "doc two"), (3L, "doc three"),
+      (4L, "alpha"), (5L, "beta"), (6L, "delta")
+    ).toDF("doc_id", "text")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),  // valid doc 2 has TWO train neighbors
+      (4L, 6L),            // valid-valid pair: NOT leakage
+      (3L, 5L)             // train-train pair: ignored
+    ).toDF("id_a", "id_b")
+    val got = Dedup.splitLeakage(docs, "doc_id", "text", pairs, "90")
+      .select("doc_id", "n_train_neighbors", "is_leaked")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      2L -> ((2L, true)), 4L -> ((0L, false)), 6L -> ((0L, false))))
+  }
+
+  // ---- langMismatch ------------------------------------------------------
+
+  test("langMismatch flags labeled-vs-detected disagreement") {
+    val df = Seq(
+      (1L, "the cat of the hat", "en"),        // detected en == labeled
+      (2L, "der hund und die katze ist", "en"), // detected de -> mismatch
+      (3L, "xyzzy plugh", "en")  // zero hits: priority tie-break -> en
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langMismatch(df, "doc_id", "text", "lang")
+      .select("doc_id", "predicted_lang", "is_mismatch")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("en", false)))
+    assert(got(2L) === (("de", true)))
+    assert(got(3L) === (("en", false)))
+  }
+
   // ---- ngramNovelty ------------------------------------------------------
 
   test("ngramNovelty credits an n-gram to its first (min-id) document") {
