@@ -1086,6 +1086,20 @@ object SparkEntry {
         guardedPairs(s, dir), qualityMin = 0.6)
         .orderBy("stage_order")),
 
+    // Embedding-table QA audit: per-label zero-norm / wrong-dim counts and
+    // norm distribution (the gate before any ANN / semantic-dedup pass)
+    "q_embedding_audit" -> ((s, dir) =>
+      graft.functions.Similarity.embeddingAudit(
+        pq(s, dir, "embeddings"), "embedding", "label", expectedDim = 64)
+        .orderBy("label")),
+
+    // Duplicate-family size histogram over the near-dup clustering
+    "q_cluster_sizes" -> ((s, dir) =>
+      graft.functions.Dedup.clusterSizeHistogram(
+        pq(s, dir, "documents").select(col("doc_id")), "doc_id",
+        guardedPairs(s, dir), iterations = 5)
+        .orderBy("cluster_size")),
+
     // Similarity-threshold calibration: cosine histogram over two
     // deterministic hash-sampled vertex sets (bounded pairs at any N)
     "q_sim_histogram" -> ((s, dir) =>
@@ -3098,6 +3112,29 @@ object SparkEntry {
         |SELECT doc_id, lang, predicted_lang,
         |  lang <> predicted_lang AS is_mismatch
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_embedding_audit" ->
+      s"""WITH base AS (
+         |  SELECT label,
+         |    CAST(len(embedding) AS BIGINT) AS dim,
+         |    sqrt(${dotSql("embedding", "embedding", 64)}) AS norm
+         |  FROM embeddings)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+         |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  round(min(norm), 6) AS norm_min,
+         |  round(max(norm), 6) AS norm_max,
+         |  round(CAST(sum(CAST(round(norm * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e6, 6) AS norm_mean
+         |FROM base GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_cluster_sizes" ->
+      s"""WITH $clusterChainSql,
+         |cs AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM l5 GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "q_curation_funnel" ->
       s"""WITH $clusterChainSql,

@@ -486,6 +486,20 @@ object Dedup {
           .as("sample_weight"))
   }
 
+  /** Duplicate-cluster size histogram — the one-glance dedup health report
+    * (how much of the corpus sits in families of size 1, 2, 100?): cluster
+    * size → number of clusters of that size. Two partial-aggregable
+    * groupBys over the label frame; output cardinality = distinct family
+    * sizes (tiny at any corpus scale). */
+  def clusterSizeHistogram(
+      nodes: DataFrame, idCol: String, pairs: DataFrame,
+      iterations: Int = 5): DataFrame =
+    clusterLabels(nodes, idCol, pairs, iterations)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+
   /** Incremental exact dedup of a new batch against an existing corpus —
     * the daily-ingest shape at 100 TB: you cannot join every new batch
     * against the full history, so a Bloom filter of the history's content

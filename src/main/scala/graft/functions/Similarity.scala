@@ -459,4 +459,33 @@ object Similarity {
       .join(sizes, "cent_id")
       .select(col("vec_id"), col("cent_id"), col("cell_n"))
   }
+
+  /** Embedding-table QA audit — the gate an ANN/semantic-dedup pipeline
+    * runs BEFORE trusting its vectors: per label, counts of zero-norm
+    * vectors (cosine-undefined: they poison similarity joins silently) and
+    * wrong-dimension vectors (a ragged batch from a failed encoder run),
+    * plus norm min/max/mean (distribution drift signal). Norms use the
+    * native codegen'd dot (same fixed left-to-right double association as
+    * the oracle's SQL chain); the mean is fixed-pointed to 1e-6 longs
+    * before summing, so it is partition-order-independent. Narrow per-row
+    * compute + one label-keyed aggregation — linear at any corpus size. */
+  def embeddingAudit(
+      df: DataFrame, vecCol: String, labelCol: String,
+      expectedDim: Int): DataFrame = {
+    val base = df.select(col(labelCol),
+      size(col(vecCol)).cast("long").as("dim"),
+      sqrt(ArrayDot.floatDot(col(vecCol), col(vecCol))).as("norm"))
+    base.groupBy(labelCol)
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(when(col("dim") =!= expectedDim, 1L).otherwise(0L)).cast("long")
+          .as("n_bad_dim"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"),
+        round(min(col("norm")), 6).as("norm_min"),
+        round(max(col("norm")), 6).as("norm_max"),
+        sum(round(col("norm") * 1e6, 0).cast("long")).as("__s"))
+      .withColumn("norm_mean",
+        round(col("__s").cast("double") / col("n_vecs").cast("double") / 1e6, 6))
+      .drop("__s")
+  }
 }

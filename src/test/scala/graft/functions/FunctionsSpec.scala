@@ -516,4 +516,31 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1)._2 === 0L)
     assert(out(1)._3 === 0.0)
   }
+
+  test("embeddingAudit: zero-norm, wrong-dim, and norm stats per label") {
+    val df = Seq(
+      (1L, Array(3f, 4f), 0),      // norm 5
+      (2L, Array(0f, 0f), 0),      // zero vector
+      (3L, Array(1f), 0),          // ragged dim (norm 1)
+      (4L, Array(0f, 2f), 1)       // norm 2
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingAudit(df, "embedding", "label", expectedDim = 2)
+      .orderBy("label")
+      .select("label", "n_vecs", "n_bad_dim", "n_zero", "norm_min",
+        "norm_max", "norm_mean")
+      .as[(Int, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      (0, 3L, 1L, 1L, 0.0, 5.0, 2.0),   // mean (5+0+1)/3
+      (1, 1L, 0L, 0L, 2.0, 2.0, 2.0)))
+  }
+
+  test("clusterSizeHistogram: family sizes roll up to counts") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterSizeHistogram(nodes, "doc_id", pairs)
+      .orderBy("cluster_size")
+      .as[(Long, Long)].collect().toSeq
+    // clusters: {1,2,3}, {4}, {5,6} -> size 1 x1, size 2 x1, size 3 x1
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }
