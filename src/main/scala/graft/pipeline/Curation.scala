@@ -35,21 +35,33 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       qualityProxyCol: String, pairs: DataFrame,
       qualityMin: Double): DataFrame = {
-    val d1 = Dedup.exact(docs, idCol, textCol)
-      .select(col(idCol), col("is_duplicate").as("g1_drop"))
+    import org.apache.spark.sql.expressions.Window
+    // The three text-derived gates (exact-dup hash, language mismatch,
+    // quality) are computed in ONE projection over ONE scan: at 100 TB the
+    // text column dominates IO, so evaluating the gates as separate
+    // operator subtrees would triple the corpus read for no added
+    // information. PlanQualitySpec pins the single-text-scan shape.
+    val scored = TextAnalysis.langScores(textCol).foldLeft(docs) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    val base = scored.select(col(idCol),
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("__th"),
+      (col(langCol) =!= TextAnalysis.langPredict(
+        TextAnalysis.stopwords.map(l => s"hits_${l._1}"))).as("g3_drop"),
+      (TextAnalysis.qualityScore(col(textCol),
+        TextAnalysis.stopwordHits(col(textCol),
+          TextAnalysis.stopwords.head._2)) < qualityMin).as("g4_drop"))
+    // Same survivor rule as Dedup.exact (min id per normalized-text hash),
+    // expressed over the shared base so no second text read happens.
+    val g1 = base.withColumn("g1_drop",
+      col(idCol) =!= min(col(idCol)).over(Window.partitionBy("__th")))
+    // Best-rep needs only (id, quality proxy) — a text-free pruned scan.
     val d2 = Dedup.bestRepresentative(
       docs.select(col(idCol), col(qualityProxyCol)),
       idCol, qualityProxyCol, pairs)
       .select(col(idCol), (!col("is_kept")).as("g2_drop"))
-    val d3 = TextAnalysis.langMismatch(docs, idCol, textCol, langCol)
-      .select(col(idCol), col("is_mismatch").as("g3_drop"))
-    val d4 = docs.select(col(idCol),
-      (TextAnalysis.qualityScore(col(textCol),
-        TextAnalysis.stopwordHits(col(textCol),
-          TextAnalysis.stopwords.head._2)) < qualityMin).as("g4_drop"))
 
-    val gated = docs.select(col(idCol))
-      .join(d1, idCol).join(d2, idCol).join(d3, idCol).join(d4, idCol)
+    val gated = g1.join(d2, Seq(idCol))
     val one = gated.agg(
       count(lit(1)).cast("long").as("n0"),
       sum(when(!col("g1_drop"), 1L).otherwise(0L)).cast("long").as("k1"),

@@ -408,6 +408,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(bnlj <= 1, s"$bnlj nested-loop joins\n${plan.take(600)}")
   }
 
+  test("curation funnel's own gates read the text column exactly once") {
+    import spark.implicits._
+    // Empty pair frame isolates the funnel-owned scans from the shared
+    // (cached) LSH pair subtree: the three text-derived gates must share
+    // ONE text-bearing scan — at 100 TB the text column dominates IO.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val plan = pipeline.Curation
+      .funnel(docs, "doc_id", "text", "lang", "n_chars", pairs, 0.6)
+      .queryExecution.executedPlan.toString
+    val textScans = readSchemas(plan).count(_.contains("text"))
+    assert(textScans === 1, s"$textScans text scans\n${plan.take(800)}")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
