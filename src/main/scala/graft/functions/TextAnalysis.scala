@@ -619,19 +619,28 @@ object TextAnalysis {
   def dedupParagraphs(
       df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunks = chunkDocs(df, idCol, textCol, chunkTokens, overlap = 0)
       .select(col(idCol), col("chunk_id"), col("chunk_text"),
         md5(col("chunk_text")).as("ph"))
-    // Globally-first occurrence per paragraph hash: partial-aggregable
-    // min(struct) argmin, not a window over the hash groups.
-    val first = chunks.groupBy("ph")
-      .agg(min(struct(col(idCol), col("chunk_id"))).as("f"))
-      .select(col("ph"), col(s"f.$idCol").as("f_id"),
-        col("f.chunk_id").as("f_chunk"))
-    chunks.join(first, "ph")
+    // Globally-first occurrence per paragraph hash as a window min over
+    // the ph partition — NOT an agg + join-back, which would evaluate the
+    // chunking subtree twice (the two branches project differently, so
+    // ReusedExchange can't merge them → 2 corpus text scans; measured by
+    // PlanQualitySpec). Window partition size = one paragraph's duplicate
+    // family: bounded in practice, and a pathological boilerplate
+    // mega-family buffers in the (spill-backed) window sorter — the same
+    // hot-key row set a join-back would fan out, so the window's halved
+    // text IO wins. (Contrast ngramNovelty, which keeps agg+join: its
+    // keys are stop-shingles with corpus-scale frequency, where partial
+    // aggregation is worth the second scan.)
+    val kept = chunks
+      .withColumn("__f", min(struct(col(idCol), col("chunk_id")))
+        .over(Window.partitionBy("ph")))
       .withColumn("__kept",
-        col(idCol) === col("f_id") && col("chunk_id") === col("f_chunk"))
-      .groupBy(idCol)
+        col(idCol) === col(s"__f.$idCol") &&
+          col("chunk_id") === col("__f.chunk_id"))
+    kept.groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_paras"),
         sum(when(col("__kept"), 1L).otherwise(0L)).cast("long")
           .as("kept_paras"),

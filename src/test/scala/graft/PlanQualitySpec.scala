@@ -422,6 +422,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(textScans === 1, s"$textScans text scans\n${plan.take(800)}")
   }
 
+  test("q_paragraph_dedup_text reuses one text scan via the shared ph exchange") {
+    val plan = planOf("q_paragraph_dedup_text")
+    val textScans = readSchemas(plan).count(_.contains("text"))
+    assert(textScans === 1, s"$textScans text scans\n${plan.take(800)}")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
