@@ -1757,6 +1757,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Source-overlap matrix: near-dup pair counts per unordered source
+    // pair — the inter-crawl contamination report that decides which
+    // sources need cross-dedup before mixing
+    "q_source_overlap_matrix" -> ((s, dir) => {
+      val src = pq(s, dir, "documents").select(col("doc_id"), col("source"))
+      guardedPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
+          Seq("id_b"))
+        .filter(col("source_a") =!= col("source_b"))
+        .select(least(col("source_a"), col("source_b")).as("src_1"),
+          greatest(col("source_a"), col("source_b")).as("src_2"))
+        .groupBy("src_1", "src_2")
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+        .orderBy("src_1", "src_2")
+    }),
+
+    // Hot-key skew advisor: top users by event volume with the salt factor
+    // the salted-join guards need (ceil(cnt * parts / total))
+    "q_skew_report" -> ((s, dir) =>
+      graft.operators.Joins.skewReport(
+        events(s, dir), "user_id", topK = 20, parts = 32)
+        .orderBy(col("cnt").desc, col("user_id"))),
+
     // J8/W6 — consolidation projection (READY -> contacts)
     "q_consolidate" -> ((s, dir) => {
       val c = classified(s, dir)
@@ -3112,6 +3137,31 @@ object SparkEntry {
         |SELECT doc_id, lang, predicted_lang,
         |  lang <> predicted_lang AS is_mismatch
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap_matrix" ->
+      s"""WITH $jaccardPairsCteSql,
+         |srcmap AS (SELECT doc_id, source FROM documents)
+         |SELECT least(pa.source, pb.source) AS src_1,
+         |  greatest(pa.source, pb.source) AS src_2,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN srcmap pa ON pairs.id_a = pa.doc_id
+         |JOIN srcmap pb ON pairs.id_b = pb.doc_id
+         |WHERE pa.source <> pb.source
+         |GROUP BY 1, 2 ORDER BY src_1, src_2""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT user_id, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(ceil(CAST(cnt AS DOUBLE) * 32 / CAST(total AS DOUBLE)) AS BIGINT))
+        |    AS salt_factor
+        |FROM top CROSS JOIN t ORDER BY cnt DESC, user_id""".stripMargin,
 
     "q_embedding_audit" ->
       s"""WITH base AS (

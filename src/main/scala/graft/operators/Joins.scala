@@ -210,4 +210,26 @@ object Joins {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Hot-key skew report — the advisor feeding [[saltedJoin]] /
+    * [[adaptiveSaltedJoin]]: top-K keys by row count with their corpus
+    * share and the salt factor that spreads each across `parts`
+    * average-sized partitions (`ceil(cnt * parts / total)`, floor 1).
+    * Map-side-combined key counts + TakeOrdered top-K (never a global
+    * window); the grand total is a one-row broadcast. Two evaluations of
+    * the combined count agg — the same accepted price as the vocab
+    * coverage query — beat materializing the distinct-key frame. */
+  def skewReport(
+      df: DataFrame, keyCol: String, topK: Int, parts: Int): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).cast("long").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        greatest(lit(1L),
+          ceil(col("cnt").cast("double") * parts /
+            col("total").cast("double")).cast("long")).as("salt_factor"))
+  }
 }

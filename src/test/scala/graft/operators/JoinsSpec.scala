@@ -127,4 +127,15 @@ class JoinsSpec extends SparkSpec {
     assert(Joins.bloomPrunedJoin(big, small, "k", "sk", expectedItems = 10L)
       .count() === 0L)
   }
+
+  test("skewReport: shares and salt factors match hand calc; topK caps") {
+    // key a x6, b x2, c x1 (total 9); parts = 3 -> salt(a) = ceil(2) = 2
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val got = Joins.skewReport(df, "k", topK = 2, parts = 3)
+      .select("k", "cnt", "share", "salt_factor")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 6L, 0.666667, 2L),
+      ("b", 2L, 0.222222, 1L)))   // light key floors at salt 1; c cut by topK
+  }
 }
