@@ -1782,6 +1782,23 @@ object SparkEntry {
         events(s, dir), "user_id", topK = 20, parts = 32)
         .orderBy(col("cnt").desc, col("user_id"))),
 
+    // Count-min sketch: depth x width cell table over event user_ids,
+    // probed for small-id users — est >= exact always; overcount shows
+    // collision cost at width 64
+    "q_cms_freq" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val ev = events(s, dir).select(col("user_id"))
+      val sketch = Sketches.cmsBuild(ev, "user_id", depth = 4, width = 64)
+      val probe = ev.filter(col("user_id") < 50)
+      val exact = probe.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("exact_count"))
+      Sketches.cmsEstimate(sketch, probe, "user_id", depth = 4, width = 64)
+        .join(exact, "user_id")
+        .withColumn("overcount",
+          (col("est_count") - col("exact_count")).cast("long"))
+        .orderBy("user_id")
+    }),
+
     // J8/W6 — consolidation projection (READY -> contacts)
     "q_consolidate" -> ((s, dir) => {
       val c = classified(s, dir)
@@ -3137,6 +3154,30 @@ object SparkEntry {
         |SELECT doc_id, lang, predicted_lang,
         |  lang <> predicted_lang AS is_mismatch
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_cms_freq" ->
+      """WITH rows4 AS (SELECT unnest(generate_series(0, 3)) AS rw),
+        |sk AS (
+        |  SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cell_count FROM (
+        |    SELECT r.rw,
+        |      CAST(('0x' || substr(md5(r.rw || ':' || CAST(e.user_id AS VARCHAR)), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
+        |    FROM events e CROSS JOIN rows4 r)
+        |  GROUP BY rw, bucket),
+        |probe AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+        |pb AS (
+        |  SELECT p.user_id, r.rw,
+        |    CAST(('0x' || substr(md5(r.rw || ':' || CAST(p.user_id AS VARCHAR)), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
+        |  FROM probe p CROSS JOIN rows4 r),
+        |est AS (
+        |  SELECT pb.user_id, CAST(min(sk.cell_count) AS BIGINT) AS est_count
+        |  FROM pb JOIN sk ON pb.rw = sk.rw AND pb.bucket = sk.bucket
+        |  GROUP BY pb.user_id),
+        |ex AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM events WHERE user_id < 50 GROUP BY user_id)
+        |SELECT est.user_id, est.est_count, ex.exact_count,
+        |  CAST(est.est_count - ex.exact_count AS BIGINT) AS overcount
+        |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin,
 
     "q_source_overlap_matrix" ->
       s"""WITH $jaccardPairsCteSql,

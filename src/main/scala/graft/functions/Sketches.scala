@@ -98,4 +98,46 @@ object Sketches {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("_partial")).as("cnt"))
+
+  /** Count-min row hash: md5-derived bucket of `key` for sketch row `row`
+    * — deterministic and identically computable by the DuckDB oracle
+    * (`('0x' || substr(md5(row || ':' || key), 1, 8))::UBIGINT % width`). */
+  private def cmsBucket(row: Int, key: Column, width: Int): Column =
+    (conv(substring(md5(concat(lit(s"$row:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long") % width).cast("long")
+
+  /** Count-min sketch BUILD: the (row, bucket) → count table, depth×width
+    * cells total regardless of key cardinality — the point-frequency
+    * companion to KMV (distinct counts) and Misra–Gries (heavy hitters).
+    * One map-side-combined aggregation over `depth` replicated hashes;
+    * cells are longs, so two sketches merge by elementwise addition
+    * (union = sum — the property streaming ingestion needs).
+    *
+    * Deliberately md5-seeded and exact-integer so estimates are
+    * bit-identical across engines and oracle-verifiable (unlike
+    * engine-internal sketch registers). */
+  def cmsBuild(
+      df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("row"),
+          cmsBucket(r, col(keyCol), width).as("bucket"))): _*)).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).cast("long").as("cell_count"))
+
+  /** Count-min ESTIMATE for each key in `keys`: min over sketch rows of
+    * the key's cell — an overestimate by construction (collisions only add).
+    * The sketch side is depth×width cells (broadcastable at any corpus
+    * size); per key the probe is `depth` equi-join lookups + one min. */
+  def cmsEstimate(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array((0 until depth).map(r =>
+        struct(lit(r.toLong).as("row"),
+          cmsBucket(r, col(keyCol), width).as("bucket"))): _*)).as("rb"))
+      .select(col(keyCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(keyCol)
+      .agg(min(col("cell_count")).cast("long").as("est_count"))
 }

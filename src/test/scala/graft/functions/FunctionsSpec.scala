@@ -534,6 +534,26 @@ class FunctionsSpec extends SparkSpec {
       (1, 1L, 0L, 0L, 2.0, 2.0, 2.0)))
   }
 
+  test("count-min sketch: estimates never undercount; disjoint builds merge by sum") {
+    val keys = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ (3L to 30L)).toDF("k")
+    val sk = Sketches.cmsBuild(keys, "k", depth = 4, width = 8) // force collisions
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+    val joined = Sketches.cmsEstimate(sk, keys, "k", depth = 4, width = 8)
+      .join(exact, "k")
+      .as[(Long, Long, Long)].collect()
+    assert(joined.length === 30)
+    joined.foreach { case (k, est, ex) => assert(est >= ex, s"key $k") }
+    // merge = elementwise cell addition: sum of two halves == full build
+    val (a, b) = ((1L to 15L).toDF("k"), (16L to 30L).toDF("k"))
+    val merged = Sketches.cmsBuild(a, "k", 4, 8)
+      .unionByName(Sketches.cmsBuild(b, "k", 4, 8))
+      .groupBy("row", "bucket").agg(sum("cell_count").as("cell_count"))
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Sketches.cmsBuild((1L to 30L).toDF("k"), "k", 4, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full)
+  }
+
   test("clusterSizeHistogram: family sizes roll up to counts") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
