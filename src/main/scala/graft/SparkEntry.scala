@@ -1782,6 +1782,14 @@ object SparkEntry {
         events(s, dir), "user_id", topK = 20, parts = 32)
         .orderBy(col("cnt").desc, col("user_id"))),
 
+    // Hard-negative mining: exact-jaccard near-miss pairs in [0.01, 0.8) —
+    // the confusable-but-not-duplicate pairs contrastive training needs
+    // (any shingle-sharing pair below the dup threshold on this corpus)
+    "q_hard_negatives" -> ((s, dir) =>
+      graft.functions.Dedup.nearMissPairs(
+        pq(s, dir, "documents"), "doc_id", "text", n = 4, lo = 0.01, hi = 0.8)
+        .orderBy("id_a", "id_b")),
+
     // Count-min sketch: depth x width cell table over event user_ids,
     // probed for small-id users — est >= exact always; overcount shows
     // collision cost at width 64
@@ -3154,6 +3162,22 @@ object SparkEntry {
         |SELECT doc_id, lang, predicted_lang,
         |  lang <> predicted_lang AS is_mismatch
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.01
+         |  AND round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) < 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cms_freq" ->
       """WITH rows4 AS (SELECT unnest(generate_series(0, 3)) AS rw),

@@ -486,6 +486,19 @@ object Dedup {
           .as("sample_weight"))
   }
 
+  /** Hard-negative pair mining for contrastive / metric training: exact
+    * jaccard pairs in a similarity BAND [lo, hi) — related enough to be
+    * confusable, but below the duplicate threshold. These near-misses are
+    * the pairs an embedding model must learn to separate; random negatives
+    * are trivially far. Same inverted-index pair generation as the exact
+    * jaccard witness (the band floor only changes the final filter), so
+    * cost is identical to one dedup pass. */
+  def nearMissPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      lo: Double, hi: Double): DataFrame =
+    jaccardPairs(df, idCol, textCol, n, threshold = lo)
+      .filter(col("jaccard") < hi)
+
   /** Duplicate-cluster size histogram — the one-glance dedup health report
     * (how much of the corpus sits in families of size 1, 2, 100?): cluster
     * size → number of clusters of that size. Two partial-aggregable

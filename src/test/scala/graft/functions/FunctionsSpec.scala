@@ -534,6 +534,19 @@ class FunctionsSpec extends SparkSpec {
       (1, 1L, 0L, 0L, 2.0, 2.0, 2.0)))
   }
 
+  test("nearMissPairs keeps the band, drops duplicates and unrelated pairs") {
+    val df = Seq(
+      (1L, "a b c d e"),   // {abcd, bcde}
+      (2L, "a b c d x"),   // {abcd, bcdx}: jaccard vs 1 = 1/3
+      (3L, "a b c d e"),   // exact dup of 1: jaccard 1.0 -> above band
+      (4L, "z y x w v")    // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearMissPairs(df, "doc_id", "text", n = 4, lo = 0.3, hi = 0.8)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0.333333), (2L, 3L, 0.333333)))
+  }
+
   test("count-min sketch: estimates never undercount; disjoint builds merge by sum") {
     val keys = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ (3L to 30L)).toDF("k")
     val sk = Sketches.cmsBuild(keys, "k", depth = 4, width = 8) // force collisions
