@@ -548,6 +548,13 @@ object SparkEntry {
       graft.functions.TextAnalysis.unigramLogProb(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Bigram-backoff LM score (one step toward the real CCNet KenLM
+    // filter): ln(0.7*P_ml(w|prev) + 0.3*P(w)), first token pure unigram
+    "q_bigram_logprob" -> ((s, dir) =>
+      graft.functions.TextAnalysis.bigramLogProb(
+        pq(s, dir, "documents"), "doc_id", "text", lambda = 0.7)
+        .orderBy("doc_id")),
+
     // C4-style rule filter with auditable reason codes (keep/drop verdict
     // per document; reasons in fixed order for deterministic reporting)
     "q_filter_report" -> ((s, dir) =>
@@ -2121,6 +2128,39 @@ object SparkEntry {
          |FROM sh GROUP BY 1
          |ORDER BY doc_freq DESC, shingle
          |LIMIT 20""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM toks),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+        |big AS (
+        |  SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
+        |  FROM pt WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cc FROM big GROUP BY prev),
+        |sc AS (
+        |  SELECT pt.doc_id,
+        |    CAST(round(ln(CASE WHEN pt.prev IS NULL
+        |      THEN CAST(uni.c1 AS DOUBLE) / tot.total
+        |      ELSE 0.7 * (CAST(big.c2 AS DOUBLE) / CAST(ctx.cc AS DOUBLE))
+        |         + 0.3 * (CAST(uni.c1 AS DOUBLE) / tot.total) END) * 1000000, 0)
+        |      AS BIGINT) AS lp
+        |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+        |  LEFT JOIN big ON pt.prev = big.prev AND pt.w = big.w
+        |  LEFT JOIN ctx ON pt.prev = ctx.prev),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_unigram_logprob" ->
       """WITH toks AS (

@@ -130,6 +130,48 @@ object TextAnalysis {
           .as("logprob"))
   }
 
+  /** Bigram-backoff LM score — one modeling step past [[unigramLogProb]]
+    * toward the real CCNet filter (KenLM n-gram): each token scores
+    * `ln(λ·P_ml(w|prev) + (1−λ)·P(w))`, interpolating the corpus bigram
+    * maximum-likelihood estimate with the unigram backoff; a document's
+    * first token (no context) scores pure unigram. Word salad scores far
+    * lower than under the unigram model because random adjacency is
+    * penalized even when the individual words are common.
+    *
+    * Determinism: identical fixed-point contract to unigramLogProb —
+    * per-token log-probs rounded to 1e-6 and summed as LONGS. Scale: the
+    * bigram table grows with corpus bigram vocabulary, so it joins KEYED
+    * on (prev, w) — never broadcast (unlike the unigram table); AQE
+    * handles stop-bigram skew. One extra shuffle vs unigram. */
+  def bigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val pt = toks.withColumn("prev", lag(col("w"), 1).over(win))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
+    val big = pt.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val ctx = big.groupBy("prev").agg(sum(col("c2")).cast("long").as("cc"))
+    val uniP = col("c1").cast("double") / col("total")
+    val bigP = lit(lambda) * (col("c2").cast("double") / col("cc").cast("double")) +
+      lit(1 - lambda) * uniP
+    pt.join(uni, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .join(big.join(ctx, Seq("prev")), Seq("prev", "w"), "left")
+      .select(col(idCol),
+        round(log(when(col("prev").isNull, uniP).otherwise(bigP)) * 1e6, 0)
+          .cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
   /** Composite quality score in [0,1]:
     * 0.4 * min(words,100)/100  (length credit)
     * + 0.3 * (1 - punct_ratio) (cleanliness)

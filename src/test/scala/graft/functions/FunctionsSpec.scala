@@ -534,6 +534,38 @@ class FunctionsSpec extends SparkSpec {
       (1, 1L, 0L, 0L, 2.0, 2.0, 2.0)))
   }
 
+  test("bigramLogProb matches a brute-force reference on every doc") {
+    val corpus = Seq((1L, "x y x y x y"), (2L, "y y x x y x"), (3L, "x y z"))
+    val allToks = corpus.flatMap(_._2.split(" "))
+    val uni = allToks.groupBy(identity).map { case (k, v) => k -> v.size }
+    val total = allToks.size.toDouble
+    val bigs = corpus.flatMap(_._2.split(" ").sliding(2).map(a => (a(0), a(1))))
+    val big = bigs.groupBy(identity).map { case (k, v) => k -> v.size }
+    val ctx = bigs.groupBy(_._1).map { case (k, v) => k -> v.size }
+    def expected(text: String): (Long, Double) = {
+      val ts = text.split(" ")
+      val lps = ts.zipWithIndex.map { case (w, i) =>
+        val p =
+          if (i == 0) uni(w) / total
+          else 0.7 * big((ts(i - 1), w)).toDouble / ctx(ts(i - 1)) +
+            0.3 * uni(w) / total
+        BigDecimal(math.log(p) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      (ts.length.toLong,
+        BigDecimal(lps.sum.toDouble / ts.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextAnalysis.bigramLogProb(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    corpus.foreach { case (id, text) =>
+      assert(got(id) === expected(text), s"doc $id")
+    }
+    // repeated common bigrams (doc 1) outscore shuffled adjacency (doc 2)
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("nearMissPairs keeps the band, drops duplicates and unrelated pairs") {
     val df = Seq(
       (1L, "a b c d e"),   // {abcd, bcde}
