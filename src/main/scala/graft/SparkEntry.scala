@@ -232,6 +232,23 @@ object SparkEntry {
         n = 4, threshold = 0.8).cache()
     })
 
+  /** Cross-source near-dup pair counts per unordered source pair (s1 < s2,
+    * weight = pair count) — shared by the source-overlap report and the
+    * source-PageRank edge builder, so the canonicalization can't drift
+    * between them. */
+  private def crossSourcePairCounts(s: SparkSession, dir: String): DataFrame = {
+    val src = pq(s, dir, "documents").select(col("doc_id"), col("source"))
+    guardedPairs(s, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
+        Seq("id_b"))
+      .filter(col("source_a") =!= col("source_b"))
+      .select(least(col("source_a"), col("source_b")).as("s1"),
+        greatest(col("source_a"), col("source_b")).as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).cast("long").as("w"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S7/S8 — trim + drop-empty-rows (clean pass)
     "q_clean_rows" -> ((s, dir) => {
@@ -1143,17 +1160,7 @@ object SparkEntry {
     // iteration — bit-identical on any partitioning and in the oracle.
     "q_source_rank" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      val src = docs.select(col("doc_id"), col("source"))
-      val cross = guardedPairs(s, dir)
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
-          Seq("id_a"))
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
-          Seq("id_b"))
-        .filter(col("source_a") =!= col("source_b"))
-      val upairs = cross.select(
-          least(col("source_a"), col("source_b")).as("s1"),
-          greatest(col("source_a"), col("source_b")).as("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).cast("long").as("w"))
+      val upairs = crossSourcePairCounts(s, dir)
       val edges = upairs.select(col("s1").as("src"), col("s2").as("dst"), col("w"))
         .unionByName(upairs.select(col("s2").as("src"), col("s1").as("dst"), col("w")))
       graft.operators.Graph.pageRank(edges, "src", "dst", "w",
@@ -1767,20 +1774,11 @@ object SparkEntry {
     // Source-overlap matrix: near-dup pair counts per unordered source
     // pair — the inter-crawl contamination report that decides which
     // sources need cross-dedup before mixing
-    "q_source_overlap_matrix" -> ((s, dir) => {
-      val src = pq(s, dir, "documents").select(col("doc_id"), col("source"))
-      guardedPairs(s, dir)
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
-          Seq("id_a"))
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
-          Seq("id_b"))
-        .filter(col("source_a") =!= col("source_b"))
-        .select(least(col("source_a"), col("source_b")).as("src_1"),
-          greatest(col("source_a"), col("source_b")).as("src_2"))
-        .groupBy("src_1", "src_2")
-        .agg(count(lit(1)).cast("long").as("n_pairs"))
-        .orderBy("src_1", "src_2")
-    }),
+    "q_source_overlap_matrix" -> ((s, dir) =>
+      crossSourcePairCounts(s, dir)
+        .select(col("s1").as("src_1"), col("s2").as("src_2"),
+          col("w").as("n_pairs"))
+        .orderBy("src_1", "src_2")),
 
     // Hot-key skew advisor: top users by event volume with the salt factor
     // the salted-join guards need (ceil(cnt * parts / total))
@@ -3268,11 +3266,17 @@ object SparkEntry {
         |    AS salt_factor
         |FROM top CROSS JOIN t ORDER BY cnt DESC, user_id""".stripMargin,
 
+    // norm is dimension-AGNOSTIC (list_reduce left fold == FloatArrayDot's
+    // sequential double accumulation) — a fixed 64-term dot chain would go
+    // NULL on ragged vectors, the exact rows this audit exists to count
     "q_embedding_audit" ->
       s"""WITH base AS (
          |  SELECT label,
          |    CAST(len(embedding) AS BIGINT) AS dim,
-         |    sqrt(${dotSql("embedding", "embedding", 64)}) AS norm
+         |    CASE WHEN len(embedding) = 0 THEN 0.0
+         |         ELSE sqrt(list_reduce(
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |           (a, b) -> a + b)) END AS norm
          |  FROM embeddings)
          |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,

@@ -128,7 +128,11 @@ object Sketches {
   /** Count-min ESTIMATE for each key in `keys`: min over sketch rows of
     * the key's cell — an overestimate by construction (collisions only add).
     * The sketch side is depth×width cells (broadcastable at any corpus
-    * size); per key the probe is `depth` equi-join lookups + one min. */
+    * size); per key the probe is `depth` equi-join lookups + one min.
+    * The sketch table stores only touched cells, so the join is LEFT with
+    * an empty cell reading 0 — a key absent from the build correctly
+    * estimates 0 (its min row) instead of being dropped or inflated by a
+    * single collided cell. */
   def cmsEstimate(
       sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame =
@@ -137,7 +141,7 @@ object Sketches {
         struct(lit(r.toLong).as("row"),
           cmsBucket(r, col(keyCol), width).as("bucket"))): _*)).as("rb"))
       .select(col(keyCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("row", "bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(keyCol)
-      .agg(min(col("cell_count")).cast("long").as("est_count"))
+      .agg(min(coalesce(col("cell_count"), lit(0L))).cast("long").as("est_count"))
 }

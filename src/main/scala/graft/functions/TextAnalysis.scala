@@ -571,7 +571,10 @@ object TextAnalysis {
         val ms = bc.value
         val memo = scala.collection.mutable.Map.empty[String, Int]
         it.map { case (id, text) =>
-          val n = text.split("\\s+").iterator.filter(_.nonEmpty).map { w =>
+          // null text counts 0 tokens — matching the null-propagating
+          // behavior of the SQL-expression text operators
+          val t = if (text == null) "" else text
+          val n = t.split("\\s+").iterator.filter(_.nonEmpty).map { w =>
             memo.getOrElseUpdate(w, bpeSegmentWord(w, ms).length)
           }.sum
           (id, n.toLong)

@@ -599,6 +599,16 @@ class FunctionsSpec extends SparkSpec {
     assert(merged === full)
   }
 
+  test("count-min sketch: absent keys estimate via empty cells, never dropped") {
+    // Narrow build (2 keys) in a wide sketch: an unseen key almost surely
+    // hits at least one empty cell in one of its 4 rows -> estimate 0.
+    val sk = Sketches.cmsBuild(Seq(1L, 2L).toDF("k"), "k", depth = 4, width = 1024)
+    val got = Sketches.cmsEstimate(sk, (100L to 109L).toDF("k"), "k", 4, 1024)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === (100L to 109L).toSet)   // every probed key answered
+    assert(got.values.forall(_ === 0L))
+  }
+
   test("clusterSizeHistogram: family sizes roll up to counts") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

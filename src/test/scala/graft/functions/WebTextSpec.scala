@@ -159,11 +159,13 @@ class WebTextSpec extends SparkSpec {
 
   test("bpeTokenCounts segments with learned merges, unknown chars stay split") {
     val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
-    val df = Seq((1L, "aaab ab xyz"), (2L, "q")).toDF("doc_id", "text")
+    val df = Seq((1L, "aaab ab xyz"), (2L, "q"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
     val got = TextAnalysis.bpeTokenCounts(df, "doc_id", "text", merges)
       .as[(Long, Long)].collect().toMap
-    // aaab -> [aaab] (1), ab -> [ab] (1), xyz -> x y z (3); q -> 1
-    assert(got === Map(1L -> 5L, 2L -> 1L))
+    // aaab -> [aaab] (1), ab -> [ab] (1), xyz -> x y z (3); q -> 1;
+    // null text -> 0 tokens (not a task-aborting NPE)
+    assert(got === Map(1L -> 5L, 2L -> 1L, 3L -> 0L))
   }
 
   // ---- dedupParagraphs ---------------------------------------------------
