@@ -44,6 +44,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.exists(r => r._2 == "view" && r._3 == 1L))
   }
 
+  test("cmsBuild as streaming state: cells accumulate across batches == batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = graft.functions.Sketches
+      .cmsBuild(input.toDF().toDF("k"), "k", depth = 4, width = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_out").start()
+    input.addData(1L to 20L: _*)
+    q.processAllAvailable()
+    input.addData(Seq.fill(5)(7L): _*)   // second batch adds into cells
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_out")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.functions.Sketches
+      .cmsBuild(((1L to 20L) ++ Seq.fill(5)(7L)).toDF("k"), "k", 4, 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("trendingKeys: MG sketch as streaming state keeps hot keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
