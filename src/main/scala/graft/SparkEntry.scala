@@ -572,6 +572,13 @@ object SparkEntry {
         pq(s, dir, "documents"), "doc_id", "text", lambda = 0.7)
         .orderBy("doc_id")),
 
+    // Char-trigram Naive-Bayes language ID (TextCat-family): profiles
+    // trained from the corpus's own labels, Laplace-smoothed, argmax
+    "q_langid_trigram" -> ((s, dir) =>
+      graft.functions.TextAnalysis.charTrigramLangId(
+        pq(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
     // C4-style rule filter with auditable reason codes (keep/drop verdict
     // per document; reasons in fixed order for deterministic reporting)
     "q_filter_report" -> ((s, dir) =>
@@ -2126,6 +2133,66 @@ object SparkEntry {
          |FROM sh GROUP BY 1
          |ORDER BY doc_freq DESC, shingle
          |LIMIT 20""".stripMargin,
+
+    "q_langid_trigram" ->
+      """WITH pos3 AS (
+        |  SELECT doc_id, lang, text,
+        |    unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i
+        |  FROM documents),
+        |tris AS (SELECT doc_id, lang, substr(text, i, 3) AS tri FROM pos3),
+        |counts AS (
+        |  SELECT tri,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+        |    CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+        |    CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+        |    CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+        |    CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh
+        |  FROM tris GROUP BY tri),
+        |tots AS (
+        |  SELECT CAST(sum(c_en) AS BIGINT) AS tot_en,
+        |    CAST(sum(c_de) AS BIGINT) AS tot_de,
+        |    CAST(sum(c_es) AS BIGINT) AS tot_es,
+        |    CAST(sum(c_fr) AS BIGINT) AS tot_fr,
+        |    CAST(sum(c_zh) AS BIGINT) AS tot_zh,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM counts),
+        |sc AS (
+        |  SELECT tris.doc_id,
+        |    CAST(round(ln((CAST(c_en AS DOUBLE) + 1.0) / (CAST(tot_en AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000, 0) AS BIGINT) AS s_en,
+        |    CAST(round(ln((CAST(c_de AS DOUBLE) + 1.0) / (CAST(tot_de AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000, 0) AS BIGINT) AS s_de,
+        |    CAST(round(ln((CAST(c_es AS DOUBLE) + 1.0) / (CAST(tot_es AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000, 0) AS BIGINT) AS s_es,
+        |    CAST(round(ln((CAST(c_fr AS DOUBLE) + 1.0) / (CAST(tot_fr AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000, 0) AS BIGINT) AS s_fr,
+        |    CAST(round(ln((CAST(c_zh AS DOUBLE) + 1.0) / (CAST(tot_zh AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000, 0) AS BIGINT) AS s_zh
+        |  FROM tris JOIN counts USING (tri) CROSS JOIN tots),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(s_en) AS BIGINT) AS score_en,
+        |    CAST(sum(s_de) AS BIGINT) AS score_de,
+        |    CAST(sum(s_es) AS BIGINT) AS score_es,
+        |    CAST(sum(s_fr) AS BIGINT) AS score_fr,
+        |    CAST(sum(s_zh) AS BIGINT) AS score_zh
+        |  FROM sc GROUP BY doc_id),
+        |ws AS (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(p.score_en, CAST(0 AS BIGINT)) AS score_en,
+        |    coalesce(p.score_de, CAST(0 AS BIGINT)) AS score_de,
+        |    coalesce(p.score_es, CAST(0 AS BIGINT)) AS score_es,
+        |    coalesce(p.score_fr, CAST(0 AS BIGINT)) AS score_fr,
+        |    coalesce(p.score_zh, CAST(0 AS BIGINT)) AS score_zh
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang,
+        |  lang = CASE
+        |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        |    WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+        |    ELSE 'zh' END AS is_match
+        |FROM ws ORDER BY doc_id""".stripMargin,
 
     "q_bigram_logprob" ->
       """WITH toks AS (

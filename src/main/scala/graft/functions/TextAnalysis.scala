@@ -130,6 +130,61 @@ object TextAnalysis {
           .as("logprob"))
   }
 
+  /** Char-trigram Naive-Bayes language ID — the TextCat/fastText-family
+    * method, one modeling step past stopword voting ([[langPredict]]):
+    * per-language character-trigram profiles are TRAINED from the corpus's
+    * own labeled documents (Laplace-smoothed multinomial), then every
+    * document is scored `Σ_tri ln((c(lang,tri)+1)/(tot_lang+V))` and
+    * labeled by argmax (tie → the fixed language priority order). Catches
+    * what stopword lists can't: short texts, close language pairs, and
+    * languages whose function words never made a list.
+    *
+    * Scale: the trigram-profile table is charset-bounded (grouped wide by
+    * trigram, one row per distinct trigram) and joins KEYED on trigram;
+    * per-trigram log-probs are fixed-pointed to 1e-6 LONGS before the
+    * per-document sum, so scores are partition-order-independent and
+    * oracle-verifiable. Documents shorter than one trigram score 0
+    * everywhere and fall to the priority tie-break. */
+  def charTrigramLangId(
+      df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val langs = stopwords.map(_._1)
+    val tris = df.select(col(idCol), col(langCol),
+      explode(when(length(col(textCol)) >= 3,
+        transform(sequence(lit(1), length(col(textCol)) - 2),
+          i => col(textCol).substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))).as("tri"))
+    val counts = tris.groupBy("tri").pivot(langCol, langs).count()
+    val totAggs = langs.map(l =>
+      sum(coalesce(col(l), lit(0L))).cast("long").as(s"tot_$l")) :+
+      count(lit(1)).cast("long").as("v")
+    val tots = counts.agg(totAggs.head, totAggs.tail: _*)
+    val scored = tris.join(counts, Seq("tri"))
+      .crossJoin(broadcast(tots))
+      .select(col(idCol) +: langs.map(l =>
+        round(log((coalesce(col(l), lit(0L)).cast("double") + 1.0) /
+          (col(s"tot_$l").cast("double") + col("v").cast("double"))) * 1e6, 0)
+          .cast("long").as(s"s_$l")): _*)
+    val perDoc = scored.groupBy(idCol)
+      .agg(sum(col(s"s_${langs.head}")).as(s"score_${langs.head}"),
+        langs.tail.map(l => sum(col(s"s_$l")).as(s"score_$l")): _*)
+    val scoreCols = langs.map(l => s"score_$l")
+    val withScores = df.select(col(idCol), col(langCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol) +: col(langCol) +:
+        scoreCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    val predicted = langs.zip(scoreCols).foldRight(lit(langs.last)) {
+      case ((lang, c), els) =>
+        val beatsAll = scoreCols.filter(_ != c)
+          .map(o => col(c) >= col(o))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        when(beatsAll, lit(lang)).otherwise(els)
+    }
+    withScores.select(col(idCol), col(langCol),
+      predicted.as("predicted_lang"))
+      .withColumn("is_match", col(langCol) === col("predicted_lang"))
+  }
+
   /** Bigram-backoff LM score — one modeling step past [[unigramLogProb]]
     * toward the real CCNet filter (KenLM n-gram): each token scores
     * `ln(λ·P_ml(w|prev) + (1−λ)·P(w))`, interpolating the corpus bigram

@@ -534,6 +534,21 @@ class FunctionsSpec extends SparkSpec {
       (1, 1L, 0L, 0L, 2.0, 2.0, 2.0)))
   }
 
+  test("charTrigramLangId: separable profiles classify self; short doc falls to priority") {
+    val df = Seq(
+      (1L, "the cat the hat", "en"),
+      (2L, "der hund der baum", "de"),
+      (3L, "xy", "de")   // shorter than one trigram: zero scores -> priority 'en'
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.charTrigramLangId(df, "doc_id", "text", "lang")
+      .select("doc_id", "predicted_lang", "is_match")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("en", true)))
+    assert(got(2L) === (("de", true)))
+    assert(got(3L) === (("en", false)))
+  }
+
   test("bigramLogProb matches a brute-force reference on every doc") {
     val corpus = Seq((1L, "x y x y x y"), (2L, "y y x x y x"), (3L, "x y z"))
     val allToks = corpus.flatMap(_._2.split(" "))
