@@ -193,4 +193,87 @@ class FunctionsPropertiesSpec extends SparkSpec {
       if (anyLongEnough) assert(out === distinctShingles.toLong)
     }
   }
+
+  test("property: dedupParagraphs equals brute-force keep-first reconstruction") {
+    val chunkTokens = 7
+    samples(docsGen, 8).foreach { docs =>
+      val got = TextAnalysis.dedupParagraphs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens)
+        .select("doc_id", "n_paras", "kept_paras", "clean_text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // brute force: chunk in id order, keep each paragraph's first
+      // (doc_id, chunk_id) occurrence, rebuild text from survivors
+      val seen = scala.collection.mutable.Set.empty[String]
+      docs.sortBy(_._1).foreach { case (id, text) =>
+        val ws = text.split("\\s+").toSeq
+        val chunks = (0 until math.max(1, (ws.size + chunkTokens - 1) / chunkTokens))
+          .map(i => ws.slice(i * chunkTokens, i * chunkTokens + chunkTokens).mkString(" "))
+        val kept = chunks.filter(c => seen.add(c))
+        assert(got(id) === ((chunks.size.toLong, kept.size.toLong,
+          kept.mkString(" "))), s"doc=$id")
+      }
+      // global invariant: every distinct paragraph survives exactly once
+      assert(got.values.map(_._2).sum ===
+        docs.sortBy(_._1).flatMap { case (_, t) =>
+          val ws = t.split("\\s+").toSeq
+          (0 until math.max(1, (ws.size + chunkTokens - 1) / chunkTokens))
+            .map(i => ws.slice(i * chunkTokens, i * chunkTokens + chunkTokens).mkString(" "))
+        }.distinct.size.toLong)
+    }
+  }
+
+  test("property: cmsEstimate never undercounts; wide sketch is exact") {
+    val keysGen: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 80)
+      ks <- Gen.listOfN(n, Gen.choose(0L, 11L)) // narrow range -> collisions
+    } yield ks
+    samples(keysGen, 6).foreach { ks =>
+      val df = ks.toDF("k")
+      val exact = ks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // tight sketch: overestimates allowed, undercounts never
+      val tight = Sketches.cmsEstimate(
+        Sketches.cmsBuild(df, "k", 4, 4), df, "k", 4, 4)
+        .as[(Long, Long)].collect().toMap
+      exact.foreach { case (k, c) => assert(tight(k) >= c, s"key $k") }
+      // wide sketch: 12 possible keys in width 4096 -> exact w.h.p., and
+      // deterministic hashing makes this a fixed (regression) assertion
+      val wide = Sketches.cmsEstimate(
+        Sketches.cmsBuild(df, "k", 4, 4096), df, "k", 4, 4096)
+        .as[(Long, Long)].collect().toMap
+      assert(wide === exact)
+    }
+  }
+
+  test("property: bestRepresentative survivor equals brute-force union-find argmax") {
+    val caseGen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+      n <- Gen.choose(1, 12)
+      quals <- Gen.listOfN(n, Gen.choose(0L, 5L)) // ties likely
+      np <- Gen.choose(0, 10)
+      pairs <- Gen.listOfN(np, for {
+        a <- Gen.choose(0L, (n - 1).toLong)
+        b <- Gen.choose(0L, (n - 1).toLong)
+      } yield (a, b))
+    } yield (quals.zipWithIndex.map { case (q, i) => (i.toLong, q) },
+      pairs.filter(p => p._1 != p._2).map(p => (math.min(p._1, p._2), math.max(p._1, p._2))))
+    samples(caseGen, 8).foreach { case (nodes, pairs) =>
+      val got = Dedup.bestRepresentative(
+        nodes.toDF("doc_id", "q"), "doc_id", "q",
+        pairs.toDF("id_a", "id_b"), iterations = 12)
+        .select("doc_id", "survivor_id")
+        .as[(Long, Long)].collect().toMap
+      // brute-force union-find
+      val parent = scala.collection.mutable.Map(nodes.map(n => n._1 -> n._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val qual = nodes.toMap
+      nodes.groupBy(n => find(n._1)).values.foreach { members =>
+        val best = members.map(_._1).minBy(id => (-qual(id), id))
+        members.foreach { case (id, _) =>
+          assert(got(id) === best, s"node $id cluster ${members.map(_._1)}")
+        }
+      }
+    }
+  }
 }
