@@ -95,6 +95,35 @@ object EventAnalytics {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(Seq("canonical_url"))
 
+  /** Continuous-ingestion curation gate: the batch funnel's STATELESS
+    * gates (quality threshold, labeled-vs-detected language mismatch) are
+    * plain Catalyst expressions, so they apply unchanged per micro-batch;
+    * exact dedup becomes `dropDuplicatesWithinWatermark` on the normalized
+    * content hash — one state row per distinct document within the
+    * lateness horizon, purged at the watermark (bounded state on an
+    * unbounded crawl). Near-dup/best-rep stays a batch pass by design:
+    * cluster survivorship needs the pair graph, which is not a per-row
+    * decision. Emits surviving rows with their quality score. */
+  def curateStream(
+      stream: DataFrame, tsCol: String, textCol: String, langCol: String,
+      qualityMin: Double, lateness: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextAnalysis
+    val scored = TextAnalysis.langScores(textCol).foldLeft(stream) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    scored
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol),
+        TextAnalysis.stopwordHits(col(textCol), TextAnalysis.stopwords.head._2)))
+      .filter(col("quality") >= qualityMin)
+      .filter(col(langCol) === TextAnalysis.langPredict(
+        TextAnalysis.stopwords.map(l => s"hits_${l._1}")))
+      .withColumn("text_hash",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("text_hash"))
+      .drop(TextAnalysis.stopwords.map(l => s"hits_${l._1}"): _*)
+  }
+
   /** Stream-stream interval join (attribution): each view joined to the
     * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
     * carry watermarks and the join condition bounds event time in both

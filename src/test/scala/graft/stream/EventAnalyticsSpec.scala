@@ -44,6 +44,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.exists(r => r._2 == "view" && r._3 == 1L))
   }
 
+  test("curateStream: quality/lang gates drop, content dedup keeps first, survivors flow") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text", "lang")
+    val q = curateStream(docs, "ts", "text", "lang", qualityMin = 0.6)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curate_out").start()
+    input.addData(
+      (ts(1), 1L, "the cat of the hat", "en"),          // survives (quality 0.62)
+      (ts(2), 2L, "the cat of the hat", "en"),          // exact dup -> dropped
+      (ts(3), 3L, "der hund und die katze ist", "en"),  // lang mismatch -> dropped
+      (ts(4), 4L, "!!!", "en"))                          // quality -> dropped
+    q.processAllAvailable()
+    input.addData((ts(5), 5L, "a dog and the bird to fly", "en")) // new content survives
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curate_out").as[Long].collect().toSet
+    assert(kept === Set(1L, 5L))
+  }
+
   test("cmsBuild as streaming state: cells accumulate across batches == batch build") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Long]
