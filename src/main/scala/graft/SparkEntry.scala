@@ -1117,6 +1117,14 @@ object SparkEntry {
         guardedPairs(s, dir), qualityMin = 0.6)
         .orderBy("stage_order")),
 
+    // The funnel's actionable output: doc ids surviving all four gates —
+    // what ships to tokenization (count always equals funnel's final kept)
+    "q_curation_kept" -> ((s, dir) =>
+      graft.pipeline.Curation.keptSet(
+        pq(s, dir, "documents"), "doc_id", "text", "lang", "n_chars",
+        guardedPairs(s, dir), qualityMin = 0.6)
+        .orderBy("doc_id")),
+
     // Embedding-table QA audit: per-label zero-norm / wrong-dim counts and
     // norm distribution (the gate before any ANN / semantic-dedup pass)
     "q_embedding_audit" -> ((s, dir) =>
@@ -1832,6 +1840,61 @@ object SparkEntry {
       Consolidate.readyToContacts(staging, "u1").orderBy("staging_id")
     })
   )
+
+  /** Shared WITH-chain computing the curation gate flags (ends in CTE
+    * `gd`: doc_id, g1_drop..g4_drop) — one definition for the funnel and
+    * kept-set oracles. */
+  private val curationGatesCteSql: String =
+    s"""$clusterChainSql,
+         |g1 AS (
+         |  SELECT doc_id,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS g1_drop
+         |  FROM documents),
+         |q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS qv FROM documents),
+         |best AS (
+         |  SELECT cluster_id, survivor_id FROM (
+         |    SELECT l5.cluster_id, q.doc_id AS survivor_id,
+         |      row_number() OVER (PARTITION BY l5.cluster_id
+         |        ORDER BY q.qv DESC, q.doc_id) AS rn
+         |    FROM l5 JOIN q USING (doc_id)) WHERE rn = 1),
+         |g2 AS (
+         |  SELECT l5.doc_id, l5.doc_id <> best.survivor_id AS g2_drop
+         |  FROM l5 JOIN best USING (cluster_id)),
+         |lsc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS hits_en,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS hits_de,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','los','las','una','y'))) AS BIGINT) AS hits_es,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','les','et','est','dans'))) AS BIGINT) AS hits_fr,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','是','了','和','在'))) AS BIGINT) AS hits_zh
+         |  FROM documents),
+         |g3 AS (
+         |  SELECT doc_id, lang <> CASE
+         |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+         |    WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+         |    WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         |    WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+         |    ELSE 'zh' END AS g3_drop
+         |  FROM lsc),
+         |qb AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_words,
+         |    round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits
+         |  FROM documents),
+         |g4 AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (least(n_words, 100.0) / 100.0)
+         |        + 0.3 * (1.0 - punct_ratio)
+         |        + 0.3 * least(stop_hits / greatest(n_words, 1.0) * 5.0, 1.0), 6)
+         |      < 0.6 AS g4_drop
+         |  FROM qb),
+         |gd AS (
+         |  SELECT g1.doc_id, g1_drop, g2_drop, g3_drop, g4_drop
+         |  FROM g1 JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+         |  JOIN g4 USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_clean_rows" -> withCtes(
@@ -3362,57 +3425,14 @@ object SparkEntry {
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
+    "q_curation_kept" ->
+      s"""WITH $curationGatesCteSql
+         |SELECT doc_id FROM gd
+         |WHERE NOT g1_drop AND NOT g2_drop AND NOT g3_drop AND NOT g4_drop
+         |ORDER BY doc_id""".stripMargin,
+
     "q_curation_funnel" ->
-      s"""WITH $clusterChainSql,
-         |g1 AS (
-         |  SELECT doc_id,
-         |    doc_id <> min(doc_id) OVER (PARTITION BY
-         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS g1_drop
-         |  FROM documents),
-         |q AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS qv FROM documents),
-         |best AS (
-         |  SELECT cluster_id, survivor_id FROM (
-         |    SELECT l5.cluster_id, q.doc_id AS survivor_id,
-         |      row_number() OVER (PARTITION BY l5.cluster_id
-         |        ORDER BY q.qv DESC, q.doc_id) AS rn
-         |    FROM l5 JOIN q USING (doc_id)) WHERE rn = 1),
-         |g2 AS (
-         |  SELECT l5.doc_id, l5.doc_id <> best.survivor_id AS g2_drop
-         |  FROM l5 JOIN best USING (cluster_id)),
-         |lsc AS (
-         |  SELECT doc_id, lang,
-         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS hits_en,
-         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS hits_de,
-         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','los','las','una','y'))) AS BIGINT) AS hits_es,
-         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','les','et','est','dans'))) AS BIGINT) AS hits_fr,
-         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','是','了','和','在'))) AS BIGINT) AS hits_zh
-         |  FROM documents),
-         |g3 AS (
-         |  SELECT doc_id, lang <> CASE
-         |    WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
-         |    WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
-         |    WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
-         |    WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
-         |    ELSE 'zh' END AS g3_drop
-         |  FROM lsc),
-         |qb AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_words,
-         |    round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
-         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits
-         |  FROM documents),
-         |g4 AS (
-         |  SELECT doc_id,
-         |    round(0.4 * (least(n_words, 100.0) / 100.0)
-         |        + 0.3 * (1.0 - punct_ratio)
-         |        + 0.3 * least(stop_hits / greatest(n_words, 1.0) * 5.0, 1.0), 6)
-         |      < 0.6 AS g4_drop
-         |  FROM qb),
-         |gd AS (
-         |  SELECT g1.doc_id, g1_drop, g2_drop, g3_drop, g4_drop
-         |  FROM g1 JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
-         |  JOIN g4 USING (doc_id)),
+      s"""WITH $curationGatesCteSql,
          |a AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n0,
          |    CAST(sum(CASE WHEN NOT g1_drop THEN 1 ELSE 0 END) AS BIGINT) AS k1,

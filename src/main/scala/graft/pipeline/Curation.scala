@@ -31,16 +31,18 @@ object Curation {
     * @param pairs near-dup pair frame (id_a, id_b) — e.g. the production
     *              LSH output; quality for best-rep survivorship comes from
     *              `qualityProxyCol` (integral, e.g. n_chars). */
-  def funnel(
+  /** Per-document gate flags (g1_drop..g4_drop), shared by [[funnel]]
+    * (aggregates them) and [[keptSet]] (filters on them). The three
+    * text-derived gates (exact-dup hash, language mismatch, quality) are
+    * computed in ONE projection over ONE scan: at 100 TB the text column
+    * dominates IO, so evaluating the gates as separate operator subtrees
+    * would triple the corpus read for no added information.
+    * PlanQualitySpec pins the single-text-scan shape. */
+  private def gateFlags(
       docs: DataFrame, idCol: String, textCol: String, langCol: String,
       qualityProxyCol: String, pairs: DataFrame,
       qualityMin: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The three text-derived gates (exact-dup hash, language mismatch,
-    // quality) are computed in ONE projection over ONE scan: at 100 TB the
-    // text column dominates IO, so evaluating the gates as separate
-    // operator subtrees would triple the corpus read for no added
-    // information. PlanQualitySpec pins the single-text-scan shape.
     val scored = TextAnalysis.langScores(textCol).foldLeft(docs) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
@@ -60,8 +62,28 @@ object Curation {
       docs.select(col(idCol), col(qualityProxyCol)),
       idCol, qualityProxyCol, pairs)
       .select(col(idCol), (!col("is_kept")).as("g2_drop"))
+    g1.join(d2, Seq(idCol))
+  }
 
-    val gated = g1.join(d2, Seq(idCol))
+  /** The funnel's actionable output: ids of documents surviving ALL gates
+    * — what actually ships to tokenization. Same gate computation as
+    * [[funnel]], so the kept count always equals the funnel's final
+    * docs_kept. */
+  def keptSet(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      qualityProxyCol: String, pairs: DataFrame,
+      qualityMin: Double): DataFrame =
+    gateFlags(docs, idCol, textCol, langCol, qualityProxyCol, pairs, qualityMin)
+      .filter(!col("g1_drop") && !col("g2_drop") &&
+        !col("g3_drop") && !col("g4_drop"))
+      .select(col(idCol))
+
+  def funnel(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      qualityProxyCol: String, pairs: DataFrame,
+      qualityMin: Double): DataFrame = {
+    val gated = gateFlags(docs, idCol, textCol, langCol, qualityProxyCol,
+      pairs, qualityMin)
     val one = gated.agg(
       count(lit(1)).cast("long").as("n0"),
       sum(when(!col("g1_drop"), 1L).otherwise(0L)).cast("long").as("k1"),

@@ -33,6 +33,25 @@ class CurationSpec extends SparkSpec {
       (4L, "quality_min", 2L, 1L, 1L)))
   }
 
+  test("keptSet: exactly the survivors of every gate; count equals funnel tail") {
+    val docs = Seq(
+      (1L, "the cat of the hat", "en", 100L),
+      (2L, "the cat of the hat", "en", 100L),
+      (3L, "the cat of the hat today", "en", 50L),
+      (4L, "der hund und die katze ist", "en", 90L),
+      (5L, "!!!", "en", 3L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Seq((1L, 3L)).toDF("id_a", "id_b")
+    val kept = Curation.keptSet(docs, "doc_id", "text", "lang", "n_chars",
+      pairs, qualityMin = 0.6).as[Long].collect().toSet
+    assert(kept === Set(1L))
+    val funnelTail = Curation.funnel(docs, "doc_id", "text", "lang", "n_chars",
+      pairs, qualityMin = 0.6)
+      .orderBy("stage_order")
+      .select("docs_kept").as[Long].collect().last
+    assert(kept.size.toLong === funnelTail)
+  }
+
   test("funnel: clean corpus passes every stage untouched") {
     val docs = Seq(
       (1L, "the cat of the hat", "en", 10L),
