@@ -877,7 +877,7 @@ object SparkEntry {
     "q_knn_brute" -> ((s, dir) => {
       val emb = pq(s, dir, "embeddings")
       graft.functions.Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", dims = 64, k = 5)
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
@@ -885,7 +885,7 @@ object SparkEntry {
     "q_knn_bucketed" -> ((s, dir) => {
       val emb = pq(s, dir, "embeddings")
       graft.functions.Similarity.bucketedTopK(
-        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", dims = 64, k = 3)
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
         .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
@@ -894,7 +894,7 @@ object SparkEntry {
     // means) — the IVF coarse-quantizer training-loop body as aggregates
     "q_kmeans_step" -> ((s, dir) =>
       graft.functions.Similarity.kmeansStep(
-        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, k = 8)
+        pq(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .orderBy("cent_id")),
 
     // IVF recall audit: recall@3 of the probed IVF search against the
@@ -906,10 +906,10 @@ object SparkEntry {
       val emb = pq(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
       val brute = graft.functions.Similarity.bruteForceTopK(
-        emb, qs, "vec_id", "embedding", dims = 64, k = 3)
+        emb, qs, "vec_id", "embedding", k = 3)
         .select("query_id", "vec_id")
       val ivf = graft.functions.Similarity.ivfTopK(
-        emb, qs, "vec_id", "embedding", dims = 64, k = 3, nlist = 16, nprobe = 4)
+        emb, qs, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
         .select("query_id", "vec_id")
       val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("h"))
@@ -925,21 +925,21 @@ object SparkEntry {
       val emb = pq(s, dir, "embeddings")
       graft.functions.Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dims = 64, k = 3, nlist = 16, nprobe = 4)
+        k = 3, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
     }),
 
     "q_dedup_embedding" -> ((s, dir) =>
       graft.functions.Similarity.embeddingDupPairs(
-        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
+        pq(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
     // The production embedding-dedup path: sign-bucket equi-join prefilter +
     // exact verify (the oracle carries the same bucket-join semantics).
     "q_dedup_embedding_bucketed" -> ((s, dir) =>
       graft.functions.Similarity.embeddingDupPairsBucketed(
-        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64, threshold = 0.4)
+        pq(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
     // Product-quantization encoding: 64-dim float vectors -> 8 byte codes
@@ -975,7 +975,7 @@ object SparkEntry {
       short
         .join(emb.select(col("vec_id"), col("embedding").as("cv")), Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
-        .withColumn("cos_sim", graft.functions.Similarity.cosineExpr("qv", "cv", 64))
+        .withColumn("cos_sim", graft.functions.Similarity.cosineExpr("qv", "cv"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc))
           .cast("long"))
@@ -990,7 +990,7 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       graft.functions.Similarity.semanticDedupPairs(
         pq(s, dir, "embeddings"), "vec_id", "embedding",
-        dims = 64, threshold = 0.4, nlist = 16)
+        threshold = 0.4, nlist = 16)
         .orderBy("id_a", "id_b")),
 
     // Fixed-token-budget chunking with overlap (training-sequence prep) —
@@ -1143,7 +1143,7 @@ object SparkEntry {
     // deterministic hash-sampled vertex sets (bounded pairs at any N)
     "q_sim_histogram" -> ((s, dir) =>
       graft.functions.Similarity.simHistogram(
-        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64,
+        pq(s, dir, "embeddings"), "vec_id", "embedding",
         rateA = 0.2, rateB = 0.2)
         .orderBy("bucket")),
 
@@ -1151,7 +1151,7 @@ object SparkEntry {
     // 20 kept per cell in deterministic hash order
     "q_diverse_sample" -> ((s, dir) =>
       graft.functions.Similarity.clusterBalancedSample(
-        pq(s, dir, "embeddings"), "vec_id", "embedding", dims = 64,
+        pq(s, dir, "embeddings"), "vec_id", "embedding",
         nlist = 16, capPerCell = 20)
         .orderBy("vec_id")),
 
@@ -1675,13 +1675,15 @@ object SparkEntry {
         .orderBy("cust_bucket")
     }),
 
-    // ---- beyond-reference: multimodal plumbing (stubbed codec) ------------
-    // Oracle-checked through the stub's byte-level rolling checksum: DuckDB
-    // folds the payload's hex bytes with list_reduce, replicating
-    // (acc*31 + byte) mod 2^32 exactly, plus the width/height derivations.
-    // The float32 feature vector stays OUT of the driver query (float
-    // arithmetic isn't engine-portable); its values are pinned by
-    // FunctionsSpec's exact-determinism assertions instead.
+    // ---- beyond-reference: multimodal columns -----------------------------
+    // Real codecs: javax.imageio (PNG/JPEG) + javax.sound.sampled (WAV PCM),
+    // exercised with true fixture decodes in FunctionsSpec. THIS oracle
+    // corpus carries text payloads (not decodable media), so every row takes
+    // the deterministic fallback path, which DuckDB replicates exactly:
+    // list_reduce folds the payload's hex bytes as (acc*31 + byte) mod 2^32,
+    // plus the width/height derivations. The float32 feature vector stays
+    // OUT of the driver query (float arithmetic isn't engine-portable); its
+    // values are pinned by FunctionsSpec's exact-determinism assertions.
     "q_multimodal_features" -> ((s, dir) => {
       import graft.functions.Multimodal
       val media = Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text")
@@ -1803,8 +1805,11 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("user_id"))),
 
     // Hard-negative mining: exact-jaccard near-miss pairs in [0.01, 0.8) —
-    // the confusable-but-not-duplicate pairs contrastive training needs
-    // (any shingle-sharing pair below the dup threshold on this corpus)
+    // the confusable-but-not-duplicate pairs contrastive training needs.
+    // Candidates come from the DF-CAPPED inverted index (stop-shingles with
+    // df > 1000 never enter the self-join — the bounded-bucket production
+    // path); the cap is unreachable at every test SF, so the exact oracle
+    // still pins the output bit-for-bit.
     "q_hard_negatives" -> ((s, dir) =>
       graft.functions.Dedup.nearMissPairs(
         pq(s, dir, "documents"), "doc_id", "text", n = 4, lo = 0.01, hi = 0.8)

@@ -490,14 +490,36 @@ object Dedup {
     * jaccard pairs in a similarity BAND [lo, hi) — related enough to be
     * confusable, but below the duplicate threshold. These near-misses are
     * the pairs an embedding model must learn to separate; random negatives
-    * are trivially far. Same inverted-index pair generation as the exact
-    * jaccard witness (the band floor only changes the final filter), so
-    * cost is identical to one dedup pass. */
+    * are trivially far.
+    *
+    * Candidate generation is the DF-CAPPED inverted index ([[jaccardPairs]]
+    * with `dfCap` > 0): shingles present in more than `dfCap` documents are
+    * dropped from the index before the self-join, bounding the worst join
+    * bucket to dfCap·(dfCap−1)/2 pairs. At a low `lo` floor this is the
+    * difference between a linear-ish pass and a quadratic stop-shingle
+    * blowup — a shingle shared by 1M documents would otherwise expand to
+    * 5·10¹¹ candidate rows on one key. MinHash-LSH banding is NOT a usable
+    * candidate source here: a band catches a pair with probability
+    * ≈ 1−(1−j^r)^b, which at j near `lo` = 0.01 is essentially zero for any
+    * affordable (r, b) — the low-similarity band is exactly the regime LSH
+    * is designed to discard.
+    *
+    * Recall contract: a pair is lost only when EVERY shared shingle exceeds
+    * `dfCap` — such pairs overlap solely on corpus-wide boilerplate and make
+    * degenerate training negatives (both members look like every other
+    * document). Corpora smaller than `dfCap` documents (every test SF here)
+    * cannot hit the cap, so the exact SQL oracle pins this generator
+    * bit-for-bit at verification scale; PlanQualitySpec gates the capped
+    * plan shape. */
   def nearMissPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int,
-      lo: Double, hi: Double): DataFrame =
-    jaccardPairs(df, idCol, textCol, n, threshold = lo)
+      lo: Double, hi: Double, dfCap: Int = 1000): DataFrame = {
+    require(dfCap > 0, "nearMissPairs requires a positive dfCap — the " +
+      "uncapped inverted index is quadratic on stop-shingles at a low floor" +
+      " (use jaccardPairs(dfCap = 0) explicitly as an exactness witness)")
+    jaccardPairs(df, idCol, textCol, n, threshold = lo, dfCap = dfCap)
       .filter(col("jaccard") < hi)
+  }
 
   /** Duplicate-cluster size histogram — the one-glance dedup health report
     * (how much of the corpus sits in families of size 1, 2, 100?): cluster

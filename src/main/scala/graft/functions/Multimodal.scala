@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / frame-sample
   * operators (SURVEY.md §7.6).
   *
-  * The Spark-side plumbing — schema, partition sizing, batched per-partition
-  * processing, feature array shape — is real and tested. The codec itself is
-  * a clearly marked STUB (this container has no image/audio libraries): it
-  * derives deterministic pseudo-features from the payload bytes, so tests
-  * can assert exact values. Swap `decodeStub` for a real codec (JNI/JavaCV)
-  * without touching any dataflow.
+  * The codec tiers are:
+  *   - `kind = "image"`: REAL decode via the JDK's `javax.imageio`
+  *     (PNG/JPEG/GIF/BMP — no external dependency): true width/height and
+  *     per-channel mean/std + luminance histogram features.
+  *   - `kind = "audio"`: REAL decode via the JDK's `javax.sound.sampled`
+  *     (WAV/AIFF PCM): true frame count/channels and windowed RMS + peak
+  *     envelope features.
+  *   - `kind = "video"` (no JDK codec exists) and any payload the JDK
+  *     decoders reject: a clearly-marked deterministic fallback
+  *     ([[decodeStub]]) derives pseudo-features from the payload bytes, so
+  *     the dataflow stays total and tests can assert exact values. Swap in
+  *     a JNI/JavaCV codec without touching any dataflow.
   *
   * Scale notes: payloads dominate row size, so feature extraction
   * repartitions by total byte budget (not row count) to balance executors;
@@ -40,10 +46,125 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * Real implementation: image -> decode+resize+channel stats,
-    * audio -> PCM frame energy, video -> keyframe sample (see
-    * [[sampleFrameOffsets]]). */
+  /** Full decode dispatch: real JDK codecs first, deterministic stub
+    * fallback for video / undecodable payloads. Total — never throws on
+    * garbage bytes (a corrupt crawl payload must not kill a 100 TB job). */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
+    (kind match {
+      case "image" => decodeImage(payload)
+      case "audio" => decodeAudio(payload)
+      case _ => None // video: no JDK codec; see sampleFrameOffsets
+    }).getOrElse(decodeStub(kind, payload))
+
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP): returns
+    * (width, height, features) where features =
+    * [rMean, gMean, bMean, lumaMean, rStd, gStd, bStd, lumaStd,
+    *  8-bin luma histogram fractions], all in [0,1]. None when the payload
+    * is not a decodable image. Exact integer sums, so the result is
+    * bit-deterministic across partitionings and JVMs. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp files
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w.toLong * h
+        val sum = new Array[Long](4)      // r, g, b, luma
+        val sumSq = new Array[Long](4)
+        val hist = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val luma = (r * 299 + g * 587 + b * 114) / 1000
+            sum(0) += r; sum(1) += g; sum(2) += b; sum(3) += luma
+            sumSq(0) += r.toLong * r; sumSq(1) += g.toLong * g
+            sumSq(2) += b.toLong * b; sumSq(3) += luma.toLong * luma
+            hist(luma >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = new Array[Float](FeatureDim)
+        var c = 0
+        while (c < 4) {
+          val mean = sum(c).toDouble / n
+          feats(c) = (mean / 255.0).toFloat
+          feats(c + 4) =
+            (math.sqrt(math.max(0.0, sumSq(c).toDouble / n - mean * mean)) / 255.0).toFloat
+          c += 1
+        }
+        var bin = 0
+        while (bin < 8) { feats(8 + bin) = (hist(bin).toDouble / n).toFloat; bin += 1 }
+        Some((w, h, feats))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio decode via `javax.sound.sampled` (WAV/AIFF, 8/16-bit PCM):
+    * returns (frameCount, channels, features) where features = 8 windowed
+    * RMS values + 8 windowed peak values over the first channel, normalized
+    * to [0,1]. None when the payload is not a decodable PCM stream. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        if (bits != 8 && bits != 16) None
+        else {
+          val raw = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * channels
+          val nFrames = raw.length / frameBytes
+          if (nFrames == 0) None
+          else {
+            // First channel only; window the frame axis into 8 equal spans.
+            val windows = 8
+            val sumSq = new Array[Double](windows)
+            val peak = new Array[Double](windows)
+            val cnt = new Array[Long](windows)
+            val bigEndian = fmt.isBigEndian
+            var f = 0
+            while (f < nFrames) {
+              val base = f * frameBytes
+              val s =
+                if (bits == 8) ((raw(base) & 0xff) - 128) / 128.0
+                else {
+                  val (b0, b1) = if (bigEndian) (raw(base), raw(base + 1))
+                    else (raw(base + 1), raw(base))
+                  ((b0 << 8) | (b1 & 0xff)).toShort / 32768.0
+                }
+              val wIdx = (f.toLong * windows / nFrames).toInt
+              sumSq(wIdx) += s * s
+              if (math.abs(s) > peak(wIdx)) peak(wIdx) = math.abs(s)
+              cnt(wIdx) += 1
+              f += 1
+            }
+            val feats = new Array[Float](FeatureDim)
+            var wIdx = 0
+            while (wIdx < windows) {
+              feats(wIdx) =
+                if (cnt(wIdx) == 0) 0f else math.sqrt(sumSq(wIdx) / cnt(wIdx)).toFloat
+              feats(8 + wIdx) = peak(wIdx).toFloat
+              wIdx += 1
+            }
+            Some((nFrames, channels, feats))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic fallback decoder for `video` (no JDK codec) and payloads
+    * the real codecs reject: pseudo-features from the payload bytes, loudly
+    * NOT a real decode. Swap for JNI/JavaCV at deploy. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
     var checksum = 0L
     var i = 0
@@ -75,7 +196,7 @@ object Multimodal {
     media.repartition(parts).mapPartitions { files =>
       // Per-partition codec setup would happen here (once per task).
       files.map { f =>
-        val (w, h, feats) = decodeStub(f.kind, f.payload)
+        val (w, h, feats) = decode(f.kind, f.payload)
         var checksum = 0L
         f.payload.foreach(b => checksum = (checksum * 31 + (b & 0xff)) & 0xffffffffL)
         MediaFeatures(f.media_id, f.kind, f.payload.length.toLong, checksum, w, h, feats)

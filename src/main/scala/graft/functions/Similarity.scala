@@ -25,14 +25,15 @@ object Similarity {
     * [[FloatArrayDot]] expression (tight primitive loop). Its left-to-right
     * double accumulation is bit-identical to the equivalent
     * `CAST(a[i] AS DOUBLE)*CAST(b[i] AS DOUBLE) + ...` chain the DuckDB
-    * oracle evaluates. `dims` documents the contract; iteration bounds by
-    * the arrays themselves. */
-  def dotExpr(a: String, b: String, dims: Int): Column =
+    * oracle evaluates. Iteration bounds by the arrays themselves (ragged
+    * inputs are caught upstream by [[embeddingAudit]], not silently
+    * truncated here). */
+  def dotExpr(a: String, b: String): Column =
     ArrayDot.floatDot(col(a), col(b))
 
-  def cosineExpr(a: String, b: String, dims: Int): Column =
-    round(dotExpr(a, b, dims) /
-      (sqrt(dotExpr(a, a, dims)) * sqrt(dotExpr(b, b, dims))), 6)
+  def cosineExpr(a: String, b: String): Column =
+    round(dotExpr(a, b) /
+      (sqrt(dotExpr(a, a)) * sqrt(dotExpr(b, b))), 6)
 
   /** Cosine from a precomputed-norm pair: numerically identical to
     * [[cosineExpr]] (same values, same op order) but evaluates each vector's
@@ -40,21 +41,21 @@ object Similarity {
     * remaining single dot chain stays under the codegen method-size limit
     * (the 3-chain version trips `CodeGenerator: failed to compile` and falls
     * back to interpreted eval). */
-  private def cosineWithNorms(a: String, b: String, na: Column, nb: Column, dims: Int): Column =
-    round(dotExpr(a, b, dims) / (na * nb), 6)
+  private def cosineWithNorms(a: String, b: String, na: Column, nb: Column): Column =
+    round(dotExpr(a, b) / (na * nb), 6)
 
   /** Brute-force cosine top-k: each query row against the full corpus.
     * Queries are broadcast (small side); ranking is a per-query window. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dims: Int, k: Int): DataFrame = {
+      k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("nq", sqrt(dotExpr("qv", "qv", dims)))
+      .withColumn("nq", sqrt(dotExpr("qv", "qv")))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc"), dims))
+      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -74,16 +75,16 @@ object Similarity {
     * a bucket equi-join — the shape that survives 100 TB. */
   def bucketedTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dims: Int, k: Int, bits: Int = 8): DataFrame = {
+      k: Int, bits: Int = 8): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", signBucket("qv", bits))
-      .withColumn("nq", sqrt(dotExpr("qv", "qv", dims)))
+      .withColumn("nq", sqrt(dotExpr("qv", "qv")))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("bucket", signBucket("cv", bits))
-      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc"), dims))
+      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -133,15 +134,15 @@ object Similarity {
     * the [[labelCentroids]] shape. Together: the training loop body behind
     * IVF coarse quantizers, run entirely as Spark aggregates. */
   def kmeansStep(
-      df: DataFrame, idCol: String, vecCol: String, dims: Int, k: Int): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val cents = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
-      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
     val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("cent_sim",
-        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+        round(dotExpr("cv", "centv") / (col("nc") * col("ncent")), 6))
       .groupBy("vec_id")
       .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cv"))).as("best"))
       .select((-col("best.neg_id")).as("cent_id"), col("best.cv").as("cv"))
@@ -170,14 +171,14 @@ object Similarity {
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dims: Int, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
-      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("nq", sqrt(dotExpr("qv", "qv", dims)))
+      .withColumn("nq", sqrt(dotExpr("qv", "qv")))
 
     // Inverted lists: nearest centroid per corpus vector. max(struct(sim,
     // -cent_id, ...)) == "highest sim, lowest cent_id on ties" and is a
@@ -185,7 +186,7 @@ object Similarity {
     // window here would shuffle nlist x corpus rows).
     val lists = c.crossJoin(broadcast(cents))
       .withColumn("cent_sim",
-        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+        round(dotExpr("cv", "centv") / (col("nc") * col("ncent")), 6))
       .groupBy("vec_id")
       .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
         col("cv"), col("nc"))).as("best"))
@@ -197,14 +198,14 @@ object Similarity {
       .orderBy(col("cent_sim").desc, col("cent_id"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("cent_sim",
-        round(dotExpr("qv", "centv", dims) / (col("nq") * col("ncent")), 6))
+        round(dotExpr("qv", "centv") / (col("nq") * col("ncent")), 6))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select("cent_id", "query_id", "qv", "nq")
 
     lists.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc"), dims))
+      .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -320,16 +321,16 @@ object Similarity {
     * identical). Use [[embeddingDupPairs]] only as the exact O(N²) witness. */
   def embeddingDupPairsBucketed(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dims: Int, threshold: Double, bits: Int = 8): DataFrame = {
+      threshold: Double, bits: Int = 8): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("bucket", signBucket("va", bits))
-      .withColumn("na", sqrt(dotExpr("va", "va", dims)))
+      .withColumn("na", sqrt(dotExpr("va", "va")))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("bucket", signBucket("vb", bits))
-      .withColumn("nb", sqrt(dotExpr("vb", "vb", dims)))
+      .withColumn("nb", sqrt(dotExpr("vb", "vb")))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
@@ -350,15 +351,15 @@ object Similarity {
     * component, exactly like [[Dedup.clusterLabels]] over these pairs. */
   def semanticDedupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dims: Int, threshold: Double, nlist: Int = 16): DataFrame = {
+      threshold: Double, nlist: Int = 16): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
-      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
     val clustered = c.crossJoin(broadcast(cents))
       .withColumn("cent_sim",
-        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+        round(dotExpr("cv", "centv") / (col("nc") * col("ncent")), 6))
       .groupBy("vec_id")
       .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"),
         col("cv"), col("nc"))).as("best"))
@@ -370,7 +371,7 @@ object Similarity {
       col("cv").as("vb"), col("nc").as("nb"))
     a.join(b, Seq("cent_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("cent_id", "id_a", "id_b", "cos_sim")
   }
@@ -381,19 +382,19 @@ object Similarity {
     * entry point a production pipeline should use. */
   def embeddingDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      dims: Int, threshold: Double): DataFrame = {
+      threshold: Double): DataFrame = {
     // Repartition the streamed side: a small single-file corpus would
     // otherwise put the whole O(N^2) pair stream on ONE task. The broadcast
     // side stays whole; parallelism = shuffle partitions.
     val parallelism = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      .withColumn("na", sqrt(dotExpr("va", "va", dims)))
+      .withColumn("na", sqrt(dotExpr("va", "va")))
       .repartition(parallelism)
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-      .withColumn("nb", sqrt(dotExpr("vb", "vb", dims)))
+      .withColumn("nb", sqrt(dotExpr("vb", "vb")))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
@@ -408,7 +409,7 @@ object Similarity {
     * for a constant-size calibration set). Buckets are width-0.05 over
     * [-1, 1], keyed by floor(round(cos,6)·20). */
   def simHistogram(
-      df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      df: DataFrame, idCol: String, vecCol: String,
       rateA: Double, rateB: Double): DataFrame = {
     def sampled(seed: String, rate: Double, idAs: String, vAs: String) =
       df.filter(
@@ -416,12 +417,12 @@ object Similarity {
             Sampling.hexThreshold(rate))
         .select(col(idCol).as(idAs), col(vecCol).as(vAs))
     val a = sampled("simA", rateA, "id_a", "va")
-      .withColumn("na", sqrt(dotExpr("va", "va", dims)))
+      .withColumn("na", sqrt(dotExpr("va", "va")))
     val b = sampled("simB", rateB, "id_b", "vb")
-      .withColumn("nb", sqrt(dotExpr("vb", "vb", dims)))
+      .withColumn("nb", sqrt(dotExpr("vb", "vb")))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb"), dims))
+      .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb")))
       .withColumn("bucket", floor(col("cos_sim") * 20).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).cast("long").as("n_pairs"))
@@ -436,16 +437,16 @@ object Similarity {
     * dominates the training mix. Returns kept rows with their cell and
     * the cell's pre-cap population. */
   def clusterBalancedSample(
-      df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, capPerCell: Int): DataFrame = {
     val cents = df.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
-      .withColumn("ncent", sqrt(dotExpr("centv", "centv", dims)))
+      .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
     val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("nc", sqrt(dotExpr("cv", "cv", dims)))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("cent_sim",
-        round(dotExpr("cv", "centv", dims) / (col("nc") * col("ncent")), 6))
+        round(dotExpr("cv", "centv") / (col("nc") * col("ncent")), 6))
       .groupBy("vec_id")
       .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"))).as("best"))
       .select(col("vec_id"), (-col("best.neg_id")).as("cent_id"))

@@ -134,6 +134,25 @@ class PlanQualitySpec extends SparkSpec {
       "exactness witness q_dedup_jaccard unexpectedly banded")
   }
 
+  test("q_hard_negatives mines from the DF-capped index — no uncapped shingle self-join") {
+    // At lo = 0.01 nearly every shingle qualifies as a candidate key, so an
+    // uncapped inverted-index self-join expands quadratically on
+    // stop-shingle buckets at scale. The production plan must carry the
+    // document-frequency window + the df <= dfCap filter BEFORE the
+    // candidate self-join; the exact witness (q_dedup_jaccard) must stay
+    // uncapped so it keeps pinning exactness.
+    // The shingle generator itself is lead-over-Window (doc_id-partitioned),
+    // so the discriminator is the SHINGLE-partitioned count window + cap
+    // filter, which only the guarded candidate path contains.
+    val plan = planOf("q_hard_negatives")
+    assert(plan.contains("windowspecdefinition(shingle"),
+      "df-cap window missing — candidates come from the raw inverted index")
+    assert(plan.contains("<= 1000"),
+      "df <= dfCap filter missing from the candidate index")
+    assert(!planOf("q_dedup_jaccard").contains("windowspecdefinition(shingle"),
+      "exactness witness q_dedup_jaccard unexpectedly capped")
+  }
+
   test("q_tpch_shipping broadcasts the filtered dimension and pushes date filters") {
     val plan = planOf("q_tpch_shipping")
     assert(plan.contains("BroadcastHashJoin"), "customer side not broadcast")

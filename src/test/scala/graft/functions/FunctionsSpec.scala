@@ -187,20 +187,20 @@ class FunctionsSpec extends SparkSpec {
   ).toDF("vec_id", "embedding")
 
   test("brute-force top-k: correct neighbor order, self excluded") {
-    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 4, 3)
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3)
       .select("vec_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
     assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L)) // by cosine: 0.99, 0, -1
   }
 
   test("bucketed top-k only searches same sign-bucket (scale-path recall tradeoff)") {
-    val got = Similarity.bucketedTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 4, 3, bits = 4)
+    val got = Similarity.bucketedTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3, bits = 4)
       .select("vec_id").as[Long].collect().toSet
     assert(got.contains(1L))  // same bucket, found
     assert(!got.contains(3L)) // negative first dim -> different bucket, unsearched
   }
 
   test("embedding dup pairs: threshold filters to genuinely close pairs") {
-    val pairs = Similarity.embeddingDupPairs(vecs, "vec_id", "embedding", 4, 0.9)
+    val pairs = Similarity.embeddingDupPairs(vecs, "vec_id", "embedding", 0.9)
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
   }
@@ -283,9 +283,9 @@ class FunctionsSpec extends SparkSpec {
       (5L, Array(0f, -1f, 0f, 0f))
     ).toDF("vec_id", "embedding")
     val got = Similarity.semanticDedupPairs(six, "vec_id", "embedding",
-      dims = 4, threshold = 0.9, nlist = 2)
+      threshold = 0.9, nlist = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val exact = Similarity.embeddingDupPairs(six, "vec_id", "embedding", 4, 0.9)
+    val exact = Similarity.embeddingDupPairs(six, "vec_id", "embedding", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got.subsetOf(exact), s"semantic pairs $got must be a subset of exact $exact")
     // Within-cluster near-dups are all found
@@ -326,6 +326,79 @@ class FunctionsSpec extends SparkSpec {
       .collect().sortBy(_.media_id)
     assert(rows.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
     assert(rows.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
+  }
+
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("multimodal: REAL PNG decode — true dimensions and exact channel stats") {
+    // Solid red 32x16: means (1, 0, 0), stds 0, all luma in bin 76>>5 = 2.
+    val red = pngBytes(32, 16)((_, _) => 0xff0000)
+    val media = Seq(Multimodal.MediaFile(1L, "image", red, "fixture")).toDS()
+    val r = Multimodal.extractFeatures(media).collect().head
+    assert(r.width === 32 && r.height === 16)      // REAL decoded dims
+    assert(r.features(0) === 1.0f)                 // r mean
+    assert(r.features(1) === 0.0f && r.features(2) === 0.0f)
+    assert(r.features(3) === (76.0 / 255.0).toFloat) // luma mean (299*255/1000=76)
+    assert((4 to 7).forall(i => r.features(i) === 0.0f)) // solid color: zero std
+    assert(r.features(8 + 2) === 1.0f)             // all pixels in luma bin 2
+    assert((8 until 16).filter(_ != 10).forall(i => r.features(i) === 0.0f))
+  }
+
+  test("multimodal: PNG round-trip is partitioning-deterministic; gradient stats sane") {
+    val grad = pngBytes(64, 32)((x, y) => ((x * 4) << 16) | ((y * 8) << 8) | 0x40)
+    val media = Seq(
+      Multimodal.MediaFile(1L, "image", grad, "g"),
+      Multimodal.MediaFile(2L, "image", grad, "g"))
+    val a = Multimodal.extractFeatures(media.toDS()).collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(media.toDS().repartition(5))
+      .collect().sortBy(_.media_id)
+    assert(a.map(_.features.toSeq).toSeq === b.map(_.features.toSeq).toSeq)
+    assert(a.forall(r => r.width === 64 && r.height === 32))
+    assert(a.head.features(4) > 0f) // gradient: nonzero red std
+    // histogram bins sum to 1 (every pixel binned exactly once)
+    val histSum = a.head.features.drop(8).map(_.toDouble).sum
+    assert(math.abs(histSum - 1.0) < 1e-5)
+  }
+
+  test("multimodal: REAL WAV decode — frame count, channels, RMS/peak envelope") {
+    // 16-bit PCM mono square wave at half amplitude: RMS = peak = 0.5 exactly.
+    val nFrames = 8000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (f <- 0 until nFrames) {
+      val s: Short = if (f % 2 == 0) 16384 else -16384
+      pcm(2 * f) = (s & 0xff).toByte          // little-endian
+      pcm(2 * f + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val media = Seq(Multimodal.MediaFile(7L, "audio", baos.toByteArray, "wav")).toDS()
+    val r = Multimodal.extractFeatures(media).collect().head
+    assert(r.width === nFrames) // frames
+    assert(r.height === 1)      // channels
+    assert((0 until 8).forall(i => math.abs(r.features(i) - 0.5f) < 1e-4f))  // RMS
+    assert((8 until 16).forall(i => r.features(i) === 0.5f))                 // peak
+  }
+
+  test("multimodal: undecodable payloads fall back to the labeled stub") {
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val expected = Multimodal.decodeStub("image", garbage)
+    val media = Seq(Multimodal.MediaFile(9L, "image", garbage, "bad")).toDS()
+    val r = Multimodal.extractFeatures(media).collect().head
+    assert((r.width, r.height) === ((expected._1, expected._2)))
+    assert(r.features.toSeq === expected._3.toSeq)
+    assert(Multimodal.decodeImage(garbage).isEmpty)
+    assert(Multimodal.decodeAudio(garbage).isEmpty)
   }
 
   test("unigramLogProb: common-token docs outscore rare-token docs; exact mean") {
@@ -592,6 +665,13 @@ class FunctionsSpec extends SparkSpec {
       .orderBy("id_a", "id_b")
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 2L, 0.333333), (2L, 3L, 0.333333)))
+    // dfCap recall contract: pairs whose EVERY shared shingle exceeds the
+    // cap disappear (their candidates never enter the index); here dfCap=1
+    // caps both shared shingles (df 3 and 2), leaving no candidates at all.
+    val capped = Dedup.nearMissPairs(df, "doc_id", "text", n = 4,
+      lo = 0.3, hi = 0.8, dfCap = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(capped.isEmpty)
   }
 
   test("count-min sketch: estimates never undercount; disjoint builds merge by sum") {

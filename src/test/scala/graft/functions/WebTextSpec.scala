@@ -310,7 +310,7 @@ class WebTextSpec extends SparkSpec {
       i -> Array.tabulate(4)(j => (((i * 7 + j * 3) % 11).toFloat - 5f) / 3f)
     }
     val df = data.toDF("vec_id", "embedding")
-    val got = Similarity.simHistogram(df, "vec_id", "embedding", dims = 4,
+    val got = Similarity.simHistogram(df, "vec_id", "embedding",
       rateA = 0.5, rateB = 0.5)
       .as[(Long, Long, Double)].collect()
     // brute-force replication of the hash sampling + bucketing
@@ -342,7 +342,7 @@ class WebTextSpec extends SparkSpec {
     }
     val df = data.toDF("vec_id", "embedding")
     val got = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
-      dims = 4, nlist = 2, capPerCell = 5)
+      nlist = 2, capPerCell = 5)
       .as[(Long, Long, Long)].collect()
     // two cells (centroids = vec 0 and vec 1), 15 members each, capped at 5
     assert(got.length === 10)
@@ -354,7 +354,7 @@ class WebTextSpec extends SparkSpec {
     }
     // determinism: same input, different partitioning, same kept set
     val again = Similarity.clusterBalancedSample(df.repartition(7), "vec_id",
-      "embedding", dims = 4, nlist = 2, capPerCell = 5)
+      "embedding", nlist = 2, capPerCell = 5)
       .as[(Long, Long, Long)].collect()
     assert(again.toSet === got.toSet)
   }
