@@ -572,6 +572,14 @@ object SparkEntry {
         pq(s, dir, "documents"), "doc_id", "text", lambda = 0.7)
         .orderBy("doc_id")),
 
+    // Trigram-interpolation LM score (one more backoff level): pos>=3
+    // tokens mix 0.5*P_ml(w|p2,p1) + 0.3*P_ml(w|p1) + 0.2*P(w); the second
+    // token is the 0.7/0.3 bigram mixture, the first pure unigram
+    "q_trigram_logprob" -> ((s, dir) =>
+      graft.functions.TextAnalysis.trigramLogProb(
+        pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Char-trigram Naive-Bayes language ID (TextCat-family): profiles
     // trained from the corpus's own labels, Laplace-smoothed, argmax
     "q_langid_trigram" -> ((s, dir) =>
@@ -2288,6 +2296,53 @@ object SparkEntry {
         |  FROM pt JOIN uni USING (w) CROSS JOIN tot
         |  LEFT JOIN big ON pt.prev = big.prev AND pt.w = big.w
         |  LEFT JOIN ctx ON pt.prev = ctx.prev),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_trigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+        |  FROM toks),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+        |big AS (
+        |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+        |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+        |ctx2 AS (SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc2 FROM big GROUP BY prev1),
+        |tri AS (
+        |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+        |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+        |ctx3 AS (
+        |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3
+        |  FROM tri GROUP BY prev2, prev1),
+        |sc AS (
+        |  SELECT pt.doc_id,
+        |    CAST(round(ln(CASE
+        |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+        |      WHEN pt.prev2 IS NULL THEN
+        |        0.7 * (CAST(big.c2 AS DOUBLE) / CAST(ctx2.cc2 AS DOUBLE))
+        |        + 0.3 * (CAST(uni.c1 AS DOUBLE) / tot.total)
+        |      ELSE
+        |        0.5 * (CAST(tri.c3 AS DOUBLE) / CAST(ctx3.cc3 AS DOUBLE))
+        |        + 0.3 * (CAST(big.c2 AS DOUBLE) / CAST(ctx2.cc2 AS DOUBLE))
+        |        + 0.2 * (CAST(uni.c1 AS DOUBLE) / tot.total) END) * 1000000, 0)
+        |      AS BIGINT) AS lp
+        |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+        |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
+        |  LEFT JOIN ctx2 ON pt.prev1 = ctx2.prev1
+        |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
+        |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1),
         |agg AS (
         |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
         |  FROM sc GROUP BY 1)

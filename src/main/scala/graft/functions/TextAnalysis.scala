@@ -227,6 +227,67 @@ object TextAnalysis {
           .as("logprob"))
   }
 
+  /** Trigram-interpolation LM score — one more backoff level past
+    * [[bigramLogProb]] toward the real CCNet filter (KenLM n-gram): a token
+    * with two tokens of context scores
+    * `ln(l3·P_ml(w|p2,p1) + l2·P_ml(w|p1) + l1·P(w))` (deleted
+    * interpolation); the second token falls back to the bigram mixture
+    * `ln(b2·P_ml(w|p1) + b1·P(w))` and the first scores pure unigram.
+    * Random adjacency is now penalized at two context lengths — template
+    * text and word salad separate even further than under the bigram model.
+    *
+    * All mixture weights are EXPLICIT parameters (no `1 - λ` driver-side
+    * arithmetic): `1 - 0.7` in binary floating point is 0.30000000000000004,
+    * one ulp off the SQL literal `0.3` the oracle evaluates — passing both
+    * weights keeps the two engines' arithmetic bit-identical.
+    *
+    * Determinism: identical fixed-point contract to unigramLogProb —
+    * per-token log-probs rounded to 1e-6 and summed as LONGS. Scale: the
+    * trigram table grows with corpus trigram vocabulary, so it joins KEYED
+    * on (prev2, prev1, w) — never broadcast; within one corpus every
+    * token's own (prev2, prev1) context necessarily occurred, so the
+    * context-count joins never miss for in-range positions. Two extra
+    * keyed shuffles vs unigram. */
+  def trigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.5, l2: Double = 0.3, l1: Double = 0.2,
+      b2: Double = 0.7, b1: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9 && math.abs(b2 + b1 - 1.0) < 1e-9,
+      "interpolation weights must sum to 1")
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val pt = toks
+      .withColumn("prev1", lag(col("w"), 1).over(win))
+      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
+    val big = pt.filter(col("prev1").isNotNull)
+      .groupBy("prev1", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val ctx2 = big.groupBy("prev1").agg(sum(col("c2")).cast("long").as("cc2"))
+    val tri = pt.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev1", "w").agg(count(lit(1)).cast("long").as("c3"))
+    val ctx3 = tri.groupBy("prev2", "prev1").agg(sum(col("c3")).cast("long").as("cc3"))
+    val uniP = col("c1").cast("double") / col("total")
+    val bigMl = col("c2").cast("double") / col("cc2").cast("double")
+    val triMl = col("c3").cast("double") / col("cc3").cast("double")
+    val p = when(col("prev1").isNull, uniP)
+      .when(col("prev2").isNull, lit(b2) * bigMl + lit(b1) * uniP)
+      .otherwise(lit(l3) * triMl + lit(l2) * bigMl + lit(l1) * uniP)
+    pt.join(uni, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .join(big.join(ctx2, Seq("prev1")), Seq("prev1", "w"), "left")
+      .join(tri.join(ctx3, Seq("prev2", "prev1")), Seq("prev2", "prev1", "w"), "left")
+      .select(col(idCol),
+        round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
   /** Composite quality score in [0,1]:
     * 0.4 * min(words,100)/100  (length credit)
     * + 0.3 * (1 - punct_ratio) (cleanliness)

@@ -654,6 +654,53 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2)
   }
 
+  test("trigramLogProb matches a brute-force reference on every doc") {
+    val corpus = Seq(
+      (1L, "x y z x y z x y z"), // one repeated trigram
+      (2L, "x z y y x z z y x"), // same tokens, shuffled adjacency
+      (3L, "x y"))               // too short for any trigram context
+    val allToks = corpus.flatMap(_._2.split(" "))
+    val uni = allToks.groupBy(identity).map { case (k, v) => k -> v.size }
+    val total = allToks.size.toDouble
+    val bigs = corpus.flatMap(_._2.split(" ").sliding(2).filter(_.length == 2)
+      .map(a => (a(0), a(1))))
+    val big = bigs.groupBy(identity).map { case (k, v) => k -> v.size }
+    val ctx2 = bigs.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val tris = corpus.flatMap(_._2.split(" ").sliding(3).filter(_.length == 3)
+      .map(a => (a(0), a(1), a(2))))
+    val tri = tris.groupBy(identity).map { case (k, v) => k -> v.size }
+    val ctx3 = tris.groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.size }
+    def expected(text: String): (Long, Double) = {
+      val ts = text.split(" ")
+      val lps = ts.zipWithIndex.map { case (w, i) =>
+        val uniP = uni(w) / total
+        val p =
+          if (i == 0) uniP
+          else if (i == 1) 0.7 * big((ts(0), w)).toDouble / ctx2(ts(0)) + 0.3 * uniP
+          else {
+            val bigMl = big((ts(i - 1), w)).toDouble / ctx2(ts(i - 1))
+            val triMl = tri.getOrElse((ts(i - 2), ts(i - 1), w), 0).toDouble /
+              ctx3((ts(i - 2), ts(i - 1)))
+            0.5 * triMl + 0.3 * bigMl + 0.2 * uniP
+          }
+        BigDecimal(math.log(p) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      (ts.length.toLong,
+        BigDecimal(lps.sum.toDouble / ts.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextAnalysis.trigramLogProb(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    corpus.foreach { case (id, text) =>
+      assert(got(id) === expected(text), s"doc $id")
+    }
+    // the repeated-trigram doc outscores the shuffled one by a wider margin
+    // than under the bigram model (the third-order context pays off)
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
   test("nearMissPairs keeps the band, drops duplicates and unrelated pairs") {
     val df = Seq(
       (1L, "a b c d e"),   // {abcd, bcde}

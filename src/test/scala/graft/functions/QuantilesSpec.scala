@@ -40,4 +40,37 @@ class QuantilesSpec extends SparkSpec {
     val got = Quantiles.exactQuantilesDisc(df, "value", Seq(0.5, 1.0), bins = 4, directLimit = 8)
     assert(got === Seq(1.0, 3.0))
   }
+
+  test("one histogram scan per round serves ALL ranks (never rounds × |qs|)") {
+    val xs = (0 until 20011).map(i => ((i * 104729) % 20011).toDouble)
+    val df = xs.toDF("value")
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val (got, scans) = Quantiles.exactQuantilesDiscWithStats(
+      df, "value", qs, bins = 8, directLimit = 32, maxIters = 8)
+    qs.zip(got).foreach { case (q, g) => assert(g === disc(xs, q), s"q=$q") }
+    // bins=8 over 20011 rows needs several refinement rounds; the scan
+    // count must be bounded by maxIters alone. The per-quantile formulation
+    // would burn rounds × 5 scans here (>= 15).
+    assert(scans > 0 && scans <= 8, s"histogram scans = $scans")
+
+    // Independent, non-self-reported check: count Spark jobs for the whole
+    // call. Budget = 1 stats + maxIters histograms + |qs| final selections
+    // (+1 slack); the per-quantile formulation needs >= rounds*|qs| extra.
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Quantiles.exactQuantilesDisc(df, "value", qs, bins = 8, directLimit = 32)
+      Thread.sleep(1000) // listener bus is async
+      val jobs = counter.get()
+      // AQE runs ~2 jobs per aggregation (shuffle stage + final); budget =
+      // 2 × (1 stats + maxIters histograms + |qs| finals). The per-quantile
+      // formulation costs 2 × rounds × |qs| ≈ 40+ extra jobs here.
+      assert(jobs <= 2 * (1 + 8 + qs.length), s"jobs = $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
