@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Heavy-family scale bench: times the dedup/ANN/linkage queries whose cost
+  * grows with corpus size against an arbitrary data dir (normally a
+  * [[ScaleGen]] ×k output), printing the same one-line JSON contract as
+  * [[graft.Bench]]. Run the SAME list against the base dir in the same JVM
+  * conditions to get the linear-extrapolation floor BASELINE.md records
+  * (time_k ≲ k × time_base; anything >2× the extrapolated floor is a
+  * super-linear scaling bug, not noise).
+  *
+  * Only queries reading documents/embeddings/part are eligible — ScaleGen
+  * scales exactly those tables. The exact O(N²) witnesses (q_dedup_jaccard,
+  * q_dedup_containment, q_dedup_embedding) are deliberately absent: their
+  * answer itself grows quadratically, so their scale-up measures answer
+  * size, not plan quality.
+  *
+  * Usage: BenchScale <dataDir>
+  */
+object BenchScale {
+
+  val HeavyQueries: Seq[String] = Seq(
+    "q_dedup_exact",       // content-hash shuffle
+    "q_dedup_lsh_pairs",   // signature pass + band buckets
+    "q_cluster_sizes",     // guardedPairs materialization + label propagation
+    "q_hard_negatives",    // DF-capped inverted index at lo = 0.01
+    "q_dedup_incremental", // Bloom + broadcast verify
+    "q_repeated_ngrams",   // shingle-keyed aggregation
+    "q_trigram_logprob",   // 3 n-gram tables, keyed joins
+    "q_knn_ivf",           // IVF lists + probed search
+    "q_pq_adc",            // PQ codes + broadcast distance tables
+    "q_dedup_embedding_bucketed", // sign-bucket equi-join
+    "q_fuzzy_pairs")       // blocked edit-distance join
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Same warm-up discipline as Bench: absorb executor/codegen init before
+    // the first timed query.
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$dataDir/documents.parquet").limit(1).collect()
+    val results = HeavyQueries.map { name =>
+      val t0 = System.nanoTime()
+      try { graft.SparkEntry.queries(name)(spark, dataDir).count() }
+      catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_heavy","value":${results.map(_._2).sum},""" +
+      s""""unit":"sec","queries":$qs,"sf":"$dataDir"}""")
+    spark.stop()
+  }
+}

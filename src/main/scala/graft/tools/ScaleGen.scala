@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic ×k scale-up of the test corpus — the input generator for
+  * the heavy-family scale bench (BASELINE.md "sf1" rows). Replica 0 is the
+  * original data; replica r >= 1 rewrites identity keys by +r·10⁷ and
+  * perturbs content so replicas are REALLY distinct work, not free
+  * duplicates:
+  *
+  *   - documents: every 4th word is replaced with a replica marker, so every
+  *     4-gram shingle of a replica contains the marker — zero cross-replica
+  *     shingle overlap and distinct content hashes. Near-dup structure
+  *     WITHIN each replica is preserved exactly (same replacement pattern on
+  *     near-identical texts), so dedup answer sizes scale linearly with k —
+  *     the corpus a 10× crawl actually looks like, not a 10-way duplicate
+  *     explosion whose quadratic answer would swamp the timing signal.
+  *   - embeddings: per-dimension deterministic offset (amplitude grows with
+  *     r) keeps replicas off the originals' sign buckets / centroids.
+  *   - part: names gain a replica token (intra-replica edit distances are
+  *     unchanged — the shared suffix cancels); brands gain a replica suffix
+  *     so block KEYS keep discriminating at scale, which is the documented
+  *     discipline for blocked linkage (the adversarial mega-block lives in
+  *     LinkageStressSpec, where it is measured, not benched).
+  *
+  * Usage: ScaleGen <inDir> <outDir> <k>
+  */
+object ScaleGen {
+
+  val IdStride = 10000000L
+
+  def scaleDocuments(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * IdStride)).as("doc_id"),
+        expr(s"array_join(transform(split(text, '\\\\s+'), " +
+          s"(w, i) -> CASE WHEN i % 4 = 0 THEN 'zr$r' ELSE w END), ' ')")
+          .as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }.reduce(_.unionByName(_))
+
+  def scaleEmbeddings(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(r * IdStride)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> " +
+          s"CAST(x + ((CAST(i * 31 + $r * 17 AS INT) % 13) - 6) * 0.01 * $r AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+
+  def scalePart(part: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) part
+      else part
+        .withColumn("p_partkey", col("p_partkey") + lit(r * IdStride))
+        .withColumn("p_name", concat(col("p_name"), lit(s" zr$r")))
+        .withColumn("p_brand", concat(col("p_brand"), lit(s"#$r")))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, kStr) = args.take(3)
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def pq(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
+    scaleDocuments(pq("documents"), k)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaleEmbeddings(pq("embeddings"), k)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    scalePart(pq("part"), k)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    println(s"""{"scaled":"$outDir","k":$k}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Adversarial-corpus stress for the production dedup / linkage paths: the
+  * degenerate shapes a 100 TB crawl actually contains — mega duplicate
+  * families (one LSH band bucket holding thousands of identical docs),
+  * Zipfian stop-shingles (one shingle in every document), and an unbounded
+  * linkage block. The assertions pin EXACT answers, so these double as
+  * correctness proofs under skew, not just completion smoke.
+  */
+class DedupStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearDupPairsLsh: 1k identical docs collapse into one band bucket and still enumerate exactly") {
+    // All 1000 copies share one minhash signature -> ONE bucket per band;
+    // the pair expansion is bucket-local and the answer itself is C(1000,2)
+    // (every pair IS a true duplicate — quadratic output is intrinsic here,
+    // not plan waste). 50 distinct tail docs must not pair with anything.
+    val n = 1000
+    val docs = ((0 until n).map(i => (i.toLong, "the same exact document text repeated everywhere forever")) ++
+      (0 until 50).map(i => (10000L + i, s"unique tail doc d${i}a d${i}b d${i}c d${i}d d${i}e")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairsLsh(docs, "doc_id", "text", n = 4, threshold = 0.8)
+    val cnt = pairs.count()
+    assert(cnt === n.toLong * (n - 1) / 2, s"expected C($n,2) duplicate pairs")
+    assert(pairs.agg(min(col("jaccard")), max(col("jaccard")))
+      .as[(Double, Double)].head() === ((1.0, 1.0)))
+    assert(pairs.filter(col("id_a") >= 10000L || col("id_b") >= 10000L).count() === 0)
+  }
+
+  test("jaccardPairs dfCap: a shingle in EVERY document never enters the candidate join") {
+    // Zipfian head: all 3000 docs share the lead 4-gram (df = 3000); true
+    // near-dups (adjacent id pairs) share 8 UNIQUE tail shingles and differ
+    // in the last word -> jaccard = 8/10 exactly. With dfCap = 100 the
+    // stop-shingle is dropped from the index (its bucket would expand to
+    // C(3000,2) ≈ 4.5M candidate rows); the unique shingles (df = 2) carry
+    // every true pair, so the capped answer is EXACT.
+    val n = 3000
+    val docs = (0 until n).map { i =>
+      val fam = i / 2
+      val last = if (i % 2 == 0) s"t${fam}h" else s"t${fam}x"
+      (i.toLong, s"u1 u2 u3 u4 t${fam}a t${fam}b t${fam}c t${fam}d t${fam}e t${fam}f t${fam}g $last")
+    }.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4,
+      threshold = 0.5, dfCap = 100)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === n / 2)
+    assert(got.forall { case (a, b, j) => b == a + 1 && a % 2 == 0 && j == 0.8 })
+    // Hard negatives at the 0.01 floor: every non-family pair overlaps ONLY
+    // on the stop-shingle (jaccard 1/23 ≈ 0.043 >= 0.01) — the uncapped
+    // index would emit ~4.5M boilerplate-only pairs; the capped path emits
+    // none, and the in-band family pairs are outside [lo, hi) anyway.
+    val negs = Dedup.nearMissPairs(docs, "doc_id", "text", n = 4,
+      lo = 0.01, hi = 0.5, dfCap = 100)
+    assert(negs.count() === 0)
+  }
+
+  test("incremental dedup: batch of 2k docs vs 10k-doc history with 50% hit rate stays exact") {
+    val corpus = (0 until 10000).map(i => (i.toLong, s"corpus doc c${i}a c${i}b c${i}c"))
+      .toDF("doc_id", "text")
+    val batch = (0 until 2000).map { i =>
+      // Even ids duplicate a history doc; odd ids are genuinely new.
+      if (i % 2 == 0) (100000L + i, s"corpus doc c${i}a c${i}b c${i}c")
+      else (100000L + i, s"fresh doc f${i}a f${i}b f${i}c")
+    }.toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text",
+      expectedCorpusItems = 10000)
+    assert(kept.count() === 1000)
+    assert(kept.filter((col("doc_id") % 2) === 0).count() === 0)
+  }
+
+  test("fuzzyDupPairs: one unbounded mega-block completes and matches a brute-force check") {
+    // 1500 short names in a SINGLE block: 1.1M in-block comparisons — the
+    // documented failure mode for undisciplined block keys, exercised
+    // deliberately. The blocked join must complete and agree with a local
+    // brute force exactly.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val n = 1500
+    val names = (0 until n).map(i => s"${(i * 7) % 10}${(i * 13) % 10}${(i * 29) % 10}")
+    val df = names.zipWithIndex
+      .map { case (nm, i) => (i.toLong, nm, "B1") }
+      .toDF("pid", "pname", "block")
+    val got = graft.operators.Linkage.fuzzyDupPairs(
+      df, "pid", "pname", Seq("block"), maxDist = 1)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    val expected = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if lev(names(i), names(j)) <= 1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+}
