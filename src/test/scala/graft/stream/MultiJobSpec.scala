@@ -87,6 +87,61 @@ class MultiJobSpec extends SparkSpec {
       s"job filter not applied as a partition filter:\n${plan.take(500)}")
   }
 
+  test("25 queued jobs drain under AvailableNow; contacts match the sequential batch reference") {
+    import org.apache.spark.sql.streaming.Trigger
+    val nJobs = 25
+    val rows = 20
+    def seed(root: String): ParquetTableStore = {
+      Files.createDirectories(Paths.get(s"$root/uploads"))
+      val store = new ParquetTableStore(spark, s"$root/tables")
+      store.overwrite("jobs", (1 to nJobs).map(i => (i, s"u$i", JobStatus.Pending))
+        .toDF("job_id", "job_user_id", "job_status"))
+      val csv = ("email,first_name,last_name,company" +:
+        (1 to rows).map(r => s"r$r@ex.co,F$r,L$r,C$r")).mkString("\n")
+      Files.writeString(Paths.get(s"$root/uploads/data.csv"), csv)
+      store
+    }
+    def contactsOf(store: ParquetTableStore): Set[(String, String, String)] =
+      store.load("contacts")
+        .select("contacts_user_id", "contact_email", "contact_company")
+        .as[(String, String, String)].collect().toSet
+
+    // Streaming drain: all 25 jobs through the native queue source.
+    val sRoot = Files.createTempDirectory("graft_stream_tput").toString
+    val sStore = seed(sRoot)
+    Files.createDirectories(Paths.get(s"$sRoot/queue"))
+    (1 to nJobs).foreach { i =>
+      val tmp = Files.writeString(Paths.get(f"$sRoot/queue/.m$i%03d.tmp"),
+        s"""{"job_id": $i, "s3_key": "data.csv"}""")
+      Files.move(tmp, Paths.get(f"$sRoot/queue/m$i%03d"))
+    }
+    val q = JobDispatch.startQueue(
+      spark, sStore, s"$sRoot/queue", s"$sRoot/cp",
+      _ => s"$sRoot/uploads/data.csv", Trigger.AvailableNow())
+    q.awaitTermination(600000)
+    q.stop()
+
+    val statuses = sStore.load("jobs").select("job_status").as[String].collect()
+    assert(statuses.length === nJobs)
+    assert(statuses.forall(_ === JobStatus.Completed))
+    assert(sStore.load("contacts").count() === nJobs.toLong * rows)
+    // AvailableNow flushes the final ack epoch: every message deleted.
+    val left = { val s = Files.list(Paths.get(s"$sRoot/queue"))
+      try s.count() finally s.close() }
+    assert(left === 0L, "queue not fully acked after AvailableNow drain")
+
+    // Batch reference: identical jobs run sequentially on a fresh store.
+    val bRoot = Files.createTempDirectory("graft_batch_ref").toString
+    val bStore = seed(bRoot)
+    (1 to nJobs).foreach { i =>
+      val o = JobDispatch.processOne(spark, bStore, i, "data.csv",
+        _ => s"$bRoot/uploads/data.csv")
+      assert(o.outcome === JobStatus.Completed, s"batch job $i")
+    }
+    assert(contactsOf(sStore) === contactsOf(bStore),
+      "streaming and batch runs disagree on the consolidated contacts")
+  }
+
   test("job lifecycle: process_start on PROCESSING, process_end cleared on restart") {
     val root = Files.createTempDirectory("graft_lifecycle").toString
     val store = new ParquetTableStore(spark, root + "/tables")
