@@ -32,22 +32,28 @@ object JdbcUpsert {
       dialect: String = "postgres",
       dummyTable: String = "SYSIBM.SYSDUMMY1"): (String, Seq[String]) = {
     val updatable = cols.filterNot(keyCols.contains)
+    // Spark's JDBC writer creates DELIMITED (case-exact) column identifiers,
+    // so every column reference must be quoted the same way — unquoted names
+    // would be case-folded by the database (Derby upper, Postgres lower)
+    // and miss. The table name is passed through as the caller wrote it
+    // (it may be schema-qualified).
+    def q(id: String) = "\"" + id + "\""
     dialect match {
       case "postgres" =>
         val sql =
-          s"""INSERT INTO $table (${cols.mkString(", ")})
+          s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
              |VALUES (${cols.map(_ => "?").mkString(", ")})
-             |ON CONFLICT (${keyCols.mkString(", ")})
-             |DO UPDATE SET ${updatable.map(c => s"$c = EXCLUDED.$c").mkString(", ")}"""
+             |ON CONFLICT (${keyCols.map(q).mkString(", ")})
+             |DO UPDATE SET ${updatable.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}"""
             .stripMargin
         (sql, cols)
       case "merge" =>
         val sql =
           s"""MERGE INTO $table t
              |USING $dummyTable
-             |ON ${keyCols.map(k => s"t.$k = ?").mkString(" AND ")}
-             |WHEN MATCHED THEN UPDATE SET ${updatable.map(c => s"$c = ?").mkString(", ")}
-             |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+             |ON ${keyCols.map(k => s"t.${q(k)} = ?").mkString(" AND ")}
+             |WHEN MATCHED THEN UPDATE SET ${updatable.map(c => s"${q(c)} = ?").mkString(", ")}
+             |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
              |VALUES (${cols.map(_ => "?").mkString(", ")})"""
             .stripMargin
         (sql, keyCols ++ updatable ++ cols)

@@ -255,11 +255,84 @@ class JdbcTableStore(
   override def load(table: String): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** Snapshot overwrite, SQL-side two-phase: the replacement plan routinely
+    * READS the table it replaces (the jobs-status-update shape), so a
+    * truncate-then-insert write would truncate the very rows the insert's
+    * plan still needs — silent data loss. Instead the plan materializes
+    * into a temp table first, then DELETE + INSERT ... SELECT swap the
+    * target in ONE transaction (a crash between them rolls back; readers
+    * never see a half-replaced table). First-time writes (no target table
+    * yet) create it directly. */
+  JdbcTableStore.ensureDerbyVarcharDialect()
+
+  private def write(df: DataFrame) = df.write
+
   override def overwrite(table: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").option("truncate", "true").jdbc(url, table, props)
+    if (!tableExists(table)) write(df).jdbc(url, table, props)
+    else swapAll(Seq(table -> stage(table, df)))
+
+  /** Replace several tables whose plans may read EACH OTHER: every plan is
+    * staged (materialized) before any target is touched, then all swaps run
+    * in one transaction. */
+  override def overwriteAll(tables: Seq[(String, DataFrame)]): Unit = {
+    val (create, swap) = tables.partition { case (t, _) => !tableExists(t) }
+    val staged = swap.map { case (t, df) => t -> stage(t, df) }
+    create.foreach { case (t, df) => write(df).jdbc(url, t, props) }
+    swapAll(staged)
+  }
+
+  private def tableExists(table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    // Spark's JDBC writer creates the table name as an unquoted identifier,
+    // which Derby/Postgres fold (upper/lower respectively) — probe both.
+    try {
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
+  /** Materialize `df` into a uniquely-named temp table; returns (tmp, cols). */
+  private def stage(table: String, df: DataFrame): (String, Seq[String]) = {
+    val tmp = s"${table}_otmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    write(df).mode("overwrite").jdbc(url, tmp, props)
+    (tmp, df.columns.toSeq)
+  }
+
+  private def swapAll(staged: Seq[(String, (String, Seq[String]))]): Unit = {
+    if (staged.isEmpty) return
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    def q(id: String) = "\"" + id + "\""
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        try {
+          staged.foreach { case (table, (tmp, cols)) =>
+            val colList = cols.map(q).mkString(", ")
+            st.executeUpdate(s"DELETE FROM $table")
+            st.executeUpdate(
+              s"INSERT INTO $table ($colList) SELECT $colList FROM $tmp")
+          }
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
+        } finally {
+          staged.foreach { case (_, (tmp, _)) =>
+            try { st.executeUpdate(s"DROP TABLE $tmp"); conn.commit() }
+            catch { case _: Throwable => () }
+          }
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
 
   override def append(table: String, df: DataFrame): Unit =
-    df.write.mode("append").jdbc(url, table, props)
+    write(df).mode("append").jdbc(url, table, props)
 
   /** Per-job commit, SQL-side: materialize each result into a temp table
     * (so plans that read the target finish BEFORE it is mutated), then
@@ -274,7 +347,7 @@ class JdbcTableStore(
   override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit = {
     val staged = commits.map { c =>
       val tmp = s"${c.table}_ctmp_${java.util.UUID.randomUUID().toString.take(8)}"
-      c.df.write.mode("overwrite").jdbc(url, tmp, props)
+      write(c.df).mode("overwrite").jdbc(url, tmp, props)
       (c, tmp, c.df.columns.toSeq)
     }
     val conn = java.sql.DriverManager.getConnection(url, props)
@@ -314,5 +387,35 @@ class JdbcTableStore(
         }
       } finally st.close()
     } finally conn.close()
+  }
+}
+
+object JdbcTableStore {
+  /** Spark's built-in Derby dialect maps StringType to CLOB, which Derby
+    * then refuses to compare against string literals (pushed-down filters
+    * fail with "Comparisons between CLOB and CHAR are not supported") and
+    * refuses across setNull type mismatches. Register a dialect that pins
+    * strings to VARCHAR and booleans to BOOLEAN (the common-JDBC fallback
+    * BIT does not exist in Derby). Registered dialects take precedence over
+    * built-ins; scoped to jdbc:derby URLs only, so Postgres keeps TEXT. */
+  private object DerbyVarcharDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(4096)", java.sql.Types.VARCHAR))
+      case org.apache.spark.sql.types.BooleanType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("SMALLINT", java.sql.Types.SMALLINT))
+      case _ => None // common JDBC types (BIGINT/INTEGER/TIMESTAMP/...) are Derby-valid
+    }
+  }
+  @volatile private var registered = false
+  private[io] def ensureDerbyVarcharDialect(): Unit = synchronized {
+    if (!registered) {
+      org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyVarcharDialect)
+      registered = true
+    }
   }
 }

@@ -282,7 +282,10 @@ object JobDispatch {
       .start()
   }
 
-  // Minimal shapes for absent tables (first message ever).
+  // Canonical runtime table shapes: used for absent tables (first message
+  // ever) and as the DDL contract for SQL-backed stores — a JdbcTableStore
+  // deployment creates its tables from exactly these (see
+  // [[tableShapes]] and JdbcLifecycleSpec).
   private val stagingShape = StructType(Seq(
     StructField("staging_id", org.apache.spark.sql.types.LongType),
     StructField("staging_job_id", IntegerType),
@@ -313,4 +316,12 @@ object JobDispatch {
     StructField("contact_first_name", StringType),
     StructField("contact_last_name", StringType),
     StructField("contact_company", StringType)))
+
+  /** The canonical store-table shapes the dispatch pipeline reads/commits —
+    * the DDL contract for a SQL-backed (DDL-managed) TableStore. */
+  val tableShapes: Map[String, StructType] = Map(
+    "staging" -> stagingShape,
+    "issues" -> issuesShape,
+    "issue_items" -> itemsShape,
+    "contacts" -> contactsShape)
 }

@@ -26,23 +26,25 @@ class JdbcStoreSpec extends SparkSpec {
 
   test("upsertSql: postgres ON CONFLICT shape and bind order") {
     val (sql, order) = JdbcUpsert.upsertSql("t", Seq("k1", "k2", "a", "b"), Seq("k1", "k2"))
-    assert(sql.contains("INSERT INTO t (k1, k2, a, b)"))
-    assert(sql.contains("ON CONFLICT (k1, k2)"))
-    assert(sql.contains("DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b"))
+    // Identifiers are QUOTED: Spark's JDBC writer creates delimited
+    // (case-exact) columns, which case-folded unquoted references miss.
+    assert(sql.contains("""INSERT INTO t ("k1", "k2", "a", "b")"""))
+    assert(sql.contains("""ON CONFLICT ("k1", "k2")"""))
+    assert(sql.contains("""DO UPDATE SET "a" = EXCLUDED."a", "b" = EXCLUDED."b""""))
     assert(order === Seq("k1", "k2", "a", "b"))
   }
 
   test("upsertSql: ANSI MERGE shape and bind order") {
     val (sql, order) = JdbcUpsert.upsertSql("t", Seq("k", "a", "b"), Seq("k"), "merge")
     assert(sql.contains("MERGE INTO t t"))
-    assert(sql.contains("ON t.k = ?"))
-    assert(sql.contains("UPDATE SET a = ?, b = ?"))
-    assert(sql.contains("INSERT (k, a, b)"))
+    assert(sql.contains("""ON t."k" = ?"""))
+    assert(sql.contains("""UPDATE SET "a" = ?, "b" = ?"""))
+    assert(sql.contains("""INSERT ("k", "a", "b")"""))
     assert(order === Seq("k", "a", "b", "k", "a", "b"))
   }
 
   test("merge-dialect upsert against Derby: inserts, updates, multi-batch") {
-    exec("CREATE TABLE ups (k INT NOT NULL PRIMARY KEY, v VARCHAR(32), n BIGINT)")
+    exec("""CREATE TABLE ups ("k" INT NOT NULL PRIMARY KEY, "v" VARCHAR(32), "n" BIGINT)""")
     // 2500 rows with batchSize 1000 exercises the executeBatch + commit loop
     // mid-stream (twice) AND the final flush. coalesce(1): embedded Derby's
     // MERGE is not safe under concurrent writers (internal NPE) — Postgres,
@@ -56,8 +58,8 @@ class JdbcStoreSpec extends SparkSpec {
     JdbcUpsert.upsert(df2, url, "ups", Seq("k"), props, batchSize = 1000, dialect = "merge")
     val after = spark.read.jdbc(url, "ups", props)
     assert(after.count() === 2500)
-    // (select through the analyzer: Derby upcases unquoted DDL identifiers,
-    // and Row.getAs is case-sensitive)
+    // (delimited lowercase DDL matches the Spark-writer convention the
+    // quoted upsert SQL targets)
     assert(after.filter(col("k") === 1).select(col("v"), col("n"))
       .as[(String, Long)].head() === ("w1", 2L))
     assert(after.filter(col("k") === 11).select(col("v")).as[String].head() === "v11")
