@@ -47,13 +47,14 @@ object Multimodal {
   val FeatureDim = 16
 
   /** Full decode dispatch: real JDK codecs first, deterministic stub
-    * fallback for video / undecodable payloads. Total — never throws on
-    * garbage bytes (a corrupt crawl payload must not kill a 100 TB job). */
+    * fallback for undecodable payloads. Total — never throws on garbage
+    * bytes (a corrupt crawl payload must not kill a 100 TB job). */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) =
     (kind match {
       case "image" => decodeImage(payload)
       case "audio" => decodeAudio(payload)
-      case _ => None // video: no JDK codec; see sampleFrameOffsets
+      case "video" => decodeVideo(payload)
+      case _ => None
     }).getOrElse(decodeStub(kind, payload))
 
   /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP): returns
@@ -162,9 +163,61 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Deterministic fallback decoder for `video` (no JDK codec) and payloads
-    * the real codecs reject: pseudo-features from the payload bytes, loudly
-    * NOT a real decode. Swap for JNI/JavaCV at deploy. */
+  /** REAL multi-frame decode via `javax.imageio`'s sequence readers
+    * (animated GIF is the JDK's natively decodable video-like container):
+    * returns (width, height, features) where features = mean luma of 8
+    * evenly-sampled frames followed by the 8 absolute deltas between
+    * consecutive sampled frames (a motion-energy envelope — the keyframe
+    * sampling shape of [[sampleFrameOffsets]] over real decoded frames).
+    * None for single-frame or undecodable payloads (MP4 et al. need an
+    * external codec and take the stub path). */
+  def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        if (nFrames < 2) return None // single image: not a frame sequence
+        // 8 evenly-spread sample slots (with repetition when nFrames < 8 —
+        // the envelope always has the full width); each distinct frame is
+        // decoded once.
+        val sampled = sampleFrameOffsets(nFrames.toLong, 8).map(_.toInt)
+        val byFrame = sampled.distinct.map { idx =>
+          val img = reader.read(idx)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          idx -> ((w, h, sum.toDouble / (w.toLong * h) / 255.0))
+        }.toMap
+        val lumas = sampled.map(byFrame)
+        val feats = new Array[Float](FeatureDim)
+        lumas.zipWithIndex.foreach { case ((_, _, l), i) => feats(i) = l.toFloat }
+        (1 until lumas.length).foreach { i =>
+          feats(8 + i - 1) = math.abs(lumas(i)._3 - lumas(i - 1)._3).toFloat
+        }
+        Some((lumas.head._1, lumas.head._2, feats))
+      } finally { reader.dispose(); iis.close() }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic fallback decoder for payloads no JDK codec accepts
+    * (e.g. MP4/WebM video, corrupt bytes): pseudo-features from the payload
+    * bytes, loudly NOT a real decode. Swap for JNI/JavaCV at deploy. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
     var checksum = 0L
     var i = 0

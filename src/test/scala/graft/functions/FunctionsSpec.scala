@@ -390,6 +390,38 @@ class FunctionsSpec extends SparkSpec {
     assert((8 until 16).forall(i => r.features(i) === 0.5f))                 // peak
   }
 
+  test("multimodal: REAL animated-GIF video decode — frame sampling and motion envelope") {
+    // 4 frames of increasing uniform brightness: sampled lumas rise, motion
+    // deltas are positive; dims come from the real decoded frames.
+    val frames = Seq(40, 80, 120, 160).map { v =>
+      val img = new java.awt.image.BufferedImage(
+        20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      img
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f =>
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+
+    val media = Seq(Multimodal.MediaFile(11L, "video", baos.toByteArray, "gif")).toDS()
+    val r = Multimodal.extractFeatures(media).collect().head
+    assert(r.width === 20 && r.height === 10)
+    // 8 samples over 4 frames hit each frame twice: luma sequence rises.
+    val lumas = r.features.take(8)
+    assert(lumas.head === (40.0 / 255.0).toFloat)
+    assert(lumas.last === (160.0 / 255.0).toFloat)
+    assert(lumas.sliding(2).forall(p => p(1) >= p(0)))
+    // motion envelope: at least the frame transitions are nonzero
+    assert(r.features.drop(8).count(_ > 0f) >= 3)
+    // single-frame payloads are NOT videos: falls back to the stub
+    assert(Multimodal.decodeVideo(pngBytes(8, 8)((_, _) => 0)).isEmpty)
+  }
+
   test("multimodal: undecodable payloads fall back to the labeled stub") {
     val garbage = "definitely not an image".getBytes("UTF-8")
     val expected = Multimodal.decodeStub("image", garbage)
