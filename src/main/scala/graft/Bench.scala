@@ -22,13 +22,32 @@ object Bench {
     // incomparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // A failed query must be visibly red in the artifact, not a fast green:
+    // round 6's schema drift "ran" 25 broken queries in 0.05 s each under
+    // rc=0. Emit the failure list + count so a contaminated bench can never
+    // again read as a clean one.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val failures = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val errsJson = failures.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"error_count":${failures.size},"sf":"$sfDir"}""")
+    if (failures.nonEmpty)
+      System.err.println(s"[bench] ${failures.size} queries FAILED")
     spark.stop()
   }
 }

@@ -23,14 +23,29 @@ object StandIn {
   def pq(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column converted to a Spark
-    * timestamp (microseconds). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session; integer
-    * `div` avoids the double-precision loss a float division would cause on
-    * ~1e18 nano values. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    pq(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events` with its `ts` column normalized to a session-TZ Spark
+    * timestamp, whatever encoding the parquet ships:
+    *
+    *  - `TIMESTAMP(NANOS)` read as long under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` → `timestamp_micros(ts
+    *    div 1000)` (integer `div` avoids double-precision loss on ~1e18
+    *    nano values);
+    *  - `timestamp[us]` (isAdjustedToUTC=false → TIMESTAMP_NTZ, or =true →
+    *    TIMESTAMP) → cast to session-TZ timestamp (identity on the
+    *    underlying micros under the UTC session both harnesses set).
+    *
+    * The branch exists because the driver's testdata has shipped both
+    * encodings across rounds; hard-coding either breaks 25 queries at
+    * analysis time when the other arrives. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = pq(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** CSV-shaped input rows derived from `customer`. row_number = c_custkey
     * (deterministic surrogate for per-file CSV order, SURVEY.md §2.4 H2). */
