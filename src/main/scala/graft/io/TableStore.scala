@@ -14,9 +14,14 @@ import org.apache.hadoop.fs.Path
   * UPDATE-shaped writes Spark's JDBC writer lacks).
   */
 /** One commit unit of a per-job write: replace only the rows of `table`
-  * whose `partCol` equals `value` with `df` (df must contain only such
-  * rows). */
-case class PartitionCommit(table: String, df: DataFrame, partCol: String, value: Any)
+  * whose `partCol` equals `value` (or any of `moreValues` — the batched
+  * micro-batch commit shape, several jobs' partitions swapped in one write)
+  * with `df` (df must contain only such rows). */
+case class PartitionCommit(
+    table: String, df: DataFrame, partCol: String, value: Any,
+    moreValues: Seq[Any] = Nil) {
+  def values: Seq[Any] = value +: moreValues
+}
 
 trait TableStore {
   def load(table: String): DataFrame
@@ -43,7 +48,8 @@ trait TableStore {
     overwriteAll(commits.map { c =>
       val merged =
         if (exists(c.table))
-          load(c.table).filter(!(col(c.partCol) <=> lit(c.value)))
+          load(c.table)
+            .filter(!c.values.map(v => col(c.partCol) <=> lit(v)).reduce(_ || _))
             .unionByName(c.df, allowMissingColumns = true)
         else c.df
       c.table -> merged
@@ -165,7 +171,7 @@ class ParquetTableStore(
       val tableDir = new Path(dir(c.table))
       val written = fs.listStatus(tmp).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith(c.partCol + "=")).toSet
-      (written + s"${c.partCol}=${c.value}").foreach { name =>
+      (written ++ c.values.map(v => s"${c.partCol}=$v")).foreach { name =>
         val target = new Path(tableDir, name)
         if (fs.exists(target)) fs.delete(target, true)
         val src = new Path(tmp, name)
@@ -361,7 +367,7 @@ class JdbcTableStore(
       val st = conn.createStatement()
       try {
         staged.foreach { case (c, tmp, cols) =>
-          val lit = c.value match {
+          val lits = c.values.map {
             case s: String => "'" + s.replace("'", "''") + "'"
             case v => String.valueOf(v)
           }
@@ -371,7 +377,8 @@ class JdbcTableStore(
           def q(id: String) = "\"" + id + "\""
           val colList = cols.map(q).mkString(", ")
           try {
-            st.executeUpdate(s"DELETE FROM ${c.table} WHERE ${q(c.partCol)} = $lit")
+            st.executeUpdate(
+              s"DELETE FROM ${c.table} WHERE ${q(c.partCol)} IN (${lits.mkString(", ")})")
             st.executeUpdate(
               s"INSERT INTO ${c.table} ($colList) SELECT $colList FROM $tmp")
             conn.commit()
