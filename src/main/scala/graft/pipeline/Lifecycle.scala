@@ -14,14 +14,54 @@ object Lifecycle {
 
   import Normalize._
 
-  /** Result of a processing flow, pre-commit. All members are lazy plans. */
+  /** Result of a processing flow, pre-commit. All plan members are lazy.
+    *
+    * The ADR-002 consolidation decision (unresolved issues pending?) is NOT
+    * taken eagerly at build time — a batched dispatch wave of N jobs would
+    * pay N sequential driver-side count() actions (the round-6 streaming
+    * throughput floor). Instead the decision value ships inside `counters`
+    * (whose one collect the committer needs anyway): read the row, then ask
+    * [[stagingDecided]]/[[newContactsDecided]] for the matching gate-free
+    * plans. The zero-argument `staging`/`newContacts`/`jobStatus` members
+    * keep the eager single-job ergonomics (they collect `counters` once,
+    * memoized in [[counterRow]]). */
   case class FlowResult(
-      staging: DataFrame,     // full post-run staging snapshot for the job
+      stagingPre: DataFrame,  // staging snapshot BEFORE the READY->SUCCESS rewrite
       issues: DataFrame,      // full post-run issue set (with issue_resolved)
       issueItems: DataFrame,  // full post-run link set
-      newContacts: DataFrame, // rows to append to contacts ([] unless consolidated)
-      jobStatus: String,      // NEEDS_REVIEW | COMPLETED
-      counters: DataFrame)    // 1-row job counters (A4-A8)
+      contactCandidates: DataFrame, // rows that become contacts IF consolidation runs
+      counters: DataFrame) {  // 1-row job counters (A4-A8), post-decision statuses
+
+    /** Whether consolidation proceeds (ADR-002), from a collected
+      * `counters` row. */
+    def isClean(counterRow: org.apache.spark.sql.Row): Boolean =
+      counterRow.getAs[Long]("unresolved_issues") == 0L
+
+    /** Job status from an already-collected `counters` row (no action). */
+    def statusOf(counterRow: org.apache.spark.sql.Row): String =
+      Consolidate.decideJobStatus(counterRow.getAs[Long]("unresolved_issues"))
+
+    /** Post-decision staging snapshot: consolidation rewrites READY ->
+      * SUCCESS, a blocked job leaves statuses untouched. Gate-free plan. */
+    def stagingDecided(clean: Boolean): DataFrame =
+      if (!clean) stagingPre
+      else stagingPre.withColumn(
+        "staging_status",
+        when(col("staging_status") === StagingStatus.Ready, lit(StagingStatus.Success))
+          .otherwise(col("staging_status")))
+
+    /** Post-decision contacts append set ([] unless consolidated). */
+    def newContactsDecided(clean: Boolean): DataFrame =
+      if (clean) contactCandidates else contactCandidates.limit(0)
+
+    /** Memoized counters row — the ONE action behind the eager members. */
+    lazy val counterRow: org.apache.spark.sql.Row = counters.head()
+
+    /** Eager conveniences (first use collects `counters` once). */
+    def jobStatus: String = statusOf(counterRow)
+    def staging: DataFrame = stagingDecided(isClean(counterRow))
+    def newContacts: DataFrame = newContactsDecided(isClean(counterRow))
+  }
 
   /** Deterministic surrogate staging id: (job_id << 40) | row_number.
     * Unlike the reference's DB autoincrement this is stable across resumes —
@@ -54,6 +94,10 @@ object Lifecycle {
     *              row_number, email, first_name, last_name, company
     * @param existingStaging prior staging rows of this job (resume case;
     *                        empty frame on first pass)
+    * @param checkNonEmpty set false when the caller has ALREADY probed the
+    *                      input (the batched dispatch wave probes every
+    *                      CSV in one action) — the check here costs one
+    *                      driver-synchronous action per job
     */
   def initialProcess(
       input: DataFrame,
@@ -62,9 +106,11 @@ object Lifecycle {
       existingStaging: DataFrame,
       existingIssues: DataFrame,
       existingItems: DataFrame,
-      contacts: DataFrame): FlowResult = {
+      contacts: DataFrame,
+      checkNonEmpty: Boolean = true): FlowResult = {
 
-    require(!input.isEmpty, "CSV file is empty") // processor.py:149-151
+    if (checkNonEmpty)
+      require(!input.isEmpty, "CSV file is empty") // processor.py:149-151
 
     val withJob = input.withColumn("job_id", lit(jobId))
     // Validation sets (duplicates, existing-contacts) are built from ALL CSV
@@ -123,9 +169,11 @@ object Lifecycle {
       issueItems: DataFrame,
       contacts: DataFrame,
       jobId: Int,
-      userId: String): FlowResult = {
+      userId: String,
+      checkNonEmpty: Boolean = true): FlowResult = {
 
-    require(!staging.isEmpty, s"No staging records found for job $jobId")
+    if (checkNonEmpty)
+      require(!staging.isEmpty, s"No staging records found for job $jobId")
 
     val working = staging
       .filter(coalesce(col("staging_status"), lit("")) =!= StagingStatus.Discard)
@@ -170,7 +218,12 @@ object Lifecycle {
   /** Shared finalization (§3.3): recompute resolution, gate on unresolved
     * issues (ADR-002), and consolidate when clean. Empty READY set still
     * completes (processor.py:750-756).
-    */
+    *
+    * No driver-side gate action here: the counters frame carries the
+    * unresolved count AND already reflects the post-decision statuses (a
+    * clean job's READY rows count as SUCCESS — the adjustment is a 1-row
+    * column rewrite inside the frame, no extra subplan, no broadcast). The
+    * caller reads the row and picks the decided staging/contacts plans. */
   private def finalizeFlow(
       stagingAfter: DataFrame,
       issuesAfter: DataFrame,
@@ -181,36 +234,31 @@ object Lifecycle {
 
     val resolvedIssues =
       Issues.recomputeResolution(issuesAfter, itemsAfter, stagingAfter)
-    val unresolved = resolvedIssues.filter(!col("issue_resolved")).count()
+    // staging_id is UNIQUE on contacts (contact.py:17): anti-join makes a
+    // replayed consolidation a no-op instead of a loud failure. Built from
+    // stagingAfter (pre-consolidation statuses — READY rows are the ones
+    // that become contacts).
+    val dedupedContacts = Consolidate.readyToContacts(stagingAfter, userId)
+      .join(
+        if (contacts.columns.contains("staging_id")) contacts.select("staging_id")
+        else contacts.sparkSession.emptyDataFrame
+          .selectExpr("CAST(null AS BIGINT) AS staging_id").limit(0),
+        Seq("staging_id"), "left_anti")
+    // Counters over the PRE-decision staging, then folded to post-decision
+    // inside the 1-row frame: when nothing is unresolved, consolidation
+    // will rewrite READY -> SUCCESS, so report those rows as SUCCESS.
+    val counters = Consolidate.jobCounters(stagingAfter, resolvedIssues)
+      .withColumn("success_rows",
+        when(col("unresolved_issues") === 0, col("success_rows") + col("ready_rows"))
+          .otherwise(col("success_rows")))
+      .withColumn("ready_rows",
+        when(col("unresolved_issues") === 0, lit(0L)).otherwise(col("ready_rows")))
 
-    if (unresolved > 0) {
-      FlowResult(
-        staging = stagingAfter,
-        issues = resolvedIssues,
-        issueItems = itemsAfter,
-        newContacts = Consolidate.readyToContacts(stagingAfter, userId).limit(0),
-        jobStatus = JobStatus.NeedsReview,
-        counters = Consolidate.jobCounters(stagingAfter, resolvedIssues))
-    } else {
-      // staging_id is UNIQUE on contacts (contact.py:17): anti-join makes a
-      // replayed consolidation a no-op instead of a loud failure.
-      val dedupedContacts = Consolidate.readyToContacts(stagingAfter, userId)
-        .join(
-          if (contacts.columns.contains("staging_id")) contacts.select("staging_id")
-          else contacts.sparkSession.emptyDataFrame
-            .selectExpr("CAST(null AS BIGINT) AS staging_id").limit(0),
-          Seq("staging_id"), "left_anti")
-      val consolidatedStaging = stagingAfter.withColumn(
-        "staging_status",
-        when(col("staging_status") === StagingStatus.Ready, lit(StagingStatus.Success))
-          .otherwise(col("staging_status")))
-      FlowResult(
-        staging = consolidatedStaging,
-        issues = resolvedIssues,
-        issueItems = itemsAfter,
-        newContacts = dedupedContacts,
-        jobStatus = JobStatus.Completed,
-        counters = Consolidate.jobCounters(consolidatedStaging, resolvedIssues))
-    }
+    FlowResult(
+      stagingPre = stagingAfter,
+      issues = resolvedIssues,
+      issueItems = itemsAfter,
+      contactCandidates = dedupedContacts,
+      counters = counters)
   }
 }

@@ -190,67 +190,112 @@ object JobDispatch {
     val contacts = tbl("contacts", contactsShape)
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[(Int, MessageOutcome)]
-    val built = wave.flatMap { w =>
+    def fail(w: WaveItem, detail: String): Unit = {
+      setJobStatus(store, w.jobId, JobStatus.Failed)
+      failed += w.idx -> MessageOutcome(Some(w.jobId), w.s3Key, "FAILED", detail)
+    }
+
+    // Build every initial-route input plan first (per-job isolation for
+    // bad paths/sniffs), then probe them for emptiness in ONE action —
+    // processor.py:149-151 parity without one isEmpty round trip per job.
+    val inputs = scala.collection.mutable.LinkedHashMap.empty[Int, DataFrame]
+    val buildable = wave.filter { w =>
+      w.route == Router.Reprocessing || {
+        try { inputs(w.idx) = CsvSource.toContract(CsvSource.read(spark, resolveCsv(w.s3Key))); true }
+        catch {
+          case e: Exception =>
+            if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+            fail(w, String.valueOf(e.getMessage)); false
+        }
+      }
+    }
+    val emptyIdx: Set[Int] =
+      if (inputs.isEmpty) Set.empty
+      else {
+        val present = inputs.map { case (i, df) => df.limit(1).select(lit(i).as("idx")) }
+          .reduce(_.unionByName(_)).collect().map(_.getInt(0)).toSet
+        inputs.keySet.toSet -- present
+      }
+    val runnable = buildable.filter { w =>
+      val empty = emptyIdx(w.idx)
+      // Same message a sequential require(!input.isEmpty, ...) raises.
+      if (empty) fail(w, "requirement failed: CSV file is empty")
+      !empty
+    }
+
+    val built = runnable.flatMap { w =>
       try {
         val result = w.route match {
           case Router.Reprocessing =>
+            // Routing already proved this job has staging rows — skip the
+            // per-job isEmpty action the standalone path pays.
             Lifecycle.reprocess(
               staging.filter(col("staging_job_id") === w.jobId),
               issues.filter(col("issues_job_id") === w.jobId),
               items.filter(col("issues_job_id") === w.jobId),
-              contacts, w.jobId, w.userId)
+              contacts, w.jobId, w.userId, checkNonEmpty = false)
           case _ =>
-            val input = CsvSource.toContract(CsvSource.read(spark, resolveCsv(w.s3Key)))
             Lifecycle.initialProcess(
-              input, w.jobId, w.userId,
+              inputs(w.idx), w.jobId, w.userId,
               staging.filter(col("staging_job_id") === w.jobId),
               issues.filter(col("issues_job_id") === w.jobId),
               items.filter(col("issues_job_id") === w.jobId),
-              contacts)
+              contacts, checkNonEmpty = false)
         }
         Some(w -> result)
       } catch {
         case e: Exception =>
           if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-          setJobStatus(store, w.jobId, JobStatus.Failed)
-          failed += w.idx ->
-            MessageOutcome(Some(w.jobId), w.s3Key, "FAILED", String.valueOf(e.getMessage))
+          fail(w, String.valueOf(e.getMessage))
           None
       }
     }
     if (built.isEmpty) return failed.toSeq
 
     try {
-      def unionOf(f: FlowResult => DataFrame, shape: StructType): DataFrame =
-        built.map { case (_, r) => normTo(f(r), shape) }.reduce(_.unionByName(_))
+      val debug = sys.env.contains("GRAFT_DISPATCH_DEBUG")
+      var t0 = System.nanoTime()
+      def lap(tag: String): Unit = if (debug) {
+        System.err.println(f"[wave] $tag ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        t0 = System.nanoTime()
+      }
       // Counters materialize BEFORE the commits (their plans read the
-      // pre-commit snapshots) — ONE action for the whole wave.
+      // pre-commit snapshots) — ONE action for the whole wave, which also
+      // fixes every job's ADR-002 decision (and warms each job's cached
+      // classify frame for the commit materializations below).
       val counterRows = built.map { case (w, r) =>
         r.counters.withColumn("__wave_job_id", lit(w.jobId))
       }.reduce(_.unionByName(_)).collect()
         .map(r => r.getAs[Int]("__wave_job_id") -> r).toMap
+      lap("counters")
+      def unionOf(f: (FlowResult, Boolean) => DataFrame, shape: StructType): DataFrame =
+        built.map { case (w, r) =>
+          normTo(f(r, r.isClean(counterRows(w.jobId))), shape)
+        }.reduce(_.unionByName(_))
       // One contacts append (each job's anti-join reads pre-append contacts;
       // wave tenants are distinct, so jobs can't observe each other anyway).
-      store.append("contacts", unionOf(_.newContacts, contactsShape))
+      store.append("contacts", unionOf((r, c) => r.newContactsDecided(c), contactsShape))
+      lap("contacts-append")
       // One 3-table partition commit covering every wave job's partitions.
       val jobIds = built.map(_._1.jobId)
       store.overwritePartitionsAll(Seq(
-        graft.io.PartitionCommit("staging", unionOf(_.staging, stagingShape),
+        graft.io.PartitionCommit("staging", unionOf((r, c) => r.stagingDecided(c), stagingShape),
           "staging_job_id", jobIds.head, jobIds.tail),
-        graft.io.PartitionCommit("issues", unionOf(_.issues, issuesShape),
+        graft.io.PartitionCommit("issues", unionOf((r, _) => r.issues, issuesShape),
           "issues_job_id", jobIds.head, jobIds.tail),
-        graft.io.PartitionCommit("issue_items", unionOf(_.issueItems, itemsShape),
+        graft.io.PartitionCommit("issue_items", unionOf((r, _) => r.issueItems, itemsShape),
           "issues_job_id", jobIds.head, jobIds.tail)))
+      lap("partition-commit")
       // W7/W8 last (crash-repairable): all statuses + counters in one update.
       updateJobs(store, built.map { case (w, r) =>
         val c = counterRows(w.jobId)
-        JobUpdate(w.jobId, r.jobStatus,
+        JobUpdate(w.jobId, r.statusOf(c),
           totalRows = c.getAs[Long]("total_rows"),
           processedRows = c.getAs[Long]("total_rows"),
           issueCount = c.getAs[Long]("unresolved_issues"))
       })
       failed.toSeq ++ built.map { case (w, r) =>
-        w.idx -> MessageOutcome(Some(w.jobId), w.s3Key, r.jobStatus, "ok")
+        w.idx -> MessageOutcome(Some(w.jobId), w.s3Key, r.statusOf(counterRows(w.jobId)), "ok")
       }
     } catch {
       case e: Exception =>
@@ -329,20 +374,22 @@ object JobDispatch {
           // session onward. (The contacts append runs first for the same
           // reason: its plan reads the pre-commit staging snapshot.)
           val c = result.counters.collect().head
-          store.append("contacts", result.newContacts)
+          val status = result.statusOf(c)
+          val clean = result.isClean(c)
+          store.append("contacts", result.newContactsDecided(clean))
           store.overwritePartitionsAll(Seq(
-            graft.io.PartitionCommit("staging", norm(result.staging, stagingShape),
+            graft.io.PartitionCommit("staging", norm(result.stagingDecided(clean), stagingShape),
               "staging_job_id", jobId),
             graft.io.PartitionCommit("issues", norm(result.issues, issuesShape),
               "issues_job_id", jobId),
             graft.io.PartitionCommit("issue_items", norm(result.issueItems, itemsShape),
               "issues_job_id", jobId)))
           // W7/W8 last (crash-repairable): status + counters in one 1-row update.
-          updateJob(store, jobId, result.jobStatus,
+          updateJob(store, jobId, status,
             totalRows = c.getAs[Long]("total_rows"),
             processedRows = c.getAs[Long]("total_rows"), // all rows seen (processor.py:313-330)
             issueCount = c.getAs[Long]("unresolved_issues"))
-          MessageOutcome(Some(jobId), s3Key, result.jobStatus, "ok")
+          MessageOutcome(Some(jobId), s3Key, status, "ok")
         } catch {
           case e: Exception =>
             setJobStatus(store, jobId, JobStatus.Failed)

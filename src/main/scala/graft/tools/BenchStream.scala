@@ -30,6 +30,11 @@ object BenchStream {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Let AQE re-partition CACHED plans: each job's classify frame is
+      // cached, and without this the cache pins every tiny per-job frame at
+      // the static shuffle-partition count — a 40-job wave then scans
+      // 40 x 32 near-empty partitions per commit action.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
