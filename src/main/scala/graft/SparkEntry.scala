@@ -1460,6 +1460,32 @@ object SparkEntry {
       graft.stream.EventAnalytics.sessionizeBuiltin(events(s, dir))
         .orderBy("user_id", "session_start")),
 
+    // The streaming windowed-counts operator run BATCH-MODE (the analyzer
+    // eliminates the watermark on a batch relation) — oracles the actual
+    // EventAnalytics code path, not a hand-written twin
+    "q_stream_windowed" -> ((s, dir) =>
+      graft.stream.EventAnalytics.windowedCounts(events(s, dir))
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n").cast("long").as("n"),
+          // decimal intermediate, round(double,6) output (q_tpch_pricing)
+          round(col("total_value").cast("double"), 6).as("total_value"))
+        .orderBy("window_start", "event_type")),
+
+    // The streaming stream-stream interval join (click attribution) run
+    // BATCH-MODE over view/click events — same code path as the stream
+    "q_stream_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      graft.stream.EventAnalytics.attributeClicks(views, clicks, maxDelay = "2 hours")
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("view_event_id"), col("click_event_id"),
+          col("click_value"))
+        .orderBy("view_event_id", "click_event_id")
+    }),
+
     // top-k by aggregate with deterministic tie-break. Scale-safe shape:
     // sort+limit plans as TakeOrderedAndProject (per-partition top-k, then a
     // k-row merge) — no global window over the full distinct-user set. The
@@ -2145,6 +2171,26 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.ts AS view_ts, c.ts AS click_ts,
+        |       v.event_id AS view_event_id, c.event_id AS click_event_id,
+        |       c.value AS click_value
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+        |ORDER BY view_event_id, click_event_id""".stripMargin,
 
     "q_events_topk_users" ->
       """WITH agg AS (

@@ -182,6 +182,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("Join"), "expected a real equi-join on __bucket")
   }
 
+  test("q_stream_attribution keys the interval join on user_id — no cross product") {
+    // The stream-stream attribution join must hash-partition on the equi
+    // key (user_id) with the time bounds as residual condition; a planner
+    // regression to NestedLoop/Cartesian would buffer every view against
+    // every click at scale.
+    val plan = planOf("q_stream_attribution")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
+    assert(plan.contains("Join"), "expected a keyed join")
+  }
+
   test("q_stratified_sample is a narrow map stage (no exchange before the sort)") {
     // The deterministic sampler must not shuffle: one scan, one filter, and
     // only the final presentation ORDER BY's exchange.
