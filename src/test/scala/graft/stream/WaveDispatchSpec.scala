@@ -1,0 +1,134 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.io.ParquetTableStore
+import graft.model.Schemas.JobStatus
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Batched-wave dispatch semantics (JobDispatch.processBatch): the fast
+  * path commits distinct-job/distinct-tenant messages as one wave, and
+  * everything that can't ride the wave — repeats, same-tenant pairs,
+  * per-job failures — must degrade to EXACTLY the sequential behavior.
+  * MultiJobSpec pins the happy-path drain == batch equality; this suite
+  * pins the edges. */
+class WaveDispatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(nJobs: Int, users: Int => String): (String, ParquetTableStore) = {
+    val root = Files.createTempDirectory("graft_wave").toString
+    Files.createDirectories(Paths.get(s"$root/uploads"))
+    val store = new ParquetTableStore(spark, s"$root/tables")
+    store.overwrite("jobs", (1 to nJobs).map(i => (i, users(i), JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status"))
+    (root, store)
+  }
+
+  private def msg(jobId: Int, key: String) = s"""{"job_id": $jobId, "s3_key": "$key"}"""
+
+  test("mixed batch: wave completes, empty CSV and bad path fail alone, stale/done/poison skip") {
+    val (root, store) = seed(5, i => s"u$i")
+    // Job 5 pre-completed; job 99 not in jobs at all.
+    store.overwrite("jobs", store.load("jobs").withColumn("job_status",
+      when(col("job_id") === 5, JobStatus.Completed).otherwise(col("job_status"))))
+    Files.writeString(Paths.get(s"$root/uploads/good1.csv"),
+      "email,first_name,last_name,company\na1@b.co,F,L,C\n")
+    Files.writeString(Paths.get(s"$root/uploads/good2.csv"),
+      "email,first_name,last_name,company\na2@b.co,F,L,C\n")
+    Files.writeString(Paths.get(s"$root/uploads/empty.csv"),
+      "email,first_name,last_name,company\n")
+
+    val batch = Seq(
+      msg(1, "good1.csv"),          // wave, completes
+      msg(2, "empty.csv"),          // wave build, fails the empty probe
+      msg(3, "missing.csv"),        // wave build, fails at the CSV read
+      msg(4, "good2.csv"),          // wave, completes
+      msg(99, "good1.csv"),         // stale (no jobs row)
+      msg(5, "good1.csv"),          // already COMPLETED
+      "not json at all"             // poison
+    ).toDF("value")
+    val out = JobDispatch.processBatch(spark, store, batch,
+      k => s"$root/uploads/$k")
+
+    assert(out.length === 7)
+    assert(out(0).outcome === JobStatus.Completed)
+    assert(out(1).outcome === "FAILED")
+    assert(out(1).detail.contains("CSV file is empty"))
+    assert(out(2).outcome === "FAILED")
+    assert(out(3).outcome === JobStatus.Completed)
+    assert(out(4).outcome === "SKIPPED" && out(4).detail.contains("not found"))
+    assert(out(5).outcome === "SKIPPED" && out(5).detail.contains("COMPLETED"))
+    assert(out(6).outcome === "DROPPED_POISON")
+
+    val statuses = store.load("jobs").select("job_id", "job_status")
+      .as[(Int, String)].collect().toMap
+    assert(statuses(1) === JobStatus.Completed)
+    assert(statuses(2) === JobStatus.Failed)
+    assert(statuses(3) === JobStatus.Failed)
+    assert(statuses(4) === JobStatus.Completed)
+    assert(statuses(5) === JobStatus.Completed)
+    // Only the two completed jobs' rows landed.
+    assert(store.load("contacts").count() === 2)
+    assert(store.load("staging").select("staging_job_id").distinct()
+      .as[Int].collect().toSet === Set(1, 4))
+  }
+
+  test("same-tenant pair in one batch: second job sees the first one's contacts (sequential visibility)") {
+    val (root, store) = seed(2, _ => "u1")
+    Files.writeString(Paths.get(s"$root/uploads/f1.csv"),
+      "email,first_name,last_name,company\nshared@b.co,F,L,C\n")
+    // Job 2 re-imports the same email: EXISTING_EMAIL once job 1 consolidated.
+    Files.writeString(Paths.get(s"$root/uploads/f2.csv"),
+      "email,first_name,last_name,company\nshared@b.co,F2,L2,C2\n")
+
+    val out = JobDispatch.processBatch(spark, store,
+      Seq(msg(1, "f1.csv"), msg(2, "f2.csv")).toDF("value"),
+      k => s"$root/uploads/$k")
+    assert(out(0).outcome === JobStatus.Completed)
+    // The wave takes job 1 only (tenant conflict); job 2 runs after the wave
+    // commit and must observe job 1's consolidated contact.
+    assert(out(1).outcome === JobStatus.NeedsReview)
+    val issue = store.load("issues").filter(col("issues_job_id") === 2).head()
+    assert(issue.getAs[String]("issue_type") === "EXISTING_EMAIL")
+    assert(store.load("contacts").count() === 1)
+  }
+
+  test("duplicate job message in one batch: first completes, replay skips") {
+    val (root, store) = seed(1, _ => "u1")
+    Files.writeString(Paths.get(s"$root/uploads/f.csv"),
+      "email,first_name,last_name,company\nx@b.co,F,L,C\n")
+    val out = JobDispatch.processBatch(spark, store,
+      Seq(msg(1, "f.csv"), msg(1, "f.csv")).toDF("value"),
+      k => s"$root/uploads/$k")
+    assert(out(0).outcome === JobStatus.Completed)
+    assert(out(1).outcome === "SKIPPED" && out(1).detail.contains("COMPLETED"))
+    assert(store.load("contacts").count() === 1)
+    assert(store.load("staging").count() === 1)
+  }
+
+  test("wave with an issue job: NEEDS_REVIEW and COMPLETED commit together, counters per job") {
+    val (root, store) = seed(2, i => s"u$i")
+    Files.writeString(Paths.get(s"$root/uploads/clean.csv"),
+      "email,first_name,last_name,company\nok@b.co,F,L,C\n")
+    Files.writeString(Paths.get(s"$root/uploads/issue.csv"),
+      "email,first_name,last_name,company\nok2@b.co,F,L,C\n,missing,Cee,Biz\n")
+    val out = JobDispatch.processBatch(spark, store,
+      Seq(msg(1, "clean.csv"), msg(2, "issue.csv")).toDF("value"),
+      k => s"$root/uploads/$k")
+    assert(out(0).outcome === JobStatus.Completed)
+    assert(out(1).outcome === JobStatus.NeedsReview)
+    val meta = store.load("jobs")
+      .select("job_id", "job_status", "job_total_rows", "job_issue_count")
+      .as[(Int, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(meta(1)._2 === JobStatus.Completed)
+    assert(meta(1)._3 === 1L && meta(1)._4 === 0L)
+    assert(meta(2)._2 === JobStatus.NeedsReview)
+    assert(meta(2)._3 === 2L && meta(2)._4 === 1L)
+    // The blocked job contributed NO contacts; the clean one consolidated.
+    assert(store.load("contacts").count() === 1)
+    // Blocked job's staging keeps READY/ISSUE statuses (no SUCCESS rewrite).
+    val s2 = store.load("staging").filter(col("staging_job_id") === 2)
+      .select("staging_status").as[String].collect().toSet
+    assert(s2 === Set("READY", "ISSUE"))
+  }
+}
