@@ -41,6 +41,8 @@ object BenchScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Same cached-plan AQE posture as Bench/BenchStream.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,14 +52,25 @@ object BenchScale {
     spark.read.parquet(s"$dataDir/documents.parquet").limit(1).collect()
     val results = HeavyQueries.map { name =>
       val t0 = System.nanoTime()
-      try { graft.SparkEntry.queries(name)(spark, dataDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { graft.SparkEntry.queries(name)(spark, dataDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Same loud-failure contract as Bench: a broken query must read as an
+    // error, never as a fast timing.
+    val failures = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    }
     println(s"""{"metric":"scale_heavy","value":${results.map(_._2).sum},""" +
-      s""""unit":"sec","queries":$qs,"sf":"$dataDir"}""")
+      s""""unit":"sec","queries":$qs,"errors":${failures.mkString("{", ",", "}")},""" +
+      s""""error_count":${failures.size},"sf":"$dataDir"}""")
+    if (failures.nonEmpty) System.err.println(s"[bench-scale] ${failures.size} queries FAILED")
     spark.stop()
   }
 }
