@@ -211,11 +211,23 @@ object JobDispatch {
     }
     val emptyIdx: Set[Int] =
       if (inputs.isEmpty) Set.empty
-      else {
-        val present = inputs.map { case (i, df) => df.limit(1).select(lit(i).as("idx")) }
-          .reduce(_.unionByName(_)).collect().map(_.getInt(0)).toSet
-        inputs.keySet.toSet -- present
-      }
+      else
+        try {
+          val present = inputs.map { case (i, df) => df.limit(1).select(lit(i).as("idx")) }
+            .reduce(_.unionByName(_)).collect().map(_.getInt(0)).toSet
+          inputs.keySet.toSet -- present
+        } catch {
+          case e: Exception =>
+            // A runtime read failure in ONE input fails the shared probe.
+            // Degrade to per-job probes (the pre-wave cost, rare path): a
+            // job whose read still throws counts as non-empty here so its
+            // REAL error — not "empty CSV" — surfaces at build/commit,
+            // where per-job isolation attributes it to the right message.
+            if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+            inputs.filter { case (_, df) =>
+              try df.isEmpty catch { case _: Exception => false }
+            }.keySet.toSet
+        }
     val runnable = buildable.filter { w =>
       val empty = emptyIdx(w.idx)
       // Same message a sequential require(!input.isEmpty, ...) raises.
