@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Minimal JSON string escaping for the one-line bench/verify artifacts —
+  * ALL control chars must be escaped or the driver's json.load rejects the
+  * artifact in exactly the broken-query case it exists to surface. */
+object JsonText {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,14 +55,9 @@ object Bench {
     // round 6's schema drift "ran" 25 broken queries in 0.05 s each under
     // rc=0. Emit the failure list + count so a contaminated bench can never
     // again read as a clean one.
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case '\r' => "\\r"; case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-    val failures = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val failures = results.collect { case (k, _, Some(m)) =>
+      s"${JsonText.quote(k)}:${JsonText.quote(m)}"
+    }
     val errsJson = failures.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"error_count":${failures.size},"sf":"$sfDir"}""")

@@ -14,6 +14,11 @@ object Lifecycle {
 
   import Normalize._
 
+  /** Reference-parity error for an input CSV with no data rows
+    * (processor.py:149-151); shared by the sequential require() and the
+    * dispatch wave's batched probe so both paths report identically. */
+  val EmptyCsvMessage = "CSV file is empty"
+
   /** Result of a processing flow, pre-commit. All plan members are lazy.
     *
     * The ADR-002 consolidation decision (unresolved issues pending?) is NOT
@@ -110,7 +115,7 @@ object Lifecycle {
       checkNonEmpty: Boolean = true): FlowResult = {
 
     if (checkNonEmpty)
-      require(!input.isEmpty, "CSV file is empty") // processor.py:149-151
+      require(!input.isEmpty, EmptyCsvMessage) // processor.py:149-151
 
     val withJob = input.withColumn("job_id", lit(jobId))
     // Validation sets (duplicates, existing-contacts) are built from ALL CSV
@@ -247,7 +252,15 @@ object Lifecycle {
     // Counters over the PRE-decision staging, then folded to post-decision
     // inside the 1-row frame: when nothing is unresolved, consolidation
     // will rewrite READY -> SUCCESS, so report those rows as SUCCESS.
+    // sum() over an EMPTY issues frame (a fully clean CSV — the common
+    // case) yields NULL, so the issue counts normalize to 0 FIRST; the
+    // fold and every downstream getAs[Long] read then see real zeros.
     val counters = Consolidate.jobCounters(stagingAfter, resolvedIssues)
+      .withColumn("unresolved_issues", coalesce(col("unresolved_issues"), lit(0L)))
+      .withColumn("ready_rows", coalesce(col("ready_rows"), lit(0L)))
+      .withColumn("issue_rows", coalesce(col("issue_rows"), lit(0L)))
+      .withColumn("discard_rows", coalesce(col("discard_rows"), lit(0L)))
+      .withColumn("success_rows", coalesce(col("success_rows"), lit(0L)))
       .withColumn("success_rows",
         when(col("unresolved_issues") === 0, col("success_rows") + col("ready_rows"))
           .otherwise(col("success_rows")))

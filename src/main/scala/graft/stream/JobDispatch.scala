@@ -62,9 +62,12 @@ object JobDispatch {
   /** Outcome of one processed message (driver-side record). */
   case class MessageOutcome(job_id: Option[Int], body: String, outcome: String, detail: String)
 
-  /** One runnable message inside a batched wave. */
+  /** One runnable message inside a batched wave. `body` is the raw message
+    * text — FAILED outcomes carry it (not the s3_key) so an external retry
+    * queue can re-enqueue the original message verbatim. */
   private case class WaveItem(
-      idx: Int, jobId: Int, s3Key: String, userId: String, route: Router.Route)
+      idx: Int, jobId: Int, s3Key: String, body: String,
+      userId: String, route: Router.Route)
 
   /** Process one micro-batch of raw message bodies against the store.
     * Message cardinality is jobs-per-trigger (control plane, not data
@@ -89,7 +92,7 @@ object JobDispatch {
       resolveCsv: String => String): Seq[MessageOutcome] = {
     val messages = parseMessages(batch).collect()
     val outcomes = new Array[MessageOutcome](messages.length)
-    val valid = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    val valid = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
     messages.zipWithIndex.foreach { case (m, i) =>
       val body = m.getAs[String]("body")
       m.getAs[String]("disposition") match {
@@ -99,11 +102,11 @@ object JobDispatch {
           outcomes(i) = MessageOutcome(Option(m.getAs[Integer]("job_id")).map(_.toInt),
             body, "DROPPED_POISON", "missing job_id/s3_key")
         case _ =>
-          valid += ((i, m.getAs[Int]("job_id"), m.getAs[String]("s3_key")))
+          valid += ((i, m.getAs[Int]("job_id"), m.getAs[String]("s3_key"), body))
       }
     }
 
-    if (valid.nonEmpty) {
+    if (valid.nonEmpty) try {
       val ids = valid.map(_._2).distinct.toSeq
       // One jobs lookup + one staging-presence aggregate for the whole batch
       // (vs a lookup + an isEmpty scan per message).
@@ -122,10 +125,10 @@ object JobDispatch {
         else Set.empty
 
       val wave = scala.collection.mutable.ArrayBuffer.empty[WaveItem]
-      val tail = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      val tail = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String)]
       val seenJobs = scala.collection.mutable.Set.empty[Int]
       val seenUsers = scala.collection.mutable.Set.empty[String]
-      valid.foreach { case (i, jobId, s3Key) =>
+      valid.foreach { case (i, jobId, s3Key, body) =>
         jobsMeta.get(jobId) match {
           case None =>
             outcomes(i) =
@@ -137,8 +140,8 @@ object JobDispatch {
                   MessageOutcome(Some(jobId), s3Key, "SKIPPED", "job already COMPLETED")
               case route if !seenJobs(jobId) && !seenUsers(userId) =>
                 seenJobs += jobId; seenUsers += userId
-                wave += WaveItem(i, jobId, s3Key, userId, route)
-              case _ => tail += ((i, jobId, s3Key))
+                wave += WaveItem(i, jobId, s3Key, body, userId, route)
+              case _ => tail += ((i, jobId, s3Key, body))
             }
         }
       }
@@ -147,25 +150,38 @@ object JobDispatch {
         .foreach { case (i, o) => outcomes(i) = o }
       // Sequential tail: repeated job/tenant messages re-route against the
       // post-wave store state, exactly as back-to-back micro-batches would.
-      tail.foreach { case (i, jobId, s3Key) =>
-        outcomes(i) = runOneCaught(spark, store, jobId, s3Key, resolveCsv)
+      tail.foreach { case (i, jobId, s3Key, body) =>
+        outcomes(i) = runOneCaught(spark, store, jobId, s3Key, body, resolveCsv)
       }
+    } catch {
+      case e: Exception =>
+        // The BATCHED routing itself failed (a store hiccup in the shared
+        // jobs/staging reads or a status write) — degrade every unresolved
+        // message to the sequential path, which isolates failures per job
+        // and keeps the stream alive (the error-isolation contract).
+        if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+        valid.foreach { case (i, jobId, s3Key, body) =>
+          if (outcomes(i) == null)
+            outcomes(i) = runOneCaught(spark, store, jobId, s3Key, body, resolveCsv)
+        }
     }
     outcomes.toSeq
   }
 
   private def runOneCaught(
       spark: SparkSession, store: TableStore,
-      jobId: Int, s3Key: String, resolveCsv: String => String): MessageOutcome =
+      jobId: Int, s3Key: String, body: String,
+      resolveCsv: String => String): MessageOutcome =
     try processOne(spark, store, jobId, s3Key, resolveCsv)
     catch {
       case e: Exception =>
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
         // Not acked in the reference (visibility timeout redelivers); here
-        // the source offset IS committed, so the failure is recorded for an
-        // external retry queue. Job state was set to FAILED by processOne's
-        // error path.
-        MessageOutcome(Some(jobId), s3Key, "FAILED", String.valueOf(e.getMessage))
+        // the source offset IS committed, so the failure is recorded — with
+        // the RAW message body, re-enqueueable verbatim — for an external
+        // retry queue. Job state was set to FAILED by processOne's error
+        // path.
+        MessageOutcome(Some(jobId), body, "FAILED", String.valueOf(e.getMessage))
     }
 
   /** Run a wave of distinct-job, distinct-tenant messages with batched store
@@ -191,8 +207,11 @@ object JobDispatch {
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[(Int, MessageOutcome)]
     def fail(w: WaveItem, detail: String): Unit = {
-      setJobStatus(store, w.jobId, JobStatus.Failed)
-      failed += w.idx -> MessageOutcome(Some(w.jobId), w.s3Key, "FAILED", detail)
+      // The status write must not mask the original failure (or kill the
+      // wave from inside a catch handler).
+      try setJobStatus(store, w.jobId, JobStatus.Failed)
+      catch { case _: Exception => () }
+      failed += w.idx -> MessageOutcome(Some(w.jobId), w.body, "FAILED", detail)
     }
 
     // Build every initial-route input plan first (per-job isolation for
@@ -230,8 +249,8 @@ object JobDispatch {
         }
     val runnable = buildable.filter { w =>
       val empty = emptyIdx(w.idx)
-      // Same message a sequential require(!input.isEmpty, ...) raises.
-      if (empty) fail(w, "requirement failed: CSV file is empty")
+      // Same message the sequential require(!input.isEmpty, ...) raises.
+      if (empty) fail(w, s"requirement failed: ${Lifecycle.EmptyCsvMessage}")
       !empty
     }
 
@@ -317,7 +336,7 @@ object JobDispatch {
         // (J1 anti-join + staging_id-unique contacts insert): a partially
         // committed wave replays as a no-op for the already-landed rows.
         failed.toSeq ++ built.map { case (w, _) =>
-          w.idx -> runOneCaught(spark, store, w.jobId, w.s3Key, resolveCsv)
+          w.idx -> runOneCaught(spark, store, w.jobId, w.s3Key, w.body, resolveCsv)
         }
     }
   }

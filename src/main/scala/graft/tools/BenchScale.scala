@@ -64,8 +64,7 @@ object BenchScale {
     // Same loud-failure contract as Bench: a broken query must read as an
     // error, never as a fast timing.
     val failures = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+      s"${graft.JsonText.quote(k)}:${graft.JsonText.quote(m)}"
     }
     println(s"""{"metric":"scale_heavy","value":${results.map(_._2).sum},""" +
       s""""unit":"sec","queries":$qs,"errors":${failures.mkString("{", ",", "}")},""" +

@@ -54,17 +54,21 @@ class PostgresDialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Substitute `?` placeholders with SQL literals, in order — the psql
-    * stand-in for PreparedStatement binds. */
-  private def fill(sql: String, args: Seq[Any]): String =
-    args.foldLeft(sql) { (s, a) =>
-      val lit = a match {
-        case null => "NULL"
-        case s0: String => "'" + s0.replace("'", "''") + "'"
-        case b: Boolean => if (b) "TRUE" else "FALSE"
-        case v => String.valueOf(v)
-      }
-      s.replaceFirst("\\?", java.util.regex.Matcher.quoteReplacement(lit))
+    * stand-in for PreparedStatement binds. Splits on the placeholders
+    * FIRST so a '?' inside an earlier-bound literal can never be consumed
+    * as the next placeholder. */
+  private def fill(sql: String, args: Seq[Any]): String = {
+    val parts = sql.split("\\?", -1)
+    assert(parts.length == args.length + 1,
+      s"${parts.length - 1} placeholders for ${args.length} args in:\n$sql")
+    val lits = args.map {
+      case null => "NULL"
+      case s0: String => "'" + s0.replace("'", "''") + "'"
+      case b: Boolean => if (b) "TRUE" else "FALSE"
+      case v => String.valueOf(v)
     }
+    parts.head + lits.zip(parts.tail).map { case (l, p) => l + p }.mkString
+  }
 
   override def beforeAll(): Unit = {
     assume(pgBin.isDefined, "postgres server binaries not available")

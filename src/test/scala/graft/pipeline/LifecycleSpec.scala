@@ -40,6 +40,25 @@ class LifecycleSpec extends SparkSpec {
     input, jobId = 9, userId = "u1",
     emptyStaging, emptyIssues, emptyItems, contacts0)
 
+  test("zero-issue job: counters report real zeros and consolidated SUCCESS rows") {
+    // sum() over the EMPTY issues frame yields SQL NULL; the counters must
+    // normalize it (and fold READY -> SUCCESS) so the 1-row frame agrees
+    // with the committed staging — not report ready_rows=N/success_rows=0
+    // for rows the commit writes as SUCCESS.
+    val r = Lifecycle.initialProcess(
+      csv((1L, "a@b.co", "A", "B", "C"), (2L, "b@b.co", "D", "E", "F")),
+      jobId = 9, userId = "u1", emptyStaging, emptyIssues, emptyItems, contacts0)
+    val c = r.counterRow
+    assert(c.getAs[Long]("unresolved_issues") === 0L)
+    assert(c.getAs[Long]("total_issues") === 0L)
+    assert(c.getAs[Long]("total_rows") === 2L)
+    assert(c.getAs[Long]("ready_rows") === 0L)
+    assert(c.getAs[Long]("success_rows") === 2L)
+    assert(r.statusOf(c) === JobStatus.Completed)
+    assert(r.staging.select("staging_status").as[String].collect().toSet
+      === Set(StagingStatus.Success))
+  }
+
   test("initial processing: statuses, issues, NEEDS_REVIEW gate") {
     val r = runInitial()
     assert(r.jobStatus === JobStatus.NeedsReview)
