@@ -35,7 +35,15 @@ object Lifecycle {
       issues: DataFrame,      // full post-run issue set (with issue_resolved)
       issueItems: DataFrame,  // full post-run link set
       contactCandidates: DataFrame, // rows that become contacts IF consolidation runs
-      counters: DataFrame) {  // 1-row job counters (A4-A8), post-decision statuses
+      counters: DataFrame,    // 1-row job counters (A4-A8), post-decision statuses
+      cachedFrames: Seq[DataFrame] = Nil) { // caches to release after commit
+
+    /** Release this flow's cached intermediates. Call AFTER the last
+      * materialization (commit + counters) — a long-running dispatch
+      * stream otherwise accumulates one dead cached frame per processed
+      * job in the storage pool. */
+    def unpersist(): Unit =
+      cachedFrames.foreach(df => try df.unpersist(false) catch { case _: Exception => () })
 
     /** Whether consolidation proceeds (ADR-002), from a collected
       * `counters` row. */
@@ -161,6 +169,7 @@ object Lifecycle {
       allowMissingColumns = true)
 
     finalizeFlow(stagingAfter, issuesAfter, itemsAfter, contacts, jobId, userId)
+      .copy(cachedFrames = Seq(classified))
   }
 
   /** REPROCESSING (§3.2, processor.py:390-672): re-validate the staging set
@@ -218,6 +227,7 @@ object Lifecycle {
       allowMissingColumns = true)
 
     finalizeFlow(stagingAfter, issuesAfter, itemsAfter, contacts, jobId, userId)
+      .copy(cachedFrames = Seq(classified))
   }
 
   /** Shared finalization (§3.3): recompute resolution, gate on unresolved

@@ -146,8 +146,17 @@ object JobDispatch {
         }
       }
 
-      processWave(spark, store, wave.toSeq, resolveCsv)
-        .foreach { case (i, o) => outcomes(i) = o }
+      // Bounded wave size: an AvailableNow drain of a deep backlog delivers
+      // ONE batch, and a single wave of 1000+ jobs would build 1000-branch
+      // union plans (superlinear optimizer time, codegen size limits, one
+      // cached frame per job held at once). Chunks commit sequentially;
+      // members are distinct jobs AND tenants, so chunk boundaries are
+      // semantically invisible.
+      val maxWave = sys.env.get("GRAFT_MAX_WAVE").flatMap(_.toIntOption).getOrElse(64)
+      wave.grouped(math.max(1, maxWave)).foreach { chunk =>
+        processWave(spark, store, chunk.toSeq, resolveCsv)
+          .foreach { case (i, o) => outcomes(i) = o }
+      }
       // Sequential tail: repeated job/tenant messages re-route against the
       // post-wave store state, exactly as back-to-back micro-batches would.
       tail.foreach { case (i, jobId, s3Key, body) =>
@@ -338,6 +347,10 @@ object JobDispatch {
         failed.toSeq ++ built.map { case (w, _) =>
           w.idx -> runOneCaught(spark, store, w.jobId, w.s3Key, w.body, resolveCsv)
         }
+    } finally {
+      // Release every wave job's classify cache — a long-running stream
+      // would otherwise hold one dead cached frame per processed job.
+      built.foreach { case (_, r) => r.unpersist() }
     }
   }
 
@@ -420,6 +433,7 @@ object JobDispatch {
             totalRows = c.getAs[Long]("total_rows"),
             processedRows = c.getAs[Long]("total_rows"), // all rows seen (processor.py:313-330)
             issueCount = c.getAs[Long]("unresolved_issues"))
+          result.unpersist() // release the classify cache (post-commit)
           MessageOutcome(Some(jobId), s3Key, status, "ok")
         } catch {
           case e: Exception =>
