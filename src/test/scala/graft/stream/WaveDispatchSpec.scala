@@ -106,6 +106,74 @@ class WaveDispatchSpec extends SparkSpec {
     assert(store.load("staging").count() === 1)
   }
 
+  test("full-batch redelivery reaches a fixed point after one reprocess pass") {
+    // ADR-001 at-least-once e2e for the WAVE path. Reference semantics on
+    // redelivery of a NEEDS_REVIEW job: it ROUTES to reprocessing, which
+    // keys still-failing row-level issues `staging_{id}` where the initial
+    // pass keyed them `row_{n}` (processor.py:262 vs :519) — so the FIRST
+    // redelivery legitimately adds the reprocess-keyed twin. What must
+    // hold: contacts/staging/jobs never change, and the SECOND redelivery
+    // changes nothing at all (the fixed point).
+    val (root, store) = seed(2, i => s"u$i")
+    Files.writeString(Paths.get(s"$root/uploads/clean.csv"),
+      "email,first_name,last_name,company\nok@b.co,F,L,C\n")
+    Files.writeString(Paths.get(s"$root/uploads/issue.csv"),
+      "email,first_name,last_name,company\nok2@b.co,F,L,C\n,missing,Cee,Biz\n")
+    val batch = Seq(msg(1, "clean.csv"), msg(2, "issue.csv")).toDF("value")
+
+    def stable() = (
+      store.load("contacts").count(),
+      store.load("staging").select("staging_id", "staging_status")
+        .as[(Long, String)].collect().toSet,
+      store.load("jobs").select("job_id", "job_status", "job_total_rows")
+        .as[(Int, String, Long)].collect().toSet)
+    def issues() = store.load("issues")
+      .select("issue_type", "issue_key", "issue_resolved")
+      .as[(String, String, Boolean)].collect().toSet
+
+    JobDispatch.processBatch(spark, store, batch, k => s"$root/uploads/$k")
+    val stable1 = stable()
+    assert(issues().map(_._2) === Set("row_2"))
+
+    val out2 = JobDispatch.processBatch(spark, store, batch, k => s"$root/uploads/$k")
+    assert(out2(0).outcome === "SKIPPED") // COMPLETED short-circuit
+    assert(out2(1).outcome === JobStatus.NeedsReview) // reprocess route
+    assert(stable() === stable1, "redelivery mutated contacts/staging/jobs")
+    val issues2 = issues()
+    assert(issues2.map(_._2) === Set("row_2", "staging_2199023255554"))
+
+    val out3 = JobDispatch.processBatch(spark, store, batch, k => s"$root/uploads/$k")
+    assert(out3(1).outcome === JobStatus.NeedsReview)
+    assert(stable() === stable1)
+    assert(issues() === issues2, "second redelivery did not reach the fixed point")
+  }
+
+  test("mixed-route wave: initial and reprocess jobs commit in one wave") {
+    val (root, store) = seed(2, i => s"u$i")
+    Files.writeString(Paths.get(s"$root/uploads/fix.csv"),
+      "email,first_name,last_name,company\nok@b.co,F,L,C\n,missing,Cee,Biz\n")
+    Files.writeString(Paths.get(s"$root/uploads/new.csv"),
+      "email,first_name,last_name,company\nnew@b.co,F,L,C\n")
+    // Seed job 1 into NEEDS_REVIEW with staging via a first batch.
+    JobDispatch.processBatch(spark, store,
+      Seq(msg(1, "fix.csv")).toDF("value"), k => s"$root/uploads/$k")
+    assert(store.load("jobs").filter(col("job_id") === 1)
+      .head().getAs[String]("job_status") === JobStatus.NeedsReview)
+    // User resolves the bad row by DISCARD (the review flow), then the next
+    // batch carries job 1's reprocess message AND job 2's initial message.
+    store.overwrite("staging", store.load("staging").withColumn("staging_status",
+      when(col("staging_email").isNull || trim(col("staging_email")) === "",
+        "DISCARD").otherwise(col("staging_status"))))
+    val out = JobDispatch.processBatch(spark, store,
+      Seq(msg(1, "fix.csv"), msg(2, "new.csv")).toDF("value"),
+      k => s"$root/uploads/$k")
+    assert(out(0).outcome === JobStatus.Completed) // reprocess route, wave-committed
+    assert(out(1).outcome === JobStatus.Completed) // initial route, same wave
+    val contacts = store.load("contacts")
+      .select("contact_email").as[String].collect().toSet
+    assert(contacts === Set("ok@b.co", "new@b.co"))
+  }
+
   test("wave with an issue job: NEEDS_REVIEW and COMPLETED commit together, counters per job") {
     val (root, store) = seed(2, i => s"u$i")
     Files.writeString(Paths.get(s"$root/uploads/clean.csv"),
