@@ -1866,6 +1866,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Mergeable relative-error quantiles (DDSketch): geometric buckets are
+    // pure count sums, so the sketch is partitioning-independent and the
+    // integer bucket walk oracle-exact (the 4th sketch classic alongside
+    // KMV distinct / Misra-Gries frequency / CMS counts)
+    "q_dd_quantiles" -> ((s, dir) => {
+      val dd = udaf(new graft.functions.DdSketchAggregator(0.01, Seq(0.5, 0.9, 0.99)))
+      events(s, dir).groupBy("event_type").agg(dd(col("value")).as("bk"))
+        .select(col("event_type"), posexplode(col("bk")))
+        .select(col("event_type"),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos").cast("int") + 1).as("q"),
+          col("col").cast("long").as("bucket"))
+        .orderBy("event_type", "q")
+    }),
+
     // J8/W6 — consolidation projection (READY -> contacts)
     "q_consolidate" -> ((s, dir) => {
       val c = classified(s, dir)
@@ -3476,6 +3490,27 @@ object SparkEntry {
         |SELECT est.user_id, est.est_count, ex.exact_count,
         |  CAST(est.est_count - ex.exact_count AS BIGINT) AS overcount
         |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin,
+
+    "q_dd_quantiles" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(ceil(ln(value) / ln((1 + CAST(0.01 AS DOUBLE)) / (1 - CAST(0.01 AS DOUBLE)))) AS BIGINT) AS b
+        |  FROM events),
+        |c AS (SELECT event_type, b, count(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+        |w AS (
+        |  SELECT c.event_type, c.b,
+        |         CAST(sum(c.n) OVER (PARTITION BY c.event_type ORDER BY c.b) AS BIGINT) AS cum,
+        |         t.total
+        |  FROM c JOIN t USING (event_type)),
+        |q AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+        |hit AS (
+        |  SELECT w.event_type, q.q, w.b,
+        |         row_number() OVER (PARTITION BY w.event_type, q.q ORDER BY w.b) AS rn
+        |  FROM w CROSS JOIN q
+        |  WHERE w.cum >= CAST(ceil(q.q * w.total) AS BIGINT))
+        |SELECT event_type, q, b AS bucket FROM hit WHERE rn = 1
+        |ORDER BY event_type, q""".stripMargin,
 
     "q_source_overlap_matrix" ->
       s"""WITH $jaccardPairsCteSql,
