@@ -237,6 +237,54 @@ object Multimodal {
     if (nBytes <= 0 || k <= 0) Nil
     else (0 until k).map(i => i * nBytes / k)
 
+  /** REAL image resize via the JDK (ImageIO decode -> Graphics2D bilinear
+    * scale -> PNG re-encode). None for undecodable payloads. Deterministic:
+    * bilinear interpolation and the JDK PNG encoder are pure functions of
+    * the pixel data, so the resized bytes are stable across partitionings
+    * and reruns (the idempotency a re-ingested shard depends on). */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    try {
+      require(targetW > 0 && targetH > 0)
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Dataset-level resize normalization (the standardize-before-training
+    * step): image payloads are resized and re-encoded; non-images and
+    * undecodable payloads pass through untouched (total — a corrupt crawl
+    * payload must not kill the job). Same byte-budget repartition as
+    * [[extractFeatures]]: payload bytes, not row counts, balance tasks. */
+  def resizeImages(
+      media: Dataset[MediaFile],
+      targetW: Int,
+      targetH: Int,
+      targetBytesPerTask: Long = 128L * 1024 * 1024): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    val totalBytes = media.select(sum(length(col("payload")))).as[Option[Long]].head().getOrElse(0L)
+    val parts = math.max(1, math.min(10000, (totalBytes / math.max(1, targetBytesPerTask)).toInt + 1))
+    media.repartition(parts).mapPartitions { files =>
+      files.map { f =>
+        if (f.kind != "image") f
+        else resizeImage(f.payload, targetW, targetH)
+          .map(p => f.copy(payload = p)).getOrElse(f)
+      }
+    }
+  }
+
   /** Batched feature extraction. Repartitions so each task holds roughly
     * `targetBytesPerTask` of payload (byte-weighted balance — row-count
     * partitioning starves/floods tasks when payload sizes vary 1000x). */

@@ -367,6 +367,32 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(histSum - 1.0) < 1e-5)
   }
 
+  test("multimodal: REAL resize — target dims, preserved color, pass-through for non-images") {
+    // Solid red stays solid red at any size (bilinear over a constant field).
+    val red = pngBytes(32, 16)((_, _) => 0xff0000)
+    val resized = Multimodal.resizeImage(red, 8, 8).get
+    val dec = Multimodal.decodeImage(resized).get
+    assert(dec._1 === 8 && dec._2 === 8)
+    assert(dec._3(0) === 1.0f && dec._3(1) === 0.0f && dec._3(2) === 0.0f)
+    // Half-black/half-white 32x32 -> 8x8: mean luma stays ~0.5.
+    val split = pngBytes(32, 32)((x, _) => if (x < 16) 0x000000 else 0xffffff)
+    val splitDec = Multimodal.decodeImage(Multimodal.resizeImage(split, 8, 8).get).get
+    assert(math.abs(splitDec._3(3) - 0.5f) < 0.07f, s"luma mean ${splitDec._3(3)}")
+    // Dataset-level: images resized, audio payloads untouched, total on garbage.
+    val media = Seq(
+      Multimodal.MediaFile(1L, "image", red, "f"),
+      Multimodal.MediaFile(2L, "audio", Array[Byte](1, 2, 3), "f"),
+      Multimodal.MediaFile(3L, "image", Array[Byte](9, 9), "f")) // undecodable
+    val out = Multimodal.resizeImages(media.toDS(), 8, 8).collect().sortBy(_.media_id)
+    assert(Multimodal.decodeImage(out(0).payload).get._1 === 8)
+    assert(out(1).payload.toSeq === Seq[Byte](1, 2, 3))
+    assert(out(2).payload.toSeq === Seq[Byte](9, 9)) // pass-through, no throw
+    // Determinism: identical bytes on a rerun.
+    val rerun = Multimodal.resizeImages(media.toDS().repartition(3), 8, 8)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.payload.toSeq).toSeq === rerun.map(_.payload.toSeq).toSeq)
+  }
+
   test("multimodal: REAL WAV decode — frame count, channels, RMS/peak envelope") {
     // 16-bit PCM mono square wave at half amplitude: RMS = peak = 0.5 exactly.
     val nFrames = 8000
