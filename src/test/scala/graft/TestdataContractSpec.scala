@@ -85,6 +85,19 @@ class TestdataContractSpec extends SparkSpec {
     }
   }
 
+  test("oracle contract: queries and oracleSql carry exactly the same keys") {
+    // A typo'd oracle key silently becomes a dead correctness row (the
+    // driver records a weaker rows-only check); a queries entry without
+    // oracle SQL weakens the gate the same way. Keep the maps in lockstep
+    // — any intentionally rows-only query must be listed here explicitly.
+    val rowsOnly = Set.empty[String]
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracleSql keys without queries: ${os -- qs}")
+    assert((qs -- os -- rowsOnly).isEmpty,
+      s"queries without oracle SQL: ${qs -- os -- rowsOnly}")
+  }
+
   test("testdata contract: StandIn.events yields a usable timestamp") {
     val df = StandIn.events(spark, dir)
     assert(df.schema("ts").dataType == TimestampType ||
