@@ -214,6 +214,26 @@ object JobDispatch {
     val items = tbl("issue_items", itemsShape)
     val contacts = tbl("contacts", contactsShape)
 
+    // Which wave jobs actually HAVE prior state, probed once per table for
+    // the whole wave. A first-pass job (the steady-stream common case) then
+    // gets a known-empty LOCAL relation instead of a filtered parquet scan:
+    // Catalyst's empty-relation propagation collapses the J1 anti-join and
+    // the issue/link merge branches, cutting every first-pass job's plan by
+    // three scan subtrees — plan-compile time is the wave's fixed per-job
+    // cost (data volume is not: see BASELINE ×10-payload record).
+    val waveIds = wave.map(_.jobId)
+    def presentIn(name: String, partCol: String): Set[Int] =
+      if (!store.exists(name)) Set.empty
+      else store.load(name).filter(col(partCol).isin(waveIds: _*))
+        .select(partCol).distinct().collect().map(_.getAs[Int](partCol)).toSet
+    val hasStaging = presentIn("staging", "staging_job_id")
+    val hasIssues = presentIn("issues", "issues_job_id")
+    val hasItems = presentIn("issue_items", "issues_job_id")
+    def jobSlice(base: DataFrame, shape: StructType, partCol: String,
+        present: Set[Int], jobId: Int): DataFrame =
+      if (present(jobId)) base.filter(col(partCol) === jobId)
+      else emptyLike(spark, shape)
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[(Int, MessageOutcome)]
     def fail(w: WaveItem, detail: String): Unit = {
       // The status write must not mask the original failure (or kill the
@@ -265,21 +285,20 @@ object JobDispatch {
 
     val built = runnable.flatMap { w =>
       try {
+        val jobStaging = jobSlice(staging, stagingShape, "staging_job_id", hasStaging, w.jobId)
+        val jobIssues = jobSlice(issues, issuesShape, "issues_job_id", hasIssues, w.jobId)
+        val jobItems = jobSlice(items, itemsShape, "issues_job_id", hasItems, w.jobId)
         val result = w.route match {
           case Router.Reprocessing =>
             // Routing already proved this job has staging rows — skip the
             // per-job isEmpty action the standalone path pays.
             Lifecycle.reprocess(
-              staging.filter(col("staging_job_id") === w.jobId),
-              issues.filter(col("issues_job_id") === w.jobId),
-              items.filter(col("issues_job_id") === w.jobId),
+              jobStaging, jobIssues, jobItems,
               contacts, w.jobId, w.userId, checkNonEmpty = false)
           case _ =>
             Lifecycle.initialProcess(
               inputs(w.idx), w.jobId, w.userId,
-              staging.filter(col("staging_job_id") === w.jobId),
-              issues.filter(col("issues_job_id") === w.jobId),
-              items.filter(col("issues_job_id") === w.jobId),
+              jobStaging, jobIssues, jobItems,
               contacts, checkNonEmpty = false)
         }
         Some(w -> result)
