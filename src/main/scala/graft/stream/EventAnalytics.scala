@@ -193,6 +193,23 @@ object EventAnalytics {
       .select(col(groupCol), col("c.keys").as("candidates"))
   }
 
+  /** Streaming per-group quantiles: the DDSketch typed aggregator run as
+    * streaming state (complete/update mode). The sketch buffer IS the
+    * state — O(log_gamma(max/min)) buckets per group forever, merged
+    * incrementally each micro-batch, and bucket counts are pure sums so
+    * the stream converges to EXACTLY the batch sketch over the same rows
+    * (the same aggregator answers q_dd_quantiles batch-mode; decode
+    * bucket -> value via [[graft.functions.DdSketchAggregator.valueOf]]).
+    * The same lambda split as [[trendingKeys]]: sketch online, exact
+    * order statistics offline where needed. */
+  def valueQuantiles(
+      events: DataFrame, groupCol: String, valueCol: String,
+      alpha: Double = 0.01, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val dd = udaf(new graft.functions.DdSketchAggregator(alpha, qs))
+    events.groupBy(col(groupCol))
+      .agg(dd(col(valueCol)).as("quantile_buckets"))
+  }
+
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
   case class SessionState(start: Long, last: Long, n: Int)

@@ -408,10 +408,17 @@ object JobDispatch {
           val issues = tbl("issues", issuesShape)
           val items = tbl("issue_items", itemsShape)
           val contacts = tbl("contacts", contactsShape)
+          // hasStaging was already probed for routing: a first-pass job gets
+          // a known-empty local relation so Catalyst collapses the J1
+          // anti-join branch instead of re-scanning the store (same trick as
+          // the wave's batched presence probes).
+          val jobStaging =
+            if (hasStaging) staging.filter(col("staging_job_id") === jobId)
+            else emptyLike(spark, stagingShape)
           val result = route match {
             case Router.Reprocessing =>
               Lifecycle.reprocess(
-                staging.filter(col("staging_job_id") === jobId),
+                jobStaging,
                 issues.filter(col("issues_job_id") === jobId),
                 items.filter(col("issues_job_id") === jobId),
                 contacts, jobId, userId)
@@ -419,7 +426,7 @@ object JobDispatch {
               val input = CsvSource.toContract(CsvSource.read(spark, resolveCsv(s3Key)))
               Lifecycle.initialProcess(
                 input, jobId, userId,
-                staging.filter(col("staging_job_id") === jobId),
+                jobStaging,
                 issues.filter(col("issues_job_id") === jobId),
                 items.filter(col("issues_job_id") === jobId),
                 contacts)

@@ -85,6 +85,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("valueQuantiles: DDSketch streaming state converges to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = valueQuantiles(events, "event_type", "value")
+      .writeStream.outputMode("complete").format("memory").queryName("ddq_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    val rows = (1 to 300).map(i =>
+      (ts(i % 50), i.toLong, if (i % 2 == 0) "click" else "view", (i % 97) + 0.5))
+    val (a, b) = rows.splitAt(120)
+    input.addData(a: _*); q.processAllAvailable()
+    input.addData(b: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ddq_out")
+      .selectExpr("event_type", "quantile_buckets")
+      .as[(String, Seq[Int])].collect().toMap
+    // Bucket counts are pure sums: the stream's incremental merges land on
+    // EXACTLY the batch sketch — not merely within alpha.
+    val batch = valueQuantiles(rows.toDF("ts", "user_id", "event_type", "value"),
+      "event_type", "value")
+      .selectExpr("event_type", "quantile_buckets")
+      .as[(String, Seq[Int])].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("trendingKeys: MG sketch as streaming state keeps hot keys across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
