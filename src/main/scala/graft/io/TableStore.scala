@@ -55,6 +55,27 @@ trait TableStore {
       c.table -> merged
     })
   }
+
+  /** One job/wave commit as a unit: EVERY plan — appends, partition
+    * replacements, snapshot overwrites — is materialized to staging storage
+    * while all pre-commit snapshots are intact, and only then are targets
+    * mutated (appends first, then partition swaps, then snapshot swaps —
+    * the reference's consolidation order). This is the only safe shape when
+    * one output's plan reads a table the same commit mutates: the classify
+    * subtree reads `contacts` and the commit appends `contacts`, so an
+    * append-then-write sequence re-evaluates the staging plan against
+    * post-append contacts (Spark invalidates and re-caches cached plans on
+    * any write to a path they read) and flips the job's own READY rows to
+    * EXISTING_EMAIL. Default is the sequential legacy order — snapshot and
+    * SQL stores override with full two-phase staging. */
+  def commitAll(
+      appends: Seq[(String, DataFrame)],
+      partitions: Seq[PartitionCommit] = Nil,
+      overwrites: Seq[(String, DataFrame)] = Nil): Unit = {
+    appends.foreach { case (t, df) => append(t, df) }
+    if (partitions.nonEmpty) overwritePartitionsAll(partitions)
+    if (overwrites.nonEmpty) overwriteAll(overwrites)
+  }
 }
 
 /** Parquet-backed store. `overwrite` writes to a temp dir then swaps, so a
@@ -161,13 +182,32 @@ class ParquetTableStore(
     * their plans re-run). The committed value's partition is removed even
     * when df is empty, so a job that now derives zero issues doesn't leave
     * last run's rows behind. */
-  override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit = {
-    val staged = commits.map { c =>
+  override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit =
+    commitAll(Nil, commits, Nil)
+
+  override def append(table: String, df: DataFrame): Unit =
+    commitAll(Seq(table -> df), Nil, Nil)
+
+  /** Full two-phase commit: phase 1 materializes EVERY plan (appends,
+    * partition replacements, snapshot overwrites) into tmp dirs while all
+    * pre-commit snapshots are intact — no plan can observe another output
+    * of the same commit, with or without caching; phase 2 is pure file
+    * moves (appended files renamed in, partition dirs swapped, snapshots
+    * swapped) in the reference's consolidation order. */
+  override def commitAll(
+      appends: Seq[(String, DataFrame)],
+      partitions: Seq[PartitionCommit] = Nil,
+      overwrites: Seq[(String, DataFrame)] = Nil): Unit = {
+    val stagedAppends = appends.map { case (t, df) => (t, writeTmp(t, df)) }
+    val stagedParts = partitions.map { c =>
       val tmp = new Path(dir(c.table) + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       c.df.write.partitionBy(c.partCol).parquet(tmp.toString)
       (c, tmp)
     }
-    staged.foreach { case (c, tmp) =>
+    val stagedOverwrites = overwrites.map { case (t, df) => (t, writeTmp(t, df)) }
+
+    stagedAppends.foreach { case (t, tmp) => moveAppend(t, tmp) }
+    stagedParts.foreach { case (c, tmp) =>
       val tableDir = new Path(dir(c.table))
       val written = fs.listStatus(tmp).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith(c.partCol + "=")).toSet
@@ -184,17 +224,29 @@ class ParquetTableStore(
       }
       fs.delete(tmp, true)
     }
+    stagedOverwrites.foreach { case (t, tmp) => swap(t, tmp) }
   }
 
-  override def append(table: String, df: DataFrame): Unit = {
-    // An empty partitioned write emits no schema-bearing files (only
-    // _SUCCESS), which would poison later reads — nothing to append anyway.
-    if (df.isEmpty) return
-    val writer = partitionByCols.get(table) match {
-      case Some(cols) if cols.forall(df.columns.contains) => df.write.partitionBy(cols: _*)
-      case _ => df.write
+  /** Move a staged append's data files into the table dir, preserving
+    * partition subdirectories (Spark's task-UUID file names cannot collide
+    * with existing files). An all-empty append stages no data files, moves
+    * nothing, and never creates the table dir — and costs no pre-write
+    * isEmpty probe, unlike the old direct-append path. */
+  private def moveAppend(table: String, tmp: Path): Unit = {
+    val tableDir = new Path(dir(table))
+    def dataFiles(p: Path, rel: String): Seq[(Path, String)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) dataFiles(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.startsWith("_") || name.startsWith(".")) Nil
+        else Seq(st.getPath -> rel)
+      }
+    dataFiles(tmp, "").foreach { case (src, rel) =>
+      val destDir = if (rel.isEmpty) tableDir else new Path(tableDir, rel)
+      if (!fs.exists(destDir)) fs.mkdirs(destDir)
+      fs.rename(src, new Path(destDir, src.getName))
     }
-    writer.mode("append").parquet(dir(table))
+    fs.delete(tmp, true)
   }
 
   /** Small-file compaction — the maintenance pass every append-heavy table
@@ -340,6 +392,43 @@ class JdbcTableStore(
   override def append(table: String, df: DataFrame): Unit =
     write(df).mode("append").jdbc(url, table, props)
 
+  /** Full two-phase commit, SQL-side: EVERY plan — appended rows included —
+    * materializes into a temp table while all pre-commit target state is
+    * intact, then the mutations run (append INSERT ... SELECTs first, then
+    * the partition DELETE+INSERTs, then snapshot swaps). Without the staged
+    * append, an appends-then-partitions sequence would let a partition
+    * plan's re-evaluation observe the same commit's appended rows (the
+    * classify-reads-contacts / commit-appends-contacts shape). */
+  override def commitAll(
+      appends: Seq[(String, DataFrame)],
+      partitions: Seq[PartitionCommit] = Nil,
+      overwrites: Seq[(String, DataFrame)] = Nil): Unit = {
+    // Phase 1: stage EVERYTHING (no target mutated yet).
+    val stagedAppends = appends.map { case (t, df) => (t, stage(t, df)) }
+    val stagedParts = stagePartitionCommits(partitions)
+    val (createOv, swapOv) = overwrites.partition { case (t, _) => !tableExists(t) }
+    val stagedOverwrites = swapOv.map { case (t, df) => t -> stage(t, df) }
+    // Phase 2: mutate in the reference's consolidation order.
+    applyAppends(stagedAppends)
+    applyPartitionCommits(stagedParts)
+    createOv.foreach { case (t, df) => write(df).jdbc(url, t, props) }
+    swapAll(stagedOverwrites)
+  }
+
+  private def applyAppends(staged: Seq[(String, (String, Seq[String]))]): Unit =
+    staged.foreach { case (table, (tmp, cols)) =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      def q(id: String) = "\"" + id + "\""
+      try {
+        val st = conn.createStatement()
+        try {
+          val colList = cols.map(q).mkString(", ")
+          st.executeUpdate(s"INSERT INTO $table ($colList) SELECT $colList FROM $tmp")
+          st.executeUpdate(s"DROP TABLE $tmp")
+        } finally st.close()
+      } finally conn.close()
+    }
+
   /** Per-job commit, SQL-side: materialize each result into a temp table
     * (so plans that read the target finish BEFORE it is mutated), then
     * DELETE the job's rows + INSERT ... SELECT server-side — no driver-side
@@ -350,12 +439,20 @@ class JdbcTableStore(
     * INSERT leaves the target exactly as it was. Temp table names carry a
     * unique suffix so two commits against the SAME table in one call don't
     * clobber each other's staged rows. */
-  override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit = {
-    val staged = commits.map { c =>
+  override def overwritePartitionsAll(commits: Seq[PartitionCommit]): Unit =
+    applyPartitionCommits(stagePartitionCommits(commits))
+
+  private def stagePartitionCommits(
+      commits: Seq[PartitionCommit]): Seq[(PartitionCommit, String, Seq[String])] =
+    commits.map { c =>
       val tmp = s"${c.table}_ctmp_${java.util.UUID.randomUUID().toString.take(8)}"
       write(c.df).mode("overwrite").jdbc(url, tmp, props)
       (c, tmp, c.df.columns.toSeq)
     }
+
+  private def applyPartitionCommits(
+      staged: Seq[(PartitionCommit, String, Seq[String])]): Unit = {
+    if (staged.isEmpty) return
     val conn = java.sql.DriverManager.getConnection(url, props)
     def dropBestEffort(tmp: String): Unit =
       try {

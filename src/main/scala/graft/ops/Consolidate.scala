@@ -36,6 +36,52 @@ object Consolidate {
         col("staging_last_name").as("contact_last_name"),
         col("staging_company").as("contact_company"))
 
+  /** [[readyToContacts]] over MANY jobs in one plan: the tenant id comes
+    * from the broadcast `jobUsers` map (job_id, job_user_id) instead of a
+    * literal, and the output KEEPS `staging_job_id` so the committer can
+    * gate each job's candidates on its own ADR-002 decision (the canonical
+    * contacts projection drops it). */
+  def readyToContactsKeyed(staging: DataFrame, jobUsers: DataFrame): DataFrame =
+    staging
+      .filter(col("staging_status") === StagingStatus.Ready)
+      .filter(
+        trimmed(col("staging_email")) =!= "" &&
+          trimmed(col("staging_first_name")) =!= "" &&
+          trimmed(col("staging_last_name")) =!= "" &&
+          trimmed(col("staging_company")) =!= "")
+      .join(broadcast(jobUsers), col("staging_job_id") === col("job_id"))
+      .select(
+        col("staging_job_id"),
+        col("staging_id"),
+        col("job_user_id").as("contacts_user_id"),
+        col("staging_email").as("contact_email"),
+        col("staging_first_name").as("contact_first_name"),
+        col("staging_last_name").as("contact_last_name"),
+        col("staging_company").as("contact_company"))
+
+  /** [[jobCounters]] over MANY jobs: one row PER job (`job_id` + the same
+    * counter columns), the two global aggregates become job-keyed groupBys
+    * and the crossJoin a left join (a job with zero issues simply has no
+    * issues-side row — the caller's coalesce treats that as 0, exactly the
+    * NULL-sum case of the single-job path). */
+  def jobCountersKeyed(staging: DataFrame, issues: DataFrame): DataFrame = {
+    val s = staging.groupBy(col("staging_job_id").as("job_id")).agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("staging_status") === StagingStatus.Ready, 1).otherwise(0))
+        .cast("long").as("ready_rows"),
+      sum(when(col("staging_status") === StagingStatus.Issue, 1).otherwise(0))
+        .cast("long").as("issue_rows"),
+      sum(when(col("staging_status") === StagingStatus.Discard, 1).otherwise(0))
+        .cast("long").as("discard_rows"),
+      sum(when(col("staging_status") === StagingStatus.Success, 1).otherwise(0))
+        .cast("long").as("success_rows"))
+    val i = issues.groupBy(col("issues_job_id").as("job_id")).agg(
+      count(lit(1)).as("total_issues"),
+      sum(when(!col("issue_resolved"), 1).otherwise(0))
+        .cast("long").as("unresolved_issues"))
+    s.join(i, Seq("job_id"), "left")
+  }
+
   /** One-pass status histogram (A4/A8) — replaces the reference's one
     * COUNT(*) query per status (staging_repository.py:173-191). */
   def statusCounts(staging: DataFrame): DataFrame =

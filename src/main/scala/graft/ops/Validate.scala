@@ -84,6 +84,61 @@ object Validate {
       .withColumn("is_existing", col("existing_email").isNotNull)
       .drop("existing_email")
 
+    applyValidationChain(withFlags)
+  }
+
+  /** [[classify]] generalized over MANY jobs in one plan: `input` carries a
+    * `job_id` column spanning several jobs, `jobUsers` maps each job to its
+    * tenant (`job_id`, `job_user_id` — control-plane small, broadcast). Every
+    * validation set becomes job-scoped ((job_id, norm_email) keys), so one
+    * Catalyst plan classifies a whole dispatch wave at constant plan-compile
+    * cost — N per-job plans collapse to 1 (the round-7 streaming floor was
+    * per-job plan compilation, not data volume). Row-for-row equal to
+    * per-job [[classify]] unioned (KeyedLifecycleSpec pins the equality). */
+  def classifyKeyed(input: DataFrame, contacts: DataFrame, jobUsers: DataFrame): DataFrame = {
+    val dups = input
+      .select(col("job_id"), normEmail(col("email")).as("norm_email"))
+      .filter(col("norm_email") =!= "")
+      .groupBy("job_id", "norm_email")
+      .count()
+      .filter(col("count") > 1)
+      .select("job_id", "norm_email")
+      .withColumn("is_dup", lit(true))
+
+    val batchEmails = input
+      .select(col("job_id").as("b_job_id"), normEmail(col("email")).as("b_norm_email"))
+      .filter(col("b_norm_email") =!= "")
+      .distinct()
+    // Tenant-scoped existing-contact set, all jobs at once: tag each contact
+    // row with the wave job(s) of its tenant via the broadcast jobUsers map,
+    // then semi-join against the batch's own (job, email) set — the keyed
+    // analogue of existingEmails' `WHERE user = :uid AND email IN (...)`.
+    // Raw stored contact_email vs normalized CSV email, as in the reference.
+    val existingScoped = contacts
+      .join(broadcast(jobUsers), col("contacts_user_id") === col("job_user_id"))
+      .select(col("job_id").as("e_job_id"), col("contact_email").as("existing_email"))
+      .join(batchEmails,
+        col("e_job_id") === col("b_job_id") && col("existing_email") === col("b_norm_email"),
+        "left_semi")
+      .distinct()
+
+    val withFlags = input
+      .withColumn("norm_email", normEmail(col("email")))
+      .join(dups, Seq("job_id", "norm_email"), "left")
+      .join(existingScoped,
+        col("job_id") === col("e_job_id") && col("norm_email") === col("existing_email"),
+        "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .withColumn("is_existing", col("existing_email").isNotNull)
+      .drop("existing_email", "e_job_id")
+
+    applyValidationChain(withFlags)
+  }
+
+  /** The ordered V1-V4 validator (first-failure-wins when-chain) applied to a
+    * flagged frame (`is_dup`, `is_existing` present) — shared verbatim by the
+    * single-job and keyed classify paths so they cannot drift. */
+  private def applyValidationChain(withFlags: DataFrame): DataFrame = {
     val emailT = trimmed(col("email"))
     val issueType =
       when(emailT === "", lit(IssueType.MissingRequiredField))

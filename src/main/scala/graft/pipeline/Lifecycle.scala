@@ -93,12 +93,186 @@ object Lifecycle {
     * overwriteAll (their plans read each other's pre-run state). The job
     * status update (W7: 1 row) is the caller's last step, making a crash
     * anywhere before it a repairable retry (ADR-001 idempotent resume). */
-  def commit(store: graft.io.TableStore, r: FlowResult): Unit = {
-    store.append("contacts", r.newContacts)
-    store.overwriteAll(Seq(
-      "staging" -> r.staging,
-      "issues" -> r.issues,
-      "issue_items" -> r.issueItems))
+  def commit(store: graft.io.TableStore, r: FlowResult): Unit =
+    store.commitAll(
+      appends = Seq("contacts" -> r.newContacts),
+      overwrites = Seq(
+        "staging" -> r.staging,
+        "issues" -> r.issues,
+        "issue_items" -> r.issueItems))
+
+  /** Result of a KEYED (multi-job, single-plan) flow: same table frames as
+    * [[FlowResult]] but spanning every job in the wave, and `counters` is
+    * one row PER job (keyed by `job_id`). `contactCandidates` keeps
+    * `staging_job_id` so the committer can apply each job's own ADR-002
+    * decision; the canonical-shape projection at commit drops it. */
+  case class KeyedFlowResult(
+      stagingPre: DataFrame,
+      issues: DataFrame,
+      issueItems: DataFrame,
+      contactCandidates: DataFrame,
+      counters: DataFrame,
+      cachedFrames: Seq[DataFrame] = Nil) {
+
+    def unpersist(): Unit =
+      cachedFrames.foreach(df => try df.unpersist(false) catch { case _: Exception => () })
+
+    /** Post-decision staging: consolidation rewrites READY -> SUCCESS for the
+      * CLEAN jobs only (blocked jobs keep their statuses untouched). The
+      * clean set is <= wave size, so the isin stays a codegen'd predicate. */
+    def stagingDecided(cleanJobIds: Seq[Int]): DataFrame =
+      if (cleanJobIds.isEmpty) stagingPre
+      else stagingPre.withColumn(
+        "staging_status",
+        when(col("staging_job_id").isin(cleanJobIds: _*) &&
+          col("staging_status") === StagingStatus.Ready, lit(StagingStatus.Success))
+          .otherwise(col("staging_status")))
+
+    /** Post-decision contacts append set: candidates of CLEAN jobs only. */
+    def newContactsDecided(cleanJobIds: Seq[Int]): DataFrame =
+      if (cleanJobIds.isEmpty) contactCandidates.limit(0)
+      else contactCandidates.filter(col("staging_job_id").isin(cleanJobIds: _*))
+  }
+
+  /** [[initialProcess]] over MANY jobs as ONE Catalyst plan (the dispatch
+    * wave's fast path): `input` is the union of the wave's CSV contract
+    * frames tagged with a `job_id` column, `jobUsers` the broadcast
+    * (job_id, job_user_id) map. Every set-building step is already
+    * job-keyed in the single-job plan (dup/existing sets, J1 anti-join,
+    * issue natural keys, staging surrogate ids) — this keys the two that
+    * were not (classify's validation sets, the counters) and leaves the
+    * rest byte-identical, so N jobs compile ONE classify/issues/consolidate
+    * subtree instead of N (the round-7 streaming throughput floor was plan
+    * compilation at ~0.5 s/job, not data volume). Equality with the
+    * per-job path is pinned by KeyedLifecycleSpec and MultiJobSpec's
+    * drain==batch gate. */
+  def initialProcessKeyed(
+      input: DataFrame,
+      jobUsers: DataFrame,
+      existingStaging: DataFrame,
+      existingIssues: DataFrame,
+      existingItems: DataFrame,
+      contacts: DataFrame): KeyedFlowResult = {
+
+    val classified = graft.ops.Validate.classifyKeyed(input, contacts, jobUsers)
+      .withColumn("staging_row_hash",
+        rowHash(col("job_id"), col("row_number"), col("email"),
+          col("first_name"), col("last_name"), col("company")))
+      .withColumn("staging_id", stagingId(col("job_id"), col("row_number")))
+      .cache()
+
+    val newRows = classified.join(
+      existingStaging.select(col("staging_job_id").as("job_id"), col("staging_row_hash")),
+      Seq("job_id", "staging_row_hash"), "left_anti")
+
+    val newStaging = newRows.select(
+      col("staging_id"),
+      col("job_id").as("staging_job_id"),
+      col("email").as("staging_email"),
+      col("first_name").as("staging_first_name"),
+      col("last_name").as("staging_last_name"),
+      col("company").as("staging_company"),
+      col("staging_status"),
+      col("staging_row_hash"))
+    val stagingAfter = existingStaging.unionByName(newStaging, allowMissingColumns = true)
+
+    val derivedIssues = Issues.deriveIssues(newRows, "row_", "row_number")
+    val issuesAfter = Issues.mergeIssues(existingIssues, derivedIssues)
+    val derivedItems = Issues.deriveIssueItems(newRows, "row_", "row_number")
+      .withColumn("item_staging_id", stagingId(col("issues_job_id"), col("item_staging_id")))
+    val itemsAfter = existingItems.unionByName(
+      derivedItems.join(existingItems, itemPairKey, "left_anti"),
+      allowMissingColumns = true)
+
+    finalizeFlowKeyed(stagingAfter, issuesAfter, itemsAfter, contacts, jobUsers)
+      .copy(cachedFrames = Seq(classified))
+  }
+
+  /** [[reprocess]] over MANY jobs as ONE plan (see [[initialProcessKeyed]]).
+    * `staging`/`issues`/`issueItems` span every reprocess-route job of the
+    * wave (routing already proved each has staging rows). */
+  def reprocessKeyed(
+      staging: DataFrame,
+      issues: DataFrame,
+      issueItems: DataFrame,
+      contacts: DataFrame,
+      jobUsers: DataFrame): KeyedFlowResult = {
+
+    val working = staging
+      .filter(coalesce(col("staging_status"), lit("")) =!= StagingStatus.Discard)
+      .select(
+        col("staging_id").as("row_number"),
+        col("staging_id"),
+        col("staging_job_id").as("job_id"),
+        col("staging_email").as("email"),
+        col("staging_first_name").as("first_name"),
+        col("staging_last_name").as("last_name"),
+        col("staging_company").as("company"),
+        col("staging_row_hash"))
+
+    val classified = graft.ops.Validate.classifyKeyed(working, contacts, jobUsers).cache()
+
+    val revalidated = classified.select(
+      col("staging_id"),
+      col("job_id").as("staging_job_id"),
+      col("email").as("staging_email"),
+      col("first_name").as("staging_first_name"),
+      col("last_name").as("staging_last_name"),
+      col("company").as("staging_company"),
+      col("staging_status"),
+      col("staging_row_hash"))
+    val stagingAfter = staging.filter(col("staging_status") === StagingStatus.Discard)
+      .select(revalidated.columns.map(col): _*)
+      .unionByName(revalidated)
+
+    val derivedIssues = Issues.deriveIssues(classified, "staging_", "staging_id")
+    val issuesAfter = Issues.mergeIssues(issues, derivedIssues)
+    val derivedItems = Issues.deriveIssueItems(classified, "staging_", "staging_id")
+    val itemsAfter = issueItems.unionByName(
+      derivedItems.join(issueItems, itemPairKey, "left_anti"),
+      allowMissingColumns = true)
+
+    finalizeFlowKeyed(stagingAfter, issuesAfter, itemsAfter, contacts, jobUsers)
+      .copy(cachedFrames = Seq(classified))
+  }
+
+  /** Keyed [[finalizeFlow]]: same resolution recompute and contacts
+    * anti-join (both already job-safe — staging surrogate ids embed the
+    * job), per-job counters with the post-decision fold applied row-wise. */
+  private def finalizeFlowKeyed(
+      stagingAfter: DataFrame,
+      issuesAfter: DataFrame,
+      itemsAfter: DataFrame,
+      contacts: DataFrame,
+      jobUsers: DataFrame): KeyedFlowResult = {
+
+    val resolvedIssues =
+      Issues.recomputeResolution(issuesAfter, itemsAfter, stagingAfter)
+    val dedupedContacts = Consolidate.readyToContactsKeyed(stagingAfter, jobUsers)
+      .join(
+        if (contacts.columns.contains("staging_id")) contacts.select("staging_id")
+        else contacts.sparkSession.emptyDataFrame
+          .selectExpr("CAST(null AS BIGINT) AS staging_id").limit(0),
+        Seq("staging_id"), "left_anti")
+    val counters = Consolidate.jobCountersKeyed(stagingAfter, resolvedIssues)
+      .withColumn("total_issues", coalesce(col("total_issues"), lit(0L)))
+      .withColumn("unresolved_issues", coalesce(col("unresolved_issues"), lit(0L)))
+      .withColumn("ready_rows", coalesce(col("ready_rows"), lit(0L)))
+      .withColumn("issue_rows", coalesce(col("issue_rows"), lit(0L)))
+      .withColumn("discard_rows", coalesce(col("discard_rows"), lit(0L)))
+      .withColumn("success_rows", coalesce(col("success_rows"), lit(0L)))
+      .withColumn("success_rows",
+        when(col("unresolved_issues") === 0, col("success_rows") + col("ready_rows"))
+          .otherwise(col("success_rows")))
+      .withColumn("ready_rows",
+        when(col("unresolved_issues") === 0, lit(0L)).otherwise(col("ready_rows")))
+
+    KeyedFlowResult(
+      stagingPre = stagingAfter,
+      issues = resolvedIssues,
+      issueItems = itemsAfter,
+      contactCandidates = dedupedContacts,
+      counters = counters)
   }
 
   /** INITIAL PROCESSING (§3.1, processor.py:124-388).

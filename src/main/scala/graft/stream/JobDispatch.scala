@@ -106,6 +106,10 @@ object JobDispatch {
       }
     }
 
+    // Route of every wave member, hoisted for the degraded-sequential path:
+    // once the wave has set statuses to PROCESSING, a replay must keep the
+    // route computed from the PRE-wave state.
+    val waveRoutes = scala.collection.mutable.Map.empty[Int, Router.Route]
     if (valid.nonEmpty) try {
       val ids = valid.map(_._2).distinct.toSeq
       // One jobs lookup + one staging-presence aggregate for the whole batch
@@ -140,6 +144,7 @@ object JobDispatch {
                   MessageOutcome(Some(jobId), s3Key, "SKIPPED", "job already COMPLETED")
               case route if !seenJobs(jobId) && !seenUsers(userId) =>
                 seenJobs += jobId; seenUsers += userId
+                waveRoutes(i) = route
                 wave += WaveItem(i, jobId, s3Key, body, userId, route)
               case _ => tail += ((i, jobId, s3Key, body))
             }
@@ -167,11 +172,15 @@ object JobDispatch {
         // The BATCHED routing itself failed (a store hiccup in the shared
         // jobs/staging reads or a status write) — degrade every unresolved
         // message to the sequential path, which isolates failures per job
-        // and keeps the stream alive (the error-isolation contract).
+        // and keeps the stream alive (the error-isolation contract). Wave
+        // members replay with their ALREADY-COMPUTED route: the wave set
+        // them PROCESSING, so a re-route would send a Reprocessing job
+        // through the Initial branch.
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
         valid.foreach { case (i, jobId, s3Key, body) =>
           if (outcomes(i) == null)
-            outcomes(i) = runOneCaught(spark, store, jobId, s3Key, body, resolveCsv)
+            outcomes(i) =
+              runOneCaught(spark, store, jobId, s3Key, body, resolveCsv, waveRoutes.get(i))
         }
     }
     outcomes.toSeq
@@ -180,8 +189,9 @@ object JobDispatch {
   private def runOneCaught(
       spark: SparkSession, store: TableStore,
       jobId: Int, s3Key: String, body: String,
-      resolveCsv: String => String): MessageOutcome =
-    try processOne(spark, store, jobId, s3Key, resolveCsv)
+      resolveCsv: String => String,
+      forcedRoute: Option[Router.Route] = None): MessageOutcome =
+    try processOne(spark, store, jobId, s3Key, resolveCsv, forcedRoute)
     catch {
       case e: Exception =>
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
@@ -193,17 +203,26 @@ object JobDispatch {
         MessageOutcome(Some(jobId), body, "FAILED", String.valueOf(e.getMessage))
     }
 
-  /** Run a wave of distinct-job, distinct-tenant messages with batched store
-    * round trips. Per-message plan-construction failures isolate (that job
-    * goes FAILED, the rest continue); a failure in the shared commit falls
-    * back to sequential [[processOne]] so one bad job still can't sink its
-    * wave-mates. Returns outcomes keyed by the original message index. */
+  /** Run a wave of distinct-job, distinct-tenant messages as ONE
+    * job_id-keyed Catalyst plan per route: the wave's CSV inputs union
+    * under a `job_id` tag and classify/issues/consolidate compile ONCE
+    * ([[Lifecycle.initialProcessKeyed]]/[[Lifecycle.reprocessKeyed]]) —
+    * every reference join/agg already carries `staging_job_id`, so one plan
+    * serves N jobs at constant compile cost (the round-7 floor was ~0.5 s
+    * of plan compilation per job, not data volume). Store round trips stay
+    * batched: one PROCESSING update, one counters action, one contacts
+    * append, one 3-table partition commit, one jobs update per wave.
+    *
+    * Per-message CSV build failures isolate (that job goes FAILED, the rest
+    * continue); a failure in a shared action falls back to sequential
+    * [[processOne]] WITH the pre-wave route so one bad job still can't sink
+    * its wave-mates. Returns outcomes keyed by original message index. */
   private def processWave(
       spark: SparkSession,
       store: TableStore,
       wave: Seq[WaveItem],
       resolveCsv: String => String): Seq[(Int, MessageOutcome)] = {
-    import graft.pipeline.Lifecycle.FlowResult
+    import graft.pipeline.Lifecycle.KeyedFlowResult
     if (wave.isEmpty) return Seq.empty
     setJobStatusAll(store, wave.map(_.jobId), JobStatus.Processing)
 
@@ -215,12 +234,11 @@ object JobDispatch {
     val contacts = tbl("contacts", contactsShape)
 
     // Which wave jobs actually HAVE prior state, probed once per table for
-    // the whole wave. A first-pass job (the steady-stream common case) then
-    // gets a known-empty LOCAL relation instead of a filtered parquet scan:
+    // the whole wave. A wave of first-pass jobs (the steady-stream common
+    // case) then feeds the keyed plan a known-empty LOCAL relation:
     // Catalyst's empty-relation propagation collapses the J1 anti-join and
-    // the issue/link merge branches, cutting every first-pass job's plan by
-    // three scan subtrees — plan-compile time is the wave's fixed per-job
-    // cost (data volume is not: see BASELINE ×10-payload record).
+    // the issue/link merge branches; otherwise ONE filtered scan serves
+    // every job in the keyed plan.
     val waveIds = wave.map(_.jobId)
     def presentIn(name: String, partCol: String): Set[Int] =
       if (!store.exists(name)) Set.empty
@@ -229,10 +247,12 @@ object JobDispatch {
     val hasStaging = presentIn("staging", "staging_job_id")
     val hasIssues = presentIn("issues", "issues_job_id")
     val hasItems = presentIn("issue_items", "issues_job_id")
-    def jobSlice(base: DataFrame, shape: StructType, partCol: String,
-        present: Set[Int], jobId: Int): DataFrame =
-      if (present(jobId)) base.filter(col(partCol) === jobId)
-      else emptyLike(spark, shape)
+    def slice(base: DataFrame, shape: StructType, partCol: String,
+        present: Set[Int], ids: Seq[Int]): DataFrame = {
+      val have = ids.filter(present)
+      if (have.isEmpty) emptyLike(spark, shape)
+      else base.filter(col(partCol).isin(have: _*))
+    }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[(Int, MessageOutcome)]
     def fail(w: WaveItem, detail: String): Unit = {
@@ -257,57 +277,49 @@ object JobDispatch {
         }
       }
     }
-    val emptyIdx: Set[Int] =
-      if (inputs.isEmpty) Set.empty
-      else
-        try {
-          val present = inputs.map { case (i, df) => df.limit(1).select(lit(i).as("idx")) }
-            .reduce(_.unionByName(_)).collect().map(_.getInt(0)).toSet
-          inputs.keySet.toSet -- present
-        } catch {
-          case e: Exception =>
-            // A runtime read failure in ONE input fails the shared probe.
-            // Degrade to per-job probes (the pre-wave cost, rare path): a
-            // job whose read still throws counts as non-empty here so its
-            // REAL error — not "empty CSV" — surfaces at build/commit,
-            // where per-job isolation attributes it to the right message.
-            if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-            inputs.filter { case (_, df) =>
-              try df.isEmpty catch { case _: Exception => false }
-            }.keySet.toSet
-        }
+    val emptyIdx: Set[Int] = probeEmptyIdx(inputs.toSeq)
     val runnable = buildable.filter { w =>
-      val empty = emptyIdx(w.idx)
+      val empty = w.route != Router.Reprocessing && emptyIdx(w.idx)
       // Same message the sequential require(!input.isEmpty, ...) raises.
       if (empty) fail(w, s"requirement failed: ${Lifecycle.EmptyCsvMessage}")
       !empty
     }
 
-    val built = runnable.flatMap { w =>
-      try {
-        val jobStaging = jobSlice(staging, stagingShape, "staging_job_id", hasStaging, w.jobId)
-        val jobIssues = jobSlice(issues, issuesShape, "issues_job_id", hasIssues, w.jobId)
-        val jobItems = jobSlice(items, itemsShape, "issues_job_id", hasItems, w.jobId)
-        val result = w.route match {
-          case Router.Reprocessing =>
-            // Routing already proved this job has staging rows — skip the
-            // per-job isEmpty action the standalone path pays.
-            Lifecycle.reprocess(
-              jobStaging, jobIssues, jobItems,
-              contacts, w.jobId, w.userId, checkNonEmpty = false)
-          case _ =>
-            Lifecycle.initialProcess(
-              inputs(w.idx), w.jobId, w.userId,
-              jobStaging, jobIssues, jobItems,
-              contacts, checkNonEmpty = false)
-        }
-        Some(w -> result)
-      } catch {
-        case e: Exception =>
-          if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-          fail(w, String.valueOf(e.getMessage))
-          None
-      }
+    // ONE keyed plan per route present in the wave (at most two plan
+    // compiles per wave, independent of wave size).
+    def usersDf(ws: Seq[WaveItem]): DataFrame = {
+      import spark.implicits._
+      ws.map(w => (w.jobId, w.userId)).toDF("job_id", "job_user_id")
+    }
+    val built = scala.collection.mutable.ArrayBuffer.empty[(Seq[WaveItem], KeyedFlowResult)]
+    val (repro, initial) = runnable.partition(_.route == Router.Reprocessing)
+    if (initial.nonEmpty) try {
+      val keyedInput = initial
+        .map(w => inputs(w.idx).withColumn("job_id", lit(w.jobId)))
+        .reduce(_.unionByName(_))
+      val ids = initial.map(_.jobId)
+      built += initial -> Lifecycle.initialProcessKeyed(
+        keyedInput, usersDf(initial),
+        slice(staging, stagingShape, "staging_job_id", hasStaging, ids),
+        slice(issues, issuesShape, "issues_job_id", hasIssues, ids),
+        slice(items, itemsShape, "issues_job_id", hasItems, ids),
+        contacts)
+    } catch {
+      case e: Exception =>
+        if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+        initial.foreach(fail(_, String.valueOf(e.getMessage)))
+    }
+    if (repro.nonEmpty) try {
+      val ids = repro.map(_.jobId)
+      built += repro -> Lifecycle.reprocessKeyed(
+        slice(staging, stagingShape, "staging_job_id", hasStaging, ids),
+        slice(issues, issuesShape, "issues_job_id", hasIssues, ids),
+        slice(items, itemsShape, "issues_job_id", hasItems, ids),
+        contacts, usersDf(repro))
+    } catch {
+      case e: Exception =>
+        if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+        repro.foreach(fail(_, String.valueOf(e.getMessage)))
     }
     if (built.isEmpty) return failed.toSeq
 
@@ -319,58 +331,97 @@ object JobDispatch {
         t0 = System.nanoTime()
       }
       // Counters materialize BEFORE the commits (their plans read the
-      // pre-commit snapshots) — ONE action for the whole wave, which also
-      // fixes every job's ADR-002 decision (and warms each job's cached
-      // classify frame for the commit materializations below).
-      val counterRows = built.map { case (w, r) =>
-        r.counters.withColumn("__wave_job_id", lit(w.jobId))
-      }.reduce(_.unionByName(_)).collect()
-        .map(r => r.getAs[Int]("__wave_job_id") -> r).toMap
+      // pre-commit snapshots) — ONE action for the whole wave, which fixes
+      // every job's ADR-002 decision and warms the keyed classify cache for
+      // the commit materializations below.
+      val counterRows = built.map(_._2.counters)
+        .reduce(_.unionByName(_)).collect()
+        .map(r => r.getAs[Int]("job_id") -> r).toMap
       lap("counters")
-      def unionOf(f: (FlowResult, Boolean) => DataFrame, shape: StructType): DataFrame =
-        built.map { case (w, r) =>
-          normTo(f(r, r.isClean(counterRows(w.jobId))), shape)
-        }.reduce(_.unionByName(_))
-      // One contacts append (each job's anti-join reads pre-append contacts;
-      // wave tenants are distinct, so jobs can't observe each other anyway).
-      store.append("contacts", unionOf((r, c) => r.newContactsDecided(c), contactsShape))
-      lap("contacts-append")
-      // One 3-table partition commit covering every wave job's partitions.
-      val jobIds = built.map(_._1.jobId)
-      store.overwritePartitionsAll(Seq(
-        graft.io.PartitionCommit("staging", unionOf((r, c) => r.stagingDecided(c), stagingShape),
-          "staging_job_id", jobIds.head, jobIds.tail),
-        graft.io.PartitionCommit("issues", unionOf((r, _) => r.issues, issuesShape),
-          "issues_job_id", jobIds.head, jobIds.tail),
-        graft.io.PartitionCommit("issue_items", unionOf((r, _) => r.issueItems, itemsShape),
-          "issues_job_id", jobIds.head, jobIds.tail)))
-      lap("partition-commit")
+      val cleanIds = counterRows.collect {
+        case (id, r) if r.getAs[Long]("unresolved_issues") == 0L => id
+      }.toSeq
+      def unionOf(f: KeyedFlowResult => DataFrame, shape: StructType): DataFrame =
+        built.map { case (_, k) => normTo(f(k), shape) }.reduce(_.unionByName(_))
+      // ONE two-phase commit for the whole wave: contacts append + 3-table
+      // partition swap. commitAll stages every plan against the pre-commit
+      // snapshots before mutating anything — the classify subtree reads
+      // contacts, so an append-then-write sequence would re-evaluate the
+      // staging plan against the wave's own appended contacts.
+      val jobIds = built.toSeq.flatMap(_._1).map(_.jobId)
+      store.commitAll(
+        Seq("contacts" -> unionOf(_.newContactsDecided(cleanIds), contactsShape)),
+        Seq(
+          graft.io.PartitionCommit("staging", unionOf(_.stagingDecided(cleanIds), stagingShape),
+            "staging_job_id", jobIds.head, jobIds.tail),
+          graft.io.PartitionCommit("issues", unionOf(_.issues, issuesShape),
+            "issues_job_id", jobIds.head, jobIds.tail),
+          graft.io.PartitionCommit("issue_items", unionOf(_.issueItems, itemsShape),
+            "issues_job_id", jobIds.head, jobIds.tail)))
+      lap("commit")
       // W7/W8 last (crash-repairable): all statuses + counters in one update.
-      updateJobs(store, built.map { case (w, r) =>
+      def statusOf(jobId: Int): String =
+        graft.ops.Consolidate.decideJobStatus(
+          counterRows(jobId).getAs[Long]("unresolved_issues"))
+      updateJobs(store, built.toSeq.flatMap(_._1).map { w =>
         val c = counterRows(w.jobId)
-        JobUpdate(w.jobId, r.statusOf(c),
+        JobUpdate(w.jobId, statusOf(w.jobId),
           totalRows = c.getAs[Long]("total_rows"),
           processedRows = c.getAs[Long]("total_rows"),
           issueCount = c.getAs[Long]("unresolved_issues"))
       })
-      failed.toSeq ++ built.map { case (w, r) =>
-        w.idx -> MessageOutcome(Some(w.jobId), w.s3Key, r.statusOf(counterRows(w.jobId)), "ok")
+      failed.toSeq ++ built.toSeq.flatMap(_._1).map { w =>
+        w.idx -> MessageOutcome(Some(w.jobId), w.s3Key, statusOf(w.jobId), "ok")
       }
     } catch {
       case e: Exception =>
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-        // Shared-commit failure: replay each wave job individually so the
-        // culprit fails alone. Safe because the pipeline is idempotent
-        // (J1 anti-join + staging_id-unique contacts insert): a partially
+        // Shared-action failure: replay each wave job individually — WITH
+        // its pre-wave route (statuses are PROCESSING now, so a re-route
+        // would misroute Reprocessing jobs to Initial) — so the culprit
+        // fails alone. Safe because the pipeline is idempotent (J1
+        // anti-join + staging_id-unique contacts insert): a partially
         // committed wave replays as a no-op for the already-landed rows.
-        failed.toSeq ++ built.map { case (w, _) =>
-          w.idx -> runOneCaught(spark, store, w.jobId, w.s3Key, w.body, resolveCsv)
+        failed.toSeq ++ built.toSeq.flatMap(_._1).map { w =>
+          w.idx -> runOneCaught(spark, store, w.jobId, w.s3Key, w.body, resolveCsv, Some(w.route))
         }
     } finally {
-      // Release every wave job's classify cache — a long-running stream
-      // would otherwise hold one dead cached frame per processed job.
-      built.foreach { case (_, r) => r.unpersist() }
+      // Release the keyed classify caches — a long-running stream would
+      // otherwise hold one dead cached frame per wave in the storage pool.
+      built.foreach { case (_, k) => k.unpersist() }
     }
+  }
+
+  /** Probe a set of (idx, plan) inputs for emptiness in as few actions as
+    * possible: ONE union-of-limit(1) action for the whole set on the happy
+    * path; on a runtime failure the group BINARY-SPLITS, so one poisoned
+    * input costs O(log n) extra probes for the healthy rest instead of a
+    * sequential per-input scan. A singleton that still throws counts as
+    * NON-empty so its real error — not "empty CSV" — surfaces at
+    * build/commit, where per-job isolation attributes it to the right
+    * message. Returns the idx set of EMPTY inputs. `onProbe` (tests)
+    * observes each probe action with its group size. */
+  private[stream] def probeEmptyIdx(
+      inputs: Seq[(Int, DataFrame)],
+      onProbe: Int => Unit = _ => ()): Set[Int] = {
+    def probe(group: Seq[(Int, DataFrame)]): Set[Int] = {
+      onProbe(group.length)
+      val present = group.map { case (i, df) => df.limit(1).select(lit(i).as("idx")) }
+        .reduce(_.unionByName(_)).collect().map(_.getInt(0)).toSet
+      group.map(_._1).toSet -- present
+    }
+    def go(group: Seq[(Int, DataFrame)]): Set[Int] =
+      try probe(group)
+      catch {
+        case e: Exception =>
+          if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+          if (group.length <= 1) Set.empty
+          else {
+            val (l, r) = group.splitAt(group.length / 2)
+            go(l) ++ go(r)
+          }
+      }
+    if (inputs.isEmpty) Set.empty else go(inputs)
   }
 
   private def emptyLike(spark: SparkSession, schema: StructType): DataFrame =
@@ -383,7 +434,22 @@ object JobDispatch {
       store: TableStore,
       jobId: Int,
       s3Key: String,
-      resolveCsv: String => String): MessageOutcome = {
+      resolveCsv: String => String): MessageOutcome =
+    processOne(spark, store, jobId, s3Key, resolveCsv, None)
+
+  /** [[processOne]] with an optional FORCED route: a wave replay passes the
+    * route computed from the PRE-wave job state, because the wave already
+    * moved its members to PROCESSING — re-routing now would send a
+    * NEEDS_REVIEW (Reprocessing) job down the Initial branch. Skip routes
+    * (missing job, COMPLETED) still come from the live state: they guard
+    * conditions a forced route must not override. */
+  def processOne(
+      spark: SparkSession,
+      store: TableStore,
+      jobId: Int,
+      s3Key: String,
+      resolveCsv: String => String,
+      forcedRoute: Option[Router.Route]): MessageOutcome = {
     import graft.model.Schemas
 
     val jobs = if (store.exists("jobs")) store.load("jobs") else null
@@ -397,7 +463,13 @@ object JobDispatch {
     val hasStaging = store.exists("staging") &&
       !staging.filter(col("staging_job_id") === jobId).isEmpty
 
-    Router.route(jobStatus, hasStaging) match {
+    val liveRoute = Router.route(jobStatus, hasStaging)
+    val effective = forcedRoute match {
+      case Some(r)
+        if liveRoute != Router.SkipMissingJob && liveRoute != Router.SkipCompleted => r
+      case _ => liveRoute
+    }
+    effective match {
       case Router.SkipMissingJob =>
         MessageOutcome(Some(jobId), s3Key, "SKIPPED", "job not found (stale message)")
       case Router.SkipCompleted =>
@@ -446,14 +518,21 @@ object JobDispatch {
           val c = result.counters.collect().head
           val status = result.statusOf(c)
           val clean = result.isClean(c)
-          store.append("contacts", result.newContactsDecided(clean))
-          store.overwritePartitionsAll(Seq(
-            graft.io.PartitionCommit("staging", norm(result.stagingDecided(clean), stagingShape),
-              "staging_job_id", jobId),
-            graft.io.PartitionCommit("issues", norm(result.issues, issuesShape),
-              "issues_job_id", jobId),
-            graft.io.PartitionCommit("issue_items", norm(result.issueItems, itemsShape),
-              "issues_job_id", jobId)))
+          // One two-phase commit (append + partition swaps): every plan is
+          // staged against the pre-commit snapshots before any mutation, so
+          // the staging plan can never observe this job's own appended
+          // contacts (classify reads contacts; a sequential append-then-
+          // write would flip the job's READY rows to EXISTING_EMAIL when
+          // Spark re-caches the classify frame on the contacts write).
+          store.commitAll(
+            Seq("contacts" -> result.newContactsDecided(clean)),
+            Seq(
+              graft.io.PartitionCommit("staging", norm(result.stagingDecided(clean), stagingShape),
+                "staging_job_id", jobId),
+              graft.io.PartitionCommit("issues", norm(result.issues, issuesShape),
+                "issues_job_id", jobId),
+              graft.io.PartitionCommit("issue_items", norm(result.issueItems, itemsShape),
+                "issues_job_id", jobId)))
           // W7/W8 last (crash-repairable): status + counters in one 1-row update.
           updateJob(store, jobId, status,
             totalRows = c.getAs[Long]("total_rows"),

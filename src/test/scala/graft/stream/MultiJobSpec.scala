@@ -37,6 +37,34 @@ class MultiJobSpec extends SparkSpec {
     assert((1 to 5).filterNot(_ == 3).forall(meta(_) === 1L))
   }
 
+  test("a job's own consolidation cannot re-classify its staging (commit reads pre-commit snapshots)") {
+    // Regression: the commit appends this job's contacts and THEN writes its
+    // staging partition. Spark invalidates + re-caches any cached plan on a
+    // write to a path it reads, so if the contacts append ran as a separate
+    // mutation first, the staging plan's classify subtree would re-evaluate
+    // against post-append contacts and flip the job's own READY rows to
+    // EXISTING_EMAIL — committed staging saying ISSUE for a COMPLETED job.
+    // Needs the contacts table to EXIST at plan time (else classify reads
+    // an empty local relation and is immune), hence the two jobs.
+    val root = Files.createTempDirectory("graft_selfreclass").toString
+    val store = new ParquetTableStore(spark, root + "/tables")
+    Files.createDirectories(Paths.get(root + "/uploads"))
+    store.overwrite("jobs", Seq((1, "u1", JobStatus.Pending), (2, "u1", JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status"))
+    Files.writeString(Paths.get(s"$root/uploads/f1.csv"),
+      "email,first_name,last_name,company\na@b.co,F,L,C\n")
+    Files.writeString(Paths.get(s"$root/uploads/f2.csv"),
+      "email,first_name,last_name,company\nb@b.co,F,L,C\n")
+    assert(JobDispatch.processOne(spark, store, 1, "f1.csv",
+      k => s"$root/uploads/$k").outcome === JobStatus.Completed)
+    assert(JobDispatch.processOne(spark, store, 2, "f2.csv",
+      k => s"$root/uploads/$k").outcome === JobStatus.Completed)
+    val statuses = store.load("staging")
+      .select("staging_job_id", "staging_status").as[(Int, String)].collect().toSet
+    assert(statuses === Set(1 -> "SUCCESS", 2 -> "SUCCESS"))
+    assert(!store.exists("issues") || store.load("issues").count() === 0)
+  }
+
   test("per-job commit leaves other jobs' partition files byte-identical") {
     val root = Files.createTempDirectory("graft_partcommit").toString
     val store = new ParquetTableStore(spark, root + "/tables")

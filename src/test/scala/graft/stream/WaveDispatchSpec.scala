@@ -174,6 +174,90 @@ class WaveDispatchSpec extends SparkSpec {
     assert(contacts === Set("ok@b.co", "new@b.co"))
   }
 
+  test("empty-probe degradation: one poisoned input costs O(log n) probes, not n sequential scans") {
+    val n = 64
+    // Poison lives in a FILTER (not a projection Catalyst could prune): the
+    // scan evaluates it at runtime, like a vanished/unreadable CSV would.
+    val boom = udf((x: Long) =>
+      if (x >= 0) throw new RuntimeException("poisoned input") else x)
+    val inputs: Seq[(Int, org.apache.spark.sql.DataFrame)] = (0 until n).map { i =>
+      i -> (i match {
+        case 13 => spark.range(1).toDF().filter(boom(col("id")) === 0L) // runtime failure
+        case 7 => spark.range(0).select(col("id").as("v")) // genuinely empty
+        case _ => spark.range(2).select(col("id").as("v"))
+      })
+    }
+    var probes = 0
+    val empty = JobDispatch.probeEmptyIdx(inputs, _ => probes += 1)
+    // The poisoned input is NOT reported empty (its real error must surface
+    // downstream); the genuinely empty one is.
+    assert(empty === Set(7))
+    // Binary split: 1 failed root probe + at most 2 probes per level of the
+    // halving path to the poison (log2(64) = 6 levels).
+    val bound = 1 + 2 * (math.log(n) / math.log(2)).ceil.toInt
+    assert(probes <= bound, s"$probes probes for one poisoned input of $n (bound $bound)")
+    // Sanity: the happy path is exactly ONE probe.
+    probes = 0
+    val allGood = (0 until n).map(i => i -> spark.range(1).select(col("id").as("v")))
+    assert(JobDispatch.probeEmptyIdx(allGood, _ => probes += 1) === Set.empty[Int])
+    assert(probes === 1)
+  }
+
+  test("shared-commit failure on a mixed-route wave: replay keeps each job's pre-wave route") {
+    // Seed job 1 into NEEDS_REVIEW with staging, discard its bad row (so a
+    // reprocess run completes it), and queue job 2 as initial. Then break
+    // the shared wave commit by making the contacts table unappendable —
+    // the replay must run job 1 through REPROCESS (not re-route it to
+    // Initial off its in-wave PROCESSING status).
+    val (root, store) = seed(2, i => s"u$i")
+    Files.writeString(Paths.get(s"$root/uploads/fix.csv"),
+      "email,first_name,last_name,company\nok@b.co,F,L,C\n,missing,Cee,Biz\n")
+    Files.writeString(Paths.get(s"$root/uploads/new.csv"),
+      "email,first_name,last_name,company\nnew@b.co,F,L,C\n")
+    JobDispatch.processBatch(spark, store,
+      Seq(msg(1, "fix.csv")).toDF("value"), k => s"$root/uploads/$k")
+    store.overwrite("staging", store.load("staging").withColumn("staging_status",
+      when(col("staging_email").isNull || trim(col("staging_email")) === "",
+        "DISCARD").otherwise(col("staging_status"))))
+
+    // A store proxy whose FIRST wave commit throws (the shared-commit
+    // action), then behaves normally for the replay.
+    var failNextCommit = true
+    val flaky = new graft.io.TableStore {
+      def load(t: String) = store.load(t)
+      def exists(t: String) = store.exists(t)
+      def overwrite(t: String, df: org.apache.spark.sql.DataFrame) = store.overwrite(t, df)
+      def append(t: String, df: org.apache.spark.sql.DataFrame) = store.append(t, df)
+      override def overwritePartitionsAll(cs: Seq[graft.io.PartitionCommit]) =
+        store.overwritePartitionsAll(cs)
+      override def commitAll(
+          appends: Seq[(String, org.apache.spark.sql.DataFrame)],
+          partitions: Seq[graft.io.PartitionCommit],
+          overwrites: Seq[(String, org.apache.spark.sql.DataFrame)]) = {
+        if (failNextCommit && appends.exists(_._1 == "contacts")) {
+          failNextCommit = false
+          throw new RuntimeException("injected wave-commit failure")
+        }
+        store.commitAll(appends, partitions, overwrites)
+      }
+    }
+    val out = JobDispatch.processBatch(spark, flaky,
+      Seq(msg(1, "fix.csv"), msg(2, "new.csv")).toDF("value"),
+      k => s"$root/uploads/$k")
+    // Replay with the forced route: job 1 reprocesses to COMPLETED (its
+    // discarded row resolves the issue); a re-route to Initial would have
+    // re-imported fix.csv over the reviewed staging set instead.
+    assert(out(0).outcome === JobStatus.Completed)
+    assert(out(1).outcome === JobStatus.Completed)
+    val contacts = store.load("contacts")
+      .select("contact_email").as[String].collect().toSet
+    assert(contacts === Set("ok@b.co", "new@b.co"))
+    // The reviewed DISCARD decision survived the replay (Initial re-import
+    // would have re-staged the bad row as ISSUE).
+    val statuses = store.load("staging").select("staging_status").as[String].collect().toSet
+    assert(statuses === Set("SUCCESS", "DISCARD"))
+  }
+
   test("wave with an issue job: NEEDS_REVIEW and COMPLETED commit together, counters per job") {
     val (root, store) = seed(2, i => s"u$i")
     Files.writeString(Paths.get(s"$root/uploads/clean.csv"),
