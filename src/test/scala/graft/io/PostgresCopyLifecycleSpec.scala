@@ -1,0 +1,116 @@
+package graft.io
+
+import graft.model.Schemas
+import graft.model.Schemas.{JobStatus, StagingStatus}
+import graft.stream.JobDispatch
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The full job lifecycle against a LIVE PostgreSQL 15 server with REAL row
+  * movement — the gap the dialect spec couldn't close: rows actually travel
+  * Spark -> Postgres (COPY FROM) and Postgres -> Spark (COPY TO) through
+  * [[PostgresCopyTableStore]], no JDBC jar involved. Runs the reference's
+  * processor.py:124-788 semantics end-to-end: initial -> NEEDS_REVIEW ->
+  * user edit in the DATABASE -> reprocess -> consolidate -> COMPLETED,
+  * with the ON CONFLICT upsert exercised against live rows. Cancels when
+  * the server binaries are unavailable. */
+class PostgresCopyLifecycleSpec extends PostgresCluster {
+
+  private lazy val spark: SparkSession = graft.SparkSpec.session
+  import org.apache.spark.sql.types._
+
+  test("COPY round trip preserves types, NULL vs empty string, booleans, timestamps") {
+    val s = spark
+    import s.implicits._
+    val store = new PostgresCopyTableStore(spark, psqlRunner, s"$pgRoot/scratch")
+    val df = Seq(
+      (1L, "plain", Some(true), Some(1.5), Some("2026-08-14 03:00:00.123456")),
+      (2L, "", Some(false), None, None),
+      (3L, null.asInstanceOf[String], None, Some(-2.25), Some("2026-01-01 00:00:00"))
+    ).toDF("id", "s", "b", "d", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .withColumn("b", col("b").cast("boolean"))
+    store.overwrite("rt", df)
+    val back = store.load("rt").orderBy("id").collect()
+    assert(back.length === 3)
+    assert(back(0).getAs[String]("s") === "plain")
+    assert(back(1).getAs[String]("s") === "", "empty string must NOT become NULL")
+    assert(back(2).getAs[String]("s") == null, "NULL must stay NULL")
+    assert(back(0).getAs[Boolean]("b") === true && back(1).getAs[Boolean]("b") === false)
+    assert(back(2).isNullAt(back(2).fieldIndex("b")))
+    assert(back(0).getAs[java.sql.Timestamp]("ts").toString === "2026-08-14 03:00:00.123456")
+    assert(back(0).getAs[Double]("d") === 1.5 && back(2).getAs[Double]("d") === -2.25)
+    // Schema derived from information_schema, not remembered client-side.
+    val loaded = store.load("rt").schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(loaded("id") === LongType && loaded("s") === StringType &&
+      loaded("b") === BooleanType && loaded("ts") === TimestampType)
+  }
+
+  test("initial -> edit in Postgres -> reprocess -> COMPLETED: real rows through a live server") {
+    val s = spark
+    import s.implicits._
+    val store = new PostgresCopyTableStore(spark, psqlRunner, s"$pgRoot/scratch")
+    def emptyOf(shape: StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], shape)
+    JobDispatch.tableShapes
+      .foreach { case (t, shape) => store.overwrite(t, emptyOf(shape)) }
+    store.overwrite("jobs", emptyOf(Schemas.jobs))
+    store.append("jobs", Seq((1, "u1", JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status")
+      .select(Schemas.jobs.fields.toSeq.map(f =>
+        (if (Seq("job_id", "job_user_id", "job_status").contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)): _*))
+
+    val root = Files.createTempDirectory("graft_pgc_lc").toString
+    Files.writeString(Paths.get(s"$root/f1.csv"),
+      "email,first_name,last_name,company\nok@b.co,Ann,Bee,Acme\n,NoMail,Cee,Biz\nok2@b.co,Dee,Eff,Co\n")
+
+    // Initial pass: one MISSING_REQUIRED_FIELD row -> NEEDS_REVIEW.
+    val r1 = JobDispatch.processOne(spark, store, 1, "f1.csv", _ => s"$root/f1.csv")
+    assert(r1.outcome === JobStatus.NeedsReview)
+    // Ground truth read via psql, NOT via the store under test.
+    assert(psql("""SELECT "job_status" || ':' || "job_total_rows" FROM jobs""")
+      === "NEEDS_REVIEW:3")
+    assert(psql("SELECT count(*) FROM staging") === "3")
+    assert(psql("""SELECT count(*) FROM issues WHERE NOT "issue_resolved"""") === "1")
+    assert(psql("SELECT count(*) FROM contacts") === "0")
+    val badId = psql("""SELECT "staging_id" FROM staging WHERE "staging_status" = 'ISSUE'""")
+
+    // User review: fix the bad row's email with the engine's emitted
+    // ON CONFLICT upsert, executed against the live server with the row's
+    // REAL column values (the W2 update path).
+    val cols = Seq("staging_id", "staging_status", "staging_email")
+    val (sqlText, bindOrder) = JdbcUpsert.upsertSql("staging", cols, Seq("staging_id"))
+    // Postgres needs the conflict target to be constrained for ON CONFLICT.
+    psql(s"""ALTER TABLE staging ADD PRIMARY KEY ("staging_id")""")
+    val binds = Map[String, Any]("staging_id" -> badId.toLong,
+      "staging_status" -> StagingStatus.Issue, "staging_email" -> "fixed@b.co")
+    val filled = {
+      val parts = sqlText.split("\\?", -1)
+      parts.head + bindOrder.map {
+        case k => binds(k) match {
+          case s0: String => "'" + s0 + "'"
+          case v => String.valueOf(v)
+        }
+      }.zip(parts.tail).map { case (l, p) => l + p }.mkString
+    }
+    psql(filled)
+    assert(psql("""SELECT "staging_email" FROM staging WHERE "staging_id" = """ + badId)
+      === "fixed@b.co")
+
+    // Reprocess route: re-validate from the database, resolve, consolidate.
+    val r2 = JobDispatch.processOne(spark, store, 1, "f1.csv", _ => s"$root/f1.csv")
+    assert(r2.outcome === JobStatus.Completed)
+    assert(psql("""SELECT "job_status" FROM jobs""") === "COMPLETED")
+    assert(psql("""SELECT count(*) FROM issues WHERE NOT "issue_resolved"""") === "0")
+    assert(psql("""SELECT "contact_email" FROM contacts ORDER BY "contact_email"""")
+      === "fixed@b.co\nok2@b.co\nok@b.co")
+    assert(psql("""SELECT count(*) FROM staging WHERE "staging_status" = 'SUCCESS'""") === "3")
+
+    // Replay: COMPLETED short-circuit, nothing mutates.
+    val r3 = JobDispatch.processOne(spark, store, 1, "f1.csv", _ => s"$root/f1.csv")
+    assert(r3.outcome === "SKIPPED")
+    assert(psql("SELECT count(*) FROM contacts") === "3")
+  }
+}

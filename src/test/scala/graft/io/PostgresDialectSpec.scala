@@ -24,34 +24,7 @@ import scala.sys.process._
   *
   * Cancels (not fails) when the server binaries are unavailable.
   */
-class PostgresDialectSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private val pgBin: Option[String] =
-    Seq("/usr/local/bin", "/usr/lib/postgresql/15/bin")
-      .find(d => new File(d, "initdb").exists && new File(d, "pg_ctl").exists)
-
-  private var root: String = _
-  private var started = false
-
-  private def asNobody(cmd: String): (Int, String) = {
-    val out = new StringBuilder
-    val logger = ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n'))
-    val rc = Process(Seq("su", "-s", "/bin/sh", "nobody", "-c", cmd), new File("/tmp")) ! logger
-    (rc, out.toString)
-  }
-
-  /** Run SQL via psql; returns unaligned tuples-only output. Fails the
-    * calling test on a non-zero exit (syntax errors surface loudly). */
-  private def psql(sql: String, db: String = "graft"): String = {
-    val f = Files.createTempFile(Paths.get(root), "stmt", ".sql")
-    Files.writeString(f, sql)
-    f.toFile.setReadable(true, false)
-    val (rc, out) = asNobody(
-      s"psql -h $root/sock -U graft -d $db -v ON_ERROR_STOP=1 -tA -f $f")
-    Files.delete(f)
-    assert(rc == 0, s"psql failed (rc=$rc):\n$sql\n--- output ---\n$out")
-    out.trim
-  }
+class PostgresDialectSpec extends PostgresCluster {
 
   /** Substitute `?` placeholders with SQL literals, in order — the psql
     * stand-in for PreparedStatement binds. Splits on the placeholders
@@ -68,32 +41,6 @@ class PostgresDialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       case v => String.valueOf(v)
     }
     parts.head + lits.zip(parts.tail).map { case (l, p) => l + p }.mkString
-  }
-
-  override def beforeAll(): Unit = {
-    assume(pgBin.isDefined, "postgres server binaries not available")
-    val bin = pgBin.get
-    root = Files.createTempDirectory("graft_pg").toString
-    // Postgres refuses to run as root; hand the cluster dir to nobody.
-    new File(root).setReadable(true, false)
-    new File(root).setWritable(true, false)
-    new File(root).setExecutable(true, false)
-    Files.createDirectories(Paths.get(s"$root/sock"))
-    Process(Seq("chown", "-R", "nobody", root)).!
-    val (rcInit, outInit) =
-      asNobody(s"$bin/initdb -D $root/data -U graft -A trust --no-sync")
-    assume(rcInit == 0, s"initdb failed:\n$outInit")
-    val (rcStart, outStart) = asNobody(
-      s"""$bin/pg_ctl -D $root/data -l $root/log -o "-c listen_addresses='' -k $root/sock" -w start""")
-    assume(rcStart == 0, s"pg_ctl start failed:\n$outStart")
-    started = true
-    psql("CREATE DATABASE graft", db = "postgres")
-  }
-
-  override def afterAll(): Unit = {
-    if (started) asNobody(s"${pgBin.get}/pg_ctl -D $root/data -m immediate stop")
-    if (root != null)
-      Process(Seq("rm", "-rf", root)).!
   }
 
   test("ON CONFLICT upsert (staging status W2): insert then conflicting update") {
