@@ -37,6 +37,14 @@ object Bench {
     // Map happens to order first, making per-query numbers incomparable.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    // Shared-cache materialization as explicit named lines: q_cluster_sizes
+    // and q_classify otherwise absorb the guardedPairs/classify cache builds
+    // their whole families reuse, and their per-query numbers read as
+    // multi-second queries when their warm floors are sub-second. A cache
+    // failure is not fatal here — the consumer queries will report it.
+    val cacheTimes =
+      try SparkEntry.warmSharedCaches(spark, sfDir)
+      catch { case _: Throwable => Seq.empty[(String, Double)] }
     // Deterministic (sorted) execution order: Map hash order shuffles which
     // query absorbs residual warm-up, making cross-round per-query numbers
     // incomparable.
@@ -49,7 +57,8 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = (cacheTimes.map { case (k, v) => s"\"" + k + "\":" + v } ++
+      results.map { case (k, v, _) => s"\"" + k + "\":" + v })
       .mkString("{", ",", "}")
     // A failed query must be visibly red in the artifact, not a fast green:
     // round 6's schema drift "ran" 25 broken queries in 0.05 s each under
@@ -59,7 +68,7 @@ object Bench {
       s"${JsonText.quote(k)}:${JsonText.quote(m)}"
     }
     val errsJson = failures.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = cacheTimes.map(_._2).sum + results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"error_count":${failures.size},"sf":"$sfDir"}""")
     if (failures.nonEmpty)
       System.err.println(s"[bench] ${failures.size} queries FAILED")

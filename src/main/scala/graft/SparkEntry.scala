@@ -232,6 +232,22 @@ object SparkEntry {
         n = 4, threshold = 0.8).cache()
     })
 
+  /** Materialize the two cross-query shared caches, timing each — bench
+    * attribution. Without this, whichever consumer happens to run first
+    * absorbs the materialization cost (q_cluster_sizes absorbed ~4 s of
+    * guardedPairs, q_classify ~2 s of the classify cache, every round) and
+    * per-query floors read dishonestly. Bench calls it up front and emits
+    * the timings as explicit `cache_*` lines; consumers then measure warm.
+    * Returns (name, seconds). */
+  def warmSharedCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      "cache_classify" -> time(classified(s, dir).count()),
+      "cache_guardedPairs" -> time(guardedPairs(s, dir).count()))
+  }
+
   /** Cross-source near-dup pair counts per unordered source pair (s1 < s2,
     * weight = pair count) — shared by the source-overlap report and the
     * source-PageRank edge builder, so the canonicalization can't drift
@@ -1471,6 +1487,19 @@ object SparkEntry {
           round(col("total_value").cast("double"), 6).as("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // The streaming per-group DDSketch quantile operator run BATCH-MODE —
+    // oracles the actual EventAnalytics state path (the aggregator's bucket
+    // merge IS the streaming state transition, so batch == stream by
+    // construction; the streaming spec pins that equality, this row pins
+    // the values against DuckDB)
+    "q_stream_quantiles" -> ((s, dir) =>
+      graft.stream.EventAnalytics.valueQuantiles(events(s, dir), "event_type", "value")
+        .select(col("event_type"), posexplode(col("quantile_buckets")))
+        .select(col("event_type"),
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos").cast("int") + 1).as("q"),
+          col("col").cast("long").as("bucket"))
+        .orderBy("event_type", "q")),
+
     // The streaming stream-stream interval join (click attribution) run
     // BATCH-MODE over view/click events — same code path as the stream
     "q_stream_attribution" -> ((s, dir) => {
@@ -1893,6 +1922,36 @@ object SparkEntry {
       Consolidate.readyToContacts(staging, "u1").orderBy("staging_id")
     })
   )
+
+  /** DDSketch bucket-walk oracle, shared by the batch (q_dd_quantiles) and
+    * streaming-operator (q_stream_quantiles) rows. Zero class mirrored from
+    * DdSketchAggregator.reduce: non-positive (incl. NaN — DuckDB orders NaN
+    * above zero, Scala's `x > 0` is false) rows bucket to the Int.MinValue
+    * sentinel BELOW every real bucket and still count toward total, and the
+    * CASE keeps ln() off rows where DuckDB would raise "cannot take
+    * logarithm of zero". */
+  private val ddQuantilesOracleSql: String =
+    """WITH p AS (
+      |  SELECT event_type,
+      |         CASE WHEN value > 0 AND NOT isnan(value)
+      |              THEN CAST(ceil(ln(value) / ln((1 + CAST(0.01 AS DOUBLE)) / (1 - CAST(0.01 AS DOUBLE)))) AS BIGINT)
+      |              ELSE CAST(-2147483648 AS BIGINT) END AS b
+      |  FROM events),
+      |c AS (SELECT event_type, b, count(*) AS n FROM p GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
+      |w AS (
+      |  SELECT c.event_type, c.b,
+      |         CAST(sum(c.n) OVER (PARTITION BY c.event_type ORDER BY c.b) AS BIGINT) AS cum,
+      |         t.total
+      |  FROM c JOIN t USING (event_type)),
+      |q AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+      |hit AS (
+      |  SELECT w.event_type, q.q, w.b,
+      |         row_number() OVER (PARTITION BY w.event_type, q.q ORDER BY w.b) AS rn
+      |  FROM w CROSS JOIN q
+      |  WHERE w.cum >= CAST(ceil(q.q * w.total) AS BIGINT))
+      |SELECT event_type, q, b AS bucket FROM hit WHERE rn = 1
+      |ORDER BY event_type, q""".stripMargin
 
   /** Shared WITH-chain computing the curation gate flags (ends in CTE
     * `gd`: doc_id, g1_drop..g4_drop) — one definition for the funnel and
@@ -3491,26 +3550,11 @@ object SparkEntry {
         |  CAST(est.est_count - ex.exact_count AS BIGINT) AS overcount
         |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin,
 
-    "q_dd_quantiles" ->
-      """WITH p AS (
-        |  SELECT event_type,
-        |         CAST(ceil(ln(value) / ln((1 + CAST(0.01 AS DOUBLE)) / (1 - CAST(0.01 AS DOUBLE)))) AS BIGINT) AS b
-        |  FROM events),
-        |c AS (SELECT event_type, b, count(*) AS n FROM p GROUP BY 1, 2),
-        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1),
-        |w AS (
-        |  SELECT c.event_type, c.b,
-        |         CAST(sum(c.n) OVER (PARTITION BY c.event_type ORDER BY c.b) AS BIGINT) AS cum,
-        |         t.total
-        |  FROM c JOIN t USING (event_type)),
-        |q AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
-        |hit AS (
-        |  SELECT w.event_type, q.q, w.b,
-        |         row_number() OVER (PARTITION BY w.event_type, q.q ORDER BY w.b) AS rn
-        |  FROM w CROSS JOIN q
-        |  WHERE w.cum >= CAST(ceil(q.q * w.total) AS BIGINT))
-        |SELECT event_type, q, b AS bucket FROM hit WHERE rn = 1
-        |ORDER BY event_type, q""".stripMargin,
+    "q_dd_quantiles" -> ddQuantilesOracleSql,
+
+    // q_stream_quantiles is the SAME aggregator reached through the
+    // streaming EventAnalytics.valueQuantiles path — identical oracle.
+    "q_stream_quantiles" -> ddQuantilesOracleSql,
 
     "q_source_overlap_matrix" ->
       s"""WITH $jaccardPairsCteSql,

@@ -253,6 +253,11 @@ object Multimodal {
           targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()
         try {
+          // RGBA/palette-transparency sources: composite onto an explicit
+          // white background (the training-data convention) instead of the
+          // TYPE_INT_RGB default of silently flattening alpha onto black
+          g.setColor(java.awt.Color.WHITE)
+          g.fillRect(0, 0, targetW, targetH)
           g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, targetW, targetH, null)

@@ -393,6 +393,23 @@ class FunctionsSpec extends SparkSpec {
     assert(out.map(_.payload.toSeq).toSeq === rerun.map(_.payload.toSeq).toSeq)
   }
 
+  test("multimodal: resize composites RGBA transparency onto white, not black") {
+    // Fully-transparent ARGB source: every pixel must come out white —
+    // the TYPE_INT_RGB default would flatten alpha onto black.
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x00000000 else 0xffff0000.toInt) // left transparent, right opaque red
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val dec = Multimodal.decodeImage(Multimodal.resizeImage(baos.toByteArray, 16, 16).get).get
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(baos.toByteArray, 16, 16).get))
+    assert((out.getRGB(0, 0) & 0xffffff) === 0xffffff, "transparent region must be white")
+    assert((out.getRGB(15, 0) & 0xffffff) === 0xff0000, "opaque region keeps its color")
+    assert(dec._1 === 16 && dec._2 === 16)
+  }
+
   test("multimodal: REAL WAV decode — frame count, channels, RMS/peak envelope") {
     // 16-bit PCM mono square wave at half amplitude: RMS = peak = 0.5 exactly.
     val nFrames = 8000
