@@ -457,6 +457,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(textScans === 1, s"$textScans text scans\n${plan.take(800)}")
   }
 
+  test("keyed wave: join/aggregate/exchange operator count is CONSTANT in job count") {
+    // The whole point of the single-plan wave: N jobs compile ONE
+    // classify/issues/consolidate subtree (job_id-keyed), so the number of
+    // join/aggregate/shuffle operators must not grow with wave size — only
+    // the union's leaf count may. A regression back to per-job plan
+    // branches would multiply every operator by N.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    def csv(n: Int) = (1 to 3).map(r => (r.toLong, s"u$n-$r@b.co", "F", "L", "C"))
+      .toDF("row_number", "email", "first_name", "last_name", "company")
+    val staging0 = Seq.empty[(Long, Int, String, String, String, String, String, String)]
+      .toDF("staging_id", "staging_job_id", "staging_email", "staging_first_name",
+        "staging_last_name", "staging_company", "staging_status", "staging_row_hash")
+    val issues0 = Seq.empty[(Int, String, String, String, Boolean)]
+      .toDF("issues_job_id", "issue_type", "issue_key", "issue_description", "issue_resolved")
+    val items0 = Seq.empty[(Int, String, String, Long)]
+      .toDF("issues_job_id", "issue_type", "issue_key", "item_staging_id")
+    val contacts0 = Seq((9L, "u1", "x@b.co", "P", "Q", "R"))
+      .toDF("staging_id", "contacts_user_id", "contact_email",
+        "contact_first_name", "contact_last_name", "contact_company")
+    def keyedPlan(nJobs: Int): String = {
+      val input = (1 to nJobs).map(j => csv(j).withColumn("job_id", lit(j)))
+        .reduce(_.unionByName(_))
+      val jobUsers = (1 to nJobs).map(j => (j, s"u$j")).toDF("job_id", "job_user_id")
+      val k = graft.pipeline.Lifecycle.initialProcessKeyed(
+        input, jobUsers, staging0, issues0, items0, contacts0)
+      val plan = k.counters.queryExecution.executedPlan.toString
+      k.unpersist()
+      plan
+    }
+    val p2 = keyedPlan(2)
+    val p8 = keyedPlan(8)
+    def ops(plan: String, op: String) = op.r.findAllIn(plan).size
+    Seq("Join", "Aggregate", "Exchange").foreach { op =>
+      assert(ops(p8, op) === ops(p2, op),
+        s"$op operator count grew with job count (${ops(p2, op)} -> ${ops(p8, op)})")
+    }
+    assert(!p8.contains("CartesianProduct"), "keyed wave plan contains a cross product")
+    assert(p8.contains("BroadcastHashJoin") || p8.contains("BroadcastNestedLoopJoin"),
+      "jobUsers/contacts joins should broadcast the small side")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
