@@ -292,6 +292,16 @@ object JobDispatch {
       ws.map(w => (w.jobId, w.userId)).toDF("job_id", "job_user_id")
     }
     val built = scala.collection.mutable.ArrayBuffer.empty[(Seq[WaveItem], KeyedFlowResult)]
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[(Int, MessageOutcome)]
+    // A keyed-plan BUILD failure (rare — plan construction, not execution)
+    // must not sink the whole route: degrade its members to the sequential
+    // path with their pre-wave routes, where per-job isolation attributes
+    // the real error to the right message and healthy jobs still commit.
+    def degrade(ws: Seq[WaveItem]): Unit =
+      ws.foreach { w =>
+        degraded += w.idx ->
+          runOneCaught(spark, store, w.jobId, w.s3Key, w.body, resolveCsv, Some(w.route))
+      }
     val (repro, initial) = runnable.partition(_.route == Router.Reprocessing)
     if (initial.nonEmpty) try {
       val keyedInput = initial
@@ -307,7 +317,7 @@ object JobDispatch {
     } catch {
       case e: Exception =>
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-        initial.foreach(fail(_, String.valueOf(e.getMessage)))
+        degrade(initial)
     }
     if (repro.nonEmpty) try {
       val ids = repro.map(_.jobId)
@@ -319,9 +329,9 @@ object JobDispatch {
     } catch {
       case e: Exception =>
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-        repro.foreach(fail(_, String.valueOf(e.getMessage)))
+        degrade(repro)
     }
-    if (built.isEmpty) return failed.toSeq
+    if (built.isEmpty) return failed.toSeq ++ degraded.toSeq
 
     try {
       val debug = sys.env.contains("GRAFT_DISPATCH_DEBUG")
@@ -370,7 +380,7 @@ object JobDispatch {
           processedRows = c.getAs[Long]("total_rows"),
           issueCount = c.getAs[Long]("unresolved_issues"))
       })
-      failed.toSeq ++ built.toSeq.flatMap(_._1).map { w =>
+      failed.toSeq ++ degraded.toSeq ++ built.toSeq.flatMap(_._1).map { w =>
         w.idx -> MessageOutcome(Some(w.jobId), w.s3Key, statusOf(w.jobId), "ok")
       }
     } catch {
@@ -382,7 +392,7 @@ object JobDispatch {
         // fails alone. Safe because the pipeline is idempotent (J1
         // anti-join + staging_id-unique contacts insert): a partially
         // committed wave replays as a no-op for the already-landed rows.
-        failed.toSeq ++ built.toSeq.flatMap(_._1).map { w =>
+        failed.toSeq ++ degraded.toSeq ++ built.toSeq.flatMap(_._1).map { w =>
           w.idx -> runOneCaught(spark, store, w.jobId, w.s3Key, w.body, resolveCsv, Some(w.route))
         }
     } finally {

@@ -258,6 +258,27 @@ class WaveDispatchSpec extends SparkSpec {
     assert(statuses === Set("SUCCESS", "DISCARD"))
   }
 
+  test("keyed-plan build failure degrades to per-job isolation, batch survives") {
+    // A contacts table missing contacts_user_id makes plan CONSTRUCTION
+    // throw (analysis failure in the tenant-scope join) for the keyed wave
+    // AND for each sequential replay — what must hold is the error contract:
+    // processBatch does not throw, every message gets a FAILED outcome with
+    // the real error, every job lands in FAILED state (redeliverable).
+    val (root, store) = seed(2, i => s"u$i")
+    store.overwrite("contacts", Seq((1L, "x@b.co"))
+      .toDF("staging_id", "contact_email")) // schema missing contacts_user_id
+    Files.writeString(Paths.get(s"$root/uploads/a.csv"),
+      "email,first_name,last_name,company\na@b.co,F,L,C\n")
+    val out = JobDispatch.processBatch(spark, store,
+      Seq(msg(1, "a.csv"), msg(2, "a.csv")).toDF("value"),
+      k => s"$root/uploads/$k")
+    assert(out.length === 2)
+    assert(out.forall(_.outcome === "FAILED"), out.mkString("; "))
+    assert(out.forall(o => o.detail != null && o.detail.nonEmpty))
+    val statuses = store.load("jobs").select("job_status").as[String].collect().toSet
+    assert(statuses === Set(JobStatus.Failed))
+  }
+
   test("wave with an issue job: NEEDS_REVIEW and COMPLETED commit together, counters per job") {
     val (root, store) = seed(2, i => s"u$i")
     Files.writeString(Paths.get(s"$root/uploads/clean.csv"),
