@@ -76,6 +76,14 @@ trait TableStore {
     if (partitions.nonEmpty) overwritePartitionsAll(partitions)
     if (overwrites.nonEmpty) overwriteAll(overwrites)
   }
+
+  /** Storage maintenance between commits — the append-heavy-table problem:
+    * every streaming micro-batch appends files, and thousands of KB-sized
+    * files turn scans into file-listing storms. Snapshot stores override
+    * with small-file compaction; SQL stores no-op (the database's own
+    * storage layer handles it). Must only be called when no plan built
+    * from these tables is still unmaterialized. */
+  def maintain(tables: Seq[String]): Unit = ()
 }
 
 /** Parquet-backed store. `overwrite` writes to a temp dir then swaps, so a
@@ -226,6 +234,13 @@ class ParquetTableStore(
     }
     stagedOverwrites.foreach { case (t, tmp) => swap(t, tmp) }
   }
+
+  /** Small-file compaction for each existing named table (see [[compact]]
+    * — partitions under the file-count threshold are untouched, so calling
+    * this every N micro-batches costs ~a directory listing when nothing is
+    * fragmented). */
+  override def maintain(tables: Seq[String]): Unit =
+    tables.filter(exists).foreach(t => compact(t))
 
   /** Move a staged append's data files into the table dir, preserving
     * partition subdirectories (Spark's task-UUID file names cannot collide

@@ -642,13 +642,20 @@ object JobDispatch {
     * failed/interrupted epoch leaves them visible for redelivery on restart
     * (the visibility-timeout analog, consumer.py:171-177). Use [[start]] for
     * the simpler exactly-once JSON-lines file bridge. */
+  /** Tables the dispatch pipeline appends/commits into — the maintenance
+    * (compaction) set for a long-running stream. */
+  private val maintainedTables = Seq("contacts", "staging", "issues", "issue_items")
+
   def startQueue(
       spark: SparkSession,
       store: TableStore,
       queueDir: String,
       checkpointDir: String,
       resolveCsv: String => String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      maintainEvery: Int =
+        sys.env.get("GRAFT_COMPACT_EVERY").flatMap(_.toIntOption).getOrElse(0)): StreamingQuery = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
     spark.readStream
       .format("graft-queue")
       .load(queueDir)
@@ -658,6 +665,14 @@ object JobDispatch {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val outcomes = processBatch(spark, store, batch.select("value"), resolveCsv)
         outcomes.foreach(o => println(s"[dispatch] $o"))
+        // Post-batch storage maintenance: every Nth micro-batch compacts the
+        // append-heavy tables (a directory listing when nothing fragmented;
+        // safe here — no plan from this batch is still unmaterialized).
+        if (maintainEvery > 0 && batches.incrementAndGet() % maintainEvery == 0)
+          try store.maintain(maintainedTables)
+          catch { case e: Exception =>
+            if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+          }
       }
       .start()
   }

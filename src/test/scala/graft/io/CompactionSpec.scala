@@ -15,6 +15,41 @@ class CompactionSpec extends SparkSpec {
     else fs.listStatus(path).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
   }
 
+  test("streaming drain with maintenance compacts the fragmented contacts partition, data intact") {
+    // 12 same-tenant jobs can't share a wave (tenant conflict), so each
+    // appends its own contacts file into partition contacts_user_id=u1 —
+    // exactly the fragmentation a long-running stream accumulates. With
+    // maintainEvery=1 the dispatcher compacts after the drain batch.
+    import graft.model.Schemas.JobStatus
+    import graft.stream.JobDispatch
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    val nJobs = 12
+    val root = Files.createTempDirectory("graft_stream_compact").toString
+    Files.createDirectories(Paths.get(s"$root/uploads"))
+    Files.createDirectories(Paths.get(s"$root/queue"))
+    val store = new ParquetTableStore(spark, s"$root/tables")
+    store.overwrite("jobs", (1 to nJobs).map(i => (i, "u1", JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status"))
+    (1 to nJobs).foreach { i =>
+      Files.writeString(Paths.get(s"$root/uploads/f$i.csv"),
+        s"email,first_name,last_name,company\nj$i@b.co,F,L,C\n")
+      val tmp = Files.writeString(Paths.get(f"$root/queue/.m$i%03d.tmp"),
+        s"""{"job_id": $i, "s3_key": "f$i.csv"}""")
+      Files.move(tmp, Paths.get(f"$root/queue/m$i%03d"))
+    }
+    val q = JobDispatch.startQueue(spark, store, s"$root/queue", s"$root/cp",
+      k => s"$root/uploads/$k", Trigger.AvailableNow(), maintainEvery = 1)
+    q.awaitTermination(600000)
+    q.stop()
+    assert(store.load("jobs").select("job_status").as[String].collect()
+      .forall(_ == JobStatus.Completed))
+    assert(store.load("contacts").count() === nJobs.toLong)
+    val partFiles = dataFiles(s"$root/tables/contacts/contacts_user_id=u1").length
+    assert(partFiles <= 4,
+      s"$partFiles files left in the tenant partition after maintenance")
+  }
+
   test("compact merges fragmented partitions and leaves cold partitions untouched") {
     val root = java.nio.file.Files.createTempDirectory("compact").toString
     val store = new ParquetTableStore(spark, root)
