@@ -121,6 +121,16 @@ class PostgresCopyTableStore(
     exec(s"CREATE TABLE ${q(table)} (" +
       schema.fields.map(f => s"${q(f.name)} ${pgTypeOf(f.dataType)}").mkString(", ") + ")")
 
+  /** Column-on-first-use parity with the parquet store: a write whose frame
+    * carries columns the live table lacks (ensureCols adds job metadata on
+    * first update) ALTERs them in instead of failing the INSERT..SELECT. */
+  private def ensureColumns(table: String, schema: StructType): Unit = {
+    val have = columnsOf(table).map(_._1).toSet
+    schema.fields.filterNot(f => have(f.name)).foreach { f =>
+      exec(s"ALTER TABLE ${q(table)} ADD COLUMN ${q(f.name)} ${pgTypeOf(f.dataType)}")
+    }
+  }
+
   // ---- PG -> Spark -----------------------------------------------------
 
   override def load(table: String): DataFrame = {
@@ -178,7 +188,7 @@ class PostgresCopyTableStore(
 
   override def append(table: String, df: DataFrame): Unit =
     if (!exists(table)) { createTable(table, df.schema); copyIn(table, df) }
-    else copyIn(table, df)
+    else { ensureColumns(table, df.schema); copyIn(table, df) }
 
   override def overwrite(table: String, df: DataFrame): Unit =
     if (!exists(table)) { createTable(table, df.schema); copyIn(table, df) }
@@ -198,17 +208,22 @@ class PostgresCopyTableStore(
       appends: Seq[(String, DataFrame)],
       partitions: Seq[PartitionCommit] = Nil,
       overwrites: Seq[(String, DataFrame)] = Nil): Unit = {
-    // Phase 1: stage everything.
+    // Phase 1: stage everything (and ALTER in any first-use columns so the
+    // phase-2 INSERT..SELECTs cannot fail on schema drift).
     val aStaged = appends.map { case (t, df) =>
-      if (!exists(t)) createTable(t, df.schema)
+      if (!exists(t)) createTable(t, df.schema) else ensureColumns(t, df.schema)
       (t, stageTable(t, df))
     }
     val pStaged = partitions.map { c =>
       if (!exists(c.table)) createTable(c.table, c.df.schema)
+      else ensureColumns(c.table, c.df.schema)
       (c, stageTable(c.table, c.df))
     }
     val (create, swap) = overwrites.partition { case (t, _) => !exists(t) }
-    val oStaged = swap.map { case (t, df) => (t, stageTable(t, df)) }
+    val oStaged = swap.map { case (t, df) =>
+      ensureColumns(t, df.schema)
+      (t, stageTable(t, df))
+    }
     // Phase 2: mutate.
     try {
       aStaged.foreach { case (t, (tmp, cols)) =>

@@ -47,6 +47,36 @@ class PostgresCopyLifecycleSpec extends PostgresCluster {
       loaded("b") === BooleanType && loaded("ts") === TimestampType)
   }
 
+  test("keyed WAVE dispatch against live Postgres: 3 tenants commit in one batch, minimal seed schema") {
+    val s = spark
+    import s.implicits._
+    val store = new PostgresCopyTableStore(spark, psqlRunner, s"$pgRoot/scratch")
+    // MINIMAL jobs seed (3 columns): the job metadata columns appear via
+    // ALTER on the first updateJobs — the column-on-first-use contract the
+    // parquet store has always had.
+    store.overwrite("jobs", (1 to 3).map(i => (i, s"w_u$i", JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status"))
+    Seq("staging", "issues", "issue_items", "contacts").foreach { t =>
+      if (store.exists(t))
+        store.overwrite(t, store.load(t).limit(0))
+    }
+    val root = Files.createTempDirectory("graft_pgc_wave").toString
+    (1 to 3).foreach { i =>
+      Files.writeString(Paths.get(s"$root/w$i.csv"),
+        s"email,first_name,last_name,company\nw$i@b.co,F,L,C\n")
+    }
+    val batch = (1 to 3).map(i => s"""{"job_id": $i, "s3_key": "w$i.csv"}""").toDF("value")
+    val out = graft.stream.JobDispatch.processBatch(
+      spark, store, batch, k => s"$root/$k")
+    assert(out.forall(_.outcome == JobStatus.Completed), out.mkString("; "))
+    assert(psql("""SELECT "contact_email" FROM contacts ORDER BY 1""")
+      === "w1@b.co\nw2@b.co\nw3@b.co")
+    assert(psql("""SELECT count(*) FROM jobs WHERE "job_status" = 'COMPLETED'""") === "3")
+    assert(psql("""SELECT count(*) FROM jobs WHERE "job_total_rows" = 1""") === "3",
+      "ALTER-added metadata columns must carry the counters")
+    assert(psql("""SELECT count(*) FROM staging WHERE "staging_status" = 'SUCCESS'""") === "3")
+  }
+
   test("initial -> edit in Postgres -> reprocess -> COMPLETED: real rows through a live server") {
     val s = spark
     import s.implicits._
