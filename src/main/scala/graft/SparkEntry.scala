@@ -310,6 +310,21 @@ object SparkEntry {
         .select("row_number", "norm_email", "staging_status", "issue_type", "issue_message")
         .orderBy("row_number")),
 
+    // The KEYED (multi-job single-plan) classify — the wave dispatcher's
+    // fast path under the oracle gate, not just specs: rows split into two
+    // jobs with different tenants, so the dup and existing-contact sets
+    // must stay job-scoped (a leak across jobs changes issue_type rows)
+    "q_classify_keyed" -> ((s, dir) => {
+      import s.implicits._
+      val in = csvInput(s, dir)
+        .withColumn("job_id", (lit(1) + col("row_number") % 2).cast("int"))
+      val jobUsers = Seq((1, "u1"), (2, "u2")).toDF("job_id", "job_user_id")
+      Validate.classifyKeyed(in, contactsStandIn(s, dir), jobUsers)
+        .select(col("job_id"), col("row_number"), col("norm_email"),
+          col("staging_status"), col("issue_type"), col("issue_message"))
+        .orderBy("job_id", "row_number")
+    }),
+
     // J1 — idempotency anti-join (skip already-staged rows by hash)
     "q_idempotent_skip" -> ((s, dir) => {
       val h = csvInput(s, dir).withColumn(
@@ -2038,6 +2053,51 @@ object SparkEntry {
     "q_classify" -> withCtes(
       """SELECT row_number, norm_email, staging_status, issue_type, issue_message
         |FROM classified ORDER BY row_number""".stripMargin),
+
+    // Keyed classify: dup/existing sets scoped per (job_id) with per-job
+    // tenants — the oracle twin of Validate.classifyKeyed's joins
+    "q_classify_keyed" ->
+      s"""WITH $inputCte,
+         |$contactsCte,
+         |ki AS (
+         |  SELECT row_number, CAST(1 + row_number % 2 AS INTEGER) AS job_id,
+         |         email, first_name, last_name, company
+         |  FROM input),
+         |ju AS (SELECT 1 AS job_id, 'u1' AS job_user_id
+         |       UNION ALL SELECT 2, 'u2'),
+         |kdups AS (
+         |  SELECT job_id, lower(trim(email)) AS ne FROM ki
+         |  WHERE trim(email) <> '' GROUP BY 1, 2 HAVING count(*) > 1),
+         |kexisting AS (
+         |  SELECT DISTINCT ju.job_id, c.contact_email
+         |  FROM contacts c JOIN ju ON c.contacts_user_id = ju.job_user_id),
+         |kout AS (
+         |  SELECT ki.job_id, ki.row_number, lower(trim(ki.email)) AS norm_email,
+         |    CASE WHEN trim(ki.email) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN trim(ki.first_name) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN trim(ki.last_name) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN trim(ki.company) = '' THEN 'MISSING_REQUIRED_FIELD'
+         |         WHEN NOT regexp_matches(trim(ki.email), '$emailRegexSql') THEN 'INVALID_EMAIL'
+         |         WHEN d.ne IS NOT NULL THEN 'DUPLICATE_EMAIL'
+         |         WHEN e.contact_email IS NOT NULL THEN 'EXISTING_EMAIL'
+         |         ELSE NULL END AS issue_type,
+         |    CASE WHEN trim(ki.email) = '' THEN 'Missing required field: email'
+         |         WHEN trim(ki.first_name) = '' THEN 'Missing required field: first_name'
+         |         WHEN trim(ki.last_name) = '' THEN 'Missing required field: last_name'
+         |         WHEN trim(ki.company) = '' THEN 'Missing required field: company'
+         |         WHEN NOT regexp_matches(trim(ki.email), '$emailRegexSql') THEN 'Invalid email format: ' || trim(ki.email)
+         |         WHEN d.ne IS NOT NULL THEN 'Duplicate email in CSV: ' || trim(ki.email)
+         |         WHEN e.contact_email IS NOT NULL THEN 'Email already exists in contacts: ' || trim(ki.email)
+         |         ELSE NULL END AS issue_message
+         |  FROM ki
+         |  LEFT JOIN kdups d
+         |    ON ki.job_id = d.job_id AND lower(trim(ki.email)) = d.ne
+         |  LEFT JOIN kexisting e
+         |    ON ki.job_id = e.job_id AND lower(trim(ki.email)) = e.contact_email)
+         |SELECT job_id, row_number, norm_email,
+         |  CASE WHEN issue_type IS NULL THEN 'READY' ELSE 'ISSUE' END AS staging_status,
+         |  issue_type, issue_message
+         |FROM kout ORDER BY job_id, row_number""".stripMargin,
 
     "q_idempotent_skip" -> withCtes(
       s""", hashes AS (SELECT row_number, $rowHashSql AS h FROM input)
