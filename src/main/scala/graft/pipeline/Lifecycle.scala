@@ -86,13 +86,17 @@ object Lifecycle {
   /** Natural pair key for issue_items merges. */
   private val itemPairKey = Seq("issues_job_id", "issue_type", "issue_key", "item_staging_id")
 
-  /** Commit a flow result to storage in the reference's consolidation order
-    * (contacts -> staging/issues/links; processor.py:728-788), with the
-    * contacts append FIRST — while the staging snapshot its plan reads still
-    * exists — and the three snapshots replaced via the store's two-phase
-    * overwriteAll (their plans read each other's pre-run state). The job
-    * status update (W7: 1 row) is the caller's last step, making a crash
-    * anywhere before it a repairable retry (ADR-001 idempotent resume). */
+  /** Commit a flow result to storage as ONE two-phase `commitAll`: every
+    * output plan — the contacts append included — materializes against the
+    * pre-commit snapshots before any table is mutated, then the mutations
+    * run in the reference's consolidation order (contacts ->
+    * staging/issues/links; processor.py:728-788). Staging the append
+    * matters: the staging plan's classify subtree reads contacts, and a
+    * mutate-first append would flip this job's own READY rows to
+    * EXISTING_EMAIL when the plan re-evaluates (Spark re-caches cached
+    * plans on writes to paths they read). The job status update (W7: 1
+    * row) is the caller's last step, making a crash anywhere before it a
+    * repairable retry (ADR-001 idempotent resume). */
   def commit(store: graft.io.TableStore, r: FlowResult): Unit =
     store.commitAll(
       appends = Seq("contacts" -> r.newContacts),
