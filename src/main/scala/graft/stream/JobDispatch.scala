@@ -263,26 +263,53 @@ object JobDispatch {
       failed += w.idx -> MessageOutcome(Some(w.jobId), w.body, "FAILED", detail)
     }
 
-    // Build every initial-route input plan first (per-job isolation for
-    // bad paths/sniffs), then probe them for emptiness in ONE action —
-    // processor.py:149-151 parity without one isEmpty round trip per job.
-    val inputs = scala.collection.mutable.LinkedHashMap.empty[Int, DataFrame]
-    val buildable = wave.filter { w =>
-      w.route == Router.Reprocessing || {
-        try { inputs(w.idx) = CsvSource.toContract(CsvSource.read(spark, resolveCsv(w.s3Key))); true }
+    // Sniff every initial-route CSV (per-job isolation for bad paths /
+    // sniffs), then read the healthy ones as ONE multi-file scan per sniff
+    // group — plan-LEAF count, not data volume, was the wave's remaining
+    // floor (a 64-leaf per-file union measured 7.8 s against 0.44 s for
+    // one 64-file scan at the same data; BASELINE.md round 8).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val (reproAll, initialAll) = wave.partition(_.route == Router.Reprocessing)
+    val sniffed: Seq[(WaveItem, CsvSource.WaveFile)] = initialAll.flatMap { w =>
+      try {
+        val p = resolveCsv(w.s3Key)
+        val sn = graft.ingest.CsvSniffer.sniff(p, hconf)
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val size = hp.getFileSystem(hconf).getFileStatus(hp).getLen
+        Some(w -> CsvSource.WaveFile(w.jobId, p, sn, size))
+      } catch {
+        case e: Exception =>
+          if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
+          fail(w, String.valueOf(e.getMessage)); None
+      }
+    }
+    val keyedInput: Option[DataFrame] =
+      if (sniffed.isEmpty) None
+      else Some(CsvSource.readWaveKeyed(spark, sniffed.map(_._2)))
+    // Empty-CSV detection (processor.py:149-151 parity): the job ids with
+    // at least one row, in ONE action over the shared scan. On a runtime
+    // read failure, degrade to per-file probes (binary-splitting around
+    // the poison) — a job whose read still throws counts as non-empty so
+    // its REAL error surfaces at commit, attributed to the right message.
+    val presentJobs: Set[Int] = keyedInput match {
+      case None => Set.empty
+      case Some(df) =>
+        try df.select("job_id").distinct().collect().map(_.getInt(0)).toSet
         catch {
           case e: Exception =>
             if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-            fail(w, String.valueOf(e.getMessage)); false
+            val perFile = sniffed.map { case (w, f) =>
+              w.idx -> CsvSource.toContract(CsvSource.readWith(spark, f.path, f.sniff))
+            }
+            val emptyIdx = probeEmptyIdx(perFile)
+            sniffed.collect { case (w, _) if !emptyIdx(w.idx) => w.jobId }.toSet
         }
-      }
     }
-    val emptyIdx: Set[Int] = probeEmptyIdx(inputs.toSeq)
-    val runnable = buildable.filter { w =>
-      val empty = w.route != Router.Reprocessing && emptyIdx(w.idx)
+    val initialRunnable = sniffed.map(_._1).filter { w =>
+      val ok = presentJobs(w.jobId)
       // Same message the sequential require(!input.isEmpty, ...) raises.
-      if (empty) fail(w, s"requirement failed: ${Lifecycle.EmptyCsvMessage}")
-      !empty
+      if (!ok) fail(w, s"requirement failed: ${Lifecycle.EmptyCsvMessage}")
+      ok
     }
 
     // ONE keyed plan per route present in the wave (at most two plan
@@ -302,14 +329,10 @@ object JobDispatch {
         degraded += w.idx ->
           runOneCaught(spark, store, w.jobId, w.s3Key, w.body, resolveCsv, Some(w.route))
       }
-    val (repro, initial) = runnable.partition(_.route == Router.Reprocessing)
-    if (initial.nonEmpty) try {
-      val keyedInput = initial
-        .map(w => inputs(w.idx).withColumn("job_id", lit(w.jobId)))
-        .reduce(_.unionByName(_))
-      val ids = initial.map(_.jobId)
-      built += initial -> Lifecycle.initialProcessKeyed(
-        keyedInput, usersDf(initial),
+    if (initialRunnable.nonEmpty) try {
+      val ids = initialRunnable.map(_.jobId)
+      built += initialRunnable -> Lifecycle.initialProcessKeyed(
+        keyedInput.get, usersDf(initialRunnable),
         slice(staging, stagingShape, "staging_job_id", hasStaging, ids),
         slice(issues, issuesShape, "issues_job_id", hasIssues, ids),
         slice(items, itemsShape, "issues_job_id", hasItems, ids),
@@ -317,19 +340,19 @@ object JobDispatch {
     } catch {
       case e: Exception =>
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-        degrade(initial)
+        degrade(initialRunnable)
     }
-    if (repro.nonEmpty) try {
-      val ids = repro.map(_.jobId)
-      built += repro -> Lifecycle.reprocessKeyed(
+    if (reproAll.nonEmpty) try {
+      val ids = reproAll.map(_.jobId)
+      built += reproAll -> Lifecycle.reprocessKeyed(
         slice(staging, stagingShape, "staging_job_id", hasStaging, ids),
         slice(issues, issuesShape, "issues_job_id", hasIssues, ids),
         slice(items, itemsShape, "issues_job_id", hasItems, ids),
-        contacts, usersDf(repro))
+        contacts, usersDf(reproAll))
     } catch {
       case e: Exception =>
         if (sys.env.contains("GRAFT_DISPATCH_DEBUG")) e.printStackTrace()
-        degrade(repro)
+        degrade(reproAll)
     }
     if (built.isEmpty) return failed.toSeq ++ degraded.toSeq
 

@@ -116,4 +116,69 @@ class CsvIngestSpec extends SparkSpec {
     assert(r.getAs[String]("last_name") === null)
     assert(r.getAs[String]("email") === "a@b.co")
   }
+
+  // ---- grouped wave scan (readWaveKeyed) ----------------------------------
+
+  private def waveFile(jobId: Int, path: String): CsvSource.WaveFile = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(path)
+    CsvSource.WaveFile(jobId, path, CsvSniffer.sniff(path, conf),
+      hp.getFileSystem(conf).getFileStatus(hp).getLen)
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, String, String, String, String)] =
+    df.collect().map(r => (
+      r.getAs[Int]("job_id"), r.getAs[Long]("row_number"),
+      r.getAs[String]("email"), r.getAs[String]("first_name"),
+      r.getAs[String]("last_name"), r.getAs[String]("company"))).toSet
+
+  private def perFileReference(files: Seq[CsvSource.WaveFile]): Set[(Int, Long, String, String, String, String)] =
+    files.map { f =>
+      rowsOf(CsvSource.toContract(CsvSource.readWith(spark, f.path, f.sniff))
+        .withColumn(
+          "job_id", org.apache.spark.sql.functions.lit(f.jobId)))
+    }.reduce(_ ++ _)
+
+  test("readWaveKeyed == per-file reads: mixed dialects, encodings, ragged rows, path with space") {
+    val utf1 = tmpCsv("email,first_name,last_name,company\n" +
+      (1 to 40).map(i => s"a$i@b.co,F$i,L$i,C$i").mkString("\n") + "\n")
+    val utf2 = tmpCsv("email,first_name,last_name,company\nb1@b.co,F,L,C\n,, ,\nb2@b.co,F2,L2,C2\n")
+    val semi = tmpCsv("email;first_name;last_name;company;;\ns@b.co; Ann ;Bee;Acme;;\n")
+    val latin = tmpCsv(
+      "email;first_name;last_name;company\njose@b.co;José;Sá;Ação\n"
+        .getBytes(StandardCharsets.ISO_8859_1))
+    val spaced = {
+      val dir = Files.createTempDirectory("graft wave dir")
+      val p = dir.resolve("file with space.csv")
+      Files.writeString(p, "email,first_name,last_name,company\nsp@b.co,F,L,C\n")
+      p.toString
+    }
+    val files = Seq(
+      waveFile(1, utf1), waveFile(2, utf2), waveFile(3, semi),
+      waveFile(4, latin), waveFile(5, spaced))
+    val keyed = CsvSource.readWaveKeyed(spark, files)
+    assert(keyed.columns.toSeq ===
+      Seq("row_number", "job_id", "email", "first_name", "last_name", "company"))
+    assert(rowsOf(keyed) === perFileReference(files))
+    // Per-file numbering: each job's rows are 1..n in its own file order.
+    val byJob = keyed.collect().groupBy(_.getAs[Int]("job_id"))
+    assert(byJob(1).map(_.getAs[Long]("row_number")).sorted.toSeq === (1L to 40L))
+    assert(byJob(2).map(_.getAs[Long]("row_number")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("readWaveKeyed: one path shared by many jobs is read once and fanned out per job") {
+    val shared = tmpCsv("email,first_name,last_name,company\nx@b.co,F,L,C\ny@b.co,F2,L2,C2\n")
+    val files = (1 to 5).map(j => waveFile(j, shared))
+    val keyed = CsvSource.readWaveKeyed(spark, files)
+    val rows = rowsOf(keyed)
+    assert(rows.size === 10, "2 rows x 5 jobs")
+    assert(rows.map(_._1) === (1 to 5).toSet)
+    (1 to 5).foreach { j =>
+      assert(rows.filter(_._1 == j).map(r => (r._2, r._3)) ===
+        Set((1L, "x@b.co"), (2L, "y@b.co")), s"job $j")
+    }
+    // The shared path appears once in the physical scan (one leaf file).
+    val scans = keyed.queryExecution.executedPlan.toString
+    assert(!scans.contains("Union") || files.map(_.path).distinct.size == 1)
+  }
 }
