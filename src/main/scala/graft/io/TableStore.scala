@@ -209,7 +209,19 @@ class ParquetTableStore(
     val stagedAppends = appends.map { case (t, df) => (t, writeTmp(t, df)) }
     val stagedParts = partitions.map { c =>
       val tmp = new Path(dir(c.table) + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-      c.df.write.partitionBy(c.partCol).parquet(tmp.toString)
+      // Multi-job (wave) commits cluster rows by the partition value first:
+      // a dynamic-partitioned write otherwise emits one file per (task,
+      // key) — up to tasks × jobs tiny files per commit — because every
+      // shuffle task holds rows of every job. Keyed repartition gives one
+      // file per partition dir (the tiny shuffle costs far less than the
+      // file-creation storm). Single-value commits keep the parallel
+      // multi-file write — one huge job's partition should not serialize
+      // through one task.
+      val clustered =
+        if (c.moreValues.nonEmpty)
+          c.df.repartition(org.apache.spark.sql.functions.col(c.partCol))
+        else c.df
+      clustered.write.partitionBy(c.partCol).parquet(tmp.toString)
       (c, tmp)
     }
     val stagedOverwrites = overwrites.map { case (t, df) => (t, writeTmp(t, df)) }

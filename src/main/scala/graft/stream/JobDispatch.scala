@@ -382,8 +382,13 @@ object JobDispatch {
       // contacts, so an append-then-write sequence would re-evaluate the
       // staging plan against the wave's own appended contacts.
       val jobIds = built.toSeq.flatMap(_._1).map(_.jobId)
+      // Cluster the multi-tenant contacts append by its partition key for
+      // the same reason the store clusters multi-job partition commits:
+      // without it every write task emits one file per tenant it holds.
+      val contactsAppend = unionOf(_.newContactsDecided(cleanIds), contactsShape)
+        .repartition(col("contacts_user_id"))
       store.commitAll(
-        Seq("contacts" -> unionOf(_.newContactsDecided(cleanIds), contactsShape)),
+        Seq("contacts" -> contactsAppend),
         Seq(
           graft.io.PartitionCommit("staging", unionOf(_.stagingDecided(cleanIds), stagingShape),
             "staging_job_id", jobIds.head, jobIds.tail),
