@@ -231,7 +231,18 @@ object JobDispatch {
     val staging = tbl("staging", stagingShape)
     val issues = tbl("issues", issuesShape)
     val items = tbl("issue_items", itemsShape)
+    // The contacts table only matters through this wave's OWN tenants: the
+    // existing-email check is tenant-scoped by the reference (ADR-005) and
+    // a contact row carrying one of this wave's staging_ids can only have
+    // been written by the same job (= same tenant), so the idempotency
+    // anti-join needs no other tenant either. The explicit filter turns the
+    // per-wave contacts read into a partition-pruned scan of <= wave-size
+    // tenant dirs instead of the whole corpus (contacts is
+    // tenant-partitioned) — at 100 TB that is the difference between a
+    // bounded read and a full-table scan per commit.
+    val waveTenants = wave.map(_.userId).distinct
     val contacts = tbl("contacts", contactsShape)
+      .filter(col("contacts_user_id").isin(waveTenants: _*))
 
     // Which wave jobs actually HAVE prior state, probed once per table for
     // the whole wave. A wave of first-pass jobs (the steady-stream common
@@ -517,7 +528,11 @@ object JobDispatch {
         try {
           val issues = tbl("issues", issuesShape)
           val items = tbl("issue_items", itemsShape)
+          // Tenant-pruned contacts read (same argument as the wave path:
+          // existing-email is tenant-scoped, and this job's staging_ids can
+          // only collide with its own tenant's contacts).
           val contacts = tbl("contacts", contactsShape)
+            .filter(col("contacts_user_id") === userId)
           // hasStaging was already probed for routing: a first-pass job gets
           // a known-empty local relation so Catalyst collapses the J1
           // anti-join branch instead of re-scanning the store (same trick as

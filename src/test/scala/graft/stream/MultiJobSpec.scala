@@ -113,6 +113,18 @@ class MultiJobSpec extends SparkSpec {
     // pruning before any IO) — not as a post-scan Filter over all jobs' rows.
     assert("PartitionFilters: \\[[^\\]]*staging_job_id".r.findFirstIn(plan).isDefined,
       s"job filter not applied as a partition filter:\n${plan.take(500)}")
+    // Same for the wave's tenant-scoped contacts read (the filter
+    // JobDispatch applies before the keyed flows): tenant isin must prune
+    // contacts partitions, not scan the corpus.
+    store.overwrite("contacts", Seq(
+      (1L, "u1", "a@b.co"), (2L, "u2", "b@b.co"), (3L, "u3", "c@b.co"))
+      .toDF("staging_id", "contacts_user_id", "contact_email"))
+    val cq = store.load("contacts")
+      .filter(col("contacts_user_id").isin("u1", "u3"))
+    cq.collect()
+    val cplan = cq.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*contacts_user_id".r.findFirstIn(cplan).isDefined,
+      s"tenant filter not applied as a partition filter:\n${cplan.take(500)}")
   }
 
   test("25 queued jobs drain under AvailableNow; contacts match the sequential batch reference") {
