@@ -837,7 +837,7 @@ object SparkEntry {
 
     // Per-group approximate distinct via the KMV typed Aggregator: O(k)
     // mergeable state per group — the sketch shape that replaces
-    // COUNT(DISTINCT) at 100 TB (and unlike HLL, oracle-verifiable).
+    // COUNT(DISTINCT) at 100 TB.
     "q_kmv_groups" -> ((s, dir) => {
       import org.apache.spark.sql.functions.udaf
       val kmv = udaf(new graft.functions.KmvAggregator(256))
@@ -845,6 +845,25 @@ object SparkEntry {
         .select(col("event_type"), graft.functions.Sketches.knuthHash(col("user_id")).as("hv"))
         .groupBy("event_type")
         .agg(kmv(col("hv")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // HyperLogLog per-group distinct (5th sketch classic): FIXED 2^p-byte
+    // registers per group, merged by byte-max — constant shuffle bytes per
+    // (group, partition) at any cardinality. Register state is integer-exact
+    // cross-engine (md5-prefix hash, bin()-length rho, scaled-integer
+    // harmonic denominator), so the oracle verifies the sketch itself
+    // (s_scaled, zero_buckets), not just a tolerance band.
+    "q_hll_groups" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.udaf
+      val hll = udaf(new graft.functions.HllAggregator(10))
+      events(s, dir)
+        .select(col("event_type"),
+          graft.functions.HllAggregator.md5Hash60(col("user_id")).as("hv"))
+        .groupBy("event_type")
+        .agg(hll(col("hv")).as("r"))
+        .select(col("event_type"), col("r.approx_distinct").as("approx_users"),
+          col("r.s_scaled").as("s_scaled"), col("r.zero_buckets").as("zero_buckets"))
         .orderBy("event_type")
     }),
 
@@ -2747,6 +2766,42 @@ object SparkEntry {
         |  round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
         |        ELSE 255.0 * 2147483647.0 / CAST(h_k AS DOUBLE) END, 4) AS approx_users
         |FROM s ORDER BY event_type""".stripMargin,
+
+    // Register-exact HLL mirror: same 60-bit md5-prefix hash, same
+    // bin()-length rho, same scaled-integer harmonic denominator. The
+    // estimate's one double division + the linear-counting ln are the only
+    // float steps, rounded to 4dp on both sides.
+    "q_hll_groups" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(hv // 1125899906842624 AS BIGINT) AS bucket,
+        |    CAST(hv % 1125899906842624 AS BIGINT) AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    max(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT)
+        |      + (1024 - count(*)) * (CAST(1 AS BIGINT) << 51) AS s_scaled,
+        |    1024 - count(*) + CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets
+        |  FROM r GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, s_scaled, zero_buckets,
+        |    (0.7213 / (1 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2251799813685248.0
+        |      / CAST(s_scaled AS DOUBLE) AS raw_est
+        |  FROM agg)
+        |SELECT event_type,
+        |  round(CASE WHEN raw_est <= 2.5 * 1024.0 AND zero_buckets > 0
+        |             THEN 1024.0 * ln(1024.0 / CAST(zero_buckets AS DOUBLE))
+        |             ELSE raw_est END, 4) AS approx_users,
+        |  s_scaled, zero_buckets
+        |FROM est ORDER BY event_type""".stripMargin,
 
     // Oracle = full recompute from raw events: merging persisted state with
     // the delta must be indistinguishable from rescanning history.
