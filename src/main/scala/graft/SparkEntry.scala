@@ -1521,6 +1521,23 @@ object SparkEntry {
           round(col("total_value").cast("double"), 6).as("total_value"))
         .orderBy("window_start", "event_type")),
 
+    // Single-pass table profiler: per-column null counts + HLL distinct in
+    // ONE aggregation over the scan (state = 2^p bytes per column), then an
+    // in-plan stack() unpivot — the "what is in this table" first pass a
+    // 100 TB ingest runs before any other query. Register-exact oracle.
+    "q_profile_sketch" -> ((s, dir) =>
+      graft.functions.Profile.profileTable(
+        pq(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))),
+
+    // The streaming windowed HLL-distinct operator run BATCH-MODE — per
+    // (window, type) distinct users from fixed 2^p-byte registers; the
+    // oracle recomputes the register state (s_scaled, zero_buckets), so
+    // this pins the sketch the stream would carry, not just the estimate
+    "q_stream_distinct" -> ((s, dir) =>
+      graft.stream.EventAnalytics.windowedDistinctUsers(events(s, dir))
+        .orderBy("window_start", "event_type")),
+
     // The streaming per-group DDSketch quantile operator run BATCH-MODE —
     // oracles the actual EventAnalytics state path (the aggregator's bucket
     // merge IS the streaming state transition, so batch == stream by
@@ -2331,6 +2348,43 @@ object SparkEntry {
         |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_profile_sketch" ->
+      graft.functions.Profile.oracleSql("documents",
+        Seq("doc_id", "lang", "n_chars", "source", "text")),
+
+    "q_stream_distinct" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
+        |  FROM events),
+        |b AS (
+        |  SELECT window_start, event_type,
+        |    CAST(hv // 1125899906842624 AS BIGINT) AS bucket,
+        |    CAST(hv % 1125899906842624 AS BIGINT) AS w
+        |  FROM h),
+        |r AS (
+        |  SELECT window_start, event_type, bucket,
+        |    max(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT window_start, event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT)
+        |      + (1024 - count(*)) * (CAST(1 AS BIGINT) << 51) AS s_scaled,
+        |    1024 - count(*) + CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_buckets
+        |  FROM r GROUP BY 1, 2),
+        |est AS (
+        |  SELECT window_start, event_type, s_scaled, zero_buckets,
+        |    (0.7213 / (1 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 2251799813685248.0
+        |      / CAST(s_scaled AS DOUBLE) AS raw_est
+        |  FROM agg)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |  event_type,
+        |  round(CASE WHEN raw_est <= 2.5 * 1024.0 AND zero_buckets > 0
+        |             THEN 1024.0 * ln(1024.0 / CAST(zero_buckets AS DOUBLE))
+        |             ELSE raw_est END, 4) AS approx_users,
+        |  s_scaled, zero_buckets
+        |FROM est ORDER BY window_start, event_type""".stripMargin,
 
     "q_stream_attribution" ->
       """WITH v AS (

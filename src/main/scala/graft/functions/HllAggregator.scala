@@ -46,7 +46,12 @@ class HllAggregator(p: Int = 10) extends Aggregator[Long, HllBuffer, HllResult] 
   private def rho(w: Long): Int =
     if (w == 0L) rhoMax else rhoMax - (64 - java.lang.Long.numberOfLeadingZeros(w))
 
+  /** Negative input = the null sentinel (a 60-bit hash is non-negative):
+    * skipped, so NULLs don't count as a distinct value — callers encode
+    * `coalesce(md5Hash60(c), lit(-1L))` and the oracle mirrors with
+    * `FILTER (WHERE c IS NOT NULL)`. */
   override def reduce(b: HllBuffer, hv: Long): HllBuffer = {
+    if (hv < 0) return b
     val bucket = (hv >>> wBits).toInt
     val r = rho(hv & ((1L << wBits) - 1)).toByte
     if (r > b.regs(bucket)) b.regs(bucket) = r

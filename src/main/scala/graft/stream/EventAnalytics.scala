@@ -37,6 +37,33 @@ object EventAnalytics {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked per-window distinct users via the HLL sketch: state per
+    * (window, type) is a FIXED 2^p bytes of registers merged by byte-max —
+    * the streaming COUNT(DISTINCT) that runs forever, because per-user
+    * state never accumulates (an exact windowed distinct holds every key
+    * in flight; 2^p bytes hold any cardinality). Batch == stream by
+    * construction (the register merge IS the state transition), which is
+    * how the oracle row pins it: q_stream_distinct runs this same code
+    * batch-mode and DuckDB recomputes the register state exactly. */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      lateness: String = "10 minutes",
+      p: Int = 10): DataFrame = {
+    val hll = udaf(new graft.functions.HllAggregator(p))
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("event_type"),
+        graft.functions.HllAggregator.md5Hash60(col("user_id")).as("hv"))
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(hll(col("hv")).as("r"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("r.approx_distinct").as("approx_users"),
+        col("r.s_scaled").as("s_scaled"),
+        col("r.zero_buckets").as("zero_buckets"))
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` already appeared within
     * the watermark horizon (keep-first — the streaming mirror of batch
     * `Dedup.exact`). dropDuplicatesWithinWatermark purges key state as the

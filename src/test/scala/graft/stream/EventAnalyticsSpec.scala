@@ -44,6 +44,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.exists(r => r._2 == "view" && r._3 == 1L))
   }
 
+  test("windowedDistinctUsers: HLL registers as window state == batch run; duplicates free") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = windowedDistinctUsers(events, windowLength = "10 minutes", lateness = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wdu_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+
+    // Window 1: users 1,2,1 (a duplicate) click; user 3 views.
+    val w1 = Seq((ts(1), 1L, "click", 1.0), (ts(2), 2L, "click", 1.0),
+      (ts(3), 1L, "click", 1.0), (ts(4), 3L, "view", 1.0))
+    input.addData(w1: _*)
+    q.processAllAvailable()
+    input.addData((ts(60), 9L, "click", 1.0)) // advance watermark, finalize w1
+    q.processAllAvailable()
+    input.addData((ts(120), 9L, "click", 1.0)) // finalize the ts(60) window too
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("wdu_out")
+      .select("window_start", "event_type", "approx_users", "s_scaled", "zero_buckets")
+      .as[(Timestamp, String, Double, Long, Long)].collect().toSet
+    val batch = windowedDistinctUsers(
+      (w1 ++ Seq((ts(60), 9L, "click", 1.0), (ts(120), 9L, "click", 1.0)))
+        .toDF("ts", "user_id", "event_type", "value"))
+      .select("window_start", "event_type", "approx_users", "s_scaled", "zero_buckets")
+      .as[(Timestamp, String, Double, Long, Long)].collect().toSet
+    assert(streamed.subsetOf(batch)) // stream may not have finalized the last window
+    val w1Click = streamed.find(r =>
+      r._1 == Timestamp.valueOf("2024-01-01 10:00:00") && r._2 == "click").get
+    // Linear counting: 1024·ln(1024/1022) = 2.002 for users {1,2}; the
+    // duplicate click from user 1 must not move it.
+    assert(math.abs(w1Click._3 - 2.0) < 0.1, s"got ${w1Click._3}")
+    assert(streamed.exists(r => r._2 == "view" && math.abs(r._3 - 1.0) < 0.1))
+  }
+
   test("curateStream: quality/lang gates drop, content dedup keeps first, survivors flow") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, String)]
