@@ -95,6 +95,13 @@ object SparkEntry {
     (1 to bits).map(i => s"CASE WHEN CAST($v[$i] AS DOUBLE) >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
       .mkString(" + ")
 
+  /** Sign-bucket with the bit count taken from a `params(bits)` CTE — the
+    * SQL mirror of Similarity.adaptiveSignBits' occupancy-bounded sizing. */
+  private def bucketSqlAdaptive(v: String): String =
+    (1 to 20).map(i =>
+      s"CASE WHEN $i <= (SELECT bits FROM params) AND CAST($v[$i] AS DOUBLE) >= 0 THEN ${1L << (i - 1)} ELSE 0 END")
+      .mkString(" + ")
+
   private val simhashVotesSql: String = (0 until 32)
     .map(j => s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v_$j")
     .mkString(",\n    ")
@@ -999,6 +1006,15 @@ object SparkEntry {
       graft.functions.Similarity.embeddingDupPairsBucketed(
         pq(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")),
+
+    // Leader-clustering embedding dedup: one cosine per member against its
+    // bucket leader — work AND output linear even when a dense near-dup
+    // family makes the all-pairs answer quadratic (the measured ×100
+    // regime; see BenchScale). Canopy/SemDeDup-style recall trade.
+    "q_dedup_embedding_leader" -> ((s, dir) =>
+      graft.functions.Similarity.embeddingDedupLeaders(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("vec_id")),
 
     // Product-quantization encoding: 64-dim float vectors -> 8 byte codes
     // (32x ANN memory compression; broadcast codebooks, partial-aggregable
@@ -3397,12 +3413,16 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_dedup_embedding_bucketed" ->
-      s"""WITH a AS (
-         |  SELECT vec_id AS id_a, embedding AS va, ${bucketSql("embedding", 8)} AS bucket,
+      s"""WITH params AS (
+         |  SELECT coalesce(min(b), 20) AS bits
+         |  FROM generate_series(8, 20) t(b)
+         |  WHERE (SELECT count(*) FROM embeddings) <= (CAST(1 AS BIGINT) << b) * 64),
+         |a AS (
+         |  SELECT vec_id AS id_a, embedding AS va, ${bucketSqlAdaptive("embedding")} AS bucket,
          |         sqrt(${dotSql("embedding", "embedding", 64)}) AS na
          |  FROM embeddings),
          |b AS (
-         |  SELECT vec_id AS id_b, embedding AS vb, ${bucketSql("embedding", 8)} AS bucket,
+         |  SELECT vec_id AS id_b, embedding AS vb, ${bucketSqlAdaptive("embedding")} AS bucket,
          |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nb
          |  FROM embeddings),
          |scored AS (
@@ -3410,6 +3430,27 @@ object SparkEntry {
          |  FROM a JOIN b ON a.bucket = b.bucket WHERE id_a < id_b)
          |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding_leader" ->
+      s"""WITH params AS (
+         |  SELECT coalesce(min(b), 20) AS bits
+         |  FROM generate_series(8, 20) t(b)
+         |  WHERE (SELECT count(*) FROM embeddings) <= (CAST(1 AS BIGINT) << b) * 64),
+         |t AS (
+         |  SELECT vec_id, embedding AS cv, ${bucketSqlAdaptive("embedding")} AS bucket,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |l AS (SELECT bucket, min(vec_id) AS leader_id FROM t GROUP BY 1),
+         |lv AS (
+         |  SELECT l.bucket, l.leader_id, t.cv AS lvv, t.nc AS nl
+         |  FROM l JOIN t ON t.vec_id = l.leader_id),
+         |scored AS (
+         |  SELECT t.vec_id, lv.leader_id,
+         |         round((${dotSql("cv", "lvv", 64)}) / (nc * nl), 6) AS cos_sim
+         |  FROM t JOIN lv ON t.bucket = lv.bucket
+         |  WHERE t.vec_id <> lv.leader_id)
+         |SELECT vec_id, leader_id, cos_sim FROM scored WHERE cos_sim >= 0.4
+         |ORDER BY vec_id""".stripMargin,
 
     "q_pq_encode" -> {
       val d0 = 8

@@ -130,24 +130,35 @@ object Dedup {
       } else {
         // Skew-guarded path: stop-shingles (document frequency > dfCap)
         // are dropped ONLY for candidate generation — bounding the join's
-        // worst bucket — then the exact intersection is recomputed on the
-        // full shingle sets for the (small) candidate pair set. A pair
-        // whose every shared shingle is a stop-shingle is lost, but such a
-        // pair can't reach a meaningful threshold.
+        // worst bucket. The EXACT intersection decomposes as
+        //   inter = |shared capped shingles| + |shared stop-shingles|,
+        // so the capped self-join's own per-pair match count (a groupBy on
+        // the join output — no distinct pass) gives the first term, and a
+        // pair-keyed join against only the tiny per-doc stop-shingle sets
+        // gives the second. This replaces the previous candidates →
+        // distinct → re-join-FULL-shingle-sets pipeline whose
+        // pairs × shingles-per-doc intermediate dominated ×100-scale cost
+        // (measured 1.6× the linear floor; the decomposition restores
+        // volume ∝ candidate pairs). A pair whose every shared shingle is
+        // a stop-shingle is still lost — same recall contract.
         val sh = shingleSets(df, idCol, textCol, n)
         val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-        val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-        val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-        val capped = sh
+        val withDf = sh
           .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-          .filter(col("df") <= dfCap).drop("df")
-        val cand = capped.select(col(idCol).as("id_a"), col("shingle"))
+        val capped = withDf.filter(col("df") <= dfCap).drop("df")
+        val stop = withDf.filter(col("df") > dfCap).drop("df")
+        val interCapped = capped.select(col(idCol).as("id_a"), col("shingle"))
           .join(capped.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
           .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        cand.join(a, Seq("id_a"))
-          .join(b, Seq("id_b", "shingle"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_c"))
+        val interStop = interCapped.select("id_a", "id_b")
+          .join(stop.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+          .join(stop.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_s"))
+        interCapped
+          .join(interStop, Seq("id_a", "id_b"), "left")
+          .withColumn("inter", col("inter_c") + coalesce(col("inter_s"), lit(0L)))
+          .drop("inter_c", "inter_s")
           .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
           .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       }

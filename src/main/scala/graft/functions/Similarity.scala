@@ -312,16 +312,52 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Smallest sign-bit count in [minBits, maxBits] keeping expected bucket
+    * occupancy n/2^bits at or under `targetOccupancy`. A FIXED bit count is
+    * a quadratic time bomb: once the 2^bits buckets saturate, per-bucket
+    * pair work grows as (n/2^bits)² — measured at ×100 corpus scale as
+    * 2.5× the linear-extrapolated floor. Occupancy-bounded bits keep total
+    * candidate pairs ≈ n·occupancy/2, i.e. LINEAR in n, at the documented
+    * recall trade (finer buckets drop more cross-bucket pairs — the same
+    * knob semantics as IVF nlist). Integer-exact, so the DuckDB oracle
+    * derives the identical value from count(*). */
+  def adaptiveSignBits(
+      n: Long, targetOccupancy: Long = 64,
+      minBits: Int = 8, maxBits: Int = 20): Int = {
+    var bits = minBits
+    while (bits < maxBits && n > (1L << bits) * targetOccupancy) bits += 1
+    bits
+  }
+
   /** Embedding-cosine near-duplicate pairs with a sign-bucket prefilter —
     * THE production entry point for embedding dedup: candidates = same
-    * sign-bucket only (equi-join, O(N²/2^bits) work), then exact cosine
-    * verify within the bucket. Pairs whose vectors land in different sign
-    * buckets are by design not candidates (tune recall with `bits`; swap the
-    * partitioner for IVF centroids at real scale — the join shape is
-    * identical). Use [[embeddingDupPairs]] only as the exact O(N²) witness. */
+    * sign-bucket only (equi-join), then exact cosine verify within the
+    * bucket. `bits <= 0` (the default) sizes the bucket count from the
+    * corpus via [[adaptiveSignBits]] — EXPECTED candidate volume linear in
+    * corpus size. Caveat measured at ×100 scale: occupancy bounds the
+    * AVERAGE, not a dense near-dup family that shares one sign pattern
+    * (max bucket 14k vs avg 64 on the ×100 corpus, 707M within-bucket
+    * pairs — and sampled same-bucket pairs were 100% true dups, so that
+    * cost IS the answer size). When the corpus contains such families,
+    * all-pairs output is itself quadratic — use
+    * [[embeddingDedupLeaders]], whose work AND output stay linear, and
+    * keep this as the within-bucket exact-pairs witness. Pairs whose
+    * vectors land in different sign buckets are by design not candidates
+    * (tune recall with `targetOccupancy`; swap the partitioner for IVF
+    * centroids at real scale — the join shape is identical). Use
+    * [[embeddingDupPairs]] only as the exact O(N²) witness. */
   def embeddingDupPairsBucketed(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8): DataFrame = {
+      threshold: Double, bits: Int = 0, targetOccupancy: Long = 64): DataFrame = {
+    val useBits =
+      if (bits > 0) bits
+      else adaptiveSignBits(corpus.select(idCol).count(), targetOccupancy)
+    embeddingDupPairsBucketedFixed(corpus, idCol, vecCol, threshold, useBits)
+  }
+
+  private def embeddingDupPairsBucketedFixed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("bucket", signBucket("va", bits))
       .withColumn("na", sqrt(dotExpr("va", "va")))
@@ -333,6 +369,45 @@ object Similarity {
       .withColumn("cos_sim", cosineWithNorms("va", "vb", col("na"), col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Leader-clustering embedding dedup — the variant whose WORK and OUTPUT
+    * both stay linear even when the corpus holds dense near-duplicate
+    * families (the regime where [[embeddingDupPairsBucketed]]'s all-pairs
+    * answer is itself quadratic): within each sign bucket the lowest-id
+    * vector is the LEADER, and every other member is verified against its
+    * leader ONLY — one cosine per member, O(population) per bucket.
+    * Canopy-style: a member whose cosine to the leader clears `threshold`
+    * is a duplicate of the leader's family; chains between two non-leader
+    * members that both miss the leader are not caught (the recall trade
+    * that buys the linear bound — for dedup of dense families this is the
+    * standard SemDeDup/canopy discipline). Returns one row per duplicate
+    * member: (vec_id, leader_id, cos_sim >= threshold); survivors =
+    * corpus anti-join on vec_id. Deterministic (leader = min id), so the
+    * DuckDB oracle pins it exactly. `bits <= 0` sizes buckets adaptively
+    * like the pair variant. */
+  def embeddingDedupLeaders(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 0, targetOccupancy: Long = 64): DataFrame = {
+    val useBits =
+      if (bits > 0) bits
+      else adaptiveSignBits(corpus.select(idCol).count(), targetOccupancy)
+    val bucketed = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", signBucket("cv", useBits))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
+    // Partial-aggregable leader choice, then ONE equi-join to attach the
+    // leader's vector: rows flowing = corpus + one row per bucket.
+    val leaders = bucketed.groupBy("bucket")
+      .agg(min(col("vec_id")).as("leader_id"))
+    val leaderVecs = leaders
+      .join(bucketed.select(col("vec_id").as("leader_id"),
+        col("cv").as("lv"), col("nc").as("nl")), Seq("leader_id"))
+    bucketed.join(leaderVecs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("leader_id"))
+      .withColumn("cos_sim", cosineWithNorms("cv", "lv", col("nc"), col("nl")))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_id", "leader_id", "cos_sim")
   }
 
   /** SemDeDup-style semantic dedup pairs (Abbas et al. 2023, arXiv

@@ -30,15 +30,30 @@ object BenchScale {
     "q_trigram_logprob",   // 3 n-gram tables, keyed joins
     "q_knn_ivf",           // IVF lists + probed search
     "q_pq_adc",            // PQ codes + broadcast distance tables
-    "q_dedup_embedding_bucketed", // sign-bucket equi-join
+    // q_dedup_embedding_bucketed is EXCLUDED like the O(N²) witnesses as of
+    // the ×100 audit: the ×100 corpus holds dense same-sign near-dup
+    // families (max bucket 14,217 vs avg 64 → 707M within-bucket pairs),
+    // and sampled same-bucket pairs were 100% true duplicates — its cost IS
+    // its quadratic answer size. The linear-output production path is:
+    "q_dedup_embedding_leader",   // leader-clustering dedup, O(n) work+output
     "q_fuzzy_pairs")       // blocked edit-distance join
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional comma-separated subset for fast iteration on one query.
+    val selected = sys.env.get("GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = selected.fold(HeavyQueries)(s => HeavyQueries.filter(s))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle width is tunable for scale experiments (a 1024-wide
+      // initialPartitionNum was MEASURED 2× slower at ×100 on 32 cores —
+      // task overhead beats spill relief here; a real cluster sizes this
+      // to executor count, so the harness leaves it an explicit knob).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("GRAFT_SCALE_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Same cached-plan AQE posture as Bench/BenchStream.
@@ -50,7 +65,7 @@ object BenchScale {
     // the first timed query.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$dataDir/documents.parquet").limit(1).collect()
-    val results = HeavyQueries.map { name =>
+    val results = queries.map { name =>
       val t0 = System.nanoTime()
       val err =
         try { graft.SparkEntry.queries(name)(spark, dataDir).count(); None }

@@ -297,6 +297,49 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveSignBits: occupancy-bounded, clamped, monotone in n") {
+    import Similarity.adaptiveSignBits
+    assert(adaptiveSignBits(500) === 8)          // under 64*2^8, floor holds
+    assert(adaptiveSignBits(64L << 8) === 8)     // exactly at occupancy bound
+    assert(adaptiveSignBits((64L << 8) + 1) === 9)
+    assert(adaptiveSignBits(2000000) === 15)     // the ×100 regime
+    assert(adaptiveSignBits(Long.MaxValue / 2) === 20) // ceiling clamp
+    val ns = Seq(100L, 10000L, 1000000L, 100000000L)
+    assert(ns.map(adaptiveSignBits(_)) === ns.map(adaptiveSignBits(_)).sorted)
+  }
+
+  test("embeddingDupPairsBucketed: adaptive default == fixed bits at small n") {
+    val vecs = (0L until 40L).toDF("vec_id")
+      .selectExpr("vec_id",
+        "transform(sequence(0, 7), i -> CAST(CASE WHEN (vec_id + i) % 3 = 0 THEN -1.0 ELSE 1.0 END AS FLOAT)) AS embedding")
+    val adaptive = Similarity.embeddingDupPairsBucketed(vecs, "vec_id", "embedding", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val fixed = Similarity.embeddingDupPairsBucketed(vecs, "vec_id", "embedding", 0.5, bits = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(adaptive === fixed) // 40 vectors < 64·2^8 -> adaptive resolves to 8
+    assert(adaptive.nonEmpty)
+  }
+
+  test("embeddingDedupLeaders: member-vs-leader only, dups subset of exact pairs") {
+    val vecs = Seq(
+      (0L, Array(1f, 0.1f, 0f, 0f)),   // leader of the +,+ bucket family
+      (1L, Array(0.98f, 0.12f, 0f, 0f)), // near-dup of 0
+      (2L, Array(0.97f, 0.09f, 0f, 0f)), // near-dup of 0
+      (3L, Array(0.1f, 1f, 0f, 0f)),   // same sign bucket, NOT a dup of 0
+      (4L, Array(-1f, 0.5f, 0f, 0f))   // different bucket, alone
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDedupLeaders(vecs, "vec_id", "embedding",
+      threshold = 0.95, bits = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(r => (r._1, r._2)) === Set((1L, 0L), (2L, 0L)))
+    // every reported dup is a true pair of the exact generator
+    val exact = Similarity.embeddingDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .as[(Long, Long, Double)].collect().toSet.map((r: (Long, Long, Double)) => (r._1, r._2))
+    assert(got.map(r => (math.min(r._1, r._2), math.max(r._1, r._2))).subsetOf(exact))
+    // leaders never report against themselves
+    assert(!got.exists(r => r._1 == r._2))
+  }
+
   test("chunkDocs: stride/overlap arithmetic, truncation, single-chunk floor") {
     val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, "short doc"))
       .toDF("doc_id", "text")
