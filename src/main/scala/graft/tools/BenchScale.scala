@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * (time_k ≲ k × time_base; anything >2× the extrapolated floor is a
   * super-linear scaling bug, not noise).
   *
-  * Only queries reading documents/embeddings/part are eligible — ScaleGen
-  * scales exactly those tables. The exact O(N²) witnesses (q_dedup_jaccard,
+  * Only queries reading documents/embeddings/part/events are eligible —
+  * ScaleGen scales exactly those tables. The exact O(N²) witnesses (q_dedup_jaccard,
   * q_dedup_containment, q_dedup_embedding) are deliberately absent: their
   * answer itself grows quadratically, so their scale-up measures answer
   * size, not plan quality.
@@ -36,7 +36,13 @@ object BenchScale {
     // and sampled same-bucket pairs were 100% true duplicates — its cost IS
     // its quadratic answer size. The linear-output production path is:
     "q_dedup_embedding_leader",   // leader-clustering dedup, O(n) work+output
-    "q_fuzzy_pairs")       // blocked edit-distance join
+    "q_fuzzy_pairs",       // blocked edit-distance join
+    // events family (ScaleGen ×k scales events too): the user-keyed
+    // window, the day-cohort self-join, and the global top-k — the three
+    // canonical time-series shuffle shapes at scale.
+    "q_events_sessionize",
+    "q_user_retention",
+    "q_events_topk_users")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)

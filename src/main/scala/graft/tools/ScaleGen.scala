@@ -54,6 +54,18 @@ object ScaleGen {
         col("label"))
     }.reduce(_.unionByName(_))
 
+  /** events ×k: user/event ids shift per replica (distinct users, so
+    * sessions/retention cohorts never straddle replicas — the workload a
+    * k×-bigger user base actually produces); ts/value/type unchanged so the
+    * per-user event-time distribution is identical in every replica. */
+  def scaleEvents(events: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      if (r == 0) events
+      else events
+        .withColumn("event_id", col("event_id") + lit(r * IdStride))
+        .withColumn("user_id", col("user_id") + lit(r * IdStride))
+    }.reduce(_.unionByName(_))
+
   def scalePart(part: DataFrame, k: Int): DataFrame =
     (0 until k).map { r =>
       if (r == 0) part
@@ -79,6 +91,8 @@ object ScaleGen {
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     scalePart(pq("part"), k)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    scaleEvents(pq("events"), k)
+      .repartition(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"""{"scaled":"$outDir","k":$k}""")
     spark.stop()
   }
