@@ -153,6 +153,20 @@ class PlanQualitySpec extends SparkSpec {
       "exactness witness q_dedup_jaccard unexpectedly capped")
   }
 
+  test("q_dedup_embedding_leader: bucket equi-join only — no cartesian, no pair self-join") {
+    // Leader clustering's linear bound rests on its plan shape: members
+    // meet ONLY their bucket leader (two bucket equi-joins), never each
+    // other. A cross product or an extra vector-vector self-join here
+    // silently reintroduces the quadratic all-pairs regime the operator
+    // exists to avoid.
+    val plan = planOf("q_dedup_embedding_leader")
+    assert(!plan.contains("CartesianProduct"), "cartesian in leader dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in leader dedup")
+    val joins = "(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins <= 2, s"leader dedup grew to $joins joins:\n$plan")
+  }
+
   test("q_tpch_shipping broadcasts the filtered dimension and pushes date filters") {
     val plan = planOf("q_tpch_shipping")
     assert(plan.contains("BroadcastHashJoin"), "customer side not broadcast")
