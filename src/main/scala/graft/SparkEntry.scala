@@ -473,6 +473,15 @@ object SparkEntry {
         n = 4, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // Leader-clustering text near-dup: members verify against their LSH
+    // band-bucket / content-hash leaders only — candidate AND output volume
+    // linear even over dense near-dup families where the all-pairs answer
+    // is quadratic (the text twin of q_dedup_embedding_leader).
+    "q_dedup_leaders" -> ((s, dir) =>
+      graft.functions.Dedup.nearDupLeadersLsh(
+        pq(s, dir, "documents"), "doc_id", "text", n = 4, threshold = 0.8)
+        .orderBy("doc_id", "leader_id")),
+
     // Prefix-filtered EXACT jaccard pairs (AllPairs/PPJoin): same answer as
     // q_dedup_jaccard (the oracle is literally the same exact-pairs SQL) via
     // a ~(1-t)-sized prefix index instead of the full inverted index — the
@@ -3100,6 +3109,44 @@ object SparkEntry {
          |JOIN sizes sb ON id_b = sb.doc_id
          |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_leaders" ->
+      s"""WITH $shingleCtes,
+         |$minhashSigsCte,
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sigs
+         |  UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
+         |  UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
+         |  UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs),
+         |bl AS (SELECT band, bkey, min(doc_id) AS leader_id FROM banded GROUP BY 1, 2),
+         |bcand AS (
+         |  SELECT bl.leader_id AS id_a, banded.doc_id AS id_b
+         |  FROM banded JOIN bl ON banded.band = bl.band AND banded.bkey = bl.bkey
+         |  WHERE banded.doc_id <> bl.leader_id),
+         |hh AS (
+         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM documents),
+         |hl AS (SELECT h, min(doc_id) AS leader_id FROM hh GROUP BY 1),
+         |hcand AS (
+         |  SELECT hl.leader_id AS id_a, hh.doc_id AS id_b
+         |  FROM hh JOIN hl ON hh.h = hl.h WHERE hh.doc_id <> hl.leader_id),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b
+         |  FROM (SELECT * FROM bcand UNION ALL SELECT * FROM hcand)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |iv AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT id_b AS doc_id, id_a AS leader_id,
+         |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+         |FROM iv
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
+         |ORDER BY doc_id, leader_id""".stripMargin,
 
     "q_minhash_accuracy" -> {
       val matchSql = (0 until 8)

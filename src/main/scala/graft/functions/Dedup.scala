@@ -281,6 +281,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Leader-clustering text near-dup — the linear-output sibling of
+    * [[nearDupPairsLsh]] for corpora with DENSE near-duplicate families
+    * (boilerplate farms, template spam), where the all-pairs answer is
+    * itself quadratic: a family of 1M near-identical pages is 5·10¹¹
+    * pairs nobody wants materialized. Within every LSH band bucket AND
+    * every exact-content-hash group, the lowest-id document is the
+    * LEADER; each member is exact-jaccard-verified against its leaders
+    * ONLY. Candidate volume ≤ (bands + 1) rows per document — linear by
+    * construction — and the verify join's volume is candidates ×
+    * shingles-per-doc, also linear. Canopy discipline (same trade as
+    * [[Similarity.embeddingDedupLeaders]]): member-member chains that
+    * both miss their shared leader are not reported. Emits one row per
+    * verified (member, leader) pair: (doc_id, leader_id, jaccard ≥
+    * threshold); survivors = corpus anti-join on doc_id. Deterministic
+    * (leader = min id) — the DuckDB oracle pins it exactly. */
+  def nearDupLeadersLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val rowsPerBand = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
+    }
+    val banded = sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bandLeaders = banded.groupBy("band", "bkey")
+      .agg(min(col(idCol)).as("leader_id"))
+    val bandCand = banded.join(bandLeaders, Seq("band", "bkey"))
+      .filter(col(idCol) =!= col("leader_id"))
+      .select(col("leader_id").as("id_a"), col(idCol).as("id_b"))
+    // Exact-content floor: identical docs always face their hash-group
+    // leader, independent of banding (mirrors nearDupPairsLsh's floor).
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val hashed = df.select(col(idCol), md5(norm).as("__h"))
+    val hashLeaders = hashed.groupBy("__h").agg(min(col(idCol)).as("leader_id"))
+    val hashCand = hashed.join(hashLeaders, Seq("__h"))
+      .filter(col(idCol) =!= col("leader_id"))
+      .select(col("leader_id").as("id_a"), col(idCol).as("id_b"))
+    val cand = bandCand.unionByName(hashCand).distinct()
+    val sh = shingleSets(df, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    cand.join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as("doc_id"), col("id_a").as("leader_id"), col("jaccard"))
+  }
+
   /** Incremental NEAR-dup: candidate pairs between a new `batch` and an
     * existing `corpus` (jaccard >= threshold) — the daily-ingest sibling of
     * [[incrementalDedup]] for near-duplicates. The batch's band keys and

@@ -36,6 +36,7 @@ object BenchScale {
     // and sampled same-bucket pairs were 100% true duplicates — its cost IS
     // its quadratic answer size. The linear-output production path is:
     "q_dedup_embedding_leader",   // leader-clustering dedup, O(n) work+output
+    "q_dedup_leaders",     // text leader dedup (LSH/hash leaders), O(n) output
     "q_fuzzy_pairs",       // blocked edit-distance join
     // events family (ScaleGen ×k scales events too): the user-keyed
     // window, the day-cohort self-join, and the global top-k — the three

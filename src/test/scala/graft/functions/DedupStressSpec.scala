@@ -30,6 +30,25 @@ class DedupStressSpec extends SparkSpec {
     assert(pairs.filter(col("id_a") >= 10000L || col("id_b") >= 10000L).count() === 0)
   }
 
+  test("nearDupLeadersLsh: the same 1k-family reports LINEAR output — one row per member") {
+    // The leader variant must turn the quadratic all-pairs answer into 999
+    // (member, leader=0) rows at jaccard 1.0 — the production shape for
+    // dense families — while the 50 unique tail docs report nothing.
+    val n = 1000
+    val docs = ((0 until n).map(i => (i.toLong, "the same exact document text repeated everywhere forever")) ++
+      (0 until 50).map(i => (10000L + i, s"unique tail doc d${i}a d${i}b d${i}c d${i}d d${i}e")))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupLeadersLsh(docs, "doc_id", "text", n = 4, threshold = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === n - 1, s"expected ${n - 1} member rows, got ${out.length}")
+    assert(out.forall(r => r._2 == 0L && r._3 == 1.0))
+    assert(out.map(_._1).toSet === (1L until n.toLong).toSet)
+    // dup verdicts agree with the all-pairs generator restricted to leaders
+    val pairRows = Dedup.nearDupPairsLsh(docs, "doc_id", "text", n = 4, threshold = 0.8)
+      .filter(col("id_a") === 0L).count()
+    assert(pairRows === (n - 1).toLong)
+  }
+
   test("jaccardPairs dfCap: a shingle in EVERY document never enters the candidate join") {
     // Zipfian head: all 3000 docs share the lead 4-gram (df = 3000); true
     // near-dups (adjacent id pairs) share 8 UNIQUE tail shingles and differ
