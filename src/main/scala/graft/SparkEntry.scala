@@ -3549,10 +3549,12 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin,
 
     "q_semantic_dedup" ->
-      s"""WITH cents AS (
+      s"""WITH nl AS (
+         |  SELECT GREATEST(16, (count(*) + 255) // 256) AS nlist FROM embeddings),
+         |cents AS (
          |  SELECT vec_id AS cent_id, embedding AS centv,
          |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
-         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |  FROM embeddings ORDER BY vec_id LIMIT (SELECT nlist FROM nl)),
          |c AS (
          |  SELECT vec_id, embedding AS cv,
          |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc

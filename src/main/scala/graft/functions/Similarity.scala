@@ -421,13 +421,24 @@ object Similarity {
     * Centroids here are the deterministic `nlist` lowest-id vectors (swap
     * for [[kmeansStep]]-trained centroids without touching a join — same
     * recall/dataflow trade as ivfTopK, and cross-cluster near-dups are by
-    * design not candidates). Emits (cent_id, id_a, id_b, cos_sim >=
-    * threshold); downstream survivor selection = keep min id per cluster
-    * component, exactly like [[Dedup.clusterLabels]] over these pairs. */
+    * design not candidates). `nlist <= 0` (the default) sizes the cluster
+    * count from the corpus — max(16, ceil(n/256)) — so cluster population
+    * stays occupancy-bounded as the corpus grows instead of saturating a
+    * fixed 16 (the same quadratic time bomb the ×100 audit caught in
+    * fixed sign bits; mirrored integer-exactly in the oracle SQL). Emits
+    * (cent_id, id_a, id_b, cos_sim >= threshold); downstream survivor
+    * selection = keep min id per cluster component, exactly like
+    * [[Dedup.clusterLabels]] over these pairs. */
   def semanticDedupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      threshold: Double, nlist: Int = 0): DataFrame = {
+    val useNlist =
+      if (nlist > 0) nlist
+      else {
+        val n = corpus.select(idCol).count()
+        math.max(16L, (n + 255L) / 256L).toInt
+      }
+    val cents = corpus.orderBy(col(idCol)).limit(useNlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
       .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
