@@ -875,7 +875,8 @@ object SparkEntry {
       val hll = udaf(new graft.functions.HllAggregator(10))
       events(s, dir)
         .select(col("event_type"),
-          graft.functions.HllAggregator.md5Hash60(col("user_id")).as("hv"))
+          coalesce(graft.functions.HllAggregator.md5Hash60(col("user_id")),
+            lit(-1L)).as("hv"))
         .groupBy("event_type")
         .agg(hll(col("hv")).as("r"))
         .select(col("event_type"), col("r.approx_distinct").as("approx_users"),
@@ -2382,7 +2383,7 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |b AS (
         |  SELECT window_start, event_type,
         |    CAST(hv // 1125899906842624 AS BIGINT) AS bucket,
@@ -2854,7 +2855,7 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT event_type,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |b AS (
         |  SELECT event_type,
         |    CAST(hv // 1125899906842624 AS BIGINT) AS bucket,

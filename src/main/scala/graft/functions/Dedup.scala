@@ -312,8 +312,13 @@ object Dedup {
     val bandCand = banded.join(bandLeaders, Seq("band", "bkey"))
       .filter(col(idCol) =!= col("leader_id"))
       .select(col("leader_id").as("id_a"), col(idCol).as("id_b"))
-    // Exact-content floor: identical docs always face their hash-group
-    // leader, independent of banding (mirrors nearDupPairsLsh's floor).
+    // Content-hash floor: identical docs face their hash-group leader
+    // independent of banding (mirrors nearDupPairsLsh's floor). Scope
+    // caveat shared with that floor and the oracle: a doc shorter than one
+    // n-shingle has an EMPTY shingle set, so its hash candidates fall out
+    // of the verify join — identical sub-shingle-length docs are not
+    // reported by either path (route such rows through Dedup.exact, whose
+    // hash dedup has no length floor).
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     val hashed = df.select(col(idCol), md5(norm).as("__h"))
     val hashLeaders = hashed.groupBy("__h").agg(min(col(idCol)).as("leader_id"))

@@ -19,11 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Both [[profileTable]] and [[oracleSql]] interpolate column names into
+    * generated expressions (`stack(...)` literals, quoted SQL
+    * identifiers); a name carrying a quote, backtick, comma, or double
+    * quote would produce a malformed or injected expression, so such
+    * names are rejected up front instead of failing obscurely mid-plan. */
+  private def requireSafeNames(cols: Seq[String]): Unit = {
+    val bad = cols.filter(c => c.isEmpty || c.exists("'`\",".contains(_)))
+    require(bad.isEmpty,
+      s"column names must be non-empty and free of quote/backtick/comma " +
+        s"characters (they are interpolated into stack()/SQL literals); " +
+        s"rejected: ${bad.mkString("[", ", ", "]")}")
+  }
+
   /** Profile `cols` of `df` in one scan: `column_name, n_rows, n_nulls,
     * approx_distinct, s_scaled, zero_buckets`, one row per column, ordered
     * by column name. */
   def profileTable(df: DataFrame, cols: Seq[String], p: Int = 10): DataFrame = {
     require(cols.nonEmpty, "profileTable needs at least one column")
+    requireSafeNames(cols)
     val hll = udaf(new HllAggregator(p))
     def nullSafeHash(c: Column): Column =
       coalesce(HllAggregator.md5Hash60(c), lit(-1L)) // -1 = skip sentinel
@@ -52,6 +66,7 @@ object Profile {
     * register-exact HLL block per column. Lives next to the operator so the
     * SQL and the Scala can't drift. */
   def oracleSql(table: String, cols: Seq[String]): String = {
+    requireSafeNames(cols)
     val blocks = cols.map { c =>
       s"""(WITH h AS (
          |  SELECT ('0x' || substr(md5(CAST("$c" AS VARCHAR)), 1, 15))::UBIGINT AS hv

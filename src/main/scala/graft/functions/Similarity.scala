@@ -345,13 +345,24 @@ object Similarity {
     * vectors land in different sign buckets are by design not candidates
     * (tune recall with `targetOccupancy`; swap the partitioner for IVF
     * centroids at real scale — the join shape is identical). Use
-    * [[embeddingDupPairs]] only as the exact O(N²) witness. */
+    * [[embeddingDupPairs]] only as the exact O(N²) witness.
+    *
+    * NOTE on laziness: with the default `bits <= 0` the bucket count is
+    * sized from the corpus cardinality, which runs an EAGER
+    * `corpus.select(idCol).count()` action at plan-construction time —
+    * one extra (column-pruned) scan of the source. Pass `rowCount` (a
+    * count you already have, e.g. from table stats) or an explicit `bits`
+    * to keep construction fully lazy; for expensive uncached inputs,
+    * cache the corpus first. */
   def embeddingDupPairsBucketed(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 0, targetOccupancy: Long = 64): DataFrame = {
+      threshold: Double, bits: Int = 0, targetOccupancy: Long = 64,
+      rowCount: Long = -1L): DataFrame = {
     val useBits =
       if (bits > 0) bits
-      else adaptiveSignBits(corpus.select(idCol).count(), targetOccupancy)
+      else adaptiveSignBits(
+        if (rowCount >= 0) rowCount else corpus.select(idCol).count(),
+        targetOccupancy)
     embeddingDupPairsBucketedFixed(corpus, idCol, vecCol, threshold, useBits)
   }
 
@@ -385,13 +396,17 @@ object Similarity {
     * member: (vec_id, leader_id, cos_sim >= threshold); survivors =
     * corpus anti-join on vec_id. Deterministic (leader = min id), so the
     * DuckDB oracle pins it exactly. `bits <= 0` sizes buckets adaptively
-    * like the pair variant. */
+    * like the pair variant (same eager-count caveat: pass `rowCount` or
+    * explicit `bits` to keep plan construction lazy). */
   def embeddingDedupLeaders(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 0, targetOccupancy: Long = 64): DataFrame = {
+      threshold: Double, bits: Int = 0, targetOccupancy: Long = 64,
+      rowCount: Long = -1L): DataFrame = {
     val useBits =
       if (bits > 0) bits
-      else adaptiveSignBits(corpus.select(idCol).count(), targetOccupancy)
+      else adaptiveSignBits(
+        if (rowCount >= 0) rowCount else corpus.select(idCol).count(),
+        targetOccupancy)
     val bucketed = corpus
       .select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("bucket", signBucket("cv", useBits))
@@ -431,11 +446,13 @@ object Similarity {
     * [[Dedup.clusterLabels]] over these pairs. */
   def semanticDedupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 0): DataFrame = {
+      threshold: Double, nlist: Int = 0, rowCount: Long = -1L): DataFrame = {
     val useNlist =
       if (nlist > 0) nlist
       else {
-        val n = corpus.select(idCol).count()
+        // Eager sizing count when no rowCount is supplied — see
+        // embeddingDupPairsBucketed's laziness note.
+        val n = if (rowCount >= 0) rowCount else corpus.select(idCol).count()
         math.max(16L, (n + 255L) / 256L).toInt
       }
     val cents = corpus.orderBy(col(idCol)).limit(useNlist)
@@ -493,15 +510,34 @@ object Similarity {
     * only shape that stays bounded at corpus scale: |pairs| ≈
     * rateA·rateB·N²/2 is set by the rates, not by N² (pick rates ∝ 1/√N
     * for a constant-size calibration set). Buckets are width-0.05 over
-    * [-1, 1], keyed by floor(round(cos,6)·20). */
+    * [-1, 1], keyed by floor(round(cos,6)·20).
+    *
+    * The rate contract is ENFORCED, not just documented: the two sampled
+    * id sets are counted up front (two cheap column-pruned scans) and the
+    * call fails fast when the broadcast side exceeds `maxBroadcastRows`
+    * or the pair product exceeds `maxPairs` — a caller who forgets to
+    * shrink the rates as N grows gets an actionable error instead of a
+    * silent quadratic cross join. */
   def simHistogram(
       df: DataFrame, idCol: String, vecCol: String,
-      rateA: Double, rateB: Double): DataFrame = {
+      rateA: Double, rateB: Double,
+      maxPairs: Long = 100000000L,
+      maxBroadcastRows: Long = 4000000L): DataFrame = {
+    def samplePred(seed: String, rate: Double) =
+      substring(md5(concat(lit(s"$seed:"), col(idCol))), 1, 8) <
+        Sampling.hexThreshold(rate)
     def sampled(seed: String, rate: Double, idAs: String, vAs: String) =
-      df.filter(
-          substring(md5(concat(lit(s"$seed:"), col(idCol))), 1, 8) <
-            Sampling.hexThreshold(rate))
+      df.filter(samplePred(seed, rate))
         .select(col(idCol).as(idAs), col(vecCol).as(vAs))
+    val nA = df.filter(samplePred("simA", rateA)).select(idCol).count()
+    val nB = df.filter(samplePred("simB", rateB)).select(idCol).count()
+    require(nB <= maxBroadcastRows,
+      s"simHistogram broadcast side sampled $nB rows (> $maxBroadcastRows); " +
+        s"lower rateB — pick rates ~ 1/sqrt(N) for a constant pair budget")
+    require(nA * nB <= maxPairs,
+      s"simHistogram pair volume $nA x $nB = ${nA * nB} exceeds maxPairs=" +
+        s"$maxPairs; lower rateA/rateB (~ 1/sqrt(N)) or raise maxPairs " +
+        s"deliberately")
     val a = sampled("simA", rateA, "id_a", "va")
       .withColumn("na", sqrt(dotExpr("va", "va")))
     val b = sampled("simB", rateB, "id_b", "vb")

@@ -54,7 +54,8 @@ object EventAnalytics {
     events
       .withWatermark("ts", lateness)
       .select(col("ts"), col("event_type"),
-        graft.functions.HllAggregator.md5Hash60(col("user_id")).as("hv"))
+        coalesce(graft.functions.HllAggregator.md5Hash60(col("user_id")),
+          lit(-1L)).as("hv"))
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(hll(col("hv")).as("r"))
       .select(col("window.start").as("window_start"),

@@ -37,6 +37,21 @@ class ProfileSpec extends SparkSpec {
     assert(scans <= 1, s"expected a single source scan, got $scans:\n$plan")
   }
 
+  test("column names that would break the generated stack()/SQL are rejected up front") {
+    val evil = frame.withColumnRenamed("cat", "ca't")
+    for (bad <- Seq("ca't", "c`at", "c,at", "c\"at")) {
+      val renamed = frame.withColumnRenamed("cat", bad)
+      val e = intercept[IllegalArgumentException] {
+        Profile.profileTable(renamed, Seq(bad))
+      }
+      assert(e.getMessage.contains("rejected"), s"name $bad")
+      intercept[IllegalArgumentException] { Profile.oracleSql("t", Seq(bad)) }
+    }
+    // a safe rename still profiles
+    assert(Profile.profileTable(evil.withColumnRenamed("ca't", "cat_ok"),
+      Seq("cat_ok")).count() === 1L)
+  }
+
   test("nulls are not a distinct value: adding null rows never moves the sketch") {
     val base = Profile.profileTable(frame.filter(col("cat").isNotNull), Seq("cat"))
       .as[(String, Long, Long, Double, Long, Long)].head()

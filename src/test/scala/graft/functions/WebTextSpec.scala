@@ -332,6 +332,28 @@ class WebTextSpec extends SparkSpec {
     got.foreach { case (b, _, lo) => assert(lo === b / 20.0) }
   }
 
+  test("simHistogram: rate contract is enforced — oversized sample sides fail fast") {
+    val df = (0L until 40L).map { i =>
+      i -> Array.tabulate(4)(j => (((i * 7 + j * 3) % 11).toFloat - 5f) / 3f)
+    }.toDF("vec_id", "embedding")
+    // ~20 x ~20 sampled rows: pair product > 100 trips the maxPairs guard
+    val ePairs = intercept[IllegalArgumentException] {
+      Similarity.simHistogram(df, "vec_id", "embedding",
+        rateA = 0.5, rateB = 0.5, maxPairs = 100L)
+    }
+    assert(ePairs.getMessage.contains("maxPairs"))
+    // broadcast side alone over its bound trips the broadcast guard
+    val eBcast = intercept[IllegalArgumentException] {
+      Similarity.simHistogram(df, "vec_id", "embedding",
+        rateA = 0.5, rateB = 0.5, maxBroadcastRows = 5L)
+    }
+    assert(eBcast.getMessage.contains("broadcast"))
+    // inside the bounds the histogram is unchanged by the guard parameters
+    val n = Similarity.simHistogram(df, "vec_id", "embedding",
+      rateA = 0.5, rateB = 0.5).count()
+    assert(n > 0)
+  }
+
   // ---- clusterBalancedSample ---------------------------------------------
 
   test("clusterBalancedSample caps every cell and reports pre-cap sizes") {

@@ -80,6 +80,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(streamed.exists(r => r._2 == "view" && math.abs(r._3 - 1.0) < 0.1))
   }
 
+  test("windowedDistinctUsers: null user_id is skipped, never a crash or phantom register") {
+    // The typed HLL aggregator's Long input is non-nullable; a null user_id
+    // must hit the -1 skip sentinel (not a deserializer NPE) and must not
+    // occupy a register. Batch mode drives the same aggregator code path.
+    val withNull = Seq(
+      (ts(1), Option(1L), "click", 1.0), (ts(2), Option(2L), "click", 1.0),
+      (ts(3), Option.empty[Long], "click", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    val withoutNull = Seq(
+      (ts(1), Option(1L), "click", 1.0), (ts(2), Option(2L), "click", 1.0))
+      .toDF("ts", "user_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      windowedDistinctUsers(df)
+        .select("window_start", "event_type", "approx_users", "s_scaled", "zero_buckets")
+        .as[(Timestamp, String, Double, Long, Long)].collect().toSet
+    val a = run(withNull)
+    assert(a === run(withoutNull)) // the null row is invisible to the sketch
+    assert(math.abs(a.head._3 - 2.0) < 0.1)
+  }
+
   test("curateStream: quality/lang gates drop, content dedup keeps first, survivors flow") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, String)]
