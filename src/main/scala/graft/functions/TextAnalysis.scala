@@ -15,6 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Ceiling (rows) under which a VOCABULARY-sized table may broadcast;
+    * session-tunable via `graft.vocab.broadcastMaxTerms`. Vocabulary
+    * grows with the corpus (Heaps' law: O(10⁷-10⁸) distinct terms at
+    * 100 TB) — a multi-GB broadcast that OOMs executors — so joins
+    * against term tables must stop broadcasting past this ceiling and go
+    * KEYED instead (shuffle on the term key; AQE absorbs stop-word
+    * skew). The default 4M rows ≈ tens of MB broadcast for short terms,
+    * comfortably inside executor memory. */
+  private[graft] def vocabBroadcastMaxTerms(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.vocab.broadcastMaxTerms")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Join `left` against the vocabulary-sized `vocab` on `keys`:
+    * broadcast when `vocabRows` (a sizing count the caller already paid)
+    * fits under `maxBroadcast`, keyed shuffle join otherwise. The switch
+    * is data-driven, never a static choice — the decision
+    * `bigramLogProb`/`trigramLogProb` hard-code as always-keyed (their
+    * n-gram tables are vocabulary-squared) made dynamic for the tables
+    * that are small at test scale but vocabulary-sized in production. */
+  private def joinVocab(
+      left: DataFrame, vocab: DataFrame, keys: Seq[String],
+      vocabRows: Long, maxBroadcast: Long): DataFrame =
+    if (vocabRows <= maxBroadcast) left.join(broadcast(vocab), keys)
+    // The merge hint FORCES the keyed strategy: Catalyst's size estimate
+    // for an aggregate output can undershoot (it derives from child
+    // stats), and auto-broadcast of a vocab-sized table is exactly the
+    // OOM this switch exists to prevent — the measured row count, not
+    // the estimator, makes the call.
+    else left.join(vocab.hint("merge"), keys)
+
   /** Whitespace tokenization (split on runs of whitespace). */
   def words(text: Column): Column = split(text, "\\s+")
 
@@ -109,16 +139,19 @@ object TextAnalysis {
     * Determinism: per-token log-probs are fixed-pointed to 1e-6
     * (round-half-away-from-zero in both engines) and summed as LONGS —
     * order-independent, so the result hash-matches the oracle regardless
-    * of partitioning. Cost: one vocab aggregation + one token→count join
-    * (vocab broadcasts here; at 100 TB vocab scale swap in a keyed join —
-    * AQE handles the stop-word skew) + one per-doc aggregation.
+    * of partitioning. Cost: one vocab sizing count + one vocab
+    * aggregation + one token→count join + one per-doc aggregation. The
+    * vocab join AUTO-SWITCHES: broadcast under
+    * [[vocabBroadcastMaxTerms]], keyed shuffle join above it (see that
+    * method's 100 TB rationale); the 1-row `total` broadcast is
+    * scale-free either way.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
-    val fixed = toks
-      .join(broadcast(freq), Seq("w"))
+    val fixed = joinVocab(toks, freq, Seq("w"),
+        freq.count(), vocabBroadcastMaxTerms(df))
       .crossJoin(broadcast(total))
       .select(col(idCol),
         round(log(col("cnt").cast("double") / col("total")) * 1e6, 0)
@@ -404,7 +437,10 @@ object TextAnalysis {
     val docFreq = toks.select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(col(idCol)).distinct().count()
-    val scored = tf.join(broadcast(docFreq), Seq("term"))
+    // Vocabulary-sized side: broadcast only under the session ceiling —
+    // see vocabBroadcastMaxTerms for the 100 TB rationale.
+    val scored = joinVocab(tf, docFreq, Seq("term"),
+        docFreq.count(), vocabBroadcastMaxTerms(df))
       .withColumn("tfidf",
         round(col("tf").cast("double") *
           log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0)), 6))

@@ -85,6 +85,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "vocab join degraded to sort-merge")
   }
 
+  test("vocab joins auto-switch to keyed above the broadcast ceiling") {
+    // Inject a 1-row ceiling: the same queries must now plan the vocab /
+    // doc-freq join as a shuffle join, never a vocabulary-sized broadcast
+    // (the 100 TB OOM class). The 1-row `total` nested-loop broadcast is
+    // scale-free and allowed.
+    spark.conf.set("graft.vocab.broadcastMaxTerms", "1")
+    try {
+      for (q <- Seq("q_unigram_logprob", "q_tfidf_top")) {
+        val plan = planOf(q)
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$q still broadcasts a vocab-sized side:\n${plan.take(800)}")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q lost its keyed vocab join:\n${plan.take(800)}")
+      }
+    } finally spark.conf.unset("graft.vocab.broadcastMaxTerms")
+  }
+
   test("q_dedup_simhash_pairs: banded equi-join, no cross product, simhash computed once") {
     val plan = planOf("q_dedup_simhash_pairs")
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))

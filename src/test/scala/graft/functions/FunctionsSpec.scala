@@ -519,6 +519,75 @@ class FunctionsSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(garbage).isEmpty)
   }
 
+  test("perceptual dHash/aHash on REAL PNGs: re-encodes cluster, distinct images don't") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // Horizontal gradient: every grid cell is brighter than its left
+    // neighbor -> dHash = all 64 bits set.
+    val grad = pngBytes(72, 32)((x, _) => gray(x * 255 / 71))
+    assert(Multimodal.dHash(grad).get === -1L)
+    // Inverted gradient: strictly darkening -> all bits clear.
+    val inv = pngBytes(72, 32)((x, _) => gray(255 - x * 255 / 71))
+    assert(Multimodal.dHash(inv).get === 0L)
+    // A near-identical re-render (slightly different size, same gradient):
+    // dHash is scale-invariant by construction here.
+    val grad2 = pngBytes(144, 64)((x, _) => gray(x * 255 / 143))
+    val ham = java.lang.Long.bitCount(
+      Multimodal.dHash(grad).get ^ Multimodal.dHash(grad2).get)
+    assert(ham <= 2, s"near-dup hamming $ham")
+    // aHash separates bright-right from bright-left and survives re-render
+    assert(Multimodal.aHash(grad).get !== Multimodal.aHash(inv).get)
+    assert(java.lang.Long.bitCount(
+      Multimodal.aHash(grad).get ^ Multimodal.aHash(grad2).get) <= 2)
+    // sub-grid images refuse to hash; garbage takes the checksum stub
+    assert(Multimodal.dHash(pngBytes(4, 4)((_, _) => 0)).isEmpty)
+    val garbage = "not an image".getBytes("UTF-8")
+    assert(Multimodal.perceptualHash("image", garbage) ===
+      Multimodal.payloadChecksum(garbage))
+  }
+
+  test("perceptualDupPairs finds the near-identical PNG pair and nothing else") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val a = pngBytes(72, 32)((x, _) => gray(x * 255 / 71))
+    val b = pngBytes(144, 64)((x, _) => gray(x * 255 / 143)) // re-render of a
+    val c = pngBytes(72, 32)((x, _) => gray(255 - x * 255 / 71)) // inverted
+    // step image: one rising edge -> 8 bits set, hamming 8 from both
+    // gradient (all-ones) is 56 and flat-inverted (all-zeros) is 8 > k
+    val d = pngBytes(72, 32)((x, _) => gray(if (x < 36) 0 else 255))
+    val media = Seq(
+      Multimodal.MediaFile(1L, "image", a, "s"),
+      Multimodal.MediaFile(2L, "image", b, "s"),
+      Multimodal.MediaFile(3L, "image", c, "s"),
+      Multimodal.MediaFile(4L, "image", d, "s")).toDS()
+    val pairs = Multimodal.perceptualDupPairs(media, maxHamming = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 <= 2)
+  }
+
+  test("hammingPairs banding is exact: equals brute force at several k, incl. k=0") {
+    // Deterministic pseudo-random 64-bit hashes + planted near-pairs.
+    val base = (0 until 30).map { i =>
+      var x = i * 2654435761L + 123456789L
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (i.toLong, x)
+    }
+    val planted = Seq(
+      (100L, base(0)._2 ^ 1L),          // hamming 1 from id 0
+      (101L, base(1)._2),               // hamming 0 from id 1
+      (102L, base(2)._2 ^ (1L << 63) ^ 2L)) // hamming 2 from id 2
+    val all = base ++ planted
+    val df = all.toDF("id", "h")
+    for (k <- Seq(0, 1, 3)) {
+      val got = Dedup.hammingPairs(df, "id", "h", bits = 64, maxHamming = k)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ha) <- all; (ib, hb) <- all if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
   test("unigramLogProb: common-token docs outscore rare-token docs; exact mean") {
     val corpus = Seq(
       (1L, "alpha alpha alpha alpha"), // only common tokens
@@ -537,6 +606,29 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2L)._2 === mean(Seq(lp(8), lp(8), lp(1), lp(1))))
     // ordering: all-common beats mixed beats nothing-below-it
     assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
+  test("vocab keyed-join path returns values identical to the broadcast path") {
+    // The broadcast->keyed auto-switch must be a pure plan decision:
+    // forcing the keyed path via a 1-row ceiling leaves every number
+    // unchanged for both vocab-joining operators.
+    val corpus = Seq(
+      (1L, "alpha alpha alpha alpha"), (2L, "alpha alpha rare1 rare2"),
+      (3L, "alpha beta beta alpha")).toDF("doc_id", "text")
+    def both(f: => Array[(Long, Long, Double)]) = {
+      val bcast = f
+      spark.conf.set("graft.vocab.broadcastMaxTerms", "1")
+      try { (bcast, f) } finally spark.conf.unset("graft.vocab.broadcastMaxTerms")
+    }
+    val (u1, u2) = both(
+      TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Double)].collect())
+    assert(u1.toSeq === u2.toSeq)
+    val (t1, t2) = both(
+      TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+        .select($"doc_id", $"rnk", $"tfidf")
+        .orderBy("doc_id", "rnk").as[(Long, Long, Double)].collect())
+    assert(t1.toSeq === t2.toSeq)
   }
 
   test("filterReport: reasons fire independently in fixed order; clean docs keep") {
