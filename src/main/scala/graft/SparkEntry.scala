@@ -1364,6 +1364,15 @@ object SparkEntry {
         pq(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
         .orderBy("doc_id")),
 
+    // The ACTION step over the same signal: excise every token covered by
+    // a cross-document repeated 8-gram and reconstruct the document text
+    // verbatim — the Lee et al. span-removal pass (C4-style boilerplate
+    // excision; the keep-one-copy flavor is q_paragraph_dedup)
+    "q_span_trim_text" -> ((s, dir) =>
+      graft.functions.Dedup.trimRepeatedSpans(
+        pq(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
     // Temperature-smoothed mixture weights (alpha = 0.5 sampling of
     // sources, the multi-source corpus-mixing calculation): per-source
     // sqrt(n) shares with fixed-point long sums for order-independence
@@ -1833,6 +1842,29 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy("media_id")
+    }),
+
+    // Perceptual hash per media object: dHash for decodable images, the
+    // 32-bit checksum stub otherwise. The synthetic corpus is all text
+    // payloads, so every row exercises the stub branch — which the oracle
+    // replays byte-exactly; the REAL dHash arithmetic is pinned by
+    // FunctionsSpec over generated PNGs (JDK decode isn't SQL-mirrorable).
+    "q_image_phash" -> ((s, dir) => {
+      import graft.functions.Multimodal
+      val media = Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text")
+      Multimodal.perceptualHashes(media).orderBy("media_id")
+    }),
+
+    // Perceptual near-dup pairs: pigeonhole-banded EXACT hamming<=6 recall
+    // over the perceptual hashes (the image twin of q_dedup_simhash_pairs;
+    // bits=32 because the stub corpus carries 32-bit checksums). The
+    // banding keeps candidates to band equi-groups; the oracle's all-pairs
+    // xor is the exactness witness the banded plan must reproduce.
+    "q_image_phash_pairs" -> ((s, dir) => {
+      import graft.functions.Multimodal
+      val media = Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text")
+      Multimodal.perceptualDupPairs(media, maxHamming = 6, bits = 32)
+        .orderBy("id_a", "id_b")
     }),
 
     // Multimodal metadata plumbing (schema, kind routing, byte accounting) —
@@ -3451,6 +3483,52 @@ object SparkEntry {
         |  CAST(16 + (checksum // 1024) % 1024 AS BIGINT) AS height
         |FROM c ORDER BY media_id""".stripMargin,
 
+    "q_image_phash" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    encode(text) AS payload
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |         hex(payload) AS h
+        |  FROM m),
+        |c AS (
+        |  SELECT media_id, kind,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(16 * (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+        |           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS BIGINT)
+        |         FOR i IN range(1, CAST(n_bytes AS INT) + 1)]),
+        |      (acc, x) -> (acc * 31 + x) % 4294967296) AS phash
+        |  FROM b)
+        |SELECT media_id, kind, phash FROM c ORDER BY media_id""".stripMargin,
+
+    "q_image_phash_pairs" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, encode(text) AS payload
+        |  FROM documents),
+        |b AS (
+        |  SELECT media_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |         hex(payload) AS h
+        |  FROM m),
+        |c AS (
+        |  SELECT media_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(16 * (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+        |           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1) AS BIGINT)
+        |         FOR i IN range(1, CAST(n_bytes AS INT) + 1)]),
+        |      (acc, x) -> (acc * 31 + x) % 4294967296) AS phash
+        |  FROM b)
+        |SELECT a.media_id AS id_a, bb.media_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, bb.phash)) AS BIGINT) AS hamming
+        |FROM c a JOIN c bb ON a.media_id < bb.media_id
+        |WHERE bit_count(xor(a.phash, bb.phash)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -4193,6 +4271,49 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN tot t ON d.doc_id = t.doc_id
         |LEFT JOIN rep r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Span removal: reconstructed text compared VERBATIM — both engines
+    // drop tokens covered by any cross-doc repeated 8-gram (coverage =
+    // start..start+7 over 1-based positions here, 0-based in Spark; the
+    // arithmetic is engine-internal) and re-join survivors with spaces.
+    "q_span_trim_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |sh_raw AS (
+        |  SELECT doc_id, pos,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+        |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+        |    lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+        |    lead(w, 7) OVER win AS shingle
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT doc_id, pos, shingle FROM sh_raw WHERE shingle IS NOT NULL),
+        |rep_sh AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(DISTINCT doc_id) AS docs FROM sh GROUP BY 1)
+        |  WHERE docs >= 2),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS pos
+        |  FROM sh WHERE shingle IN (SELECT shingle FROM rep_sh)),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.w FROM toks t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |reb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_n,
+        |    string_agg(w, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(t.n_tokens, 0) - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed,
+        |  coalesce(r.clean_text, '') AS clean_text
+        |FROM documents d
+        |LEFT JOIN tot t ON d.doc_id = t.doc_id
+        |LEFT JOIN reb r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_mixture_weights" ->

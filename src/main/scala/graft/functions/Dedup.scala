@@ -670,19 +670,40 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"bands need >= 2 bits each for selectivity; got maxHamming=$maxHamming")
-    val sh = simhash(df, idCol, textCol)
+    hammingPairs(simhash(df, idCol, textCol), idCol, "simhash",
+      bits = 32, maxHamming = maxHamming)
+  }
+
+  /** Exact hamming-distance-≤k pair recall over any `bits`-wide hash
+    * column, by pigeonhole banding: the hash splits into k+1 contiguous
+    * bit bands, and two hashes within hamming k MUST agree exactly on at
+    * least one band (k flipped bits cannot touch all k+1 bands) — so the
+    * candidate join is a (band, band-key) equi-group, never all-pairs,
+    * and the in-bucket verify (`bit_count(xor)`) makes the recall EXACT.
+    * The shared banding core of [[simhashPairs]] (32-bit text SimHash)
+    * and [[Multimodal.perceptualDupPairs]] (64-bit image dHash).
+    * Selectivity scales with band width `bits/(k+1)`: keep k well under
+    * bits/2 or the bands degenerate to near-empty keys and every bucket
+    * is the whole corpus. */
+  def hammingPairs(
+      hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64]; got $bits")
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"need maxHamming+1 <= bits bands; got maxHamming=$maxHamming bits=$bits")
     val bands = maxHamming + 1
     val bandStructs = (0 until bands).map { b =>
-      val start = b * 32 / bands
-      val width = (b + 1) * 32 / bands - start
+      val start = b * bits / bands
+      val width = (b + 1) * bits / bands - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1)).as("bkey"))
+        shiftright(col(hashCol), start).bitwiseAND(lit(mask)).as("bkey"))
     }
-    val banded = sh
-      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val banded = hashes
+      .select(col(idCol), col(hashCol).as("__ph"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("__ph"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     banded.groupBy("band", "bkey")
-      .agg(collect_set(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("items"))
+      .agg(collect_set(struct(col(idCol).as("id"), col("__ph").as("sh"))).as("items"))
       .filter(size(col("items")) > 1)
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(filter(col("items"), x => x("id") > col("a.id"))).as("b"))
@@ -730,6 +751,59 @@ object Dedup {
           greatest(coalesce(col("n_ngrams"), lit(0L)), lit(1L)).cast("double"), 6)
           .as("repeated_frac"),
         coalesce(col("first_rep_pos"), lit(-1L)).cast("long").as("first_rep_pos"))
+  }
+
+  /** Repeated-span REMOVAL — the action step completing
+    * [[repeatedNgramProfile]]'s Lee et al. 2022 signal (arXiv 2107.06499):
+    * every token covered by a word n-gram that occurs in at least
+    * `minDocs` distinct documents is EXCISED, and each document is
+    * reconstructed from its surviving tokens in original order
+    * (space-joined). Returns one row per input document:
+    * `(idCol, n_tokens, n_removed, clean_text)` — `clean_text` is empty
+    * when the whole document is boilerplate.
+    *
+    * Semantics choice, deliberate: covered tokens are removed from EVERY
+    * occurrence (C4-style boilerplate excision — the span is noise
+    * wherever it appears). The keep-one-copy flavor of substring dedup
+    * lives at paragraph granularity in
+    * [[TextAnalysis.dedupParagraphs]], which keeps the globally-first
+    * chunk; use that when one surviving copy should remain.
+    *
+    * Scale: the repeated-shingle set is corpus-sized, so it is never
+    * broadcast — the membership check is a left-semi join keyed by
+    * shingle (AQE absorbs stop-phrase skew). Coverage expansion is a
+    * bounded ×n explode of repeated START positions only, the token
+    * anti-join is keyed by (doc, pos), and reconstruction is one per-doc
+    * aggregation — every stage linear in corpus size. */
+  def trimRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val sh = TextAnalysis.shingles(df, idCol, textCol, n)
+    val repeated = sh.select(col(idCol), col("shingle")).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select("shingle")
+    val covered = sh.join(repeated, Seq("shingle"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+    val tot = toks.groupBy(idCol).agg(count(lit(1)).cast("long").as("n_tokens"))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("kept"),
+        sort_array(collect_list(struct(col("pos"), col("w")))).as("__arr"))
+      .select(col(idCol), col("kept"),
+        concat_ws(" ", col("__arr.w")).as("clean_text"))
+    df.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** 32-bit SimHash over the word multiset: bit j of the hash is the sign of

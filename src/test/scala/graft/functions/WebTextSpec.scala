@@ -191,6 +191,50 @@ class WebTextSpec extends SparkSpec {
     assert(got(4L) === ((2L, 1L, uniqC)))
   }
 
+  test("trimRepeatedSpans: cross-doc spans excised everywhere, unique text intact") {
+    val boiler = (1 to 6).map(i => s"s$i").mkString(" ") // 6-token shared span
+    val uniqA = (100 to 109).map(i => s"a$i").mkString(" ")
+    val uniqB = (200 to 209).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler $uniqA"),  // shares the span -> loses exactly it
+      (2L, s"$uniqB $boiler"),  // span at the END is excised too
+      (3L, uniqA.replace("a10", "c10")), // no shared 4-gram -> untouched
+      (4L, s"$boiler")          // pure boilerplate -> empty survivor
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimRepeatedSpans(df, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((16L, 6L, uniqA)))
+    assert(got(2L) === ((16L, 6L, uniqB)))
+    assert(got(3L)._2 === 0L) // nothing removed
+    assert(got(4L) === ((6L, 6L, "")))
+  }
+
+  test("trimRepeatedSpans: within-doc repetition alone never triggers removal") {
+    val phrase = (1 to 4).map(i => s"p$i").mkString(" ")
+    val filler = (50 to 57).map(i => s"f$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$phrase $phrase $filler"), // repeats only within itself
+      (2L, (300 to 315).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimRepeatedSpans(df, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.forall(_._3 == 0L), got.mkString("; "))
+  }
+
+  test("trimRepeatedSpans: overlapping repeated shingles cover a contiguous span once") {
+    // 6 shared tokens with n=4 -> 3 overlapping repeated shingles whose
+    // coverage union is exactly the 6 tokens, not 12.
+    val span = (1 to 6).map(i => s"o$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$span " + (100 to 105).map(i => s"x$i").mkString(" ")),
+      (2L, s"$span " + (200 to 205).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimRepeatedSpans(df, "doc_id", "text", n = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.forall(_._3 == 6L), got.mkString("; "))
+  }
+
   // ---- splitLeakage ------------------------------------------------------
 
   test("splitLeakage: valid docs with train near-dups are flagged") {
