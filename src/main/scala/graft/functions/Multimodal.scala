@@ -219,9 +219,7 @@ object Multimodal {
     * (e.g. MP4/WebM video, corrupt bytes): pseudo-features from the payload
     * bytes, loudly NOT a real decode. Swap for JNI/JavaCV at deploy. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    var checksum = 0L
-    var i = 0
-    while (i < payload.length) { checksum = (checksum * 31 + (payload(i) & 0xff)) & 0xffffffffL; i += 1 }
+    val checksum = payloadChecksum(payload)
     val width = 16 + (checksum % 1024).toInt
     val height = 16 + ((checksum >> 10) % 1024).toInt
     val features = Array.tabulate(FeatureDim) { j =>
@@ -230,6 +228,136 @@ object Multimodal {
     }
     (width, height, features)
   }
+
+  /** 32-bit rolling payload checksum `(acc*31 + byte) mod 2^32` — the
+    * shared stub identity of [[decodeStub]], [[extractFeatures]] and the
+    * perceptual-hash fallback; DuckDB mirrors it exactly (hex-byte
+    * list_reduce), which is what makes the stub paths oracle-able. */
+  def payloadChecksum(payload: Array[Byte]): Long = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      checksum = (checksum * 31 + (payload(i) & 0xff)) & 0xffffffffL
+      i += 1
+    }
+    checksum
+  }
+
+  /** Area-averaged luma grid (gw × gh cells) of a decodable image —
+    * integer arithmetic only (per-cell luma sum / pixel count), so the
+    * grid is bit-deterministic across JVMs and partitionings. None for
+    * undecodable payloads or images smaller than the grid. */
+  def lumaGrid(payload: Array[Byte], gw: Int, gh: Int): Option[Array[Int]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < gw || img.getHeight < gh) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val grid = new Array[Int](gw * gh)
+        var r = 0
+        while (r < gh) {
+          val y0 = r * h / gh
+          val y1 = (r + 1) * h / gh
+          var c = 0
+          while (c < gw) {
+            val x0 = c * w / gw
+            val x1 = (c + 1) * w / gw
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            grid(r * gw + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+            c += 1
+          }
+          r += 1
+        }
+        Some(grid)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit dHash (difference hash) — THE standard perceptual near-dup
+    * fingerprint for images: a 9×8 luma grid, bit (r·8+c) set iff
+    * grid(r,c) < grid(r,c+1). Robust to re-encoding, resizing, and mild
+    * brightness shifts (gradients survive what absolute values don't).
+    * None for undecodable payloads. */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    lumaGrid(payload, 9, 8).map { g =>
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c) < g(r * 9 + c + 1)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
+  /** 64-bit aHash (average hash): 8×8 luma grid, bit set iff the cell is
+    * strictly brighter than the integer grid mean. Cruder than [[dHash]]
+    * (absolute brightness sensitive) but cheaper to reason about; kept as
+    * the second opinion a duplicate-review pass cross-checks. */
+  def aHash(payload: Array[Byte]): Option[Long] =
+    lumaGrid(payload, 8, 8).map { g =>
+      val mean = g.foldLeft(0L)(_ + _) / 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (g(i) > mean) hash |= 1L << i
+        i += 1
+      }
+      hash
+    }
+
+  /** Total perceptual hash: real dHash for decodable images; the
+    * deterministic [[payloadChecksum]] stub (32-bit, zero-extended) for
+    * everything else — same totality contract as [[decode]] (a corrupt
+    * payload must not kill a 100 TB job), and the stub branch is what the
+    * DuckDB oracle replays over the synthetic text-payload corpus. */
+  def perceptualHash(kind: String, payload: Array[Byte]): Long =
+    (if (kind == "image") dHash(payload) else None)
+      .getOrElse(payloadChecksum(payload))
+
+  /** Per-media perceptual hashes `(media_id, kind, phash)` with the same
+    * byte-budget repartition as [[extractFeatures]]. */
+  def perceptualHashes(
+      media: Dataset[MediaFile],
+      targetBytesPerTask: Long = 128L * 1024 * 1024): DataFrame = {
+    import media.sparkSession.implicits._
+    val totalBytes = media.select(sum(length(col("payload")))).as[Option[Long]].head().getOrElse(0L)
+    val parts = math.max(1, math.min(10000, (totalBytes / math.max(1, targetBytesPerTask)).toInt + 1))
+    media.repartition(parts).mapPartitions { files =>
+      files.map(f => (f.media_id, f.kind, perceptualHash(f.kind, f.payload)))
+    }.toDF("media_id", "kind", "phash")
+  }
+
+  /** Perceptual image near-duplicate pairs with EXACT hamming-≤k recall:
+    * [[dHash]] per image, then [[Dedup.hammingPairs]] pigeonhole banding
+    * (k+1 bit-bands; two hashes within hamming k must agree on one band)
+    * — candidates are a band equi-join, never all-pairs, and the
+    * in-bucket `bit_count(xor)` verify makes recall exact, exactly like
+    * the text SimHash path. `bits` = 64 for real dHashes; pass 32 when
+    * the corpus is known stub-hashed (the checksum is 32-bit) so the
+    * high empty bands don't degenerate into corpus-wide buckets. */
+  def perceptualDupPairs(
+      media: Dataset[MediaFile],
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      targetBytesPerTask: Long = 128L * 1024 * 1024): DataFrame =
+    Dedup.hammingPairs(perceptualHashes(media, targetBytesPerTask),
+      "media_id", "phash", bits, maxHamming)
 
   /** Deterministic frame-sampling offsets for a "video" payload: k byte
     * offsets spread evenly — the shape of keyframe sampling without a codec. */
@@ -303,9 +431,8 @@ object Multimodal {
       // Per-partition codec setup would happen here (once per task).
       files.map { f =>
         val (w, h, feats) = decode(f.kind, f.payload)
-        var checksum = 0L
-        f.payload.foreach(b => checksum = (checksum * 31 + (b & 0xff)) & 0xffffffffL)
-        MediaFeatures(f.media_id, f.kind, f.payload.length.toLong, checksum, w, h, feats)
+        MediaFeatures(f.media_id, f.kind, f.payload.length.toLong,
+          payloadChecksum(f.payload), w, h, feats)
       }
     }
   }
