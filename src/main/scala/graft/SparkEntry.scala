@@ -43,6 +43,42 @@ object SparkEntry {
   /** Shared CTE chain for the PQ/ADC oracles (encode + distance tables +
     * ADC aggregation, through `ranked`). m=8, d0=8, ksub=16, queries =
     * vec_id < 5 — mirrors the q_pq_* Spark parameters. */
+  /** Full IVF oracle — shared by q_knn_ivf and q_knn_ivf_persisted (the
+    * persisted index is contractually row-identical to the inline path). */
+  private lazy val knnIvfOracleSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS centv,
+       |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
+       |  FROM embeddings ORDER BY vec_id LIMIT 16),
+       |c AS (
+       |  SELECT vec_id, embedding AS cv,
+       |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
+       |  FROM embeddings WHERE vec_id < 5),
+       |assign AS (
+       |  SELECT vec_id, cent_id, cv, nc,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
+       |  FROM c CROSS JOIN cents),
+       |lists AS (SELECT cent_id, vec_id, cv, nc FROM assign WHERE arnk = 1),
+       |probes AS (
+       |  SELECT cent_id, query_id, qv, nq FROM (
+       |    SELECT cent_id, query_id, qv, nq,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round((${dotSql("qv", "centv", 64)}) / (nq * ncent), 6) DESC, cent_id) AS prnk
+       |    FROM q CROSS JOIN cents) WHERE prnk <= 4),
+       |scored AS (
+       |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+       |  FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk FROM scored)
+       |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
   private lazy val pqAdcCtes: String = {
     val d0 = 8
     val codeCtes = (0 until 8).map { s =>
@@ -1002,6 +1038,38 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 3, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("cos_sim"), col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // PERSISTED IVF index: build writes centroid + inverted-list tables
+    // through a TableStore; the search plan then reads ONLY those tables
+    // (PlanQualitySpec gates no embeddings.parquet scan at query time).
+    // Shares q_knn_ivf's oracle — build/serve must be row-identical.
+    "q_knn_ivf_persisted" -> ((s, dir) => {
+      import graft.functions.AnnIndex
+      val emb = pq(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_ivf_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      AnnIndex.buildIvf(store, "ivf", emb, "vec_id", "embedding", nlist = 16)
+      AnnIndex.ivfTopK(store, "ivf", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // PERSISTED PQ index: codebook + byte codes are the only tables the
+    // ADC query touches — the 32x-compressed serving footprint, with the
+    // raw float vectors absent from the query plan entirely.
+    "q_pq_adc_persisted" -> ((s, dir) => {
+      import graft.functions.AnnIndex
+      val emb = pq(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_pq_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      AnnIndex.buildPq(store, "pq", emb, "vec_id", "embedding",
+        dims = 64, m = 8, ksub = 16)
+      AnnIndex.pqAdcTopK(store, "pq", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dims = 64, m = 8, k = 3)
         .orderBy("query_id", "rnk")
     }),
 
@@ -3408,38 +3476,15 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hits USING (query_id)
          |ORDER BY qq.query_id""".stripMargin,
 
-    "q_knn_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS centv,
-         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
-         |  FROM embeddings ORDER BY vec_id LIMIT 16),
-         |c AS (
-         |  SELECT vec_id, embedding AS cv,
-         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
-         |  FROM embeddings),
-         |q AS (
-         |  SELECT vec_id AS query_id, embedding AS qv,
-         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
-         |  FROM embeddings WHERE vec_id < 5),
-         |assign AS (
-         |  SELECT vec_id, cent_id, cv, nc,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
-         |  FROM c CROSS JOIN cents),
-         |lists AS (SELECT cent_id, vec_id, cv, nc FROM assign WHERE arnk = 1),
-         |probes AS (
-         |  SELECT cent_id, query_id, qv, nq FROM (
-         |    SELECT cent_id, query_id, qv, nq,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY round((${dotSql("qv", "centv", 64)}) / (nq * ncent), 6) DESC, cent_id) AS prnk
-         |    FROM q CROSS JOIN cents) WHERE prnk <= 4),
-         |scored AS (
-         |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
-         |  FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
-         |ranked AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk FROM scored)
-         |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+    "q_knn_ivf" -> knnIvfOracleSql,
+
+    // The persisted index must be ROW-IDENTICAL to the inline path — both
+    // keys share one oracle string so they can never drift apart.
+    "q_knn_ivf_persisted" -> knnIvfOracleSql,
+
+    "q_pq_adc_persisted" ->
+      s"""WITH $pqAdcCtes
+         |SELECT query_id, vec_id, adc_dist, rnk FROM ranked WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
 
     "q_dedup_embedding" ->

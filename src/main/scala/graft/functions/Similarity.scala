@@ -172,19 +172,34 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    ivfSearch(cents, ivfInvertedLists(corpus, cents, idCol, vecCol),
+      queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The IVF coarse quantizer: `(cent_id, centv, ncent)`, the `nlist`
+    * lowest-id corpus vectors (deterministic k-means stand-in — see
+    * [[ivfTopK]]). One of the two persistable index tables
+    * ([[graft.functions.AnnIndex]] writes it through a TableStore). */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
       .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("nq", sqrt(dotExpr("qv", "qv")))
 
-    // Inverted lists: nearest centroid per corpus vector. max(struct(sim,
-    // -cent_id, ...)) == "highest sim, lowest cent_id on ties" and is a
-    // partial-aggregable groupBy — the scale-safe argmax (a row_number
-    // window here would shuffle nlist x corpus rows).
-    val lists = c.crossJoin(broadcast(cents))
+  /** The IVF inverted lists: `(cent_id, vec_id, cv, nc)` — nearest
+    * centroid per corpus vector, carrying the vector and its norm so a
+    * query served FROM the lists never touches the raw corpus again.
+    * max(struct(sim, -cent_id, ...)) == "highest sim, lowest cent_id on
+    * ties" and is a partial-aggregable groupBy — the scale-safe argmax (a
+    * row_number window here would shuffle nlist x corpus rows). The
+    * second persistable index table. */
+  def ivfInvertedLists(
+      corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
+      .crossJoin(broadcast(cents))
       .withColumn("cent_sim",
         round(dotExpr("cv", "centv") / (col("nc") * col("ncent")), 6))
       .groupBy("vec_id")
@@ -193,6 +208,16 @@ object Similarity {
       .select((-col("best.neg_id")).as("cent_id"), col("vec_id"),
         col("best.cv").as("cv"), col("best.nc").as("nc"))
 
+  /** Probed exact search over a prebuilt (centroids, lists) index — the
+    * serve-path half of [[ivfTopK]], shared verbatim by the persisted
+    * index so built-then-loaded results are row-identical to the inline
+    * path. Reads ONLY the index frames: the raw embedding corpus never
+    * appears in the query plan. */
+  def ivfSearch(
+      cents: DataFrame, lists: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", sqrt(dotExpr("qv", "qv")))
     // Probes: nprobe nearest centroids per query (query side is small).
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cent_sim").desc, col("cent_id"))
@@ -202,7 +227,6 @@ object Similarity {
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select("cent_id", "query_id", "qv", "nq")
-
     lists.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc")))
@@ -239,7 +263,9 @@ object Similarity {
 
   /** The m×ksub codebook: subvectors of the ksub lowest-id corpus vectors,
     * one row per (cb_id, s). Shared by [[pqEncode]] and [[pqAdcTopK]]. */
-  private def pqCodebook(
+  /** The m×ksub PQ codebook `(cb_id, s, cw)` — one persistable index
+    * table ([[AnnIndex]] writes it through a TableStore). */
+  def pqCodebook(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, d0: Int, ksub: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(ksub)
@@ -248,6 +274,18 @@ object Similarity {
       .select(col("cb_id"), col("x.s").as("s"), col("x.cw").as("cw"))
 
   def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int = 8, ksub: Int = 16): DataFrame =
+    pqEncodeMelted(corpus, idCol, vecCol, dims, m, ksub)
+      .groupBy("vec_id")
+      .pivot("s", (0 until m).map(_.toString))
+      .agg(first(col("code")))
+      .select(col("vec_id") +: (0 until m).map(s => col(s.toString).as(s"code_$s")): _*)
+
+  /** PQ codes in melted form `(vec_id, s, code)` — the layout the ADC
+    * scorer joins on and the second persistable PQ index table (the
+    * pivoted [[pqEncode]] is the human-facing view of the same codes). */
+  def pqEncodeMelted(
       corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must split evenly into m ($m) subspaces")
@@ -258,16 +296,12 @@ object Similarity {
       .select(col(idCol).as("vec_id"), explodeSubvectors(col(vecCol), m, d0, "sv").as("x"))
       .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
       .withColumn("sv2", ArrayDot.floatDot(col("sv"), col("sv")))
-    val coded = sub.join(broadcast(cents), Seq("s"))
+    sub.join(broadcast(cents), Seq("s"))
       .withColumn("d2", round(
         col("sv2") + col("cw2") - lit(2.0) * ArrayDot.floatDot(col("sv"), col("cw")), 6))
       .groupBy("vec_id", "s")
       .agg(max(struct((-col("d2")).as("nd"), (-col("cb_id")).as("nid"))).as("best"))
       .select(col("vec_id"), col("s"), (-col("best.nid")).cast("long").as("code"))
-    coded.groupBy("vec_id")
-      .pivot("s", (0 until m).map(_.toString))
-      .agg(first(col("code")))
-      .select(col("vec_id") +: (0 until m).map(s => col(s.toString).as(s"code_$s")): _*)
   }
 
   /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
@@ -282,25 +316,32 @@ object Similarity {
     * over the shortlist. */
   def pqAdcTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dims: Int, m: Int = 8, ksub: Int = 16, k: Int = 3): DataFrame = {
+      dims: Int, m: Int = 8, ksub: Int = 16, k: Int = 3): DataFrame =
+    pqAdcSearch(
+      pqEncodeMelted(corpus, idCol, vecCol, dims, m, ksub),
+      pqCodebook(corpus, idCol, vecCol, m, dims / m, ksub),
+      queries, idCol, vecCol, dims, m, k)
+
+  /** ADC scoring over prebuilt PQ index frames (melted codes + codebook)
+    * — the serve-path half of [[pqAdcTopK]], shared verbatim by the
+    * persisted index: only the byte codes and the m×ksub codebook appear
+    * in the query plan, never the raw corpus vectors. */
+  def pqAdcSearch(
+      codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int, k: Int): DataFrame = {
     val d0 = dims / m
-    val codes = pqEncode(corpus, idCol, vecCol, dims, m, ksub)
-    val melted = codes.select(col("vec_id"), explode(array(
-      (0 until m).map(s => struct(lit(s).as("s"), col(s"code_$s").as("code"))): _*)).as("x"))
-      .select(col("vec_id"), col("x.s").as("s"), col("x.code").as("code"))
-    val cents = pqCodebook(corpus, idCol, vecCol, m, d0, ksub)
     val qsub = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), explodeSubvectors(col("qv"), m, d0, "qs").as("x"))
       .select(col("query_id"), col("x.s").as("s"), col("x.qs").as("qs"))
     // Distance table: m×ksub rows per query, fixed-point micro-units.
-    val dt = qsub.join(cents, Seq("s"))
+    val dt = qsub.join(codebook, Seq("s"))
       .select(col("query_id"), col("s"), col("cb_id"),
         round((ArrayDot.floatDot(col("qs"), col("qs"))
           + ArrayDot.floatDot(col("cw"), col("cw"))
           - lit(2.0) * ArrayDot.floatDot(col("qs"), col("cw"))) * lit(1e6), 0)
           .cast("long").as("pd_fp"))
-    melted.join(broadcast(dt),
-        melted("s") === dt("s") && melted("code") === dt("cb_id"))
+    codes.join(broadcast(dt),
+        codes("s") === dt("s") && codes("code") === dt("cb_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pd_fp")).as("fp"))

@@ -102,6 +102,21 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.unset("graft.vocab.broadcastMaxTerms")
   }
 
+  test("persisted ANN queries never rescan the embeddings corpus as index") {
+    // Build happens inside the query closure; the RETURNED plan is the
+    // serve path. The only legitimate embeddings.parquet scan is the
+    // 5-row QUERY batch itself — the inline paths scan the corpus 2-3
+    // more times (centroids + lists / codebook + codes), and exactly
+    // those scans must have moved into the persisted index tables.
+    for (q <- Seq("q_knn_ivf_persisted", "q_pq_adc_persisted")) {
+      val plan = planOf(q)
+      val corpusScans = "embeddings\\.parquet".r.findAllIn(plan).size
+      assert(corpusScans <= 1,
+        s"$q reads the raw corpus $corpusScans times at query time:\n${plan.take(800)}")
+      assert(plan.contains("graft_ann_"), s"$q lost its index-table scans")
+    }
+  }
+
   test("q_dedup_simhash_pairs: banded equi-join, no cross product, simhash computed once") {
     val plan = planOf("q_dedup_simhash_pairs")
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
