@@ -38,6 +38,13 @@ object BenchScale {
     "q_dedup_embedding_leader",   // leader-clustering dedup, O(n) work+output
     "q_dedup_leaders",     // text leader dedup (LSH/hash leaders), O(n) output
     "q_fuzzy_pairs",       // blocked edit-distance join
+    // round-9 additions: the previously-unmeasured heavy tail.
+    "q_source_rank",       // 5 PageRank rounds, lineage-truncated
+    "q_ngram_novelty",     // shingle-keyed first-occurrence credit
+    "q_tfidf_top",         // tf-idf with auto-switched vocab join
+    "q_dedup_prefix_pairs", // PPJoin prefix index (exactness witness)
+    "q_dedup_simhash_pairs", // pigeonhole-banded hamming pairs
+    "q_dedup_incremental_near", // batch-broadcast near-dup vs corpus
     // events family (ScaleGen ×k scales events too): the user-keyed
     // window, the day-cohort self-join, and the global top-k — the three
     // canonical time-series shuffle shapes at scale.
