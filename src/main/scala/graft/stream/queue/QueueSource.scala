@@ -41,6 +41,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - poison pills           -> malformed JSON is dropped (and acked) by the
   *     pipeline's parse/disposition stage, mirroring "delete invalid message
   *     to prevent infinite retries" (consumer.py:180-190).
+  *   - redrive policy / DLQ   -> with options `deadLetterDir` (+ optional
+  *     `maxReceives`, default 5), a message PLANNED into more than
+  *     maxReceives epochs — i.e. one whose epochs keep failing before
+  *     commit — is MOVED to the dead-letter dir instead of redelivering
+  *     forever (the reference delegates exactly this to SQS's redrive
+  *     policy, consumer.py:85-87). Delivery counts persist under the
+  *     checkpoint (`graft-receipts`), so crash-loops across restarts
+  *     count; acked messages' counters are cleaned on commit.
   *
   * Emits (message_id STRING, value STRING); `value` feeds
   * [[graft.stream.JobDispatch.parseMessages]] unchanged.
@@ -75,11 +83,24 @@ class QueueSourceProvider extends TableProvider with DataSourceRegister {
     require(path != null && path.nonEmpty, "graft-queue requires a directory path")
     val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
     maxFiles.foreach(m => require(m > 0, s"maxFilesPerTrigger must be > 0, got $m"))
-    new QueueTable(path, maxFiles)
+    // SQS redrive-policy analog (consumer.py:85-87 delegates this to the
+    // queue itself): with a deadLetterDir, a message DELIVERED more than
+    // maxReceives times (default 5) is moved there instead of being
+    // redelivered forever.
+    val dlqDir = Option(opts.get("deadLetterDir")).filter(_.nonEmpty)
+    val maxReceives = Option(opts.get("maxReceives")).map(_.toInt)
+    maxReceives.foreach(m => require(m > 0, s"maxReceives must be > 0, got $m"))
+    require(maxReceives.isEmpty || dlqDir.isDefined,
+      "maxReceives requires deadLetterDir (nowhere to route otherwise)")
+    new QueueTable(path, maxFiles, dlqDir, maxReceives.getOrElse(5))
   }
 }
 
-class QueueTable(dir: String, maxFilesPerTrigger: Option[Int] = None)
+class QueueTable(
+    dir: String,
+    maxFilesPerTrigger: Option[Int] = None,
+    deadLetterDir: Option[String] = None,
+    maxReceives: Int = 5)
     extends Table with SupportsRead {
   override def name(): String = s"graft-queue:$dir"
   override def schema(): StructType = QueueSource.schema
@@ -90,7 +111,8 @@ class QueueTable(dir: String, maxFilesPerTrigger: Option[Int] = None)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = QueueSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new QueueMicroBatchStream(dir, checkpointLocation, maxFilesPerTrigger)
+          new QueueMicroBatchStream(dir, checkpointLocation, maxFilesPerTrigger,
+            deadLetterDir, maxReceives)
       }
     }
 }
@@ -111,7 +133,9 @@ case class QueueOffset(last: String, epoch: Long = 0L) extends Offset {
 class QueueMicroBatchStream(
     dir: String,
     checkpointLocation: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    deadLetterDir: Option[String] = None,
+    maxReceives: Int = 5)
     extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -164,18 +188,87 @@ class QueueMicroBatchStream(
     }
   }
 
-  private def readClaim(p: Path): Seq[String] = {
-    val in = claimsFs.open(p)
-    val body =
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    body.split("\n").toSeq.filter(_.nonEmpty)
+  private def readFully(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
+
+  private def readClaim(p: Path): Seq[String] =
+    readFully(claimsFs, p).split("\n").toSeq.filter(_.nonEmpty)
+
+  /** Per-message delivery counters (the SQS ApproximateReceiveCount
+    * analog), persisted under the checkpoint so they survive restarts —
+    * each counter file holds how many epochs PLANNED that message.
+    * Deleted on ack (bounded storage) and on dead-letter routing. */
+  private val receiptsPath = new Path(checkpointLocation, "graft-receipts")
+  private def receiptsFs = receiptsPath.getFileSystem(hadoopConf)
+
+  /** One delivery = one stream instance planning the message: Spark may
+    * re-plan the same uncommitted epoch several times inside one run
+    * (restart recovery reconstructs it, then execution plans it again),
+    * and counting those as separate receives would race a message to the
+    * DLQ in half the intended attempts. */
+  private val bumpedThisRun = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def currentReceipt(name: String): Int = {
+    val rfs = receiptsFs
+    val p = new Path(receiptsPath, name)
+    if (rfs.exists(p)) readFully(rfs, p).trim.toIntOption.getOrElse(0) else 0
+  }
+
+  private def receiveCount(name: String): Int =
+    if (bumpedThisRun.add(name)) bumpReceipt(name) else currentReceipt(name)
+
+  private def bumpReceipt(name: String): Int = {
+    val rfs = receiptsFs
+    rfs.mkdirs(receiptsPath)
+    val p = new Path(receiptsPath, name)
+    val next = currentReceipt(name) + 1
+    val tmp = new Path(receiptsPath, s".$name.tmp")
+    val out = rfs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!rfs.rename(tmp, p)) {
+      rfs.delete(p, false)
+      if (!rfs.rename(tmp, p))
+        throw new java.io.IOException(s"graft-queue: cannot write receipt for $name")
+    }
+    next
+  }
+
+  /** Redrive: messages delivered more than `maxReceives` times move to the
+    * dead-letter dir (atomic rename — the body survives byte-exact for a
+    * human or a redrive job) instead of being planned again. Returns the
+    * names that stay deliverable. No-op without a deadLetterDir — the
+    * redeliver-forever contract stands. */
+  private def routeDeadLetters(names: Seq[String]): Seq[String] =
+    deadLetterDir.fold(names) { dlq =>
+      val dlqPath = new Path(dlq)
+      names.filter { n =>
+        val receives = receiveCount(n)
+        if (receives <= maxReceives) true
+        else {
+          val f = fs
+          f.mkdirs(dlqPath)
+          val target = new Path(dlqPath, n)
+          if (!f.rename(new Path(dirPath, n), target)) {
+            f.delete(target, false)
+            f.rename(new Path(dirPath, n), target)
+          }
+          receiptsFs.delete(new Path(receiptsPath, n), false)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft-queue: message $n exceeded maxReceives=$maxReceives " +
+              s"($receives deliveries); moved to dead-letter dir $dlq")
+          false
+        }
+      }
+    }
 
   /** (epoch number, claimed names) for every not-yet-committed epoch.
     * Only the exact zero-padded 20-digit [[claimName]] format is accepted;
@@ -328,7 +421,7 @@ class QueueMicroBatchStream(
       .map(m => math.max(0, m - inRange.length)).getOrElse(Int.MaxValue)
     val swept = visible
       .filter(n => n <= lo && !alreadyClaimed(n)).take(sweepBudget)
-    val names = inRange ++ swept
+    val names = routeDeadLetters(inRange ++ swept)
     // No claim for an empty epoch (the ack-flush batch) — an empty claim
     // would itself read as pending and loop the flush forever.
     if (names.nonEmpty) writeClaim(endOff.epoch, names)
@@ -352,8 +445,11 @@ class QueueMicroBatchStream(
     if (endOff.last > maxSeen) maxSeen = endOff.last
     if (endOff.epoch > curEpoch) curEpoch = endOff.epoch
     val (acked, inFlight) = allClaims().partition { case (epoch, _) => epoch <= endOff.epoch }
-    acked.iterator.flatMap(_._2)
-      .foreach(n => fs.delete(new Path(dirPath, n), false))
+    acked.iterator.flatMap(_._2).foreach { n =>
+      fs.delete(new Path(dirPath, n), false)
+      if (deadLetterDir.isDefined)
+        receiptsFs.delete(new Path(receiptsPath, n), false)
+    }
     acked.foreach { case (epoch, _) =>
       claimsFs.delete(new Path(claimsPath, claimName(epoch)), false)
     }

@@ -115,6 +115,91 @@ class QueueSourceSpec extends SparkSpec {
     assert(queueFiles(root + "/queue").isEmpty, "redelivered message not acked")
   }
 
+  test("redrive policy: a crash-looping message moves to the DLQ after maxReceives") {
+    val root = Files.createTempDirectory("graft_queue_dlq").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    enqueue(root + "/queue", "m-poison", """{"job_id": 7, "s3_key": "loop.csv"}""")
+
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    def run(fail: Boolean): Unit = {
+      val q = spark.readStream.format("graft-queue")
+        .option("deadLetterDir", root + "/dlq")
+        .option("maxReceives", "2")
+        .load(root + "/queue")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bodies = batch.select("value").as[String](implicitly).collect()
+          if (fail && bodies.nonEmpty) sys.error("simulated sink failure")
+          seen ++= bodies
+          ()
+        }
+        .start()
+      try q.awaitTermination(120000)
+      catch { case _: Exception => () }
+      q.stop()
+    }
+
+    run(fail = true)  // delivery 1 — epoch fails, message survives
+    run(fail = true)  // delivery 2 (redelivery) — fails again
+    assert(queueFiles(root + "/queue") === Seq("m-poison"))
+    // Third attempt would be delivery 3 > maxReceives=2: the message is
+    // ROUTED to the DLQ at plan time — the sink never sees it again.
+    run(fail = false)
+    assert(seen.isEmpty, s"dead-lettered message reached the sink: $seen")
+    assert(queueFiles(root + "/queue").isEmpty, "message not removed from queue")
+    assert(queueFiles(root + "/dlq") === Seq("m-poison"), "message not in DLQ")
+    // Body survives byte-exact for a human or a redrive job.
+    assert(Files.readString(Paths.get(root + "/dlq/m-poison")) ===
+      """{"job_id": 7, "s3_key": "loop.csv"}""")
+
+    // The stream keeps working after routing: a healthy message processes
+    // normally and its delivery counter is cleaned on ack.
+    enqueue(root + "/queue", "m-ok", "healthy")
+    run(fail = false)
+    assert(seen.toSeq === Seq("healthy"))
+    assert(queueFiles(root + "/queue").isEmpty)
+    // Receipts live under the source's resolved checkpoint subpath
+    // (cp/sources/N/graft-receipts); after the ack they must be empty.
+    val receiptDirs = {
+      val s = Files.walk(Paths.get(root + "/cp"))
+      try {
+        val it = s.iterator()
+        val acc = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString == "graft-receipts") acc += p
+        }
+        acc.toSeq
+      } finally s.close()
+    }
+    assert(receiptDirs.nonEmpty, "receipts dir never created")
+    assert(receiptDirs.forall(d => queueFiles(d.toString).isEmpty),
+      "acked message left a receipt counter behind")
+  }
+
+  test("without a deadLetterDir the redeliver-forever contract stands") {
+    val root = Files.createTempDirectory("graft_queue_nodlq").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    enqueue(root + "/queue", "m1", "body")
+    def run(fail: Boolean): Unit = {
+      val q = spark.readStream.format("graft-queue").load(root + "/queue")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (fail && batch.count() > 0) sys.error("boom")
+          ()
+        }.start()
+      try q.awaitTermination(120000) catch { case _: Exception => () }
+      q.stop()
+    }
+    (1 to 6).foreach(_ => run(fail = true)) // way past any default cap
+    assert(queueFiles(root + "/queue") === Seq("m1"), "message was dropped")
+    run(fail = false)
+    assert(queueFiles(root + "/queue").isEmpty)
+  }
+
   test("late-arriving messages are picked up by subsequent triggers") {
     val root = Files.createTempDirectory("graft_queue_late").toString
     Files.createDirectories(Paths.get(root + "/queue"))
