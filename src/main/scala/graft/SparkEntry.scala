@@ -146,6 +146,22 @@ object SparkEntry {
     .map(j => s"CASE WHEN v_$j > 0 THEN CAST(${1L << (31 - j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString(" + ")
 
+  // 64-bit variant: vote 2j = high bit of md5 nibble j, vote 2j+1 = its
+  // second bit (mirrors Dedup.simhash64 exactly). Bit 63 is the sign bit;
+  // the disjoint-power sum stays in BIGINT range.
+  private val simhash64VotesSql: String = (0 until 64)
+    .map { j =>
+      val ones =
+        if (j % 2 == 0) "('8','9','a','b','c','d','e','f')"
+        else "('4','5','6','7','c','d','e','f')"
+      s"sum(CASE WHEN substr(md5(w), ${j / 2 + 1}, 1) IN $ones THEN 1 ELSE -1 END) AS v_$j"
+    }
+    .mkString(",\n    ")
+
+  private val simhash64ValueSql: String = (0 until 64)
+    .map(j => s"CASE WHEN v_$j > 0 THEN CAST(${1L << (63 - j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString(" + ")
+
   /** Shared shingle CTEs over `documents` (4-gram, distinct per doc). */
   private val shingleCtes: String =
     """toks AS (
@@ -549,6 +565,15 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       graft.functions.Dedup.simhashPairs(pq(s, dir, "documents"), "doc_id", "text",
         maxHamming = 1)
+        .orderBy("id_a", "id_b")),
+
+    // 64-bit SimHash pairs — the scale path once a 32-bit hash's band
+    // buckets saturate (×100 audit: 0.57× linear from occupancy alone).
+    // Same pigeonhole exactness, 2^32× the band key space; the oracle is
+    // again the uncompromised all-pairs hamming join.
+    "q_dedup_simhash64_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.simhashPairs64(pq(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // Incremental dedup: the newest 20% of documents deduped against the
@@ -3295,6 +3320,20 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash64_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $simhash64VotesSql
+         |  FROM toks GROUP BY doc_id),
+         |hashes AS (SELECT doc_id, $simhash64ValueSql AS simhash FROM votes)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_corpus_prep" ->

@@ -822,4 +822,42 @@ object Dedup {
     }.reduce(_ + _)
     summed.select(col(idCol), hashVal.as("simhash"))
   }
+
+  /** 64-bit SimHash — the wide sibling of [[simhash]] for corpora big
+    * enough to saturate 32-bit band buckets: the round-9 ×100 audit
+    * measured [[simhashPairs]] at 0.57× of its linear floor purely from
+    * bucket-occupancy growth (65k keys over 5M docs), and 64 bits square
+    * the band key space at IDENTICAL exactness guarantees (the pigeonhole
+    * argument is width-agnostic). Vote 2j is the high bit of md5 hex
+    * nibble j, vote 2j+1 its second bit — 64 independent hash bits from
+    * the same one md5 per token, same linear dataflow. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val hiBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bit2 = Seq("4", "5", "6", "7", "c", "d", "e", "f")
+    val votes = (0 until 64).map { j =>
+      val nibble = substring(col("h"), j / 2 + 1, 1)
+      val ones = if (j % 2 == 0) hiBit else bit2
+      sum(when(nibble.isin(ones: _*), 1).otherwise(-1)).as(s"v_$j")
+    }
+    val summed = toks.groupBy(idCol).agg(votes.head, votes.tail: _*)
+    // Bit 63 is Long's sign bit; the terms set disjoint bits, so the sum
+    // is an OR and never overflows (MinValue + positives stays in range).
+    val hashVal = (0 until 64).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << (63 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col(idCol), hashVal.as("simhash"))
+  }
+
+  /** Banded exact hamming-≤k pairs over the 64-bit SimHash — identical
+    * contract to [[simhashPairs]] with 2^32× the band key space; the
+    * scale path once a fixed 32-bit hash's buckets saturate. */
+  def simhashPairs64(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"bands need >= 2 bits each for selectivity; got maxHamming=$maxHamming")
+    hammingPairs(simhash64(df, idCol, textCol), idCol, "simhash",
+      bits = 64, maxHamming = maxHamming)
+  }
 }

@@ -43,7 +43,8 @@ object BenchScale {
     "q_ngram_novelty",     // shingle-keyed first-occurrence credit
     "q_tfidf_top",         // tf-idf with auto-switched vocab join
     "q_dedup_prefix_pairs", // PPJoin prefix index (exactness witness)
-    "q_dedup_simhash_pairs", // pigeonhole-banded hamming pairs
+    "q_dedup_simhash_pairs", // pigeonhole-banded hamming pairs (32-bit)
+    "q_dedup_simhash64_pairs", // 64-bit variant: the occupancy scale path
     "q_dedup_incremental_near", // batch-broadcast near-dup vs corpus
     // events family (ScaleGen ×k scales events too): the user-keyed
     // window, the day-cohort self-join, and the global top-k — the three

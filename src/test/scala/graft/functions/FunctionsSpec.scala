@@ -118,6 +118,26 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet.contains((1L, 6L, 0L)))
   }
 
+  test("simhash64Pairs: banded candidates equal brute force; identical docs hamming 0") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxH <- Seq(0, 3, 7)) {
+      val got = Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = maxH)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= maxH
+      } yield (a, b, h.toLong)).toSet
+      assert(got === expected, s"maxHamming=$maxH")
+    }
+    // identical docs (1,6): same token multiset -> same 64-bit hash
+    assert(sh(1L) === sh(6L))
+    // the low 32 bits are NOT just the 32-bit hash (independent votes):
+    // near-dups stay close, unrelated docs far — in 64-bit space
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 16)
+  }
+
   test("incrementalNearDupPairs: batch-vs-corpus pairs match the exact cross join") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
