@@ -1083,6 +1083,29 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // INCREMENTAL index maintenance: build on the first 80% of the
+    // corpus, APPEND the rest against the persisted centroids (no
+    // rebuild, no rescan of the indexed corpus), then query. The 16
+    // lowest-id centroids live in the base, so (frozen centroids + union
+    // lists) is exactly the full-corpus index — the query shares
+    // q_knn_ivf's oracle, pinning append == rebuild row-for-row.
+    "q_knn_ivf_append" -> ((s, dir) => {
+      import graft.functions.AnnIndex
+      val emb = pq(s, dir, "embeddings")
+      val cut = emb.agg(max(col("vec_id"))).head().getAs[Number](0).longValue() * 4 / 5
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_inc_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      AnnIndex.buildIvf(store, "ivf", emb.filter(col("vec_id") < cut),
+        "vec_id", "embedding", nlist = 16)
+      AnnIndex.appendIvf(store, "ivf", emb.filter(col("vec_id") >= cut),
+        "vec_id", "embedding")
+      AnnIndex.ivfTopK(store, "ivf", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // PERSISTED PQ index: codebook + byte codes are the only tables the
     // ADC query touches — the 32x-compressed serving footprint, with the
     // raw float vectors absent from the query plan entirely.
@@ -3518,8 +3541,11 @@ object SparkEntry {
     "q_knn_ivf" -> knnIvfOracleSql,
 
     // The persisted index must be ROW-IDENTICAL to the inline path — both
-    // keys share one oracle string so they can never drift apart.
+    // keys share one oracle string so they can never drift apart; the
+    // incremental-append variant shares it too (frozen centroids + union
+    // lists == the full-corpus index by construction).
     "q_knn_ivf_persisted" -> knnIvfOracleSql,
+    "q_knn_ivf_append" -> knnIvfOracleSql,
 
     "q_pq_adc_persisted" ->
       s"""WITH $pqAdcCtes

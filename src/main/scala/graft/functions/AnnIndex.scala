@@ -61,6 +61,37 @@ object AnnIndex {
       store.load(s"${prefix}_centroids"), store.load(s"${prefix}_lists"),
       queries, idCol, vecCol, k, nprobe)
 
+  /** INCREMENTAL maintenance: assign a new `batch` of vectors against the
+    * index's PERSISTED centroids and append to the lists table — the
+    * daily-ingest path that never rebuilds and never rescans the existing
+    * corpus (the batch is the only thing moving). The index geometry is
+    * frozen at build time (standard IVF contract: appended vectors join
+    * the lists of the ORIGINAL coarse quantizer; rebuild when centroid
+    * drift warrants), so a query after append is exactly
+    * [[Similarity.ivfSearch]] over (original centroids, union lists) —
+    * pinned by the shared oracle in q_knn_ivf_append, which builds on a
+    * prefix of the corpus and appends the rest.
+    *
+    * Assumes batch ids are disjoint from indexed ids (same contract as
+    * [[graft.functions.Dedup.incrementalDedup]]). */
+  def appendIvf(
+      store: TableStore, prefix: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit =
+    store.append(s"${prefix}_lists",
+      Similarity.ivfInvertedLists(batch,
+        store.load(s"${prefix}_centroids"), idCol, vecCol))
+
+  /** INCREMENTAL PQ maintenance: encode a new batch under the PERSISTED
+    * codebook and append the codes — same frozen-geometry contract as
+    * [[appendIvf]]. */
+  def appendPq(
+      store: TableStore, prefix: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int = 8): Unit =
+    store.append(s"${prefix}_codes",
+      Similarity.pqEncodeWith(batch, store.load(s"${prefix}_codebook"),
+        idCol, vecCol, dims, m))
+
   /** Build (or rebuild) the PQ index tables from `corpus`. */
   def buildPq(
       store: TableStore, prefix: String,

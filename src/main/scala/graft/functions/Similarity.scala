@@ -289,8 +289,21 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must split evenly into m ($m) subspaces")
+    pqEncodeWith(corpus,
+      pqCodebook(corpus, idCol, vecCol, m, dims / m, ksub),
+      idCol, vecCol, dims, m)
+  }
+
+  /** Encode against an EXPLICIT codebook `(cb_id, s, cw)` — the stage an
+    * incremental index append uses: new vectors are coded under the
+    * PERSISTED codebook, never a rederived one (PQ geometry is frozen at
+    * build time; rebuild when drift warrants). */
+  def pqEncodeWith(
+      corpus: DataFrame, codebook: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must split evenly into m ($m) subspaces")
     val d0 = dims / m
-    val cents = pqCodebook(corpus, idCol, vecCol, m, d0, ksub)
+    val cents = codebook
       .withColumn("cw2", ArrayDot.floatDot(col("cw"), col("cw")))
     val sub = corpus
       .select(col(idCol).as("vec_id"), explodeSubvectors(col(vecCol), m, d0, "sv").as("x"))

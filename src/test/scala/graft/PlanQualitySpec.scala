@@ -117,6 +117,12 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_image_phash_pairs: banded equi-group candidates, never an all-pairs join") {
+    val plan = planOf("q_image_phash_pairs")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "pairs degraded to a corpus self-join")
+  }
+
   test("q_dedup_simhash_pairs: banded equi-join, no cross product, simhash computed once") {
     val plan = planOf("q_dedup_simhash_pairs")
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))

@@ -52,6 +52,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
+  test("IVF append: build-then-append equals one search over frozen centroids + union lists") {
+    val store = tmpStore()
+    val base = corpus.filter($"vec_id" < 20)
+    val batch = corpus.filter($"vec_id" >= 20)
+    val queries = corpus.filter($"vec_id" < 3)
+    AnnIndex.buildIvf(store, "ivf", base, "vec_id", "embedding", nlist = 8)
+    AnnIndex.appendIvf(store, "ivf", batch, "vec_id", "embedding")
+    val got = AnnIndex.ivfTopK(store, "ivf", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // Reference: the ORIGINAL coarse quantizer over the WHOLE corpus.
+    val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", 8)
+    val want = Similarity.ivfSearch(cents,
+      Similarity.ivfInvertedLists(corpus, cents, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got === want)
+    // appended vectors are actually reachable
+    assert(got.exists(_._2 >= 20L))
+  }
+
+  test("PQ append: new vectors coded under the persisted codebook, not a rederived one") {
+    val store = tmpStore()
+    val base = corpus.filter($"vec_id" < 20)
+    val batch = corpus.filter($"vec_id" >= 20)
+    val queries = corpus.filter($"vec_id" < 3)
+    AnnIndex.buildPq(store, "pq", base, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4)
+    AnnIndex.appendPq(store, "pq", batch, "vec_id", "embedding", dims = 8, m = 4)
+    val got = AnnIndex.pqAdcTopK(store, "pq", queries,
+      "vec_id", "embedding", dims = 8, m = 4, k = 3)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val cb = Similarity.pqCodebook(base, "vec_id", "embedding", 4, 2, 4)
+    val want = Similarity.pqAdcSearch(
+      Similarity.pqEncodeWith(corpus, cb, "vec_id", "embedding", 8, 4),
+      cb, queries, "vec_id", "embedding", dims = 8, m = 4, k = 3)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.exists(_._2 >= 20L))
+  }
+
   test("rebuild is an atomic overwrite: second build leaves identical results") {
     val store = tmpStore()
     val queries = corpus.filter($"vec_id" < 2)
