@@ -51,7 +51,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); None }
+        // FULL-plan evaluation, not count(): under count() Catalyst
+        // legitimately eliminates presentation sorts AND the final left
+        // joins of per-doc report queries (their right sides are unique
+        // per key), so a report query "measured" only its source scan —
+        // caught round 9 when q_span_trim_text benched flat at ×100.
+        // toRdd compiles the query's own physical plan and foreach
+        // forces every row with zero driver transfer.
+        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }

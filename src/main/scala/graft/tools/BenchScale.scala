@@ -46,6 +46,13 @@ object BenchScale {
     "q_dedup_simhash_pairs", // pigeonhole-banded hamming pairs (32-bit)
     "q_dedup_simhash64_pairs", // 64-bit variant: the occupancy scale path
     "q_dedup_incremental_near", // batch-broadcast near-dup vs corpus
+    "q_span_trim_text",    // Lee et al. span excision (shingle-keyed)
+    // q_image_phash_pairs is EXCLUDED like the O(N²) witnesses: the
+    // oracle corpus carries 32-bit STUB hashes with hamming<=6 (7 bands
+    // of 4-5 bits = 16-32 keys), so candidate volume is ~N²·bands/2^width
+    // by the band-saturation law (BASELINE.md round 9) — the production
+    // image path is the 64-bit dHash, whose width budget is measured via
+    // q_dedup_simhash64_pairs on the same hammingPairs core.
     // events family (ScaleGen ×k scales events too): the user-keyed
     // window, the day-cohort self-join, and the global top-k — the three
     // canonical time-series shuffle shapes at scale.
@@ -83,7 +90,13 @@ object BenchScale {
     val results = queries.map { name =>
       val t0 = System.nanoTime()
       val err =
-        try { graft.SparkEntry.queries(name)(spark, dataDir).count(); None }
+        // Forced full-plan evaluation — same rationale as graft.Bench:
+        // count() join-eliminates per-doc report queries to a bare scan.
+        try {
+          graft.SparkEntry.queries(name)(spark, dataDir)
+            .queryExecution.toRdd.foreach(_ => ())
+          None
+        }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
