@@ -38,10 +38,19 @@ object Linkage {
       df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String]): DataFrame = {
     val (a, b) = sides(df, idCol, nameCol, blockCols)
+    // Each UNORDERED pair pays levenshtein once (id_a < id_b halves the
+    // join output), then a narrow explode credits the distance to both
+    // endpoints — the edit distance is symmetric and is ~all the cost of
+    // this operator (measured 12.9 s -> ordered-pairs form at sf0.1; the
+    // halved form is the same blocked equi-join shape, half the evals).
     a.join(b, blockCols)
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a") +: blockCols.map(col): _*)
-      .agg(min(levenshtein(col("name_a"), col("name_b"))).cast("long").as("nn_dist"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .select(blockCols.map(col) :+ explode(array(
+        struct(col("id_a").as("rid"), col("dist")),
+        struct(col("id_b").as("rid"), col("dist")))).as("x"): _*)
+      .groupBy(col("x.rid").as("id_a") +: blockCols.map(col): _*)
+      .agg(min(col("x.dist")).cast("long").as("nn_dist"))
   }
 
   /** Candidate duplicate pairs within blocks: (id_a < id_b, dist) with
