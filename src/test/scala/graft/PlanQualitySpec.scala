@@ -117,6 +117,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_span_trim_text: every join is keyed — no cartesian, no nested loop") {
+    // Repeated-set membership is a shingle-keyed semi-join, coverage is a
+    // bounded explode, token removal a (doc,pos) anti-join; a cross
+    // product anywhere here is the O(N²) regression this gate watches.
+    val plan = planOf("q_span_trim_text")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(800))
+  }
+
   test("q_image_phash_pairs: banded equi-group candidates, never an all-pairs join") {
     val plan = planOf("q_image_phash_pairs")
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
