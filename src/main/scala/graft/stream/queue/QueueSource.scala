@@ -246,10 +246,21 @@ class QueueMicroBatchStream(
     * dead-letter dir (atomic rename — the body survives byte-exact for a
     * human or a redrive job) instead of being planned again. Returns the
     * names that stay deliverable. No-op without a deadLetterDir — the
-    * redeliver-forever contract stands. */
+    * redeliver-forever contract stands.
+    *
+    * The dead-letter dir MUST live on the same FileSystem as the queue dir
+    * (enforced below): Hadoop `rename` cannot cross filesystems, and a
+    * persistently-false rename silently dropped from this batch would leave
+    * the message both un-dead-lettered and un-delivered. A move that still
+    * fails after the retry keeps the message IN the batch and keeps its
+    * receipt counter (it re-routes next epoch), and logs at error — loud
+    * redelivery beats a log line claiming a move that never happened. */
   private def routeDeadLetters(names: Seq[String]): Seq[String] =
     deadLetterDir.fold(names) { dlq =>
       val dlqPath = new Path(dlq)
+      require(dlqPath.getFileSystem(hadoopConf).getUri == fs.getUri,
+        s"deadLetterDir $dlq must be on the same FileSystem as the queue " +
+          s"dir $dir (Hadoop rename cannot move a message across filesystems)")
       names.filter { n =>
         val receives = receiveCount(n)
         if (receives <= maxReceives) true
@@ -257,15 +268,23 @@ class QueueMicroBatchStream(
           val f = fs
           f.mkdirs(dlqPath)
           val target = new Path(dlqPath, n)
-          if (!f.rename(new Path(dirPath, n), target)) {
+          val moved = f.rename(new Path(dirPath, n), target) || {
+            // rename-onto-existing (a re-dead-lettered replay) returns false
+            // on HDFS-like filesystems: clear the stale copy and retry.
             f.delete(target, false)
             f.rename(new Path(dirPath, n), target)
           }
-          receiptsFs.delete(new Path(receiptsPath, n), false)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"graft-queue: message $n exceeded maxReceives=$maxReceives " +
-              s"($receives deliveries); moved to dead-letter dir $dlq")
-          false
+          if (moved) {
+            receiptsFs.delete(new Path(receiptsPath, n), false)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"graft-queue: message $n exceeded maxReceives=$maxReceives " +
+                s"($receives deliveries); moved to dead-letter dir $dlq")
+          } else
+            org.slf4j.LoggerFactory.getLogger(getClass).error(
+              s"graft-queue: could not move $n to dead-letter dir $dlq " +
+                s"(rename failed); keeping it in the batch — it stays " +
+                s"visible and will re-route next epoch")
+          !moved
         }
       }
     }
@@ -445,9 +464,15 @@ class QueueMicroBatchStream(
     if (endOff.last > maxSeen) maxSeen = endOff.last
     if (endOff.epoch > curEpoch) curEpoch = endOff.epoch
     val (acked, inFlight) = allClaims().partition { case (epoch, _) => epoch <= endOff.epoch }
+    // Receipts are deleted on ack UNCONDITIONALLY (when a receipts dir
+    // exists at all), not only when THIS run has the DLQ options: counters
+    // written by a previous DLQ-enabled run would otherwise leak under the
+    // checkpoint forever — and silently resume counting if the option were
+    // re-enabled, racing an innocent redelivered message to the DLQ.
+    val sweepReceipts = deadLetterDir.isDefined || receiptsFs.exists(receiptsPath)
     acked.iterator.flatMap(_._2).foreach { n =>
       fs.delete(new Path(dirPath, n), false)
-      if (deadLetterDir.isDefined)
+      if (sweepReceipts)
         receiptsFs.delete(new Path(receiptsPath, n), false)
     }
     acked.foreach { case (epoch, _) =>

@@ -179,6 +179,74 @@ class QueueSourceSpec extends SparkSpec {
       "acked message left a receipt counter behind")
   }
 
+  test("a deadLetterDir on a different FileSystem is rejected, not silently dropped") {
+    // Hadoop rename cannot cross filesystems: the old code ignored the
+    // rename result, logged "moved", dropped the message from the batch
+    // and reset its counter — redelivering forever while claiming it was
+    // dead-lettered. The contract is now validated loudly instead.
+    val root = Files.createTempDirectory("graft_queue_xfs").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    enqueue(root + "/queue", "m1", "body")
+    val q = spark.readStream.format("graft-queue")
+      .option("deadLetterDir", "hdfs://localhost:1/dlq")
+      .option("maxReceives", "1")
+      .load(root + "/queue")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", root + "/cp")
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    val err = intercept[Exception] { q.awaitTermination(120000) }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("same FileSystem")),
+      s"expected the same-FileSystem contract error, got: ${messages(err)}")
+    // and the message is still there — nothing was silently lost
+    assert(queueFiles(root + "/queue") === Seq("m1"))
+  }
+
+  test("receipts from a DLQ-enabled run are swept by a later DLQ-less ack") {
+    // A counter written under the checkpoint by a DLQ-enabled run must not
+    // leak forever when the stream is restarted without the DLQ options —
+    // a stale counter would silently resume counting if they return.
+    val root = Files.createTempDirectory("graft_queue_stale_rcpt").toString
+    Files.createDirectories(Paths.get(root + "/queue"))
+    enqueue(root + "/queue", "m1", "body")
+    def run(dlq: Boolean, fail: Boolean): Unit = {
+      val reader = spark.readStream.format("graft-queue")
+      val withOpts = if (dlq)
+        reader.option("deadLetterDir", root + "/dlq").option("maxReceives", "5")
+      else reader
+      val q = withOpts.load(root + "/queue")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (fail && batch.count() > 0) sys.error("boom")
+          ()
+        }.start()
+      try q.awaitTermination(120000) catch { case _: Exception => () }
+      q.stop()
+    }
+    run(dlq = true, fail = true) // delivery 1: counter written, epoch fails
+    val receiptDirs = {
+      val s = Files.walk(Paths.get(root + "/cp"))
+      try {
+        val it = s.iterator()
+        val acc = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString == "graft-receipts") acc += p
+        }
+        acc.toSeq
+      } finally s.close()
+    }
+    assert(receiptDirs.nonEmpty && receiptDirs.exists(d => queueFiles(d.toString).nonEmpty),
+      "precondition: the DLQ-enabled failed run should have written a counter")
+    run(dlq = false, fail = false) // DLQ-less restart processes + acks
+    assert(queueFiles(root + "/queue").isEmpty)
+    assert(receiptDirs.forall(d => queueFiles(d.toString).isEmpty),
+      "ack without DLQ options leaked the stale receipt counter")
+  }
+
   test("without a deadLetterDir the redeliver-forever contract stands") {
     val root = Files.createTempDirectory("graft_queue_nodlq").toString
     Files.createDirectories(Paths.get(root + "/queue"))
