@@ -1971,16 +1971,19 @@ object SparkEntry {
       Multimodal.perceptualHashes(media).orderBy("media_id")
     }),
 
-    // Perceptual near-dup pairs: pigeonhole-banded EXACT hamming<=6 recall
-    // over the perceptual hashes (the image twin of q_dedup_simhash_pairs;
-    // bits=32 because the stub corpus carries 32-bit checksums). The
-    // banding keeps candidates to band equi-groups; the oracle's all-pairs
-    // xor is the exactness witness the banded plan must reproduce.
-    "q_image_phash_pairs" -> ((s, dir) => {
+    // Checksum near-collision pairs: pigeonhole-banded EXACT hamming<=6
+    // recall over the 32-bit stub hashes, banded PER KIND (a cross-kind
+    // checksum collision is never a media near-dup). The banding keeps
+    // candidates to band equi-groups; the oracle's all-pairs xor is the
+    // exactness witness the banded plan must reproduce. The production
+    // image path (real 64-bit dHash, decoded-rows-only) shares the same
+    // hammingPairs core and is pinned by FunctionsSpec over generated
+    // PNGs — a JDK decode isn't SQL-mirrorable.
+    "q_phash_checksum_pairs" -> ((s, dir) => {
       import graft.functions.Multimodal
       val media = Multimodal.syntheticMedia(pq(s, dir, "documents"), "doc_id", "text")
-      Multimodal.perceptualDupPairs(media, maxHamming = 6, bits = 32)
-        .orderBy("id_a", "id_b")
+      Multimodal.checksumDupPairs(media, maxHamming = 6)
+        .orderBy("kind", "id_a", "id_b")
     }),
 
     // Multimodal metadata plumbing (schema, kind routing, byte accounting) —
@@ -3614,18 +3617,24 @@ object SparkEntry {
         |         FOR i IN range(1, CAST(n_bytes AS INT) + 1)]),
         |      (acc, x) -> (acc * 31 + x) % 4294967296) AS phash
         |  FROM b)
-        |SELECT media_id, kind, phash FROM c ORDER BY media_id""".stripMargin,
+        |-- text payloads are undecodable by construction => decoded = false
+        |SELECT media_id, kind, phash, CAST(FALSE AS BOOLEAN) AS decoded
+        |FROM c ORDER BY media_id""".stripMargin,
 
-    "q_image_phash_pairs" ->
+    "q_phash_checksum_pairs" ->
       """WITH m AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS media_id, encode(text) AS payload
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    encode(text) AS payload
         |  FROM documents),
         |b AS (
-        |  SELECT media_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |  SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
         |         hex(payload) AS h
         |  FROM m),
         |c AS (
-        |  SELECT media_id,
+        |  SELECT media_id, kind,
         |    list_reduce(
         |      list_prepend(CAST(0 AS BIGINT),
         |        [CAST(16 * (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
@@ -3633,11 +3642,11 @@ object SparkEntry {
         |         FOR i IN range(1, CAST(n_bytes AS INT) + 1)]),
         |      (acc, x) -> (acc * 31 + x) % 4294967296) AS phash
         |  FROM b)
-        |SELECT a.media_id AS id_a, bb.media_id AS id_b,
+        |SELECT a.kind AS kind, a.media_id AS id_a, bb.media_id AS id_b,
         |  CAST(bit_count(xor(a.phash, bb.phash)) AS BIGINT) AS hamming
-        |FROM c a JOIN c bb ON a.media_id < bb.media_id
+        |FROM c a JOIN c bb ON a.media_id < bb.media_id AND a.kind = bb.kind
         |WHERE bit_count(xor(a.phash, bb.phash)) <= 6
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY kind, id_a, id_b""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

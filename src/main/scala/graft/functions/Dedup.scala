@@ -684,10 +684,17 @@ object Dedup {
     * and [[Multimodal.perceptualDupPairs]] (64-bit image dHash).
     * Selectivity scales with band width `bits/(k+1)`: keep k well under
     * bits/2 or the bands degenerate to near-empty keys and every bucket
-    * is the whole corpus. */
+    * is the whole corpus.
+    *
+    * `extraKeys` columns join the band group key (and lead the output):
+    * rows differing on any of them are never candidates — the
+    * per-population segregation [[Multimodal.checksumDupPairs]] needs so
+    * one population's hash family (e.g. 32-bit stubs, upper bits all
+    * zero) can't saturate another population's bands into one degenerate
+    * corpus-wide bucket. */
   def hammingPairs(
       hashes: DataFrame, idCol: String, hashCol: String,
-      bits: Int, maxHamming: Int): DataFrame = {
+      bits: Int, maxHamming: Int, extraKeys: Seq[String] = Nil): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1,64]; got $bits")
     require(maxHamming >= 0 && maxHamming + 1 <= bits,
       s"need maxHamming+1 <= bits bands; got maxHamming=$maxHamming bits=$bits")
@@ -699,16 +706,20 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col(hashCol), start).bitwiseAND(lit(mask)).as("bkey"))
     }
+    val extraCols = extraKeys.map(col)
     val banded = hashes
-      .select(col(idCol), col(hashCol).as("__ph"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("__ph"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    banded.groupBy("band", "bkey")
+      .select(col(idCol) +: col(hashCol).as("__ph") +:
+        explode(array(bandStructs: _*)).as("bb") +: extraCols: _*)
+      .select(col(idCol) +: col("__ph") +: col("bb.band").as("band") +:
+        col("bb.bkey").as("bkey") +: extraCols: _*)
+    banded.groupBy(col("band") +: col("bkey") +: extraCols: _*)
       .agg(collect_set(struct(col(idCol).as("id"), col("__ph").as("sh"))).as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(col("items")).as("a"), col("items"))
-      .select(col("a"), explode(filter(col("items"), x => x("id") > col("a.id"))).as("b"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .select(explode(col("items")).as("a") +: col("items") +: extraCols: _*)
+      .select(col("a") +:
+        explode(filter(col("items"), x => x("id") > col("a.id"))).as("b") +: extraCols: _*)
+      .select(extraCols ++ Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming")): _*)
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

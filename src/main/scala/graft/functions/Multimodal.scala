@@ -330,8 +330,11 @@ object Multimodal {
     (if (kind == "image") dHash(payload) else None)
       .getOrElse(payloadChecksum(payload))
 
-  /** Per-media perceptual hashes `(media_id, kind, phash)` with the same
-    * byte-budget repartition as [[extractFeatures]]. */
+  /** Per-media perceptual hashes `(media_id, kind, phash, decoded)` with
+    * the same byte-budget repartition as [[extractFeatures]]. `decoded`
+    * marks a REAL image [[dHash]] (64-bit); false means the 32-bit
+    * [[payloadChecksum]] stub — downstream banding MUST NOT mix the two
+    * families (see [[perceptualDupPairs]] / [[checksumDupPairs]]). */
   def perceptualHashes(
       media: Dataset[MediaFile],
       targetBytesPerTask: Long = 128L * 1024 * 1024): DataFrame = {
@@ -339,8 +342,11 @@ object Multimodal {
     val totalBytes = media.select(sum(length(col("payload")))).as[Option[Long]].head().getOrElse(0L)
     val parts = math.max(1, math.min(10000, (totalBytes / math.max(1, targetBytesPerTask)).toInt + 1))
     media.repartition(parts).mapPartitions { files =>
-      files.map(f => (f.media_id, f.kind, perceptualHash(f.kind, f.payload)))
-    }.toDF("media_id", "kind", "phash")
+      files.map { f =>
+        val real = if (f.kind == "image") dHash(f.payload) else None
+        (f.media_id, f.kind, real.getOrElse(payloadChecksum(f.payload)), real.isDefined)
+      }
+    }.toDF("media_id", "kind", "phash", "decoded")
   }
 
   /** Perceptual image near-duplicate pairs with EXACT hamming-≤k recall:
@@ -348,16 +354,42 @@ object Multimodal {
     * (k+1 bit-bands; two hashes within hamming k must agree on one band)
     * — candidates are a band equi-join, never all-pairs, and the
     * in-bucket `bit_count(xor)` verify makes recall exact, exactly like
-    * the text SimHash path. `bits` = 64 for real dHashes; pass 32 when
-    * the corpus is known stub-hashed (the checksum is 32-bit) so the
-    * high empty bands don't degenerate into corpus-wide buckets. */
+    * the text SimHash path.
+    *
+    * ONLY real 64-bit dHashes are banded: non-image rows and undecodable
+    * images carry the 32-bit checksum stub, whose upper bits are all zero
+    * — mixed into 64-bit bands, every stub row would collide on bkey=0 in
+    * the high bands (one degenerate bucket, quadratic in the stub
+    * population — exactly the band-saturation hazard), and cross-kind
+    * checksum collisions would masquerade as image near-dups. Stub-hash
+    * near-collisions are a different (per-kind, 32-bit) question answered
+    * by [[checksumDupPairs]]. */
   def perceptualDupPairs(
       media: Dataset[MediaFile],
       maxHamming: Int = 3,
-      bits: Int = 64,
       targetBytesPerTask: Long = 128L * 1024 * 1024): DataFrame =
-    Dedup.hammingPairs(perceptualHashes(media, targetBytesPerTask),
-      "media_id", "phash", bits, maxHamming)
+    Dedup.hammingPairs(
+      perceptualHashes(media, targetBytesPerTask)
+        .filter(col("kind") === "image" && col("decoded")),
+      "media_id", "phash", bits = 64, maxHamming = maxHamming)
+
+  /** Payload-checksum near-collision pairs over the NON-decodable rows —
+    * the honest counterpart of [[perceptualDupPairs]] for stub-hashed
+    * payloads (video, undecodable bytes): the 32-bit [[payloadChecksum]]
+    * banded at its true width, with `kind` in the band group key so an
+    * audio/image checksum collision is never reported as a same-media
+    * near-dup. Exact hamming-≤k recall within each kind; also the
+    * DuckDB-oracle-able witness for the banding core over synthetic
+    * text-payload corpora (a real dHash needs a JDK decode the oracle
+    * can't replay). */
+  def checksumDupPairs(
+      media: Dataset[MediaFile],
+      maxHamming: Int = 3,
+      targetBytesPerTask: Long = 128L * 1024 * 1024): DataFrame =
+    Dedup.hammingPairs(
+      perceptualHashes(media, targetBytesPerTask).filter(!col("decoded")),
+      "media_id", "phash", bits = 32, maxHamming = maxHamming,
+      extraKeys = Seq("kind"))
 
   /** Deterministic frame-sampling offsets for a "video" payload: k byte
     * offsets spread evenly — the shape of keyframe sampling without a codec. */

@@ -47,7 +47,7 @@ object BenchScale {
     "q_dedup_simhash64_pairs", // 64-bit variant: the occupancy scale path
     "q_dedup_incremental_near", // batch-broadcast near-dup vs corpus
     "q_span_trim_text",    // Lee et al. span excision (shingle-keyed)
-    // q_image_phash_pairs is EXCLUDED like the O(N²) witnesses: the
+    // q_phash_checksum_pairs is EXCLUDED like the O(N²) witnesses: the
     // oracle corpus carries 32-bit STUB hashes with hamming<=6 (7 bands
     // of 4-5 bits = 16-32 keys), so candidate volume is ~N²·bands/2^width
     // by the band-saturation law (BASELINE.md round 9) — the production

@@ -125,8 +125,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(800))
   }
 
-  test("q_image_phash_pairs: banded equi-group candidates, never an all-pairs join") {
-    val plan = planOf("q_image_phash_pairs")
+  test("q_phash_checksum_pairs: banded equi-group candidates, never an all-pairs join") {
+    val plan = planOf("q_phash_checksum_pairs")
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(600))
     assert(!plan.contains("SortMergeJoin"), "pairs degraded to a corpus self-join")
   }

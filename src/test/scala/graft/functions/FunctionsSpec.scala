@@ -573,15 +573,43 @@ class FunctionsSpec extends SparkSpec {
     // step image: one rising edge -> 8 bits set, hamming 8 from both
     // gradient (all-ones) is 56 and flat-inverted (all-zeros) is 8 > k
     val d = pngBytes(72, 32)((x, _) => gray(if (x < 36) 0 else 255))
+    // Adversarial stub population: identical garbage payloads as an
+    // undecodable "image", an audio row, and a video row. Their 32-bit
+    // checksum stubs collide exactly — but stub hashes must be EXCLUDED
+    // from the image banding entirely (zero upper bits would saturate the
+    // high 64-bit bands into one corpus-wide bucket, and a checksum
+    // collision is not an image near-dup).
+    val junk = "not an image at all".getBytes("UTF-8")
     val media = Seq(
       Multimodal.MediaFile(1L, "image", a, "s"),
       Multimodal.MediaFile(2L, "image", b, "s"),
       Multimodal.MediaFile(3L, "image", c, "s"),
-      Multimodal.MediaFile(4L, "image", d, "s")).toDS()
+      Multimodal.MediaFile(4L, "image", d, "s"),
+      Multimodal.MediaFile(5L, "image", junk, "s"),
+      Multimodal.MediaFile(6L, "audio", junk, "s"),
+      Multimodal.MediaFile(7L, "video", junk, "s")).toDS()
     val pairs = Multimodal.perceptualDupPairs(media, maxHamming = 4)
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
     assert(pairs.head._3 <= 2)
+  }
+
+  test("checksumDupPairs pairs stub hashes per kind, never across kinds or decodes") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val img = pngBytes(72, 32)((x, _) => gray(x * 255 / 71))
+    val junk = "shared garbage payload".getBytes("UTF-8")
+    val other = "a different payload".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaFile(1L, "audio", junk, "s"),  // same checksum as 2, 4
+      Multimodal.MediaFile(2L, "audio", junk, "s"),
+      Multimodal.MediaFile(3L, "audio", other, "s"),
+      Multimodal.MediaFile(4L, "video", junk, "s"),  // same bytes, other kind
+      Multimodal.MediaFile(5L, "image", img, "s")).toDS() // real dHash: excluded
+    val pairs = Multimodal.checksumDupPairs(media, maxHamming = 0)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // only the same-kind identical-payload pair survives; the video row
+    // with the identical checksum and the decoded image never pair
+    assert(pairs === Seq(("audio", 1L, 2L, 0L)))
   }
 
   test("hammingPairs banding is exact: equals brute force at several k, incl. k=0") {
