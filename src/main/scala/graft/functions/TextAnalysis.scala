@@ -27,22 +27,31 @@ object TextAnalysis {
     df.sparkSession.conf.getOption("graft.vocab.broadcastMaxTerms")
       .map(_.toLong).getOrElse(4000000L)
 
-  /** Join `left` against the vocabulary-sized `vocab` on `keys`:
-    * broadcast when `vocabRows` (a sizing count the caller already paid)
-    * fits under `maxBroadcast`, keyed shuffle join otherwise. The switch
-    * is data-driven, never a static choice — the decision
-    * `bigramLogProb`/`trigramLogProb` hard-code as always-keyed (their
-    * n-gram tables are vocabulary-squared) made dynamic for the tables
-    * that are small at test scale but vocabulary-sized in production. */
+  /** Join `left` against the vocabulary-sized `vocab` on `keys`.
+    *
+    * With `vocabRows >= 0` (a sizing count the caller ALREADY HAS — a
+    * cached stat, a previous aggregation's count) the switch is explicit:
+    * broadcast under `maxBroadcast`, keyed shuffle join above it. The
+    * merge hint FORCES the keyed strategy — auto-broadcast of a
+    * vocab-sized table is exactly the OOM this switch exists to prevent.
+    *
+    * With `vocabRows < 0` (unknown — the default) NO sizing job runs:
+    * the join is left unhinted, and the broadcast decision falls to
+    * Spark's own byte thresholds. Statically that is safe-conservative:
+    * an aggregate's size estimate derives from its child's (the full
+    * exploded token stream, >= the scan bytes), so a 100 TB corpus can
+    * never static-plan a vocab broadcast; at runtime AQE re-plans the
+    * sort-merge join into a broadcast join from the MEASURED shuffle
+    * size when the vocab is actually small (`spark.sql.adaptive.
+    * autoBroadcastJoinThreshold`) — measured bytes cannot undershoot.
+    * This replaces the round-8 eager `vocab.count()` sizing pass, which
+    * charged every call a full extra aggregation over the token stream
+    * just to pick a join strategy. */
   private def joinVocab(
       left: DataFrame, vocab: DataFrame, keys: Seq[String],
       vocabRows: Long, maxBroadcast: Long): DataFrame =
-    if (vocabRows <= maxBroadcast) left.join(broadcast(vocab), keys)
-    // The merge hint FORCES the keyed strategy: Catalyst's size estimate
-    // for an aggregate output can undershoot (it derives from child
-    // stats), and auto-broadcast of a vocab-sized table is exactly the
-    // OOM this switch exists to prevent — the measured row count, not
-    // the estimator, makes the call.
+    if (vocabRows < 0) left.join(vocab, keys)
+    else if (vocabRows <= maxBroadcast) left.join(broadcast(vocab), keys)
     else left.join(vocab.hint("merge"), keys)
 
   /** Whitespace tokenization (split on runs of whitespace). */
@@ -139,19 +148,22 @@ object TextAnalysis {
     * Determinism: per-token log-probs are fixed-pointed to 1e-6
     * (round-half-away-from-zero in both engines) and summed as LONGS —
     * order-independent, so the result hash-matches the oracle regardless
-    * of partitioning. Cost: one vocab sizing count + one vocab
-    * aggregation + one token→count join + one per-doc aggregation. The
-    * vocab join AUTO-SWITCHES: broadcast under
-    * [[vocabBroadcastMaxTerms]], keyed shuffle join above it (see that
-    * method's 100 TB rationale); the 1-row `total` broadcast is
+    * of partitioning. Cost: one vocab aggregation + one token→count join
+    * + one per-doc aggregation — plan construction is FULLY LAZY (no
+    * sizing job). The vocab join AUTO-SWITCHES via [[joinVocab]]: pass
+    * `vocabRows` (a count you already have) for the explicit
+    * [[vocabBroadcastMaxTerms]] row switch; by default AQE sizes the
+    * join from the measured vocab bytes. The 1-row `total` broadcast is
     * scale-free either way.
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabRows: Long = -1L): DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).cast("double").as("total"))
     val fixed = joinVocab(toks, freq, Seq("w"),
-        freq.count(), vocabBroadcastMaxTerms(df))
+        vocabRows, vocabBroadcastMaxTerms(df))
       .crossJoin(broadcast(total))
       .select(col(idCol),
         round(log(col("cnt").cast("double") / col("total")) * 1e6, 0)
@@ -426,24 +438,30 @@ object TextAnalysis {
 
   /** Top-k terms per document by TF-IDF with smoothed IDF
     * `ln((N+1)/(df+1))`. Corpus-wide document frequency is one small
-    * aggregate (vocabulary-sized — broadcast-joined back), term frequency is
-    * per-document; ranking is a window PARTITIONED by doc (bounded frames).
-    * Ties rank by rounded score then term text, keeping the order identical
-    * across engines despite last-ulp `ln` differences. */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    * aggregate (vocabulary-sized — joined back via [[joinVocab]]'s lazy
+    * auto-switch), term frequency is per-document; ranking is a window
+    * PARTITIONED by doc (bounded frames). Ties rank by rounded score then
+    * term text, keeping the order identical across engines despite
+    * last-ulp `ln` differences. Plan construction is FULLY LAZY: the
+    * corpus document count N feeds the IDF as a broadcast 1-row frame
+    * (scale-free), not a driver-side count action. */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      vocabRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val docFreq = toks.select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val n = df.select(col(idCol)).distinct().count()
-    // Vocabulary-sized side: broadcast only under the session ceiling —
-    // see vocabBroadcastMaxTerms for the 100 TB rationale.
+    val nDocs = df.select(countDistinct(col(idCol)).cast("double").as("ndocs"))
+    // Vocabulary-sized side: see vocabBroadcastMaxTerms for the 100 TB
+    // rationale.
     val scored = joinVocab(tf, docFreq, Seq("term"),
-        docFreq.count(), vocabBroadcastMaxTerms(df))
+        vocabRows, vocabBroadcastMaxTerms(df))
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf").cast("double") *
-          log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0)), 6))
+          log((col("ndocs") + 1.0) / (col("df").cast("double") + 1.0)), 6))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -76,30 +76,102 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
-  test("q_unigram_logprob broadcasts the vocab and total (no sort-merge join)") {
-    // The token->count join must be a broadcast hash join at this vocab
-    // scale; a sort-merge join would shuffle the full exploded token set
-    // twice (the scaladoc documents the keyed-join swap for 100 TB vocab).
-    val plan = planOf("q_unigram_logprob")
-    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
-    assert(!plan.contains("SortMergeJoin"), "vocab join degraded to sort-merge")
+  test("q_unigram_logprob ends up broadcasting the small vocab (AQE runtime sizing)") {
+    // The default vocab join carries NO sizing count: AQE converts the
+    // statically-planned keyed join into a broadcast join from the
+    // MEASURED vocab shuffle bytes. At this scale the vocab is small, so
+    // the FINAL (post-execution) plan must show the broadcast — a
+    // sort-merge survivor would mean the runtime sizing path is dead.
+    val df = SparkEntry.queries("q_unigram_logprob")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(800))
   }
 
-  test("vocab joins auto-switch to keyed above the broadcast ceiling") {
-    // Inject a 1-row ceiling: the same queries must now plan the vocab /
-    // doc-freq join as a shuffle join, never a vocabulary-sized broadcast
-    // (the 100 TB OOM class). The 1-row `total` nested-loop broadcast is
-    // scale-free and allowed.
+  test("vocab joins construct lazily: no sizing job beyond the shared read path") {
+    // The round-8 auto-switch paid an EAGER vocab.count() (a full extra
+    // aggregation over the token stream) at plan-construction time just to
+    // pick broadcast-vs-keyed. Plan construction may legitimately fire
+    // read-path jobs (parquet footer/schema reads), so the gate is a
+    // DELTA: building the vocab queries must fire exactly as many jobs as
+    // building a control query over the same table that never had a
+    // sizing pass.
+    def constructionJobs(f: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(1500); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val control = constructionJobs {
+      SparkEntry.queries("q_quality_score")(spark, dir); ()
+    }
+    val unigram = constructionJobs {
+      SparkEntry.queries("q_unigram_logprob")(spark, dir); ()
+    }
+    val tfidf = constructionJobs {
+      SparkEntry.queries("q_tfidf_top")(spark, dir); ()
+    }
+    assert(unigram <= control,
+      s"q_unigram_logprob construction fired $unigram job(s) vs control $control")
+    assert(tfidf <= control,
+      s"q_tfidf_top construction fired $tfidf job(s) vs control $control")
+  }
+
+  test("vocab joins with a known row count auto-switch to keyed above the ceiling") {
+    // The explicit path: a caller-supplied vocabRows above the session
+    // ceiling must force the keyed strategy (merge hint), never a
+    // vocabulary-sized broadcast (the 100 TB OOM class); under the
+    // ceiling it must broadcast without AQE's help.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
     spark.conf.set("graft.vocab.broadcastMaxTerms", "1")
     try {
-      for (q <- Seq("q_unigram_logprob", "q_tfidf_top")) {
-        val plan = planOf(q)
-        assert(!plan.contains("BroadcastHashJoin"),
-          s"$q still broadcasts a vocab-sized side:\n${plan.take(800)}")
-        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-          s"$q lost its keyed vocab join:\n${plan.take(800)}")
-      }
+      val keyed = graft.functions.TextAnalysis
+        .unigramLogProb(docs, "doc_id", "text", vocabRows = 100)
+        .queryExecution.executedPlan.toString
+      assert(!keyed.contains("BroadcastHashJoin"),
+        s"vocabRows above the ceiling still broadcasts:\n${keyed.take(800)}")
+      assert(keyed.contains("SortMergeJoin") || keyed.contains("ShuffledHashJoin"),
+        s"lost the keyed vocab join:\n${keyed.take(800)}")
     } finally spark.conf.unset("graft.vocab.broadcastMaxTerms")
+    val bcast = graft.functions.TextAnalysis
+      .unigramLogProb(docs, "doc_id", "text", vocabRows = 100)
+      .queryExecution.executedPlan.toString
+    assert(bcast.contains("BroadcastHashJoin"), bcast.take(800))
+  }
+
+  test("unknown-size vocab joins stay keyed when the byte thresholds forbid broadcast") {
+    // The 100 TB safety story for the default (uncounted) path: Spark's
+    // byte thresholds govern, and they act on MEASURED sizes. With both
+    // thresholds at -1 (the "vocab too big" regime), the final plan must
+    // keep the keyed join — no hidden static broadcast of an
+    // aggregate-estimated side.
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.getAll.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_unigram_logprob")(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("BroadcastHashJoin"),
+        s"byte thresholds at -1 but the vocab still broadcast:\n${finalPlan.take(800)}")
+      assert(finalPlan.contains("SortMergeJoin") || finalPlan.contains("ShuffledHashJoin"),
+        finalPlan.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("persisted ANN queries never rescan the embeddings corpus as index") {

@@ -656,27 +656,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
   }
 
-  test("vocab keyed-join path returns values identical to the broadcast path") {
-    // The broadcast->keyed auto-switch must be a pure plan decision:
-    // forcing the keyed path via a 1-row ceiling leaves every number
-    // unchanged for both vocab-joining operators.
+  test("vocab keyed/broadcast/lazy join paths return identical values") {
+    // The join-strategy switch must be a pure plan decision: the forced
+    // broadcast (vocabRows under the ceiling), the forced keyed join
+    // (vocabRows above it), and the default lazy AQE-sized path leave
+    // every number unchanged for both vocab-joining operators.
     val corpus = Seq(
       (1L, "alpha alpha alpha alpha"), (2L, "alpha alpha rare1 rare2"),
       (3L, "alpha beta beta alpha")).toDF("doc_id", "text")
-    def both(f: => Array[(Long, Long, Double)]) = {
-      val bcast = f
-      spark.conf.set("graft.vocab.broadcastMaxTerms", "1")
-      try { (bcast, f) } finally spark.conf.unset("graft.vocab.broadcastMaxTerms")
-    }
-    val (u1, u2) = both(
-      TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+    def all3(f: Long => Array[(Long, Long, Double)]) =
+      Seq(f(0L) /* broadcast */, f(Long.MaxValue) /* keyed */, f(-1L) /* lazy */)
+    val us = all3(vr =>
+      TextAnalysis.unigramLogProb(corpus, "doc_id", "text", vocabRows = vr)
         .orderBy("doc_id").as[(Long, Long, Double)].collect())
-    assert(u1.toSeq === u2.toSeq)
-    val (t1, t2) = both(
-      TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+    assert(us(0).toSeq === us(1).toSeq)
+    assert(us(0).toSeq === us(2).toSeq)
+    val ts = all3(vr =>
+      TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2, vocabRows = vr)
         .select($"doc_id", $"rnk", $"tfidf")
         .orderBy("doc_id", "rnk").as[(Long, Long, Double)].collect())
-    assert(t1.toSeq === t2.toSeq)
+    assert(ts(0).toSeq === ts(1).toSeq)
+    assert(ts(0).toSeq === ts(2).toSeq)
   }
 
   test("filterReport: reasons fire independently in fixed order; clean docs keep") {
