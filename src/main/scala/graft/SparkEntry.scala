@@ -45,15 +45,24 @@ object SparkEntry {
     * vec_id < 5 — mirrors the q_pq_* Spark parameters. */
   /** Full IVF oracle — shared by q_knn_ivf and q_knn_ivf_persisted (the
     * persisted index is contractually row-identical to the inline path). */
-  private lazy val knnIvfOracleSql: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS centv,
-       |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
-       |  FROM embeddings ORDER BY vec_id LIMIT 16),
-       |c AS (
+  /** The IVF oracle, parametrized by a corpus predicate so
+    * q_knn_ivf_delete can express "rebuild without the deleted ids"
+    * verbatim. `centsFrom` overrides the coarse-quantizer CTE chain (the
+    * trained-centroid variant injects its k-means rounds and names the
+    * final centroid CTE). */
+  private def knnIvfOracleSqlFor(
+      corpusWhere: String,
+      centsCtes: String =
+        s"""cn AS (
+           |  SELECT vec_id AS cent_id, embedding AS centv,
+           |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
+           |  FROM embeddings ORDER BY vec_id LIMIT 16)""".stripMargin,
+      centsName: String = "cn"): String =
+    s"""WITH c AS (
        |  SELECT vec_id, embedding AS cv,
        |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $corpusWhere),
+       |$centsCtes,
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS qv,
        |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
@@ -62,14 +71,14 @@ object SparkEntry {
        |  SELECT vec_id, cent_id, cv, nc,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
-       |  FROM c CROSS JOIN cents),
+       |  FROM c CROSS JOIN $centsName),
        |lists AS (SELECT cent_id, vec_id, cv, nc FROM assign WHERE arnk = 1),
        |probes AS (
        |  SELECT cent_id, query_id, qv, nq FROM (
        |    SELECT cent_id, query_id, qv, nq,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY round((${dotSql("qv", "centv", 64)}) / (nq * ncent), 6) DESC, cent_id) AS prnk
-       |    FROM q CROSS JOIN cents) WHERE prnk <= 4),
+       |    FROM q CROSS JOIN $centsName) WHERE prnk <= 4),
        |scored AS (
        |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
        |  FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
@@ -78,6 +87,61 @@ object SparkEntry {
        |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk FROM scored)
        |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+
+  private lazy val knnIvfOracleSql: String = knnIvfOracleSqlFor("TRUE")
+
+  /** Iterative k-means CTE chain mirroring [[graft.functions.Similarity
+    * .kmeansTrain]] bit-exactly: seeds = 16 lowest-id vectors, each round
+    * assigns against the previous centroids (deterministic argmax) and
+    * recomputes per-dimension means through FIXED-POINT 1e-6 longs (sum
+    * order can't diverge) with a float cast; an emptied cluster keeps its
+    * previous centroid. Expects a `c` CTE (vec_id, cv, nc) in scope;
+    * defines `cn_<iters>` = (cent_id, centv, ncent). */
+  private def kmeansOracleCtes(iters: Int, k: Int = 16): String = {
+    val seed =
+      s"""cents_0 AS (
+         |  SELECT vec_id AS cent_id, embedding AS centv
+         |  FROM embeddings ORDER BY vec_id LIMIT $k),
+         |cn_0 AS (
+         |  SELECT cent_id, centv,
+         |         sqrt(${dotSql("centv", "centv", 64)}) AS ncent
+         |  FROM cents_0)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""asg_$i AS (
+         |  SELECT vec_id, cent_id, cv FROM (
+         |    SELECT c.vec_id, t.cent_id, c.cv,
+         |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |        round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS r
+         |    FROM c CROSS JOIN cn_$p t) WHERE r = 1),
+         |mem_$i AS (
+         |  SELECT cent_id, unnest(cv) AS x,
+         |    unnest(generate_series(1, len(cv))) AS pos
+         |  FROM asg_$i),
+         |mfp_$i AS (
+         |  SELECT cent_id, pos,
+         |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sfp,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM mem_$i GROUP BY 1, 2),
+         |mv_$i AS (
+         |  SELECT cent_id,
+         |    list(CAST(CAST(sfp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS REAL) ORDER BY pos) AS nextv
+         |  FROM mfp_$i GROUP BY cent_id),
+         |cents_$i AS (
+         |  SELECT p.cent_id, coalesce(m.nextv, p.centv) AS centv
+         |  FROM cents_$p p LEFT JOIN mv_$i m USING (cent_id)),
+         |cn_$i AS (
+         |  SELECT cent_id, centv,
+         |         sqrt(${dotSql("centv", "centv", 64)}) AS ncent
+         |  FROM cents_$i)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  /** Lloyd's rounds used by the trained-quantizer queries — small enough
+    * that the generated oracle SQL stays tractable, large enough that
+    * the centroids measurably move off the lowest-id seeds. */
+  private val KnnTrainIters = 2
 
   private lazy val pqAdcCtes: String = {
     val d0 = 8
@@ -1074,8 +1138,74 @@ object SparkEntry {
       import graft.functions.AnnIndex
       val emb = pq(s, dir, "embeddings")
       val root = java.nio.file.Files.createTempDirectory("graft_ann_ivf_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
+      val store = new graft.io.ParquetTableStore(s, root,
+        partitionByCols = AnnIndex.partitionSpec("ivf"))
       AnnIndex.buildIvf(store, "ivf", emb, "vec_id", "embedding", nlist = 16)
+      AnnIndex.ivfTopK(store, "ivf", emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // TRAINED coarse quantizer: 2 Lloyd's rounds over the corpus replace
+    // the lowest-id stand-in centroids; the search dataflow is untouched
+    // (the swap the ivfTopK scaladoc promises). The oracle replays every
+    // training round bit-exactly (fixed-point means), pinning the whole
+    // trained index path end to end.
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val emb = pq(s, dir, "embeddings")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        k = 16, iters = 2)
+      Similarity.ivfSearch(cents,
+          Similarity.ivfInvertedLists(emb, cents, "vec_id", "embedding"),
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Recall audit of the TRAINED index against brute-force ground truth
+    // — the measurement that justifies paying the training passes
+    // (compare per-query to q_knn_recall's stand-in numbers; BASELINE.md
+    // records the aggregate).
+    "q_knn_recall_trained" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val emb = pq(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 3)
+        .select("query_id", "vec_id")
+      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+        k = 16, iters = 2)
+      val ivf = Similarity.ivfSearch(cents,
+          Similarity.ivfInvertedLists(emb, cents, "vec_id", "embedding"),
+          qs, "vec_id", "embedding", k = 3, nprobe = 4)
+        .select("query_id", "vec_id")
+      val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      qs.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("h"), lit(0)).cast("double") / 3.0, 6).as("recall_at_3"))
+        .orderBy("query_id")
+    }),
+
+    // DELETION without rebuild: tombstoned ids vanish from the serve
+    // results the moment deleteVectors returns — the oracle IS the
+    // rebuild-without-deleted index, so delete-then-query == rebuild is
+    // pinned row for row. (Deleted ids are all >= 16, so the frozen
+    // coarse quantizer equals the rebuilt one and the equality is exact.)
+    "q_knn_ivf_delete" -> ((s, dir) => {
+      import graft.functions.AnnIndex
+      val emb = pq(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_del_").toString
+      val store = new graft.io.ParquetTableStore(s, root,
+        partitionByCols = AnnIndex.partitionSpec("ivf"))
+      AnnIndex.buildIvf(store, "ivf", emb, "vec_id", "embedding", nlist = 16)
+      AnnIndex.deleteVectors(store, "ivf",
+        emb.filter((col("vec_id") >= 16) && (col("vec_id") % 7 === 3)), "vec_id")
       AnnIndex.ivfTopK(store, "ivf", emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("cos_sim"),
@@ -1094,7 +1224,8 @@ object SparkEntry {
       val emb = pq(s, dir, "embeddings")
       val cut = emb.agg(max(col("vec_id"))).head().getAs[Number](0).longValue() * 4 / 5
       val root = java.nio.file.Files.createTempDirectory("graft_ann_inc_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
+      val store = new graft.io.ParquetTableStore(s, root,
+        partitionByCols = AnnIndex.partitionSpec("ivf"))
       AnnIndex.buildIvf(store, "ivf", emb.filter(col("vec_id") < cut),
         "vec_id", "embedding", nlist = 16)
       AnnIndex.appendIvf(store, "ivf", emb.filter(col("vec_id") >= cut),
@@ -3549,6 +3680,61 @@ object SparkEntry {
     // lists == the full-corpus index by construction).
     "q_knn_ivf_persisted" -> knnIvfOracleSql,
     "q_knn_ivf_append" -> knnIvfOracleSql,
+
+    // Trained coarse quantizer: the SAME search oracle, with the centroid
+    // CTE replaced by the generated Lloyd's-iteration chain (fixed-point
+    // means — every training round replays bit-exactly).
+    "q_knn_ivf_trained" -> knnIvfOracleSqlFor(
+      "TRUE", kmeansOracleCtes(KnnTrainIters), s"cn_$KnnTrainIters"),
+
+    // Deletion == rebuild-without-deleted: the oracle literally IS the
+    // rebuilt index over the filtered corpus.
+    "q_knn_ivf_delete" -> knnIvfOracleSqlFor(
+      "NOT (vec_id >= 16 AND vec_id % 7 = 3)"),
+
+    "q_knn_recall_trained" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding AS cv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |  FROM embeddings),
+         |${kmeansOracleCtes(KnnTrainIters)},
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv,
+         |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
+         |  FROM embeddings WHERE vec_id < 5),
+         |bscored AS (
+         |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM c CROSS JOIN q WHERE vec_id <> query_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM bscored),
+         |btop AS (SELECT query_id, vec_id FROM branked WHERE rnk <= 3),
+         |assign AS (
+         |  SELECT vec_id, cent_id, cv, nc,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY round((${dotSql("cv", "centv", 64)}) / (nc * ncent), 6) DESC, cent_id) AS arnk
+         |  FROM c CROSS JOIN cn_$KnnTrainIters),
+         |lists AS (SELECT cent_id, vec_id, cv, nc FROM assign WHERE arnk = 1),
+         |probes AS (
+         |  SELECT cent_id, query_id, qv, nq FROM (
+         |    SELECT cent_id, query_id, qv, nq,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY round((${dotSql("qv", "centv", 64)}) / (nq * ncent), 6) DESC, cent_id) AS prnk
+         |    FROM q CROSS JOIN cn_$KnnTrainIters) WHERE prnk <= 4),
+         |iscored AS (
+         |  SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM lists JOIN probes USING (cent_id) WHERE vec_id <> query_id),
+         |iranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM iscored),
+         |itop AS (SELECT query_id, vec_id FROM iranked WHERE rnk <= 3),
+         |hits AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
+         |  FROM btop b JOIN itop i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, round(coalesce(h, 0) / 3.0, 6) AS recall_at_3
+         |FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hits USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin,
 
     "q_pq_adc_persisted" ->
       s"""WITH $pqAdcCtes

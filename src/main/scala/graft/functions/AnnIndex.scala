@@ -26,11 +26,18 @@ import graft.io.TableStore
   *
   * Index tables (under `prefix`):
   *   - IVF: `<prefix>_centroids` (cent_id, centv, ncent) and
-  *     `<prefix>_lists` (cent_id, vec_id, cv, nc). At cluster scale,
-  *     write the lists partitioned by cent_id so a probe prunes to its
-  *     nprobe partitions (pass the store a partition spec for the table).
+  *     `<prefix>_lists` (cent_id, vec_id, cv, nc). Build the store with
+  *     [[partitionSpec]] so the lists land hive-partitioned by cent_id:
+  *     a probe then PRUNES the scan to its nprobe partitions (static
+  *     `cent_id IN (...)` PartitionFilters from the probe routing, plus
+  *     Spark's dynamic partition pruning reusing the probe broadcast) —
+  *     at cluster scale the serve path reads nprobe/nlist of the index,
+  *     not all of it.
   *   - PQ: `<prefix>_codebook` (cb_id, s, cw) and `<prefix>_codes`
   *     (vec_id, s, code) — the 32×-compressed corpus representation.
+  *   - `<prefix>_tombstones` (vec_id): ids DELETED from the index since
+  *     the last rebuild/compaction ([[deleteVectors]]). Serve paths
+  *     anti-join it; [[compact]] folds it into the physical tables.
   *
   * Writing goes through `overwriteAll`, so a rebuild is atomic against
   * concurrent readers (the store's temp-dir swap), and a crash mid-build
@@ -38,12 +45,26 @@ import graft.io.TableStore
   */
 object AnnIndex {
 
-  /** Build (or rebuild) the IVF index tables from `corpus`. */
+  /** The `partitionByCols` entries a store hosting this index should be
+    * constructed with: lists partitioned by cent_id, so probed serves
+    * prune. (The melted PQ codes join every code row per query — no
+    * selective column to partition by.) */
+  def partitionSpec(prefix: String): Map[String, Seq[String]] =
+    Map(s"${prefix}_lists" -> Seq("cent_id"))
+
+  /** Build (or rebuild) the IVF index tables from `corpus`.
+    * `trainIters > 0` trains the coarse quantizer with that many Lloyd's
+    * rounds ([[Similarity.kmeansTrain]] — better-fitting cells, higher
+    * recall at the same nprobe) instead of the deterministic lowest-id
+    * stand-in; both are frozen at build time either way. */
   def buildIvf(
       store: TableStore, prefix: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16): Unit = {
-    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nlist)
+      nlist: Int = 16, trainIters: Int = 0): Unit = {
+    val cents =
+      if (trainIters > 0)
+        Similarity.kmeansTrain(corpus, idCol, vecCol, nlist, trainIters)
+      else Similarity.ivfCentroids(corpus, idCol, vecCol, nlist)
     store.overwriteAll(Seq(
       s"${prefix}_centroids" -> cents,
       s"${prefix}_lists" ->
@@ -51,15 +72,33 @@ object AnnIndex {
   }
 
   /** Probed exact top-k from the PERSISTED IVF index: reads only
-    * `<prefix>_centroids` / `<prefix>_lists`. Row-identical to
-    * [[Similarity.ivfTopK]] over the corpus the index was built from. */
+    * `<prefix>_centroids` / `<prefix>_lists` (tombstoned ids excluded).
+    * Row-identical to [[Similarity.ivfTopK]] over the corpus the index
+    * was built from, minus deletions.
+    *
+    * With `pruneProbed` (default) the probe ROUTING runs first — one
+    * bounded job (queries × broadcast centroids; the collected set is at
+    * most nlist cent_ids regardless of query-batch size) — and the lists
+    * scan carries a static `cent_id IN (probed)` filter, which a
+    * [[partitionSpec]]-partitioned lists table turns into partition
+    * pruning: the scan reads only the probed nprobe-per-query partitions.
+    * Pass false to keep plan construction fully lazy (Spark's dynamic
+    * partition pruning still prunes at runtime via the probe broadcast). */
   def ivfTopK(
       store: TableStore, prefix: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4): DataFrame =
-    Similarity.ivfSearch(
-      store.load(s"${prefix}_centroids"), store.load(s"${prefix}_lists"),
-      queries, idCol, vecCol, k, nprobe)
+      k: Int, nprobe: Int = 4, pruneProbed: Boolean = true): DataFrame = {
+    val cents = store.load(s"${prefix}_centroids")
+    val probes = Similarity.ivfProbes(cents, queries, idCol, vecCol, nprobe)
+    val lists0 = store.load(s"${prefix}_lists")
+    val lists =
+      if (pruneProbed) {
+        val probed = probes.select(col("cent_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        lists0.filter(col("cent_id").isin(probed: _*))
+      } else lists0
+    Similarity.ivfSearchLists(minusTombstones(store, prefix, lists), probes, k)
+  }
 
   /** INCREMENTAL maintenance: assign a new `batch` of vectors against the
     * index's PERSISTED centroids and append to the lists table — the
@@ -92,6 +131,51 @@ object AnnIndex {
       Similarity.pqEncodeWith(batch, store.load(s"${prefix}_codebook"),
         idCol, vecCol, dims, m))
 
+  /** DELETE vectors from the index (GDPR erasure, corpus refresh) without
+    * a rebuild: ids land in `<prefix>_tombstones` and every serve path
+    * anti-joins them — delete-then-query is row-identical to
+    * rebuild-without-deleted (q_knn_ivf_delete pins it) from the moment
+    * this returns. The physical lists/codes rows remain until
+    * [[compact]] folds the tombstones in; repeated deletes append (the
+    * serve anti-join is idempotent in duplicates). One tombstone set
+    * covers every index family under the prefix — IVF lists and PQ codes
+    * both key by vec_id. */
+  def deleteVectors(
+      store: TableStore, prefix: String,
+      ids: DataFrame, idCol: String): Unit =
+    store.append(s"${prefix}_tombstones",
+      ids.select(col(idCol).cast("long").as("vec_id")).distinct())
+
+  /** Fold accumulated tombstones into the physical index tables: every
+    * `<prefix>_lists` / `<prefix>_codes` table that exists is rewritten
+    * without the deleted ids and the tombstone set is emptied — ONE
+    * atomic multi-table commit (the store's two-phase overwriteAll: all
+    * replacement plans materialize against the pre-compaction snapshots,
+    * then swap). Idempotent: a crash after the swap leaves an empty
+    * tombstone set; a crash before it leaves the old tables + tombstones,
+    * and rerunning converges. Serve results are IDENTICAL before and
+    * after (the anti-join merely becomes a no-op) — AnnIndexSpec pins
+    * both properties. */
+  def compact(store: TableStore, prefix: String): Unit =
+    if (store.exists(s"${prefix}_tombstones")) {
+      val tomb = store.load(s"${prefix}_tombstones")
+      val targets = Seq(s"${prefix}_lists", s"${prefix}_codes")
+        .filter(store.exists)
+      store.overwriteAll(targets.map { t =>
+        t -> store.load(t).join(tomb, Seq("vec_id"), "left_anti")
+      } :+ (s"${prefix}_tombstones" ->
+        tomb.select(col("vec_id")).limit(0).repartition(1)))
+    }
+
+  private def minusTombstones(
+      store: TableStore, prefix: String, df: DataFrame): DataFrame =
+    if (store.exists(s"${prefix}_tombstones"))
+      // Keyed anti-join (AQE broadcasts it when the tombstone set is
+      // actually small): the set grows with deletions until compaction,
+      // so it is never assumed broadcastable.
+      df.join(store.load(s"${prefix}_tombstones"), Seq("vec_id"), "left_anti")
+    else df
+
   /** Build (or rebuild) the PQ index tables from `corpus`. */
   def buildPq(
       store: TableStore, prefix: String,
@@ -104,15 +188,17 @@ object AnnIndex {
         Similarity.pqEncodeMelted(corpus, idCol, vecCol, dims, m, ksub)))
 
   /** ADC top-k from the PERSISTED PQ index: reads only
-    * `<prefix>_codebook` / `<prefix>_codes` (full-precision vectors exist
-    * nowhere in the plan — the serving memory footprint is the byte
-    * codes). Row-identical to [[Similarity.pqAdcTopK]] over the corpus
-    * the index was built from. */
+    * `<prefix>_codebook` / `<prefix>_codes` (tombstoned ids excluded;
+    * full-precision vectors exist nowhere in the plan — the serving
+    * memory footprint is the byte codes). Row-identical to
+    * [[Similarity.pqAdcTopK]] over the corpus the index was built from,
+    * minus deletions. */
   def pqAdcTopK(
       store: TableStore, prefix: String,
       queries: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int = 8, k: Int = 3): DataFrame =
     Similarity.pqAdcSearch(
-      store.load(s"${prefix}_codes"), store.load(s"${prefix}_codebook"),
+      minusTombstones(store, prefix, store.load(s"${prefix}_codes")),
+      store.load(s"${prefix}_codebook"),
       queries, idCol, vecCol, dims, m, k)
 }

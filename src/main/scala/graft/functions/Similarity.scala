@@ -156,6 +156,56 @@ object Similarity {
           s => format_string("%.6f", s.getField("m")))).as("centroid_csv"))
   }
 
+  /** Iteratively-TRAINED IVF coarse quantizer: `iters` Lloyd's rounds from
+    * the deterministic lowest-id seeds, returning `(cent_id, centv,
+    * ncent)` — a drop-in replacement for [[ivfCentroids]]'s stand-in
+    * (swap it into [[ivfSearch]] / [[AnnIndex.buildIvf]] without touching
+    * a join). Each round: broadcast-argmax assignment (the
+    * [[ivfInvertedLists]] shape — map-side-combinable, no corpus
+    * shuffle), then per-cluster element-wise means. A cluster that loses
+    * every member keeps its previous centroid (standard Lloyd's repair;
+    * cluster identity stays keyed to the seed id).
+    *
+    * Determinism & oracle-ability: per-dimension means go through
+    * FIXED-POINT 1e-6 longs before summing (order-independent — no float
+    * summation order can diverge), then one double division and a float
+    * cast, so DuckDB replays every iteration bit-exactly
+    * (q_knn_recall_trained). Cost: `iters` corpus assignment passes —
+    * the training loop a real IVF build pays once per (re)build, never
+    * per query. */
+  def kmeansTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", sqrt(dotExpr("cv", "cv")))
+    var cents = ivfCentroids(corpus, idCol, vecCol, k)
+    for (_ <- 1 to iters) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("cent_sim",
+          round(dotExpr("cv", "centv") / (col("nc") * col("ncent")), 6))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("neg_id"), col("cv"))).as("best"))
+        .select((-col("best.neg_id")).as("cent_id"), col("best.cv").as("cv"))
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg(sum(round(col("x").cast("double") * 1e6, 0).cast("long")).as("sfp"),
+          count(lit(1)).as("n"))
+        .withColumn("m",
+          (col("sfp").cast("double") / col("n").cast("double") / lit(1e6)).cast("float"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("next"))
+      cents = cents.select(col("cent_id"), col("centv"))
+        .join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("next"), col("centv")).as("centv"))
+        .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN top-k — the billion-scale index shape: corpus
     * vectors are assigned to their nearest of `nlist` coarse centroids (the
     * inverted lists, ONE aggregable pass: a broadcast of the centroids + a
@@ -215,18 +265,31 @@ object Similarity {
     * appears in the query plan. */
   def ivfSearch(
       cents: DataFrame, lists: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    ivfSearchLists(lists, ivfProbes(cents, queries, idCol, vecCol, nprobe), k)
+
+  /** The probe half of [[ivfSearch]]: each query's `nprobe` nearest
+    * centroids, `(cent_id, query_id, qv, nq)` — the routing table a
+    * partition-pruned serve path derives its cent_id set from
+    * ([[AnnIndex.ivfTopK]]). Query side is small; centroids broadcast. */
+  def ivfProbes(
+      cents: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", sqrt(dotExpr("qv", "qv")))
-    // Probes: nprobe nearest centroids per query (query side is small).
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cent_sim").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("cent_sim",
         round(dotExpr("qv", "centv") / (col("nq") * col("ncent")), 6))
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select("cent_id", "query_id", "qv", "nq")
+  }
+
+  /** The scoring half of [[ivfSearch]]: exact cosine of every probed
+    * list entry against its probing queries, ranked per query. */
+  def ivfSearchLists(lists: DataFrame, probes: DataFrame, k: Int): DataFrame =
     lists.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim", cosineWithNorms("qv", "cv", col("nq"), col("nc")))
@@ -234,7 +297,6 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
-  }
 
   /** Product-quantization encoding (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): each vector splits into

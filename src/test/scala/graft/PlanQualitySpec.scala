@@ -181,11 +181,31 @@ class PlanQualitySpec extends SparkSpec {
     // more times (centroids + lists / codebook + codes), and exactly
     // those scans must have moved into the persisted index tables.
     for (q <- Seq("q_knn_ivf_persisted", "q_pq_adc_persisted")) {
-      val plan = planOf(q)
-      val corpusScans = "embeddings\\.parquet".r.findAllIn(plan).size
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      // Node count, not string count: the DPP subquery on the partitioned
+      // lists scan PRINTS a copy of the probe subtree but reuses its
+      // broadcast at runtime — only main-plan scans are real reads.
+      val corpusScans = PlanTestUtils.scansOf(plan, "embeddings.parquet").size
       assert(corpusScans <= 1,
-        s"$q reads the raw corpus $corpusScans times at query time:\n${plan.take(800)}")
-      assert(plan.contains("graft_ann_"), s"$q lost its index-table scans")
+        s"$q reads the raw corpus $corpusScans times at query time:\n${plan.toString.take(800)}")
+      assert(PlanTestUtils.scansOf(plan, "graft_ann_").nonEmpty,
+        s"$q lost its index-table scans")
+    }
+  }
+
+  test("q_knn_ivf_persisted: the partitioned lists scan is probe-pruned") {
+    // The lists table is hive-partitioned by cent_id (AnnIndex
+    // .partitionSpec); the probe routing lands as a static PartitionFilter
+    // on the scan, so a serve reads nprobe-per-query partitions of the
+    // index, never all of it. (Physical partition-count bounds are pinned
+    // in AnnIndexSpec with a single query; here the driver query's plan
+    // itself must carry the filter.)
+    val df = SparkEntry.queries("q_knn_ivf_persisted")(spark, dir)
+    val scans = PlanTestUtils.scansOf(df.queryExecution.executedPlan, "ivf_lists")
+    assert(scans.nonEmpty, "no ivf_lists scan in the serve plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.toLowerCase.contains("in")),
+        s"lists scan has no probe partition filter: ${f.partitionFilters}")
     }
   }
 

@@ -109,6 +109,138 @@ class AnnIndexSpec extends SparkSpec {
     assert(first.toSet === second.toSet)
   }
 
+  test("kmeansTrain: k rows, deterministic, iters=0 = stand-in, training moves centroids") {
+    val seeds = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+      .orderBy("cent_id").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+    val zero = Similarity.kmeansTrain(corpus, "vec_id", "embedding", k = 8, iters = 0)
+      .orderBy("cent_id").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+    assert(zero === seeds)
+    val t1 = Similarity.kmeansTrain(corpus, "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("cent_id").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+    val t2 = Similarity.kmeansTrain(corpus, "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("cent_id").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq
+    assert(t1 === t2, "training is not deterministic")
+    assert(t1.size === 8)
+    assert(t1.map(_._1) === seeds.map(_._1), "cluster identity lost its seed keying")
+    assert(t1 !== seeds, "2 Lloyd's rounds left every centroid exactly on its seed")
+  }
+
+  test("trained centroids never lose recall vs the stand-in at equal nprobe") {
+    // The property that justifies paying the training passes. (sf0.01
+    // measurement: stand-in mean recall@3 = 0.933, trained = 1.0 —
+    // recorded in BASELINE.md round 10.)
+    val queries = corpus.filter($"vec_id" < 5)
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+        .select("query_id", "vec_id")
+      val ivf = Similarity.ivfSearch(cents,
+        Similarity.ivfInvertedLists(corpus, cents, "vec_id", "embedding"),
+        queries, "vec_id", "embedding", k = 3, nprobe = 2)
+        .select("query_id", "vec_id")
+      brute.join(ivf, Seq("query_id", "vec_id"), "left_semi").count().toDouble /
+        brute.count().toDouble
+    }
+    val standIn = recallOf(Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8))
+    val trained = recallOf(Similarity.kmeansTrain(corpus, "vec_id", "embedding", 8, 2))
+    assert(trained >= standIn, s"trained $trained < stand-in $standIn")
+  }
+
+  test("buildIvf(trainIters) serves trained results identical to the inline trained path") {
+    val store = tmpStore()
+    val queries = corpus.filter($"vec_id" < 3)
+    AnnIndex.buildIvf(store, "ivf", corpus, "vec_id", "embedding",
+      nlist = 8, trainIters = 2)
+    val persisted = AnnIndex.ivfTopK(store, "ivf", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val cents = Similarity.kmeansTrain(corpus, "vec_id", "embedding", 8, 2)
+    val inline = Similarity.ivfSearch(cents,
+      Similarity.ivfInvertedLists(corpus, cents, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+  }
+
+  test("cent_id-partitioned lists: serve prunes to the probed partitions, same rows") {
+    val flat = tmpStore()
+    val part = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("ann_spec_part_").toString,
+      partitionByCols = AnnIndex.partitionSpec("ivf"))
+    val queries = corpus.filter($"vec_id" === 0L) // 1 query × nprobe=2
+    AnnIndex.buildIvf(flat, "ivf", corpus, "vec_id", "embedding", nlist = 8)
+    AnnIndex.buildIvf(part, "ivf", corpus, "vec_id", "embedding", nlist = 8)
+    val served = AnnIndex.ivfTopK(part, "ivf", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val want = AnnIndex.ivfTopK(flat, "ivf", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served.orderBy("query_id", "rank").collect().toSeq === want)
+    // The lists scan carries the probe routing as a static partition
+    // filter and physically selects only the nprobe probed partitions.
+    val scans = graft.PlanTestUtils.scansOf(
+      served.queryExecution.executedPlan, "ivf_lists")
+    assert(scans.nonEmpty, "no ivf_lists file scan found")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "lists scan has no PartitionFilters")
+      assert(f.selectedPartitions.partitionCount <= 2,
+        s"read ${f.selectedPartitions.partitionCount} partitions for nprobe=2")
+    }
+  }
+
+  test("deleteVectors: delete-then-query == rebuild-without-deleted; compact folds + empties") {
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("ann_spec_del_").toString,
+      partitionByCols = AnnIndex.partitionSpec("ivf"))
+    val queries = corpus.filter($"vec_id" < 3)
+    val deleted = corpus.filter(($"vec_id" >= 8L) && ($"vec_id" % 5 === 1L))
+    val kept = corpus.filter(!(($"vec_id" >= 8L) && ($"vec_id" % 5 === 1L)))
+    AnnIndex.buildIvf(store, "ivf", corpus, "vec_id", "embedding", nlist = 8)
+    AnnIndex.buildPq(store, "ivf", corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4)
+    AnnIndex.deleteVectors(store, "ivf", deleted, "vec_id")
+
+    def ivfNow() = AnnIndex.ivfTopK(store, "ivf", queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    def pqNow() = AnnIndex.pqAdcTopK(store, "ivf", queries,
+      "vec_id", "embedding", dims = 8, m = 4, k = 3)
+      .orderBy("query_id", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+
+    // rebuild-without-deleted references (deleted ids are all >= 8, so the
+    // 8 lowest-id centroids / 4 lowest-id codewords are unchanged)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    val wantIvf = Similarity.ivfSearch(cents,
+      Similarity.ivfInvertedLists(kept, cents, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    val wantPq = Similarity.pqAdcTopK(kept, queries,
+      "vec_id", "embedding", dims = 8, m = 4, ksub = 4, k = 3)
+      .orderBy("query_id", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+
+    val deletedIds = deleted.select("vec_id").as[Long].collect().toSet
+    val beforeIvf = ivfNow()
+    val beforePq = pqNow()
+    assert(beforeIvf === wantIvf)
+    assert(beforePq === wantPq)
+    assert(!beforeIvf.exists(r => deletedIds(r._2)))
+    assert(!beforePq.exists(r => deletedIds(r._2)))
+
+    // compaction folds tombstones into BOTH physical tables atomically,
+    // empties the tombstone set, changes no serve result, and is idempotent
+    AnnIndex.compact(store, "ivf")
+    assert(store.load("ivf_tombstones").count() === 0L)
+    assert(store.load("ivf_lists").join(deleted, Seq("vec_id"), "left_semi").count() === 0L)
+    assert(store.load("ivf_codes").join(deleted, Seq("vec_id"), "left_semi").count() === 0L)
+    assert(ivfNow() === beforeIvf)
+    assert(pqNow() === beforePq)
+    AnnIndex.compact(store, "ivf")
+    assert(ivfNow() === beforeIvf)
+    assert(pqNow() === beforePq)
+  }
+
   test("serve plan reads only index tables — never the raw corpus") {
     val store = tmpStore()
     AnnIndex.buildIvf(store, "ivf", corpus, "vec_id", "embedding", nlist = 8)
