@@ -788,13 +788,39 @@ object Dedup {
     * aggregation — every stage linear in corpus size. */
   def trimRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val sh = TextAnalysis.shingles(df, idCol, textCol, n)
-    val repeated = sh.select(col(idCol), col("shingle")).distinct()
+      n: Int = 8, minDocs: Int = 2): DataFrame =
+    trimSpansAgainst(df, repeatedShingles(df, idCol, textCol, n, minDocs),
+      idCol, textCol, n)
+
+  /** The corpus-frequency half of [[trimRepeatedSpans]]: the set of word
+    * n-gram shingles occurring in at least `minDocs` distinct documents
+    * (one `shingle` column). Persist this from a periodic batch pass and
+    * feed it to [[trimSpansAgainst]] — the split that lets a STREAMING
+    * micro-batch excise boilerplate against a standing snapshot
+    * ([[graft.stream.EventAnalytics.trimSpansEachBatch]]): corpus-wide
+    * substring frequency is inherently a batch aggregation; per-document
+    * excision is not. */
+  def repeatedShingles(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame =
+    TextAnalysis.shingles(df, idCol, textCol, n)
+      .select(col(idCol), col("shingle")).distinct()
       .groupBy("shingle").agg(count(lit(1)).as("docs"))
       .filter(col("docs") >= minDocs)
       .select("shingle")
-    val covered = sh.join(repeated, Seq("shingle"), "left_semi")
+
+  /** The excision half of [[trimRepeatedSpans]], against an EXPLICIT
+    * repeated-shingle set (same dataflow, same keyed-stage guarantees —
+    * the membership semi-join never broadcasts the corpus-sized set).
+    * Per-document semantics: the result for a document depends only on
+    * its own text and `repeated`, so applying this per micro-batch over
+    * a stream equals one batch pass over the union — the batch==stream
+    * equality EventAnalyticsSpec pins. */
+  def trimSpansAgainst(
+      df: DataFrame, repeated: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val sh = TextAnalysis.shingles(df, idCol, textCol, n)
+    val covered = sh.join(repeated.select("shingle"), Seq("shingle"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()

@@ -152,6 +152,31 @@ object EventAnalytics {
       .drop(TextAnalysis.stopwords.map(l => s"hits_${l._1}"): _*)
   }
 
+  /** Continuous repeated-span excision — the streaming half of
+    * [[graft.functions.Dedup.trimRepeatedSpans]] (Lee et al. 2022):
+    * each micro-batch is trimmed against a PERSISTED repeated-shingle
+    * table via [[graft.functions.Dedup.trimSpansAgainst]]. The split
+    * mirrors the incremental-dedup pattern: corpus-wide substring
+    * frequency is inherently a batch aggregation (refresh the shingle
+    * table periodically with [[graft.functions.Dedup.repeatedShingles]]
+    * over the standing corpus); per-document excision depends only on
+    * the document and the snapshot, so batch boundaries cannot change
+    * any result — micro-batched output equals one batch pass over the
+    * union (EventAnalyticsSpec pins it).
+    *
+    * Shaped as a `foreachBatch` body because the rebuild is a per-doc
+    * aggregation — stateless ACROSS batches but aggregating WITHIN one,
+    * which Structured Streaming only expresses through foreachBatch
+    * (an inline streaming groupBy would accumulate doc state forever).
+    * Compose after [[curateStream]]:
+    * `curated.writeStream.foreachBatch(trimSpansEachBatch(rep, "doc_id",
+    * "text")(sink))`. */
+  def trimSpansEachBatch(
+      repeated: DataFrame, idCol: String, textCol: String, n: Int = 8)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.Dedup.trimSpansAgainst(batch, repeated, idCol, textCol, n))
+
   /** Stream-stream interval join (attribution): each view joined to the
     * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
     * carry watermarks and the join condition bounds event time in both

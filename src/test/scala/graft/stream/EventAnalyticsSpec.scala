@@ -100,6 +100,46 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(a.head._3 - 2.0) < 0.1)
   }
 
+  test("trimSpansEachBatch: micro-batched excision == one batch pass, any batch split") {
+    import graft.functions.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // Corpus with a shared boilerplate span (n=3 shingle in 2 docs) and
+    // unique content; built as the STANDING snapshot a batch pass persists.
+    val corpus = Seq(
+      (1L, "breaking news subscribe to our newsletter today for cats"),
+      (2L, "dogs are great subscribe to our newsletter today always"),
+      (3L, "entirely unique prose with no repeats at all")).toDF("doc_id", "text")
+    val repeated = Dedup.repeatedShingles(corpus, "doc_id", "text", n = 3, minDocs = 2)
+      .cache() // the persisted-snapshot stand-in
+    val want = Dedup.trimSpansAgainst(corpus, repeated, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(want.exists(_._3 > 0L), "fixture has no excised span")
+
+    // Stream the SAME docs in two micro-batches split mid-boilerplate-pair.
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(EventAnalytics.trimSpansEachBatch(
+        repeated, "doc_id", "text", n = 3) { out =>
+        acc.synchronized {
+          acc ++= out.as[(Long, Long, Long, String)](implicitly).collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    input.addData((1L, "breaking news subscribe to our newsletter today for cats"))
+    q.processAllAvailable()
+    input.addData(
+      (2L, "dogs are great subscribe to our newsletter today always"),
+      (3L, "entirely unique prose with no repeats at all"))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === want,
+      "stream excision diverged from the batch pass")
+  }
+
   test("curateStream: quality/lang gates drop, content dedup keeps first, survivors flow") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, String)]
