@@ -697,10 +697,16 @@ object JobDispatch {
       resolveCsv: String => String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
       maintainEvery: Int =
-        sys.env.get("GRAFT_COMPACT_EVERY").flatMap(_.toIntOption).getOrElse(0)): StreamingQuery = {
+        sys.env.get("GRAFT_COMPACT_EVERY").flatMap(_.toIntOption).getOrElse(0),
+      queueOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    // queueOptions passes source options through (deadLetterDir +
+    // maxReceives for the SQS redrive-policy analog, maxFilesPerTrigger
+    // for admission control) — a production deployment enables the DLQ
+    // here without hand-assembling the stream.
     val batches = new java.util.concurrent.atomic.AtomicLong(0)
     spark.readStream
       .format("graft-queue")
+      .options(queueOptions)
       .load(queueDir)
       .writeStream
       .trigger(trigger)

@@ -49,6 +49,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     policy, consumer.py:85-87). Delivery counts persist under the
   *     checkpoint (`graft-receipts`), so crash-loops across restarts
   *     count; acked messages' counters are cleaned on commit.
+  *     GRANULARITY CAVEAT: a "receive" is epoch membership, so when one
+  *     message deterministically crashes its epoch, every cohort member
+  *     redelivers with it and their counters rise in lockstep — the whole
+  *     cohort would dead-letter together. Transient infra failures don't
+  *     care (counters sweep on the eventual ack); for crash-prone
+  *     payloads set `maxFilesPerTrigger=1`, which is exactly SQS's
+  *     per-message receive granularity (BenchStreamDlq's drill runs so).
   *
   * Emits (message_id STRING, value STRING); `value` feeds
   * [[graft.stream.JobDispatch.parseMessages]] unchanged.

@@ -179,6 +179,60 @@ class QueueSourceSpec extends SparkSpec {
       "acked message left a receipt counter behind")
   }
 
+  test("redrive under dispatch load: crash-looper dead-letters, healthy jobs complete") {
+    // End-to-end DLQ through the WAVE DISPATCH path: 6 healthy ingest jobs
+    // + 1 message that crashes its epoch every time (simulated infra death
+    // while holding the message — the SQS consumer-crash shape; per-JOB
+    // failures are isolated by dispatch and never redeliver).
+    // maxFilesPerTrigger=1 gives per-message epochs, the strict SQS
+    // receive granularity, so the crash-looper's delivery counter rises
+    // alone and healthy messages are never co-punished.
+    val root = Files.createTempDirectory("graft_queue_dlq_load").toString
+    val store = new ParquetTableStore(spark, root + "/tables")
+    Files.createDirectories(Paths.get(root + "/queue"))
+    Files.createDirectories(Paths.get(root + "/uploads"))
+    store.overwrite("jobs", (1 to 6).map(i => (i, s"u$i", JobStatus.Pending))
+      .toDF("job_id", "job_user_id", "job_status"))
+    Files.writeString(Paths.get(root + "/uploads/f.csv"),
+      "email,first_name,last_name,company\nok@b.co,Ann,Bee,Acme\n")
+    (1 to 3).foreach(i =>
+      enqueue(root + "/queue", f"m$i%03d", s"""{"job_id": $i, "s3_key": "f.csv"}"""))
+    enqueue(root + "/queue", "m004-crash-me", """{"job_id": 99, "s3_key": "f.csv"}""")
+    (4 to 6).foreach(i =>
+      enqueue(root + "/queue", f"m${i + 1}%03d", s"""{"job_id": $i, "s3_key": "f.csv"}"""))
+
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-queue")
+        .option("deadLetterDir", root + "/dlq")
+        .option("maxReceives", "2")
+        .option("maxFilesPerTrigger", "1")
+        .load(root + "/queue")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", root + "/cp")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ids = batch.select("message_id").as[String](implicitly).collect()
+          if (ids.exists(_.contains("crash-me"))) sys.error("injected infra crash")
+          JobDispatch.processBatch(spark, store, batch.select("value"),
+            key => s"$root/uploads/$key")
+          ()
+        }.start()
+      try q.awaitTermination(180000) catch { case _: Exception => () }
+      q.stop()
+    }
+    // run 1: healthy up to the crasher complete, crash epoch kills the run
+    // (delivery 1); run 2: delivery 2; run 3: 3 > maxReceives -> DLQ, and
+    // the remaining healthy messages drain.
+    var runs = 0
+    while (runs < 6 && queueFiles(root + "/queue").nonEmpty) { drainOnce(); runs += 1 }
+    assert(queueFiles(root + "/queue").isEmpty, s"queue not drained after $runs runs")
+    assert(queueFiles(root + "/dlq") === Seq("m004-crash-me"))
+    val statuses = store.load("jobs")
+      .select("job_id", "job_status").as[(Int, String)].collect().toMap
+    assert((1 to 6).forall(statuses(_) == JobStatus.Completed),
+      s"healthy jobs not all completed: $statuses")
+    assert(store.load("contacts").count() === 6L)
+  }
+
   test("a deadLetterDir on a different FileSystem is rejected, not silently dropped") {
     // Hadoop rename cannot cross filesystems: the old code ignored the
     // rename result, logged "moved", dropped the message from the batch
