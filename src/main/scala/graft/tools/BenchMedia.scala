@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Perceptual-image-dedup scale bench over a REAL-PNG corpus
+  * ([[ScaleGen.genMediaPngs]]): measures the two halves the synthetic
+  * stub corpus can't —
+  *
+  *   - decode+hash: ImageIO decode → 9×8 luma grid → 64-bit dHash per
+  *     image, behind the byte-budget repartition. Reported as images/s
+  *     and MB/s/core — THE envelope for sizing a 100 TB image-dedup
+  *     pass (payload bytes, not row counts, are the unit of work).
+  *   - banding: the full perceptualDupPairs dataflow (hash + pigeonhole
+  *     band groupBy + in-bucket exact verify). Planted re-renders (every
+  *     id ≡ 1 mod 10 re-renders id-1 at a different resolution) give a
+  *     known answer floor: found pairs >= planted pairs is the recall
+  *     sanity gate; distinct patterns differ in ~32/64 grid bits so the
+  *     bands stay selective.
+  *
+  * Usage: BenchMedia [nImages] — prints one JSON line (same contract as
+  * the other bench mains); run ×N vs ×kN in one session for the linear
+  * ratio BASELINE.md records.
+  */
+object BenchMedia {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.functions.Multimodal
+
+    // Materialize the corpus to parquet first: the bench times decode and
+    // banding, not PNG synthesis.
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_bench").toString
+    ScaleGen.genMediaPngs(spark, n).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/media.parquet")
+    val media = spark.read.parquet(s"$dir/media.parquet")
+      .as[Multimodal.MediaFile]
+    val totalBytes = media.toDF().select(sum(length(col("payload"))))
+      .head().getLong(0)
+
+    // warm-up (JVM/codegen), small slice
+    Multimodal.perceptualHashes(media.limit(512)).queryExecution.toRdd.foreach(_ => ())
+
+    val t0 = System.nanoTime()
+    Multimodal.perceptualHashes(media).queryExecution.toRdd.foreach(_ => ())
+    val hashSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val pairs = Multimodal.perceptualDupPairs(media, maxHamming = 4)
+    val found = pairs.count() // count() fine: the aggregate needs the full pair set
+    val pairSec = (System.nanoTime() - t1) / 1e9
+
+    val planted = (1L until n).count(i => i % 10 == 1)
+    val mbPerSecPerCore =
+      totalBytes / 1e6 / hashSec / cpus.toDouble
+    println(s"""{"metric":"media_phash_bench","value":$hashSec,"unit":"sec",""" +
+      s""""images":$n,"total_mb":${(totalBytes / 1e6 * 100).round / 100.0},""" +
+      s""""decode_hash_sec":$hashSec,"images_per_sec":${(n / hashSec).round},""" +
+      s""""mb_per_sec_per_core":${(mbPerSecPerCore * 1000).round / 1000.0},""" +
+      s""""band_pairs_sec":$pairSec,"found_pairs":$found,"planted_pairs":$planted,""" +
+      s""""recall_ok":${found >= planted}}""")
+    spark.stop()
+    if (found < planted) sys.exit(1)
+  }
+}

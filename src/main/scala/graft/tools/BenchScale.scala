@@ -47,6 +47,12 @@ object BenchScale {
     "q_dedup_simhash64_pairs", // 64-bit variant: the occupancy scale path
     "q_dedup_incremental_near", // batch-broadcast near-dup vs corpus
     "q_span_trim_text",    // Lee et al. span excision (shingle-keyed)
+    // round-10 additions: the forced-harness heavy tail (r9's #2/#3
+    // heaviest queries, previously the only heavy ones without a ×100
+    // row — q_fuzzy_nn shares q_fuzzy_pairs' blocked join core but its
+    // output is LINEAR, so its ×100 ratio is meaningful).
+    "q_fuzzy_nn",          // blocked 1-NN edit distance (linear output)
+    "q_langid_trigram",    // char-trigram NB language ID (keyed joins)
     // q_phash_checksum_pairs is EXCLUDED like the O(N²) witnesses: the
     // oracle corpus carries 32-bit STUB hashes with hamming<=6 (7 bands
     // of 4-5 bits = 16-32 keys), so candidate volume is ~N²·bands/2^width

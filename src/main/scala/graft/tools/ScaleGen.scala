@@ -75,6 +75,56 @@ object ScaleGen {
         .withColumn("p_brand", concat(col("p_brand"), lit(s"#$r")))
     }.reduce(_.unionByName(_))
 
+  /** ×N REAL-PNG media table for the perceptual-dedup scale bench
+    * (BenchMedia): each row is a genuinely decodable PNG whose 9×8 dHash
+    * grid is CONSTRUCTED from md5(base_id) bits — deterministic, and
+    * every id with `id % 10 == 1` is a re-render of id-1's pattern at a
+    * different resolution (the same grid function sampled finer), i.e. a
+    * planted near-duplicate with dHash hamming ~0-2. Distinct base ids
+    * differ in ~32 of 64 grid bits, so they never band-collide at small
+    * maxHamming. Payloads are ~1-3 KB PNGs; generation is executor-side
+    * (one BufferedImage + ImageIO encode per row, no driver loop). */
+  def genMediaPngs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(col("id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val base = if (id % 10 == 1 && id > 0) id - 1 else id
+        val rerender = base != id
+        // 64 target gradient bits from md5(base): bit (r*8+c) drives
+        // whether grid cell (r, c+1) is brighter than (r, c).
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(base.toString.getBytes("UTF-8"))
+        def bit(i: Int): Boolean = ((md(i / 8) >> (i % 8)) & 1) == 1
+        // Column-cumulative brightness per grid row: realize the bits.
+        val levels = Array.ofDim[Int](8, 9)
+        for (r <- 0 until 8) {
+          levels(r)(0) = 120
+          for (c <- 0 until 8)
+            levels(r)(c + 1) = levels(r)(c) + (if (bit(r * 8 + c)) 24 else -24)
+        }
+        val (w, h) = if (rerender) (180, 120) else (108, 72)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val r = math.min(7, y * 8 / h)
+          var x = 0
+          while (x < w) {
+            val c = math.min(8, x * 9 / w)
+            val v = math.max(0, math.min(255, levels(r)(c)))
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray, s"gen/png/$id")
+      }
+    }.toDF("media_id", "kind", "payload", "source")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, kStr) = args.take(3)
     val k = kStr.toInt
