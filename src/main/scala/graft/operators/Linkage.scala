@@ -33,24 +33,52 @@ object Linkage {
     * nn_dist) where nn_dist = min levenshtein to any OTHER record sharing
     * the block key. Records alone in their block are dropped (no neighbor
     * exists). The downstream screen "nn_dist <= k" is the usual
-    * candidate-duplicate trigger. */
+    * candidate-duplicate trigger.
+    *
+    * Staged-threshold evaluation (exact at any data): pass 1 scores every
+    * unordered pair with the THRESHOLD-BOUNDED levenshtein — a banded
+    * O(t·min(m,n)) DP with early exit instead of the full O(m·n) table —
+    * because for any record with SOME neighbor within t, min over its
+    * <=t neighbors IS its true min (every >t neighbor is strictly
+    * farther). Only records whose every neighbor exceeds t (pass-1 min
+    * still at the sentinel) pay pass 2, the full-width rescan of their
+    * block. In entity-resolution data near-duplicates are the point —
+    * the residual is a sliver, and the sliver's cost is still blocked,
+    * never all-pairs. Pass-1's aggregate feeds both the resolved output
+    * and the residual screen with one schema, so the pair scan is one
+    * exchange-reusable subtree. */
   def nearestNeighborWithinBlocks(
       df: DataFrame, idCol: String, nameCol: String,
-      blockCols: Seq[String]): DataFrame = {
+      blockCols: Seq[String], stagedThreshold: Int = 3): DataFrame = {
     val (a, b) = sides(df, idCol, nameCol, blockCols)
-    // Each UNORDERED pair pays levenshtein once (id_a < id_b halves the
+    val t = math.max(stagedThreshold, 0)
+    val sentinel = Int.MaxValue.toLong
+    // Each UNORDERED pair pays the banded DP once (id_a < id_b halves the
     // join output), then a narrow explode credits the distance to both
-    // endpoints — the edit distance is symmetric and is ~all the cost of
-    // this operator (measured 12.9 s -> ordered-pairs form at sf0.1; the
-    // halved form is the same blocked equi-join shape, half the evals).
-    a.join(b, blockCols)
+    // endpoints — edit distance is symmetric. Pairs beyond t keep the
+    // sentinel so every non-singleton record stays represented.
+    val banded = a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .withColumn("bdist", levenshtein(col("name_a"), col("name_b"), t))
+      .withColumn("dist",
+        when(col("bdist") >= 0, col("bdist").cast("long")).otherwise(sentinel))
       .select(blockCols.map(col) :+ explode(array(
         struct(col("id_a").as("rid"), col("dist")),
         struct(col("id_b").as("rid"), col("dist")))).as("x"): _*)
       .groupBy(col("x.rid").as("id_a") +: blockCols.map(col): _*)
-      .agg(min(col("x.dist")).cast("long").as("nn_dist"))
+      .agg(min(col("x.dist")).as("nn_dist"))
+    val resolved = banded.filter(col("nn_dist") < sentinel)
+    // Residual: every neighbor was farther than t — rescan ONLY these
+    // records' blocks at full width (id_a =!= id_b: each residual record
+    // needs all its neighbors, including pass-1-resolved ones).
+    val far = banded.filter(col("nn_dist") === sentinel).select(col("id_a"))
+      .join(a, Seq("id_a"))
+      .join(b, blockCols)
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .groupBy(col("id_a") +: blockCols.map(col): _*)
+      .agg(min(col("dist")).cast("long").as("nn_dist"))
+    resolved.unionByName(far)
   }
 
   /** Candidate duplicate pairs within blocks: (id_a < id_b, dist) with
@@ -87,10 +115,15 @@ object Linkage {
           .withColumn("__band", floor(length(col("name_b")) / w).cast("long"))
         (aB, bB, blockCols :+ "__band")
       }
+    // Threshold-bounded levenshtein: banded O(maxDist·min(m,n)) DP with
+    // early exit, returning the exact distance when <= maxDist and -1
+    // otherwise — same output as compute-then-filter at a fraction of the
+    // DP cells (the filter keeps exactly the non-negative rows).
     a.join(b, keys)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

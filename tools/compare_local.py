@@ -53,15 +53,18 @@ for name, sql in sorted(oracle.items()):
     rec = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
     result[name] = rec
+    # Subset runs (GRAFT_VERIFY_QUERIES) dump only the changed queries:
+    # check for the Spark output BEFORE paying the DuckDB oracle, so a
+    # two-query spot-compare doesn't execute all ~150 oracle SQLs.
+    parts = sorted(glob.glob(os.path.join(OUT, name, "*.parquet")))
+    if not parts:
+        rec["err"] = "no spark output"
+        errs.append((name, rec["err"]))
+        continue
     try:
         odf = con.execute(sql).df()
     except Exception as e:
         rec["err"] = f"duckdb: {e}"
-        errs.append((name, rec["err"]))
-        continue
-    parts = sorted(glob.glob(os.path.join(OUT, name, "*.parquet")))
-    if not parts:
-        rec["err"] = "no spark output"
         errs.append((name, rec["err"]))
         continue
     sdf = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
