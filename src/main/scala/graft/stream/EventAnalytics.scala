@@ -177,6 +177,38 @@ object EventAnalytics {
     (batch, _) =>
       sink(graft.functions.Dedup.trimSpansAgainst(batch, repeated, idCol, textCol, n))
 
+  /** Streaming ANN serve: probe a PERSISTED IVF index
+    * ([[graft.functions.AnnIndex]]) with each micro-batch of query
+    * vectors — the online half of the build/serve split (a recommender /
+    * retrieval endpoint fed by a query stream, the index a standing
+    * artifact maintained by batch build + append + delete + compact).
+    *
+    * Top-k for a query depends only on that query row and the index
+    * tables, so batch boundaries cannot change any result: micro-batched
+    * output equals one batch probe over the union (spec-pinned). Index
+    * MUTATIONS take effect at the next micro-batch — each batch's plan
+    * re-reads the index tables, so an appendIvf lands in the first probe
+    * planned after it and a deleteVectors tombstone suppresses its id
+    * immediately (also spec-pinned). That per-batch re-read is the
+    * freshness contract AND the cost model: one bounded probe-routing
+    * job per batch (queries x broadcast centroids), then a lists scan
+    * pruned to the probed cent_ids — at cluster scale the
+    * [[graft.functions.AnnIndex.partitionSpec]]-partitioned lists table
+    * turns that into nprobe partition reads per batch, never a full
+    * index scan.
+    *
+    * Shaped as a `foreachBatch` body (the probe is a per-batch join +
+    * ranking against external tables, not streaming state):
+    * `queries.writeStream.foreachBatch(annProbeEachBatch(store, "ivf",
+    * "query_id", "embedding", k = 10)(sink))`. */
+  def annProbeEachBatch(
+      store: graft.io.TableStore, prefix: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.AnnIndex.ivfTopK(
+        store, prefix, batch, idCol, vecCol, k, nprobe))
+
   /** Stream-stream interval join (attribution): each view joined to the
     * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
     * carry watermarks and the join condition bounds event time in both

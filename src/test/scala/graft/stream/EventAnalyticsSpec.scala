@@ -140,6 +140,64 @@ class EventAnalyticsSpec extends SparkSpec {
       "stream excision diverged from the batch pass")
   }
 
+  test("annProbeEachBatch: micro-batched probes == one batch probe; mutations land next batch") {
+    import graft.functions.AnnIndex
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 13 + j * 5) % 17).toFloat - 8f) / 4f)
+    }.toDF("vec_id", "embedding")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("ann_stream_").toString)
+    AnnIndex.buildIvf(store, "ivf", corpus, "vec_id", "embedding", nlist = 8)
+
+    def batchProbe(qs: Seq[Long]): Set[(Long, Long, Double, Int)] =
+      AnnIndex.ivfTopK(store, "ivf",
+          corpus.filter($"vec_id".isInCollection(qs)), "vec_id", "embedding",
+          k = 3, nprobe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Int)]()
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(EventAnalytics.annProbeEachBatch(
+        store, "ivf", "vec_id", "embedding", k = 3, nprobe = 2) { out =>
+        acc.synchronized {
+          acc ++= out.as[(Long, Long, Double, Int)](implicitly).collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
+    val vecs = (0L until 6L).map(i =>
+      i -> Array.tabulate(8)(j => (((i * 13 + j * 5) % 17).toFloat - 8f) / 4f)).toMap
+    // Split one logical query set mid-stream: results must equal ONE
+    // batch probe over the union.
+    input.addData(0L -> vecs(0L), 1L -> vecs(1L))
+    q.processAllAvailable()
+    input.addData(2L -> vecs(2L), 3L -> vecs(3L))
+    q.processAllAvailable()
+    assert(acc.toSet === batchProbe(0L to 3L),
+      "stream probe diverged from the one-batch probe")
+
+    // Standing-index freshness: an append and a tombstone land in the
+    // NEXT micro-batch's probe (each batch re-reads the index tables).
+    val deleted = acc.find(_._1 == 0L).map(_._2).get
+    AnnIndex.appendIvf(store, "ivf",
+      Seq(100L -> vecs(0L)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    AnnIndex.deleteVectors(store, "ivf", Seq(deleted).toDF("vec_id"), "vec_id")
+    acc.synchronized(acc.clear())
+    input.addData(0L -> vecs(0L))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === batchProbe(Seq(0L)),
+      "post-mutation stream probe diverged from the current-index batch probe")
+    assert(acc.exists(_._2 == 100L), "appended vector not reachable next batch")
+    assert(!acc.exists(_._2 == deleted), "tombstoned id still served")
+  }
+
   test("curateStream: quality/lang gates drop, content dedup keeps first, survivors flow") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, String)]
