@@ -209,6 +209,18 @@ object EventAnalytics {
       sink(graft.functions.AnnIndex.ivfTopK(
         store, prefix, batch, idCol, vecCol, k, nprobe))
 
+  /** PQ twin of [[annProbeEachBatch]]: per-micro-batch ADC top-k against
+    * the persisted codebook + byte codes — the memory-lean serve path
+    * (full-precision vectors exist nowhere in the plan). Same freshness
+    * contract: appendPq / deleteVectors land at the next micro-batch. */
+  def annProbePqEachBatch(
+      store: graft.io.TableStore, prefix: String,
+      idCol: String, vecCol: String, dims: Int, m: Int = 8, k: Int = 3)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.AnnIndex.pqAdcTopK(
+        store, prefix, batch, idCol, vecCol, dims, m, k))
+
   /** Stream-stream interval join (attribution): each view joined to the
     * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
     * carry watermarks and the join condition bounds event time in both

@@ -198,6 +198,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!acc.exists(_._2 == deleted), "tombstoned id still served")
   }
 
+  test("annProbePqEachBatch: micro-batched ADC probes == one batch probe") {
+    import graft.functions.AnnIndex
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 13 + j * 5) % 17).toFloat - 8f) / 4f)
+    }.toDF("vec_id", "embedding")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("ann_stream_pq_").toString)
+    AnnIndex.buildPq(store, "pq", corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4)
+    val vecs = (0L until 4L).map(i =>
+      i -> Array.tabulate(8)(j => (((i * 13 + j * 5) % 17).toFloat - 8f) / 4f)).toMap
+    val want = AnnIndex.pqAdcTopK(store, "pq",
+        corpus.filter($"vec_id" < 4), "vec_id", "embedding", dims = 8, m = 4, k = 3)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(EventAnalytics.annProbePqEachBatch(
+        store, "pq", "vec_id", "embedding", dims = 8, m = 4, k = 3) { out =>
+        acc.synchronized {
+          acc ++= out.as[(Long, Long, Double, Long)](implicitly).collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    input.addData(0L -> vecs(0L), 1L -> vecs(1L))
+    q.processAllAvailable()
+    input.addData(2L -> vecs(2L), 3L -> vecs(3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === want, "stream ADC probe diverged from the batch probe")
+  }
+
   test("curateStream: quality/lang gates drop, content dedup keeps first, survivors flow") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, String)]
