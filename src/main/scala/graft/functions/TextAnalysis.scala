@@ -204,12 +204,21 @@ object TextAnalysis {
       sum(coalesce(col(l), lit(0L))).cast("long").as(s"tot_$l")) :+
       count(lit(1)).cast("long").as("v")
     val tots = counts.agg(totAggs.head, totAggs.tail: _*)
-    val scored = tris.join(counts, Seq("tri"))
-      .crossJoin(broadcast(tots))
-      .select(col(idCol) +: langs.map(l =>
+    // Per-trigram log-scores are computed ONCE on the charset-bounded
+    // profile table (V rows × |langs| logs each), not per occurrence —
+    // the occurrence join then moves only pre-rounded longs. Bit-
+    // identical to inlining the math per occurrence (same values, same
+    // 1e-6 rounding). NOTE a per-(doc,tri) occurrence pre-aggregation
+    // was MEASURED WORSE here (7.8 vs 6.9 s at sf0.1): documents rarely
+    // repeat a trigram, so the added (doc,tri) shuffle outweighs the
+    // explode it saves — don't "optimize" it back in.
+    val triScores = counts.crossJoin(broadcast(tots))
+      .select(col("tri") +: langs.map(l =>
         round(log((coalesce(col(l), lit(0L)).cast("double") + 1.0) /
           (col(s"tot_$l").cast("double") + col("v").cast("double"))) * 1e6, 0)
           .cast("long").as(s"s_$l")): _*)
+    val scored = tris.join(triScores, Seq("tri"))
+      .select(col(idCol) +: langs.map(l => col(s"s_$l")): _*)
     val perDoc = scored.groupBy(idCol)
       .agg(sum(col(s"s_${langs.head}")).as(s"score_${langs.head}"),
         langs.tail.map(l => sum(col(s"s_$l")).as(s"score_$l")): _*)
