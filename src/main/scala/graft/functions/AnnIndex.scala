@@ -87,18 +87,70 @@ object AnnIndex {
   def ivfTopK(
       store: TableStore, prefix: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int = 4, pruneProbed: Boolean = true): DataFrame = {
-    val cents = store.load(s"${prefix}_centroids")
+      k: Int, nprobe: Int = 4, pruneProbed: Boolean = true): DataFrame =
+    ivfTopKFrames(
+      store.load(s"${prefix}_centroids"),
+      minusTombstones(store, prefix, store.load(s"${prefix}_lists")),
+      queries, idCol, vecCol, k, nprobe, pruneProbed)
+
+  private def ivfTopKFrames(
+      cents: DataFrame, lists0: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, pruneProbed: Boolean): DataFrame = {
     val probes = Similarity.ivfProbes(cents, queries, idCol, vecCol, nprobe)
-    val lists0 = store.load(s"${prefix}_lists")
     val lists =
       if (pruneProbed) {
         val probed = probes.select(col("cent_id")).distinct()
           .collect().map(_.getLong(0)).toSeq
+        // The cent_id filter sits on the scan side of the tombstone
+        // anti-join, so Catalyst pushes it below the join and the
+        // partitioned lists table still prunes to the probed partitions.
         lists0.filter(col("cent_id").isin(probed: _*))
       } else lists0
-    Similarity.ivfSearchLists(minusTombstones(store, prefix, lists), probes, k)
+    Similarity.ivfSearchLists(lists, probes, k)
   }
+
+  /** Index frames resolved ONCE for a serving session ([[ivfSnapshot]] /
+    * [[pqSnapshot]]). The fresh-per-call serve paths ([[ivfTopK]] /
+    * [[pqAdcTopK]]) re-resolve every index table per call — per
+    * MICRO-BATCH in a foreachBatch serve loop, which at cluster scale
+    * means an object-store LIST of every lists/codes partition plus a
+    * schema read on each batch. A snapshot pays that metadata resolution
+    * once and pins the small frozen-geometry frames (centroids /
+    * codebook) in the cache.
+    *
+    * Freshness contract (the trade, stated): appends, deletes, and
+    * compaction land at the NEXT snapshot, not the next call — and a
+    * compaction or rebuild REPLACES the physical table directories (the
+    * store's atomic swap), after which a pre-existing snapshot reads
+    * deleted files. Re-snapshot after any maintenance write; call
+    * [[IndexSnapshot.release]] when done with one. */
+  final case class IndexSnapshot private[functions] (
+      private[functions] val small: DataFrame,
+      private[functions] val big: DataFrame) {
+    /** Unpersist the cached small frame (centroids / codebook). */
+    def release(): Unit = { small.unpersist(); () }
+  }
+
+  /** Resolve the IVF serve frames once: centroids materialized into the
+    * cache (nlist rows, frozen between rebuilds), lists' file metadata
+    * resolved now, tombstones as of now folded in. */
+  def ivfSnapshot(store: TableStore, prefix: String): IndexSnapshot = {
+    val cents = store.load(s"${prefix}_centroids").cache()
+    cents.count() // materialize at snapshot time, not in the first batch
+    IndexSnapshot(cents,
+      minusTombstones(store, prefix, store.load(s"${prefix}_lists")))
+  }
+
+  /** [[ivfTopK]] against a pinned [[ivfSnapshot]] — row-identical to the
+    * fresh path as of snapshot time (AnnIndexSpec pins it); no store
+    * reads besides the snapshot's own frames. */
+  def ivfTopK(
+      snap: IndexSnapshot,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, pruneProbed: Boolean): DataFrame =
+    ivfTopKFrames(snap.small, snap.big,
+      queries, idCol, vecCol, k, nprobe, pruneProbed)
 
   /** INCREMENTAL maintenance: assign a new `batch` of vectors against the
     * index's PERSISTED centroids and append to the lists table — the
@@ -200,5 +252,23 @@ object AnnIndex {
     Similarity.pqAdcSearch(
       minusTombstones(store, prefix, store.load(s"${prefix}_codes")),
       store.load(s"${prefix}_codebook"),
+      queries, idCol, vecCol, dims, m, k)
+
+  /** PQ twin of [[ivfSnapshot]]: codebook cached (m×ksub rows, frozen
+    * between rebuilds), codes' metadata resolved now, tombstones as of
+    * now folded in. Same freshness contract as [[IndexSnapshot]]. */
+  def pqSnapshot(store: TableStore, prefix: String): IndexSnapshot = {
+    val cb = store.load(s"${prefix}_codebook").cache()
+    cb.count()
+    IndexSnapshot(cb,
+      minusTombstones(store, prefix, store.load(s"${prefix}_codes")))
+  }
+
+  /** [[pqAdcTopK]] against a pinned [[pqSnapshot]]. */
+  def pqAdcTopK(
+      snap: IndexSnapshot,
+      queries: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int): DataFrame =
+    Similarity.pqAdcSearch(snap.big, snap.small,
       queries, idCol, vecCol, dims, m, k)
 }

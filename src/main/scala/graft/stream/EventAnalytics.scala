@@ -221,6 +221,32 @@ object EventAnalytics {
       sink(graft.functions.AnnIndex.pqAdcTopK(
         store, prefix, batch, idCol, vecCol, dims, m, k))
 
+  /** PINNED serve: same per-micro-batch probe as [[annProbeEachBatch]],
+    * but against an [[graft.functions.AnnIndex.ivfSnapshot]] resolved
+    * once at stream start — no per-batch index-table re-resolution (at
+    * cluster scale: no per-batch object-store LIST of every lists
+    * partition). The trade is freshness: appends/deletes/compaction land
+    * at the next stream restart (re-snapshot), not the next micro-batch
+    * — see [[graft.functions.AnnIndex.IndexSnapshot]]. */
+  def annProbeEachBatchPinned(
+      snap: graft.functions.AnnIndex.IndexSnapshot,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      pruneProbed: Boolean = true)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.AnnIndex.ivfTopK(
+        snap, batch, idCol, vecCol, k, nprobe, pruneProbed))
+
+  /** PQ twin of [[annProbeEachBatchPinned]] (pin via
+    * [[graft.functions.AnnIndex.pqSnapshot]]). */
+  def annProbePqEachBatchPinned(
+      snap: graft.functions.AnnIndex.IndexSnapshot,
+      idCol: String, vecCol: String, dims: Int, m: Int = 8, k: Int = 3)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.AnnIndex.pqAdcTopK(
+        snap, batch, idCol, vecCol, dims, m, k))
+
   /** Stream-stream interval join (attribution): each view joined to the
     * same user's clicks within `(view_ts, view_ts + maxDelay]`. BOTH sides
     * carry watermarks and the join condition bounds event time in both

@@ -254,4 +254,63 @@ class AnnIndexSpec extends SparkSpec {
     assert(scans.forall(s => s.contains("ivf_centroids") || s.contains("ivf_lists")),
       scans.mkString("\n"))
   }
+
+  test("pinned snapshot serves row-identical to the fresh path (IVF and PQ)") {
+    val store = tmpStore()
+    val queries = corpus.filter($"vec_id" < 3)
+    AnnIndex.buildIvf(store, "ivf", corpus, "vec_id", "embedding", nlist = 8)
+    AnnIndex.buildPq(store, "pq", corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4)
+    val ivfSnap = AnnIndex.ivfSnapshot(store, "ivf")
+    val pqSnap = AnnIndex.pqSnapshot(store, "pq")
+    try {
+      val gotIvf = AnnIndex.ivfTopK(ivfSnap, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2, pruneProbed = true)
+        .orderBy("query_id", "rank").collect().toSeq
+      val wantIvf = AnnIndex.ivfTopK(store, "ivf", queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(gotIvf === wantIvf)
+      assert(gotIvf.nonEmpty)
+      val gotPq = AnnIndex.pqAdcTopK(pqSnap, queries,
+        "vec_id", "embedding", dims = 8, m = 4, k = 3)
+        .orderBy("query_id", "rnk").collect().toSeq
+      val wantPq = AnnIndex.pqAdcTopK(store, "pq", queries,
+        "vec_id", "embedding", dims = 8, m = 4, k = 3)
+        .orderBy("query_id", "rnk").collect().toSeq
+      assert(gotPq === wantPq)
+      assert(gotPq.nonEmpty)
+    } finally { ivfSnap.release(); pqSnap.release() }
+  }
+
+  test("snapshot freshness contract: deletes land at the next snapshot, not the next call") {
+    val store = tmpStore()
+    val queries = corpus.filter($"vec_id" < 2)
+    AnnIndex.buildIvf(store, "ivf", corpus, "vec_id", "embedding", nlist = 8)
+    val before = AnnIndex.ivfSnapshot(store, "ivf")
+    val preDelete = AnnIndex.ivfTopK(before, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, pruneProbed = true)
+      .collect().toSeq
+    val victims = preDelete.map(_.getLong(1)).distinct.take(2)
+    AnnIndex.deleteVectors(store, "ivf",
+      victims.toDF("vec_id"), "vec_id")
+    // The pinned snapshot still serves the pre-delete view …
+    val stillOld = AnnIndex.ivfTopK(before, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2, pruneProbed = true)
+      .collect().toSeq
+    assert(stillOld === preDelete)
+    before.release()
+    // … and a re-snapshot (or the fresh path) reflects the delete.
+    val after = AnnIndex.ivfSnapshot(store, "ivf")
+    try {
+      val reSnap = AnnIndex.ivfTopK(after, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2, pruneProbed = true)
+        .collect().toSeq
+      assert(reSnap.forall(r => !victims.contains(r.getLong(1))))
+      val fresh = AnnIndex.ivfTopK(store, "ivf", queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+        .collect().toSeq
+      assert(reSnap.toSet === fresh.toSet)
+    } finally { after.release() }
+  }
 }
