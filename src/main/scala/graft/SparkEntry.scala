@@ -1148,6 +1148,27 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // PINNED-SNAPSHOT serve: the index frames are resolved ONCE
+    // (AnnIndex.ivfSnapshot — the streaming serve loop's fast path) and
+    // the query runs against the snapshot. Contractually row-identical
+    // to the fresh path, so it shares q_knn_ivf's oracle. The snapshot
+    // is deliberately not released: the result frame is evaluated lazily
+    // by the caller, and the cached frame is nlist rows.
+    "q_knn_ivf_pinned" -> ((s, dir) => {
+      import graft.functions.AnnIndex
+      val emb = pq(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_pin_").toString
+      val store = new graft.io.ParquetTableStore(s, root,
+        partitionByCols = AnnIndex.partitionSpec("ivf"))
+      AnnIndex.buildIvf(store, "ivf", emb, "vec_id", "embedding", nlist = 16)
+      AnnIndex.ivfTopK(AnnIndex.ivfSnapshot(store, "ivf"),
+          emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nprobe = 4, pruneProbed = true)
+        .select(col("query_id"), col("vec_id"), col("cos_sim"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // TRAINED coarse quantizer: 2 Lloyd's rounds over the corpus replace
     // the lowest-id stand-in centroids; the search dataflow is untouched
     // (the swap the ivfTopK scaladoc promises). The oracle replays every
@@ -3679,6 +3700,7 @@ object SparkEntry {
     // incremental-append variant shares it too (frozen centroids + union
     // lists == the full-corpus index by construction).
     "q_knn_ivf_persisted" -> knnIvfOracleSql,
+    "q_knn_ivf_pinned" -> knnIvfOracleSql,
     "q_knn_ivf_append" -> knnIvfOracleSql,
 
     // Trained coarse quantizer: the SAME search oracle, with the centroid
