@@ -1557,6 +1557,28 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"), col("skey"), col("rnk"))
         .orderBy("lang", "rnk")),
 
+    // DSIR importance weights (Xie et al. 2023): hashed-ngram likelihood
+    // ratio of every document against the English slice as the target
+    // distribution — the "select raw data that looks like my curated set"
+    // primitive. Per-feature log-ratios fixed-pointed before the doc sum.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.Sampling.dsirWeights(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: Gumbel-top-k importance resampling toward the same
+    // target — deterministic (content-hash Gumbel), rank pinned by the
+    // fixed-point skey on both engines.
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.Sampling.dsirResample(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text", k = 25)
+        .select(col("doc_id"), col("n_feats"), col("log_w"), col("skey"), col("rnk"))
+        .orderBy("rnk")
+    }),
+
     // Robust per-language length-outlier filter (median + MAD): the
     // heavy-tail document screen that plain mean/stddev z-scores get wrong.
     // Two tiny per-language aggregates broadcast back — corpus never
@@ -4459,6 +4481,111 @@ object SparkEntry {
         |  FROM t)
         |SELECT lang, doc_id, n_chars, skey, rnk FROM r WHERE rnk <= 20
         |ORDER BY lang, rnk""".stripMargin,
+
+    // DSIR: the oracle replays the full pipeline — hashed unigram+bigram
+    // features (md5 % 4096, the cross-engine uniform-hash idiom), Laplace-
+    // smoothed bucket multinomials for both corpora, per-feature log
+    // ratios fixed-pointed to 1e-6 BIGINTs before the per-doc sum.
+    "q_dsir_weights" ->
+      """WITH rawtok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |rawpt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM rawtok),
+        |rawf AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT doc_id, w AS f FROM rawpt
+        |    UNION ALL
+        |    SELECT doc_id, prev || ' ' || w AS f FROM rawpt WHERE prev IS NOT NULL) AS u),
+        |tgttok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents WHERE lang = 'en'),
+        |tgtpt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tgttok),
+        |tgtf AS (
+        |  SELECT CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT w AS f FROM tgtpt
+        |    UNION ALL
+        |    SELECT prev || ' ' || w AS f FROM tgtpt WHERE prev IS NOT NULL) AS u),
+        |rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM rawf GROUP BY 1),
+        |tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM tgtf GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM rawb) AS tr,
+        |               (SELECT coalesce(CAST(sum(tc) AS DOUBLE), 0.0) FROM tgtb) AS tt),
+        |ratio AS (
+        |  SELECT r.bucket,
+        |    CAST(round((ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + 4096.0))
+        |              - ln((r.rc + 1.0) / (tot.tr + 4096.0))) * 1000000, 0) AS BIGINT) AS lr
+        |  FROM rawb r LEFT JOIN tgtb t USING (bucket) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT rawf.doc_id, CAST(count(*) AS BIGINT) AS n_feats, CAST(sum(lr) AS BIGINT) AS s
+        |  FROM rawf JOIN ratio USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_feats, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS log_w
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // DSIR selection: weights + content-hash Gumbel, both 1e-6 fixed-point
+    // BIGINTs, ranked by their exact integer sum.
+    "q_dsir_sample" ->
+      """WITH rawtok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |rawpt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM rawtok),
+        |rawf AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT doc_id, w AS f FROM rawpt
+        |    UNION ALL
+        |    SELECT doc_id, prev || ' ' || w AS f FROM rawpt WHERE prev IS NOT NULL) AS u),
+        |tgttok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents WHERE lang = 'en'),
+        |tgtpt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tgttok),
+        |tgtf AS (
+        |  SELECT CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT w AS f FROM tgtpt
+        |    UNION ALL
+        |    SELECT prev || ' ' || w AS f FROM tgtpt WHERE prev IS NOT NULL) AS u),
+        |rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM rawf GROUP BY 1),
+        |tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM tgtf GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM rawb) AS tr,
+        |               (SELECT coalesce(CAST(sum(tc) AS DOUBLE), 0.0) FROM tgtb) AS tt),
+        |ratio AS (
+        |  SELECT r.bucket,
+        |    CAST(round((ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + 4096.0))
+        |              - ln((r.rc + 1.0) / (tot.tr + 4096.0))) * 1000000, 0) AS BIGINT) AS lr
+        |  FROM rawb r LEFT JOIN tgtb t USING (bucket) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT rawf.doc_id, CAST(count(*) AS BIGINT) AS n_feats, CAST(sum(lr) AS BIGINT) AS s
+        |  FROM rawf JOIN ratio USING (bucket) GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, n_feats, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS log_w FROM agg),
+        |keyed AS (
+        |  SELECT doc_id, n_feats, log_w,
+        |    CAST(round(log_w * 1000000, 0) AS BIGINT)
+        |    + CAST(round(-ln(-ln((('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |        / 4294967296.0)) * 1000000, 0) AS BIGINT) AS skey
+        |  FROM w),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM keyed)
+        |SELECT doc_id, n_feats, log_w, skey, rnk FROM r WHERE rnk <= 25
+        |ORDER BY rnk""".stripMargin,
 
     "q_length_outliers" ->
       """WITH meds AS (

@@ -82,4 +82,97 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Hashed n-gram feature stream for [[dsirWeights]]: one row per
+    * (document, feature-bucket) occurrence, where a feature is every
+    * whitespace token plus every adjacent token PAIR ("a b" — unigrams
+    * contain no whitespace, so the two families can never collide), and
+    * the bucket is the md5-uniform hash of the feature modulo `buckets`.
+    * Built from the per-row token ARRAY (one narrow map, no shuffle) —
+    * NOT lag-over-window, which would shuffle the full token stream by
+    * document id just to pair neighbors that already sit in one array. */
+  private def hashedNgramFeatures(
+      df: DataFrame, textCol: String, buckets: Int,
+      keep: Column*): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val bigrams = when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(keep :+ explode(concat(ws, bigrams)).as("__f"): _*)
+      .select(keep :+ pmod(conv(substring(md5(col("__f")), 1, 8), 16, 10)
+        .cast("long"), lit(buckets.toLong)).as("bucket"): _*)
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling —
+    * Xie et al. 2023, arXiv:2302.03169): score every raw-corpus document
+    * by how much its hashed-n-gram distribution looks like a TARGET
+    * corpus. Features are unigrams + word bigrams hashed into `buckets`
+    * buckets; both corpora fit Laplace-smoothed multinomials over the
+    * buckets, and a document's log importance weight is
+    * `Σ_features ln(p_target(bucket) / p_raw(bucket))` — the bag-of-
+    * hashed-ngrams likelihood ratio. High `log_w` = looks like the
+    * target; feed the output to [[dsirResample]] to select.
+    *
+    * Scale: two passes over the raw corpus (fit, then score — inherent to
+    * the method) and one over the target, all narrow maps feeding
+    * map-side-combined aggregations. The per-bucket log-ratio table is
+    * bounded by `buckets` ROWS BY CONSTRUCTION (a groupBy on a pmod key),
+    * so its explicit `broadcast` can never OOM — unlike a vocabulary
+    * join, where the key space is data-dependent and [[TextAnalysis]]
+    * must auto-switch. Per-feature log-ratios are fixed-pointed to 1e-6
+    * longs BEFORE the per-document sum, so weights are partition-order-
+    * independent and oracle-verifiable. */
+  def dsirWeights(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val rawF = hashedNgramFeatures(raw, textCol, buckets, col(idCol))
+    val tgtF = hashedNgramFeatures(target, targetTextCol, buckets)
+    val rawB = rawF.groupBy("bucket").agg(count(lit(1)).cast("long").as("rc"))
+    val tgtB = tgtF.groupBy("bucket").agg(count(lit(1)).cast("long").as("tc"))
+    val tots = rawB.agg(sum(col("rc")).cast("double").as("tr"))
+      .crossJoin(tgtB.agg(coalesce(sum(col("tc")).cast("double"), lit(0.0)).as("tt")))
+    val b = lit(buckets.toDouble)
+    val ratio = rawB.join(tgtB, Seq("bucket"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        round((log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0) / (col("tt") + b))
+          - log((col("rc").cast("double") + 1.0) / (col("tr") + b))) * 1e6, 0)
+          .cast("long").as("lr"))
+    rawF.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(sum(col("lr")).as("s"), count(lit(1)).cast("long").as("n_feats"))
+      .select(col(idCol), col("n_feats"),
+        round(col("s").cast("double") / 1e6, 6).as("log_w"))
+  }
+
+  /** DSIR selection: importance-resample `k` raw documents toward the
+    * target distribution via deterministic Gumbel-top-k — key =
+    * `log_w + Gumbel(0,1)`, the standard without-replacement draw with
+    * probabilities ∝ exp(log_w). The Gumbel noise is a pure function of
+    * (seed, id) — content-hash uniform, like every sampler here — so the
+    * draw is layout-independent and replays exactly. Both addends are
+    * 1e-6 fixed-point LONGS, so ranking ties out identically in the
+    * DuckDB oracle. Selection is a global top-k (TakeOrdered — no full
+    * sort); the rank window runs AFTER `limit(k)`, over k rows. */
+  def dsirResample(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      k: Int, buckets: Int = 4096, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+    val v = conv(keyHash(concat_ws(":", lit(seed), col(idCol).cast("string"))), 16, 10)
+      .cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val g = round(-log(-log(u)) * 1e6, 0).cast("long")
+    val skey = round(col("log_w") * 1e6, 0).cast("long") + g
+    val win = Window.orderBy(col("skey").desc, col(idCol).asc)
+    w.withColumn("skey", skey)
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(win).cast("long"))
+  }
 }

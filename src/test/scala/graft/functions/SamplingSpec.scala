@@ -79,4 +79,50 @@ class SamplingSpec extends SparkSpec {
       .filter(col("rnk") === 1).select("id").as[Long].head()
     assert(top === 100L)
   }
+
+  private val sparkVocab = Seq("spark", "shuffle", "partition", "executor",
+    "broadcast", "join", "catalyst", "codegen")
+  private val bakeVocab = Seq("flour", "sugar", "butter", "oven",
+    "whisk", "bake", "dough", "icing")
+
+  private def mkText(vocab: Seq[String], i: Long, n: Int): String =
+    (0 until n).map(j => vocab(((i + j * 7) % vocab.size).toInt)).mkString(" ")
+
+  /** 20 docs drawn from the target's vocabulary + 20 from a disjoint one. */
+  private def dsirRaw = ((0L until 20L).map(i => (i, mkText(sparkVocab, i, 24))) ++
+    (20L until 40L).map(i => (i, mkText(bakeVocab, i, 24)))).toDF("doc_id", "text")
+
+  private def dsirTarget = (100L until 110L)
+    .map(i => (i, mkText(sparkVocab, i, 16))).toDF("doc_id", "text")
+
+  test("dsirWeights: documents resembling the target outscore dissimilar ones") {
+    val w = Sampling.dsirWeights(dsirRaw, "doc_id", "text", dsirTarget, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.size === 40)
+    // 24 tokens -> 24 unigrams + 23 bigrams
+    assert(w.values.forall(_._1 === 47L))
+    val sparky = (0L until 20L).map(w(_)._2)
+    val bakey = (20L until 40L).map(w(_)._2)
+    // Disjoint vocabularies: every target-like doc must beat every
+    // dissimilar one (per-feature ratios all point the same way).
+    assert(sparky.min > bakey.max,
+      s"sparky min ${sparky.min} <= bakey max ${bakey.max}")
+    // Features absent from the target get a NEGATIVE log ratio.
+    assert(bakey.max < 0.0)
+  }
+
+  test("dsirResample: deterministic, layout-independent, selects target-like docs") {
+    val once = Sampling.dsirResample(
+      dsirRaw, "doc_id", "text", dsirTarget, "text", k = 15)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    val again = Sampling.dsirResample(
+      dsirRaw.repartition(7), "doc_id", "text", dsirTarget.repartition(3), "text", k = 15)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(once === again)
+    assert(once.size === 15)
+    assert(once.map(_._2) === (1L to 15L))
+    // log_w separation (tens of nats) dwarfs the Gumbel noise (~±3 nats):
+    // every selected doc is from the target-like half.
+    assert(once.map(_._1).forall(_ < 20L), once.map(_._1).mkString(","))
+  }
 }
