@@ -126,28 +126,55 @@ object Sampling {
   def dsirWeights(
       raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096): DataFrame =
+    dsirScore(raw, idCol, textCol,
+      dsirFit(raw, textCol, target, targetTextCol, buckets), buckets)
+
+  /** DSIR fit: the standing per-bucket log-ratio table the method trains —
+    * `ln(p_target(bucket)) − ln(p_raw(bucket))` under Laplace-smoothed
+    * bucket multinomials, as a 1e-6 fixed-point long. Covers ALL `buckets`
+    * rows (a bucket no fit-time feature hashed to carries the fully-
+    * smoothed default), so scoring any FUTURE document — the streaming
+    * gate's case — is a total inner join. Persist it through a TableStore
+    * and refresh offline, like the repeated-shingle snapshot; exactly
+    * `buckets` rows by construction, so serving always broadcasts. */
+  def dsirFit(
+      raw: DataFrame, rawTextCol: String,
+      target: DataFrame, targetTextCol: String,
       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
-    val rawF = hashedNgramFeatures(raw, textCol, buckets, col(idCol))
-    val tgtF = hashedNgramFeatures(target, targetTextCol, buckets)
-    val rawB = rawF.groupBy("bucket").agg(count(lit(1)).cast("long").as("rc"))
-    val tgtB = tgtF.groupBy("bucket").agg(count(lit(1)).cast("long").as("tc"))
-    val tots = rawB.agg(sum(col("rc")).cast("double").as("tr"))
+    val rawB = hashedNgramFeatures(raw, rawTextCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("rc"))
+    val tgtB = hashedNgramFeatures(target, targetTextCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("tc"))
+    val tots = rawB.agg(coalesce(sum(col("rc")).cast("double"), lit(0.0)).as("tr"))
       .crossJoin(tgtB.agg(coalesce(sum(col("tc")).cast("double"), lit(0.0)).as("tt")))
     val b = lit(buckets.toDouble)
-    val ratio = rawB.join(tgtB, Seq("bucket"), "left")
+    raw.sparkSession.range(0, buckets).select(col("id").as("bucket"))
+      .join(rawB, Seq("bucket"), "left")
+      .join(tgtB, Seq("bucket"), "left")
       .crossJoin(broadcast(tots))
       .select(col("bucket"),
         round((log((coalesce(col("tc"), lit(0L)).cast("double") + 1.0) / (col("tt") + b))
-          - log((col("rc").cast("double") + 1.0) / (col("tr") + b))) * 1e6, 0)
+          - log((coalesce(col("rc"), lit(0L)).cast("double") + 1.0) / (col("tr") + b))) * 1e6, 0)
           .cast("long").as("lr"))
-    rawF.join(broadcast(ratio), Seq("bucket"))
+  }
+
+  /** Score documents against a fitted (or persisted) [[dsirFit]] table:
+    * per-document sum of the per-feature fixed-point log-ratios. `buckets`
+    * must match the fit's. The serve half of the fit/serve split — a
+    * micro-batch gate pays one narrow feature map + one broadcast join +
+    * one per-doc aggregation, never a fit pass. */
+  def dsirScore(
+      df: DataFrame, idCol: String, textCol: String,
+      ratio: DataFrame, buckets: Int): DataFrame =
+    hashedNgramFeatures(df, textCol, buckets, col(idCol))
+      .join(broadcast(ratio), Seq("bucket"))
       .groupBy(idCol)
       .agg(sum(col("lr")).as("s"), count(lit(1)).cast("long").as("n_feats"))
       .select(col(idCol), col("n_feats"),
         round(col("s").cast("double") / 1e6, 6).as("log_w"))
-  }
 
   /** DSIR selection: importance-resample `k` raw documents toward the
     * target distribution via deterministic Gumbel-top-k — key =

@@ -177,6 +177,29 @@ object EventAnalytics {
     (batch, _) =>
       sink(graft.functions.Dedup.trimSpansAgainst(batch, repeated, idCol, textCol, n))
 
+  /** DSIR curation gate — the streaming half of
+    * [[graft.functions.Sampling.dsirWeights]]: score each micro-batch's
+    * documents against a PERSISTED per-bucket log-ratio table
+    * ([[graft.functions.Sampling.dsirFit]], refreshed offline like the
+    * repeated-shingle snapshot) and keep documents whose importance
+    * weight clears `minLogW` — "admit crawl pages that look like the
+    * curated set" as a continuous filter. A document's score depends
+    * only on its own text and the fit table, so batch boundaries cannot
+    * change any decision (spec-pinned batch == stream); the per-batch
+    * cost is one narrow feature map + one broadcast join (the fit table
+    * is `buckets` rows by construction) + one per-doc aggregation.
+    * Emits the surviving rows with `n_feats` and `log_w` appended. */
+  def dsirGateEachBatch(
+      ratio: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096, minLogW: Double = 0.0)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val scored = graft.functions.Sampling.dsirScore(
+        batch, idCol, textCol, ratio, buckets)
+      sink(batch.join(scored, Seq(idCol))
+        .filter(col("log_w") >= minLogW))
+    }
+
   /** Streaming ANN serve: probe a PERSISTED IVF index
     * ([[graft.functions.AnnIndex]]) with each micro-batch of query
     * vectors — the online half of the build/serve split (a recommender /

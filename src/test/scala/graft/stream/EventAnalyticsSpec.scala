@@ -140,6 +140,64 @@ class EventAnalyticsSpec extends SparkSpec {
       "stream excision diverged from the batch pass")
   }
 
+  test("dsirGateEachBatch: micro-batched gate == batch scoring against a persisted fit") {
+    import graft.functions.Sampling
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    def mk(vocab: Seq[String], i: Long, n: Int): String =
+      (0 until n).map(j => vocab(((i + j * 7) % vocab.size).toInt)).mkString(" ")
+    val sv = Seq("spark", "shuffle", "partition", "executor")
+    val bv = Seq("flour", "sugar", "butter", "oven")
+    val raw = ((0L until 8L).map(i => (i, mk(sv, i, 12))) ++
+      (8L until 16L).map(i => (i, mk(bv, i, 12)))).toDF("doc_id", "text")
+    val target = (100L until 106L).map(i => (i, mk(sv, i, 10))).toDF("doc_id", "text")
+
+    // Fit offline, PERSIST the ratio table, serve from the reloaded copy —
+    // the standing-artifact lifecycle the scaladoc promises.
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("dsir_fit_").toString)
+    store.overwrite("dsir_ratio",
+      Sampling.dsirFit(raw, "text", target, "text", buckets = 512))
+    val ratio = store.load("dsir_ratio")
+
+    val scored = Sampling.dsirScore(raw, "doc_id", "text", ratio, 512)
+    val all = scored.select("doc_id", "log_w").as[(Long, Double)].collect().toMap
+    // Disjoint vocabularies separate the halves; the ABSOLUTE level is
+    // smoothing-dependent (a small target flattens every ratio toward 0),
+    // so the gate threshold comes from the observed margin, as a real
+    // deployment would calibrate it on held-out scores.
+    val sparkyMin = (0L until 8L).map(all).min
+    val bakeyMax = (8L until 16L).map(all).max
+    assert(sparkyMin > bakeyMax, s"no margin: $sparkyMin <= $bakeyMax")
+    val thr = (sparkyMin + bakeyMax) / 2
+    val want = raw.join(scored, Seq("doc_id")).filter($"log_w" >= thr)
+      .select("doc_id", "log_w").as[(Long, Double)].collect().toSet
+    // The gate admits exactly the target-like half.
+    assert(want.map(_._1) === (0L until 8L).toSet)
+
+    // Stream the SAME docs in two micro-batches split across the halves.
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(EventAnalytics.dsirGateEachBatch(
+        ratio, "doc_id", "text", buckets = 512, minLogW = thr) { out =>
+        acc.synchronized {
+          acc ++= out.select("doc_id", "log_w").as[(Long, Double)].collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    val rows = raw.select("doc_id", "text").as[(Long, String)].collect()
+    input.addData(rows.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(rows.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === want, "stream gate diverged from the batch scoring")
+  }
+
   test("annProbeEachBatch: micro-batched probes == one batch probe; mutations land next batch") {
     import graft.functions.AnnIndex
     import graft.io.ParquetTableStore
