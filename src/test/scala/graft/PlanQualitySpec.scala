@@ -651,6 +651,22 @@ class PlanQualitySpec extends SparkSpec {
       "jobUsers/contacts joins should broadcast the small side")
   }
 
+  test("q_dsir_weights: the ratio join broadcasts; the corpus never cross-joins") {
+    // The per-bucket log-ratio table is bounded by the bucket count BY
+    // CONSTRUCTION (groupBy on a pmod key), so serving it is an explicit
+    // broadcast join — if it ever degrades to a shuffled join, the fit
+    // table is being treated as data-sized and the contract broke.
+    val plan = planOf("q_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"), "ratio join is not broadcast")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("q_dsir_sample: global top-k via TakeOrdered, never a full sort") {
+    val plan = planOf("q_dsir_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "resample selection lost the TakeOrdered top-k")
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
