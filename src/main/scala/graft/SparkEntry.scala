@@ -1568,6 +1568,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus drift monitor: JS divergence + L1 between the English and
+    // non-English slices' hashed-ngram distributions — the snapshot-vs-
+    // snapshot content-shift alarm, here exercised across a real content
+    // split. Per-bucket terms fixed-pointed to 1e-9 longs before the sum.
+    "q_corpus_drift" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.Sampling.distributionDrift(
+        docs.filter(col("lang") === "en"), "text",
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
+
     // DSIR selection: Gumbel-top-k importance resampling toward the same
     // target — deterministic (content-hash Gumbel), rank pinned by the
     // fixed-point skey on both engines.
@@ -4529,6 +4540,65 @@ object SparkEntry {
         |  FROM rawf JOIN ratio USING (bucket) GROUP BY 1)
         |SELECT doc_id, n_feats, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS log_w
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // Corpus drift: the oracle replays the bucket multinomials and the
+    // per-bucket JS/L1 terms at the same 1e-9 fixed point.
+    "q_corpus_drift" ->
+      """WITH atok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents WHERE lang = 'en'),
+        |apt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM atok),
+        |af AS (
+        |  SELECT CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT w AS f FROM apt
+        |    UNION ALL
+        |    SELECT prev || ' ' || w AS f FROM apt WHERE prev IS NOT NULL) AS u),
+        |btok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents WHERE lang <> 'en'),
+        |bpt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM btok),
+        |bf AS (
+        |  SELECT CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT w AS f FROM bpt
+        |    UNION ALL
+        |    SELECT prev || ' ' || w AS f FROM bpt WHERE prev IS NOT NULL) AS u),
+        |ab AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ca FROM af GROUP BY 1),
+        |bb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cb FROM bf GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(CAST(sum(ca) AS DOUBLE), 0.0) FROM ab) AS ta,
+        |               (SELECT coalesce(CAST(sum(cb) AS DOUBLE), 0.0) FROM bb) AS tb),
+        |terms AS (
+        |  SELECT
+        |    CAST(round((CASE WHEN coalesce(ca, 0) > 0
+        |        THEN (ca / greatest(ta, 1.0)) * ln((ca / greatest(ta, 1.0))
+        |          / ((coalesce(ca, 0) / greatest(ta, 1.0) + coalesce(cb, 0) / greatest(tb, 1.0)) / 2.0))
+        |        ELSE 0.0 END
+        |      + CASE WHEN coalesce(cb, 0) > 0
+        |        THEN (cb / greatest(tb, 1.0)) * ln((cb / greatest(tb, 1.0))
+        |          / ((coalesce(ca, 0) / greatest(ta, 1.0) + coalesce(cb, 0) / greatest(tb, 1.0)) / 2.0))
+        |        ELSE 0.0 END) / 2.0 * 1000000000, 0) AS BIGINT) AS js9,
+        |    CAST(round(abs(coalesce(ca, 0) / greatest(ta, 1.0)
+        |      - coalesce(cb, 0) / greatest(tb, 1.0)) * 1000000000, 0) AS BIGINT) AS l19,
+        |    CAST(ca IS NOT NULL AS BIGINT) AS ia,
+        |    CAST(cb IS NOT NULL AS BIGINT) AS ib,
+        |    CAST(ca IS NOT NULL AND cb IS NOT NULL AS BIGINT) AS ish
+        |  FROM ab FULL OUTER JOIN bb USING (bucket) CROSS JOIN tot)
+        |SELECT
+        |  round(CAST(sum(js9) AS DOUBLE) / 1000000000.0, 6) AS js_divergence,
+        |  round(CAST(sum(l19) AS DOUBLE) / 1000000000.0, 6) AS l1_distance,
+        |  CAST(sum(ia) AS BIGINT) AS buckets_a,
+        |  CAST(sum(ib) AS BIGINT) AS buckets_b,
+        |  CAST(sum(ish) AS BIGINT) AS buckets_shared
+        |FROM terms""".stripMargin,
 
     // DSIR selection: weights + content-hash Gumbel, both 1e-6 fixed-point
     // BIGINTs, ranked by their exact integer sum.

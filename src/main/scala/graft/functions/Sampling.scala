@@ -161,6 +161,55 @@ object Sampling {
           .cast("long").as("lr"))
   }
 
+  /** Corpus distribution drift between two snapshots: Jensen–Shannon
+    * divergence and L1 distance between the corpora's hashed-n-gram
+    * bucket multinomials (same features as [[dsirWeights]]) — the
+    * "did this crawl's content shift?" monitor run between snapshot
+    * refreshes, BEFORE a drifted batch contaminates the training mix.
+    * JS is used (not KL) because either side may populate buckets the
+    * other lacks — JS is finite and symmetric there. True (unsmoothed)
+    * multinomials; per-bucket terms are fixed-pointed to 1e-9 longs
+    * before the sum (terms are O(1/buckets), so 1e-6 grain would eat
+    * them), making the scalar partition-order-independent and
+    * oracle-verifiable. One aggregation pass per corpus, then a
+    * buckets-bounded outer join — corpus text never joins anything.
+    * Output: one row (js_divergence, l1_distance, buckets_a,
+    * buckets_b, buckets_shared). */
+  def distributionDrift(
+      a: DataFrame, aTextCol: String,
+      b: DataFrame, bTextCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val aB = hashedNgramFeatures(a, aTextCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("ca"))
+    val bB = hashedNgramFeatures(b, bTextCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("cb"))
+    val tots = aB.agg(coalesce(sum(col("ca")).cast("double"), lit(0.0)).as("ta"))
+      .crossJoin(bB.agg(coalesce(sum(col("cb")).cast("double"), lit(0.0)).as("tb")))
+    val pa = coalesce(col("ca"), lit(0L)).cast("double") / greatest(col("ta"), lit(1.0))
+    val pb = coalesce(col("cb"), lit(0L)).cast("double") / greatest(col("tb"), lit(1.0))
+    val m = (pa + pb) / 2.0
+    val termA = when(pa > 0.0, pa * log(pa / m)).otherwise(lit(0.0))
+    val termB = when(pb > 0.0, pb * log(pb / m)).otherwise(lit(0.0))
+    aB.join(bB, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tots))
+      .select(
+        round((termA + termB) / 2.0 * 1e9, 0).cast("long").as("js9"),
+        round(abs(pa - pb) * 1e9, 0).cast("long").as("l19"),
+        col("ca").isNotNull.cast("long").as("ia"),
+        col("cb").isNotNull.cast("long").as("ib"),
+        (col("ca").isNotNull && col("cb").isNotNull).cast("long").as("ish"))
+      .agg(sum(col("js9")).as("js"), sum(col("l19")).as("l1"),
+        sum(col("ia")).cast("long").as("buckets_a"),
+        sum(col("ib")).cast("long").as("buckets_b"),
+        sum(col("ish")).cast("long").as("buckets_shared"))
+      .select(
+        round(col("js").cast("double") / 1e9, 6).as("js_divergence"),
+        round(col("l1").cast("double") / 1e9, 6).as("l1_distance"),
+        col("buckets_a"), col("buckets_b"), col("buckets_shared"))
+  }
+
   /** Score documents against a fitted (or persisted) [[dsirFit]] table:
     * per-document sum of the per-feature fixed-point log-ratios. `buckets`
     * must match the fit's. The serve half of the fit/serve split — a

@@ -125,4 +125,31 @@ class SamplingSpec extends SparkSpec {
     // every selected doc is from the target-like half.
     assert(once.map(_._1).forall(_ < 20L), once.map(_._1).mkString(","))
   }
+
+  test("distributionDrift: 0 on identical corpora, ln 2 on disjoint ones, symmetric") {
+    val a = (0L until 10L).map(i => (i, mkText(sparkVocab, i, 20))).toDF("doc_id", "text")
+    val b = (0L until 10L).map(i => (i, mkText(bakeVocab, i, 20))).toDF("doc_id", "text")
+
+    val same = Sampling.distributionDrift(a, "text", a, "text")
+      .as[(Double, Double, Long, Long, Long)].head()
+    assert(same._1 === 0.0 && same._2 === 0.0)
+    assert(same._3 === same._5 && same._4 === same._5) // all buckets shared
+
+    // Disjoint vocabularies hash to disjoint buckets (no collision at 4096
+    // buckets for this tiny vocab — pinned by buckets_shared below), so JS
+    // hits its ln 2 maximum and L1 its 2.0 maximum.
+    val disj = Sampling.distributionDrift(a, "text", b, "text")
+      .as[(Double, Double, Long, Long, Long)].head()
+    assert(disj._5 === 0L, s"vocabularies collided: ${disj._5} shared buckets")
+    assert(math.abs(disj._1 - math.log(2.0)) < 1e-4, s"js = ${disj._1}")
+    assert(math.abs(disj._2 - 2.0) < 1e-4, s"l1 = ${disj._2}")
+
+    // Symmetric up to the bucket-count swap; layout-independent.
+    val ab = Sampling.distributionDrift(a, "text", b.repartition(5), "text")
+      .as[(Double, Double, Long, Long, Long)].head()
+    val ba = Sampling.distributionDrift(b, "text", a.repartition(3), "text")
+      .as[(Double, Double, Long, Long, Long)].head()
+    assert(ab._1 === ba._1 && ab._2 === ba._2)
+    assert(ab._3 === ba._4 && ab._4 === ba._3)
+  }
 }
