@@ -161,6 +161,17 @@ object Sampling {
           .cast("long").as("lr"))
   }
 
+  /** The hashed-n-gram bucket histogram [[distributionDrift]] compares:
+    * (bucket, cnt) with one row per populated bucket (≤ `buckets` rows).
+    * Persist a baseline corpus's histogram through a TableStore and feed
+    * it to [[driftAgainstCounts]] / the streaming drift alarm. */
+  def bucketCounts(df: DataFrame, textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    hashedNgramFeatures(df, textCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
   /** Corpus distribution drift between two snapshots: Jensen–Shannon
     * divergence and L1 distance between the corpora's hashed-n-gram
     * bucket multinomials (same features as [[dsirWeights]]) — the
@@ -178,13 +189,18 @@ object Sampling {
   def distributionDrift(
       a: DataFrame, aTextCol: String,
       b: DataFrame, bTextCol: String,
-      buckets: Int = 4096): DataFrame = {
-    require(buckets >= 2 && buckets <= (1 << 20),
-      s"buckets must be in [2, 2^20], got $buckets")
-    val aB = hashedNgramFeatures(a, aTextCol, buckets)
-      .groupBy("bucket").agg(count(lit(1)).cast("long").as("ca"))
-    val bB = hashedNgramFeatures(b, bTextCol, buckets)
-      .groupBy("bucket").agg(count(lit(1)).cast("long").as("cb"))
+      buckets: Int = 4096): DataFrame =
+    driftAgainstCounts(bucketCounts(a, aTextCol, buckets),
+      bucketCounts(b, bTextCol, buckets))
+
+  /** [[distributionDrift]] over two PRE-AGGREGATED [[bucketCounts]]
+    * histograms — the serve half for a standing baseline: the baseline
+    * corpus aggregates once, persists its ≤-buckets-row histogram, and
+    * every later comparison (a new snapshot, a micro-batch) joins
+    * against that table instead of re-reading the baseline corpus. */
+  def driftAgainstCounts(aCounts: DataFrame, bCounts: DataFrame): DataFrame = {
+    val aB = aCounts.select(col("bucket"), col("cnt").as("ca"))
+    val bB = bCounts.select(col("bucket"), col("cnt").as("cb"))
     val tots = aB.agg(coalesce(sum(col("ca")).cast("double"), lit(0.0)).as("ta"))
       .crossJoin(bB.agg(coalesce(sum(col("cb")).cast("double"), lit(0.0)).as("tb")))
     val pa = coalesce(col("ca"), lit(0L)).cast("double") / greatest(col("ta"), lit(1.0))

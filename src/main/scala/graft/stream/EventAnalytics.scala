@@ -200,6 +200,25 @@ object EventAnalytics {
         .filter(col("log_w") >= minLogW))
     }
 
+  /** Streaming drift alarm — per-micro-batch
+    * [[graft.functions.Sampling.distributionDrift]] against a PERSISTED
+    * baseline histogram ([[graft.functions.Sampling.bucketCounts]],
+    * aggregated once from the reference corpus and refreshed offline):
+    * each batch emits one (batch_id, js_divergence, l1_distance,
+    * buckets_a, buckets_b, buckets_shared) row, the signal a pipeline
+    * pages on BEFORE a drifted crawl contaminates the training mix.
+    * `buckets` must match the baseline's. Per-batch cost: one narrow
+    * feature map + a buckets-bounded outer join against the standing
+    * histogram — the batch's text never joins anything. */
+  def driftAlarmEachBatch(
+      baseline: DataFrame, textCol: String, buckets: Int = 4096)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, id) =>
+      sink(graft.functions.Sampling.driftAgainstCounts(
+        baseline,
+        graft.functions.Sampling.bucketCounts(batch, textCol, buckets))
+        .withColumn("batch_id", lit(id)))
+
   /** Streaming ANN serve: probe a PERSISTED IVF index
     * ([[graft.functions.AnnIndex]]) with each micro-batch of query
     * vectors — the online half of the build/serve split (a recommender /

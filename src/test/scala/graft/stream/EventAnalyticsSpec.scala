@@ -198,6 +198,64 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(acc.toSet === want, "stream gate diverged from the batch scoring")
   }
 
+  test("driftAlarmEachBatch: per-batch drift == batch-mode drift; drifted batch alarms") {
+    import graft.functions.Sampling
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    def mk(vocab: Seq[String], i: Long, n: Int): String =
+      (0 until n).map(j => vocab(((i + j * 7) % vocab.size).toInt)).mkString(" ")
+    val sv = Seq("spark", "shuffle", "partition", "executor")
+    val bv = Seq("flour", "sugar", "butter", "oven")
+    val baselineCorpus = (0L until 10L).map(i => (i, mk(sv, i, 20))).toDF("doc_id", "text")
+
+    // Aggregate the baseline histogram ONCE, persist, serve from the reload.
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("drift_base_").toString)
+    store.overwrite("baseline_hist",
+      Sampling.bucketCounts(baselineCorpus, "text", buckets = 512))
+    val baseline = store.load("baseline_hist")
+
+    val likeBatch = (50L until 55L).map(i => (i, mk(sv, i, 15)))
+    val driftBatch = (60L until 65L).map(i => (i, mk(bv, i, 15)))
+
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(EventAnalytics.driftAlarmEachBatch(
+        baseline, "text", buckets = 512) { out =>
+        acc.synchronized {
+          acc ++= out.select("js_divergence", "l1_distance", "batch_id")
+            .as[(Double, Double, Long)].collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    input.addData(likeBatch)
+    q.processAllAvailable()
+    input.addData(driftBatch)
+    q.processAllAvailable()
+    q.stop()
+
+    val byBatch = acc.sortBy(_._3).toVector
+    assert(byBatch.size === 2)
+    // Each batch's alarm row equals the batch-mode computation on the
+    // same rows against the same persisted baseline.
+    val wantLike = Sampling.driftAgainstCounts(baseline,
+      Sampling.bucketCounts(likeBatch.toDF("doc_id", "text"), "text", 512))
+      .as[(Double, Double, Long, Long, Long)].head()
+    val wantDrift = Sampling.driftAgainstCounts(baseline,
+      Sampling.bucketCounts(driftBatch.toDF("doc_id", "text"), "text", 512))
+      .as[(Double, Double, Long, Long, Long)].head()
+    assert(byBatch(0)._1 === wantLike._1 && byBatch(0)._2 === wantLike._2)
+    assert(byBatch(1)._1 === wantDrift._1 && byBatch(1)._2 === wantDrift._2)
+    // The same-distribution batch sits far below the disjoint one, which
+    // alarms at the JS maximum (disjoint vocabularies -> ln 2).
+    assert(byBatch(0)._1 < 0.3, s"like-batch js ${byBatch(0)._1}")
+    assert(math.abs(byBatch(1)._1 - math.log(2.0)) < 1e-4, s"drift js ${byBatch(1)._1}")
+  }
+
   test("annProbeEachBatch: micro-batched probes == one batch probe; mutations land next batch") {
     import graft.functions.AnnIndex
     import graft.io.ParquetTableStore
