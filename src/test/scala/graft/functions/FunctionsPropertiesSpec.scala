@@ -276,4 +276,48 @@ class FunctionsPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: distributionDrift bounds, identity, duplication-invariance, symmetry") {
+    samples(Gen.zip(docsGen, docsGen), 4).foreach { case (a0, b0) =>
+      val a = a0.toDF("doc_id", "text")
+      val b = b0.toDF("doc_id", "text")
+      def drift(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+        Sampling.distributionDrift(x, "text", y, "text", buckets = 256)
+          .as[(Double, Double, Long, Long, Long)].head()
+      val ab = drift(a, b)
+      // JS in [0, ln 2]; L1 in [0, 2] (fixed-point slack one grain per bucket).
+      assert(ab._1 >= 0.0 && ab._1 <= math.log(2.0) + 1e-6, s"js ${ab._1}")
+      assert(ab._2 >= 0.0 && ab._2 <= 2.0 + 1e-6, s"l1 ${ab._2}")
+      // Identity, and invariance under corpus duplication (doubling every
+      // count scales by an exact power of two, so probabilities are
+      // bit-identical and the drift is exactly zero).
+      val aa = drift(a, a)
+      assert(aa._1 === 0.0 && aa._2 === 0.0)
+      val dup = a0.map { case (i, t) => (i + 1000L, t) }.toDF("doc_id", "text")
+      val adup = drift(a, a.unionByName(dup))
+      assert(adup._1 === 0.0 && adup._2 === 0.0, s"duplication drifted: $adup")
+      // Symmetric in js/l1; bucket counts swap.
+      val ba = drift(b, a)
+      assert(ab._1 === ba._1 && ab._2 === ba._2)
+      assert(ab._3 === ba._4 && ab._4 === ba._3 && ab._5 === ba._5)
+    }
+  }
+
+  test("property: dsirWeights — equal texts get equal weights; layout-independent") {
+    samples(Gen.zip(docsGen, docsGen), 4).foreach { case (raw0, tgt0) =>
+      // Plant an exact-duplicate pair in the raw corpus.
+      val dupBase = raw0.head._2
+      val raw = raw0 ++ Seq((500L, dupBase), (501L, dupBase))
+      val rawDf = raw.toDF("doc_id", "text")
+      val tgtDf = tgt0.toDF("doc_id", "text")
+      val w = Sampling.dsirWeights(rawDf, "doc_id", "text", tgtDf, "text", buckets = 256)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(w(500L) === w(501L), "identical texts scored differently")
+      assert(w(500L) === w(raw0.head._1), "copy scored differently from original")
+      val w2 = Sampling.dsirWeights(rawDf.repartition(5), "doc_id", "text",
+        tgtDf.repartition(3), "text", buckets = 256)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(w === w2, "weights changed under repartitioning")
+    }
+  }
 }
