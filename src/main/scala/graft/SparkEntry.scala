@@ -258,22 +258,25 @@ object SparkEntry {
   /** Shared WITH-chain for the near-dup clustering oracles: exact jaccard
     * pairs at 0.8 → symmetric edges → 5 unrolled label-propagation rounds
     * (mirrors `Dedup.clusterLabels`; l5 = final labels). */
-  private val clusterChainSql: String = {
-    val rounds = (1 to 5).map { i =>
-      s"""l$i AS (
-         |  SELECT l.doc_id, least(l.cluster_id, coalesce(m.nbr, l.cluster_id)) AS cluster_id
-         |  FROM l${i - 1} l LEFT JOIN (
-         |    SELECT e.src AS doc_id, min(x.cluster_id) AS nbr
-         |    FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY 1) m
-         |  USING (doc_id))""".stripMargin
-    }.mkString(",\n")
+  /** The 5 unrolled min-label-propagation rounds over an `edges` CTE and
+    * an `l0` seed — shared by every clustering oracle regardless of which
+    * pair frame feeds `edges` (jaccard-only, or the ensemble union). */
+  private val clusterRoundsSql: String = (1 to 5).map { i =>
+    s"""l$i AS (
+       |  SELECT l.doc_id, least(l.cluster_id, coalesce(m.nbr, l.cluster_id)) AS cluster_id
+       |  FROM l${i - 1} l LEFT JOIN (
+       |    SELECT e.src AS doc_id, min(x.cluster_id) AS nbr
+       |    FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id GROUP BY 1) m
+       |  USING (doc_id))""".stripMargin
+  }.mkString(",\n")
+
+  private val clusterChainSql: String =
     s"""$jaccardPairsCteSql,
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
-       |$rounds""".stripMargin
-  }
+       |$clusterRoundsSql""".stripMargin
 
   /** Unrolled integer fixed-point PageRank oracle (mirrors
     * `Graph.pageRank`: 1e-9 BIGINT units, `//` integral division,
@@ -1490,6 +1493,28 @@ object SparkEntry {
         pq(s, dir, "documents").select(col("doc_id")), "doc_id",
         guardedPairs(s, dir), iterations = 5)
         .orderBy("cluster_size")),
+
+    // ENSEMBLE dedup — how production dedup actually runs: the pair frames
+    // from independent signals (lexical MinHash-LSH + bitwise SimHash)
+    // union into ONE edge set, one connected-components pass, min-id
+    // survivorship. A pair either signal finds merges the family; neither
+    // signal's blind spot (LSH: low-jaccard bit-level dups; SimHash:
+    // high-jaccard long docs diluting the fingerprint) survives the union.
+    "q_dedup_ensemble" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val jac = guardedPairs(s, dir).select("id_a", "id_b")
+      val sim = graft.functions.Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 1).select("id_a", "id_b")
+      val allp = jac.unionByName(sim).distinct()
+      val labels = graft.functions.Dedup.clusterLabels(
+        docs.select("doc_id"), "doc_id", allp, iterations = 5)
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).cast("long").as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_kept"))
+        .orderBy("doc_id")
+    }),
 
     // Similarity-threshold calibration: cosine histogram over two
     // deterministic hash-sampled vertex sets (bounded pairs at any N)
@@ -4307,6 +4332,35 @@ object SparkEntry {
          |  FROM l5 GROUP BY cluster_id)
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // Ensemble dedup: exact jaccard pairs UNION simhash hamming<=1 pairs,
+    // then the shared 5-round label-propagation chain over the union.
+    "q_dedup_ensemble" ->
+      s"""WITH $jaccardPairsCteSql,
+         |stoks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
+         |svotes AS (
+         |  SELECT doc_id,
+         |    $simhashVotesSql
+         |  FROM stoks GROUP BY doc_id),
+         |shashes AS (SELECT doc_id, $simhashValueSql AS simhash FROM svotes),
+         |spairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shashes a JOIN shashes b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
+         |allp AS (SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM spairs),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM allp
+         |  UNION ALL SELECT id_b, id_a FROM allp),
+         |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+         |$clusterRoundsSql,
+         |cs AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM l5 GROUP BY cluster_id)
+         |SELECT l5.doc_id, l5.cluster_id, cs.cluster_size,
+         |  l5.doc_id = l5.cluster_id AS is_kept
+         |FROM l5 JOIN cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_curation_kept" ->
       s"""WITH $curationGatesCteSql
