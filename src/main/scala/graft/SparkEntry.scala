@@ -1615,6 +1615,17 @@ object SparkEntry {
         .orderBy("rnk")
     }),
 
+    // Per-source DSIR selection — the deployed form: top-5 per source, so
+    // one source's high weights can never crowd another out of the mix.
+    "q_dsir_sample_strat" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.Sampling.dsirResamplePerStratum(
+        docs, "doc_id", "text", "source",
+        docs.filter(col("lang") === "en"), "text", kPerStratum = 5)
+        .select(col("source"), col("doc_id"), col("log_w"), col("skey"), col("rnk"))
+        .orderBy("source", "rnk")
+    }),
+
     // Robust per-language length-outlier filter (median + MAD): the
     // heavy-tail document screen that plain mean/stddev z-scores get wrong.
     // Two tiny per-language aggregates broadcast back — corpus never
@@ -4710,6 +4721,64 @@ object SparkEntry {
         |  FROM keyed)
         |SELECT doc_id, n_feats, log_w, skey, rnk FROM r WHERE rnk <= 25
         |ORDER BY rnk""".stripMargin,
+
+    // Per-source DSIR: same weights, stratum folded into the Gumbel hash,
+    // rank windowed per source.
+    "q_dsir_sample_strat" ->
+      """WITH rawtok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |rawpt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM rawtok),
+        |rawf AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT doc_id, w AS f FROM rawpt
+        |    UNION ALL
+        |    SELECT doc_id, prev || ' ' || w AS f FROM rawpt WHERE prev IS NOT NULL) AS u),
+        |tgttok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents WHERE lang = 'en'),
+        |tgtpt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM tgttok),
+        |tgtf AS (
+        |  SELECT CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT w AS f FROM tgtpt
+        |    UNION ALL
+        |    SELECT prev || ' ' || w AS f FROM tgtpt WHERE prev IS NOT NULL) AS u),
+        |rawb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM rawf GROUP BY 1),
+        |tgtb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM tgtf GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(rc) AS DOUBLE) FROM rawb) AS tr,
+        |               (SELECT coalesce(CAST(sum(tc) AS DOUBLE), 0.0) FROM tgtb) AS tt),
+        |ratio AS (
+        |  SELECT r.bucket,
+        |    CAST(round((ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + 4096.0))
+        |              - ln((r.rc + 1.0) / (tot.tr + 4096.0))) * 1000000, 0) AS BIGINT) AS lr
+        |  FROM rawb r LEFT JOIN tgtb t USING (bucket) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT rawf.doc_id, CAST(sum(lr) AS BIGINT) AS s
+        |  FROM rawf JOIN ratio USING (bucket) GROUP BY 1),
+        |w AS (
+        |  SELECT d.source, agg.doc_id, round(CAST(s AS DOUBLE) / 1000000.0, 6) AS log_w
+        |  FROM agg JOIN documents d ON agg.doc_id = d.doc_id),
+        |keyed AS (
+        |  SELECT source, doc_id, log_w,
+        |    CAST(round(log_w * 1000000, 0) AS BIGINT)
+        |    + CAST(round(-ln(-ln((('0x' || substr(md5('graft:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |        / 4294967296.0)) * 1000000, 0) AS BIGINT) AS skey
+        |  FROM w),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM keyed)
+        |SELECT source, doc_id, log_w, skey, rnk FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
 
     "q_length_outliers" ->
       """WITH meds AS (

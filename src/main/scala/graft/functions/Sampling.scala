@@ -267,4 +267,30 @@ object Sampling {
       .limit(k)
       .withColumn("rnk", row_number().over(win).cast("long"))
   }
+
+  /** Per-stratum DSIR selection — the form the method actually deploys
+    * (select within each domain/source separately, so one domain's high
+    * weights can never crowd another out of the mix): Gumbel-top-k
+    * WITHIN each stratum, `kPerStratum` rows kept per stratum. The
+    * stratum is part of the Gumbel hash, so enlarging one stratum never
+    * perturbs another's draw. One keyed join to attach the stratum + one
+    * shuffle by stratum for the partitioned window ([[capPerKey]]'s
+    * shape — the frame is bounded by the hottest stratum). */
+  def dsirResamplePerStratum(
+      raw: DataFrame, idCol: String, textCol: String, stratumCol: String,
+      target: DataFrame, targetTextCol: String,
+      kPerStratum: Int, buckets: Int = 4096, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+      .join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
+    val v = conv(keyHash(concat_ws(":", lit(seed), col(stratumCol),
+      col(idCol).cast("string"))), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val g = round(-log(-log(u)) * 1e6, 0).cast("long")
+    val skey = round(col("log_w") * 1e6, 0).cast("long") + g
+    val win = Window.partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
+    w.withColumn("skey", skey)
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= kPerStratum)
+  }
 }

@@ -126,6 +126,31 @@ class SamplingSpec extends SparkSpec {
     assert(once.map(_._1).forall(_ < 20L), once.map(_._1).mkString(","))
   }
 
+  test("dsirResamplePerStratum: k per stratum, deterministic, layout-independent") {
+    val raw = ((0L until 20L).map(i => (i, mkText(sparkVocab, i, 24), s"s${i % 2}")) ++
+      (20L until 40L).map(i => (i, mkText(bakeVocab, i, 24), s"s${i % 2}")))
+      .toDF("doc_id", "text", "source")
+    val once = Sampling.dsirResamplePerStratum(
+      raw, "doc_id", "text", "source", dsirTarget, "text", kPerStratum = 8)
+      .select("source", "doc_id", "rnk").as[(String, Long, Long)].collect().toSet
+    val again = Sampling.dsirResamplePerStratum(
+      raw.repartition(7), "doc_id", "text", "source",
+      dsirTarget.repartition(3), "text", kPerStratum = 8)
+      .select("source", "doc_id", "rnk").as[(String, Long, Long)].collect().toSet
+    assert(once === again)
+    val byStratum = once.groupBy(_._1)
+    assert(byStratum.keySet === Set("s0", "s1"))
+    byStratum.foreach { case (src, rows) =>
+      assert(rows.size === 8, s"$src kept ${rows.size}")
+      assert(rows.map(_._3) === (1L to 8L).toSet, s"$src ranks ${rows.map(_._3)}")
+      // Selected ids really belong to the stratum (even ids -> s0, odd -> s1).
+      assert(rows.forall { case (s, id, _) => s"s${id % 2}" === s })
+      // Weight separation dominates the Gumbel noise within each stratum too:
+      // all selections are from the target-like half (ids < 20).
+      assert(rows.forall(_._2 < 20L), s"$src selected ${rows.map(_._2)}")
+    }
+  }
+
   test("distributionDrift: 0 on identical corpora, ln 2 on disjoint ones, symmetric") {
     val a = (0L until 10L).map(i => (i, mkText(sparkVocab, i, 20))).toDF("doc_id", "text")
     val b = (0L until 10L).map(i => (i, mkText(bakeVocab, i, 20))).toDF("doc_id", "text")
