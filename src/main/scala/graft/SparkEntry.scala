@@ -1604,6 +1604,16 @@ object SparkEntry {
         docs.filter(col("lang") =!= "en"), "text")
     }),
 
+    // Drift LOCALIZATION: one JS/L1 row per source against the whole-corpus
+    // baseline histogram — which crawl drifted, not just that one did.
+    "q_drift_by_source" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.Sampling.driftByStratum(
+        docs, "text", "source",
+        graft.functions.Sampling.bucketCounts(docs, "text"))
+        .orderBy("source")
+    }),
+
     // DSIR selection: Gumbel-top-k importance resampling toward the same
     // target — deterministic (content-hash Gumbel), rank pinned by the
     // fixed-point skey on both engines.
@@ -4664,6 +4674,72 @@ object SparkEntry {
         |  CAST(sum(ib) AS BIGINT) AS buckets_b,
         |  CAST(sum(ish) AS BIGINT) AS buckets_shared
         |FROM terms""".stripMargin,
+
+    // Per-source drift: the scalar drift oracle with the comparison grid
+    // expanded to sources x baseline buckets, grouped per source.
+    "q_drift_by_source" ->
+      """WITH atok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |apt AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM atok),
+        |af AS (
+        |  SELECT CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT w AS f FROM apt
+        |    UNION ALL
+        |    SELECT prev || ' ' || w AS f FROM apt WHERE prev IS NOT NULL) AS u),
+        |ab AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ca FROM af GROUP BY 1),
+        |tat AS (SELECT coalesce(CAST(sum(ca) AS DOUBLE), 0.0) AS ta FROM ab),
+        |stok AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |spt AS (
+        |  SELECT doc_id, source, w,
+        |    lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM stok),
+        |sf AS (
+        |  SELECT source, CAST(('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT source, w AS f FROM spt
+        |    UNION ALL
+        |    SELECT source, prev || ' ' || w AS f FROM spt WHERE prev IS NOT NULL) AS u),
+        |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cb FROM sf GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(cb) AS DOUBLE) AS tb FROM sb GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, ab.bucket, ab.ca
+        |  FROM (SELECT DISTINCT source FROM sb) s CROSS JOIN ab),
+        |j AS (
+        |  SELECT source, bucket, ca, cb
+        |  FROM grid FULL OUTER JOIN sb USING (source, bucket)),
+        |terms AS (
+        |  SELECT j.source,
+        |    CAST(round((CASE WHEN coalesce(ca, 0) > 0
+        |        THEN (ca / greatest(ta, 1.0)) * ln((ca / greatest(ta, 1.0))
+        |          / ((coalesce(ca, 0) / greatest(ta, 1.0) + coalesce(cb, 0) / greatest(tb, 1.0)) / 2.0))
+        |        ELSE 0.0 END
+        |      + CASE WHEN coalesce(cb, 0) > 0
+        |        THEN (cb / greatest(tb, 1.0)) * ln((cb / greatest(tb, 1.0))
+        |          / ((coalesce(ca, 0) / greatest(ta, 1.0) + coalesce(cb, 0) / greatest(tb, 1.0)) / 2.0))
+        |        ELSE 0.0 END) / 2.0 * 1000000000, 0) AS BIGINT) AS js9,
+        |    CAST(round(abs(coalesce(ca, 0) / greatest(ta, 1.0)
+        |      - coalesce(cb, 0) / greatest(tb, 1.0)) * 1000000000, 0) AS BIGINT) AS l19,
+        |    CAST(ca IS NOT NULL AS BIGINT) AS ia,
+        |    CAST(cb IS NOT NULL AS BIGINT) AS ib,
+        |    CAST(ca IS NOT NULL AND cb IS NOT NULL AS BIGINT) AS ish
+        |  FROM j JOIN stot USING (source) CROSS JOIN tat)
+        |SELECT source,
+        |  round(CAST(sum(js9) AS DOUBLE) / 1000000000.0, 6) AS js_divergence,
+        |  round(CAST(sum(l19) AS DOUBLE) / 1000000000.0, 6) AS l1_distance,
+        |  CAST(sum(ia) AS BIGINT) AS buckets_a,
+        |  CAST(sum(ib) AS BIGINT) AS buckets_b,
+        |  CAST(sum(ish) AS BIGINT) AS buckets_shared
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // DSIR selection: weights + content-hash Gumbel, both 1e-6 fixed-point
     // BIGINTs, ranked by their exact integer sum.

@@ -226,6 +226,56 @@ object Sampling {
         col("buckets_a"), col("buckets_b"), col("buckets_shared"))
   }
 
+  /** Per-stratum drift localization: one (stratum, JS, L1) row per
+    * stratum of `df`, each compared against the SAME persisted baseline
+    * histogram — the actionable form of [[distributionDrift]]'s scalar
+    * ("page the crawl that drifted, not everyone"). The comparison grid
+    * is strata × baseline-buckets (bounded: |strata| × `buckets` rows)
+    * full-outer-joined with the per-(stratum, bucket) counts, so a
+    * bucket only one side populates still contributes its term; the
+    * corpus text itself never joins anything. Same 1e-9 fixed-point
+    * per-bucket terms as the scalar form. */
+  def driftByStratum(
+      df: DataFrame, textCol: String, stratumCol: String,
+      baseline: DataFrame, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    // sb feeds BOTH the totals and the grid join: materialize it once
+    // (bounded at |strata| x buckets rows) or the feature explode over
+    // the corpus would evaluate twice — the double-subtree-evaluation
+    // trap the clusterLabels scaladoc documents.
+    val sb = hashedNgramFeatures(df, textCol, buckets, col(stratumCol))
+      .groupBy(stratumCol, "bucket").agg(count(lit(1)).cast("long").as("cb"))
+      .localCheckpoint()
+    val stot = sb.groupBy(stratumCol).agg(sum(col("cb")).cast("double").as("tb"))
+    val base = baseline.select(col("bucket"), col("cnt").as("ca"))
+    val ta = base.agg(coalesce(sum(col("ca")).cast("double"), lit(0.0)).as("ta"))
+    val grid = stot.select(col(stratumCol)).crossJoin(base)
+    val pa = coalesce(col("ca"), lit(0L)).cast("double") / greatest(col("ta"), lit(1.0))
+    val pb = coalesce(col("cb"), lit(0L)).cast("double") / greatest(col("tb"), lit(1.0))
+    val m = (pa + pb) / 2.0
+    val termA = when(pa > 0.0, pa * log(pa / m)).otherwise(lit(0.0))
+    val termB = when(pb > 0.0, pb * log(pb / m)).otherwise(lit(0.0))
+    grid.join(sb, Seq(stratumCol, "bucket"), "full_outer")
+      .crossJoin(broadcast(ta))
+      .join(broadcast(stot), Seq(stratumCol))
+      .select(col(stratumCol),
+        round((termA + termB) / 2.0 * 1e9, 0).cast("long").as("js9"),
+        round(abs(pa - pb) * 1e9, 0).cast("long").as("l19"),
+        col("ca").isNotNull.cast("long").as("ia"),
+        col("cb").isNotNull.cast("long").as("ib"),
+        (col("ca").isNotNull && col("cb").isNotNull).cast("long").as("ish"))
+      .groupBy(stratumCol)
+      .agg(sum(col("js9")).as("js"), sum(col("l19")).as("l1"),
+        sum(col("ia")).cast("long").as("buckets_a"),
+        sum(col("ib")).cast("long").as("buckets_b"),
+        sum(col("ish")).cast("long").as("buckets_shared"))
+      .select(col(stratumCol),
+        round(col("js").cast("double") / 1e9, 6).as("js_divergence"),
+        round(col("l1").cast("double") / 1e9, 6).as("l1_distance"),
+        col("buckets_a"), col("buckets_b"), col("buckets_shared"))
+  }
+
   /** Score documents against a fitted (or persisted) [[dsirFit]] table:
     * per-document sum of the per-feature fixed-point log-ratios. `buckets`
     * must match the fit's. The serve half of the fit/serve split — a

@@ -151,6 +151,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("driftByStratum: each stratum's row equals the scalar drift of its slice") {
+    val df = ((0L until 10L).map(i => (i, mkText(sparkVocab, i, 20), "s0")) ++
+      (10L until 20L).map(i => (i, mkText(bakeVocab, i, 20), "s1")))
+      .toDF("doc_id", "text", "source")
+    val baseline = Sampling.bucketCounts(df, "text", buckets = 512)
+    val got = Sampling.driftByStratum(df, "text", "source", baseline, buckets = 512)
+      .as[(String, Double, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("s0", "s1"))
+    Seq("s0", "s1").foreach { src =>
+      val want = Sampling.driftAgainstCounts(baseline,
+        Sampling.bucketCounts(df.filter($"source" === src), "text", 512))
+        .as[(Double, Double, Long, Long, Long)].head()
+      assert((got(src)._2, got(src)._3, got(src)._4, got(src)._5, got(src)._6) === want,
+        s"$src: ${got(src)} != $want")
+    }
+    // Both halves drift from the pooled baseline by the same amount here
+    // (equal sizes, disjoint vocabularies) and neither is at the maximum.
+    assert(got("s0")._2 > 0.1 && got("s0")._2 < math.log(2.0))
+  }
+
   test("distributionDrift: 0 on identical corpora, ln 2 on disjoint ones, symmetric") {
     val a = (0L until 10L).map(i => (i, mkText(sparkVocab, i, 20))).toDF("doc_id", "text")
     val b = (0L until 10L).map(i => (i, mkText(bakeVocab, i, 20))).toDF("doc_id", "text")
