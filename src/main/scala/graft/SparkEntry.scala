@@ -260,9 +260,13 @@ object SparkEntry {
     * (mirrors `Dedup.clusterLabels`; l5 = final labels). */
   /** The 5 unrolled min-label-propagation rounds over an `edges` CTE and
     * an `l0` seed — shared by every clustering oracle regardless of which
-    * pair frame feeds `edges` (jaccard-only, or the ensemble union). */
+    * pair frame feeds `edges` (jaccard-only, or the ensemble union).
+    * Each round is MATERIALIZED: DuckDB inlines plain CTEs, and round i
+    * references round i-1 twice, so without materialization the whole
+    * upstream pair-generation tree re-executes ~2^5 times (the ensemble
+    * oracle measured minutes instead of seconds). Same results. */
   private val clusterRoundsSql: String = (1 to 5).map { i =>
-    s"""l$i AS (
+    s"""l$i AS MATERIALIZED (
        |  SELECT l.doc_id, least(l.cluster_id, coalesce(m.nbr, l.cluster_id)) AS cluster_id
        |  FROM l${i - 1} l LEFT JOIN (
        |    SELECT e.src AS doc_id, min(x.cluster_id) AS nbr
@@ -272,7 +276,7 @@ object SparkEntry {
 
   private val clusterChainSql: String =
     s"""$jaccardPairsCteSql,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
        |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
@@ -4370,7 +4374,11 @@ object SparkEntry {
          |  FROM shashes a JOIN shashes b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
          |allp AS (SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM spairs),
-         |edges AS (
+         |edges AS MATERIALIZED (
+         |  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+         |  -- unrolled label rounds reference edges/l(i-1) multiplicatively —
+         |  -- without it the jaccard+simhash pair generation re-executes ~2^5
+         |  -- times and the oracle runs minutes instead of seconds.
          |  SELECT id_a AS src, id_b AS dst FROM allp
          |  UNION ALL SELECT id_b, id_a FROM allp),
          |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
