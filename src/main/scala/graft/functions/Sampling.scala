@@ -144,10 +144,16 @@ object Sampling {
       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
+    // Each histogram feeds BOTH its total and the ratio join: materialize
+    // once (bounded ≤ buckets rows) or the corpus feature explode
+    // evaluates twice per side — the double-subtree trap the
+    // clusterLabels scaladoc documents.
     val rawB = hashedNgramFeatures(raw, rawTextCol, buckets)
       .groupBy("bucket").agg(count(lit(1)).cast("long").as("rc"))
+      .localCheckpoint()
     val tgtB = hashedNgramFeatures(target, targetTextCol, buckets)
       .groupBy("bucket").agg(count(lit(1)).cast("long").as("tc"))
+      .localCheckpoint()
     val tots = rawB.agg(coalesce(sum(col("rc")).cast("double"), lit(0.0)).as("tr"))
       .crossJoin(tgtB.agg(coalesce(sum(col("tc")).cast("double"), lit(0.0)).as("tt")))
     val b = lit(buckets.toDouble)
@@ -199,8 +205,12 @@ object Sampling {
     * every later comparison (a new snapshot, a micro-batch) joins
     * against that table instead of re-reading the baseline corpus. */
   def driftAgainstCounts(aCounts: DataFrame, bCounts: DataFrame): DataFrame = {
-    val aB = aCounts.select(col("bucket"), col("cnt").as("ca"))
-    val bB = bCounts.select(col("bucket"), col("cnt").as("cb"))
+    // Each side feeds BOTH its total and the outer join: materialize the
+    // bounded (≤ buckets rows) histograms once so a counts frame built
+    // from a raw corpus ([[distributionDrift]]'s case) never re-runs its
+    // feature explode for the second reference.
+    val aB = aCounts.select(col("bucket"), col("cnt").as("ca")).localCheckpoint()
+    val bB = bCounts.select(col("bucket"), col("cnt").as("cb")).localCheckpoint()
     val tots = aB.agg(coalesce(sum(col("ca")).cast("double"), lit(0.0)).as("ta"))
       .crossJoin(bB.agg(coalesce(sum(col("cb")).cast("double"), lit(0.0)).as("tb")))
     val pa = coalesce(col("ca"), lit(0L)).cast("double") / greatest(col("ta"), lit(1.0))
