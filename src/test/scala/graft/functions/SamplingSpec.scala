@@ -151,6 +151,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("DSIR/drift edge cases: null text, empty target, empty drift side") {
+    val raw = Seq((1L, Option("the cat sat")), (2L, Option.empty[String]),
+      (3L, Option("a dog ran"))).toDF("doc_id", "text")
+    // A null-text doc contributes no features and gets NO weight row
+    // (explode drops it) — mirrored by DuckDB unnest(NULL); callers that
+    // must keep such docs coalesce text to '' upstream.
+    val w = Sampling.dsirWeights(raw, "doc_id", "text",
+      Seq((9L, "the cat")).toDF("doc_id", "text"), "text", buckets = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(w === Set(1L, 3L))
+    // Empty target: fully-smoothed ratios — every weight defined and finite.
+    val emptyTgt = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val w2 = Sampling.dsirWeights(raw, "doc_id", "text", emptyTgt, "text", buckets = 64)
+      .select("doc_id", "log_w").as[(Long, Double)].collect().toMap
+    assert(w2.keySet === Set(1L, 3L))
+    assert(w2.values.forall(v => !v.isNaN && !v.isInfinite))
+    // Drift with one empty side: finite, and the populated side's mass
+    // contributes its full ln 2 term (JS(P, empty) = ln 2 / 2 under the
+    // zero-total convention; both engines compute the same formula).
+    val d = Sampling.distributionDrift(raw, "text", emptyTgt, "text", buckets = 64)
+      .as[(Double, Double, Long, Long, Long)].head()
+    assert(math.abs(d._1 - math.log(2.0) / 2) < 1e-4, s"js ${d._1}")
+    assert(d._4 === 0L && d._5 === 0L)
+  }
+
   test("driftByStratum: each stratum's row equals the scalar drift of its slice") {
     val df = ((0L until 10L).map(i => (i, mkText(sparkVocab, i, 20), "s0")) ++
       (10L until 20L).map(i => (i, mkText(bakeVocab, i, 20), "s1")))
