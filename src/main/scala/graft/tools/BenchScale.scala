@@ -56,6 +56,8 @@ object BenchScale {
     "q_dsir_weights",      // DSIR fit+score: 2 corpus passes, bounded ratio join
     "q_corpus_drift",      // JS/L1 drift: 1 histogram pass per slice
     "q_dedup_ensemble",    // jaccard ∪ simhash pairs + one clustering pass
+    "q_dsir_sample_strat", // weights + per-stratum Gumbel window
+    "q_drift_by_source",   // per-source histograms vs baseline grid
     // q_phash_checksum_pairs is EXCLUDED like the O(N²) witnesses: the
     // oracle corpus carries 32-bit STUB hashes with hamming<=6 (7 bands
     // of 4-5 bits = 16-32 keys), so candidate volume is ~N²·bands/2^width
