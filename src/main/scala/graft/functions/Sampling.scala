@@ -27,6 +27,25 @@ object Sampling {
 
   private def keyHash(seedAndKey: Column): Column = substring(md5(seedAndKey), 1, 8)
 
+  /** Content-hash uniform in (0,1): the first 8 md5 hex chars of the
+    * ":"-joined parts read as a 32-bit value v, mapped to (v+0.5)/2^32.
+    * SINGLE-SOURCED on purpose — every sampler's DuckDB oracle twin
+    * replays this exact recipe (offset 0.5, divisor 2^32), so one edit
+    * here is one edit everywhere instead of a silent rank divergence in
+    * whichever copy was missed. */
+  private def hashUniform(parts: Column*): Column = {
+    val v = conv(keyHash(concat_ws(":", parts: _*)), 16, 10).cast("double")
+    (v + lit(0.5)) / lit(4294967296.0)
+  }
+
+  /** Gumbel-top-k sort key over a `log_w` column: 1e-6 fixed-point
+    * `log_w + Gumbel(0,1)` with the Gumbel drawn from a content-hash
+    * uniform — both addends LONGS so the DuckDB oracle ranks identically
+    * despite last-ulp ln() differences. Shared by both resamplers. */
+  private def gumbelKey(u: Column): Column =
+    round(col("log_w") * 1e6, 0).cast("long") +
+      round(-log(-log(u)) * 1e6, 0).cast("long")
+
   /** Per-stratum deterministic Bernoulli sampling: keep a row iff
     * md5(seed:stratum:id)[0,8) < threshold(rate(stratum)). `rates` maps
     * stratum value -> sampling rate (strata absent from the map keep
@@ -57,9 +76,7 @@ object Sampling {
       df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
       k: Int, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = conv(keyHash(concat_ws(":", lit(seed), col(stratumCol),
-      col(idCol).cast("string"))), 16, 10).cast("double")
-    val u = (v + lit(0.5)) / lit(4294967296.0)
+    val u = hashUniform(lit(seed), col(stratumCol), col(idCol).cast("string"))
     val skey = round(log(u) / greatest(col(weightCol).cast("double"), lit(1e-9)), 6)
     val w = Window.partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
     df.withColumn("skey", skey)
@@ -199,6 +216,40 @@ object Sampling {
     driftAgainstCounts(bucketCounts(a, aTextCol, buckets),
       bucketCounts(b, bTextCol, buckets))
 
+  /** The shared JS+L1 per-bucket fixed-point term block: over joined rows
+    * carrying (ca, ta) for side A and (cb, tb) for side B, emit the 1e-9
+    * fixed-point js/l1 terms plus the occupancy indicators both drift
+    * forms aggregate. The 1e-9 grain, the p>0 guards, and the
+    * greatest(total, 1.0) zero-total convention are spec-pinned and
+    * mirrored in the DuckDB oracles — single-sourced here so the scalar
+    * and per-stratum forms (and their oracles) can never drift apart. */
+  private def driftTermCols: Seq[Column] = {
+    val pa = coalesce(col("ca"), lit(0L)).cast("double") / greatest(col("ta"), lit(1.0))
+    val pb = coalesce(col("cb"), lit(0L)).cast("double") / greatest(col("tb"), lit(1.0))
+    val m = (pa + pb) / 2.0
+    val termA = when(pa > 0.0, pa * log(pa / m)).otherwise(lit(0.0))
+    val termB = when(pb > 0.0, pb * log(pb / m)).otherwise(lit(0.0))
+    Seq(
+      round((termA + termB) / 2.0 * 1e9, 0).cast("long").as("js9"),
+      round(abs(pa - pb) * 1e9, 0).cast("long").as("l19"),
+      col("ca").isNotNull.cast("long").as("ia"),
+      col("cb").isNotNull.cast("long").as("ib"),
+      (col("ca").isNotNull && col("cb").isNotNull).cast("long").as("ish"))
+  }
+
+  /** The matching aggregate exprs over [[driftTermCols]] output. */
+  private def driftAggExprs: Seq[Column] = Seq(
+    sum(col("js9")).as("js"), sum(col("l19")).as("l1"),
+    sum(col("ia")).cast("long").as("buckets_a"),
+    sum(col("ib")).cast("long").as("buckets_b"),
+    sum(col("ish")).cast("long").as("buckets_shared"))
+
+  /** The shared output shape: fixed-point sums back to 6-decimal doubles. */
+  private def driftOutCols: Seq[Column] = Seq(
+    round(col("js").cast("double") / 1e9, 6).as("js_divergence"),
+    round(col("l1").cast("double") / 1e9, 6).as("l1_distance"),
+    col("buckets_a"), col("buckets_b"), col("buckets_shared"))
+
   /** [[distributionDrift]] over two PRE-AGGREGATED [[bucketCounts]]
     * histograms — the serve half for a standing baseline: the baseline
     * corpus aggregates once, persists its ≤-buckets-row histogram, and
@@ -213,27 +264,11 @@ object Sampling {
     val bB = bCounts.select(col("bucket"), col("cnt").as("cb")).localCheckpoint()
     val tots = aB.agg(coalesce(sum(col("ca")).cast("double"), lit(0.0)).as("ta"))
       .crossJoin(bB.agg(coalesce(sum(col("cb")).cast("double"), lit(0.0)).as("tb")))
-    val pa = coalesce(col("ca"), lit(0L)).cast("double") / greatest(col("ta"), lit(1.0))
-    val pb = coalesce(col("cb"), lit(0L)).cast("double") / greatest(col("tb"), lit(1.0))
-    val m = (pa + pb) / 2.0
-    val termA = when(pa > 0.0, pa * log(pa / m)).otherwise(lit(0.0))
-    val termB = when(pb > 0.0, pb * log(pb / m)).otherwise(lit(0.0))
     aB.join(bB, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(tots))
-      .select(
-        round((termA + termB) / 2.0 * 1e9, 0).cast("long").as("js9"),
-        round(abs(pa - pb) * 1e9, 0).cast("long").as("l19"),
-        col("ca").isNotNull.cast("long").as("ia"),
-        col("cb").isNotNull.cast("long").as("ib"),
-        (col("ca").isNotNull && col("cb").isNotNull).cast("long").as("ish"))
-      .agg(sum(col("js9")).as("js"), sum(col("l19")).as("l1"),
-        sum(col("ia")).cast("long").as("buckets_a"),
-        sum(col("ib")).cast("long").as("buckets_b"),
-        sum(col("ish")).cast("long").as("buckets_shared"))
-      .select(
-        round(col("js").cast("double") / 1e9, 6).as("js_divergence"),
-        round(col("l1").cast("double") / 1e9, 6).as("l1_distance"),
-        col("buckets_a"), col("buckets_b"), col("buckets_shared"))
+      .select(driftTermCols: _*)
+      .agg(driftAggExprs.head, driftAggExprs.tail: _*)
+      .select(driftOutCols: _*)
   }
 
   /** Per-stratum drift localization: one (stratum, JS, L1) row per
@@ -261,29 +296,13 @@ object Sampling {
     val base = baseline.select(col("bucket"), col("cnt").as("ca"))
     val ta = base.agg(coalesce(sum(col("ca")).cast("double"), lit(0.0)).as("ta"))
     val grid = stot.select(col(stratumCol)).crossJoin(base)
-    val pa = coalesce(col("ca"), lit(0L)).cast("double") / greatest(col("ta"), lit(1.0))
-    val pb = coalesce(col("cb"), lit(0L)).cast("double") / greatest(col("tb"), lit(1.0))
-    val m = (pa + pb) / 2.0
-    val termA = when(pa > 0.0, pa * log(pa / m)).otherwise(lit(0.0))
-    val termB = when(pb > 0.0, pb * log(pb / m)).otherwise(lit(0.0))
     grid.join(sb, Seq(stratumCol, "bucket"), "full_outer")
       .crossJoin(broadcast(ta))
       .join(broadcast(stot), Seq(stratumCol))
-      .select(col(stratumCol),
-        round((termA + termB) / 2.0 * 1e9, 0).cast("long").as("js9"),
-        round(abs(pa - pb) * 1e9, 0).cast("long").as("l19"),
-        col("ca").isNotNull.cast("long").as("ia"),
-        col("cb").isNotNull.cast("long").as("ib"),
-        (col("ca").isNotNull && col("cb").isNotNull).cast("long").as("ish"))
+      .select(col(stratumCol) +: driftTermCols: _*)
       .groupBy(stratumCol)
-      .agg(sum(col("js9")).as("js"), sum(col("l19")).as("l1"),
-        sum(col("ia")).cast("long").as("buckets_a"),
-        sum(col("ib")).cast("long").as("buckets_b"),
-        sum(col("ish")).cast("long").as("buckets_shared"))
-      .select(col(stratumCol),
-        round(col("js").cast("double") / 1e9, 6).as("js_divergence"),
-        round(col("l1").cast("double") / 1e9, 6).as("l1_distance"),
-        col("buckets_a"), col("buckets_b"), col("buckets_shared"))
+      .agg(driftAggExprs.head, driftAggExprs.tail: _*)
+      .select(col(stratumCol) +: driftOutCols: _*)
   }
 
   /** Score documents against a fitted (or persisted) [[dsirFit]] table:
@@ -316,11 +335,7 @@ object Sampling {
       k: Int, buckets: Int = 4096, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
-    val v = conv(keyHash(concat_ws(":", lit(seed), col(idCol).cast("string"))), 16, 10)
-      .cast("double")
-    val u = (v + lit(0.5)) / lit(4294967296.0)
-    val g = round(-log(-log(u)) * 1e6, 0).cast("long")
-    val skey = round(col("log_w") * 1e6, 0).cast("long") + g
+    val skey = gumbelKey(hashUniform(lit(seed), col(idCol).cast("string")))
     val win = Window.orderBy(col("skey").desc, col(idCol).asc)
     w.withColumn("skey", skey)
       .orderBy(col("skey").desc, col(idCol).asc)
@@ -343,11 +358,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
       .join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
-    val v = conv(keyHash(concat_ws(":", lit(seed), col(stratumCol),
-      col(idCol).cast("string"))), 16, 10).cast("double")
-    val u = (v + lit(0.5)) / lit(4294967296.0)
-    val g = round(-log(-log(u)) * 1e6, 0).cast("long")
-    val skey = round(col("log_w") * 1e6, 0).cast("long") + g
+    val skey = gumbelKey(
+      hashUniform(lit(seed), col(stratumCol), col(idCol).cast("string")))
     val win = Window.partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
     w.withColumn("skey", skey)
       .withColumn("rnk", row_number().over(win).cast("long"))

@@ -198,10 +198,16 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("next"))
+      // localCheckpoint (eager, k rows — trivial) truncates lineage so each
+      // round is one assignment pass over materialized centroids. Without it
+      // `cents` appears TWICE per round (broadcast side + repair join) and
+      // the logical plan doubles every iteration — ~2^iters copies of the
+      // seed subtree, the exact trap the clusterLabels scaladoc documents.
       cents = cents.select(col("cent_id"), col("centv"))
         .join(means, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("next"), col("centv")).as("centv"))
         .withColumn("ncent", sqrt(dotExpr("centv", "centv")))
+        .localCheckpoint()
     }
     cents
   }

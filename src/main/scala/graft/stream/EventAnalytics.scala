@@ -194,9 +194,14 @@ object EventAnalytics {
       buckets: Int = 4096, minLogW: Double = 0.0)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch, _) => {
+      // Materialize the batch once: `b` feeds BOTH the score derivation and
+      // the re-join below, so without the checkpoint the batch's entire
+      // upstream lineage (e.g. a composed curateStream, with its stateful
+      // dropDuplicates subtree) would plan and execute twice per epoch.
+      val b = batch.localCheckpoint()
       val scored = graft.functions.Sampling.dsirScore(
-        batch, idCol, textCol, ratio, buckets)
-      sink(batch.join(scored, Seq(idCol))
+        b, idCol, textCol, ratio, buckets)
+      sink(b.join(scored, Seq(idCol))
         .filter(col("log_w") >= minLogW))
     }
 

@@ -216,6 +216,14 @@ class QueueMicroBatchStream(
   private val receiptsPath = new Path(checkpointLocation, "graft-receipts")
   private def receiptsFs = receiptsPath.getFileSystem(hadoopConf)
 
+  /** Whether ack must also sweep receipt counters. Computed ONCE: with the
+    * DLQ on, receipts are being written this run; with it off, this run can
+    * never create new receipts, so the single startup `exists` (stale
+    * counters from a previous DLQ-enabled run?) stays valid for the life of
+    * the stream — no per-commit filesystem RPC on the hot ack path. */
+  private lazy val sweepReceipts: Boolean =
+    deadLetterDir.isDefined || receiptsFs.exists(receiptsPath)
+
   /** One delivery = one stream instance planning the message: Spark may
     * re-plan the same uncommitted epoch several times inside one run
     * (restart recovery reconstructs it, then execution plans it again),
@@ -476,7 +484,6 @@ class QueueMicroBatchStream(
     // written by a previous DLQ-enabled run would otherwise leak under the
     // checkpoint forever — and silently resume counting if the option were
     // re-enabled, racing an innocent redelivered message to the DLQ.
-    val sweepReceipts = deadLetterDir.isDefined || receiptsFs.exists(receiptsPath)
     acked.iterator.flatMap(_._2).foreach { n =>
       fs.delete(new Path(dirPath, n), false)
       if (sweepReceipts)

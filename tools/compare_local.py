@@ -39,8 +39,13 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(os.path.join(OUT, "oracle_sql.json")))
+# Mirror Verify's subset selector so a spot-compare's exit code reflects
+# only the queries actually dumped.
+subset = {q.strip() for q in os.environ.get("GRAFT_VERIFY_QUERIES", "").split(",")
+          if q.strip()}
 result = {}
 fails, errs = [], []
+skipped = 0
 
 
 def canon(df):
@@ -55,9 +60,15 @@ for name, sql in sorted(oracle.items()):
     result[name] = rec
     # Subset runs (GRAFT_VERIFY_QUERIES) dump only the changed queries:
     # check for the Spark output BEFORE paying the DuckDB oracle, so a
-    # two-query spot-compare doesn't execute all ~150 oracle SQLs.
+    # two-query spot-compare doesn't execute all ~150 oracle SQLs. In a
+    # subset run a missing dump is EXPECTED (skip, don't error) — only a
+    # full Verify run treats it as a failure.
     parts = sorted(glob.glob(os.path.join(OUT, name, "*.parquet")))
     if not parts:
+        if subset and name not in subset:
+            del result[name]
+            skipped += 1
+            continue
         rec["err"] = "no spark output"
         errs.append((name, rec["err"]))
         continue
@@ -93,7 +104,8 @@ if ART:
     with open(ART, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
 
-print(f"queries: {len(oracle)}  fails: {len(fails)}  errors: {len(errs)}")
+print(f"queries: {len(oracle) - skipped}  fails: {len(fails)}  errors: {len(errs)}"
+      + (f"  skipped: {skipped} (subset run)" if skipped else ""))
 for n, m in fails:
     print("FAIL", n, m)
 for n, m in errs:
