@@ -783,6 +783,17 @@ object SparkEntry {
       graft.functions.TextAnalysis.tfidfTopTerms(pq(s, dir, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk")),
 
+    // BM25 lexical retrieval: top-5 docs per query (3 doc texts reused as
+    // queries), Lucene-convention idf, broadcast query-term probe
+    "q_bm25_topk" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.TextAnalysis.bm25TopK(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 5)
+        .orderBy("qid", "rnk")
+    }),
+
     // Eval-set decontamination: 8-gram overlap of every document against the
     // benchmark stand-in (source = 'src0'), benchmark side broadcast.
     "q_contamination" -> ((s, dir) => {
@@ -3086,6 +3097,37 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS ndocs FROM dl),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS qid, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents WHERE doc_id < 3),
+        |qdf AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1),
+        |scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln(1.0 + (s.ndocs - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1.0) /
+        |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) * 1e6,
+        |      0) AS BIGINT)) AS BIGINT) AS s6
+        |  FROM tf JOIN qterms q ON tf.term = q.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN qdf d ON tf.term = d.term
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY s6 DESC, doc_id ASC) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT qid, doc_id, round(CAST(s6 AS DOUBLE) / 1e6, 6) AS bm25, rnk
+        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q_contamination" ->
       """WITH toks AS (

@@ -454,6 +454,64 @@ object TextAnalysis {
     * last-ulp `ln` differences. Plan construction is FULLY LAZY: the
     * corpus document count N feeds the IDF as a broadcast 1-row frame
     * (scale-free), not a driver-side count action. */
+  /** BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene-convention
+    * strictly-positive idf `ln(1 + (N − df + 0.5)/(df + 0.5))`): the top-`k`
+    * corpus documents per query under
+    * `score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * over each query's DISTINCT whitespace terms — the standard lexical
+    * retriever a RAG / seed-expansion pipeline runs beside the ANN path
+    * (and the hybrid-retrieval baseline BEIR-style evaluations expect).
+    *
+    * Scale shape (100 TB corpus, small query batch): the postings table
+    * (doc, term, tf) is probed by a BROADCAST of the query term set, so
+    * the corpus never shuffles for the probe; document frequency is
+    * computed on the query-restricted postings only (tiny, broadcast
+    * back), and (avgdl, N) is a 1-row broadcast — never a driver action.
+    * The postings aggregate feeds the probe, the df, and the per-doc
+    * lengths through ONE reused exchange (same subtree — Spark dedupes
+    * the shuffle); the only additional keyed shuffle attaches dl to the
+    * MATCHED postings, bounded by query-term selectivity, not corpus
+    * size. Per-(query, doc, term) contributions are 1e-6 fixed-point
+    * longs before the per-pair sum (partition-order-independent — the
+    * DuckDB oracle replays bit-exactly; avgdl is cross-engine exact
+    * because integer-valued doubles sum exactly). Ties rank by doc id.
+    * A query with no tokens in the corpus vocabulary emits no rows. */
+  def bm25TopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params k1=$k1 b=$b")
+    val tf = corpus.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("ndocs"))
+    val qTerms = queries
+      .select(col(qidCol).as("qid"), explode(words(col(qTextCol))).as("term"))
+      .distinct()
+    val qPost = tf.join(broadcast(qTerms), Seq("term"))
+    val qdf = qPost.select(col("term"), col(idCol)).distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = qPost
+      .join(dl, Seq(idCol))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col(idCol), round(idf * norm * 1e6, 0).cast("long").as("c6"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("c6")).as("s6"))
+    val w = Window.partitionBy("qid").orderBy(col("s6").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol),
+        round(col("s6").cast("double") / 1e6, 6).as("bm25"), col("rnk"))
+  }
+
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       vocabRows: Long = -1L): DataFrame = {

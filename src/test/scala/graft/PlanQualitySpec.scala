@@ -76,6 +76,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(600))
   }
 
+  test("q_bm25_topk probes postings via broadcast and reuses the postings exchange") {
+    // The corpus postings aggregate feeds the probe, the df and the per-doc
+    // lengths: the executed plan must broadcast the query-side tables
+    // (query terms, query-restricted df, 1-row stats) and REUSE the
+    // postings exchange across its consumers (AQE stage reuse) instead of
+    // recomputing the corpus tokenization per consumer.
+    val df = SparkEntry.queries("q_bm25_topk")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val plan = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 2, s"expected >=2 broadcast joins, got $bhj:\n${plan.take(800)}")
+    val reused = "ReusedExchange".r.findAllIn(plan).length
+    assert(reused >= 1, s"postings exchange not reused:\n${plan.take(800)}")
+  }
+
+  test("kmeansTrain centroids are lineage-truncated (constant plan size per round)") {
+    // Each Lloyd's round references the previous centroids TWICE (broadcast
+    // assignment side + empty-cluster repair join), so without the per-round
+    // localCheckpoint the logical plan DOUBLES every iteration — ~2^iters
+    // copies of the seed subtree and an effectively-hung 10-iteration
+    // AnnIndex.buildIvf. The returned frame must be a scan of materialized
+    // rows, not a tower of joins.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.functions.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 4, iters = 6)
+    val plan = cents.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan.take(600))
+  }
+
   test("q_unigram_logprob ends up broadcasting the small vocab (AQE runtime sizing)") {
     // The default vocab join carries NO sizing count: AQE converts the
     // statically-planned keyed join into a broadcast join from the

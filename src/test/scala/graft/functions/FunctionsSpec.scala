@@ -832,6 +832,63 @@ class FunctionsSpec extends SparkSpec {
     assert(all.filter(col("rnk") > 2).count() === 0L)
   }
 
+  test("bm25TopK equals a brute-force scorer; self-query ranks itself first") {
+    val corpus = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds small ducks")).toDF("doc_id", "text")
+    val queries = Seq((1L, "spark shuffles data across executors"),
+      (10L, "small ducks")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        queries, "doc_id", "text", k = 4)
+      .select("qid", "doc_id", "bm25", "rnk")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+
+    // Brute force: same formula over the same token model.
+    val texts = Map(1L -> "spark shuffles data across executors",
+      2L -> "spark broadcasts small tables",
+      3L -> "ducks swim across the pond",
+      4L -> "the pond holds small ducks")
+    val toks = texts.view.mapValues(_.split("\\s+").toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def dfOf(t: String) = toks.values.count(_.contains(t)).toDouble
+    def score(q: String, d: Long): Double = {
+      val c6 = q.split("\\s+").distinct.map { t =>
+        val tf = toks(d).count(_ == t).toDouble
+        if (tf == 0) 0L
+        else {
+          val idf = math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+          val dl = toks(d).size.toDouble
+          val norm = tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+          math.round(idf * norm * 1e6)
+        }
+      }.sum
+      BigDecimal(c6 / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for ((qid, qText) <- Seq(1L -> texts(1L), 10L -> "small ducks")) {
+      val expected = texts.keys.toSeq.map(d => (d, score(qText, d)))
+        .filter(_._2 > 0.0).sortBy { case (d, sc) => (-sc, d) }
+      assert(got(qid).map(r => (r._2, r._3)) === expected,
+        s"qid=$qid got=${got(qid)}")
+    }
+    // A document queried with its own text is its own best match.
+    assert(got(1L).head._2 === 1L)
+  }
+
+  test("bm25TopK edge cases: OOV query emits no rows; k bounds each query") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "gamma alpha")).toDF("doc_id", "text")
+    val qs = Seq((7L, "zzz qqq"), (8L, "beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      qs, "doc_id", "text", k = 1)
+    val byQ = out.select("qid", "doc_id").as[(Long, Long)].collect().groupBy(_._1)
+    assert(!byQ.contains(7L)) // fully out-of-vocabulary query
+    assert(byQ(8L).length === 1) // k=1 despite two docs matching 'beta'
+  }
+
   test("contaminationRate: benchmark overlap fraction per document") {
     val bench = Seq((100L, "one two three four five six seven eight")).toDF("doc_id", "text")
     val corpus = Seq(
