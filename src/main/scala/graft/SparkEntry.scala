@@ -40,6 +40,43 @@ object SparkEntry {
     (1 to d0).map(i => s"CAST($a[${offA + i}] AS DOUBLE) * CAST($b[${offB + i}] AS DOUBLE)")
       .mkString(" + ")
 
+  /** BM25 oracle — shared by q_bm25_topk and q_bm25_persisted (the
+    * persisted lexical index is contractually row-identical to the
+    * inline path). Lucene-convention idf, k1=1.2, b=0.75, k=5, queries =
+    * doc_id < 3 — mirrors the Spark parameters; per-term contributions
+    * are 1e-6 fixed-point longs before the per-pair sum, like the Spark
+    * side. */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS ndocs FROM dl),
+      |qterms AS (
+      |  SELECT DISTINCT doc_id AS qid, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents WHERE doc_id < 3),
+      |qdf AS (
+      |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1),
+      |scored AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    CAST(sum(CAST(round(
+      |      ln(1.0 + (s.ndocs - d.df + 0.5) / (d.df + 0.5)) *
+      |      (tf.tf * (1.2 + 1.0) /
+      |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) * 1e6,
+      |      0) AS BIGINT)) AS BIGINT) AS s6
+      |  FROM tf JOIN qterms q ON tf.term = q.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN qdf d ON tf.term = d.term
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY s6 DESC, doc_id ASC) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT qid, doc_id, round(CAST(s6 AS DOUBLE) / 1e6, 6) AS bm25, rnk
+      |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** Shared CTE chain for the PQ/ADC oracles (encode + distance tables +
     * ADC aggregation, through `ranked`). m=8, d0=8, ksub=16, queries =
     * vec_id < 5 — mirrors the q_pq_* Spark parameters. */
@@ -791,6 +828,22 @@ object SparkEntry {
         docs, "doc_id", "text",
         docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
         "doc_id", "text", k = 5)
+        .orderBy("qid", "rnk")
+    }),
+
+    // PERSISTED BM25 index: build writes postings/doclens/termdf/stats
+    // tables through a TableStore; the serve plan reads ONLY those tables
+    // (PlanQualitySpec gates no corpus re-scan beyond the query batch).
+    // Shares q_bm25_topk's oracle — build/serve must be row-identical.
+    "q_bm25_persisted" -> ((s, dir) => {
+      import graft.functions.LexIndex
+      val docs = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lex_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      LexIndex.build(store, "lex", docs, "doc_id", "text")
+      LexIndex.bm25TopK(store, "lex",
+          docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5)
         .orderBy("qid", "rnk")
     }),
 
@@ -3098,36 +3151,10 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
 
-    "q_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS ndocs FROM dl),
-        |qterms AS (
-        |  SELECT DISTINCT doc_id AS qid, unnest(string_split_regex(text, '\s+')) AS term
-        |  FROM documents WHERE doc_id < 3),
-        |qdf AS (
-        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
-        |  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY 1),
-        |scored AS (
-        |  SELECT q.qid, tf.doc_id,
-        |    CAST(sum(CAST(round(
-        |      ln(1.0 + (s.ndocs - d.df + 0.5) / (d.df + 0.5)) *
-        |      (tf.tf * (1.2 + 1.0) /
-        |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) * 1e6,
-        |      0) AS BIGINT)) AS BIGINT) AS s6
-        |  FROM tf JOIN qterms q ON tf.term = q.term
-        |  JOIN dl ON tf.doc_id = dl.doc_id
-        |  JOIN qdf d ON tf.term = d.term
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT *, CAST(row_number() OVER (
-        |    PARTITION BY qid ORDER BY s6 DESC, doc_id ASC) AS BIGINT) AS rnk
-        |  FROM scored)
-        |SELECT qid, doc_id, round(CAST(s6 AS DOUBLE) / 1e6, 6) AS bm25, rnk
-        |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q_bm25_topk" -> bm25OracleSql,
+
+    // The persisted index is contractually row-identical to inline BM25.
+    "q_bm25_persisted" -> bm25OracleSql,
 
     "q_contamination" ->
       """WITH toks AS (

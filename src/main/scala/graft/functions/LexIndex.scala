@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.TableStore
+
+/** Persisted BM25 lexical index over a [[graft.io.TableStore]] — the
+  * build/serve split a standing retrieval endpoint runs: the corpus
+  * tokenize + aggregate pass happens ONCE at build time and lands as
+  * index TABLES; every query batch afterwards reads ONLY those tables,
+  * so serving cost is proportional to the probed postings, never to
+  * re-deriving term statistics from 100 TB of raw text per batch (which
+  * is what the inline [[TextAnalysis.bm25TopK]] does — correct, and the
+  * right shape for a one-shot job, but wrong for a standing index).
+  * The lexical twin of [[AnnIndex]]; a hybrid retrieval deployment
+  * stands both up over the same corpus.
+  *
+  * Build and serve share [[TextAnalysis.bm25Search]] verbatim, so
+  * built-then-served results are row-identical to the inline path —
+  * q_bm25_persisted pins that equality against q_bm25_topk's oracle,
+  * and PlanQualitySpec gates that no raw-corpus scan appears in a
+  * persisted serve plan.
+  *
+  * Index tables (under `prefix`; the document id column is normalized
+  * to `doc_id`):
+  *   - `<prefix>_postings` (term, doc_id, tf) — written REPARTITIONED BY
+  *     term and SORTED by term within files, so the serve path's
+  *     `term IN (query terms)` filter turns into parquet row-group
+  *     min/max skipping (term cardinality is far too high for hive
+  *     partitioning — ordering inside the files is the pruning lever).
+  *   - `<prefix>_doclens` (doc_id, dl) — per-document token counts.
+  *   - `<prefix>_termdf` (term, df) — document frequency, same layout
+  *     rationale as the postings.
+  *   - `<prefix>_lexstats` (avgdl, ndocs) — ONE row.
+  *
+  * Writing goes through `overwriteAll`, so a rebuild is atomic against
+  * concurrent readers (the store's temp-dir swap) and a crash mid-build
+  * never leaves postings and stats from different corpus versions.
+  */
+object LexIndex {
+
+  /** Build (or atomically rebuild) the index tables from `corpus`.
+    *
+    * The postings aggregate feeds all four tables, and `overwriteAll`
+    * evaluates each table as its own write job, so the frame is
+    * localCheckpoint'ed once — ONE tokenize pass over the corpus instead
+    * of four (build-time only; swap for reliable checkpoint() on a real
+    * cluster, the [[Dedup.clusterLabels]] convention). `sortFiles`
+    * controls the postings/termdf file count the term-ordered layout is
+    * spread over — size it so each file's row groups stay
+    * skip-friendly. */
+  def build(
+      store: TableStore, prefix: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      sortFiles: Int = 32): Unit = {
+    require(sortFiles >= 1, s"sortFiles must be >= 1, got $sortFiles")
+    val tf = TextAnalysis.bm25Postings(corpus, idCol, textCol)
+      .select(col("term"), col(idCol).as("doc_id"), col("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("ndocs"))
+    val termDf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    store.overwriteAll(Seq(
+      s"${prefix}_postings" ->
+        tf.repartition(sortFiles, col("term")).sortWithinPartitions("term"),
+      s"${prefix}_doclens" -> dl,
+      s"${prefix}_termdf" ->
+        termDf.repartition(math.min(sortFiles, 4), col("term"))
+          .sortWithinPartitions("term"),
+      s"${prefix}_lexstats" -> stats))
+  }
+
+  /** BM25 top-k per query from the PERSISTED index: reads only the four
+    * index tables. Row-identical to [[TextAnalysis.bm25TopK]] over the
+    * corpus the index was built from.
+    *
+    * With `pruneTerms` (default) the query batch's distinct terms are
+    * collected first — bounded by the batch's own text, the [[AnnIndex]]
+    * probed-cent_id convention — and land as a static `term IN (...)`
+    * filter on the postings/termdf scans, which the term-sorted file
+    * layout turns into row-group skipping: a serve reads the probed
+    * slice of the index, never all of it. Pass false to keep plan
+    * construction fully lazy (the probe is then only the broadcast hash
+    * join; parquet still gets the join's runtime filter when row-level
+    * runtime filtering is enabled). */
+  def bm25TopK(
+      store: TableStore, prefix: String,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      pruneTerms: Boolean = true): DataFrame = {
+    val qTerms = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
+    val postings0 = store.load(s"${prefix}_postings")
+    val termDf0 = store.load(s"${prefix}_termdf")
+    val (postings, termDf) =
+      if (pruneTerms) {
+        val terms = qTerms.select("term").distinct()
+          .collect().map(_.getString(0)).toSeq
+        (postings0.filter(col("term").isin(terms: _*)),
+          termDf0.filter(col("term").isin(terms: _*)))
+      } else
+        (postings0,
+          termDf0.join(broadcast(qTerms.select("term").distinct()), Seq("term")))
+    TextAnalysis.bm25Search(
+      postings, store.load(s"${prefix}_doclens"), termDf,
+      store.load(s"${prefix}_lexstats"), qTerms, "doc_id", k, k1, b)
+  }
+}

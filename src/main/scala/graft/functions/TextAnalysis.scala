@@ -480,27 +480,52 @@ object TextAnalysis {
       corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params k1=$k1 b=$b")
-    val tf = corpus.select(col(idCol), explode(words(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    val tf = bm25Postings(corpus, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"),
       count(lit(1)).cast("double").as("ndocs"))
-    val qTerms = queries
+    val qTerms = bm25QueryTerms(queries, qidCol, qTextCol)
+    val qdf = tf.join(broadcast(qTerms), Seq("term"))
+      .select(col("term"), col(idCol)).distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    bm25Search(tf, dl, qdf, stats, qTerms, idCol, k, k1, b)
+  }
+
+  /** The postings aggregate BM25 runs on: one row per (doc, term) with
+    * its term frequency — the build==serve shared corpus pass. */
+  private[functions] def bm25Postings(
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** Distinct (qid, term) pairs of a query batch. */
+  private[functions] def bm25QueryTerms(
+      queries: DataFrame, qidCol: String, qTextCol: String): DataFrame =
+    queries
       .select(col(qidCol).as("qid"), explode(words(col(qTextCol))).as("term"))
       .distinct()
-    val qPost = tf.join(broadcast(qTerms), Seq("term"))
-    val qdf = qPost.select(col("term"), col(idCol)).distinct()
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+  /** The shared BM25 scoring core over index-shaped frames — the inline
+    * path ([[bm25TopK]]) derives them from the corpus, the persisted path
+    * ([[LexIndex.bm25TopK]]) loads them, and sharing this verbatim is what
+    * makes built-then-served results row-identical to inline (the
+    * q_bm25_persisted oracle identity). `termDf` must already be
+    * restricted to (at most vocabulary-of-the-) query terms: it is
+    * broadcast. */
+  private[functions] def bm25Search(
+      postings: DataFrame, doclens: DataFrame, termDf: DataFrame,
+      stats: DataFrame, qTerms: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params k1=$k1 b=$b")
     val idf = log(lit(1.0) + (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
     val norm = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = qPost
-      .join(dl, Seq(idCol))
-      .join(broadcast(qdf), Seq("term"))
+    val scored = postings.join(broadcast(qTerms), Seq("term"))
+      .join(doclens, Seq(idCol))
+      .join(broadcast(termDf), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col(idCol), round(idf * norm * 1e6, 0).cast("long").as("c6"))
       .groupBy(col("qid"), col(idCol))

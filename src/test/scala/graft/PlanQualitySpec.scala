@@ -91,6 +91,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(reused >= 1, s"postings exchange not reused:\n${plan.take(800)}")
   }
 
+  test("q_bm25_persisted never re-derives term statistics from the corpus") {
+    // Build happens inside the query closure; the RETURNED plan is the
+    // serve path. The only legitimate documents.parquet scan is the 3-row
+    // QUERY batch itself — the postings/doclens/termdf/stats derivations
+    // must all read from the persisted index tables, and the postings scan
+    // must carry the collected query-term pushdown (the term-sorted layout's
+    // row-group skipping lever).
+    val df = SparkEntry.queries("q_bm25_persisted")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val corpusScans = PlanTestUtils.scansOf(plan, "documents.parquet").size
+    assert(corpusScans <= 1,
+      s"serve plan reads the raw corpus $corpusScans times:\n${plan.toString.take(800)}")
+    assert(PlanTestUtils.scansOf(plan, "graft_lex_").nonEmpty,
+      "serve plan lost its index-table scans")
+    val postingsScans = PlanTestUtils.scansOf(plan, "lex_postings")
+    assert(postingsScans.nonEmpty, "no lex_postings scan in the serve plan")
+    postingsScans.foreach { f =>
+      assert(f.dataFilters.exists(_.toString.toLowerCase.contains("term")),
+        s"postings scan has no term pushdown: ${f.dataFilters}")
+    }
+  }
+
   test("kmeansTrain centroids are lineage-truncated (constant plan size per round)") {
     // Each Lloyd's round references the previous centroids TWICE (broadcast
     // assignment side + empty-cluster repair join), so without the per-round

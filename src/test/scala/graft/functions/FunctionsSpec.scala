@@ -878,6 +878,37 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L).head._2 === 1L)
   }
 
+  test("LexIndex: built-then-served BM25 is row-identical to inline; both prune modes") {
+    val corpus = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds small ducks")).toDF("doc_id", "text")
+    val qs = Seq((1L, "spark shuffles data across executors"),
+      (10L, "small ducks")).toDF("doc_id", "text")
+    val inline = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        qs, "doc_id", "text", k = 4)
+      .orderBy("qid", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_lex_spec_").toString
+    val store = new graft.io.ParquetTableStore(spark, root)
+    LexIndex.build(store, "lex", corpus, "doc_id", "text")
+    for (prune <- Seq(true, false)) {
+      val served = LexIndex.bm25TopK(store, "lex",
+          qs, "doc_id", "text", k = 4, pruneTerms = prune)
+        .orderBy("qid", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(served === inline, s"pruneTerms=$prune diverged from inline")
+    }
+    // Rebuild is atomic + idempotent: building again over the same corpus
+    // serves the same results.
+    LexIndex.build(store, "lex", corpus, "doc_id", "text")
+    val again = LexIndex.bm25TopK(store, "lex",
+        qs, "doc_id", "text", k = 4)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(again === inline)
+  }
+
   test("bm25TopK edge cases: OOV query emits no rows; k bounds each query") {
     val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"),
       (3L, "gamma alpha")).toDF("doc_id", "text")
