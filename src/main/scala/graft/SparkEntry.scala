@@ -831,6 +831,25 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // HYBRID retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking with a brute-force cosine vector ranking (rank-based, so
+    // the incomparable score scales fuse without calibration).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val emb = pq(s, dir, "embeddings")
+      val lex = graft.functions.TextAnalysis.bm25TopK(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5)
+        .select("qid", "doc_id", "rnk")
+      val vec = graft.functions.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("rnk"))
+      graft.functions.LexIndex.rrfFuse(Seq(lex, vec), "qid", "doc_id", "rnk", k = 5)
+        .orderBy("qid", "rnk")
+    }),
+
     // PERSISTED BM25 index: build writes postings/doclens/termdf/stats
     // tables through a TableStore; the serve plan reads ONLY those tables
     // (PlanQualitySpec gates no corpus re-scan beyond the query batch).
@@ -3155,6 +3174,48 @@ object SparkEntry {
 
     // The persisted index is contractually row-identical to inline BM25.
     "q_bm25_persisted" -> bm25OracleSql,
+
+    // RRF over the BM25 ranking (nested full bm25 oracle) and a
+    // brute-force cosine ranking (vec_id < 3, k=5, self excluded —
+    // mirrors the Spark side's bruteForceTopK parameters).
+    "q_hybrid_rrf" ->
+      s"""WITH bm AS (
+         |${bm25OracleSql}
+         |),
+         |knn AS (
+         |  WITH q AS (
+         |    SELECT vec_id AS query_id, embedding AS qv,
+         |           sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
+         |    FROM embeddings WHERE vec_id < 3),
+         |  c AS (
+         |    SELECT vec_id, embedding AS cv,
+         |           sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
+         |    FROM embeddings),
+         |  scored AS (
+         |    SELECT query_id, vec_id, round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |    FROM c CROSS JOIN q WHERE vec_id <> query_id),
+         |  kr AS (
+         |    SELECT *, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+         |    FROM scored)
+         |  SELECT query_id, vec_id, rnk FROM kr WHERE rnk <= 5
+         |),
+         |allr AS (
+         |  SELECT qid, doc_id,
+         |    CAST(round(1e9 / (60.0 + CAST(rnk AS DOUBLE)), 0) AS BIGINT) AS c9 FROM bm
+         |  UNION ALL
+         |  SELECT query_id AS qid, vec_id AS doc_id,
+         |    CAST(round(1e9 / (60.0 + CAST(rnk AS DOUBLE)), 0) AS BIGINT) AS c9 FROM knn),
+         |fused AS (
+         |  SELECT qid, doc_id, CAST(sum(c9) AS BIGINT) AS s9,
+         |    CAST(count(*) AS BIGINT) AS n_systems
+         |  FROM allr GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY s9 DESC, doc_id ASC) AS BIGINT) AS rnk
+         |  FROM fused)
+         |SELECT qid, doc_id, round(CAST(s9 AS DOUBLE) / 1e9, 6) AS rrf_score, n_systems, rnk
+         |FROM fr WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q_contamination" ->
       """WITH toks AS (

@@ -106,4 +106,40 @@ object LexIndex {
       postings, store.load(s"${prefix}_doclens"), termDf,
       store.load(s"${prefix}_lexstats"), qTerms, "doc_id", k, k1, b)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): fuse N
+    * per-query rankings — each (qid, doc, rank) — into one top-`k` under
+    * `score(q,d) = Σ_rankings 1/(c + rank(q,d))`, the standard hybrid-
+    * retrieval combiner (BM25 ⊕ ANN). Fusion is RANK-based, so the
+    * incomparable score scales of a lexical and a vector retriever fuse
+    * without calibration; a document absent from a ranking simply
+    * contributes nothing (`n_systems` reports how many rankings carried
+    * it). Per-(ranking, query, doc) contributions are 1e-9 fixed-point
+    * longs before the sum (terms are O(1/c) — the drift-monitor grain
+    * rationale), so the fused ordering is partition-order-independent and
+    * oracle-verifiable; ties rank by doc id.
+    *
+    * Scale: each input is already a top-k (k·|queries| rows), so the
+    * union + one keyed aggregation + a qid-partitioned window is
+    * query-batch-sized — never corpus-sized. */
+  def rrfFuse(
+      rankings: Seq[DataFrame], qidCol: String, docCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1 && c >= 0, s"bad RRF params k=$k c=$c")
+    val all = rankings.map(_.select(col(qidCol).as("qid"),
+        col(docCol).as("doc_id"),
+        round(lit(1e9) / (lit(c.toDouble) + col(rankCol).cast("double")), 0)
+          .cast("long").as("c9")))
+      .reduce(_ unionByName _)
+    val fused = all.groupBy("qid", "doc_id")
+      .agg(sum(col("c9")).as("s9"), count(lit(1)).cast("long").as("n_systems"))
+    val w = Window.partitionBy("qid").orderBy(col("s9").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"),
+        round(col("s9").cast("double") / 1e9, 6).as("rrf_score"),
+        col("n_systems"), col("rnk"))
+  }
 }

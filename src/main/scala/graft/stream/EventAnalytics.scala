@@ -256,6 +256,26 @@ object EventAnalytics {
       sink(graft.functions.AnnIndex.ivfTopK(
         store, prefix, batch, idCol, vecCol, k, nprobe))
 
+  /** Streaming BM25 serve — the LEXICAL twin of [[annProbeEachBatch]]:
+    * probe the persisted [[graft.functions.LexIndex]] tables with each
+    * micro-batch of text queries. Top-k for a query depends only on its
+    * own text and the index tables, so batch boundaries cannot change
+    * any result (spec-pinned batch == stream); an index rebuild lands at
+    * the next micro-batch (per-batch table re-read — the same freshness
+    * contract and cost model as the ANN serve: one bounded term-collect
+    * job per batch, then postings/termdf scans pruned to the batch's
+    * terms by the term-sorted layout). A hybrid endpoint runs this and
+    * [[annProbeEachBatch]] over the same query stream and fuses with
+    * [[graft.functions.LexIndex.rrfFuse]]. */
+  def bm25ProbeEachBatch(
+      store: graft.io.TableStore, prefix: String,
+      qidCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.LexIndex.bm25TopK(
+        store, prefix, batch, qidCol, qTextCol, k, k1, b))
+
   /** PQ twin of [[annProbeEachBatch]]: per-micro-batch ADC top-k against
     * the persisted codebook + byte codes — the memory-lean serve path
     * (full-precision vectors exist nowhere in the plan). Same freshness

@@ -909,6 +909,26 @@ class FunctionsSpec extends SparkSpec {
     assert(again === inline)
   }
 
+  test("rrfFuse: doc in both rankings beats single-system docs; absent docs contribute nothing") {
+    // qid 1: doc 100 is rank 2 in BOTH rankings (1/62 + 1/62), doc 200 is
+    // rank 1 in A only (1/61), doc 300 rank 1 in B only (1/61):
+    // 2/62 > 1/61, so the doubly-retrieved doc must fuse on top.
+    val a = Seq((1L, 200L, 1L), (1L, 100L, 2L)).toDF("qid", "doc", "r")
+    val bdf = Seq((1L, 300L, 1L), (1L, 100L, 2L)).toDF("qid", "doc", "r")
+    val fused = LexIndex.rrfFuse(Seq(a, bdf), "qid", "doc", "r", k = 3)
+      .select("doc_id", "n_systems", "rnk")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(fused.map(_._1) === Seq(100L, 200L, 300L))
+    assert(fused.head._2 === 2L) // both systems carried doc 100
+    // Ties (identical score) break by doc id: 200 (1/61) before 300 (1/61).
+    assert(fused(1)._1 === 200L && fused(2)._1 === 300L)
+    // Exact fixed-point scores: 2*round(1e9/62) and round(1e9/61), /1e9.
+    val scores = LexIndex.rrfFuse(Seq(a, bdf), "qid", "doc", "r", k = 3)
+      .select("doc_id", "rrf_score").as[(Long, Double)].collect().toMap
+    assert(scores(100L) === BigDecimal(2.0 * math.round(1e9 / 62.0) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("bm25TopK edge cases: OOV query emits no rows; k bounds each query") {
     val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"),
       (3L, "gamma alpha")).toDF("doc_id", "text")

@@ -314,6 +314,62 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!acc.exists(_._2 == deleted), "tombstoned id still served")
   }
 
+  test("bm25ProbeEachBatch: micro-batched probes == one batch probe; rebuild lands next batch") {
+    import graft.functions.LexIndex
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds small ducks")).toDF("doc_id", "text")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("lex_stream_").toString)
+    LexIndex.build(store, "lex", corpus, "doc_id", "text")
+
+    def batchProbe(qs: Seq[(Long, String)]): Set[(Long, Long, Double, Long)] =
+      LexIndex.bm25TopK(store, "lex", qs.toDF("qid", "qtext"),
+          "qid", "qtext", k = 3)
+        .as[(Long, Long, Double, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    val q = input.toDF().toDF("qid", "qtext")
+      .writeStream
+      .foreachBatch(EventAnalytics.bm25ProbeEachBatch(
+        store, "lex", "qid", "qtext", k = 3) { out =>
+        acc.synchronized {
+          acc ++= out.as[(Long, Long, Double, Long)](implicitly).collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
+    // Split one logical query set mid-stream: results must equal ONE
+    // batch probe over the union.
+    input.addData(10L -> "spark data", 11L -> "small ducks")
+    q.processAllAvailable()
+    input.addData(12L -> "the pond")
+    q.processAllAvailable()
+    assert(acc.toSet === batchProbe(
+      Seq(10L -> "spark data", 11L -> "small ducks", 12L -> "the pond")),
+      "stream probe diverged from the one-batch probe")
+
+    // Standing-index freshness: a rebuild over a grown corpus lands in
+    // the NEXT micro-batch (each batch re-reads the index tables).
+    LexIndex.build(store, "lex",
+      corpus.unionByName(Seq((5L, "ducks ducks ducks")).toDF("doc_id", "text")),
+      "doc_id", "text")
+    acc.synchronized(acc.clear())
+    input.addData(13L -> "ducks")
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === batchProbe(Seq(13L -> "ducks")),
+      "post-rebuild stream probe diverged from the current-index batch probe")
+    assert(acc.exists(_._2 == 5L), "rebuilt corpus doc not reachable next batch")
+  }
+
   test("annProbePqEachBatch: micro-batched ADC probes == one batch probe") {
     import graft.functions.AnnIndex
     import graft.io.ParquetTableStore
