@@ -69,7 +69,15 @@ object BenchScale {
     // canonical time-series shuffle shapes at scale.
     "q_events_sessionize",
     "q_user_retention",
-    "q_events_topk_users")
+    "q_events_topk_users",
+    // round-10 session-3 additions: the lexical retrieval family. The
+    // inline form pays the postings build per call (corpus-linear
+    // tokenize + two aggregations); the persisted form measures
+    // build+serve together (build dominates — the serve itself is the
+    // probed slice only). Fusion is query-batch-sized and rides along.
+    "q_bm25_topk",
+    "q_bm25_persisted",
+    "q_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
