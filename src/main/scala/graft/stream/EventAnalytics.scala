@@ -270,11 +270,12 @@ object EventAnalytics {
   def bm25ProbeEachBatch(
       store: graft.io.TableStore, prefix: String,
       qidCol: String, qTextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75)(
+      k1: Double = 1.2, b: Double = 0.75,
+      pruneTerms: Boolean = true)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch, _) =>
       sink(graft.functions.LexIndex.bm25TopK(
-        store, prefix, batch, qidCol, qTextCol, k, k1, b))
+        store, prefix, batch, qidCol, qTextCol, k, k1, b, pruneTerms))
 
   /** PQ twin of [[annProbeEachBatch]]: per-micro-batch ADC top-k against
     * the persisted codebook + byte codes — the memory-lean serve path

@@ -1,0 +1,90 @@
+package graft.tools
+
+import graft.functions.LexIndex
+import graft.io.ParquetTableStore
+import graft.stream.EventAnalytics
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-BM25-serve throughput record — the lexical twin of
+  * [[BenchAnnServe]]: builds a PERSISTED [[LexIndex]] over a documents
+  * corpus (term-sorted postings), then drives text-query micro-batches
+  * through [[EventAnalytics.bm25ProbeEachBatch]] — the exact
+  * foreachBatch path a retrieval endpoint deploys — and reports
+  * steady-state queries/sec and per-batch latency.
+  *
+  * The first batch pays plan construction + codegen and is reported
+  * separately (`warm_batch_sec`). Queries are corpus members' own
+  * texts, so every query retrieves at least itself; the harness asserts
+  * ≥1 result per query on average (a throughput number over empty
+  * results would be meaningless).
+  *
+  * Usage: BenchLexServe [documentsParquet] [nBatches] [batchSize] [k]
+  */
+object BenchLexServe {
+  def main(args: Array[String]): Unit = {
+    val corpusPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
+    val nBatches = if (args.length > 1) args(1).toInt else 16
+    val batchSize = if (args.length > 2) args(2).toInt else 64
+    val k = if (args.length > 3) args(3).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = spark.read.parquet(corpusPath).select("doc_id", "text")
+    val nDocs = corpus.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_lex_serve").toString
+    val store = new ParquetTableStore(spark, root)
+    val tBuild0 = System.nanoTime()
+    LexIndex.build(store, "serve", corpus, "doc_id", "text")
+    val buildSec = (System.nanoTime() - tBuild0) / 1e9
+
+    // Query stream: 8-word prefixes of corpus members' texts — the
+    // short-query shape a retrieval endpoint actually serves (a full
+    // document as the query string would collect hundreds of terms per
+    // query and measure the gather, not the serve). Each query still
+    // retrieves at least its own document (it contains all its terms).
+    val queryRows = corpus.limit(nBatches * batchSize)
+      .as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split("\\s+").take(8).mkString(" ")) }
+    require(queryRows.length == nBatches * batchSize,
+      s"corpus too small: ${queryRows.length} < ${nBatches * batchSize}")
+
+    val input = MemoryStream[(Long, String)]
+    @volatile var got = 0L
+    val q = input.toDF().toDF("qid", "qtext")
+      .writeStream
+      .foreachBatch(EventAnalytics.bm25ProbeEachBatch(
+        store, "serve", "qid", "qtext", k = k) { out => got += out.count(); () })
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .start()
+    val secs = queryRows.grouped(batchSize).map { chunk =>
+      val t0 = System.nanoTime()
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }.toVector
+    q.stop()
+    require(got >= nBatches.toLong * batchSize,
+      s"result rows $got < one per query ${nBatches.toLong * batchSize}")
+
+    def r3(x: Double) = (x * 1000).round / 1000.0
+    val steady = secs.tail
+    val sorted = steady.sorted
+    val qps = (nBatches - 1) * batchSize / steady.sum
+    println(s"""{"metric":"lex_serve_qps","value":${r3(qps)},""" +
+      s""""unit":"queries/sec","corpus_docs":$nDocs,"batches":$nBatches,""" +
+      s""""batch_size":$batchSize,"k":$k,"build_sec":${r3(buildSec)},""" +
+      s""""results":$got,"warm_batch_sec":${r3(secs.head)},""" +
+      s""""steady_batch_p50_sec":${r3(sorted(sorted.size / 2))},""" +
+      s""""steady_batch_max_sec":${r3(sorted.last)}}""")
+    spark.stop()
+  }
+}
