@@ -34,9 +34,13 @@ import graft.io.TableStore
   *     rationale as the postings.
   *   - `<prefix>_lexstats` (avgdl, ndocs) — ONE row.
   *
-  * Writing goes through `overwriteAll`, so a rebuild is atomic against
-  * concurrent readers (the store's temp-dir swap) and a crash mid-build
-  * never leaves postings and stats from different corpus versions.
+  * Writing goes through `overwriteAll`: each TABLE's swap is atomic
+  * (the store's temp-dir rename), but the four tables swap
+  * SEQUENTIALLY — a crash between swaps, or a serve that loads tables
+  * while a rebuild is mid-swap, can pair new postings with old stats.
+  * A standing deployment that rebuilds under live serving should
+  * rebuild into a FRESH prefix (or a snapshot-keeping store) and flip
+  * serves to it — the same posture as [[AnnIndex]] rebuilds.
   */
 object LexIndex {
 
@@ -70,6 +74,11 @@ object LexIndex {
         termDf.repartition(math.min(sortFiles, 4), col("term"))
           .sortWithinPartitions("term"),
       s"${prefix}_lexstats" -> stats))
+    // The checkpointed postings blocks have no consumer once the tables
+    // are on disk — release them, or they pin executor memory for the
+    // rest of the session (corpus-scale at build time).
+    tf.unpersist()
+    ()
   }
 
   /** BM25 top-k per query from the PERSISTED index: reads only the four
@@ -90,18 +99,27 @@ object LexIndex {
       queries: DataFrame, qidCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       pruneTerms: Boolean = true): DataFrame = {
-    val qTerms = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
+    val qTerms0 = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
     val postings0 = store.load(s"${prefix}_postings")
     val termDf0 = store.load(s"${prefix}_termdf")
-    val (postings, termDf) =
+    val (postings, termDf, qTerms) =
       if (pruneTerms) {
-        val terms = qTerms.select("term").distinct()
-          .collect().map(_.getString(0)).toSeq
+        // One query-tokenization job per serve call: the collected
+        // (qid, term) rows feed BOTH the static IN pushdown and the
+        // broadcast probe side (a lazy qTerms reference in bm25Search
+        // would re-run the explode a second time per micro-batch).
+        val rows = qTerms0.collect()
+        val local = queries.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), qTerms0.schema)
+        val termIdx = qTerms0.schema.fieldIndex("term")
+        val terms = rows.map(_.getString(termIdx)).distinct.toSeq
         (postings0.filter(col("term").isin(terms: _*)),
-          termDf0.filter(col("term").isin(terms: _*)))
+          termDf0.filter(col("term").isin(terms: _*)),
+          local)
       } else
         (postings0,
-          termDf0.join(broadcast(qTerms.select("term").distinct()), Seq("term")))
+          termDf0.join(broadcast(qTerms0.select("term").distinct()), Seq("term")),
+          qTerms0)
     TextAnalysis.bm25Search(
       postings, store.load(s"${prefix}_doclens"), termDf,
       store.load(s"${prefix}_lexstats"), qTerms, "doc_id", k, k1, b)

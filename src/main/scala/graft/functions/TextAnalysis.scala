@@ -445,15 +445,6 @@ object TextAnalysis {
         when(col("repetitive"), lit("repetitive"))).as("reasons"))
   }
 
-  /** Top-k terms per document by TF-IDF with smoothed IDF
-    * `ln((N+1)/(df+1))`. Corpus-wide document frequency is one small
-    * aggregate (vocabulary-sized — joined back via [[joinVocab]]'s lazy
-    * auto-switch), term frequency is per-document; ranking is a window
-    * PARTITIONED by doc (bounded frames). Ties rank by rounded score then
-    * term text, keeping the order identical across engines despite
-    * last-ulp `ln` differences. Plan construction is FULLY LAZY: the
-    * corpus document count N feeds the IDF as a broadcast 1-row frame
-    * (scale-free), not a driver-side count action. */
   /** BM25 lexical retrieval (Robertson/Spärck Jones; the Lucene-convention
     * strictly-positive idf `ln(1 + (N − df + 0.5)/(df + 0.5))`): the top-`k`
     * corpus documents per query under
@@ -485,8 +476,11 @@ object TextAnalysis {
     val stats = dl.agg(avg(col("dl")).as("avgdl"),
       count(lit(1)).cast("double").as("ndocs"))
     val qTerms = bm25QueryTerms(queries, qidCol, qTextCol)
-    val qdf = tf.join(broadcast(qTerms), Seq("term"))
-      .select(col("term"), col(idCol)).distinct()
+    // tf is already unique per (term, doc): probe df with the DISTINCT
+    // term set — the full (qid, term) probe would fan each matched
+    // posting out once per query sharing the term, only for a distinct
+    // to undo it.
+    val qdf = tf.join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     bm25Search(tf, dl, qdf, stats, qTerms, idCol, k, k1, b)
   }
@@ -537,6 +531,15 @@ object TextAnalysis {
         round(col("s6").cast("double") / 1e6, 6).as("bm25"), col("rnk"))
   }
 
+  /** Top-k terms per document by TF-IDF with smoothed IDF
+    * `ln((N+1)/(df+1))`. Corpus-wide document frequency is one small
+    * aggregate (vocabulary-sized — joined back via [[joinVocab]]'s lazy
+    * auto-switch), term frequency is per-document; ranking is a window
+    * PARTITIONED by doc (bounded frames). Ties rank by rounded score then
+    * term text, keeping the order identical across engines despite
+    * last-ulp `ln` differences. Plan construction is FULLY LAZY: the
+    * corpus document count N feeds the IDF as a broadcast 1-row frame
+    * (scale-free), not a driver-side count action. */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       vocabRows: Long = -1L): DataFrame = {

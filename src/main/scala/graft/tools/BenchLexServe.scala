@@ -28,6 +28,9 @@ object BenchLexServe {
     val nBatches = if (args.length > 1) args(1).toInt else 16
     val batchSize = if (args.length > 2) args(2).toInt else 64
     val k = if (args.length > 3) args(3).toInt else 5
+    // Steady state excludes the warm-up batch, so one batch alone has no
+    // steady sample to report.
+    require(nBatches >= 2, s"nBatches must be >= 2, got $nBatches")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -107,9 +107,18 @@ class PlanQualitySpec extends SparkSpec {
       "serve plan lost its index-table scans")
     val postingsScans = PlanTestUtils.scansOf(plan, "lex_postings")
     assert(postingsScans.nonEmpty, "no lex_postings scan in the serve plan")
+    // Must be the collected IN-list itself — a bare isnotnull(term) that
+    // any join pushes down would also stringify with "term", so match the
+    // actual In/InSet expression node.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
     postingsScans.foreach { f =>
-      assert(f.dataFilters.exists(_.toString.toLowerCase.contains("term")),
-        s"postings scan has no term pushdown: ${f.dataFilters}")
+      val hasIn = f.dataFilters.exists(_.exists {
+        case i: In => i.value.toString.contains("term")
+        case i: InSet => i.child.toString.contains("term")
+        case _ => false
+      })
+      assert(hasIn,
+        s"postings scan lost the collected term IN pushdown: ${f.dataFilters}")
     }
   }
 
