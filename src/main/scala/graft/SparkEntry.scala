@@ -40,20 +40,23 @@ object SparkEntry {
     (1 to d0).map(i => s"CAST($a[${offA + i}] AS DOUBLE) * CAST($b[${offB + i}] AS DOUBLE)")
       .mkString(" + ")
 
-  /** BM25 oracle — shared by q_bm25_topk and q_bm25_persisted (the
-    * persisted lexical index is contractually row-identical to the
-    * inline path). Lucene-convention idf, k1=1.2, b=0.75, k=5, queries =
-    * doc_id < 3 — mirrors the Spark parameters; per-term contributions
-    * are 1e-6 fixed-point longs before the per-pair sum, like the Spark
-    * side. */
-  private val bm25OracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+  /** BM25 oracle, parametrized by a corpus predicate so q_bm25_append
+    * (build on a prefix, append the rest == full-corpus rebuild) and
+    * q_bm25_delete (delete-then-query == rebuild-without-deleted) can
+    * express their contracts verbatim. Lucene-convention idf, k1=1.2,
+    * b=0.75, k=5, queries = doc_id < 3 — mirrors the Spark parameters;
+    * per-term contributions are 1e-6 fixed-point longs before the
+    * per-pair sum, like the Spark side. The QUERY texts always come from
+    * the full table — only the indexed corpus is filtered. */
+  private def bm25OracleSqlFor(corpusWhere: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+      |  FROM documents WHERE $corpusWhere),
       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
       |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS ndocs FROM dl),
       |qterms AS (
-      |  SELECT DISTINCT doc_id AS qid, unnest(string_split_regex(text, '\s+')) AS term
+      |  SELECT DISTINCT doc_id AS qid, unnest(string_split_regex(text, '\\s+')) AS term
       |  FROM documents WHERE doc_id < 3),
       |qdf AS (
       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
@@ -76,6 +79,10 @@ object SparkEntry {
       |  FROM scored)
       |SELECT qid, doc_id, round(CAST(s6 AS DOUBLE) / 1e6, 6) AS bm25, rnk
       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** Full-corpus BM25 oracle — shared by q_bm25_topk, q_bm25_persisted
+    * AND q_bm25_append (append == rebuild over the union). */
+  private val bm25OracleSql: String = bm25OracleSqlFor("TRUE")
 
   /** Shared CTE chain for the PQ/ADC oracles (encode + distance tables +
     * ADC aggregation, through `ranked`). m=8, d0=8, ksub=16, queries =
@@ -860,6 +867,40 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_lex_").toString
       val store = new graft.io.ParquetTableStore(s, root)
       LexIndex.build(store, "lex", docs, "doc_id", "text")
+      LexIndex.bm25TopK(store, "lex",
+          docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5)
+        .orderBy("qid", "rnk")
+    }),
+
+    // INCREMENTAL lexical index: build on a corpus prefix, append the
+    // rest — shares the FULL-corpus oracle (append == rebuild; additive
+    // stats, serve-time df from postings).
+    "q_bm25_append" -> ((s, dir) => {
+      import graft.functions.LexIndex
+      val docs = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lexa_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      LexIndex.build(store, "lex", docs.filter(col("doc_id") < 50), "doc_id", "text")
+      LexIndex.append(store, "lex", docs.filter(col("doc_id") >= 50), "doc_id", "text")
+      LexIndex.bm25TopK(store, "lex",
+          docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5)
+        .orderBy("qid", "rnk")
+    }),
+
+    // Lexical-index DELETION: tombstoned ids vanish from results AND
+    // from df/avgdl/ndocs — oracled as a rebuild WITHOUT the deleted
+    // docs (the GDPR-erasure contract).
+    "q_bm25_delete" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.LexIndex
+      val docs = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lexd_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      LexIndex.build(store, "lex", docs, "doc_id", "text")
+      LexIndex.deleteDocs(store, "lex",
+        Seq(3L, 4L, 5L, 6L, 7L).toDF("doc_id"), "doc_id")
       LexIndex.bm25TopK(store, "lex",
           docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 5)
@@ -3174,6 +3215,12 @@ object SparkEntry {
 
     // The persisted index is contractually row-identical to inline BM25.
     "q_bm25_persisted" -> bm25OracleSql,
+
+    // Append == rebuild over the union: the FULL-corpus oracle.
+    "q_bm25_append" -> bm25OracleSql,
+
+    // Delete-then-query == rebuild-without-deleted.
+    "q_bm25_delete" -> bm25OracleSqlFor("doc_id NOT IN (3, 4, 5, 6, 7)"),
 
     // RRF over the BM25 ranking (nested full bm25 oracle) and a
     // brute-force cosine ranking (vec_id < 3, k=5, self excluded —

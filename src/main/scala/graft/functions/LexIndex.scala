@@ -13,14 +13,21 @@ import graft.io.TableStore
   * re-deriving term statistics from 100 TB of raw text per batch (which
   * is what the inline [[TextAnalysis.bm25TopK]] does — correct, and the
   * right shape for a one-shot job, but wrong for a standing index).
-  * The lexical twin of [[AnnIndex]]; a hybrid retrieval deployment
-  * stands both up over the same corpus.
+  * The lexical twin of [[AnnIndex]], with the same maintenance surface:
+  * [[append]] (frozen tokenizer, additive stats), [[deleteDocs]]
+  * (tombstones, stats decremented at delete time), [[compact]] (fold
+  * tombstones in, restore the term-sorted layout). A hybrid retrieval
+  * deployment stands both indexes up over the same corpus and fuses
+  * with [[rrfFuse]].
   *
-  * Build and serve share [[TextAnalysis.bm25Search]] verbatim, so
-  * built-then-served results are row-identical to the inline path —
-  * q_bm25_persisted pins that equality against q_bm25_topk's oracle,
-  * and PlanQualitySpec gates that no raw-corpus scan appears in a
-  * persisted serve plan.
+  * Build and serve share [[TextAnalysis.bm25Search]] verbatim, and the
+  * serve path derives document frequency FROM THE PROBED POSTINGS SLICE
+  * — exactly the inline recipe — so df is correct by construction under
+  * any append/delete history (no standing df table to go stale).
+  * q_bm25_persisted pins built-then-served == inline against the shared
+  * oracle; q_bm25_append / q_bm25_delete pin append == rebuild and
+  * delete-then-query == rebuild-without-deleted; PlanQualitySpec gates
+  * that no raw-corpus scan appears in a persisted serve plan.
   *
   * Index tables (under `prefix`; the document id column is normalized
   * to `doc_id`):
@@ -29,31 +36,36 @@ import graft.io.TableStore
   *     `term IN (query terms)` filter turns into parquet row-group
   *     min/max skipping (term cardinality is far too high for hive
   *     partitioning — ordering inside the files is the pruning lever).
+  *     Appended batches are term-sorted within themselves; [[compact]]
+  *     restores the global layout.
   *   - `<prefix>_doclens` (doc_id, dl) — per-document token counts.
-  *   - `<prefix>_termdf` (term, df) — document frequency, same layout
-  *     rationale as the postings.
-  *   - `<prefix>_lexstats` (avgdl, ndocs) — ONE row.
+  *   - `<prefix>_lexstats` (sum_dl, ndocs) — ONE row, ADDITIVE: appends
+  *     add their batch sums, deletes subtract the deleted documents'
+  *     lengths, so avgdl = sum_dl/ndocs is always the live corpus mean
+  *     (exact: token counts are integers, long addition is exact).
+  *   - `<prefix>_tombstones` (doc_id) — ids deleted since the last
+  *     rebuild/compaction; the serve path anti-joins it.
   *
-  * Writing goes through `overwriteAll`: each TABLE's swap is atomic
-  * (the store's temp-dir rename), but the four tables swap
-  * SEQUENTIALLY — a crash between swaps, or a serve that loads tables
-  * while a rebuild is mid-swap, can pair new postings with old stats.
-  * A standing deployment that rebuilds under live serving should
-  * rebuild into a FRESH prefix (or a snapshot-keeping store) and flip
-  * serves to it — the same posture as [[AnnIndex]] rebuilds.
+  * Writing goes through the store's two-phase `commitAll`/`overwriteAll`:
+  * each TABLE's swap is atomic (temp-dir rename), but multi-table
+  * sequences swap SEQUENTIALLY — a crash between swaps, or a serve that
+  * loads tables while a rebuild is mid-swap, can pair new postings with
+  * old stats. A standing deployment that rebuilds under live serving
+  * should rebuild into a FRESH prefix (or a snapshot-keeping store) and
+  * flip serves to it — the same posture as [[AnnIndex]] rebuilds.
   */
 object LexIndex {
 
-  /** Build (or atomically rebuild) the index tables from `corpus`.
+  /** Build (or rebuild) the index tables from `corpus`.
     *
-    * The postings aggregate feeds all four tables, and `overwriteAll`
+    * The postings aggregate feeds all three tables, and `overwriteAll`
     * evaluates each table as its own write job, so the frame is
     * localCheckpoint'ed once — ONE tokenize pass over the corpus instead
-    * of four (build-time only; swap for reliable checkpoint() on a real
-    * cluster, the [[Dedup.clusterLabels]] convention). `sortFiles`
-    * controls the postings/termdf file count the term-ordered layout is
-    * spread over — size it so each file's row groups stay
-    * skip-friendly. */
+    * of three (build-time only; swap for reliable checkpoint() on a real
+    * cluster, the [[Dedup.clusterLabels]] convention) — and released
+    * once the tables are on disk. `sortFiles` controls the postings file
+    * count the term-ordered layout is spread over — size it so each
+    * file's row groups stay skip-friendly. */
   def build(
       store: TableStore, prefix: String,
       corpus: DataFrame, idCol: String, textCol: String,
@@ -63,17 +75,14 @@ object LexIndex {
       .select(col("term"), col(idCol).as("doc_id"), col("tf"))
       .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(avg(col("dl")).as("avgdl"),
-      count(lit(1)).cast("double").as("ndocs"))
-    val termDf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     store.overwriteAll(Seq(
       s"${prefix}_postings" ->
         tf.repartition(sortFiles, col("term")).sortWithinPartitions("term"),
       s"${prefix}_doclens" -> dl,
-      s"${prefix}_termdf" ->
-        termDf.repartition(math.min(sortFiles, 4), col("term"))
-          .sortWithinPartitions("term"),
-      s"${prefix}_lexstats" -> stats))
+      s"${prefix}_lexstats" -> statsOf(dl),
+      // Rebuild resets the tombstone set: the new tables already exclude
+      // anything the caller dropped from the corpus.
+      s"${prefix}_tombstones" -> emptyTombstones(corpus, idCol)))
     // The checkpointed postings blocks have no consumer once the tables
     // are on disk — release them, or they pin executor memory for the
     // rest of the session (corpus-scale at build time).
@@ -81,28 +90,121 @@ object LexIndex {
     ()
   }
 
-  /** BM25 top-k per query from the PERSISTED index: reads only the four
+  /** INCREMENTAL maintenance: tokenize a new document batch (the frozen
+    * tokenizer — same contract as [[AnnIndex.appendIvf]]'s frozen
+    * geometry), append its postings and doclens, and add its sums into
+    * the stats row. One two-phase store commit: the appends and the
+    * stats replacement all materialize against pre-commit snapshots,
+    * then move. Serve-time df is derived from the postings, so appended
+    * terms are visible at the next serve with no df table to refresh.
+    *
+    * Assumes batch ids are disjoint from indexed ids (the
+    * [[Dedup.incrementalDedup]] contract). */
+  def append(
+      store: TableStore, prefix: String,
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val tf = TextAnalysis.bm25Postings(batch, idCol, textCol)
+      .select(col("term"), col(idCol).as("doc_id"), col("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val merged = store.load(s"${prefix}_lexstats")
+      .unionByName(statsOf(dl))
+      .agg(sum(col("sum_dl")).cast("long").as("sum_dl"),
+        sum(col("ndocs")).cast("long").as("ndocs"))
+    store.commitAll(
+      appends = Seq(
+        s"${prefix}_postings" -> tf.sortWithinPartitions("term"),
+        s"${prefix}_doclens" -> dl),
+      partitions = Nil,
+      overwrites = Seq(s"${prefix}_lexstats" -> merged))
+    tf.unpersist()
+    ()
+  }
+
+  /** DELETE documents from the index (GDPR erasure, corpus refresh)
+    * without a rebuild: ids land in `<prefix>_tombstones` and the serve
+    * path anti-joins them; the stats row is decremented by the deleted
+    * documents' lengths IN THE SAME two-phase commit, so
+    * delete-then-query is row-identical to rebuild-without-deleted
+    * (q_bm25_delete pins it) from the moment this returns. Ids already
+    * tombstoned (or absent from the index) are ignored, so repeated
+    * deletes never double-decrement. Physical rows remain until
+    * [[compact]]. */
+  def deleteDocs(
+      store: TableStore, prefix: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val wanted = ids.select(col(idCol).as("doc_id")).distinct()
+    val existing =
+      if (store.exists(s"${prefix}_tombstones"))
+        store.load(s"${prefix}_tombstones")
+      else emptyTombstones(ids, idCol)
+    // Only ids that are actually in the live index may decrement stats:
+    // semi-join against doclens (absent ids contribute nothing), anti-join
+    // against prior tombstones (idempotence). Materialized once — it
+    // feeds both the tombstone append and the stats delta.
+    val newDead = wanted
+      .join(existing, Seq("doc_id"), "left_anti")
+      .join(store.load(s"${prefix}_doclens"), Seq("doc_id"))
+      .localCheckpoint()
+    val merged = store.load(s"${prefix}_lexstats")
+      .unionByName(newDead.agg(
+        (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("sum_dl"),
+        (-count(lit(1))).cast("long").as("ndocs")))
+      .agg(sum(col("sum_dl")).cast("long").as("sum_dl"),
+        sum(col("ndocs")).cast("long").as("ndocs"))
+    store.commitAll(
+      appends = Seq(s"${prefix}_tombstones" -> newDead.select("doc_id")),
+      partitions = Nil,
+      overwrites = Seq(s"${prefix}_lexstats" -> merged))
+    newDead.unpersist()
+    ()
+  }
+
+  /** Fold accumulated tombstones into the physical tables: postings and
+    * doclens are rewritten without the deleted ids — the postings
+    * restored to the term-sorted layout appends dilute — and the
+    * tombstone set empties, ONE atomic-per-table two-phase commit.
+    * Stats are untouched (already decremented at delete time). Serve
+    * results are IDENTICAL before and after; idempotent (rerunning after
+    * a crash converges) — FunctionsSpec pins both. */
+  def compact(store: TableStore, prefix: String, sortFiles: Int = 32): Unit =
+    if (store.exists(s"${prefix}_tombstones")) {
+      val tomb = store.load(s"${prefix}_tombstones")
+      store.overwriteAll(Seq(
+        s"${prefix}_postings" ->
+          store.load(s"${prefix}_postings")
+            .join(tomb, Seq("doc_id"), "left_anti")
+            .repartition(sortFiles, col("term")).sortWithinPartitions("term"),
+        s"${prefix}_doclens" ->
+          store.load(s"${prefix}_doclens")
+            .join(tomb, Seq("doc_id"), "left_anti"),
+        s"${prefix}_tombstones" -> tomb.limit(0).repartition(1)))
+    }
+
+  /** BM25 top-k per query from the PERSISTED index: reads only the
     * index tables. Row-identical to [[TextAnalysis.bm25TopK]] over the
-    * corpus the index was built from.
+    * live corpus (built ∪ appended ∖ deleted).
     *
     * With `pruneTerms` (default) the query batch's distinct terms are
     * collected first — bounded by the batch's own text, the [[AnnIndex]]
     * probed-cent_id convention — and land as a static `term IN (...)`
-    * filter on the postings/termdf scans, which the term-sorted file
-    * layout turns into row-group skipping: a serve reads the probed
-    * slice of the index, never all of it. Pass false to keep plan
-    * construction fully lazy (the probe is then only the broadcast hash
-    * join; parquet still gets the join's runtime filter when row-level
-    * runtime filtering is enabled). */
+    * filter on the postings scan, which the term-sorted file layout
+    * turns into row-group skipping: a serve reads the probed slice of
+    * the index, never all of it. Pass false to keep plan construction
+    * fully lazy (the probe is then only the broadcast hash join).
+    * Document frequency aggregates from the probed (and
+    * tombstone-filtered) slice itself — one tiny extra aggregation over
+    * rows the probe already reads, in exchange for df that can never go
+    * stale. */
   def bm25TopK(
       store: TableStore, prefix: String,
       queries: DataFrame, qidCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       pruneTerms: Boolean = true): DataFrame = {
     val qTerms0 = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
-    val postings0 = store.load(s"${prefix}_postings")
-    val termDf0 = store.load(s"${prefix}_termdf")
-    val (postings, termDf, qTerms) =
+    val postings0 = minusTombstones(store, prefix,
+      store.load(s"${prefix}_postings"))
+    val (postings1, qTerms) =
       if (pruneTerms) {
         // One query-tokenization job per serve call: the collected
         // (qid, term) rows feed BOTH the static IN pushdown and the
@@ -113,17 +215,42 @@ object LexIndex {
           java.util.Arrays.asList(rows: _*), qTerms0.schema)
         val termIdx = qTerms0.schema.fieldIndex("term")
         val terms = rows.map(_.getString(termIdx)).distinct.toSeq
-        (postings0.filter(col("term").isin(terms: _*)),
-          termDf0.filter(col("term").isin(terms: _*)),
-          local)
+        (postings0.filter(col("term").isin(terms: _*)), local)
       } else
-        (postings0,
-          termDf0.join(broadcast(qTerms0.select("term").distinct()), Seq("term")),
-          qTerms0)
+        (postings0.join(broadcast(qTerms0.select("term").distinct()),
+          Seq("term")), qTerms0)
+    // Probed slice feeds BOTH df and the scoring probe: one reused
+    // exchange at most postings-of-query-terms wide.
+    val termDf = postings1
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = store.load(s"${prefix}_lexstats")
+      .select(
+        (col("sum_dl").cast("double") / col("ndocs").cast("double")).as("avgdl"),
+        col("ndocs").cast("double").as("ndocs"))
     TextAnalysis.bm25Search(
-      postings, store.load(s"${prefix}_doclens"), termDf,
-      store.load(s"${prefix}_lexstats"), qTerms, "doc_id", k, k1, b)
+      postings1, store.load(s"${prefix}_doclens"), termDf,
+      stats, qTerms, "doc_id", k, k1, b)
   }
+
+  /** The additive stats row for a doclens frame: exact long sums. */
+  private def statsOf(dl: DataFrame): DataFrame =
+    dl.agg(coalesce(sum(col("dl")), lit(0L)).cast("long").as("sum_dl"),
+      count(lit(1)).cast("long").as("ndocs"))
+
+  /** Empty tombstone frame whose doc_id TYPE follows the corpus id column
+    * — a fixed Long here would poison the parquet schema for indexes
+    * keyed by string/int ids once deleteDocs appends real rows. */
+  private def emptyTombstones(like: DataFrame, idCol: String): DataFrame =
+    like.select(col(idCol).as("doc_id")).limit(0).repartition(1)
+
+  private def minusTombstones(
+      store: TableStore, prefix: String, df: DataFrame): DataFrame =
+    if (store.exists(s"${prefix}_tombstones"))
+      // Keyed anti-join (AQE broadcasts it when the tombstone set is
+      // actually small): the set grows with deletions until compaction,
+      // so it is never assumed broadcastable.
+      df.join(store.load(s"${prefix}_tombstones"), Seq("doc_id"), "left_anti")
+    else df
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): fuse N
     * per-query rankings — each (qid, doc, rank) — into one top-`k` under

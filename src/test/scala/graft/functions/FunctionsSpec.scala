@@ -909,6 +909,51 @@ class FunctionsSpec extends SparkSpec {
     assert(again === inline)
   }
 
+  test("LexIndex maintenance: append == rebuild; delete == rebuild-without; compact is invisible") {
+    val all = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds small ducks"),
+      (5L, "executors hold data in memory")).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark data"), (11L, "small ducks")).toDF("doc_id", "text")
+    def serve(store: graft.io.ParquetTableStore): Seq[(Long, Long, Double, Long)] =
+      LexIndex.bm25TopK(store, "lex", qs, "doc_id", "text", k = 5)
+        .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    def freshStore() = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lex_maint_").toString)
+
+    // Append == rebuild over the union.
+    val rebuilt = freshStore()
+    LexIndex.build(rebuilt, "lex", all, "doc_id", "text")
+    val appended = freshStore()
+    LexIndex.build(appended, "lex", all.filter($"doc_id" <= 3), "doc_id", "text")
+    LexIndex.append(appended, "lex", all.filter($"doc_id" > 3), "doc_id", "text")
+    assert(serve(appended) === serve(rebuilt), "append diverged from rebuild")
+
+    // Delete == rebuild without the deleted docs (df/avgdl/ndocs shift too).
+    val without4 = freshStore()
+    LexIndex.build(without4, "lex", all.filter($"doc_id" =!= 4L), "doc_id", "text")
+    LexIndex.deleteDocs(rebuilt, "lex", Seq(4L).toDF("doc_id"), "doc_id")
+    assert(serve(rebuilt) === serve(without4), "delete diverged from rebuild-without")
+
+    // Repeated + absent-id deletes are no-ops (no double-decrement).
+    LexIndex.deleteDocs(rebuilt, "lex", Seq(4L, 999L).toDF("doc_id"), "doc_id")
+    assert(serve(rebuilt) === serve(without4), "re-delete changed results")
+    val stats = rebuilt.load("lex_lexstats")
+      .as[(Long, Long)].head()
+    assert(stats._2 === 4L, s"ndocs after one delete of 5 docs: ${stats._2}")
+
+    // Compaction folds tombstones in without changing any result, and
+    // rerunning it converges (idempotent).
+    LexIndex.compact(rebuilt, "lex")
+    assert(rebuilt.load("lex_tombstones").count() === 0L)
+    assert(rebuilt.load("lex_postings").filter($"doc_id" === 4L).count() === 0L)
+    assert(serve(rebuilt) === serve(without4), "compaction changed results")
+    LexIndex.compact(rebuilt, "lex")
+    assert(serve(rebuilt) === serve(without4), "re-compaction changed results")
+  }
+
   test("rrfFuse: doc in both rankings beats single-system docs; absent docs contribute nothing") {
     // qid 1: doc 100 is rank 2 in BOTH rankings (1/62 + 1/62), doc 200 is
     // rank 1 in A only (1/61), doc 300 rank 1 in B only (1/61):
