@@ -277,6 +277,35 @@ object EventAnalytics {
       sink(graft.functions.LexIndex.bm25TopK(
         store, prefix, batch, qidCol, qTextCol, k, k1, b, pruneTerms))
 
+  /** HYBRID retrieval serve: per-micro-batch probe of BOTH persisted
+    * indexes — BM25 over the [[graft.functions.LexIndex]] tables and IVF
+    * over the [[graft.functions.AnnIndex]] tables — fused with
+    * reciprocal-rank fusion ([[graft.functions.LexIndex.rrfFuse]]). The
+    * query stream carries a text column AND an embedding column (the
+    * dual-encoder endpoint shape); each batch emits the fused top-`k`
+    * per query. Per-query results depend only on the query row and the
+    * index tables, so batch == stream (spec-pinned); both indexes'
+    * mutations land at the next micro-batch, like each single-index
+    * serve. The batch is materialized once — it feeds both probes. */
+  def hybridProbeEachBatch(
+      lexStore: graft.io.TableStore, lexPrefix: String,
+      annStore: graft.io.TableStore, annPrefix: String,
+      qidCol: String, qTextCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, rrfC: Int = 60)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch0, _) => {
+      val batch = batch0.localCheckpoint()
+      val lex = graft.functions.LexIndex.bm25TopK(
+          lexStore, lexPrefix, batch, qidCol, qTextCol, k)
+        .select(col("qid"), col("doc_id"), col("rnk"))
+      val ann = graft.functions.AnnIndex.ivfTopK(
+          annStore, annPrefix, batch, qidCol, vecCol, k, nprobe)
+        .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("rnk"))
+      sink(graft.functions.LexIndex.rrfFuse(
+        Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC))
+    }
+
   /** PQ twin of [[annProbeEachBatch]]: per-micro-batch ADC top-k against
     * the persisted codebook + byte codes — the memory-lean serve path
     * (full-precision vectors exist nowhere in the plan). Same freshness

@@ -370,6 +370,66 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(acc.exists(_._2 == 5L), "rebuilt corpus doc not reachable next batch")
   }
 
+  test("hybridProbeEachBatch: micro-batched fused probes == one batch fusion") {
+    import graft.functions.{AnnIndex, LexIndex}
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds small ducks")).toDF("doc_id", "text")
+    val vecs = (1L to 4L).map(i =>
+      i -> Array.tabulate(8)(j => (((i * 13 + j * 5) % 17).toFloat - 8f) / 4f)).toMap
+    val emb = vecs.toSeq.toDF("doc_id", "embedding")
+    val lexStore = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("hyb_lex_").toString)
+    val annStore = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("hyb_ann_").toString)
+    LexIndex.build(lexStore, "lex", docs, "doc_id", "text")
+    AnnIndex.buildIvf(annStore, "ivf", emb, "doc_id", "embedding", nlist = 2)
+
+    val queries = Seq(
+      (10L, "spark data", vecs(1L)),
+      (11L, "small ducks", vecs(4L)),
+      (12L, "the pond", vecs(3L)))
+    def direct(qs: Seq[(Long, String, Array[Float])]): Set[(Long, Long, Double, Long, Long)] = {
+      val qdf = qs.toDF("qid", "qtext", "qvec")
+      val lex = LexIndex.bm25TopK(lexStore, "lex", qdf, "qid", "qtext", k = 3)
+        .select($"qid", $"doc_id", $"rnk")
+      val ann = AnnIndex.ivfTopK(annStore, "ivf", qdf, "qid", "qvec", k = 3, nprobe = 2)
+        .select($"query_id".as("qid"), $"vec_id".as("doc_id"),
+          $"rank".cast("long").as("rnk"))
+      LexIndex.rrfFuse(Seq(lex, ann), "qid", "doc_id", "rnk", k = 3)
+        .as[(Long, Long, Double, Long, Long)].collect().toSet
+    }
+
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long, Long)]()
+    val q = input.toDF().toDF("qid", "qtext", "qvec")
+      .writeStream
+      .foreachBatch(EventAnalytics.hybridProbeEachBatch(
+        lexStore, "lex", annStore, "ivf",
+        "qid", "qtext", "qvec", k = 3, nprobe = 2) { out =>
+        acc.synchronized {
+          acc ++= out.as[(Long, Long, Double, Long, Long)](implicitly).collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    input.addData(queries(0), queries(1))
+    q.processAllAvailable()
+    input.addData(queries(2))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === direct(queries),
+      "streamed hybrid fusion diverged from the one-batch fusion")
+    // Both retrievers genuinely contribute: some fused row carries
+    // n_systems = 2 (the lexical and vector rankings agreed on a doc).
+    assert(acc.exists(_._4 == 2L), s"no doubly-retrieved doc in ${acc.toSeq}")
+  }
+
   test("annProbePqEachBatch: micro-batched ADC probes == one batch probe") {
     import graft.functions.AnnIndex
     import graft.io.ParquetTableStore
