@@ -857,7 +857,7 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
-    // PERSISTED BM25 index: build writes postings/doclens/termdf/stats
+    // PERSISTED BM25 index: build writes postings/doclens/stats/tombstone
     // tables through a TableStore; the serve plan reads ONLY those tables
     // (PlanQualitySpec gates no corpus re-scan beyond the query batch).
     // Shares q_bm25_topk's oracle — build/serve must be row-identical.
@@ -3219,8 +3219,12 @@ object SparkEntry {
     // Append == rebuild over the union: the FULL-corpus oracle.
     "q_bm25_append" -> bm25OracleSql,
 
-    // Delete-then-query == rebuild-without-deleted.
-    "q_bm25_delete" -> bm25OracleSqlFor("doc_id NOT IN (3, 4, 5, 6, 7)"),
+    // Delete-then-query == rebuild-without-deleted. Null-safe predicate:
+    // a NULL doc_id must stay in the oracle corpus like it stays in the
+    // Spark corpus (the tombstone left_anti join keeps null-keyed rows;
+    // bare NOT IN would silently drop them).
+    "q_bm25_delete" ->
+      bm25OracleSqlFor("doc_id IS NULL OR doc_id NOT IN (3, 4, 5, 6, 7)"),
 
     // RRF over the BM25 ranking (nested full bm25 oracle) and a
     // brute-force cosine ranking (vec_id < 3, k=5, self excluded —

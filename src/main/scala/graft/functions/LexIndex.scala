@@ -99,7 +99,14 @@ object LexIndex {
     * terms are visible at the next serve with no df table to refresh.
     *
     * Assumes batch ids are disjoint from indexed ids (the
-    * [[Dedup.incrementalDedup]] contract). */
+    * [[Dedup.incrementalDedup]] contract — not checked: verifying would
+    * scan corpus-sized doclens per append). Re-adding a TOMBSTONED id is
+    * checked and REJECTED (one bounded job against the small tombstone
+    * set): the deleted doc's old postings are still physical, so
+    * un-tombstoning would resurrect them alongside the new rows, and
+    * leaving the tombstone would let [[compact]] silently erase the new
+    * rows while stats keep their increment. Run [[compact]] first, then
+    * the id is genuinely fresh and append is safe. */
   def append(
       store: TableStore, prefix: String,
       batch: DataFrame, idCol: String, textCol: String): Unit = {
@@ -107,7 +114,16 @@ object LexIndex {
       .select(col("term"), col(idCol).as("doc_id"), col("tf"))
       .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val merged = store.load(s"${prefix}_lexstats")
+    if (store.exists(s"${prefix}_tombstones")) {
+      val clashing = dl.select("doc_id")
+        .join(store.load(s"${prefix}_tombstones"), Seq("doc_id"))
+        .limit(1).count()
+      require(clashing == 0L,
+        s"append of tombstoned id(s) into $prefix: run compact() first " +
+          "(re-adding before compaction would either resurrect the old " +
+          "rows or corrupt the stats row at the next compaction)")
+    }
+    val merged = loadStats(store, prefix)
       .unionByName(statsOf(dl))
       .agg(sum(col("sum_dl")).cast("long").as("sum_dl"),
         sum(col("ndocs")).cast("long").as("ndocs"))
@@ -146,7 +162,7 @@ object LexIndex {
       .join(existing, Seq("doc_id"), "left_anti")
       .join(store.load(s"${prefix}_doclens"), Seq("doc_id"))
       .localCheckpoint()
-    val merged = store.load(s"${prefix}_lexstats")
+    val merged = loadStats(store, prefix)
       .unionByName(newDead.agg(
         (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("sum_dl"),
         (-count(lit(1))).cast("long").as("ndocs")))
@@ -219,17 +235,35 @@ object LexIndex {
       } else
         (postings0.join(broadcast(qTerms0.select("term").distinct()),
           Seq("term")), qTerms0)
-    // Probed slice feeds BOTH df and the scoring probe: one reused
-    // exchange at most postings-of-query-terms wide.
+    // The probed slice feeds BOTH the df aggregation (shuffles on term)
+    // and the scoring probe (shuffles on doc_id) — the subtrees diverge
+    // before any common exchange, so the slice's scan + tombstone
+    // anti-join execute once per consumer. Both executions are bounded
+    // by query-term selectivity; a long-lived index with a large
+    // un-compacted tombstone set should compact to keep the anti-join
+    // side small.
     val termDf = postings1
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val stats = store.load(s"${prefix}_lexstats")
+    val stats = loadStats(store, prefix)
       .select(
         (col("sum_dl").cast("double") / col("ndocs").cast("double")).as("avgdl"),
         col("ndocs").cast("double").as("ndocs"))
     TextAnalysis.bm25Search(
       postings1, store.load(s"${prefix}_doclens"), termDf,
       stats, qTerms, "doc_id", k, k1, b)
+  }
+
+  /** Load the stats row, failing fast with a rebuild hint on an index
+    * persisted by the pre-maintenance format (which stored (avgdl,
+    * ndocs) and a termdf table): the additive arithmetic needs sum_dl,
+    * and silently mis-reading an old row would corrupt every score. */
+  private def loadStats(store: TableStore, prefix: String): DataFrame = {
+    val stats = store.load(s"${prefix}_lexstats")
+    require(stats.columns.contains("sum_dl"),
+      s"$prefix was built by an older LexIndex format " +
+        s"(lexstats columns: ${stats.columns.mkString(", ")}) — rebuild " +
+        "the index with LexIndex.build")
+    stats
   }
 
   /** The additive stats row for a doclens frame: exact long sums. */

@@ -198,11 +198,18 @@ object EventAnalytics {
       // the re-join below, so without the checkpoint the batch's entire
       // upstream lineage (e.g. a composed curateStream, with its stateful
       // dropDuplicates subtree) would plan and execute twice per epoch.
+      // Released after the sink returns (sinks consume within the call —
+      // the foreachBatch contract) so a standing gate doesn't accumulate
+      // one batch's storage per trigger.
       val b = batch.localCheckpoint()
-      val scored = graft.functions.Sampling.dsirScore(
-        b, idCol, textCol, ratio, buckets)
-      sink(b.join(scored, Seq(idCol))
-        .filter(col("log_w") >= minLogW))
+      try
+        sink(b.join(graft.functions.Sampling.dsirScore(
+            b, idCol, textCol, ratio, buckets), Seq(idCol))
+          .filter(col("log_w") >= minLogW))
+      finally {
+        b.unpersist()
+        ()
+      }
     }
 
   /** Streaming drift alarm — per-micro-batch
@@ -263,7 +270,7 @@ object EventAnalytics {
     * any result (spec-pinned batch == stream); an index rebuild lands at
     * the next micro-batch (per-batch table re-read — the same freshness
     * contract and cost model as the ANN serve: one bounded term-collect
-    * job per batch, then postings/termdf scans pruned to the batch's
+    * job per batch, then a postings scan pruned to the batch's
     * terms by the term-sorted layout). A hybrid endpoint runs this and
     * [[annProbeEachBatch]] over the same query stream and fuses with
     * [[graft.functions.LexIndex.rrfFuse]]. */
@@ -286,7 +293,16 @@ object EventAnalytics {
     * per query. Per-query results depend only on the query row and the
     * index tables, so batch == stream (spec-pinned); both indexes'
     * mutations land at the next micro-batch, like each single-index
-    * serve. The batch is materialized once — it feeds both probes. */
+    * serve. The batch is materialized once — it feeds both probes — and
+    * released after the sink returns (the sink must consume its frame
+    * within the call, the standard foreachBatch contract).
+    *
+    * Query ids must NOT share the corpus doc-id space: the IVF side
+    * excludes a result whose vec_id equals the query id (the
+    * more-like-this self-match guard in ivfSearchLists) while the BM25
+    * side has no such notion — a shared id space would fuse those
+    * documents from only one retriever and halve their RRF score. For a
+    * more-like-this endpoint, remap query ids first. */
   def hybridProbeEachBatch(
       lexStore: graft.io.TableStore, lexPrefix: String,
       annStore: graft.io.TableStore, annPrefix: String,
@@ -295,15 +311,23 @@ object EventAnalytics {
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch0, _) => {
       val batch = batch0.localCheckpoint()
-      val lex = graft.functions.LexIndex.bm25TopK(
-          lexStore, lexPrefix, batch, qidCol, qTextCol, k)
-        .select(col("qid"), col("doc_id"), col("rnk"))
-      val ann = graft.functions.AnnIndex.ivfTopK(
-          annStore, annPrefix, batch, qidCol, vecCol, k, nprobe)
-        .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
-          col("rank").cast("long").as("rnk"))
-      sink(graft.functions.LexIndex.rrfFuse(
-        Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC))
+      try {
+        val lex = graft.functions.LexIndex.bm25TopK(
+            lexStore, lexPrefix, batch, qidCol, qTextCol, k)
+          .select(col("qid"), col("doc_id"), col("rnk"))
+        val ann = graft.functions.AnnIndex.ivfTopK(
+            annStore, annPrefix, batch, qidCol, vecCol, k, nprobe)
+          .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+            col("rank").cast("long").as("rnk"))
+        sink(graft.functions.LexIndex.rrfFuse(
+          Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC))
+      } finally {
+        // Release the checkpointed batch blocks: a standing serve loop
+        // otherwise accumulates one batch's storage per trigger until
+        // driver GC — the leak build/append explicitly unpersist against.
+        batch.unpersist()
+        ()
+      }
     }
 
   /** PQ twin of [[annProbeEachBatch]]: per-micro-batch ADC top-k against

@@ -94,7 +94,7 @@ class PlanQualitySpec extends SparkSpec {
   test("q_bm25_persisted never re-derives term statistics from the corpus") {
     // Build happens inside the query closure; the RETURNED plan is the
     // serve path. The only legitimate documents.parquet scan is the 3-row
-    // QUERY batch itself — the postings/doclens/termdf/stats derivations
+    // QUERY batch itself — the postings/doclens/stats derivations
     // must all read from the persisted index tables, and the postings scan
     // must carry the collected query-term pushdown (the term-sorted layout's
     // row-group skipping lever).

@@ -944,6 +944,15 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(stats._2 === 4L, s"ndocs after one delete of 5 docs: ${stats._2}")
 
+    // Re-adding a tombstoned id is REJECTED before compaction (it would
+    // either resurrect the old rows or let compact corrupt the stats row).
+    val clash = intercept[IllegalArgumentException] {
+      LexIndex.append(rebuilt, "lex",
+        Seq((4L, "doc four returns")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(clash.getMessage.contains("compact"))
+    assert(serve(rebuilt) === serve(without4), "rejected append left a trace")
+
     // Compaction folds tombstones in without changing any result, and
     // rerunning it converges (idempotent).
     LexIndex.compact(rebuilt, "lex")
@@ -952,6 +961,18 @@ class FunctionsSpec extends SparkSpec {
     assert(serve(rebuilt) === serve(without4), "compaction changed results")
     LexIndex.compact(rebuilt, "lex")
     assert(serve(rebuilt) === serve(without4), "re-compaction changed results")
+
+    // After compaction the id is genuinely fresh: re-adding it now works
+    // and equals a rebuild over the corresponding corpus.
+    LexIndex.append(rebuilt, "lex",
+      Seq((4L, "doc four returns")).toDF("doc_id", "text"), "doc_id", "text")
+    val with4new = freshStore()
+    LexIndex.build(with4new, "lex",
+      all.filter($"doc_id" =!= 4L)
+        .unionByName(Seq((4L, "doc four returns")).toDF("doc_id", "text")),
+      "doc_id", "text")
+    assert(serve(rebuilt) === serve(with4new),
+      "post-compact re-add diverged from rebuild")
   }
 
   test("rrfFuse: doc in both rankings beats single-system docs; absent docs contribute nothing") {
