@@ -873,6 +873,23 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // PINNED-SNAPSHOT lexical serve: frames resolved ONCE
+    // (LexIndex.snapshot — the streaming serve loop's fast path).
+    // Contractually row-identical to the fresh path, so it shares the
+    // full oracle. The snapshot's 1-row stats cache is deliberately not
+    // released (lazily evaluated by the caller; one cached row).
+    "q_bm25_pinned" -> ((s, dir) => {
+      import graft.functions.LexIndex
+      val docs = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lexp_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      LexIndex.build(store, "lex", docs, "doc_id", "text")
+      LexIndex.bm25TopK(LexIndex.snapshot(store, "lex"),
+          docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5, k1 = 1.2, b = 0.75, pruneTerms = true)
+        .orderBy("qid", "rnk")
+    }),
+
     // INCREMENTAL lexical index: build on a corpus prefix, append the
     // rest — shares the FULL-corpus oracle (append == rebuild; additive
     // stats, serve-time df from postings).
@@ -3215,6 +3232,9 @@ object SparkEntry {
 
     // The persisted index is contractually row-identical to inline BM25.
     "q_bm25_persisted" -> bm25OracleSql,
+
+    // Pinned snapshot == fresh path == inline: the FULL-corpus oracle.
+    "q_bm25_pinned" -> bm25OracleSql,
 
     // Append == rebuild over the union: the FULL-corpus oracle.
     "q_bm25_append" -> bm25OracleSql,

@@ -216,10 +216,61 @@ object LexIndex {
       store: TableStore, prefix: String,
       queries: DataFrame, qidCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      pruneTerms: Boolean = true): DataFrame = {
+      pruneTerms: Boolean = true): DataFrame =
+    // Fresh-per-call = serve against uncached just-resolved frames; the
+    // probe logic itself is shared verbatim with the pinned path.
+    bm25TopK(LexSnapshot(
+        minusTombstones(store, prefix, store.load(s"${prefix}_postings")),
+        store.load(s"${prefix}_doclens"),
+        loadStats(store, prefix).select(
+          (col("sum_dl").cast("double") / col("ndocs").cast("double")).as("avgdl"),
+          col("ndocs").cast("double").as("ndocs"))),
+      queries, qidCol, qTextCol, k, k1, b, pruneTerms)
+
+  /** Index frames resolved ONCE for a serving session — the lexical twin
+    * of [[AnnIndex.ivfSnapshot]]: the stats row is materialized into the
+    * cache (ONE row, frozen between maintenance writes), the
+    * postings/doclens file metadata is resolved now, and tombstones as
+    * of now are folded in. The fresh-per-call [[bm25TopK]] re-resolves
+    * every table per call — per MICRO-BATCH in a foreachBatch serve
+    * loop, which at cluster scale means an object-store LIST of every
+    * postings file plus a schema read on each batch.
+    *
+    * Freshness contract (the trade, stated): appends, deletes, and
+    * compaction land at the NEXT snapshot, not the next call — and a
+    * compaction or rebuild REPLACES the physical table directories, so a
+    * pre-existing snapshot then reads deleted files. Re-snapshot after
+    * any maintenance write; [[LexSnapshot.release]] when done. */
+  final case class LexSnapshot private[functions] (
+      private[functions] val postings: DataFrame,
+      private[functions] val doclens: DataFrame,
+      private[functions] val stats: DataFrame) {
+    /** Unpersist the cached stats row. */
+    def release(): Unit = { stats.unpersist(); () }
+  }
+
+  /** Resolve the serve frames once (see [[LexSnapshot]]). */
+  def snapshot(store: TableStore, prefix: String): LexSnapshot = {
+    val stats = loadStats(store, prefix)
+      .select(
+        (col("sum_dl").cast("double") / col("ndocs").cast("double")).as("avgdl"),
+        col("ndocs").cast("double").as("ndocs"))
+      .cache()
+    stats.count() // materialize at snapshot time, not in the first batch
+    LexSnapshot(
+      minusTombstones(store, prefix, store.load(s"${prefix}_postings")),
+      store.load(s"${prefix}_doclens"), stats)
+  }
+
+  /** [[bm25TopK]] against a pinned [[snapshot]] — row-identical to the
+    * fresh path as of snapshot time (spec-pinned); no store reads
+    * besides the snapshot's own frames. */
+  def bm25TopK(
+      snap: LexSnapshot,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int, k1: Double, b: Double,
+      pruneTerms: Boolean): DataFrame = {
     val qTerms0 = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
-    val postings0 = minusTombstones(store, prefix,
-      store.load(s"${prefix}_postings"))
     val (postings1, qTerms) =
       if (pruneTerms) {
         // One query-tokenization job per serve call: the collected
@@ -231,9 +282,9 @@ object LexIndex {
           java.util.Arrays.asList(rows: _*), qTerms0.schema)
         val termIdx = qTerms0.schema.fieldIndex("term")
         val terms = rows.map(_.getString(termIdx)).distinct.toSeq
-        (postings0.filter(col("term").isin(terms: _*)), local)
+        (snap.postings.filter(col("term").isin(terms: _*)), local)
       } else
-        (postings0.join(broadcast(qTerms0.select("term").distinct()),
+        (snap.postings.join(broadcast(qTerms0.select("term").distinct()),
           Seq("term")), qTerms0)
     // The probed slice feeds BOTH the df aggregation (shuffles on term)
     // and the scoring probe (shuffles on doc_id) — the subtrees diverge
@@ -244,13 +295,8 @@ object LexIndex {
     // side small.
     val termDf = postings1
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val stats = loadStats(store, prefix)
-      .select(
-        (col("sum_dl").cast("double") / col("ndocs").cast("double")).as("avgdl"),
-        col("ndocs").cast("double").as("ndocs"))
     TextAnalysis.bm25Search(
-      postings1, store.load(s"${prefix}_doclens"), termDf,
-      stats, qTerms, "doc_id", k, k1, b)
+      postings1, snap.doclens, termDf, snap.stats, qTerms, "doc_id", k, k1, b)
   }
 
   /** Load the stats row, failing fast with a rebuild hint on an index

@@ -284,6 +284,23 @@ object EventAnalytics {
       sink(graft.functions.LexIndex.bm25TopK(
         store, prefix, batch, qidCol, qTextCol, k, k1, b, pruneTerms))
 
+  /** PINNED lexical serve: same per-micro-batch probe as
+    * [[bm25ProbeEachBatch]], but against a [[graft.functions.LexIndex
+    * .snapshot]] resolved once at stream start — no per-batch
+    * index-table re-resolution (at cluster scale: no per-batch
+    * object-store LIST of every postings file). The trade is freshness:
+    * appends/deletes/compaction land at the next stream restart
+    * (re-snapshot), not the next micro-batch. */
+  def bm25ProbeEachBatchPinned(
+      snap: graft.functions.LexIndex.LexSnapshot,
+      qidCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      pruneTerms: Boolean = true)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.LexIndex.bm25TopK(
+        snap, batch, qidCol, qTextCol, k, k1, b, pruneTerms))
+
   /** HYBRID retrieval serve: per-micro-batch probe of BOTH persisted
     * indexes — BM25 over the [[graft.functions.LexIndex]] tables and IVF
     * over the [[graft.functions.AnnIndex]] tables — fused with
