@@ -368,6 +368,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(acc.toSet === batchProbe(Seq(13L -> "ducks")),
       "post-rebuild stream probe diverged from the current-index batch probe")
     assert(acc.exists(_._2 == 5L), "rebuilt corpus doc not reachable next batch")
+
+    // PINNED serve equals the fresh path over the same batches (the
+    // snapshot was taken after the rebuild, so results match the live
+    // index).
+    val snap = LexIndex.snapshot(store, "lex")
+    val pinnedAcc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = input2.toDF().toDF("qid", "qtext")
+      .writeStream
+      .foreachBatch(EventAnalytics.bm25ProbeEachBatchPinned(
+        snap, "qid", "qtext", k = 3) { out =>
+        pinnedAcc.synchronized {
+          pinnedAcc ++= out.as[(Long, Long, Double, Long)](implicitly).collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    input2.addData(10L -> "spark data", 13L -> "ducks")
+    q2.processAllAvailable()
+    q2.stop()
+    snap.release()
+    assert(pinnedAcc.toSet ===
+      batchProbe(Seq(10L -> "spark data", 13L -> "ducks")),
+      "pinned stream probe diverged from the fresh batch probe")
   }
 
   test("hybridProbeEachBatch: micro-batched fused probes == one batch fusion") {
