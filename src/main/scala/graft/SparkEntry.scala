@@ -873,6 +873,17 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // Pseudo-relevance-feedback expansion: top-5 terms of each query's
+    // top-5 BM25 docs by summed tf*idf, excluding the query's own terms
+    "q_bm25_expansion" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.TextAnalysis.bm25ExpansionTerms(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 5, m = 5)
+        .orderBy("qid", "rnk")
+    }),
+
     // PINNED-SNAPSHOT lexical serve: frames resolved ONCE
     // (LexIndex.snapshot — the streaming serve loop's fast path).
     // Contractually row-identical to the fresh path, so it shares the
@@ -3235,6 +3246,43 @@ object SparkEntry {
 
     // Pinned snapshot == fresh path == inline: the FULL-corpus oracle.
     "q_bm25_pinned" -> bm25OracleSql,
+
+    // RM1-style expansion: the bm25 oracle supplies the feedback set;
+    // weights = per-query summed tf*idf over it, query terms excluded
+    // BEFORE ranking (SQL WHERE precedes window evaluation).
+    "q_bm25_expansion" ->
+      s"""WITH bm AS (
+         |${bm25OracleSql}
+         |),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS ndocs FROM dl),
+         |fbtf AS (
+         |  SELECT bm.qid, tf.term, tf.tf FROM tf JOIN bm ON tf.doc_id = bm.doc_id),
+         |cand AS (SELECT DISTINCT term FROM fbtf),
+         |canddf AS (
+         |  SELECT tf.term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM tf JOIN cand ON tf.term = cand.term GROUP BY 1),
+         |qterms AS (
+         |  SELECT DISTINCT doc_id AS qid, unnest(string_split_regex(text, '\\s+')) AS term
+         |  FROM documents WHERE doc_id < 3),
+         |weights AS (
+         |  SELECT f.qid, f.term,
+         |    CAST(sum(CAST(round(
+         |      f.tf * ln(1.0 + (n.ndocs - d.df + 0.5) / (d.df + 0.5)) * 1e6,
+         |      0) AS BIGINT)) AS BIGINT) AS w6
+         |  FROM fbtf f JOIN canddf d ON f.term = d.term CROSS JOIN n
+         |  GROUP BY 1, 2),
+         |expanded AS (
+         |  SELECT w.*, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY w6 DESC, term ASC) AS BIGINT) AS rnk
+         |  FROM weights w
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM qterms q WHERE q.qid = w.qid AND q.term = w.term))
+         |SELECT qid, term, round(CAST(w6 AS DOUBLE) / 1e6, 6) AS weight, rnk
+         |FROM expanded WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // Append == rebuild over the union: the FULL-corpus oracle.
     "q_bm25_append" -> bm25OracleSql,

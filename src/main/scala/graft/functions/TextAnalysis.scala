@@ -500,6 +500,60 @@ object TextAnalysis {
       .select(col(qidCol).as("qid"), explode(words(col(qTextCol))).as("term"))
       .distinct()
 
+  /** Pseudo-relevance-feedback expansion terms (the RM1/Rocchio
+    * companion to BM25): for each query, retrieve its top-`k` documents
+    * with [[bm25TopK]], then rank the terms of those documents by their
+    * summed tf·idf mass over the feedback set — `w(q,t) = Σ_{d∈top(q)}
+    * tf(d,t) · idf(t)` with the same Lucene-convention idf — and emit
+    * the top-`m` terms NOT already in the query ("what words do my best
+    * matches share that I didn't say"). Feed the union of original +
+    * expansion terms back through BM25 for the classic expanded re-rank;
+    * the term list itself is the query-understanding artifact.
+    *
+    * Scale shape: one inline BM25 pass, then everything is keyed off the
+    * FEEDBACK SET — k·|queries| doc ids broadcast against the postings
+    * aggregate (the corpus never shuffles), candidate df computed on the
+    * feedback-restricted postings only, a top-m window partitioned by
+    * query. Per-(query, term) weights are 1e-6 fixed-point longs before
+    * ranking (oracle-exact); ties rank by term text. */
+  def bm25ExpansionTerms(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int = 5, m: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1, s"m must be >= 1, got $m")
+    val top = bm25TopK(corpus, idCol, textCol, queries, qidCol, qTextCol,
+        k, k1, b)
+      .select(col("qid"), col(idCol))
+    val tf = bm25Postings(corpus, idCol, textCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val nDocs = dl.agg(count(lit(1)).cast("double").as("ndocs"))
+    // Terms of the feedback docs, carried per query: the broadcast side
+    // is k·|queries| ids, so the postings aggregate is probed, never
+    // shuffled.
+    val fbTf = tf.join(broadcast(top), Seq(idCol))
+    val candDf = fbTf.select(col("term"), col(idCol)).distinct()
+      .select("term").distinct()
+      .join(tf, Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
+    val weighted = fbTf
+      .join(candDf.hint("merge"), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("qid"), col("term"),
+        round(col("tf") * idf * 1e6, 0).cast("long").as("w6"))
+      .groupBy("qid", "term")
+      .agg(sum(col("w6")).as("w6"))
+    val qTerms = bm25QueryTerms(queries, qidCol, qTextCol)
+    val w = Window.partitionBy("qid").orderBy(col("w6").desc, col("term").asc)
+    weighted
+      .join(qTerms, Seq("qid", "term"), "left_anti")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= m)
+      .select(col("qid"), col("term"),
+        round(col("w6").cast("double") / 1e6, 6).as("weight"), col("rnk"))
+  }
+
   /** The shared BM25 scoring core over index-shaped frames — the inline
     * path ([[bm25TopK]]) derives them from the corpus, the persisted path
     * ([[LexIndex.bm25TopK]]) loads them, and sharing this verbatim is what

@@ -975,6 +975,30 @@ class FunctionsSpec extends SparkSpec {
       "post-compact re-add diverged from rebuild")
   }
 
+  test("bm25ExpansionTerms: feedback docs' distinctive words surface; query terms excluded") {
+    val corpus = Seq(
+      (1L, "spark executors shuffle partitions"),
+      (2L, "spark executors broadcast partitions"),
+      (3L, "spark executors cache partitions"),
+      (4L, "ducks swim in the pond"),
+      (5L, "the pond holds many ducks")).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark")).toDF("doc_id", "text")
+    val exp = TextAnalysis.bm25ExpansionTerms(corpus, "doc_id", "text",
+        qs, "doc_id", "text", k = 3, m = 3)
+      .select("qid", "term", "rnk").as[(Long, String, Long)].collect()
+    val terms = exp.map(_._2).toSet
+    // The original query term never expands.
+    assert(!terms.contains("spark"), terms)
+    // The feedback set is the three spark docs — their shared vocabulary
+    // (executors/partitions appear in all three) must rank above the
+    // duck-pond vocabulary, which cannot appear at all.
+    assert(terms.contains("executors") && terms.contains("partitions"), terms)
+    assert(!terms.exists(Set("ducks", "pond", "swim")), terms)
+    // Deterministic bounded output: at most m rows, ranked 1..m.
+    assert(exp.map(_._3).sorted.toSeq === (1L to exp.length).toSeq)
+    assert(exp.length <= 3)
+  }
+
   test("rrfFuse: doc in both rankings beats single-system docs; absent docs contribute nothing") {
     // qid 1: doc 100 is rank 2 in BOTH rankings (1/62 + 1/62), doc 200 is
     // rank 1 in A only (1/61), doc 300 rank 1 in B only (1/61):
