@@ -510,12 +510,15 @@ object TextAnalysis {
     * expansion terms back through BM25 for the classic expanded re-rank;
     * the term list itself is the query-understanding artifact.
     *
-    * Scale shape: one inline BM25 pass, then everything is keyed off the
-    * FEEDBACK SET — k·|queries| doc ids broadcast against the postings
-    * aggregate (the corpus never shuffles), candidate df computed on the
-    * feedback-restricted postings only, a top-m window partitioned by
-    * query. Per-(query, term) weights are 1e-6 fixed-point longs before
-    * ranking (oracle-exact); ties rank by term text. */
+    * Scale shape: one inline BM25 pass, then the FEEDBACK SET —
+    * k·|queries| doc ids — broadcasts against the postings aggregate
+    * (the corpus never shuffles for the feedback probe). Candidate df is
+    * corpus-wide document frequency (df must be), computed by one keyed
+    * pass over the postings RESTRICTED TO CANDIDATE TERMS — the input is
+    * the full postings aggregate, filtered by term, not by the feedback
+    * docs. Top-m is a window partitioned by query. Per-(query, term)
+    * weights are 1e-6 fixed-point longs before ranking (oracle-exact);
+    * ties rank by term text. */
   def bm25ExpansionTerms(
       corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qTextCol: String,
@@ -532,13 +535,16 @@ object TextAnalysis {
     // is k·|queries| ids, so the postings aggregate is probed, never
     // shuffled.
     val fbTf = tf.join(broadcast(top), Seq(idCol))
-    val candDf = fbTf.select(col("term"), col(idCol)).distinct()
-      .select("term").distinct()
+    val candDf = fbTf.select("term").distinct()
       .join(tf, Seq("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
+    // Unhinted join — the joinVocab posture: the static plan stays
+    // keyed (a term aggregate's size estimate can't static-broadcast at
+    // corpus scale), and AQE re-plans to broadcast from the MEASURED
+    // candidate-df bytes when the feedback vocabulary is actually small.
     val weighted = fbTf
-      .join(candDf.hint("merge"), Seq("term"))
+      .join(candDf, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("qid"), col("term"),
         round(col("tf") * idf * 1e6, 0).cast("long").as("w6"))

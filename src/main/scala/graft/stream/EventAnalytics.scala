@@ -288,9 +288,15 @@ object EventAnalytics {
     * [[bm25ProbeEachBatch]], but against a [[graft.functions.LexIndex
     * .snapshot]] resolved once at stream start — no per-batch
     * index-table re-resolution (at cluster scale: no per-batch
-    * object-store LIST of every postings file). The trade is freshness:
-    * appends/deletes/compaction land at the next stream restart
-    * (re-snapshot), not the next micro-batch. */
+    * object-store LIST of every postings file). The trade: APPENDS and
+    * DELETES land at the next stream restart (re-snapshot), not the next
+    * micro-batch — and a COMPACTION or REBUILD must not run against a
+    * prefix with a live pinned stream at all: both physically REPLACE
+    * the postings/doclens directories, so the snapshot's pinned file
+    * listing points at deleted files and the next micro-batch fails
+    * (FileNotFoundException), it does not serve stale results. Stop the
+    * stream, maintain, re-snapshot, restart — or use the fresh-per-batch
+    * [[bm25ProbeEachBatch]] when maintenance must run under serving. */
   def bm25ProbeEachBatchPinned(
       snap: graft.functions.LexIndex.LexSnapshot,
       qidCol: String, qTextCol: String, k: Int,

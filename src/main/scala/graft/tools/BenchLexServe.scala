@@ -64,7 +64,12 @@ object BenchLexServe {
     // fresh-per-batch path (index tables re-resolved every micro-batch),
     // then the PINNED path (LexIndex.snapshot resolved once at stream
     // start). Each phase's first batch absorbs its own plan/codegen
-    // warm-up and is excluded from steady state.
+    // warm-up and is excluded from steady state. ORDERING CAVEAT: the
+    // pinned phase runs second and inherits JIT + page-cache warmth from
+    // the fresh phase, so its delta CONFLATES pinning with second-phase
+    // warm-up — read the local delta as an upper bound on the pinning
+    // win; the isolated claim is only that the pin removes per-batch
+    // table re-resolution (the dominant term on an object store).
     def drive(probe: (org.apache.spark.sql.DataFrame => Unit)
         => (org.apache.spark.sql.DataFrame, Long) => Unit): (Vector[Double], Long) = {
       val input = MemoryStream[(Long, String)]
