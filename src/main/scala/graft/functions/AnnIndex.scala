@@ -97,17 +97,29 @@ object AnnIndex {
       cents: DataFrame, lists0: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, pruneProbed: Boolean): DataFrame = {
-    val probes = Similarity.ivfProbes(cents, queries, idCol, vecCol, nprobe)
-    val lists =
-      if (pruneProbed) {
-        val probed = probes.select(col("cent_id")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        // The cent_id filter sits on the scan side of the tombstone
-        // anti-join, so Catalyst pushes it below the join and the
-        // partitioned lists table still prunes to the probed partitions.
-        lists0.filter(col("cent_id").isin(probed: _*))
-      } else lists0
-    Similarity.ivfSearchLists(lists, probes, k)
+    val probes0 = Similarity.ivfProbes(cents, queries, idCol, vecCol, nprobe)
+    if (pruneProbed) {
+      // ONE probe-routing job per serve call: the collected rows feed
+      // BOTH the static cent_id pushdown and the search's broadcast
+      // probe side (a lazy probes reference in ivfSearchLists would
+      // re-run the queries × centroids routing a second time per call —
+      // per MICRO-BATCH in annProbeEachBatch). The collect is bounded by
+      // the query batch itself (nprobe rows per query, each carrying the
+      // query vector the driver already holds) — the LexIndex.bm25TopK
+      // pruneTerms convention; a query batch too large to collect should
+      // pass pruneProbed = false, which keeps routing fully lazy and
+      // distributed (dynamic partition pruning still prunes at runtime).
+      val rows = probes0.collect()
+      val local = queries.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), probes0.schema)
+      val centIdx = probes0.schema.fieldIndex("cent_id")
+      val probed = rows.map(_.getLong(centIdx)).distinct.toSeq
+      // The cent_id filter sits on the scan side of the tombstone
+      // anti-join, so Catalyst pushes it below the join and the
+      // partitioned lists table still prunes to the probed partitions.
+      Similarity.ivfSearchLists(
+        lists0.filter(col("cent_id").isin(probed: _*)), local, k)
+    } else Similarity.ivfSearchLists(lists0, probes0, k)
   }
 
   /** Index frames resolved ONCE for a serving session ([[ivfSnapshot]] /

@@ -259,9 +259,28 @@ object Sampling {
     // Each side feeds BOTH its total and the outer join: materialize the
     // bounded (≤ buckets rows) histograms once so a counts frame built
     // from a raw corpus ([[distributionDrift]]'s case) never re-runs its
-    // feature explode for the second reference.
-    val aB = aCounts.select(col("bucket"), col("cnt").as("ca")).localCheckpoint()
-    val bB = bCounts.select(col("bucket"), col("cnt").as("cb")).localCheckpoint()
+    // feature explode for the second reference. One-shot convenience
+    // form: the checkpoints live until the session drops them. A LOOP —
+    // above all a standing foreachBatch alarm, which would otherwise
+    // accumulate two checkpointed RDDs PER TRIGGER for its lifetime —
+    // must instead materialize its own frames and release them after the
+    // sink returns (see [[graft.stream.EventAnalytics.driftAlarmEachBatch]],
+    // which checkpoints the baseline once per alarm and the batch side
+    // per trigger, unpersisting in finally), calling
+    // [[driftCountsJoin]] directly.
+    driftCountsJoin(
+      aCounts.select(col("bucket"), col("cnt").as("ca")).localCheckpoint(),
+      bCounts.select(col("bucket"), col("cnt").as("cb")).localCheckpoint())
+  }
+
+  /** The drift join/aggregation over histogram frames the CALLER has
+    * already renamed — `aB` = (bucket, ca), `bB` = (bucket, cb) — and
+    * materialized. No checkpoint is taken here, so the caller owns both
+    * frames' lifecycle; each side still feeds both its total and the
+    * outer join, so an unmaterialized corpus-derived input would run its
+    * feature explode twice. Use [[driftAgainstCounts]] unless you hold
+    * that contract. */
+  def driftCountsJoin(aB: DataFrame, bB: DataFrame): DataFrame = {
     val tots = aB.agg(coalesce(sum(col("ca")).cast("double"), lit(0.0)).as("ta"))
       .crossJoin(bB.agg(coalesce(sum(col("cb")).cast("double"), lit(0.0)).as("tb")))
     aB.join(bB, Seq("bucket"), "full_outer")

@@ -20,6 +20,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventAnalytics {
 
+  /** Materialize `df` once into executor storage (eager — the count runs
+    * now) and return the persisted frame; the CALLER must `unpersist()`
+    * it when its consumers have run (in a foreachBatch body: in finally,
+    * after the sink returns). This is the per-trigger materialization
+    * primitive for every standing serve/gate/alarm loop here.
+    *
+    * Deliberately cache-manager persistence, NOT `localCheckpoint`:
+    * `Dataset.unpersist` cannot release a localCheckpoint's underlying
+    * RDD (only the context cleaner frees it, on driver GC, eventually) —
+    * so a forever-running loop that checkpoints per trigger accumulates
+    * storage entries for its lifetime no matter how diligently it calls
+    * unpersist. A persisted frame's blocks ARE freed synchronously from
+    * the persistent-RDD map by `unpersist()` (soak-spec-pinned: flat
+    * storage across 20+ triggers). The trade: persistence does not
+    * truncate lineage, but every consumer planned from the returned
+    * frame substitutes the cached relation, which is all the
+    * evaluate-once contract needs. */
+  def materializeBatch(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Watermarked tumbling-window counts/sums per event type. Late events
     * beyond `lateness` are dropped; state is purged as the watermark
     * advances, so state size is bounded by (windows in flight x types) —
@@ -195,16 +218,27 @@ object EventAnalytics {
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch, _) => {
       // Materialize the batch once: `b` feeds BOTH the score derivation and
-      // the re-join below, so without the checkpoint the batch's entire
-      // upstream lineage (e.g. a composed curateStream, with its stateful
+      // the re-join below, so without it the batch's entire upstream
+      // lineage (e.g. a composed curateStream, with its stateful
       // dropDuplicates subtree) would plan and execute twice per epoch.
       // Released after the sink returns (sinks consume within the call —
       // the foreachBatch contract) so a standing gate doesn't accumulate
-      // one batch's storage per trigger.
-      val b = batch.localCheckpoint()
+      // one batch's storage per trigger — see [[materializeBatch]] for
+      // why this must be persistence, not localCheckpoint.
+      val b = materializeBatch(batch)
       try
+        // LEFT join + neutral defaults: a featureless document (null or
+        // empty text, or text whose n-grams all miss the fit table)
+        // produces no score row, and an inner re-join would silently
+        // drop it REGARDLESS of minLogW — a curation gate losing rows
+        // for a reason unrelated to its threshold. The contract instead:
+        // no evidence either way scores the neutral log_w = 0 (n_feats =
+        // 0) and flows through the threshold like any other document
+        // (admitted iff minLogW <= 0). Spec-pinned.
         sink(b.join(graft.functions.Sampling.dsirScore(
-            b, idCol, textCol, ratio, buckets), Seq(idCol))
+            b, idCol, textCol, ratio, buckets), Seq(idCol), "left")
+          .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+          .withColumn("log_w", coalesce(col("log_w"), lit(0.0)))
           .filter(col("log_w") >= minLogW))
       finally {
         b.unpersist()
@@ -221,15 +255,34 @@ object EventAnalytics {
     * pages on BEFORE a drifted crawl contaminates the training mix.
     * `buckets` must match the baseline's. Per-batch cost: one narrow
     * feature map + a buckets-bounded outer join against the standing
-    * histogram — the batch's text never joins anything. */
+    * histogram — the batch's text never joins anything.
+    *
+    * Storage discipline (this alarm runs FOREVER, so per-trigger leaks
+    * are the one defect class that always kills it): the baseline
+    * histogram is frozen for the alarm's lifetime and is checkpointed
+    * ONCE at construction; the batch-side histogram is checkpointed per
+    * trigger — it feeds both its total and the outer join, the
+    * double-subtree rule — and released in finally after the sink
+    * returns, exactly the [[dsirGateEachBatch]] shape. A soak spec pins
+    * flat persistent-RDD storage across ≥20 triggers. */
   def driftAlarmEachBatch(
       baseline: DataFrame, textCol: String, buckets: Int = 4096)(
-      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
-    (batch, id) =>
-      sink(graft.functions.Sampling.driftAgainstCounts(
-        baseline,
-        graft.functions.Sampling.bucketCounts(batch, textCol, buckets))
-        .withColumn("batch_id", lit(id)))
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    val aB = materializeBatch(
+      baseline.select(col("bucket"), col("cnt").as("ca")))
+    (batch, id) => {
+      val bB = materializeBatch(
+        graft.functions.Sampling.bucketCounts(batch, textCol, buckets)
+          .select(col("bucket"), col("cnt").as("cb")))
+      try
+        sink(graft.functions.Sampling.driftCountsJoin(aB, bB)
+          .withColumn("batch_id", lit(id)))
+      finally {
+        bB.unpersist()
+        ()
+      }
+    }
+  }
 
   /** Streaming ANN serve: probe a PERSISTED IVF index
     * ([[graft.functions.AnnIndex]]) with each micro-batch of query
@@ -333,7 +386,7 @@ object EventAnalytics {
       k: Int, nprobe: Int = 4, rrfC: Int = 60)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch0, _) => {
-      val batch = batch0.localCheckpoint()
+      val batch = materializeBatch(batch0)
       try {
         val lex = graft.functions.LexIndex.bm25TopK(
             lexStore, lexPrefix, batch, qidCol, qTextCol, k)
@@ -345,9 +398,9 @@ object EventAnalytics {
         sink(graft.functions.LexIndex.rrfFuse(
           Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC))
       } finally {
-        // Release the checkpointed batch blocks: a standing serve loop
-        // otherwise accumulates one batch's storage per trigger until
-        // driver GC — the leak build/append explicitly unpersist against.
+        // Release the batch's blocks: a standing serve loop otherwise
+        // accumulates one batch's storage per trigger for its lifetime
+        // ([[materializeBatch]] — why this is persist, not checkpoint).
         batch.unpersist()
         ()
       }

@@ -54,7 +54,11 @@ object BenchCurate {
       Sampling.dsirFit(docs, "text", docs.filter(col("lang") === "en"), "text"))
     store.overwrite("baseline_hist", Sampling.bucketCounts(docs, "text"))
     val ratio = store.load("dsir_ratio")
-    val baseline = store.load("baseline_hist")
+    // Standing baseline side of the per-batch drift probe, materialized
+    // ONCE for the loop (the driftAlarmEachBatch shape).
+    val baselineA = EventAnalytics.materializeBatch(
+      store.load("baseline_hist")
+        .select(col("bucket"), col("cnt").as("ca")))
     // Gate threshold = median corpus weight (admits ~half; the absolute
     // level is smoothing-dependent, so a deployment calibrates it).
     val minLogW = Sampling.dsirScore(docs, "doc_id", "text", ratio, 4096)
@@ -78,16 +82,26 @@ object BenchCurate {
     val alarms = scala.collection.mutable.ArrayBuffer[Double]()
     val q = curated.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.localCheckpoint() // curation evaluated once per batch
-        survived += b.count()
-        admitted += b.join(
-            Sampling.dsirScore(b, "doc_id", "text", ratio, 4096), Seq("doc_id"))
-          .filter(col("log_w") >= minLogW).count()
-        val js = Sampling.driftAgainstCounts(baseline,
-            Sampling.bucketCounts(b, "text", 4096))
-          .select("js_divergence").as[Double].head()
-        alarms.synchronized { alarms += js; () }
-        ()
+        // curation evaluated once per batch; released per trigger
+        val b = EventAnalytics.materializeBatch(batch)
+        try {
+          survived += b.count()
+          admitted += b.join(
+              Sampling.dsirScore(b, "doc_id", "text", ratio, 4096), Seq("doc_id"))
+            .filter(col("log_w") >= minLogW).count()
+          // The batch histogram derives from the already-persisted `b`,
+          // so its two consumers inside driftCountsJoin re-aggregate
+          // from cache — no second curation pass, no per-batch
+          // checkpoint to leak.
+          val js = Sampling.driftCountsJoin(baselineA,
+              Sampling.bucketCounts(b, "text", 4096)
+                .select(col("bucket"), col("cnt").as("cb")))
+            .select("js_divergence").as[Double].head()
+          alarms.synchronized { alarms += js; () }
+        } finally {
+          b.unpersist()
+          ()
+        }
       }
       .trigger(Trigger.ProcessingTime("0 seconds"))
       .start()

@@ -165,8 +165,14 @@ class PlanQualitySpec extends SparkSpec {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      try { f; Thread.sleep(1500); jobs.get() }
-      finally spark.sparkContext.removeSparkListener(listener)
+      // Drain the bus instead of sleeping: waits exactly until every
+      // queued job-start event has reached the listener — deterministic
+      // on a loaded host where a fixed sleep can undercount.
+      try {
+        f
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     val control = constructionJobs {
       SparkEntry.queries("q_quality_score")(spark, dir); ()

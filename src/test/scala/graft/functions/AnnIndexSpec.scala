@@ -247,12 +247,16 @@ class AnnIndexSpec extends SparkSpec {
     val plan = AnnIndex.ivfTopK(store, "ivf", corpus.filter($"vec_id" < 2),
       "vec_id", "embedding", k = 3, nprobe = 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("ivf_centroids") && plan.contains("ivf_lists"), plan.take(600))
-    // The query frame here is in-memory (LocalTableScan); a FileScan other
-    // than the two index tables would mean the corpus leaked into serving.
+    // Probe routing (queries × ivf_centroids) runs ONCE at call time and
+    // lands in the plan as a LOCAL probes relation + a static cent_id IN
+    // pushdown — so the serve plan's only file scan is the pruned lists
+    // table. A second centroids scan here would mean the routing subtree
+    // re-evaluates per consumer; any other FileScan would mean the raw
+    // corpus leaked into serving.
+    assert(plan.contains("ivf_lists"), plan.take(600))
+    assert(plan.contains(" IN (") || plan.contains("cent_id"), plan.take(600))
     val scans = "Location: [^\\n]*".r.findAllIn(plan).toSeq
-    assert(scans.forall(s => s.contains("ivf_centroids") || s.contains("ivf_lists")),
-      scans.mkString("\n"))
+    assert(scans.forall(_.contains("ivf_lists")), scans.mkString("\n"))
   }
 
   test("pinned snapshot serves row-identical to the fresh path (IVF and PQ)") {

@@ -65,7 +65,8 @@ class QuantilesSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       Quantiles.exactQuantilesDisc(df, "value", qs, bins = 8, directLimit = 32)
-      Thread.sleep(1000) // listener bus is async
+      // Deterministic drain of the async listener bus (no fixed sleep).
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       val jobs = counter.get()
       // AQE runs ~2 jobs per aggregation (shuffle stage + final); budget =
       // 2 × (1 stats + maxIters histograms + |qs| finals). The per-quantile

@@ -744,4 +744,108 @@ class EventAnalyticsSpec extends SparkSpec {
     // keep-first: the ORIGINAL raw url survived for the collapsed group
     assert(out.head._2 === "HTTPS://Example.COM:443/Docs/7?utm_source=f&page=2#frag")
   }
+
+  test("driftAlarmEachBatch soak: persistent-RDD storage stays flat across 20+ triggers") {
+    // The alarm runs FOREVER, so a per-trigger checkpoint leak is its
+    // one fatal defect class: the pre-fix shape accumulated two
+    // checkpointed RDDs per trigger for the stream's lifetime. Pin the
+    // contract directly: after any number of triggers, the session holds
+    // at most the alarm's ONE standing baseline checkpoint beyond what
+    // it held before the alarm existed.
+    import graft.functions.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val baselineCorpus = (0L until 10L)
+      .map(i => (i, s"spark shuffle partition executor run$i"))
+      .toDF("doc_id", "text")
+    val baseline = Sampling.bucketCounts(baselineCorpus, "text", buckets = 256)
+
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val input = MemoryStream[(Long, String)]
+    val acc = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(EventAnalytics.driftAlarmEachBatch(
+        baseline, "text", buckets = 256) { out =>
+        acc.addAndGet(out.count().toInt); ()
+      })
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    (0 until 22).foreach { i =>
+      input.addData((100L + i, s"spark shuffle partition trigger$i"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(acc.get() >= 22, s"expected >= 22 alarm rows, got ${acc.get()}")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // +1 = the alarm's standing baseline checkpoint (constructed once,
+    // lives with the alarm). Anything proportional to trigger count is
+    // the leak this pins against.
+    assert(after <= before + 1,
+      s"persistent RDDs grew $before -> $after across 22 triggers (leak)")
+  }
+
+  test("dsirGateEachBatch: featureless docs score neutral log_w=0 and obey the threshold") {
+    // A doc whose text yields NO feature rows (null text — the tokenizer
+    // maps it to no n-grams at all) produces no score row through
+    // dsirScore, so an inner re-join would drop it REGARDLESS of
+    // minLogW. Contract: it scores the neutral log_w = 0 / n_feats = 0
+    // and obeys the threshold like any other doc — admitted iff
+    // minLogW <= 0, never silently lost.
+    import graft.functions.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Seq(
+      (0L, "spark shuffle partition executor spark shuffle"),
+      (1L, null: String),
+      (3L, "flour sugar butter oven flour sugar")).toDF("doc_id", "text")
+    val target = Seq((100L, "spark shuffle partition executor"))
+      .toDF("doc_id", "text")
+    val ratio = Sampling.dsirFit(raw, "text", target, "text", buckets = 256)
+      .localCheckpoint()
+    // Batch-mode scores: doc 1 has NO row here — that absence is exactly
+    // what the gate must not translate into a drop.
+    val scored = Sampling.dsirScore(raw, "doc_id", "text", ratio, 256)
+      .select("doc_id", "n_feats", "log_w").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scored.keySet === Set(0L, 3L), s"unexpected score rows: $scored")
+
+    def gateResult(minLogW: Double): Map[Long, (Long, Double)] = {
+      val input = MemoryStream[(Long, String)]
+      val acc = scala.collection.mutable.Map[Long, (Long, Double)]()
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .foreachBatch(EventAnalytics.dsirGateEachBatch(
+          ratio, "doc_id", "text", buckets = 256, minLogW = minLogW) { out =>
+          acc.synchronized {
+            acc ++= out.select("doc_id", "n_feats", "log_w")
+              .as[(Long, Long, Double)].collect()
+              .map(r => r._1 -> ((r._2, r._3)))
+          }
+          ()
+        })
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      input.addData(raw.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      q.stop()
+      acc.toMap
+    }
+
+    val open = gateResult(minLogW = -1e9)
+    // Nothing is lost at a wide-open threshold — above all the
+    // featureless doc, which carries the neutral score; scored docs
+    // carry exactly their batch-mode scores.
+    assert(open.keySet === Set(0L, 1L, 3L))
+    assert(open(1L) === ((0L, 0.0)))
+    assert(open(0L) === scored(0L) && open(3L) === scored(3L))
+
+    // A strictly positive threshold excludes the neutral-scored doc by
+    // THRESHOLD (0 < minLogW), and keeps exactly the scored docs that
+    // clear it.
+    val thr = 1e-6
+    val strict = gateResult(minLogW = thr)
+    val want = scored.filter(_._2._2 >= thr).keySet
+    assert(strict.keySet === want,
+      s"strict gate admitted ${strict.keySet}, batch scores say $want")
+    assert(!strict.contains(1L))
+  }
 }
