@@ -101,7 +101,9 @@ object SparkEntry {
            |  SELECT vec_id AS cent_id, embedding AS centv,
            |         sqrt(${dotSql("embedding", "embedding", 64)}) AS ncent
            |  FROM embeddings ORDER BY vec_id LIMIT 16)""".stripMargin,
-      centsName: String = "cn"): String =
+      centsName: String = "cn",
+      queryWhere: String = "vec_id < 5",
+      k: Int = 3): String =
     s"""WITH c AS (
        |  SELECT vec_id, embedding AS cv,
        |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nc
@@ -110,7 +112,7 @@ object SparkEntry {
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS qv,
        |         sqrt(${dotSql("embedding", "embedding", 64)}) AS nq
-       |  FROM embeddings WHERE vec_id < 5),
+       |  FROM embeddings WHERE $queryWhere),
        |assign AS (
        |  SELECT vec_id, cent_id, cv, nc,
        |    row_number() OVER (PARTITION BY vec_id
@@ -129,7 +131,7 @@ object SparkEntry {
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk FROM scored)
-       |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+       |SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
   private lazy val knnIvfOracleSql: String = knnIvfOracleSqlFor("TRUE")
@@ -854,6 +856,37 @@ object SparkEntry {
         .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
           col("rank").cast("long").as("rnk"))
       graft.functions.LexIndex.rrfFuse(Seq(lex, vec), "qid", "doc_id", "rnk", k = 5)
+        .orderBy("qid", "rnk")
+    }),
+
+    // The PRODUCTION hybrid retrieval — what hybridProbeEachBatch serves
+    // per micro-batch: PERSISTED BM25 index ⊕ PERSISTED trained-IVF index
+    // ⊕ reciprocal-rank fusion. q_hybrid_rrf above keeps the brute-force
+    // vector side as the labeled witness; this is the composition a
+    // deployment runs (both retrievers read only their index tables — no
+    // corpus scan on the serve path). Oracle = nested full BM25 chain +
+    // the trained-IVF chain (Lloyd's rounds replayed bit-exactly) + the
+    // fixed-point RRF tail.
+    "q_hybrid_ivf" -> ((s, dir) => {
+      import graft.functions.{AnnIndex, LexIndex}
+      val docs = pq(s, dir, "documents")
+      val emb = pq(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_hyb_").toString
+      val lexStore = new graft.io.ParquetTableStore(s, root + "/lex")
+      val annStore = new graft.io.ParquetTableStore(s, root + "/ann",
+        partitionByCols = AnnIndex.partitionSpec("ivf"))
+      LexIndex.build(lexStore, "lex", docs, "doc_id", "text")
+      AnnIndex.buildIvf(annStore, "ivf", emb, "vec_id", "embedding",
+        nlist = 16, trainIters = KnnTrainIters)
+      val lex = LexIndex.bm25TopK(lexStore, "lex",
+          docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5)
+        .select("qid", "doc_id", "rnk")
+      val ann = AnnIndex.ivfTopK(annStore, "ivf", emb.filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("rnk"))
+      LexIndex.rrfFuse(Seq(lex, ann), "qid", "doc_id", "rnk", k = 5)
         .orderBy("qid", "rnk")
     }),
 
@@ -3318,6 +3351,38 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
          |    FROM scored)
          |  SELECT query_id, vec_id, rnk FROM kr WHERE rnk <= 5
+         |),
+         |allr AS (
+         |  SELECT qid, doc_id,
+         |    CAST(round(1e9 / (60.0 + CAST(rnk AS DOUBLE)), 0) AS BIGINT) AS c9 FROM bm
+         |  UNION ALL
+         |  SELECT query_id AS qid, vec_id AS doc_id,
+         |    CAST(round(1e9 / (60.0 + CAST(rnk AS DOUBLE)), 0) AS BIGINT) AS c9 FROM knn),
+         |fused AS (
+         |  SELECT qid, doc_id, CAST(sum(c9) AS BIGINT) AS s9,
+         |    CAST(count(*) AS BIGINT) AS n_systems
+         |  FROM allr GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY s9 DESC, doc_id ASC) AS BIGINT) AS rnk
+         |  FROM fused)
+         |SELECT qid, doc_id, round(CAST(s9 AS DOUBLE) / 1e9, 6) AS rrf_score, n_systems, rnk
+         |FROM fr WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // The production composition: persisted-BM25 serve == the inline BM25
+    // chain (build/serve row-identity, already pinned by q_bm25_persisted)
+    // and trained-IVF serve == the replayed Lloyd's chain (pinned by
+    // q_knn_ivf_trained) — so the oracle nests both full chains and fuses
+    // with the same fixed-point RRF tail as q_hybrid_rrf.
+    "q_hybrid_ivf" ->
+      s"""WITH bm AS (
+         |${bm25OracleSql}
+         |),
+         |knn AS (
+         |  SELECT query_id, vec_id, rnk FROM (
+         |${knnIvfOracleSqlFor("TRUE", kmeansOracleCtes(KnnTrainIters),
+             s"cn_$KnnTrainIters", queryWhere = "vec_id < 3", k = 5)}
+         |  )
          |),
          |allr AS (
          |  SELECT qid, doc_id,

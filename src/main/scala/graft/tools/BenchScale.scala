@@ -77,7 +77,12 @@ object BenchScale {
     // probed slice only). Fusion is query-batch-sized and rides along.
     "q_bm25_topk",
     "q_bm25_persisted",
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // round-12 addition: the PRODUCTION hybrid (persisted BM25 ⊕ trained
+    // IVF ⊕ RRF — both retrievers serve from index tables; the IVF side
+    // replaces q_hybrid_rrf's brute-force witness, whose corpus-linear
+    // cosine pass is that query's entire ×100 weight).
+    "q_hybrid_ivf")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
