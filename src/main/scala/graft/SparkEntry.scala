@@ -1692,7 +1692,11 @@ object SparkEntry {
     "q_dedup_ensemble" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
       val jac = guardedPairs(s, dir).select("id_a", "id_b")
-      val sim = graft.functions.Dedup.simhashPairs(docs, "doc_id", "text",
+      // Width-adaptive simhash side: 32-bit under the band-saturation
+      // threshold (count-derived, mirrored by the oracle's scnt guard),
+      // the 64-bit escape beyond — at ×100 the hardcoded 32-bit width
+      // was the audit's steepest ratio (0.26× linear).
+      val sim = graft.functions.Dedup.simhashPairsAdaptive(docs, "doc_id", "text",
         maxHamming = 1).select("id_a", "id_b")
       val allp = jac.unionByName(sim).distinct()
       val labels = graft.functions.Dedup.clusterLabels(
@@ -4676,16 +4680,34 @@ object SparkEntry {
     // then the shared 5-round label-propagation chain over the union.
     "q_dedup_ensemble" ->
       s"""WITH $jaccardPairsCteSql,
+         |-- Width-adaptive simhash: the scnt guard mirrors
+         |-- Dedup.simhashPairsAdaptive's count-derived 32/64 switch
+         |-- integer-exactly; the unselected width's chain processes zero
+         |-- rows (its WHERE is constant-false for this corpus).
+         |scnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
          |stoks AS (
          |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents),
          |svotes AS (
          |  SELECT doc_id,
          |    $simhashVotesSql
-         |  FROM stoks GROUP BY doc_id),
+         |  FROM stoks
+         |  WHERE (SELECT n FROM scnt) <= ${graft.functions.Dedup.simhashWidthThreshold(1)}
+         |  GROUP BY doc_id),
          |shashes AS (SELECT doc_id, $simhashValueSql AS simhash FROM svotes),
+         |svotes64 AS (
+         |  SELECT doc_id,
+         |    $simhash64VotesSql
+         |  FROM stoks
+         |  WHERE (SELECT n FROM scnt) > ${graft.functions.Dedup.simhashWidthThreshold(1)}
+         |  GROUP BY doc_id),
+         |shashes64 AS (SELECT doc_id, $simhash64ValueSql AS simhash FROM svotes64),
          |spairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM shashes a JOIN shashes b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |  UNION ALL
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shashes64 a JOIN shashes64 b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),
          |allp AS (SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM spairs),
          |edges AS MATERIALIZED (

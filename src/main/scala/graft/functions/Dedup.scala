@@ -897,4 +897,33 @@ object Dedup {
     hammingPairs(simhash64(df, idCol, textCol), idCol, "simhash",
       bits = 64, maxHamming = maxHamming)
   }
+
+  /** Corpus size above which a 32-bit SimHash's band buckets saturate for
+    * `maxHamming`: pigeonhole banding splits 32 bits into (k+1) bands, so
+    * expected band-bucket occupancy is n / 2^(32/(k+1)); beyond
+    * `targetOccupancy` per bucket, within-bucket pair work grows
+    * quadratically (the ×100-measured band-saturation law — BASELINE.md
+    * round 9). Integer-exact so the DuckDB oracle derives the identical
+    * switch from count(*). */
+  def simhashWidthThreshold(maxHamming: Int, targetOccupancy: Long = 64): Long =
+    (1L << (32 / (maxHamming + 1))) * targetOccupancy
+
+  /** Width-adaptive SimHash near-dup pairs — THE production entry point:
+    * 32-bit fingerprints while the corpus keeps 32-bit band buckets
+    * selective ([[simhashWidthThreshold]]), the measured-equivalent
+    * 64-bit escape ([[simhashPairs64]]) beyond. Same exactness contract
+    * at either width (the pigeonhole argument is width-agnostic); the
+    * switch only changes which non-dup pairs never become candidates.
+    * Sizing runs an EAGER count at plan-construction time unless the
+    * caller passes `rowCount` (the [[Similarity.embeddingDupPairsBucketed]]
+    * convention). */
+  def simhashPairsAdaptive(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 1, targetOccupancy: Long = 64,
+      rowCount: Long = -1L): DataFrame = {
+    val n = if (rowCount >= 0) rowCount else df.select(idCol).count()
+    if (n <= simhashWidthThreshold(maxHamming, targetOccupancy))
+      simhashPairs(df, idCol, textCol, maxHamming)
+    else simhashPairs64(df, idCol, textCol, maxHamming)
+  }
 }

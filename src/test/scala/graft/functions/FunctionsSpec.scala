@@ -138,6 +138,26 @@ class FunctionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 16)
   }
 
+  test("simhashPairsAdaptive: width switches on the count-derived threshold, results match the chosen width") {
+    // Below the band-saturation threshold the adaptive path IS the 32-bit
+    // path; above it (forced via rowCount — the lazy-sizing escape) it IS
+    // the 64-bit path. The threshold law itself is integer-exact.
+    val thr = Dedup.simhashWidthThreshold(1)
+    assert(thr === (1L << 16) * 64)
+    assert(Dedup.simhashWidthThreshold(3) === (1L << 8) * 64)
+    val got32 = Dedup.simhashPairsAdaptive(docs, "doc_id", "text", maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val want32 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got32 === want32)
+    val got64 = Dedup.simhashPairsAdaptive(docs, "doc_id", "text",
+        maxHamming = 1, rowCount = thr + 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val want64 = Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got64 === want64)
+  }
+
   test("incrementalNearDupPairs: batch-vs-corpus pairs match the exact cross join") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
