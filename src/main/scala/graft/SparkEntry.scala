@@ -189,6 +189,61 @@ object SparkEntry {
     * the centroids measurably move off the lowest-id seeds. */
   private val KnnTrainIters = 2
 
+  /** Lloyd's rounds for the trained-PQ-codebook queries — the per-subspace
+    * sibling of [[KnnTrainIters]], same tractability trade. */
+  private val PqTrainIters = 2
+
+  /** Per-subspace Lloyd's replay for TRAINED PQ codebooks, mirroring
+    * Similarity.pqCodebookTrained bit-exactly (m=8, d0=8, ksub=16): seeds
+    * = the 16 lowest-id vectors' subvector slices; each round assigns
+    * every corpus subvector by L2² rounded to 6 (tie → lowest cb_id) and
+    * recomputes per-dimension means through fixed-point 1e-6 longs with a
+    * float cast; an emptied codeword keeps its previous value. Expects a
+    * `c` CTE (vec_id, cv); defines `sub` (vec_id, s, sv) and
+    * `cbt_<iters>` = (s, cb_id, cw). MATERIALIZED per round — each round
+    * references the previous twice (assignment + repair), the
+    * CTE-inlining blowup the ensemble oracle documents. */
+  private def pqTrainedCtes(iters: Int): String = {
+    val seed =
+      s"""subsp AS (SELECT unnest(generate_series(0, 7)) AS s),
+         |sub AS MATERIALIZED (
+         |  SELECT c.vec_id, subsp.s, c.cv[subsp.s*8+1 : subsp.s*8+8] AS sv
+         |  FROM c CROSS JOIN subsp),
+         |cbt_0 AS MATERIALIZED (
+         |  SELECT subsp.s, t.vec_id AS cb_id,
+         |    t.cbv[subsp.s*8+1 : subsp.s*8+8] AS cw
+         |  FROM (SELECT vec_id, embedding AS cbv
+         |        FROM embeddings ORDER BY vec_id LIMIT 16) t
+         |  CROSS JOIN subsp)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""pasg_$i AS (
+         |  SELECT s, cb_id, sv FROM (
+         |    SELECT sub.vec_id, sub.s, t.cb_id, sub.sv,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+         |        round((${dotSql("sv", "sv", 8)}) + (${dotSql("cw", "cw", 8)})
+         |          - 2.0 * (${dotSql("sv", "cw", 8)}), 6), t.cb_id) AS rnk
+         |    FROM sub JOIN cbt_$p t USING (s)) WHERE rnk = 1),
+         |pmem_$i AS (
+         |  SELECT s, cb_id, unnest(sv) AS x,
+         |    unnest(generate_series(1, len(sv))) AS pos FROM pasg_$i),
+         |pmfp_$i AS (
+         |  SELECT s, cb_id, pos,
+         |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sfp,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pmem_$i GROUP BY 1, 2, 3),
+         |pmv_$i AS (
+         |  SELECT s, cb_id,
+         |    list(CAST(CAST(sfp AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS REAL)
+         |      ORDER BY pos) AS nextv
+         |  FROM pmfp_$i GROUP BY 1, 2),
+         |cbt_$i AS MATERIALIZED (
+         |  SELECT p.s, p.cb_id, coalesce(m.nextv, p.cw) AS cw
+         |  FROM cbt_$p p LEFT JOIN pmv_$i m USING (s, cb_id))""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
   private lazy val pqAdcCtes: String = {
     val d0 = 8
     val codeCtes = (0 until 8).map { s =>
@@ -1503,6 +1558,53 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         dims = 64, m = 8, ksub = 16, k = 3)
         .orderBy("query_id", "rnk")
+    }),
+
+    // Recall audit of TRAINED PQ codebooks against brute-force ground
+    // truth — the measurement that justifies the per-subspace Lloyd's
+    // rounds over the lowest-id stand-in (compare per-query to
+    // q_pq_recall's stand-in numbers; BASELINE.md records the aggregate).
+    // The oracle replays every training round bit-exactly (fixed-point
+    // per-dimension means), pinning the whole trained-PQ path end to end.
+    "q_pq_recall_trained" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val emb = pq(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 3)
+        .select("query_id", "vec_id")
+      val cb = Similarity.pqCodebookTrained(emb, "vec_id", "embedding",
+        dims = 64, m = 8, ksub = 16, iters = PqTrainIters)
+      val adc = Similarity.pqAdcSearch(
+          Similarity.pqEncodeWith(emb, cb, "vec_id", "embedding", dims = 64, m = 8),
+          cb, qs, "vec_id", "embedding", dims = 64, m = 8, k = 3)
+        .select("query_id", "vec_id")
+      val hits = brute.join(adc, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      qs.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("h"), lit(0)).cast("double") / 3.0, 6).as("recall_at_3"))
+        .orderBy("query_id")
+    }),
+
+    // Stand-in-codebook recall audit — the baseline q_pq_recall_trained
+    // must beat (same ADC dataflow, lowest-id codebooks).
+    "q_pq_recall" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val emb = pq(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 3)
+        .select("query_id", "vec_id")
+      val adc = Similarity.pqAdcTopK(
+          emb, qs, "vec_id", "embedding", dims = 64, m = 8, ksub = 16, k = 3)
+        .select("query_id", "vec_id")
+      val hits = brute.join(adc, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      qs.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          round(coalesce(col("h"), lit(0)).cast("double") / 3.0, 6).as("recall_at_3"))
+        .orderBy("query_id")
     }),
 
     // The standard compressed-index production path: ADC shortlist (k'=10,
@@ -4354,6 +4456,85 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, vec_id, cos_sim, rnk FROM rr WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // Stand-in-codebook ADC recall vs brute-force ground truth: reuses the
+    // full pqAdcCtes chain for the PQ side; brute side mirrors
+    // bruteForceTopK (round-6 cosine, self excluded, ties on vec_id).
+    "q_pq_recall" ->
+      s"""WITH $pqAdcCtes,
+         |bn AS (SELECT vec_id, cv, sqrt(${dotSql("cv", "cv", 64)}) AS nc FROM c),
+         |qn AS (SELECT vec_id AS query_id, qv,
+         |         sqrt(${dotSql("qv", "qv", 64)}) AS nq FROM qc),
+         |bscored AS (
+         |  SELECT query_id, bn.vec_id,
+         |    round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM bn CROSS JOIN qn WHERE bn.vec_id <> query_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS brnk
+         |  FROM bscored),
+         |btop AS (SELECT query_id, vec_id FROM branked WHERE brnk <= 3),
+         |ptop AS (SELECT query_id, vec_id FROM ranked WHERE rnk <= 3),
+         |hits AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
+         |  FROM btop b JOIN ptop i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, round(coalesce(h, 0) / 3.0, 6) AS recall_at_3
+         |FROM (SELECT DISTINCT query_id FROM qn) qq LEFT JOIN hits USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin,
+
+    // TRAINED-codebook ADC recall: the per-subspace Lloyd's chain replays
+    // bit-exactly (pqTrainedCtes), then encode + distance tables + ADC
+    // aggregation against cbt_<iters>, scored against the same brute
+    // ground truth.
+    "q_pq_recall_trained" ->
+      s"""WITH c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |${pqTrainedCtes(PqTrainIters)},
+         |qc AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |qsub AS (
+         |  SELECT qc.query_id, subsp.s, qc.qv[subsp.s*8+1 : subsp.s*8+8] AS qs
+         |  FROM qc CROSS JOIN subsp),
+         |pcode AS (
+         |  SELECT vec_id, s, cb_id AS code FROM (
+         |    SELECT sub.vec_id, sub.s, t.cb_id,
+         |      row_number() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+         |        round((${dotSql("sv", "sv", 8)}) + (${dotSql("cw", "cw", 8)})
+         |          - 2.0 * (${dotSql("sv", "cw", 8)}), 6), t.cb_id) AS rnk
+         |    FROM sub JOIN cbt_$PqTrainIters t USING (s)) WHERE rnk = 1),
+         |pdt AS (
+         |  SELECT query_id, qsub.s, t.cb_id,
+         |    CAST(round(((${dotSql("qs", "qs", 8)}) + (${dotSql("cw", "cw", 8)})
+         |      - 2.0 * (${dotSql("qs", "cw", 8)})) * 1e6, 0) AS BIGINT) AS pd_fp
+         |  FROM qsub JOIN cbt_$PqTrainIters t USING (s)),
+         |pagg AS (
+         |  SELECT pdt.query_id, pcode.vec_id, CAST(sum(pdt.pd_fp) AS BIGINT) AS fp
+         |  FROM pcode JOIN pdt ON pcode.s = pdt.s AND pcode.code = pdt.cb_id
+         |  WHERE pcode.vec_id <> pdt.query_id
+         |  GROUP BY 1, 2),
+         |ptop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY fp, vec_id) AS rnk FROM pagg)
+         |  WHERE rnk <= 3),
+         |bn AS (SELECT vec_id, cv, sqrt(${dotSql("cv", "cv", 64)}) AS nc FROM c),
+         |qn AS (SELECT query_id, qv, sqrt(${dotSql("qv", "qv", 64)}) AS nq FROM qc),
+         |bscored AS (
+         |  SELECT query_id, bn.vec_id,
+         |    round((${dotSql("qv", "cv", 64)}) / (nq * nc), 6) AS cos_sim
+         |  FROM bn CROSS JOIN qn WHERE bn.vec_id <> query_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS brnk
+         |  FROM bscored),
+         |btop AS (SELECT query_id, vec_id FROM branked WHERE brnk <= 3),
+         |hits AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
+         |  FROM btop b JOIN ptop i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, round(coalesce(h, 0) / 3.0, 6) AS recall_at_3
+         |FROM (SELECT DISTINCT query_id FROM qn) qq LEFT JOIN hits USING (query_id)
+         |ORDER BY qq.query_id""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""WITH nl AS (

@@ -341,6 +341,64 @@ object Similarity {
       .select(col("cb_id"), explodeSubvectors(col("cbv"), m, d0, "cw").as("x"))
       .select(col("cb_id"), col("x.s").as("s"), col("x.cw").as("cw"))
 
+  /** Per-subspace-TRAINED PQ codebooks: `iters` Lloyd's rounds run in all
+    * `m` subspaces SIMULTANEOUSLY (one corpus assignment pass per round,
+    * keyed by (vec_id, s) — never a per-subspace loop), seeded from the
+    * deterministic stand-in ([[pqCodebook]]: the ksub lowest-id vectors'
+    * subvectors) — the same geometry escape [[kmeansTrain]] gives the IVF
+    * coarse quantizer, applied where PQ theory actually demands it (the
+    * codebook IS the quantizer; Jégou et al. 2011 train per-subspace
+    * k-means). Drop-in: feed the result to [[pqEncodeWith]] /
+    * [[pqAdcSearch]] without touching a join; [[AnnIndex.buildPq]] takes
+    * a `trainIters` knob exactly like `buildIvf`.
+    *
+    * Assignment uses the exact [[pqEncodeWith]] rule (L2² rounded to 6,
+    * tie → lowest cb_id); per-dimension means go through FIXED-POINT 1e-6
+    * longs (order-independent) then a float cast, and an emptied codeword
+    * keeps its previous value — all [[kmeansTrain]] conventions, so the
+    * DuckDB oracle replays every round bit-exactly
+    * (q_pq_recall_trained). Cost: `iters` corpus subvector passes, paid
+    * once per index (re)build. */
+  def pqCodebookTrained(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must split evenly into m ($m) subspaces")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val d0 = dims / m
+    val sub = corpus
+      .select(col(idCol).as("vec_id"), explodeSubvectors(col(vecCol), m, d0, "sv").as("x"))
+      .select(col("vec_id"), col("x.s").as("s"), col("x.sv").as("sv"))
+      .withColumn("sv2", ArrayDot.floatDot(col("sv"), col("sv")))
+    var cb = pqCodebook(corpus, idCol, vecCol, m, d0, ksub)
+    for (_ <- 1 to iters) {
+      val cents = cb.withColumn("cw2", ArrayDot.floatDot(col("cw"), col("cw")))
+      val assigned = sub.join(broadcast(cents), Seq("s"))
+        .withColumn("d2", round(
+          col("sv2") + col("cw2") - lit(2.0) * ArrayDot.floatDot(col("sv"), col("cw")), 6))
+        .groupBy("vec_id", "s")
+        .agg(max(struct((-col("d2")).as("nd"), (-col("cb_id")).as("nid"), col("sv"))).as("best"))
+        .select(col("s"), (-col("best.nid")).as("cb_id"), col("best.sv").as("sv"))
+      val means = assigned
+        .select(col("s"), col("cb_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("s", "cb_id", "pos")
+        .agg(sum(round(col("x").cast("double") * 1e6, 0).cast("long")).as("sfp"),
+          count(lit(1)).as("n"))
+        .withColumn("mu",
+          (col("sfp").cast("double") / col("n").cast("double") / lit(1e6)).cast("float"))
+        .groupBy("s", "cb_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          t => t.getField("mu")).as("next"))
+      // localCheckpoint per round (eager, m×ksub rows — trivial): `cb`
+      // appears twice per round (broadcast side + repair join), the
+      // plan-doubling trap the kmeansTrain scaladoc documents.
+      cb = cb.join(means, Seq("s", "cb_id"), "left")
+        .select(col("cb_id"), col("s"), coalesce(col("next"), col("cw")).as("cw"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
   def pqEncode(
       corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int = 8, ksub: Int = 16): DataFrame =

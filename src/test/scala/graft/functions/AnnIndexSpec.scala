@@ -52,6 +52,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
+  test("trained PQ codebooks: persisted build == inline trained path; training moves codewords") {
+    val store = tmpStore()
+    val queries = corpus.filter($"vec_id" < 3)
+    AnnIndex.buildPq(store, "pq", corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4, trainIters = 2)
+    val cb = Similarity.pqCodebookTrained(corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4, iters = 2)
+    val persisted = AnnIndex.pqAdcTopK(store, "pq", queries,
+      "vec_id", "embedding", dims = 8, m = 4, k = 3)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val inline = Similarity.pqAdcSearch(
+        Similarity.pqEncodeWith(corpus, cb, "vec_id", "embedding", dims = 8, m = 4),
+        cb, queries, "vec_id", "embedding", dims = 8, m = 4, k = 3)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(persisted === inline)
+    assert(persisted.nonEmpty)
+    // Training actually moved the geometry off the lowest-id stand-in…
+    val standIn = Similarity.pqCodebook(corpus, "vec_id", "embedding", m = 4, d0 = 2, ksub = 4)
+      .select("s", "cb_id", "cw").as[(Int, Long, Array[Float])].collect()
+      .map(r => (r._1, r._2) -> r._3.toSeq).toMap
+    val trained = cb.select("s", "cb_id", "cw").as[(Int, Long, Array[Float])].collect()
+      .map(r => (r._1, r._2) -> r._3.toSeq).toMap
+    assert(standIn.keySet === trained.keySet)
+    assert(standIn.exists { case (k, v) => trained(k) != v },
+      "2 Lloyd's rounds left every codeword exactly on its seed")
+    // …and iters = 0 IS the stand-in (the existing oracles' path).
+    val zero = Similarity.pqCodebookTrained(corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4, iters = 0)
+      .select("s", "cb_id", "cw").as[(Int, Long, Array[Float])].collect()
+      .map(r => (r._1, r._2) -> r._3.toSeq).toMap
+    assert(zero === standIn)
+  }
+
   test("IVF append: build-then-append equals one search over frozen centroids + union lists") {
     val store = tmpStore()
     val base = corpus.filter($"vec_id" < 20)
