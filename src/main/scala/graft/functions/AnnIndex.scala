@@ -52,6 +52,36 @@ object AnnIndex {
   def partitionSpec(prefix: String): Map[String, Seq[String]] =
     Map(s"${prefix}_lists" -> Seq("cent_id"))
 
+  /** Suffix-keyed form of [[partitionSpec]] for VERSIONED stores
+    * (`ParquetTableStore(partitionBySuffix = ...)`): generation prefixes
+    * (`<name>_g<N>_lists`) aren't known at store construction, so the
+    * layout rule keys on the stable suffix. */
+  val partitionSpecSuffix: Map[String, Seq[String]] =
+    Map("_lists" -> Seq("cent_id"))
+
+  /** The IVF index's table suffixes, for
+    * [[graft.io.VersionedIndex.prune]]. */
+  val IvfTableSuffixes: Seq[String] = Seq("centroids", "lists", "tombstones")
+
+  /** Rebuild the IVF index into a FRESH GENERATION and publish it LAST
+    * ([[graft.io.VersionedIndex]]) — the enforced rebuild-under-serve
+    * posture: a serve pinned on [[ivfSnapshotVersioned]] keeps reading
+    * its own generation's files throughout the rebuild (a same-prefix
+    * rebuild REPLACES the physical directories under it — the freshness
+    * caveat in [[IndexSnapshot]]'s scaladoc); a crash before the manifest
+    * swap leaves the old generation serving, untouched. */
+  def rebuildIvfVersioned(
+      store: TableStore, name: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, trainIters: Int = 0): String =
+    graft.io.VersionedIndex.rebuild(store, name, corpus.sparkSession)(
+      p => buildIvf(store, p, corpus, idCol, vecCol, nlist, trainIters))
+
+  /** [[ivfSnapshot]] of the CURRENT generation — manifest resolved once,
+    * snapshot pinned to that generation's prefix. */
+  def ivfSnapshotVersioned(store: TableStore, name: String): IndexSnapshot =
+    ivfSnapshot(store, graft.io.VersionedIndex.currentPrefix(store, name))
+
   /** Build (or rebuild) the IVF index tables from `corpus`.
     * `trainIters > 0` trains the coarse quantizer with that many Lloyd's
     * rounds ([[Similarity.kmeansTrain]] — better-fitting cells, higher

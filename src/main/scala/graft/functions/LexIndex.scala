@@ -51,8 +51,12 @@ import graft.io.TableStore
   * sequences swap SEQUENTIALLY — a crash between swaps, or a serve that
   * loads tables while a rebuild is mid-swap, can pair new postings with
   * old stats. A standing deployment that rebuilds under live serving
-  * should rebuild into a FRESH prefix (or a snapshot-keeping store) and
-  * flip serves to it — the same posture as [[AnnIndex]] rebuilds.
+  * must therefore use the ENFORCED generation discipline:
+  * [[rebuildVersioned]] builds into a fresh `<name>_g<N>` prefix and
+  * publishes it with one atomic manifest swap, LAST;
+  * [[snapshotVersioned]] pins a serve to the generation current at
+  * snapshot time ([[graft.io.VersionedIndex]] — same posture as
+  * [[AnnIndex]] rebuilds, spec-pinned for both).
   */
 object LexIndex {
 
@@ -89,6 +93,33 @@ object LexIndex {
     tf.unpersist()
     ()
   }
+
+  /** The index's table suffixes — what [[graft.io.VersionedIndex.prune]]
+    * needs to garbage-collect a superseded generation. */
+  val TableSuffixes: Seq[String] =
+    Seq("postings", "doclens", "lexstats", "tombstones")
+
+  /** Rebuild into a FRESH GENERATION and publish it LAST — the enforced
+    * form of the rebuild-under-serve posture the class scaladoc
+    * describes: the new generation's tables are written under a prefix no
+    * reader resolves, then one atomic manifest swap
+    * ([[graft.io.VersionedIndex]]) retargets future snapshots. A serve
+    * pinned on [[snapshotVersioned]] keeps reading its own generation's
+    * files throughout (and after) the rebuild; a crash anywhere before
+    * the manifest swap leaves the old generation serving, untouched.
+    * Returns the published prefix. */
+  def rebuildVersioned(
+      store: TableStore, name: String,
+      corpus: DataFrame, idCol: String, textCol: String,
+      sortFiles: Int = 32): String =
+    graft.io.VersionedIndex.rebuild(store, name, corpus.sparkSession)(
+      p => build(store, p, corpus, idCol, textCol, sortFiles))
+
+  /** [[snapshot]] of the CURRENT generation: the manifest is resolved
+    * once, here, and the snapshot is pinned to that generation's prefix —
+    * a rebuild publishing mid-serve cannot retarget it. */
+  def snapshotVersioned(store: TableStore, name: String): LexSnapshot =
+    snapshot(store, graft.io.VersionedIndex.currentPrefix(store, name))
 
   /** INCREMENTAL maintenance: tokenize a new document batch (the frozen
     * tokenizer — same contract as [[AnnIndex.appendIvf]]'s frozen

@@ -77,6 +77,14 @@ trait TableStore {
     if (overwrites.nonEmpty) overwriteAll(overwrites)
   }
 
+  /** Remove a table entirely — the garbage-collection primitive
+    * [[VersionedIndex.prune]] uses on superseded index generations. Must
+    * only be called when no live plan or pinned snapshot still reads the
+    * table (the caller owns that schedule). */
+  def drop(table: String): Unit =
+    throw new UnsupportedOperationException(
+      s"drop is not supported by ${getClass.getSimpleName}")
+
   /** Storage maintenance between commits — the append-heavy-table problem:
     * every streaming micro-batch appends files, and thousands of KB-sized
     * files turn scans into file-listing storms. Snapshot stores override
@@ -101,7 +109,13 @@ class ParquetTableStore(
       "issues" -> Seq("issues_job_id"),
       "issue_items" -> Seq("issues_job_id"),
       "contacts" -> Seq("contacts_user_id")),
-    keepSnapshots: Int = 0
+    keepSnapshots: Int = 0,
+    // Suffix-matched partition specs for tables whose full names are not
+    // known at store construction — versioned index generations
+    // (`<name>_g<N>_lists`) change prefix per rebuild, so the layout rule
+    // keys on the stable suffix (AnnIndex.partitionSpecSuffix). Exact
+    // `partitionByCols` entries win over suffix matches.
+    partitionBySuffix: Map[String, Seq[String]] = Map.empty
 ) extends TableStore {
 
   private def dir(table: String) = s"$root/$table"
@@ -156,7 +170,9 @@ class ParquetTableStore(
 
   private def writeTmp(table: String, df: DataFrame): Path = {
     val tmp = new Path(dir(table) + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val writer = partitionByCols.get(table) match {
+    val spec = partitionByCols.get(table).orElse(
+      partitionBySuffix.collectFirst { case (suf, c) if table.endsWith(suf) => c })
+    val writer = spec match {
       case Some(cols) if cols.forall(df.columns.contains) => df.write.partitionBy(cols: _*)
       case _ => df.write
     }
@@ -172,6 +188,12 @@ class ParquetTableStore(
 
   override def overwrite(table: String, df: DataFrame): Unit =
     swap(table, writeTmp(table, df))
+
+  override def drop(table: String): Unit = {
+    fs.delete(new Path(dir(table)), true)
+    fs.delete(historyDir(table), true)
+    ()
+  }
 
   /** Two-phase: materialize EVERY plan into its tmp dir while all source
     * files still exist, then swap. A FlowResult's staging/issues/contacts
@@ -355,6 +377,16 @@ class JdbcTableStore(
   override def overwrite(table: String, df: DataFrame): Unit =
     if (!tableExists(table)) write(df).jdbc(url, table, props)
     else swapAll(Seq(table -> stage(table, df)))
+
+  override def drop(table: String): Unit =
+    if (tableExists(table)) {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        try { st.executeUpdate(s"DROP TABLE $table"); () }
+        finally st.close()
+      } finally conn.close()
+    }
 
   /** Replace several tables whose plans may read EACH OTHER: every plan is
     * staged (materialized) before any target is touched, then all swaps run

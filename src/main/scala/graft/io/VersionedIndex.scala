@@ -1,0 +1,97 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Versioned-prefix index generations over a [[TableStore]] — the
+  * ENFORCED form of the rebuild-under-serve posture the LexIndex /
+  * AnnIndex scaladocs previously only documented: a multi-table index
+  * swap is sequential (each table's rename is atomic, the SEQUENCE is
+  * not), so a rebuild into the serving prefix can pair new postings with
+  * old stats under a concurrent serve, and a crash between swaps leaves
+  * a mixed-generation index on disk.
+  *
+  * The fix is the standard pointer-swap discipline:
+  *   - Generation `g`'s tables live under prefix `<name>_g<g>` — a
+  *     rebuild writes generation g+1's tables under a prefix NO reader
+  *     resolves yet, so partial state is inert by construction.
+  *   - A one-row MANIFEST table `<name>_manifest` (generation BIGINT)
+  *     is the single source of truth for "current", and it is swapped
+  *     LAST — one atomic table overwrite (the store's temp-dir rename),
+  *     after every table of the new generation is fully on disk.
+  *   - Serves resolve the manifest once per snapshot ([[currentPrefix]])
+  *     and then read only that generation's files; a rebuild completing
+  *     mid-serve cannot retarget an already-resolved snapshot.
+  *
+  * Crash contract: a crash anywhere before the manifest swap leaves the
+  * manifest — and therefore every reader — on the old generation, whose
+  * tables are never touched by the build; the partial next-generation
+  * tables are garbage to collect, not corruption. A crash during the
+  * manifest swap itself is the store's single-table atomicity.
+  *
+  * Storage contract: old generations are NOT auto-deleted (a pinned
+  * snapshot may still be reading one). Call [[prune]] on a maintenance
+  * schedule that outlives your longest-lived snapshot.
+  */
+object VersionedIndex {
+
+  private def manifestTable(name: String): String = s"${name}_manifest"
+
+  /** The published generation, if any index has been published. */
+  def currentGeneration(store: TableStore, name: String): Option[Long] =
+    if (store.exists(manifestTable(name)))
+      Some(store.load(manifestTable(name)).head().getLong(0))
+    else None
+
+  /** Prefix of the CURRENT generation's tables — what every serve/snapshot
+    * should resolve (fails fast if nothing was ever published). */
+  def currentPrefix(store: TableStore, name: String): String =
+    s"${name}_g${currentGeneration(store, name).getOrElse(
+      throw new IllegalStateException(
+        s"no published generation for versioned index '$name' — build one " +
+          "with VersionedIndex.rebuild first"))}"
+
+  /** Prefix a generation's tables live under. */
+  def prefixOf(name: String, generation: Long): String = s"${name}_g$generation"
+
+  /** Build generation current+1 under its own prefix via `build(prefix)`,
+    * then publish it by atomically swapping the manifest — the ONLY write
+    * that changes what readers resolve, and the LAST one. Returns the new
+    * current prefix. If `build` throws, nothing was published and the old
+    * generation serves untouched. */
+  def rebuild(store: TableStore, name: String, spark: SparkSession)(
+      build: String => Unit): String = {
+    val gen = currentGeneration(store, name).getOrElse(0L) + 1L
+    val prefix = prefixOf(name, gen)
+    build(prefix)
+    publish(store, name, spark, gen)
+    prefix
+  }
+
+  /** Atomically point the manifest at `generation` (its tables must be
+    * fully written). Exposed for staged deployments that build and
+    * publish in separate steps — [[rebuild]] composes both. */
+  def publish(
+      store: TableStore, name: String, spark: SparkSession,
+      generation: Long): Unit = {
+    import spark.implicits._
+    store.overwrite(manifestTable(name), Seq(generation).toDF("generation"))
+  }
+
+  /** Drop generations older than current − `keepPrevious`. `tableSuffixes`
+    * names the index's tables (e.g. `Seq("postings", "doclens",
+    * "lexstats", "tombstones")`); only suffixed tables of PRUNED
+    * generations are dropped — the current generation (and `keepPrevious`
+    * before it, default 1 for still-pinned snapshots) are never touched. */
+  def prune(
+      store: TableStore, name: String, tableSuffixes: Seq[String],
+      keepPrevious: Int = 1): Unit = {
+    require(keepPrevious >= 0, s"keepPrevious must be >= 0, got $keepPrevious")
+    val cur = currentGeneration(store, name).getOrElse(return)
+    (1L until cur - keepPrevious).foreach { g =>
+      tableSuffixes.foreach { s =>
+        val t = s"${prefixOf(name, g)}_$s"
+        if (store.exists(t)) store.drop(t)
+      }
+    }
+  }
+}

@@ -1,0 +1,165 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.functions.{AnnIndex, LexIndex, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The versioned-prefix rebuild-under-serve discipline: a rebuild builds
+  * a fresh generation and publishes with one atomic manifest swap LAST; a
+  * pinned serve never mixes generations; a crash between table swaps
+  * leaves the old generation serving, untouched. */
+class VersionedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusA = Seq(
+    (1L, "spark shuffles data across executors"),
+    (2L, "spark broadcasts small tables"),
+    (3L, "ducks swim across the pond"),
+    (4L, "the pond holds small ducks")).toDF("doc_id", "text")
+
+  // Generation 2's corpus: same ids, different content — any
+  // generation-mixing would change served rows detectably.
+  private def corpusB = Seq(
+    (1L, "entirely new prose about gardens"),
+    (2L, "gardens grow tomatoes and herbs"),
+    (3L, "herbs flavor the tomato soup"),
+    (4L, "soup simmers on the garden stove")).toDF("doc_id", "text")
+
+  private def queries = Seq((100L, "spark small tables"),
+    (101L, "garden soup herbs")).toDF("doc_id", "text")
+
+  private def tmpStore() = new ParquetTableStore(spark,
+    java.nio.file.Files.createTempDirectory("vidx_spec_").toString,
+    partitionBySuffix = AnnIndex.partitionSpecSuffix)
+
+  private def serve(snap: LexIndex.LexSnapshot): Seq[(Long, Long, Double, Long)] =
+    LexIndex.bm25TopK(snap, queries, "doc_id", "text",
+        k = 4, k1 = 1.2, b = 0.75, pruneTerms = true)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+
+  test("lex rebuild under a pinned serve never mixes generations; manifest swaps last") {
+    val store = tmpStore()
+    assert(VersionedIndex.currentGeneration(store, "lex").isEmpty)
+    intercept[IllegalStateException] {
+      VersionedIndex.currentPrefix(store, "lex")
+    }
+    val p1 = LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+    assert(p1 === "lex_g1")
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(1L))
+    val snapA = LexIndex.snapshotVersioned(store, "lex")
+    val servedA = serve(snapA)
+    val wantA = TextAnalysis.bm25TopK(corpusA, "doc_id", "text",
+        queries, "doc_id", "text", k = 4)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(servedA === wantA && servedA.nonEmpty)
+
+    // Rebuild generation 2 while snapA stays pinned. MID-build (after the
+    // new tables are fully written but before the publish), every fresh
+    // resolution still sees generation 1 — partial generation-2 state is
+    // unreachable by construction.
+    val p2 = VersionedIndex.rebuild(store, "lex", spark) { p =>
+      LexIndex.build(store, p, corpusB, "doc_id", "text")
+      assert(VersionedIndex.currentPrefix(store, "lex") === "lex_g1")
+      assert(serve(LexIndex.snapshotVersioned(store, "lex")) === servedA)
+    }
+    assert(p2 === "lex_g2")
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(2L))
+
+    // The pinned snapshot STILL serves generation 1, byte-identical (its
+    // files were never touched)...
+    assert(serve(snapA) === servedA)
+    // ...and a fresh snapshot serves generation 2 == inline over corpusB.
+    val servedB = serve(LexIndex.snapshotVersioned(store, "lex"))
+    val wantB = TextAnalysis.bm25TopK(corpusB, "doc_id", "text",
+        queries, "doc_id", "text", k = 4)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(servedB === wantB)
+    assert(servedB !== servedA, "corpus change must be observable")
+    snapA.release()
+  }
+
+  test("crash between table swaps leaves the old generation serving, untouched") {
+    val store = tmpStore()
+    LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+    val before = serve(LexIndex.snapshotVersioned(store, "lex"))
+
+    // Simulated crash MID-multi-table-swap: the build writes one of the
+    // new generation's tables, then dies before the rest — exactly the
+    // window where a same-prefix rebuild would leave mixed state.
+    val boom = intercept[RuntimeException] {
+      VersionedIndex.rebuild(store, "lex", spark) { p =>
+        store.overwrite(s"${p}_doclens",
+          corpusB.select(col("doc_id"), lit(1L).as("dl")))
+        throw new RuntimeException("crash between swaps")
+      }
+    }
+    assert(boom.getMessage === "crash between swaps")
+    // Manifest never swapped: generation 1 still current, serving the
+    // exact pre-crash rows; the orphaned partial table is inert garbage.
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(1L))
+    assert(serve(LexIndex.snapshotVersioned(store, "lex")) === before)
+    assert(store.exists("lex_g2_doclens") && !store.exists("lex_g2_postings"))
+
+    // The next successful rebuild simply takes the next generation number
+    // and overwrites the orphan on its way through.
+    val p = LexIndex.rebuildVersioned(store, "lex", corpusB, "doc_id", "text")
+    assert(p === "lex_g2")
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(2L))
+  }
+
+  test("prune drops superseded generations, keeps current + keepPrevious") {
+    val store = tmpStore()
+    LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+    LexIndex.rebuildVersioned(store, "lex", corpusB, "doc_id", "text")
+    LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(3L))
+    assert(store.exists("lex_g1_postings"))
+    VersionedIndex.prune(store, "lex", LexIndex.TableSuffixes, keepPrevious = 1)
+    assert(!store.exists("lex_g1_postings") && !store.exists("lex_g1_lexstats"))
+    assert(store.exists("lex_g2_postings") && store.exists("lex_g3_postings"))
+    // Current generation still serves after pruning.
+    assert(serve(LexIndex.snapshotVersioned(store, "lex")).nonEmpty)
+  }
+
+  test("IVF versioned rebuild: pinned snapshot survives a rebuild; fresh snapshot retargets") {
+    val emb = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 13 + j * 5) % 17).toFloat - 8f) / 4f)
+    }.toDF("vec_id", "embedding")
+    // Generation 2 shifts every vector — same ids, different geometry.
+    val emb2 = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 7 + j * 11) % 23).toFloat - 11f) / 4f)
+    }.toDF("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" < 3)
+    val root = java.nio.file.Files.createTempDirectory("vidx_ivf_").toString
+    val store = new ParquetTableStore(spark, root,
+      partitionBySuffix = AnnIndex.partitionSpecSuffix)
+    val p1 = AnnIndex.rebuildIvfVersioned(store, "ivf", emb, "vec_id", "embedding", nlist = 8)
+    assert(p1 === "ivf_g1")
+    val snap1 = AnnIndex.ivfSnapshotVersioned(store, "ivf")
+    def probe(s: AnnIndex.IndexSnapshot) =
+      AnnIndex.ivfTopK(s, qs, "vec_id", "embedding", k = 3, nprobe = 2, pruneProbed = true)
+        .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    val got1 = probe(snap1)
+    val want1 = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 2)
+      .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got1 === want1 && got1.nonEmpty)
+    // The generation's lists table landed hive-partitioned by cent_id via
+    // the SUFFIX spec (prefix unknown at store construction).
+    assert(new java.io.File(s"$root/ivf_g1_lists")
+      .listFiles().exists(_.getName.startsWith("cent_id=")))
+
+    AnnIndex.rebuildIvfVersioned(store, "ivf", emb2, "vec_id", "embedding", nlist = 8)
+    // Pinned snapshot: generation-1 rows, byte-identical (a SAME-prefix
+    // rebuild would have replaced the directories under it).
+    assert(probe(snap1) === got1)
+    // Fresh snapshot: generation 2 == inline over the shifted corpus.
+    val got2 = probe(AnnIndex.ivfSnapshotVersioned(store, "ivf"))
+    val want2 = Similarity.ivfTopK(emb2, qs, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 2)
+      .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got2 === want2)
+    assert(got2 !== got1)
+    snap1.release()
+  }
+}
