@@ -972,6 +972,18 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // RM3: the CLOSED expansion loop — original terms at weight 0.6 ∪
+    // normalized top-5 feedback terms at weight 0.4 → a second weighted
+    // BM25 pass (both passes replayed exactly by the oracle).
+    "q_bm25_rm3" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      graft.functions.TextAnalysis.bm25Rm3TopK(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 5)
+        .orderBy("qid", "rnk")
+    }),
+
     // PINNED-SNAPSHOT lexical serve: frames resolved ONCE
     // (LexIndex.snapshot — the streaming serve loop's fast path).
     // Contractually row-identical to the fresh path, so it shares the
@@ -3422,6 +3434,75 @@ object SparkEntry {
          |    SELECT 1 FROM qterms q WHERE q.qid = w.qid AND q.term = w.term))
          |SELECT qid, term, round(CAST(w6 AS DOUBLE) / 1e6, 6) AS weight, rnk
          |FROM expanded WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // RM3 two-pass replay: pass 1 = the full BM25 chain (bm), RM1 weights
+    // = the q_bm25_expansion chain (expanded), then the interpolated term
+    // model (originals at 0.6, normalized feedback at 0.4, both 1e-6
+    // fixed-point) feeds a weighted second scoring pass with df over the
+    // expanded term set.
+    "q_bm25_rm3" ->
+      s"""WITH bm AS (
+         |${bm25OracleSql}
+         |),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS ndocs FROM dl),
+         |fbtf AS (
+         |  SELECT bm.qid, tf.term, tf.tf FROM tf JOIN bm ON tf.doc_id = bm.doc_id),
+         |cand AS (SELECT DISTINCT term FROM fbtf),
+         |canddf AS (
+         |  SELECT tf.term, CAST(count(*) AS DOUBLE) AS df
+         |  FROM tf JOIN cand ON tf.term = cand.term GROUP BY 1),
+         |qterms AS (
+         |  SELECT DISTINCT doc_id AS qid, unnest(string_split_regex(text, '\\s+')) AS term
+         |  FROM documents WHERE doc_id < 3),
+         |weights AS (
+         |  SELECT f.qid, f.term,
+         |    CAST(sum(CAST(round(
+         |      f.tf * ln(1.0 + (s.ndocs - d.df + 0.5) / (d.df + 0.5)) * 1e6,
+         |      0) AS BIGINT)) AS BIGINT) AS w6
+         |  FROM fbtf f JOIN canddf d ON f.term = d.term CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |expanded AS (
+         |  SELECT * FROM (
+         |    SELECT w.*, CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY w6 DESC, term ASC) AS BIGINT) AS rnk
+         |    FROM weights w
+         |    WHERE NOT EXISTS (
+         |      SELECT 1 FROM qterms q WHERE q.qid = w.qid AND q.term = w.term))
+         |  WHERE rnk <= 5),
+         |wsum AS (SELECT qid, CAST(sum(w6) AS BIGINT) AS wsum6 FROM expanded GROUP BY 1),
+         |qtw AS (
+         |  SELECT qid, term, CAST(600000 AS BIGINT) AS wq6 FROM qterms
+         |  UNION ALL
+         |  SELECT e.qid, e.term,
+         |    CAST(round(0.4 * CAST(e.w6 AS DOUBLE) / CAST(w.wsum6 AS DOUBLE) * 1e6, 0)
+         |      AS BIGINT) AS wq6
+         |  FROM expanded e JOIN wsum w USING (qid)),
+         |qdf2 AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+         |  WHERE term IN (SELECT DISTINCT term FROM qtw) GROUP BY 1),
+         |scored2 AS (
+         |  SELECT w.qid, tf.doc_id,
+         |    CAST(sum(CAST(round(
+         |      CAST(w.wq6 AS DOUBLE) / 1000000.0 *
+         |      ln(1.0 + (s.ndocs - d.df + 0.5) / (d.df + 0.5)) *
+         |      (tf.tf * (1.2 + 1.0) /
+         |        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) * 1e6,
+         |      0) AS BIGINT)) AS BIGINT) AS s6
+         |  FROM tf JOIN qtw w ON tf.term = w.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN qdf2 d ON tf.term = d.term
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked2 AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY s6 DESC, doc_id ASC) AS BIGINT) AS rnk
+         |  FROM scored2)
+         |SELECT qid, doc_id, round(CAST(s6 AS DOUBLE) / 1e6, 6) AS rm3, rnk
+         |FROM ranked2 WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // Append == rebuild over the union: the FULL-corpus oracle.
     "q_bm25_append" -> bm25OracleSql,

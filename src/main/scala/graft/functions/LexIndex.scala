@@ -330,6 +330,56 @@ object LexIndex {
       postings1, snap.doclens, termDf, snap.stats, qTerms, "doc_id", k, k1, b)
   }
 
+  /** RM3 expanded re-retrieval against a pinned [[snapshot]] — the
+    * persisted-index twin of [[TextAnalysis.bm25Rm3TopK]] (row-identical,
+    * spec-pinned): pass 1 is the pruned [[bm25TopK]] probe at `fbK`, the
+    * RM1 feedback-term model comes from the SNAPSHOT's own postings
+    * ([[TextAnalysis.rm1TopTerms]] — the feedback doc-id set broadcasts,
+    * the postings never shuffle for it), and pass 2 is the weighted probe
+    * over the interpolated term model ([[TextAnalysis.rm3TermWeights]]:
+    * originals at `alpha`, normalized expansion at `1 − alpha`).
+    *
+    * Each bounded intermediate is collected ONCE per call and fed back
+    * as a LOCAL frame — the pass-1 feedback set (fbK · |queries| ids),
+    * then the interpolated term model (≤ |queries| · (original terms +
+    * m) rows): a lazy reference would re-evaluate the whole upstream
+    * probe chain once per downstream consumer (the ivfTopKFrames
+    * double-evaluation lesson; rm1's own plan references its feedback
+    * frame twice, the term model feeds both pass 2's static IN pushdown
+    * and its broadcast probe side). Measured in BenchLexServe's rm3
+    * phase: the two-pass serve lands at a small multiple of the pinned
+    * single-pass, not the ~7× the fully-lazy composition cost.
+    * Output: (qid, doc_id, rm3, rnk). */
+  def bm25Rm3TopK(
+      snap: LexSnapshot,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int, fbK: Int = 5, m: Int = 5, alpha: Double = 0.6,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val spark = queries.sparkSession
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val top = localize(bm25TopK(snap, queries, qidCol, qTextCol, fbK, k1, b,
+        pruneTerms = true)
+      .select(col("qid"), col("doc_id")))
+    val qTerms = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
+    val exp = TextAnalysis.rm1TopTerms(
+        snap.postings, snap.stats.select("ndocs"), top, "doc_id", qTerms, m)
+      .select("qid", "term", "w6")
+    val qTermsW0 = TextAnalysis.rm3TermWeights(localize(exp), qTerms, alpha)
+    val rows = qTermsW0.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), qTermsW0.schema)
+    val termIdx = qTermsW0.schema.fieldIndex("term")
+    val terms = rows.map(_.getString(termIdx)).distinct.toSeq
+    val postings1 = snap.postings.filter(col("term").isin(terms: _*))
+    val termDf = postings1
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    TextAnalysis.bm25SearchWeighted(
+      postings1, snap.doclens, termDf, snap.stats, local, "doc_id", k, k1, b)
+  }
+
   /** Load the stats row, failing fast with a rebuild hint on an index
     * persisted by the pre-maintenance format (which stored (avgdl,
     * ndocs) and a termdf table): the additive arithmetic needs sum_dl,

@@ -531,12 +531,30 @@ object TextAnalysis {
     val tf = bm25Postings(corpus, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val nDocs = dl.agg(count(lit(1)).cast("double").as("ndocs"))
+    val qTerms = bm25QueryTerms(queries, qidCol, qTextCol)
+    rm1TopTerms(tf, nDocs, top, idCol, qTerms, m)
+      .select(col("qid"), col("term"),
+        round(col("w6").cast("double") / 1e6, 6).as("weight"), col("rnk"))
+  }
+
+  /** The RM1 feedback-term core over index-shaped frames — shared by the
+    * inline [[bm25ExpansionTerms]] and the persisted-index RM3 serve path
+    * ([[LexIndex.bm25Rm3TopK]]), so built-then-served expansion is
+    * row-identical to inline. `top` is pass 1's (qid, idCol) feedback
+    * set; output is the top-`m` (qid, term, w6, rnk) per query with
+    * original query terms anti-joined away, w6 the 1e-6 fixed-point RM1
+    * mass `Σ_{d∈top(q)} tf(d,t) · idf(t)`. */
+  private[functions] def rm1TopTerms(
+      postings: DataFrame, ndocs: DataFrame, top: DataFrame, idCol: String,
+      qTerms: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1, s"m must be >= 1, got $m")
     // Terms of the feedback docs, carried per query: the broadcast side
     // is k·|queries| ids, so the postings aggregate is probed, never
     // shuffled.
-    val fbTf = tf.join(broadcast(top), Seq(idCol))
+    val fbTf = postings.join(broadcast(top), Seq(idCol))
     val candDf = fbTf.select("term").distinct()
-      .join(tf, Seq("term"))
+      .join(postings, Seq("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
     // Unhinted join — the joinVocab posture: the static plan stays
@@ -545,19 +563,32 @@ object TextAnalysis {
     // candidate-df bytes when the feedback vocabulary is actually small.
     val weighted = fbTf
       .join(candDf, Seq("term"))
-      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(ndocs))
       .select(col("qid"), col("term"),
         round(col("tf") * idf * 1e6, 0).cast("long").as("w6"))
       .groupBy("qid", "term")
       .agg(sum(col("w6")).as("w6"))
-    val qTerms = bm25QueryTerms(queries, qidCol, qTextCol)
     val w = Window.partitionBy("qid").orderBy(col("w6").desc, col("term").asc)
     weighted
       .join(qTerms, Seq("qid", "term"), "left_anti")
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= m)
+  }
+
+  /** The RM3 interpolated query-term model: original terms at weight
+    * `alpha`, each expansion term at `(1 − alpha) · w6 / Σw6` (its
+    * per-query-normalized RM1 mass), all as 1e-6 fixed-point longs —
+    * (qid, term, wq6), disjoint by construction ([[rm1TopTerms]]
+    * anti-joins the originals). */
+  private[functions] def rm3TermWeights(
+      expW6: DataFrame, origTerms: DataFrame, alpha: Double): DataFrame = {
+    val wsum = expW6.groupBy("qid").agg(sum(col("w6")).as("wsum6"))
+    val expW = expW6.join(wsum, Seq("qid"))
       .select(col("qid"), col("term"),
-        round(col("w6").cast("double") / 1e6, 6).as("weight"), col("rnk"))
+        round(lit(1.0 - alpha) * col("w6").cast("double")
+          / col("wsum6").cast("double") * 1e6, 0).cast("long").as("wq6"))
+    origTerms.withColumn("wq6", lit(math.round(alpha * 1e6)))
+      .unionByName(expW)
   }
 
   /** The shared BM25 scoring core over index-shaped frames — the inline
@@ -589,6 +620,75 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("qid"), col(idCol),
         round(col("s6").cast("double") / 1e6, 6).as("bm25"), col("rnk"))
+  }
+
+  /** WEIGHTED BM25 scoring — the RM3 second pass: `qTermsW` carries
+    * (qid, term, wq6) with per-(query, term) weights as 1e-6 fixed-point
+    * longs, and each posting contributes `(wq6/1e6) · idf · norm`. The
+    * unweighted [[bm25Search]] is the wq6 == 1e6 special case (kept
+    * separate so its oracle-pinned arithmetic is untouched). Score
+    * column is named `rm3`. */
+  private[functions] def bm25SearchWeighted(
+      postings: DataFrame, doclens: DataFrame, termDf: DataFrame,
+      stats: DataFrame, qTermsW: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 params k1=$k1 b=$b")
+    val idf = log(lit(1.0) + (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = postings.join(broadcast(qTermsW), Seq("term"))
+      .join(doclens, Seq(idCol))
+      .join(broadcast(termDf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col(idCol),
+        round(col("wq6").cast("double") / lit(1e6) * idf * norm * lit(1e6), 0)
+          .cast("long").as("c6"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("c6")).as("s6"))
+    val w = Window.partitionBy("qid").orderBy(col("s6").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col(idCol),
+        round(col("s6").cast("double") / 1e6, 6).as("rm3"), col("rnk"))
+  }
+
+  /** RM3 expanded re-retrieval — the CLOSED expansion loop
+    * ([[bm25ExpansionTerms]] emits the feedback terms; this feeds them
+    * back): retrieve top-`fbK` per query, take the top-`m` RM1 feedback
+    * terms, then run a SECOND weighted BM25 pass where original query
+    * terms carry weight `alpha` and each expansion term carries
+    * `(1 − alpha) ·  w / Σw` (its per-query-normalized RM1 mass) — the
+    * standard RM3 interpolation (Lavrenko & Croft 2001; Abdul-Jaleel et
+    * al. 2004). All weights are 1e-6 fixed-point longs and the second
+    * pass reuses the [[bm25Search]] arithmetic shape, so the DuckDB
+    * oracle replays both passes exactly (q_bm25_rm3).
+    *
+    * Scale shape: pass 1 is [[bm25TopK]]; the feedback probe broadcasts
+    * fbK·|queries| doc ids against the postings aggregate; pass 2 is a
+    * query-term-bounded probe like pass 1, just with ≤ |original| + m
+    * terms per query. Output: (qid, doc_id, rm3, rnk). */
+  def bm25Rm3TopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qTextCol: String,
+      k: Int, fbK: Int = 5, m: Int = 5, alpha: Double = 0.6,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val top = bm25TopK(corpus, idCol, textCol, queries, qidCol, qTextCol,
+        fbK, k1, b)
+      .select(col("qid"), col(idCol))
+    val tf = bm25Postings(corpus, idCol, textCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("ndocs"))
+    val qTerms = bm25QueryTerms(queries, qidCol, qTextCol)
+    val exp = rm1TopTerms(tf, stats.select("ndocs"), top, idCol, qTerms, m)
+      .select("qid", "term", "w6")
+    val qTermsW = rm3TermWeights(exp, qTerms, alpha)
+    val qdf = tf.join(broadcast(qTermsW.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    bm25SearchWeighted(tf, dl, qdf, stats, qTermsW, idCol, k, k1, b)
   }
 
   /** Top-k terms per document by TF-IDF with smoothed IDF

@@ -360,6 +360,27 @@ object EventAnalytics {
       sink(graft.functions.LexIndex.bm25TopK(
         snap, batch, qidCol, qTextCol, k, k1, b, pruneTerms))
 
+  /** RM3 two-pass serve against a pinned snapshot: per micro-batch,
+    * retrieve → expand ([[graft.functions.TextAnalysis.rm1TopTerms]]) →
+    * weighted re-retrieve ([[graft.functions.LexIndex.bm25Rm3TopK]]).
+    * Same pinning contract as [[bm25ProbeEachBatchPinned]]; the cost is
+    * two pruned probes plus the feedback-term gather — the one step that
+    * STREAMS THE FULL POSTINGS table (feedback docs are a doc-id lookup
+    * in a term-sorted layout; classic PRF cost, amortizable only with a
+    * forward index). BenchLexServe's rm3 phase measures ~4× the pinned
+    * single-pass batch at sf0.1 defaults (6.8× before the bounded
+    * intermediates were localized — see [[graft.functions.LexIndex
+    * .bm25Rm3TopK]]). */
+  def rm3ProbeEachBatchPinned(
+      snap: graft.functions.LexIndex.LexSnapshot,
+      qidCol: String, qTextCol: String, k: Int,
+      fbK: Int = 5, m: Int = 5, alpha: Double = 0.6,
+      k1: Double = 1.2, b: Double = 0.75)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      sink(graft.functions.LexIndex.bm25Rm3TopK(
+        snap, batch, qidCol, qTextCol, k, fbK, m, alpha, k1, b))
+
   /** HYBRID retrieval serve: per-micro-batch probe of BOTH persisted
     * indexes — BM25 over the [[graft.functions.LexIndex]] tables and IVF
     * over the [[graft.functions.AnnIndex]] tables — fused with

@@ -60,10 +60,11 @@ object BenchLexServe {
     require(queryRows.length == nBatches * batchSize,
       s"corpus too small: ${queryRows.length} < ${nBatches * batchSize}")
 
-    // Two phases over IDENTICAL query batches in one session: the
+    // Three phases over IDENTICAL query batches in one session: the
     // fresh-per-batch path (index tables re-resolved every micro-batch),
-    // then the PINNED path (LexIndex.snapshot resolved once at stream
-    // start). Each phase's first batch absorbs its own plan/codegen
+    // the PINNED path (LexIndex.snapshot resolved once at stream
+    // start), then the RM3 two-pass path over the same pinned snapshot.
+    // Each phase's first batch absorbs its own plan/codegen
     // warm-up and is excluded from steady state. ORDERING CAVEAT: the
     // pinned phase runs second and inherits JIT + page-cache warmth from
     // the fresh phase, so its delta CONFLATES pinning with second-phase
@@ -96,9 +97,19 @@ object BenchLexServe {
     val snap = LexIndex.snapshot(store, "serve")
     val (pinnedSecs, pinnedGot) = drive(EventAnalytics.bm25ProbeEachBatchPinned(
       snap, "qid", "qtext", k = k))
+    // Third phase: the RM3 TWO-PASS serve over the same pinned snapshot
+    // and query batches — retrieve, expand, weighted re-retrieve per
+    // micro-batch. rm3_qps / pinned_qps is the measured cost multiple of
+    // closing the expansion loop (runs third, so it enjoys the same
+    // warmth the pinned phase does — read the multiple, not the
+    // absolute, and the per-phase warm batch is still excluded).
+    val (rm3Secs, rm3Got) = drive(EventAnalytics.rm3ProbeEachBatchPinned(
+      snap, "qid", "qtext", k = k))
     snap.release()
     require(pinnedGot == freshGot,
       s"pinned results $pinnedGot != fresh results $freshGot")
+    require(rm3Got >= freshGot,
+      s"rm3 results $rm3Got < single-pass results $freshGot")
 
     def r3(x: Double) = (x * 1000).round / 1000.0
     def stats(secs: Vector[Double]): (Double, Double, Double, Double) = {
@@ -109,6 +120,7 @@ object BenchLexServe {
     }
     val (qps, warm, p50, pmax) = stats(freshSecs)
     val (pQps, pWarm, pP50, pMax) = stats(pinnedSecs)
+    val (rQps, rWarm, rP50, rMax) = stats(rm3Secs)
     println(s"""{"metric":"lex_serve_qps","value":${r3(qps)},""" +
       s""""unit":"queries/sec","corpus_docs":$nDocs,"batches":$nBatches,""" +
       s""""batch_size":$batchSize,"k":$k,"build_sec":${r3(buildSec)},""" +
@@ -116,7 +128,10 @@ object BenchLexServe {
       s""""steady_batch_p50_sec":${r3(p50)},""" +
       s""""steady_batch_max_sec":${r3(pmax)},""" +
       s""""pinned_qps":${r3(pQps)},"pinned_warm_batch_sec":${r3(pWarm)},""" +
-      s""""pinned_batch_p50_sec":${r3(pP50)},"pinned_batch_max_sec":${r3(pMax)}}""")
+      s""""pinned_batch_p50_sec":${r3(pP50)},"pinned_batch_max_sec":${r3(pMax)},""" +
+      s""""rm3_qps":${r3(rQps)},"rm3_warm_batch_sec":${r3(rWarm)},""" +
+      s""""rm3_batch_p50_sec":${r3(rP50)},"rm3_batch_max_sec":${r3(rMax)},""" +
+      s""""rm3_results":$rm3Got}""")
     spark.stop()
   }
 }

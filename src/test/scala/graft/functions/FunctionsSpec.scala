@@ -1019,6 +1019,54 @@ class FunctionsSpec extends SparkSpec {
     assert(exp.length <= 3)
   }
 
+  test("bm25Rm3TopK: expansion retrieves beyond-lexical docs; alpha=1 reduces to BM25; " +
+      "pinned serve twin is row-identical") {
+    val corpus = Seq(
+      (1L, "spark executors shuffle partitions"),
+      (2L, "spark executors broadcast partitions"),
+      (3L, "spark executors cache partitions"),
+      (4L, "executors partitions pipelines"),
+      (5L, "ducks swim in the pond"),
+      (6L, "the pond holds many ducks")).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark")).toDF("doc_id", "text")
+    // Plain BM25 cannot reach doc 4 — it shares no query term.
+    val bm = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        qs, "doc_id", "text", k = 6)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(!bm.exists(_._2 == 4L), bm.toSeq)
+    // RM3's feedback model (m = 5 takes the whole feedback vocabulary:
+    // executors/partitions plus the three rare one-doc terms) retrieves
+    // it with positive mass; the duck docs stay unreachable (they carry
+    // neither a query nor an expansion term).
+    val rm3 = TextAnalysis.bm25Rm3TopK(corpus, "doc_id", "text",
+        qs, "doc_id", "text", k = 6, fbK = 3, m = 5)
+      .orderBy("qid", "rnk")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rm3.exists(r => r._2 == 4L && r._3 > 0.0), rm3.toSeq)
+    assert(!rm3.exists(r => Set(5L, 6L)(r._2)), rm3.toSeq)
+    // The original term still dominates: rank 1 is a spark doc.
+    assert(Set(1L, 2L, 3L)(rm3.head._2), rm3.toSeq)
+    // alpha = 1 zeroes the expansion weights: the positively-scored rows
+    // ARE the BM25 ranking (same scores, same order).
+    val reduced = TextAnalysis.bm25Rm3TopK(corpus, "doc_id", "text",
+        qs, "doc_id", "text", k = 6, fbK = 3, m = 5, alpha = 1.0)
+      .as[(Long, Long, Double, Long)].collect()
+      .filter(_._3 > 0.0)
+    assert(reduced.toSet === bm.toSet, s"reduced=${reduced.toSeq} bm=${bm.toSeq}")
+    // Built-then-served RM3 over a pinned snapshot is row-identical to
+    // inline (the q_bm25_persisted identity, extended to two passes).
+    val root = java.nio.file.Files.createTempDirectory("graft_rm3_spec_").toString
+    val store = new graft.io.ParquetTableStore(spark, root)
+    LexIndex.build(store, "rm3lex", corpus, "doc_id", "text")
+    val snap = LexIndex.snapshot(store, "rm3lex")
+    val served = LexIndex.bm25Rm3TopK(snap, qs, "doc_id", "text",
+        k = 6, fbK = 3, m = 5)
+      .orderBy("qid", "rnk")
+      .as[(Long, Long, Double, Long)].collect()
+    snap.release()
+    assert(served.toSeq === rm3.toSeq, "pinned RM3 serve diverged from inline")
+  }
+
   test("rrfFuse: doc in both rankings beats single-system docs; absent docs contribute nothing") {
     // qid 1: doc 100 is rank 2 in BOTH rankings (1/62 + 1/62), doc 200 is
     // rank 1 in A only (1/61), doc 300 rank 1 in B only (1/61):

@@ -395,6 +395,50 @@ class EventAnalyticsSpec extends SparkSpec {
       "pinned stream probe diverged from the fresh batch probe")
   }
 
+  test("rm3ProbeEachBatchPinned: micro-batched two-pass probes == one batch RM3") {
+    import graft.functions.{LexIndex, TextAnalysis}
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds small ducks")).toDF("doc_id", "text")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("lex_rm3_stream_").toString)
+    LexIndex.build(store, "lex", corpus, "doc_id", "text")
+    val snap = LexIndex.snapshot(store, "lex")
+
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    val q = input.toDF().toDF("qid", "qtext")
+      .writeStream
+      .foreachBatch(EventAnalytics.rm3ProbeEachBatchPinned(
+        snap, "qid", "qtext", k = 3, fbK = 2, m = 2) { out =>
+        acc.synchronized {
+          acc ++= out.as[(Long, Long, Double, Long)](implicitly).collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    // One logical query set split across micro-batches: per-query RM3
+    // depends only on the query row and the pinned index, so the union
+    // of per-batch results must equal ONE batch pass over the union.
+    input.addData(10L -> "spark data")
+    q.processAllAvailable()
+    input.addData(11L -> "small ducks")
+    q.processAllAvailable()
+    q.stop()
+    snap.release()
+    val batch = TextAnalysis.bm25Rm3TopK(corpus, "doc_id", "text",
+        Seq(10L -> "spark data", 11L -> "small ducks").toDF("qid", "qtext"),
+        "qid", "qtext", k = 3, fbK = 2, m = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(acc.toSet === batch,
+      "streamed RM3 probe diverged from the one-batch inline RM3")
+  }
+
   test("hybridProbeEachBatch: micro-batched fused probes == one batch fusion") {
     import graft.functions.{AnnIndex, LexIndex}
     import graft.io.ParquetTableStore
