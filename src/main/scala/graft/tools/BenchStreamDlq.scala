@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** DLQ-enabled streaming dispatch record — two measurements
   * ([[BenchStream]] is the no-DLQ throughput record):
@@ -27,13 +28,29 @@ import java.nio.file.{Files, Paths}
   *      Asserts: every crasher in the DLQ, every healthy job COMPLETED,
   *      queue empty.
   *
-  * Usage: BenchStreamDlq [sfDir] [nJobs] [nCrash]
+  *   C. (`sustained` mode) the round-8 sustained record (500 jobs +
+  *      compaction) WITH poison in the queue: nCrash crash-every-delivery
+  *      messages named to sort FIRST, swept into the DLQ at strict
+  *      per-message granularity (the redrive policy working — each
+  *      crasher's counter rises alone), then the FULL healthy drain at
+  *      wave width with the redrive bookkeeping still active and storage
+  *      maintenance on (maintainEvery=4, the r8 sustained shape).
+  *      Asserts: DLQ holds exactly the crashers BYTE-EXACT (dead-letter
+  *      is an atomic rename — name and body survive), every healthy job
+  *      COMPLETED, contacts exact, queue empty. The sweep runs first
+  *      because redelivery granularity is the EPOCH: a crasher inside a
+  *      wide healthy wave dead-letters its whole cohort (documented in
+  *      QueueSource) — strict granularity while poison is present, wave
+  *      width after, is the operational contract.
+  *
+  * Usage: BenchStreamDlq [sfDir] [nJobs] [nCrash] [sustained]
   */
 object BenchStreamDlq {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nJobs = if (args.length > 1) args(1).toInt else 100
     val nCrash = if (args.length > 2) args(2).toInt else 2
+    val sustained = args.length > 3 && args(3) == "sustained"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,6 +83,86 @@ object BenchStreamDlq {
     }
     def queueCount(dir: String): Long = {
       val s = Files.list(Paths.get(dir)); try s.count() finally s.close()
+    }
+
+    if (sustained) {
+      // ---- C: sustained drain (jobs + compaction) with poison swept -----
+      val (root, store, rowsPerCsv) = newRig(nJobs)
+      val crashBodies = (1 to nCrash).map { i =>
+        val name = f"a$i%05d-crash"
+        val body = s"""{"crasher": $i, "note": "crashes every delivery"}"""
+        val tmp = Files.writeString(Paths.get(s"$root/queue/.$name.tmp"), body)
+        Files.move(tmp, Paths.get(s"$root/queue/$name"))
+        name -> body
+      }.toMap
+      val tAll = System.nanoTime()
+      // Poison sweep: strict per-message granularity; the foreachBatch
+      // dies on a crasher (simulated infra death) and STOPS at the first
+      // healthy epoch (poison drained — hand over to the wave drain
+      // without committing the healthy message).
+      final class PoisonDrained extends RuntimeException("poison drained")
+      def sweepOnce(): Unit = {
+        val q = spark.readStream.format("graft-queue")
+          .option("deadLetterDir", s"$root/dlq")
+          .option("maxReceives", "2")
+          .option("maxFilesPerTrigger", "1")
+          .load(s"$root/queue")
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/cp_sweep")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val ids = batch.select("message_id").as[String](implicitly).collect()
+            if (ids.exists(_.contains("crash"))) sys.error("injected infra crash")
+            if (ids.nonEmpty) throw new PoisonDrained
+            ()
+          }.start()
+        try q.awaitTermination(1800000) catch { case _: Exception => () }
+        q.stop()
+      }
+      def dlqCountNow(): Long =
+        if (Files.exists(Paths.get(s"$root/dlq"))) queueCount(s"$root/dlq") else 0L
+      var sweeps = 0
+      while (dlqCountNow() < nCrash && sweeps < 4 + 3 * nCrash) {
+        sweepOnce(); sweeps += 1
+      }
+      val sweepSec = (System.nanoTime() - tAll) / 1e9
+      // Byte-exact DLQ gate: exactly the injected names, bodies verbatim.
+      val dlqFiles = {
+        val s = Files.list(Paths.get(s"$root/dlq"))
+        try s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+        finally s.close()
+      }
+      val dlqExact = dlqFiles == crashBodies.keys.toVector.sorted &&
+        dlqFiles.forall(n =>
+          Files.readString(Paths.get(s"$root/dlq/$n")) == crashBodies(n))
+      // Wave-width drain of the 500 healthy jobs: redrive bookkeeping
+      // active, storage maintenance every 4 batches (the r8 sustained
+      // shape). Fresh checkpoint: the sweep's receipts die with it, and
+      // the queue dir now holds only healthy messages.
+      val tDrain = System.nanoTime()
+      val q = JobDispatch.startQueue(
+        spark, store, s"$root/queue", s"$root/cp",
+        _ => s"$root/uploads/data.csv", Trigger.AvailableNow(),
+        maintainEvery = 4,
+        queueOptions = Map("deadLetterDir" -> s"$root/dlq", "maxReceives" -> "3"))
+      q.awaitTermination(3600000)
+      q.stop()
+      val drainSec = (System.nanoTime() - tDrain) / 1e9
+      val totalSec = (System.nanoTime() - tAll) / 1e9
+      val completed = store.load("jobs").select("job_status").as[String]
+        .collect().count(_ == JobStatus.Completed)
+      val contacts = store.load("contacts").count()
+      val ok = dlqExact && completed == nJobs &&
+        contacts == nJobs.toLong * rowsPerCsv &&
+        queueCount(s"$root/queue") == 0 && dlqCountNow() == nCrash.toLong
+      println(s"""{"metric":"stream_jobs_per_min_sustained_dlq",""" +
+        s""""value":${nJobs / (drainSec / 60)},"unit":"jobs/min",""" +
+        s""""jobs":$nJobs,"crashers":$nCrash,"rows_per_csv":$rowsPerCsv,""" +
+        s""""sweep_sec":$sweepSec,"sweeps":$sweeps,"drain_sec":$drainSec,""" +
+        s""""total_sec":$totalSec,"dlq_byte_exact":$dlqExact,""" +
+        s""""completed":$completed,"contacts":$contacts,"ok":$ok}""")
+      spark.stop()
+      if (!ok) sys.exit(1)
+      return
     }
 
     // ---- A: healthy drain with the redrive policy active ----------------

@@ -84,7 +84,23 @@ object ScaleGen {
     * differ in ~32 of 64 grid bits, so they never band-collide at small
     * maxHamming. Payloads are ~1-3 KB PNGs; generation is executor-side
     * (one BufferedImage + ImageIO encode per row, no driver loop). */
-  def genMediaPngs(spark: SparkSession, n: Long): DataFrame = {
+  /** Real-PNG media corpus: an 8×9 grayscale gradient grid whose 64
+    * column-step bits derive from md5(base id); every id ≡ 1 mod 10
+    * re-renders id−1 at 5/3 the resolution (the planted near-dup).
+    *
+    * `width`/`height` size the base render (default 108×72 — the
+    * per-image-floor-bound corpus BenchMedia has recorded since r10).
+    * `noiseAmp` > 0 adds deterministic per-pixel luma noise (xorshift of
+    * (id, x, y), ±noiseAmp): noise defeats PNG's filters so payload
+    * bytes scale with pixels (a flat-block megapixel PNG would deflate
+    * to a few KB and the "megapixel" run would still measure the
+    * per-image floor, not the byte-bound decode rate) — while the dHash
+    * grid cells average thousands of pixels each, so the zero-mean noise
+    * moves cell means by ≪ the 24-step gradient and every planted pair
+    * still verifies. */
+  def genMediaPngs(
+      spark: SparkSession, n: Long,
+      width: Int = 108, height: Int = 72, noiseAmp: Int = 0): DataFrame = {
     import spark.implicits._
     spark.range(n).select(col("id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -103,21 +119,30 @@ object ScaleGen {
           for (c <- 0 until 8)
             levels(r)(c + 1) = levels(r)(c) + (if (bit(r * 8 + c)) 24 else -24)
         }
-        val (w, h) = if (rerender) (180, 120) else (108, 72)
+        val (w, h) =
+          if (rerender) (width * 5 / 3, height * 5 / 3) else (width, height)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val px = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           val r = math.min(7, y * 8 / h)
           var x = 0
           while (x < w) {
             val c = math.min(8, x * 9 / w)
-            val v = math.max(0, math.min(255, levels(r)(c)))
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            var v = levels(r)(c)
+            if (noiseAmp > 0) {
+              var s = id * 1000003L + y.toLong * w + x
+              s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+              v += java.lang.Math.floorMod(s, 2L * noiseAmp + 1).toInt - noiseAmp
+            }
+            val vc = math.max(0, math.min(255, v))
+            px(y * w + x) = (vc << 16) | (vc << 8) | vc
             x += 1
           }
           y += 1
         }
+        img.setRGB(0, 0, w, h, px, 0, w)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         (id, "image", bos.toByteArray, s"gen/png/$id")
