@@ -78,6 +78,10 @@ object BenchScale {
     "q_bm25_topk",
     "q_bm25_persisted",
     "q_hybrid_rrf",
+    // round-12 addition: RM3 two-pass — the corpus-linear weight is pass
+    // 1's postings build (shared shape with q_bm25_topk); the feedback
+    // gather and weighted pass 2 are query-bounded probes on top.
+    "q_bm25_rm3",
     // round-12 addition: the PRODUCTION hybrid (persisted BM25 ⊕ trained
     // IVF ⊕ RRF — both retrievers serve from index tables; the IVF side
     // replaces q_hybrid_rrf's brute-force witness, whose corpus-linear
