@@ -45,6 +45,11 @@ import graft.io.TableStore
   *     (exact: token counts are integers, long addition is exact).
   *   - `<prefix>_tombstones` (doc_id) — ids deleted since the last
   *     rebuild/compaction; the serve path anti-joins it.
+  *   - `<prefix>_fwd` (term, doc_id, tf) — OPTIONAL forward index
+  *     (`build(forwardIndex = true)`): the same rows laid out by doc_id,
+  *     so per-document term gathers (the RM3/PRF feedback step) prune by
+  *     `doc_id IN (...)` instead of streaming the term-sorted postings.
+  *     ~2× index storage; maintained by append/compact when present.
   *
   * Writing goes through the store's two-phase `commitAll`/`overwriteAll`:
   * each TABLE's swap is atomic (temp-dir rename), but multi-table
@@ -73,7 +78,7 @@ object LexIndex {
   def build(
       store: TableStore, prefix: String,
       corpus: DataFrame, idCol: String, textCol: String,
-      sortFiles: Int = 32): Unit = {
+      sortFiles: Int = 32, forwardIndex: Boolean = false): Unit = {
     require(sortFiles >= 1, s"sortFiles must be >= 1, got $sortFiles")
     val tf = TextAnalysis.bm25Postings(corpus, idCol, textCol)
       .select(col("term"), col(idCol).as("doc_id"), col("tf"))
@@ -86,7 +91,18 @@ object LexIndex {
       s"${prefix}_lexstats" -> statsOf(dl),
       // Rebuild resets the tombstone set: the new tables already exclude
       // anything the caller dropped from the corpus.
-      s"${prefix}_tombstones" -> emptyTombstones(corpus, idCol)))
+      s"${prefix}_tombstones" -> emptyTombstones(corpus, idCol)) ++
+      // Optional FORWARD index: the same (term, doc_id, tf) rows laid out
+      // by doc_id — one more write of the already-checkpointed aggregate,
+      // ~2× index storage. What it buys: a per-DOCUMENT term gather (the
+      // RM3/PRF feedback step) becomes a `doc_id IN (...)` row-group-
+      // skipped probe instead of streaming the whole term-keyed postings
+      // table per serve batch — at corpus scale, the difference between
+      // a bounded read and a full index scan per query batch.
+      (if (forwardIndex) Seq(s"${prefix}_fwd" ->
+        tf.repartition(sortFiles, col("doc_id"))
+          .sortWithinPartitions("doc_id"))
+       else Nil))
     // The checkpointed postings blocks have no consumer once the tables
     // are on disk — release them, or they pin executor memory for the
     // rest of the session (corpus-scale at build time).
@@ -97,7 +113,7 @@ object LexIndex {
   /** The index's table suffixes — what [[graft.io.VersionedIndex.prune]]
     * needs to garbage-collect a superseded generation. */
   val TableSuffixes: Seq[String] =
-    Seq("postings", "doclens", "lexstats", "tombstones")
+    Seq("postings", "doclens", "lexstats", "tombstones", "fwd")
 
   /** Rebuild into a FRESH GENERATION and publish it LAST — the enforced
     * form of the rebuild-under-serve posture the class scaladoc
@@ -161,7 +177,13 @@ object LexIndex {
     store.commitAll(
       appends = Seq(
         s"${prefix}_postings" -> tf.sortWithinPartitions("term"),
-        s"${prefix}_doclens" -> dl),
+        s"${prefix}_doclens" -> dl) ++
+        // The forward index, when this prefix carries one, appends the
+        // same batch rows doc-sorted (within the batch; compact restores
+        // the global layout, like postings).
+        (if (store.exists(s"${prefix}_fwd"))
+          Seq(s"${prefix}_fwd" -> tf.sortWithinPartitions("doc_id"))
+         else Nil),
       partitions = Nil,
       overwrites = Seq(s"${prefix}_lexstats" -> merged))
     tf.unpersist()
@@ -225,7 +247,14 @@ object LexIndex {
         s"${prefix}_doclens" ->
           store.load(s"${prefix}_doclens")
             .join(tomb, Seq("doc_id"), "left_anti"),
-        s"${prefix}_tombstones" -> tomb.limit(0).repartition(1)))
+        s"${prefix}_tombstones" -> tomb.limit(0).repartition(1)) ++
+        (if (store.exists(s"${prefix}_fwd"))
+          Seq(s"${prefix}_fwd" ->
+            store.load(s"${prefix}_fwd")
+              .join(tomb, Seq("doc_id"), "left_anti")
+              .repartition(sortFiles, col("doc_id"))
+              .sortWithinPartitions("doc_id"))
+         else Nil))
     }
 
   /** BM25 top-k per query from the PERSISTED index: reads only the
@@ -275,12 +304,16 @@ object LexIndex {
   final case class LexSnapshot private[functions] (
       private[functions] val postings: DataFrame,
       private[functions] val doclens: DataFrame,
-      private[functions] val stats: DataFrame) {
+      private[functions] val stats: DataFrame,
+      private[functions] val fwd: Option[DataFrame] = None) {
     /** Unpersist the cached stats row. */
     def release(): Unit = { stats.unpersist(); () }
   }
 
-  /** Resolve the serve frames once (see [[LexSnapshot]]). */
+  /** Resolve the serve frames once (see [[LexSnapshot]]). Picks up the
+    * forward index when the prefix carries one (built with
+    * `forwardIndex = true`) — the RM3 serve path then gathers feedback
+    * terms through it instead of streaming the postings. */
   def snapshot(store: TableStore, prefix: String): LexSnapshot = {
     val stats = loadStats(store, prefix)
       .select(
@@ -290,7 +323,9 @@ object LexIndex {
     stats.count() // materialize at snapshot time, not in the first batch
     LexSnapshot(
       minusTombstones(store, prefix, store.load(s"${prefix}_postings")),
-      store.load(s"${prefix}_doclens"), stats)
+      store.load(s"${prefix}_doclens"), stats,
+      if (store.exists(s"${prefix}_fwd")) Some(store.load(s"${prefix}_fwd"))
+      else None)
   }
 
   /** [[bm25TopK]] against a pinned [[snapshot]] — row-identical to the
@@ -360,12 +395,30 @@ object LexIndex {
     def localize(df: DataFrame): DataFrame =
       spark.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
-    val top = localize(bm25TopK(snap, queries, qidCol, qTextCol, fbK, k1, b,
+    val top0 = bm25TopK(snap, queries, qidCol, qTextCol, fbK, k1, b,
         pruneTerms = true)
-      .select(col("qid"), col("doc_id")))
+      .select(col("qid"), col("doc_id"))
+    val top = localize(top0)
     val qTerms = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
-    val exp = TextAnalysis.rm1TopTerms(
-        snap.postings, snap.stats.select("ndocs"), top, "doc_id", qTerms, m)
+    // Feedback-term gather: with a FORWARD index ([[build]]'s
+    // forwardIndex=true) the fbK·|queries| doc ids land as a static
+    // `doc_id IN (...)` filter on the doc-sorted fwd scan — row-group
+    // skipping, a bounded read. Without one, the gather probes the
+    // term-keyed postings via broadcast join: correct, but a doc-id
+    // lookup in a term-sorted layout streams the WHOLE table per serve
+    // batch — the classic PRF cost this option exists to amortize.
+    // (No tombstone anti-join on fwd: feedback docs come from pass 1,
+    // which is already tombstone-filtered — a deleted doc cannot be a
+    // feedback doc.)
+    val fbTf = snap.fwd match {
+      case Some(fwd) =>
+        val ids = top.select("doc_id").collect().map(_.get(0)).distinct.toSeq
+        fwd.filter(col("doc_id").isin(ids: _*))
+          .join(broadcast(top), Seq("doc_id"))
+      case None => snap.postings.join(broadcast(top), Seq("doc_id"))
+    }
+    val exp = TextAnalysis.rm1TopTermsFrom(
+        fbTf, snap.postings, snap.stats.select("ndocs"), qTerms, m)
       .select("qid", "term", "w6")
     val qTermsW0 = TextAnalysis.rm3TermWeights(localize(exp), qTerms, alpha)
     val rows = qTermsW0.collect()

@@ -546,15 +546,26 @@ object TextAnalysis {
     * mass `Σ_{d∈top(q)} tf(d,t) · idf(t)`. */
   private[functions] def rm1TopTerms(
       postings: DataFrame, ndocs: DataFrame, top: DataFrame, idCol: String,
+      qTerms: DataFrame, m: Int): DataFrame =
+    // Terms of the feedback docs, carried per query: the broadcast side
+    // is k·|queries| ids, so the postings aggregate is probed, never
+    // shuffled (streamed once, though — a doc-id lookup in a term-keyed
+    // aggregate cannot prune; [[LexIndex.bm25Rm3TopK]] swaps this gather
+    // for a pruned forward-index probe when the index carries one).
+    rm1TopTermsFrom(
+      postings.join(broadcast(top), Seq(idCol)), postings, ndocs, qTerms, m)
+
+  /** [[rm1TopTerms]] with the feedback-term gather (`fbTf`: qid, term,
+    * tf rows of the feedback docs) supplied by the caller — the seam the
+    * forward-index serve path plugs into; `dfPostings` stays the full
+    * postings frame because candidate df must be corpus-wide. */
+  private[functions] def rm1TopTermsFrom(
+      fbTf: DataFrame, dfPostings: DataFrame, ndocs: DataFrame,
       qTerms: DataFrame, m: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m >= 1, s"m must be >= 1, got $m")
-    // Terms of the feedback docs, carried per query: the broadcast side
-    // is k·|queries| ids, so the postings aggregate is probed, never
-    // shuffled.
-    val fbTf = postings.join(broadcast(top), Seq(idCol))
     val candDf = fbTf.select("term").distinct()
-      .join(postings, Seq("term"))
+      .join(dfPostings, Seq("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
     // Unhinted join — the joinVocab posture: the static plan stays

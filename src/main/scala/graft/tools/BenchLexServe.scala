@@ -46,7 +46,12 @@ object BenchLexServe {
     val root = java.nio.file.Files.createTempDirectory("graft_lex_serve").toString
     val store = new ParquetTableStore(spark, root)
     val tBuild0 = System.nanoTime()
-    LexIndex.build(store, "serve", corpus, "doc_id", "text")
+    // forwardIndex: the RM3 phase gathers feedback terms through the
+    // doc-sorted fwd table (pruned probe) instead of streaming the
+    // postings per batch; the single-pass phases ignore it. Build cost
+    // includes the extra write — the 2x-storage trade, measured.
+    LexIndex.build(store, "serve", corpus, "doc_id", "text",
+      forwardIndex = true)
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
 
     // Query stream: 8-word prefixes of corpus members' texts — the

@@ -1067,6 +1067,68 @@ class FunctionsSpec extends SparkSpec {
     assert(served.toSeq === rm3.toSeq, "pinned RM3 serve diverged from inline")
   }
 
+  test("LexIndex forward index: RM3 row-identical, doc_id gather prunes, " +
+      "maintenance keeps it consistent") {
+    val corpus = Seq(
+      (1L, "spark executors shuffle partitions"),
+      (2L, "spark executors broadcast partitions"),
+      (3L, "spark executors cache partitions"),
+      (4L, "executors partitions pipelines"),
+      (5L, "ducks swim in the pond"),
+      (6L, "the pond holds many ducks")).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark")).toDF("doc_id", "text")
+    def inlineRm3(c: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25Rm3TopK(c, "doc_id", "text", qs, "doc_id", "text",
+          k = 6, fbK = 3, m = 5)
+        .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    val inline = inlineRm3(corpus)
+    val root = java.nio.file.Files.createTempDirectory("graft_fwd_spec_").toString
+    val store = new graft.io.ParquetTableStore(spark, root)
+    LexIndex.build(store, "fwdlex", corpus, "doc_id", "text",
+      forwardIndex = true)
+    val snap = LexIndex.snapshot(store, "fwdlex")
+    assert(snap.fwd.isDefined, "snapshot did not pick up the forward index")
+    val served = LexIndex.bm25Rm3TopK(snap, qs, "doc_id", "text",
+        k = 6, fbK = 3, m = 5)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(served === inline, "forward-index RM3 diverged from inline")
+    // The gather's plan: the feedback doc ids land as a real In/InSet
+    // pushdown on the doc-sorted fwd scan (not just an isnotnull any join
+    // pushes) — the row-group-skipping lever the 2x storage buys.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val gather = snap.fwd.get.filter(col("doc_id").isin(1L, 2L, 3L))
+    val scans = graft.PlanTestUtils.fileScans(gather.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan under the fwd gather")
+    assert(scans.exists(_.dataFilters.exists(_.exists {
+      case i: In => i.value.toString.contains("doc_id")
+      case i: InSet => i.child.toString.contains("doc_id")
+      case _ => false
+    })), s"fwd gather lost the doc_id IN pushdown: ${scans.map(_.dataFilters)}")
+    snap.release()
+    // Append maintains the fwd table: serve == inline over the union.
+    val extra = Seq((7L, "spark executors pipelines together")).toDF("doc_id", "text")
+    LexIndex.append(store, "fwdlex", extra, "doc_id", "text")
+    val snap2 = LexIndex.snapshot(store, "fwdlex")
+    val served2 = LexIndex.bm25Rm3TopK(snap2, qs, "doc_id", "text",
+        k = 6, fbK = 3, m = 5)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    snap2.release()
+    assert(served2 === inlineRm3(corpus.unionByName(extra)),
+      "post-append forward-index RM3 diverged from inline over the union")
+    // Delete + compact fold the id out of the fwd table physically and
+    // serve results return to the original corpus's.
+    LexIndex.deleteDocs(store, "fwdlex", Seq(7L).toDF("doc_id"), "doc_id")
+    LexIndex.compact(store, "fwdlex")
+    assert(store.load("fwdlex_fwd").filter($"doc_id" === 7L).count() === 0L,
+      "compact left the deleted id in the forward index")
+    val snap3 = LexIndex.snapshot(store, "fwdlex")
+    val served3 = LexIndex.bm25Rm3TopK(snap3, qs, "doc_id", "text",
+        k = 6, fbK = 3, m = 5)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    snap3.release()
+    assert(served3 === inline, "post-compact RM3 diverged from the original")
+  }
+
   test("rrfFuse: doc in both rankings beats single-system docs; absent docs contribute nothing") {
     // qid 1: doc 100 is rank 2 in BOTH rankings (1/62 + 1/62), doc 200 is
     // rank 1 in A only (1/61), doc 300 rank 1 in B only (1/61):
