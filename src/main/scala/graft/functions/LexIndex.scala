@@ -127,9 +127,9 @@ object LexIndex {
   def rebuildVersioned(
       store: TableStore, name: String,
       corpus: DataFrame, idCol: String, textCol: String,
-      sortFiles: Int = 32): String =
+      sortFiles: Int = 32, forwardIndex: Boolean = false): String =
     graft.io.VersionedIndex.rebuild(store, name, corpus.sparkSession)(
-      p => build(store, p, corpus, idCol, textCol, sortFiles))
+      p => build(store, p, corpus, idCol, textCol, sortFiles, forwardIndex))
 
   /** [[snapshot]] of the CURRENT generation: the manifest is resolved
     * once, here, and the snapshot is pinned to that generation's prefix —
@@ -337,21 +337,41 @@ object LexIndex {
       k: Int, k1: Double, b: Double,
       pruneTerms: Boolean): DataFrame = {
     val qTerms0 = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
-    val (postings1, qTerms) =
-      if (pruneTerms) {
-        // One query-tokenization job per serve call: the collected
-        // (qid, term) rows feed BOTH the static IN pushdown and the
-        // broadcast probe side (a lazy qTerms reference in bm25Search
-        // would re-run the explode a second time per micro-batch).
-        val rows = qTerms0.collect()
-        val local = queries.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), qTerms0.schema)
-        val termIdx = qTerms0.schema.fieldIndex("term")
-        val terms = rows.map(_.getString(termIdx)).distinct.toSeq
-        (snap.postings.filter(col("term").isin(terms: _*)), local)
-      } else
-        (snap.postings.join(broadcast(qTerms0.select("term").distinct()),
-          Seq("term")), qTerms0)
+    if (pruneTerms) {
+      // One query-tokenization job per serve call: the collected
+      // (qid, term) rows feed BOTH the static IN pushdown and the
+      // broadcast probe side (a lazy qTerms reference in bm25Search
+      // would re-run the explode a second time per micro-batch).
+      val (local, terms) = collectTerms(qTerms0)
+      bm25TopKLocalTerms(snap, local, terms, k, k1, b)
+    } else {
+      val postings1 = snap.postings
+        .join(broadcast(qTerms0.select("term").distinct()), Seq("term"))
+      val termDf = postings1
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      TextAnalysis.bm25Search(
+        postings1, snap.doclens, termDf, snap.stats, qTerms0, "doc_id",
+        k, k1, b)
+    }
+  }
+
+  /** Collect a (qid, term) frame once and return (local frame, distinct
+    * term strings) — the shared serve-path convention: the local frame
+    * feeds broadcast probe sides, the strings feed static IN pushdowns. */
+  private def collectTerms(qTerms: DataFrame): (DataFrame, Seq[String]) = {
+    val rows = qTerms.collect()
+    val local = qTerms.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), qTerms.schema)
+    val termIdx = qTerms.schema.fieldIndex("term")
+    (local, rows.map(_.getString(termIdx)).distinct.toSeq)
+  }
+
+  /** The pruned pinned probe over an ALREADY-LOCAL (qid, term) frame —
+    * the seam [[bm25Rm3TopK]] reuses so its pass 1 shares the tokenize
+    * job with the rest of the call. */
+  private def bm25TopKLocalTerms(
+      snap: LexSnapshot, qTermsLocal: DataFrame, terms: Seq[String],
+      k: Int, k1: Double, b: Double): DataFrame = {
     // The probed slice feeds BOTH the df aggregation (shuffles on term)
     // and the scoring probe (shuffles on doc_id) — the subtrees diverge
     // before any common exchange, so the slice's scan + tombstone
@@ -359,10 +379,12 @@ object LexIndex {
     // by query-term selectivity; a long-lived index with a large
     // un-compacted tombstone set should compact to keep the anti-join
     // side small.
+    val postings1 = snap.postings.filter(col("term").isin(terms: _*))
     val termDf = postings1
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     TextAnalysis.bm25Search(
-      postings1, snap.doclens, termDf, snap.stats, qTerms, "doc_id", k, k1, b)
+      postings1, snap.doclens, termDf, snap.stats, qTermsLocal, "doc_id",
+      k, k1, b)
   }
 
   /** RM3 expanded re-retrieval against a pinned [[snapshot]] — the
@@ -395,11 +417,16 @@ object LexIndex {
     def localize(df: DataFrame): DataFrame =
       spark.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
-    val top0 = bm25TopK(snap, queries, qidCol, qTextCol, fbK, k1, b,
-        pruneTerms = true)
-      .select(col("qid"), col("doc_id"))
-    val top = localize(top0)
-    val qTerms = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
+    // ONE query-tokenization job for the whole call: the local (qid,
+    // term) frame feeds pass 1's probe, the RM1 anti-join, and the RM3
+    // original-term weights — a lazy qTerms reference would re-run the
+    // batch's upstream plan once per consumer (three times per trigger
+    // in a serve loop).
+    val (qTerms, qTermStrings) = collectTerms(
+      TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol))
+    val top = localize(
+      bm25TopKLocalTerms(snap, qTerms, qTermStrings, fbK, k1, b)
+        .select(col("qid"), col("doc_id")))
     // Feedback-term gather: with a FORWARD index ([[build]]'s
     // forwardIndex=true) the fbK·|queries| doc ids land as a static
     // `doc_id IN (...)` filter on the doc-sorted fwd scan — row-group

@@ -357,7 +357,13 @@ class JdbcTableStore(
     url: String,
     props: java.util.Properties) extends TableStore {
 
-  override def exists(table: String): Boolean = true // DDL-managed
+  // One JDBC metadata probe (same helper the overwrite path uses). The
+  // old `= true // DDL-managed` stub broke every exists-gated OPTIONAL
+  // table read (forward index, versioned-index manifest bootstrap,
+  // pre-first-delete tombstones): load() of a missing table throws at
+  // schema resolution, and worse, an exists-gated APPEND auto-creates a
+  // PARTIAL table that later reads trust.
+  override def exists(table: String): Boolean = tableExists(table)
 
   override def load(table: String): DataFrame =
     spark.read.jdbc(url, table, props)

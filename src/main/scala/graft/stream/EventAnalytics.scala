@@ -265,12 +265,28 @@ object EventAnalytics {
     * double-subtree rule — and released in finally after the sink
     * returns, exactly the [[dsirGateEachBatch]] shape. A soak spec pins
     * flat persistent-RDD storage across ≥20 triggers. */
+  /** The standing drift alarm's probe, WITH the release handle for its
+    * pinned baseline: usable directly as a foreachBatch body (it IS a
+    * `(DataFrame, Long) => Unit`), and [[release]] frees the cached
+    * baseline histogram when the alarm is retired — without it, a
+    * session that constructs alarms repeatedly (re-baselining after
+    * each drift event) accumulates one cached histogram per
+    * construction, the per-ALARM variant of the per-trigger leak
+    * [[materializeBatch]]'s finally-unpersist discipline exists for. */
+  final class DriftAlarm private[stream] (
+      probe: (DataFrame, Long) => Unit,
+      baseline: DataFrame) extends ((DataFrame, Long) => Unit) {
+    def apply(batch: DataFrame, id: Long): Unit = probe(batch, id)
+    /** Unpersist the pinned baseline histogram. */
+    def release(): Unit = { baseline.unpersist(); () }
+  }
+
   def driftAlarmEachBatch(
       baseline: DataFrame, textCol: String, buckets: Int = 4096)(
-      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+      sink: DataFrame => Unit): DriftAlarm = {
     val aB = materializeBatch(
       baseline.select(col("bucket"), col("cnt").as("ca")))
-    (batch, id) => {
+    new DriftAlarm((batch, id) => {
       val bB = materializeBatch(
         graft.functions.Sampling.bucketCounts(batch, textCol, buckets)
           .select(col("bucket"), col("cnt").as("cb")))
@@ -281,7 +297,7 @@ object EventAnalytics {
         bB.unpersist()
         ()
       }
-    }
+    }, aB)
   }
 
   /** Streaming ANN serve: probe a PERSISTED IVF index
@@ -377,9 +393,15 @@ object EventAnalytics {
       fbK: Int = 5, m: Int = 5, alpha: Double = 0.6,
       k1: Double = 1.2, b: Double = 0.75)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
-    (batch, _) =>
-      sink(graft.functions.LexIndex.bm25Rm3TopK(
+    (batch0, _) => {
+      // Materialize once: the RM3 call tokenizes the batch and the sink
+      // reads the result — a composed streaming source's upstream plan
+      // must not re-execute per consumer (the hybrid-serve discipline).
+      val batch = materializeBatch(batch0)
+      try sink(graft.functions.LexIndex.bm25Rm3TopK(
         snap, batch, qidCol, qTextCol, k, fbK, m, alpha, k1, b))
+      finally { batch.unpersist(); () }
+    }
 
   /** HYBRID retrieval serve: per-micro-batch probe of BOTH persisted
     * indexes — BM25 over the [[graft.functions.LexIndex]] tables and IVF

@@ -86,8 +86,14 @@ object BenchCurate {
         val b = EventAnalytics.materializeBatch(batch)
         try {
           survived += b.count()
+          // LEFT join + neutral log_w = 0 — the PRODUCTION gate's exact
+          // semantics (dsirGateEachBatch): a featureless doc flows
+          // through the threshold, it is not silently dropped. The bench
+          // must count what the gate admits, not an inner-join variant.
           admitted += b.join(
-              Sampling.dsirScore(b, "doc_id", "text", ratio, 4096), Seq("doc_id"))
+              Sampling.dsirScore(b, "doc_id", "text", ratio, 4096),
+              Seq("doc_id"), "left")
+            .withColumn("log_w", coalesce(col("log_w"), lit(0.0)))
             .filter(col("log_w") >= minLogW).count()
           // The batch histogram derives from the already-persisted `b`,
           // so its two consumers inside driftCountsJoin re-aggregate

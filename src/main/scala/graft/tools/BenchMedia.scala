@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object BenchMedia {
   def main(args: Array[String]): Unit = {
-    val mp = args.length > 1 && args(1) == "mp"
-    val n = args.headOption.map(_.toLong).getOrElse(if (mp) 2000L else 20000L)
+    val mp = args.contains("mp")
+    val n = args.filterNot(_ == "mp").headOption.map(_.toLong)
+      .getOrElse(if (mp) 2000L else 20000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -279,9 +279,9 @@ class AnnIndexSpec extends SparkSpec {
   test("serve plan reads only index tables — never the raw corpus") {
     val store = tmpStore()
     AnnIndex.buildIvf(store, "ivf", corpus, "vec_id", "embedding", nlist = 8)
-    val plan = AnnIndex.ivfTopK(store, "ivf", corpus.filter($"vec_id" < 2),
+    val served = AnnIndex.ivfTopK(store, "ivf", corpus.filter($"vec_id" < 2),
       "vec_id", "embedding", k = 3, nprobe = 2)
-      .queryExecution.executedPlan.toString
+    val plan = served.queryExecution.executedPlan.toString
     // Probe routing (queries × ivf_centroids) runs ONCE at call time and
     // lands in the plan as a LOCAL probes relation + a static cent_id IN
     // pushdown — so the serve plan's only file scan is the pruned lists
@@ -289,7 +289,22 @@ class AnnIndexSpec extends SparkSpec {
     // re-evaluates per consumer; any other FileScan would mean the raw
     // corpus leaked into serving.
     assert(plan.contains("ivf_lists"), plan.take(600))
-    assert(plan.contains(" IN (") || plan.contains("cent_id"), plan.take(600))
+    // The pushdown gate must match the actual In/InSet node over cent_id
+    // — the lists table's partition column stringifies as "cent_id" in
+    // every pruned scan, so a substring check can never fail.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val listScans = graft.PlanTestUtils
+      .fileScans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivf_lists")))
+    assert(listScans.nonEmpty, "no ivf_lists file scan in the serve plan")
+    assert(listScans.exists { f =>
+      (f.partitionFilters ++ f.dataFilters).exists(_.exists {
+        case i: In => i.value.toString.contains("cent_id")
+        case i: InSet => i.child.toString.contains("cent_id")
+        case _ => false
+      })
+    }, s"lists scan lost the static cent_id IN pushdown: " +
+      listScans.map(f => (f.partitionFilters, f.dataFilters)).mkString("; "))
     val scans = "Location: [^\\n]*".r.findAllIn(plan).toSeq
     assert(scans.forall(_.contains("ivf_lists")), scans.mkString("\n"))
   }

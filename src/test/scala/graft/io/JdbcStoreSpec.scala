@@ -65,6 +65,22 @@ class JdbcStoreSpec extends SparkSpec {
     assert(after.filter(col("k") === 11).select(col("v")).as[String].head() === "v11")
   }
 
+  test("JdbcTableStore.exists reflects the catalog — absent tables are absent") {
+    // The old `= true` stub broke every exists-gated OPTIONAL table read
+    // (forward index, versioned-index manifest bootstrap): load() of a
+    // missing table throws at schema resolution, and an exists-gated
+    // APPEND would auto-create a PARTIAL table later reads trust.
+    val store = new JdbcTableStore(spark, url, props)
+    assert(!store.exists("never_created_tbl"),
+      "exists() claims a table the catalog does not hold")
+    store.append("exists_probe", Seq((1, "a")).toDF("k", "v"))
+    assert(store.exists("exists_probe"))
+    // The gated-read composition that motivated the fix: a versioned
+    // index bootstraps on a fresh JDBC store (manifest probe returns
+    // None instead of loading a missing table).
+    assert(graft.io.VersionedIndex.currentGeneration(store, "fresh_idx").isEmpty)
+  }
+
   test("JdbcTableStore per-partition commit rewrites only the target job's rows") {
     val store = new JdbcTableStore(spark, url, props)
     store.append("ptab", Seq((1, "a"), (1, "b"), (2, "c")).toDF("job_id", "payload"))

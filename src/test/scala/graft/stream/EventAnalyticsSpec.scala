@@ -806,12 +806,13 @@ class EventAnalyticsSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.size
     val input = MemoryStream[(Long, String)]
     val acc = new java.util.concurrent.atomic.AtomicInteger(0)
+    val alarm = EventAnalytics.driftAlarmEachBatch(
+      baseline, "text", buckets = 256) { out =>
+      acc.addAndGet(out.count().toInt); ()
+    }
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch(EventAnalytics.driftAlarmEachBatch(
-        baseline, "text", buckets = 256) { out =>
-        acc.addAndGet(out.count().toInt); ()
-      })
+      .foreachBatch(alarm)
       .trigger(Trigger.ProcessingTime("50 milliseconds"))
       .start()
     (0 until 22).foreach { i =>
@@ -826,6 +827,11 @@ class EventAnalyticsSpec extends SparkSpec {
     // the leak this pins against.
     assert(after <= before + 1,
       s"persistent RDDs grew $before -> $after across 22 triggers (leak)")
+    // Retiring the alarm releases its pinned baseline too: a session
+    // that re-baselines repeatedly must return to its pre-alarm storage.
+    alarm.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "alarm.release() did not free the pinned baseline histogram")
   }
 
   test("dsirGateEachBatch: featureless docs score neutral log_w=0 and obey the threshold") {
