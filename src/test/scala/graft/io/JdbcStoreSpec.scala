@@ -53,8 +53,12 @@ class JdbcStoreSpec extends SparkSpec {
     JdbcUpsert.upsert(df1, url, "ups", Seq("k"), props, batchSize = 1000, dialect = "merge")
     assert(spark.read.jdbc(url, "ups", props).count() === 2500)
 
-    // Re-upserting a slice must UPDATE in place, not duplicate:
-    val df2 = (1 to 10).map(i => (i, s"w$i", i * 2L)).toDF("k", "v", "n")
+    // Re-upserting a slice must UPDATE in place, not duplicate.
+    // coalesce(1) here too: 10 rows over local[32] otherwise land in
+    // multiple partitions = concurrent Derby MERGE writers = the same
+    // internal NPE the first upsert's coalesce guards against (flaked
+    // under ambient load in the round-12 full run).
+    val df2 = (1 to 10).map(i => (i, s"w$i", i * 2L)).toDF("k", "v", "n").coalesce(1)
     JdbcUpsert.upsert(df2, url, "ups", Seq("k"), props, batchSize = 1000, dialect = "merge")
     val after = spark.read.jdbc(url, "ups", props)
     assert(after.count() === 2500)
