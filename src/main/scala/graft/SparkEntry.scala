@@ -1889,6 +1889,16 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"), col("skey"), col("rnk"))
         .orderBy("lang", "rnk")),
 
+    // Temperature-scaled source mixing (GPT-3/PaLM alpha-sampling): 200
+    // docs with per-language quotas ∝ count^0.5 — low-resource languages
+    // land ABOVE their raw share, English below (the canonical rebalance).
+    "q_temperature_mix" -> ((s, dir) =>
+      graft.functions.Sampling.temperatureMix(
+        pq(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", n = 200L)
+        .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
+        .orderBy("lang", "rnk")),
+
     // DSIR importance weights (Xie et al. 2023): hashed-ngram likelihood
     // ratio of every document against the English slice as the target
     // distribution — the "select raw data that looks like my curated set"
@@ -5172,6 +5182,34 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS BIGINT) AS rnk
         |  FROM t)
         |SELECT lang, doc_id, n_chars, skey, rnk FROM r WHERE rnk <= 20
+        |ORDER BY lang, rnk""".stripMargin,
+
+    // Temperature mixing replay: sqrt is IEEE-correctly-rounded in both
+    // engines, the quota division is one correctly-rounded double divide
+    // of exactly-representable longs, and row order is the shared
+    // content-hash-uniform recipe — quotas and picks replay bit-exactly.
+    "q_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1),
+        |weights AS (
+        |  SELECT lang, CAST(cnt AS BIGINT) AS keyn,
+        |    CAST(round(sqrt(cnt) * 1e6, 0) AS BIGINT) AS w6 FROM counts),
+        |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+        |quotas AS (
+        |  SELECT lang, least(
+        |    CAST(floor(200.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT),
+        |    keyn) AS quota
+        |  FROM weights CROSS JOIN total),
+        |hashed AS (
+        |  SELECT doc_id, lang,
+        |    round(((('0x' || substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |      / 4294967296.0), 6) AS samp_u
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT h.doc_id, h.lang, q.quota,
+        |    CAST(row_number() OVER (PARTITION BY h.lang ORDER BY h.samp_u ASC, h.doc_id ASC) AS BIGINT) AS rnk
+        |  FROM hashed h JOIN quotas q USING (lang))
+        |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
         |ORDER BY lang, rnk""".stripMargin,
 
     // DSIR: the oracle replays the full pipeline — hashed unigram+bigram

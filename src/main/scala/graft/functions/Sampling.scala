@@ -84,6 +84,63 @@ object Sampling {
       .filter(col("rnk") <= k)
   }
 
+  /** Temperature-scaled mixture sampling — the LLM data-mixing step
+    * (GPT-3's dataset-sampling table, Brown et al. 2020 §2.2; PaLM /
+    * multilingual "alpha-sampling": per-key quotas proportional to
+    * count^alpha — alpha < 1 upsamples low-resource keys relative to
+    * their raw share, alpha = 1 is proportional). Quotas are
+    * `floor(n · cnt^alpha / Σ cnt^alpha)`; rows within a key are chosen
+    * by content-hash order ([[hashUniform]] — layout-independent,
+    * reproducible, no RNG), ids as tie-break.
+    *
+    * Cross-engine exactness: the default alpha = 0.5 ("square-root
+    * mixing") uses sqrt — correctly rounded under IEEE 754 in both
+    * engines — then 1e-6 fixed-point longs, and the quota division
+    * n·w6 / Σw6 is one IEEE double division (also correctly rounded) of
+    * exactly-representable integers, so the DuckDB oracle replays every
+    * quota bit-exactly. Other alphas route through pow, which IEEE does
+    * NOT require correctly rounded — spot-check before oracle-pinning a
+    * non-0.5 alpha. Quotas FLOOR, so Σ sampled ≤ n: the
+    * largest-remainder top-up is deliberately absent (determinism and
+    * engine-exactness over hitting n exactly).
+    *
+    * Scale shape: one keyed count (output bounded by key cardinality),
+    * a broadcast quota join, and one shuffle by key for the per-key
+    * hash-order window — the [[capPerKey]] cost model, with the same
+    * hottest-key caveat. Output: the sampled rows + (quota, rnk). */
+  def temperatureMix(
+      df: DataFrame, idCol: String, keyCol: String,
+      n: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 0L, s"n must be >= 0, got $n")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val cnt = col("keyn").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(cnt) else pow(cnt, lit(alpha))
+    val weights = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("keyn"))
+      .select(col(keyCol), col("keyn"),
+        round(wExpr * 1e6, 0).cast("long").as("w6"))
+    val total = weights.agg(sum(col("w6")).cast("long").as("sumw6"))
+    // Quota caps at the key's population: alpha-rebalancing can assign a
+    // scarce key MORE than it holds (sqrt upsampling is exactly that
+    // aggressive), and this operator samples without replacement — the
+    // epoch-repetition variant of alpha-sampling is a training-loop
+    // concern, not a corpus-selection one.
+    val quotas = weights.crossJoin(broadcast(total))
+      .select(col(keyCol),
+        least(
+          floor(lit(n.toDouble) * col("w6").cast("double")
+            / col("sumw6").cast("double")).cast("long"),
+          col("keyn")).as("quota"))
+    val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
+    val w = Window.partitionBy(keyCol).orderBy(col("samp_u").asc, col(idCol).asc)
+    df.withColumn("samp_u", round(u, 6))
+      .join(broadcast(quotas), Seq(keyCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("quota"))
+      .drop("samp_u")
+  }
+
   /** Per-key quota: keep at most `cap` rows per `keyCol`, chosen by
     * ascending `orderCol` (deterministic priority — e.g. doc id, or a
     * quality rank). The domain-cap primitive ("at most N pages per domain").

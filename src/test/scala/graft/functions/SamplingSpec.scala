@@ -223,4 +223,42 @@ class SamplingSpec extends SparkSpec {
     assert(ab._1 === ba._1 && ab._2 === ba._2)
     assert(ab._3 === ba._4 && ab._4 === ba._3)
   }
+
+  test("temperatureMix: alpha<1 rebalances toward low-resource keys; " +
+      "quotas floor to <= n; deterministic and layout-independent") {
+    // 80/16/4 split: raw shares 0.80/0.16/0.04; sqrt weights rebalance
+    // to ~0.62/0.28/0.14 — the dominant key samples BELOW its raw share,
+    // the scarce keys above.
+    val corpus = ((1 to 80).map(i => (i.toLong, "en")) ++
+      (101 to 116).map(i => (i.toLong, "de")) ++
+      (201 to 204).map(i => (i.toLong, "sw"))).toDF("doc_id", "lang")
+    val n = 50L
+    val got = Sampling.temperatureMix(corpus, "doc_id", "lang", n)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val quotas = got.groupBy(_._1).view.mapValues(_.head._3).toMap
+    // Each key fills exactly its quota (every key has >= quota rows here).
+    assert(byLang === quotas, s"sampled counts $byLang != quotas $quotas")
+    assert(got.length <= n, s"sampled ${got.length} > n=$n")
+    // Exact expected quotas: sqrt weights (8944272, 4000000, 2000000
+    // as 1e-6 longs), floored shares of 50, sw CAPPED at its 4 rows.
+    assert(quotas === Map("en" -> 29L, "de" -> 13L, "sw" -> 4L), quotas)
+    // Rebalance direction: en below its raw 80% share, sw above its 4%.
+    val enShare = byLang("en").toDouble / got.length
+    val swShare = byLang("sw").toDouble / got.length
+    assert(enShare < 0.80, s"en share $enShare not rebalanced down")
+    assert(swShare > 0.04, s"sw share $swShare not rebalanced up")
+    // alpha = 1 is proportional: quotas == floor(n * cnt / total).
+    val prop = Sampling.temperatureMix(corpus, "doc_id", "lang", n, alpha = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(prop("en") === 40L && prop("de") === 8L && prop("sw") === 2L, prop)
+    // Deterministic + layout-independent: a shuffled, repartitioned input
+    // picks the SAME rows.
+    val again = Sampling.temperatureMix(
+        corpus.repartition(7, col("doc_id")), "doc_id", "lang", n)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect()
+    assert(again.toSet === got.toSet, "sampling depends on layout")
+  }
 }
