@@ -1899,6 +1899,16 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
         .orderBy("lang", "rnk")),
 
+    // Token-budget variant: quotas in CHARACTER units (n_chars as the
+    // token-count stand-in), each language keeping the maximal
+    // hash-order prefix that fits its alpha-scaled share of 60k chars.
+    "q_temperature_mix_tokens" -> ((s, dir) =>
+      graft.functions.Sampling.temperatureMixByWeight(
+        pq(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", "n_chars", budget = 60000L)
+        .select(col("lang"), col("doc_id"), col("quota"), col("cum"))
+        .orderBy("lang", "cum")),
+
     // DSIR importance weights (Xie et al. 2023): hashed-ngram likelihood
     // ratio of every document against the English slice as the target
     // distribution — the "select raw data that looks like my curated set"
@@ -5211,6 +5221,37 @@ object SparkEntry {
         |  FROM hashed h JOIN quotas q USING (lang))
         |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
         |ORDER BY lang, rnk""".stripMargin,
+
+    // Token-budget replay: exact long sums per key, the same sqrt/division
+    // exactness argument, and the keep/drop decision is an integer
+    // comparison on a hash-order cumulative sum.
+    "q_temperature_mix_tokens" ->
+      """WITH sums AS (
+        |  SELECT lang, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS keyw
+        |  FROM documents GROUP BY 1),
+        |weights AS (
+        |  SELECT lang, keyw,
+        |    CAST(round(sqrt(CAST(keyw AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w6
+        |  FROM sums),
+        |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+        |quotas AS (
+        |  SELECT lang, least(
+        |    CAST(floor(60000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT),
+        |    keyw) AS quota
+        |  FROM weights CROSS JOIN total),
+        |hashed AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS wgt,
+        |    round(((('0x' || substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |      / 4294967296.0), 6) AS samp_u
+        |  FROM documents),
+        |cums AS (
+        |  SELECT h.lang, h.doc_id, q.quota,
+        |    CAST(sum(h.wgt) OVER (PARTITION BY h.lang
+        |      ORDER BY h.samp_u ASC, h.doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM hashed h JOIN quotas q USING (lang)
+        |  WHERE h.wgt <= q.quota)
+        |SELECT lang, doc_id, quota, cum FROM cums WHERE cum <= quota
+        |ORDER BY lang, cum""".stripMargin,
 
     // DSIR: the oracle replays the full pipeline — hashed unigram+bigram
     // features (md5 % 4096, the cross-engine uniform-hash idiom), Laplace-

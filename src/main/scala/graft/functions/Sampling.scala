@@ -141,6 +141,63 @@ object Sampling {
       .drop("samp_u")
   }
 
+  /** [[temperatureMix]] in WEIGHT units (token-budget mixing — what a
+    * training pipeline actually budgets): per-key quotas are
+    * `floor(budget · W_k^alpha / Σ W_j^alpha)` where `W_k` is the key's
+    * total weight (token count), and each key keeps the maximal
+    * content-hash-order PREFIX whose cumulative weight fits the quota
+    * (rows individually larger than the whole quota are excluded up
+    * front, so one oversized document cannot zero its key). A prefix
+    * rule, not bin-packing: deterministic, one window, and every
+    * keep/drop decision is an integer comparison the oracle replays.
+    * Weights must be non-negative integers (token counts — summed
+    * exactly as longs).
+    *
+    * Same cross-engine-exactness posture as [[temperatureMix]] (sqrt at
+    * the alpha = 0.5 default; quota arithmetic in exactly-representable
+    * longs + one correctly-rounded double division). The running sum is
+    * a per-key cumulative window in hash order — integer-exact, so the
+    * oracle replays every keep/skip decision. One keyed aggregate + a
+    * broadcast quota join + one shuffle-by-key window, like
+    * [[temperatureMix]]. Output: kept rows + (quota, cum). */
+  def temperatureMixByWeight(
+      df: DataFrame, idCol: String, keyCol: String, weightCol: String,
+      budget: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val wk = col("keyw").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(wk) else pow(wk, lit(alpha))
+    val weights = df.groupBy(col(keyCol))
+      .agg(sum(col(weightCol).cast("long")).as("keyw"))
+      .select(col(keyCol), round(wExpr * 1e6, 0).cast("long").as("w6"),
+        col("keyw"))
+    val total = weights.agg(sum(col("w6")).cast("long").as("sumw6"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .select(col(keyCol),
+        least(
+          floor(lit(budget.toDouble) * col("w6").cast("double")
+            / col("sumw6").cast("double")).cast("long"),
+          col("keyw")).as("quota"))
+    val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
+    val order = Window.partitionBy(keyCol)
+      .orderBy(col("samp_u").asc, col(idCol).asc)
+    // Maximal-prefix fill: cumulative sum over hash order, keep while
+    // cum <= quota; rows whose own weight exceeds the quota are excluded
+    // BEFORE the sum (they could never be kept and would otherwise poison
+    // the cumulative for everything behind them). Integer-exact.
+    val hashed = df
+      .withColumn("samp_u", round(u, 6))
+      .join(broadcast(quotas), Seq(keyCol))
+      .filter(col(weightCol).cast("long") <= col("quota"))
+    hashed
+      .withColumn("cum",
+        sum(col(weightCol).cast("long"))
+          .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= col("quota"))
+      .drop("samp_u")
+  }
+
   /** Per-key quota: keep at most `cap` rows per `keyCol`, chosen by
     * ascending `orderCol` (deterministic priority — e.g. doc id, or a
     * quality rank). The domain-cap primitive ("at most N pages per domain").

@@ -261,4 +261,41 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
     assert(again.toSet === got.toSet, "sampling depends on layout")
   }
+
+  test("temperatureMixByWeight: maximal prefix fits the quota; oversized rows " +
+      "excluded up front; budget rebalanced toward the light key") {
+    // en holds 60x the char mass of sw; sqrt quotas give sw well above
+    // its raw share. One en doc is bigger than en's whole quota — it
+    // must be excluded up front, not poison the prefix behind it.
+    val corpus = ((1 to 20).map(i => (i.toLong, "en", 50L)) ++
+      Seq((21L, "en", 5000L)) ++                       // oversized
+      (101 to 120).map(i => (i.toLong, "sw", 5L))).toDF("doc_id", "lang", "n_tok")
+    val budget = 300L
+    val got = Sampling.temperatureMixByWeight(
+        corpus, "doc_id", "lang", "n_tok", budget)
+      .select("lang", "doc_id", "n_tok", "quota", "cum")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // Every kept row's cumulative fits its quota.
+    assert(got.forall(r => r._5 <= r._4), got.toSeq)
+    // The oversized doc is absent even though en's prefix has room left.
+    assert(!got.exists(_._2 == 21L), got.toSeq)
+    // Per-key kept mass is the MAXIMAL prefix: adding the next in-budget
+    // row would overflow (en rows are uniform 50, so kept = quota/50).
+    val byKey = got.groupBy(_._1).view.mapValues(rs => (rs.map(_._3).sum, rs.head._4)).toMap
+    byKey.foreach { case (k, (mass, quota)) =>
+      val step = if (k == "en") 50L else 5L
+      assert(mass <= quota && mass + step > quota,
+        s"$k kept $mass of quota $quota — not the maximal prefix")
+    }
+    // Rebalance: sw holds 100/6100 = 1.6% of raw mass; sqrt quotas give
+    // it ~11% of the kept mass — well above proportional.
+    val swShare = byKey("sw")._1.toDouble / got.map(_._3).sum
+    assert(swShare > 0.05, s"sw mass share $swShare not rebalanced up")
+    // Deterministic + layout-independent.
+    val again = Sampling.temperatureMixByWeight(
+        corpus.repartition(5, col("doc_id")), "doc_id", "lang", "n_tok", budget)
+      .select("lang", "doc_id", "n_tok", "quota", "cum")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
 }
