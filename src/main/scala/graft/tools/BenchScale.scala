@@ -82,6 +82,11 @@ object BenchScale {
     // 1's postings build (shared shape with q_bm25_topk); the feedback
     // gather and weighted pass 2 are query-bounded probes on top.
     "q_bm25_rm3",
+    // round-12 additions: alpha-sampling mixers — one keyed count plus
+    // one corpus shuffle by key for the hash-order window (the capPerKey
+    // cost model; quota math is key-cardinality-bounded).
+    "q_temperature_mix",
+    "q_temperature_mix_tokens",
     // round-12 addition: the PRODUCTION hybrid (persisted BM25 ⊕ trained
     // IVF ⊕ RRF — both retrievers serve from index tables; the IVF side
     // replaces q_hybrid_rrf's brute-force witness, whose corpus-linear
