@@ -1899,6 +1899,25 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
         .orderBy("lang", "rnk")),
 
+    // Epoch-repetition plan: n = 1000 over ~500 docs forces quota >
+    // population for every language — the with-replacement completion
+    // (epochs = full passes, rem = partial-pass rows).
+    "q_epoch_mix_plan" -> ((s, dir) =>
+      graft.functions.Sampling.epochMixPlan(
+        pq(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", n = 1000L)
+        .select(col("lang"), col("keyn"), col("quota"), col("epochs"), col("rem"))
+        .orderBy("lang")),
+
+    // Materialized plan: every doc epochs times + the hash-order first
+    // rem docs once more; exactly quota rows per language.
+    "q_epoch_mix_expand" -> ((s, dir) =>
+      graft.functions.Sampling.epochMixExpand(
+        pq(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", n = 1000L)
+        .select(col("lang"), col("doc_id"), col("epoch"))
+        .orderBy("lang", "doc_id", "epoch")),
+
     // Token-budget variant: quotas in CHARACTER units (n_chars as the
     // token-count stand-in), each language keeping the maximal
     // hash-order prefix that fits its alpha-scaled share of 60k chars.
@@ -5221,6 +5240,50 @@ object SparkEntry {
         |  FROM hashed h JOIN quotas q USING (lang))
         |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
         |ORDER BY lang, rnk""".stripMargin,
+
+    // Epoch plan replay: uncapped floor quotas, integer div/mod.
+    "q_epoch_mix_plan" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS keyn FROM documents GROUP BY 1),
+        |weights AS (
+        |  SELECT lang, keyn,
+        |    CAST(round(sqrt(CAST(keyn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w6
+        |  FROM counts),
+        |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights)
+        |SELECT lang, keyn,
+        |  CAST(floor(1000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT) AS quota,
+        |  CAST(floor(1000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT) // keyn AS epochs,
+        |  CAST(floor(1000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT) % keyn AS rem
+        |FROM weights CROSS JOIN total ORDER BY lang""".stripMargin,
+
+    // Expansion replay: per-row copy count from the plan + the shared
+    // hash-order rank, unnested per epoch id.
+    "q_epoch_mix_expand" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS keyn FROM documents GROUP BY 1),
+        |weights AS (
+        |  SELECT lang, keyn,
+        |    CAST(round(sqrt(CAST(keyn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w6
+        |  FROM counts),
+        |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+        |plan AS (
+        |  SELECT lang, keyn,
+        |    CAST(floor(1000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT) // keyn AS epochs,
+        |    CAST(floor(1000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT) % keyn AS rem
+        |  FROM weights CROSS JOIN total),
+        |ranked AS (
+        |  SELECT d.doc_id, d.lang, p.epochs, p.rem,
+        |    CAST(row_number() OVER (PARTITION BY d.lang ORDER BY
+        |      round(((('0x' || substr(md5('graft:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |        / 4294967296.0), 6) ASC, d.doc_id ASC) AS BIGINT) AS rnk
+        |  FROM documents d JOIN plan p USING (lang)),
+        |copies AS (
+        |  SELECT doc_id, lang,
+        |    epochs + CASE WHEN rnk <= rem THEN 1 ELSE 0 END AS c
+        |  FROM ranked)
+        |SELECT lang, doc_id, CAST(unnest(generate_series(0, c - 1)) AS BIGINT) AS epoch
+        |FROM copies WHERE c > 0
+        |ORDER BY lang, doc_id, epoch""".stripMargin,
 
     // Token-budget replay: exact long sums per key, the same sqrt/division
     // exactness argument, and the keep/drop decision is an integer

@@ -141,6 +141,64 @@ object Sampling {
       .drop("samp_u")
   }
 
+  /** The WITH-replacement completion of [[temperatureMix]]: when a key's
+    * alpha-scaled quota exceeds its population, the surplus becomes
+    * REPETITION — full passes over the key plus a partial pass (GPT-3's
+    * dataset table literally lists epochs per source: 0.44 for
+    * CommonCrawl, 3.4 for Wikipedia). Returns ONE ROW PER KEY — the
+    * plan, not the materialized corpus: (key, keyn, quota, epochs =
+    * quota div keyn full passes, rem = quota mod keyn rows of the next
+    * pass). Quotas are UNCAPPED floor(n · cnt^alpha / Σ) — the cap is
+    * [[temperatureMix]]'s without-replacement contract; this operator is
+    * the replacement path. All plan arithmetic is integer-exact after
+    * the shared sqrt/fixed-point/one-division recipe. Keys with zero
+    * rows cannot occur (quotas derive from observed counts). */
+  def epochMixPlan(
+      df: DataFrame, keyCol: String, n: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(n >= 0L, s"n must be >= 0, got $n")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val cnt = col("keyn").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(cnt) else pow(cnt, lit(alpha))
+    val weights = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("keyn"))
+      .select(col(keyCol), col("keyn"),
+        round(wExpr * 1e6, 0).cast("long").as("w6"))
+    val total = weights.agg(sum(col("w6")).cast("long").as("sumw6"))
+    weights.crossJoin(broadcast(total))
+      .select(col(keyCol), col("keyn"),
+        floor(lit(n.toDouble) * col("w6").cast("double")
+          / col("sumw6").cast("double")).cast("long").as("quota"))
+      .withColumn("epochs", (col("quota") / col("keyn")).cast("long"))
+      .withColumn("rem", col("quota") % col("keyn"))
+  }
+
+  /** Materialize an [[epochMixPlan]]: every row of a key appears
+    * `epochs` times (epoch ids 0..epochs−1), and the key's hash-order
+    * first `rem` rows once more (epoch id `epochs`) — exactly `quota`
+    * output rows per key, Σ = Σ quotas ≤ n. The repetition explode is
+    * narrow (each input row emits its own copies); the only shuffle is
+    * the hash-order window that decides the partial pass's membership.
+    * Output: the input columns + (epoch). Downstream shuffles the
+    * result by training shard anyway, so copies landing on their
+    * source's partition is fine at any scale. */
+  def epochMixExpand(
+      df: DataFrame, idCol: String, keyCol: String, n: Long,
+      alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = epochMixPlan(df, keyCol, n, alpha)
+    val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
+    val w = Window.partitionBy(keyCol).orderBy(col("samp_u").asc, col(idCol).asc)
+    df.withColumn("samp_u", round(u, 6))
+      .join(broadcast(plan), Seq(keyCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("copies",
+        col("epochs") + when(col("rnk") <= col("rem"), 1L).otherwise(0L))
+      .filter(col("copies") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("copies") - 1L)))
+      .drop("samp_u", "keyn", "quota", "epochs", "rem", "rnk", "copies")
+  }
+
   /** [[temperatureMix]] in WEIGHT units (token-budget mixing — what a
     * training pipeline actually budgets): per-key quotas are
     * `floor(budget · W_k^alpha / Σ W_j^alpha)` where `W_k` is the key's

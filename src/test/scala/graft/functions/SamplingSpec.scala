@@ -298,4 +298,40 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect()
     assert(again.toSet === got.toSet)
   }
+
+  test("epochMixPlan/epochMixExpand: surplus quota becomes repetition; " +
+      "expand emits exactly quota rows per key with contiguous epoch ids") {
+    // en 8 rows, sw 2 rows, n = 20: sqrt shares 2/3 and 1/3 give quotas
+    // 13 and 6 — en repeats 1 full pass + 5 extras, sw exactly 3 passes.
+    val corpus = ((1 to 8).map(i => (i.toLong, "en")) ++
+      Seq((101L, "sw"), (102L, "sw"))).toDF("doc_id", "lang")
+    val plan = Sampling.epochMixPlan(corpus, "lang", n = 20L)
+      .select("lang", "keyn", "quota", "epochs", "rem")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(plan("en") === ((8L, 13L, 1L, 5L)), plan)
+    assert(plan("sw") === ((2L, 6L, 3L, 0L)), plan)
+    val got = Sampling.epochMixExpand(corpus, "doc_id", "lang", n = 20L)
+      .select("lang", "doc_id", "epoch")
+      .as[(String, Long, Long)].collect()
+    // Exactly quota rows per key.
+    val byKey = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(byKey === Map("en" -> 13L, "sw" -> 6L), byKey)
+    // Every doc appears epochs or epochs+1 times with contiguous epoch
+    // ids 0..copies-1; sw docs appear exactly 3 times each.
+    got.groupBy(r => (r._1, r._2)).foreach { case ((k, id), rows) =>
+      val (e, _, _) = (plan(k)._3, 0, 0)
+      assert(rows.length == e || rows.length == e + 1, s"$k/$id x${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"$k/$id epochs not contiguous: ${rows.map(_._3).sorted.toSeq}")
+    }
+    assert(got.filter(_._1 == "sw").groupBy(_._2).forall(_._2.length == 3))
+    // Deterministic + layout-independent.
+    val again = Sampling.epochMixExpand(
+        corpus.repartition(5, col("doc_id")), "doc_id", "lang", n = 20L)
+      .select("lang", "doc_id", "epoch")
+      .as[(String, Long, Long)].collect()
+    assert(again.toSet === got.toSet)
+    assert(again.length === got.length)
+  }
 }
