@@ -1899,9 +1899,11 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
         .orderBy("lang", "rnk")),
 
-    // Epoch-repetition plan: n = 1000 over ~500 docs forces quota >
-    // population for every language — the with-replacement completion
-    // (epochs = full passes, rem = partial-pass rows).
+    // Epoch-repetition plan (epochs = full passes, rem = partial-pass
+    // rows). n = 1000 forces quota > population at the 500-doc sf0.01
+    // ORACLE fixture; at larger fixtures the plan degrades gracefully to
+    // epochs = 0 (prefix-only) — the repetition law itself is pinned
+    // scale-independently by SamplingSpec.
     "q_epoch_mix_plan" -> ((s, dir) =>
       graft.functions.Sampling.epochMixPlan(
         pq(s, dir, "documents").select(col("doc_id"), col("lang")),
@@ -5312,7 +5314,7 @@ object SparkEntry {
         |    CAST(sum(h.wgt) OVER (PARTITION BY h.lang
         |      ORDER BY h.samp_u ASC, h.doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM hashed h JOIN quotas q USING (lang)
-        |  WHERE h.wgt <= q.quota)
+        |  WHERE h.wgt <= q.quota AND h.wgt > 0)
         |SELECT lang, doc_id, quota, cum FROM cums WHERE cum <= quota
         |ORDER BY lang, cum""".stripMargin,
 

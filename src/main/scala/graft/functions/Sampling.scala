@@ -112,26 +112,15 @@ object Sampling {
       df: DataFrame, idCol: String, keyCol: String,
       n: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(n >= 0L, s"n must be >= 0, got $n")
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val cnt = col("keyn").cast("double")
-    val wExpr = if (alpha == 0.5) sqrt(cnt) else pow(cnt, lit(alpha))
-    val weights = df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("keyn"))
-      .select(col(keyCol), col("keyn"),
-        round(wExpr * 1e6, 0).cast("long").as("w6"))
-    val total = weights.agg(sum(col("w6")).cast("long").as("sumw6"))
+    requireFreeColumns(df, "temperatureMix", Seq("quota", "rnk", "samp_u"))
     // Quota caps at the key's population: alpha-rebalancing can assign a
     // scarce key MORE than it holds (sqrt upsampling is exactly that
-    // aggressive), and this operator samples without replacement — the
-    // epoch-repetition variant of alpha-sampling is a training-loop
-    // concern, not a corpus-selection one.
-    val quotas = weights.crossJoin(broadcast(total))
-      .select(col(keyCol),
-        least(
-          floor(lit(n.toDouble) * col("w6").cast("double")
-            / col("sumw6").cast("double")).cast("long"),
-          col("keyn")).as("quota"))
+    // aggressive), and this operator samples without replacement —
+    // [[epochMixPlan]]/[[epochMixExpand]] are the replacement path.
+    val quotas = alphaQuotas(
+        df.groupBy(col(keyCol)).agg(count(lit(1)).as("__mass")),
+        keyCol, n, alpha)
+      .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
     val w = Window.partitionBy(keyCol).orderBy(col("samp_u").asc, col(idCol).asc)
     df.withColumn("samp_u", round(u, 6))
@@ -139,6 +128,40 @@ object Sampling {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= col("quota"))
       .drop("samp_u")
+  }
+
+  /** The SINGLE-SOURCED alpha-quota recipe every mixer shares (the
+    * [[hashUniform]] principle: one edit here, not a silent divergence
+    * in whichever copy was missed): input is one row per key with its
+    * long mass in `__mass` (a count or a weight sum); output adds
+    * `quota` = floor(n · mass^alpha / Σ mass^alpha), UNCAPPED — each
+    * caller applies its own cap/div-mod policy. sqrt at alpha = 0.5 is
+    * IEEE-correctly-rounded (oracle-exact); other alphas route through
+    * pow, which is not — spot-check before oracle-pinning one. */
+  private def alphaQuotas(
+      masses: DataFrame, keyCol: String, n: Long, alpha: Double): DataFrame = {
+    require(n >= 0L, s"n must be >= 0, got $n")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val m = col("__mass").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(m) else pow(m, lit(alpha))
+    val weights = masses.select(col(keyCol), col("__mass"),
+      round(wExpr * 1e6, 0).cast("long").as("__w6"))
+    val total = weights.agg(sum(col("__w6")).cast("long").as("__sumw6"))
+    weights.crossJoin(broadcast(total))
+      .select(col(keyCol), col("__mass"),
+        floor(lit(n.toDouble) * col("__w6").cast("double")
+          / col("__sumw6").cast("double")).cast("long").as("quota"))
+  }
+
+  /** Reserved-name guard for the mixers: their quota join would make a
+    * pre-existing column of the same name ambiguous (AnalysisException
+    * at best) or silently drop the user's column at the end. */
+  private def requireFreeColumns(
+      df: DataFrame, op: String, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$op reserves column name(s) ${clash.mkString(", ")} — rename them " +
+        s"on the input first (reserved: ${reserved.mkString(", ")})")
   }
 
   /** The WITH-replacement completion of [[temperatureMix]]: when a key's
@@ -155,23 +178,13 @@ object Sampling {
     * rows cannot occur (quotas derive from observed counts). */
   def epochMixPlan(
       df: DataFrame, keyCol: String, n: Long,
-      alpha: Double = 0.5): DataFrame = {
-    require(n >= 0L, s"n must be >= 0, got $n")
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val cnt = col("keyn").cast("double")
-    val wExpr = if (alpha == 0.5) sqrt(cnt) else pow(cnt, lit(alpha))
-    val weights = df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("keyn"))
-      .select(col(keyCol), col("keyn"),
-        round(wExpr * 1e6, 0).cast("long").as("w6"))
-    val total = weights.agg(sum(col("w6")).cast("long").as("sumw6"))
-    weights.crossJoin(broadcast(total))
-      .select(col(keyCol), col("keyn"),
-        floor(lit(n.toDouble) * col("w6").cast("double")
-          / col("sumw6").cast("double")).cast("long").as("quota"))
+      alpha: Double = 0.5): DataFrame =
+    alphaQuotas(
+        df.groupBy(col(keyCol)).agg(count(lit(1)).as("__mass")),
+        keyCol, n, alpha)
+      .select(col(keyCol), col("__mass").as("keyn"), col("quota"))
       .withColumn("epochs", (col("quota") / col("keyn")).cast("long"))
       .withColumn("rem", col("quota") % col("keyn"))
-  }
 
   /** Materialize an [[epochMixPlan]]: every row of a key appears
     * `epochs` times (epoch ids 0..epochs−1), and the key's hash-order
@@ -186,6 +199,8 @@ object Sampling {
       df: DataFrame, idCol: String, keyCol: String, n: Long,
       alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreeColumns(df, "epochMixExpand",
+      Seq("keyn", "quota", "epochs", "rem", "rnk", "copies", "epoch", "samp_u"))
     val plan = epochMixPlan(df, keyCol, n, alpha)
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
     val w = Window.partitionBy(keyCol).orderBy(col("samp_u").asc, col(idCol).asc)
@@ -222,32 +237,28 @@ object Sampling {
       df: DataFrame, idCol: String, keyCol: String, weightCol: String,
       budget: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(budget >= 0L, s"budget must be >= 0, got $budget")
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val wk = col("keyw").cast("double")
-    val wExpr = if (alpha == 0.5) sqrt(wk) else pow(wk, lit(alpha))
-    val weights = df.groupBy(col(keyCol))
-      .agg(sum(col(weightCol).cast("long")).as("keyw"))
-      .select(col(keyCol), round(wExpr * 1e6, 0).cast("long").as("w6"),
-        col("keyw"))
-    val total = weights.agg(sum(col("w6")).cast("long").as("sumw6"))
-    val quotas = weights.crossJoin(broadcast(total))
-      .select(col(keyCol),
-        least(
-          floor(lit(budget.toDouble) * col("w6").cast("double")
-            / col("sumw6").cast("double")).cast("long"),
-          col("keyw")).as("quota"))
+    requireFreeColumns(df, "temperatureMixByWeight",
+      Seq("quota", "cum", "samp_u"))
+    val quotas = alphaQuotas(
+        df.groupBy(col(keyCol)).agg(sum(col(weightCol).cast("long")).as("__mass")),
+        keyCol, budget, alpha)
+      .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
     val order = Window.partitionBy(keyCol)
       .orderBy(col("samp_u").asc, col(idCol).asc)
     // Maximal-prefix fill: cumulative sum over hash order, keep while
     // cum <= quota; rows whose own weight exceeds the quota are excluded
     // BEFORE the sum (they could never be kept and would otherwise poison
-    // the cumulative for everything behind them). Integer-exact.
+    // the cumulative for everything behind them), and ZERO-weight rows
+    // are excluded too — a token-budget sampler emits no token-free
+    // docs, and without this a zero-quota key (budget 0, or an
+    // all-empty key) would emit every weightless row "for free".
+    // Integer-exact.
     val hashed = df
       .withColumn("samp_u", round(u, 6))
       .join(broadcast(quotas), Seq(keyCol))
-      .filter(col(weightCol).cast("long") <= col("quota"))
+      .filter(col(weightCol).cast("long") <= col("quota") &&
+        col(weightCol).cast("long") > 0L)
     hashed
       .withColumn("cum",
         sum(col(weightCol).cast("long"))

@@ -269,6 +269,7 @@ class SamplingSpec extends SparkSpec {
     // must be excluded up front, not poison the prefix behind it.
     val corpus = ((1 to 20).map(i => (i.toLong, "en", 50L)) ++
       Seq((21L, "en", 5000L)) ++                       // oversized
+      Seq((22L, "en", 0L)) ++                          // token-free
       (101 to 120).map(i => (i.toLong, "sw", 5L))).toDF("doc_id", "lang", "n_tok")
     val budget = 300L
     val got = Sampling.temperatureMixByWeight(
@@ -279,6 +280,10 @@ class SamplingSpec extends SparkSpec {
     assert(got.forall(r => r._5 <= r._4), got.toSeq)
     // The oversized doc is absent even though en's prefix has room left.
     assert(!got.exists(_._2 == 21L), got.toSeq)
+    // The token-free doc is absent too: a token-budget sampler emits no
+    // weightless rows (and a zero-quota key emits nothing, not "all
+    // zero-weight rows for free").
+    assert(!got.exists(_._2 == 22L), got.toSeq)
     // Per-key kept mass is the MAXIMAL prefix: adding the next in-budget
     // row would overflow (en rows are uniform 50, so kept = quota/50).
     val byKey = got.groupBy(_._1).view.mapValues(rs => (rs.map(_._3).sum, rs.head._4)).toMap
