@@ -140,14 +140,22 @@ object Sampling {
     * pow, which is not — spot-check before oracle-pinning one. */
   private def alphaQuotas(
       masses: DataFrame, keyCol: String, n: Long, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(n >= 0L, s"n must be >= 0, got $n")
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val m = col("__mass").cast("double")
     val wExpr = if (alpha == 0.5) sqrt(m) else pow(m, lit(alpha))
     val weights = masses.select(col(keyCol), col("__mass"),
       round(wExpr * 1e6, 0).cast("long").as("__w6"))
-    val total = weights.agg(sum(col("__w6")).cast("long").as("__sumw6"))
-    weights.crossJoin(broadcast(total))
+    // Σw6 via a whole-frame window, NOT a separate agg + cross join: the
+    // agg form references the weights subtree twice, which re-runs the
+    // corpus-scale mass aggregation per consumer (the mixer plan gate
+    // caught exactly that — 3 corpus scans instead of 2). The weights
+    // frame is key-cardinality-bounded, so one single-partition window
+    // over it is free.
+    weights
+      .withColumn("__sumw6",
+        sum(col("__w6")).over(Window.partitionBy(lit(1))).cast("long"))
       .select(col(keyCol), col("__mass"),
         floor(lit(n.toDouble) * col("__w6").cast("double")
           / col("__sumw6").cast("double")).cast("long").as("quota"))

@@ -68,6 +68,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans <= 2, s"documents scanned $scans times:\n${plan.take(600)}")
   }
 
+  test("alpha-sampling mixers: quota side broadcasts, corpus scanned at most twice") {
+    // The quota frame is key-cardinality-bounded and explicitly
+    // broadcast; the corpus appears once for the mass aggregate and once
+    // for the main pass — anything beyond that means the quota subtree
+    // re-derived the corpus per consumer.
+    for (q <- Seq("q_temperature_mix", "q_temperature_mix_tokens",
+        "q_epoch_mix_expand")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q quota join is not broadcast:\n${plan.take(600)}")
+      val scans = "ReadSchema:".r.findAllIn(plan).length
+      assert(scans <= 2, s"$q scans the corpus $scans times:\n${plan.take(600)}")
+    }
+  }
+
   test("q_dedup_clusters final frame is lineage-truncated (constant plan size per round)") {
     // Each label-propagation round localCheckpoints: the returned frame's
     // plan is a scan of materialized rows + sort — NOT five rounds of joins
