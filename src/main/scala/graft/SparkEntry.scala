@@ -1930,6 +1930,42 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quota"), col("cum"))
         .orderBy("lang", "cum")),
 
+    // The mixing → training handoff, composed end-to-end: epoch-repetition
+    // mix (every copy a distinct (doc_id, epoch) identity) → content-hash
+    // shard assignment + within-shard pseudo-random order (the q_shard_plan
+    // contract, keyed on the COPY so a document's epochs spread across
+    // shards) → greedy token-budget packing per shard (the q_token_packing
+    // prefix-sum shape). One frame = the manifest a training run consumes:
+    // which copy, which shard, which position, which pack. Everything after
+    // the mix is narrow + ONE hash-even shuffle by shard.
+    "q_mix_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val mixed = graft.functions.Sampling.epochMixExpand(
+        pq(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "lang", n = 1000L)
+      val mid = concat(col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string"))
+      val sharded = mixed
+        .withColumn("shard", pmod(conv(substring(md5(
+          concat(lit("shard:"), mid)), 1, 8), 16, 10).cast("long"), lit(8L)))
+        .withColumn("order_key", substring(md5(
+          concat(lit("order:"), mid)), 1, 16))
+        .withColumn("n_tokens",
+          graft.functions.TextAnalysis.wordCount(col("text")).cast("long"))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("order_key"), col("doc_id"), col("epoch"))
+      sharded
+        .withColumn("position", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 512.0).cast("long"))
+        .select(col("lang"), col("doc_id"), col("epoch"), col("shard"),
+          col("position"), col("pack_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("shard", "position")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed-ngram likelihood
     // ratio of every document against the English slice as the target
     // distribution — the "select raw data that looks like my curated set"
@@ -5317,6 +5353,50 @@ object SparkEntry {
         |  WHERE h.wgt <= q.quota AND h.wgt > 0)
         |SELECT lang, doc_id, quota, cum FROM cums WHERE cum <= quota
         |ORDER BY lang, cum""".stripMargin,
+
+    // Mix→shard→pack composition replay: the epoch-expand chain verbatim,
+    // then per-copy hash shard/order and the per-shard packing prefix sum.
+    "q_mix_shards" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS keyn FROM documents GROUP BY 1),
+        |weights AS (
+        |  SELECT lang, keyn,
+        |    CAST(round(sqrt(CAST(keyn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w6
+        |  FROM counts),
+        |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+        |plan AS (
+        |  SELECT lang, keyn,
+        |    CAST(floor(1000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT) // keyn AS epochs,
+        |    CAST(floor(1000.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT) % keyn AS rem
+        |  FROM weights CROSS JOIN total),
+        |ranked AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(len(string_split_regex(d.text, '\s+')) AS BIGINT) AS n_tokens,
+        |    p.epochs, p.rem,
+        |    CAST(row_number() OVER (PARTITION BY d.lang ORDER BY
+        |      round(((('0x' || substr(md5('graft:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |        / 4294967296.0), 6) ASC, d.doc_id ASC) AS BIGINT) AS rnk
+        |  FROM documents d JOIN plan p USING (lang)),
+        |mixed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(unnest(generate_series(0,
+        |      epochs + CASE WHEN rnk <= rem THEN 1 ELSE 0 END - 1)) AS BIGINT) AS epoch
+        |  FROM ranked WHERE epochs + CASE WHEN rnk <= rem THEN 1 ELSE 0 END > 0),
+        |sharded AS (
+        |  SELECT lang, doc_id, epoch, n_tokens,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+        |    substr(md5('order:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 16) AS order_key
+        |  FROM mixed),
+        |packed AS (
+        |  SELECT lang, doc_id, epoch, shard, n_tokens,
+        |    CAST(row_number() OVER win AS BIGINT) AS position,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY order_key, doc_id, epoch ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM sharded WINDOW win AS (PARTITION BY shard ORDER BY order_key, doc_id, epoch))
+        |SELECT lang, doc_id, epoch, shard, position,
+        |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+        |  n_tokens, cum_tokens
+        |FROM packed ORDER BY shard, position""".stripMargin,
 
     // DSIR: the oracle replays the full pipeline — hashed unigram+bigram
     // features (md5 % 4096, the cross-engine uniform-hash idiom), Laplace-

@@ -104,30 +104,88 @@ object Sampling {
     * largest-remainder top-up is deliberately absent (determinism and
     * engine-exactness over hitting n exactly).
     *
-    * Scale shape: one keyed count (output bounded by key cardinality),
-    * a broadcast quota join, and one shuffle by key for the per-key
-    * hash-order window — the [[capPerKey]] cost model, with the same
-    * hottest-key caveat. Output: the sampled rows + (quota, rnk). */
+    * Scale shape (two-phase histogram selection — see [[rankBucket]]):
+    * the mixing key is a corpus SOURCE (a handful of values, one often
+    * holding most of the corpus), so a per-key rank window would sort the
+    * dominant key on ONE reducer. Instead: one per-(key, samp_u-bucket)
+    * histogram pass (map-side combined, ≤ |keys|·[[RankBuckets]] rows —
+    * it also supplies the per-key masses, so the corpus is still scanned
+    * exactly twice), broadcast per-bucket rank offsets, a NARROW inner
+    * join that drops every bucket past the quota point before any
+    * shuffle, and a rank window partitioned by (key, bucket) — the
+    * surviving ~quota rows sort in ≤ keyn/[[RankBuckets]]-row chunks.
+    * `rnk` = bucket offset + within-bucket rank, bit-identical to the
+    * single-window per-key rank. Output: the sampled rows + (quota, rnk). */
   def temperatureMix(
       df: DataFrame, idCol: String, keyCol: String,
       n: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    requireFreeColumns(df, "temperatureMix", Seq("quota", "rnk", "samp_u"))
+    requireFreeColumns(df, "temperatureMix",
+      Seq("quota", "rnk", "samp_u", "__b", "__bn", "__off"))
+    val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
+    val hashed = df.withColumn("samp_u", round(u, 6))
+      .withColumn("__b", rankBucket(col("samp_u")))
+    // The histogram feeds BOTH the quota masses and the rank offsets:
+    // materialize it once (bounded <= |keys| x RankBuckets rows) or the
+    // corpus aggregation would re-run per consumer — the double-subtree
+    // trap the clusterLabels scaladoc documents. One-shot convenience
+    // form, like [[driftAgainstCounts]]: the checkpoint lives until the
+    // session drops it.
+    val hist = hashed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .localCheckpoint()
     // Quota caps at the key's population: alpha-rebalancing can assign a
     // scarce key MORE than it holds (sqrt upsampling is exactly that
     // aggressive), and this operator samples without replacement —
     // [[epochMixPlan]]/[[epochMixExpand]] are the replacement path.
     val quotas = alphaQuotas(
-        df.groupBy(col(keyCol)).agg(count(lit(1)).as("__mass")),
+        hist.groupBy(col(keyCol)).agg(sum(col("__bn")).as("__mass")),
         keyCol, n, alpha)
       .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
-    val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
-    val w = Window.partitionBy(keyCol).orderBy(col("samp_u").asc, col(idCol).asc)
-    df.withColumn("samp_u", round(u, 6))
-      .join(broadcast(quotas), Seq(keyCol))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    // Only buckets whose rank offset is below the quota can hold selected
+    // rows; the inner join drops the rest of the corpus NARROWLY.
+    val bmeta = bucketOffsets(hist, keyCol, "__bn")
+      .join(quotas, Seq(keyCol))
+      .filter(col("__off") < col("quota"))
+      .select(col(keyCol), col("__b"), col("__off"), col("quota"))
+    val w = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("samp_u").asc, col(idCol).asc)
+    hashed
+      .join(broadcast(bmeta), Seq(keyCol, "__b"))
+      .withColumn("rnk", (col("__off") + row_number().over(w)).cast("long"))
       .filter(col("rnk") <= col("quota"))
-      .drop("samp_u")
+      .drop("samp_u", "__b", "__off")
+  }
+
+  /** samp_u buckets for the mixers' two-phase rank: 2^16 spreads a key
+    * that owns the whole corpus over 65k rank partitions (each bounded
+    * at keyn/2^16 rows — ~1.5 GB per sort task even for an 80 TB key)
+    * while the per-(key, bucket) histogram stays broadcastable
+    * (|keys| · 2^16 rows at worst, and only OCCUPIED buckets
+    * materialize). samp_u is 6-decimal-rounded, so finer than ~10^6
+    * buckets buys nothing. */
+  private[functions] val RankBuckets: Int = 1 << 16
+
+  /** Bucket of a samp_u value: floor(u · B), capped — round(u, 6) can
+    * reach exactly 1.0. Multiplication by a positive constant and floor
+    * are monotone, and equal samp_u values share a bucket, so ordering
+    * by (bucket, samp_u, id) IS ordering by (samp_u, id): the two-phase
+    * rank is exact, not approximate. */
+  private def rankBucket(u: Column): Column =
+    least(floor(u * lit(RankBuckets.toDouble)).cast("long"),
+      lit(RankBuckets - 1L))
+
+  /** Per-(key, bucket) rank offsets over a mixer histogram: `__off` =
+    * the mass in the key's strictly-lower buckets. The window is per-key
+    * single-partition but runs over the HISTOGRAM (≤ |keys| ·
+    * [[RankBuckets]] rows by construction), never corpus rows. */
+  private def bucketOffsets(
+      hist: DataFrame, keyCol: String, massCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("__off",
+      coalesce(sum(col(massCol)).over(w), lit(0L)).cast("long"))
   }
 
   /** The SINGLE-SOURCED alpha-quota recipe every mixer shares (the
@@ -161,10 +219,11 @@ object Sampling {
           / col("__sumw6").cast("double")).cast("long").as("quota"))
   }
 
-  /** Reserved-name guard for the mixers: their quota join would make a
-    * pre-existing column of the same name ambiguous (AnalysisException
-    * at best) or silently drop the user's column at the end. */
-  private def requireFreeColumns(
+  /** Reserved-name guard for the mixers (and the DSIR streaming gate):
+    * their quota/score join would make a pre-existing column of the same
+    * name ambiguous (AnalysisException at best) or silently drop the
+    * user's column at the end. */
+  private[graft] def requireFreeColumns(
       df: DataFrame, op: String, reserved: Seq[String]): Unit = {
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
@@ -187,19 +246,44 @@ object Sampling {
   def epochMixPlan(
       df: DataFrame, keyCol: String, n: Long,
       alpha: Double = 0.5): DataFrame =
-    alphaQuotas(
-        df.groupBy(col(keyCol)).agg(count(lit(1)).as("__mass")),
-        keyCol, n, alpha)
+    epochPlanFromMasses(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("__mass")),
+      keyCol, n, alpha)
+
+  /** The plan arithmetic over a pre-aggregated (key, __mass) frame —
+    * shared with [[epochMixExpand]], whose histogram already holds the
+    * per-key counts (re-deriving them would add a third corpus scan).
+    * `div`, not `/`: Spark's `/` is DOUBLE division, whose 53-bit
+    * mantissa would silently round quotas above 2^53 so that
+    * epochs·keyn + rem != quota; `div` is exact long division at any
+    * magnitude, matching `%` and the oracle's `//`. */
+  private def epochPlanFromMasses(
+      masses: DataFrame, keyCol: String, n: Long, alpha: Double): DataFrame =
+    alphaQuotas(masses, keyCol, n, alpha)
       .select(col(keyCol), col("__mass").as("keyn"), col("quota"))
-      .withColumn("epochs", (col("quota") / col("keyn")).cast("long"))
+      .withColumn("epochs", expr("quota div keyn").cast("long"))
       .withColumn("rem", col("quota") % col("keyn"))
+
+  /** Hard ceiling on per-row repetition in [[epochMixExpand]]: the copies
+    * materialize as one `sequence` array per row, so an unbounded epoch
+    * count (a huge n against a near-empty key) would build multi-GB
+    * single-row arrays and eventually overflow Spark's ~2^31 array limit.
+    * 2^20 repetitions of one document is already far past any useful
+    * training mix (GPT-3's max is 3.4 epochs); past it the plan fails
+    * loudly instead of OOMing an executor. */
+  private[functions] val MaxEpochCopies: Long = 1L << 20
 
   /** Materialize an [[epochMixPlan]]: every row of a key appears
     * `epochs` times (epoch ids 0..epochs−1), and the key's hash-order
     * first `rem` rows once more (epoch id `epochs`) — exactly `quota`
     * output rows per key, Σ = Σ quotas ≤ n. The repetition explode is
-    * narrow (each input row emits its own copies); the only shuffle is
-    * the hash-order window that decides the partial pass's membership.
+    * narrow (each input row emits its own copies); membership in the
+    * partial pass comes from the same two-phase histogram rank as
+    * [[temperatureMix]] (bucket offsets broadcast, rank window
+    * partitioned by (key, samp_u-bucket)), so the dominant source never
+    * funnels into one reducer — every row shuffles once, evenly, in
+    * ≤ keyn/[[RankBuckets]]-row sort chunks, and the histogram doubles
+    * as the plan's per-key counts (the corpus is scanned exactly twice).
     * Output: the input columns + (epoch). Downstream shuffles the
     * result by training shard anyway, so copies landing on their
     * source's partition is fine at any scale. */
@@ -208,18 +292,38 @@ object Sampling {
       alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     requireFreeColumns(df, "epochMixExpand",
-      Seq("keyn", "quota", "epochs", "rem", "rnk", "copies", "epoch", "samp_u"))
-    val plan = epochMixPlan(df, keyCol, n, alpha)
+      Seq("keyn", "quota", "epochs", "rem", "rnk", "copies", "epoch",
+        "samp_u", "__b", "__bn", "__off"))
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
-    val w = Window.partitionBy(keyCol).orderBy(col("samp_u").asc, col(idCol).asc)
-    df.withColumn("samp_u", round(u, 6))
-      .join(broadcast(plan), Seq(keyCol))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    val hashed = df.withColumn("samp_u", round(u, 6))
+      .withColumn("__b", rankBucket(col("samp_u")))
+    // Materialized once: the histogram feeds both the plan's masses and
+    // the rank offsets (see [[temperatureMix]]'s note).
+    val hist = hashed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .localCheckpoint()
+    val plan = epochPlanFromMasses(
+      hist.groupBy(col(keyCol)).agg(sum(col("__bn")).as("__mass")),
+      keyCol, n, alpha)
+    val bmeta = bucketOffsets(hist, keyCol, "__bn")
+      .join(plan, Seq(keyCol))
+      .select(col(keyCol), col("__b"), col("__off"), col("epochs"), col("rem"))
+    val w = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("samp_u").asc, col(idCol).asc)
+    hashed
+      .join(broadcast(bmeta), Seq(keyCol, "__b"))
+      .withColumn("rnk", (col("__off") + row_number().over(w)).cast("long"))
       .withColumn("copies",
         col("epochs") + when(col("rnk") <= col("rem"), 1L).otherwise(0L))
       .filter(col("copies") > 0L)
+      .withColumn("copies",
+        when(col("copies") > MaxEpochCopies, raise_error(concat(
+          lit("epochMixExpand: a row would repeat "), col("copies"),
+          lit(s" times (> $MaxEpochCopies) — n is out of proportion to " +
+            "the smallest key's population"))))
+          .otherwise(col("copies")))
       .withColumn("epoch", explode(sequence(lit(0L), col("copies") - 1L)))
-      .drop("samp_u", "keyn", "quota", "epochs", "rem", "rnk", "copies")
+      .drop("samp_u", "__b", "__off", "epochs", "rem", "rnk", "copies")
   }
 
   /** [[temperatureMix]] in WEIGHT units (token-budget mixing — what a
@@ -237,23 +341,33 @@ object Sampling {
     * Same cross-engine-exactness posture as [[temperatureMix]] (sqrt at
     * the alpha = 0.5 default; quota arithmetic in exactly-representable
     * longs + one correctly-rounded double division). The running sum is
-    * a per-key cumulative window in hash order — integer-exact, so the
-    * oracle replays every keep/skip decision. One keyed aggregate + a
-    * broadcast quota join + one shuffle-by-key window, like
-    * [[temperatureMix]]. Output: kept rows + (quota, cum). */
+    * integer-exact, so the oracle replays every keep/skip decision.
+    *
+    * Scale shape: the same two-phase histogram selection as
+    * [[temperatureMix]] — per-(key, samp_u-bucket) weight sums,
+    * broadcast prefix offsets, a narrow drop of every bucket past the
+    * quota point, and the cumulative window partitioned by (key,
+    * bucket) so `cum` = bucket weight offset + within-bucket running
+    * sum, never a full-key single-reducer window. One extra corpus scan
+    * versus the count mixer (three total) is inherent: the eligibility
+    * filter below depends on the quota, which depends on the full mass
+    * aggregate, so the offset histogram cannot reuse the mass pass.
+    * Output: kept rows + (quota, cum). */
   def temperatureMixByWeight(
       df: DataFrame, idCol: String, keyCol: String, weightCol: String,
       budget: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     requireFreeColumns(df, "temperatureMixByWeight",
-      Seq("quota", "cum", "samp_u"))
+      Seq("quota", "cum", "samp_u", "__b", "__bw", "__off"))
+    // Materialized once (<= |keys| rows): the quota frame feeds both the
+    // eligibility join and the bucket-offset join — unmaterialized, each
+    // consumer would re-run the corpus mass aggregation.
     val quotas = alphaQuotas(
         df.groupBy(col(keyCol)).agg(sum(col(weightCol).cast("long")).as("__mass")),
         keyCol, budget, alpha)
       .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
+      .localCheckpoint()
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
-    val order = Window.partitionBy(keyCol)
-      .orderBy(col("samp_u").asc, col(idCol).asc)
     // Maximal-prefix fill: cumulative sum over hash order, keep while
     // cum <= quota; rows whose own weight exceeds the quota are excluded
     // BEFORE the sum (they could never be kept and would otherwise poison
@@ -262,17 +376,31 @@ object Sampling {
     // docs, and without this a zero-quota key (budget 0, or an
     // all-empty key) would emit every weightless row "for free".
     // Integer-exact.
-    val hashed = df
+    val eligible = df
       .withColumn("samp_u", round(u, 6))
+      .withColumn("__b", rankBucket(col("samp_u")))
       .join(broadcast(quotas), Seq(keyCol))
       .filter(col(weightCol).cast("long") <= col("quota") &&
         col(weightCol).cast("long") > 0L)
-    hashed
+    val hist = eligible.groupBy(col(keyCol), col("__b"))
+      .agg(sum(col(weightCol).cast("long")).as("__bw"))
+    // A bucket whose weight offset already meets the quota cannot keep
+    // its first row (eligible weights are >= 1), so the inner join drops
+    // it narrowly before the shuffle.
+    val bmeta = bucketOffsets(hist, keyCol, "__bw")
+      .join(quotas.select(col(keyCol), col("quota").as("__bq")), Seq(keyCol))
+      .filter(col("__off") < col("__bq"))
+      .select(col(keyCol), col("__b"), col("__off"))
+    val order = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("samp_u").asc, col(idCol).asc)
+    eligible
+      .join(broadcast(bmeta), Seq(keyCol, "__b"))
       .withColumn("cum",
-        sum(col(weightCol).cast("long"))
+        (col("__off") + sum(col(weightCol).cast("long"))
           .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("long"))
       .filter(col("cum") <= col("quota"))
-      .drop("samp_u")
+      .drop("samp_u", "__b", "__off")
   }
 
   /** Per-key quota: keep at most `cap` rows per `keyCol`, chosen by

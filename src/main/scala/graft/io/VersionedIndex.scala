@@ -53,17 +53,44 @@ object VersionedIndex {
   /** Prefix a generation's tables live under. */
   def prefixOf(name: String, generation: Long): String = s"${name}_g$generation"
 
+  private def claimTable(name: String, generation: Long): String =
+    s"${prefixOf(name, generation)}_claim"
+
   /** Build generation current+1 under its own prefix via `build(prefix)`,
     * then publish it by atomically swapping the manifest — the ONLY write
     * that changes what readers resolve, and the LAST one. Returns the new
     * current prefix. If `build` throws, nothing was published and the old
-    * generation serves untouched. */
+    * generation serves untouched (the claim marker below stays behind as
+    * the crashed build's tombstone).
+    *
+    * SINGLE-WRITER CONTRACT: rebuilds must not run concurrently for the
+    * same index name. Two concurrent rebuilds would both read the same
+    * current generation, build into the same g+1 prefix, and interleave
+    * their table writes — recreating exactly the mixed-generation state
+    * this class exists to prevent ([[publish]] is last-write-wins, not
+    * compare-and-swap; [[TableStore]] has no create-if-absent primitive
+    * to build a true CAS on). As a guard, rebuild CLAIMS its target
+    * generation with a marker table before building and fails fast if
+    * the marker already exists — catching overlapping rebuilds whose
+    * races are longer than the one marker write, and crashed builds
+    * whose half-written tables would otherwise be silently republished.
+    * After a crash (or a verified-dead writer), drop
+    * `<name>_g<gen>_claim` to release the generation. */
   def rebuild(store: TableStore, name: String, spark: SparkSession)(
       build: String => Unit): String = {
     val gen = currentGeneration(store, name).getOrElse(0L) + 1L
+    val claim = claimTable(name, gen)
+    if (store.exists(claim)) throw new IllegalStateException(
+      s"generation $gen of versioned index '$name' is already claimed " +
+        s"($claim exists) — a concurrent rebuild is running, or a crashed " +
+        "one left partial tables behind; verify no writer is live, clean " +
+        s"up the ${prefixOf(name, gen)}_* tables, and drop $claim")
+    import spark.implicits._
+    store.overwrite(claim, Seq(gen).toDF("generation"))
     val prefix = prefixOf(name, gen)
     build(prefix)
     publish(store, name, spark, gen)
+    store.drop(claim)
     prefix
   }
 
@@ -87,11 +114,15 @@ object VersionedIndex {
       keepPrevious: Int = 1): Unit = {
     require(keepPrevious >= 0, s"keepPrevious must be >= 0, got $keepPrevious")
     val cur = currentGeneration(store, name).getOrElse(return)
-    (1L until cur - keepPrevious).foreach { g =>
-      tableSuffixes.foreach { s =>
-        val t = s"${prefixOf(name, g)}_$s"
-        if (store.exists(t)) store.drop(t)
-      }
-    }
+    // Walk DOWN from the newest prunable generation and stop at the first
+    // fully-absent one: generations are pruned oldest-first, so everything
+    // below an absent generation was already dropped by an earlier prune —
+    // without the stop, maintenance cost would grow linearly with lifetime
+    // rebuild count even when there is nothing left to drop.
+    ((cur - keepPrevious - 1) to 1L by -1L).iterator
+      .map { g => tableSuffixes.map(s => s"${prefixOf(name, g)}_$s")
+        .filter(store.exists) }
+      .takeWhile(_.nonEmpty)
+      .foreach(_.foreach(store.drop))
   }
 }

@@ -217,6 +217,11 @@ object EventAnalytics {
       buckets: Int = 4096, minLogW: Double = 0.0)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch, _) => {
+      // The left join below coalesces n_feats/log_w onto the batch: a
+      // batch already carrying either would be ambiguous (or silently
+      // mis-gated) — fail loudly instead, like the mixers.
+      graft.functions.Sampling.requireFreeColumns(
+        batch, "dsirGateEachBatch", Seq("n_feats", "log_w"))
       // Materialize the batch once: `b` feeds BOTH the score derivation and
       // the re-join below, so without it the batch's entire upstream
       // lineage (e.g. a composed curateStream, with its stateful
@@ -444,6 +449,41 @@ object EventAnalytics {
         // Release the batch's blocks: a standing serve loop otherwise
         // accumulates one batch's storage per trigger for its lifetime
         // ([[materializeBatch]] — why this is persist, not checkpoint).
+        batch.unpersist()
+        ()
+      }
+    }
+
+  /** PINNED hybrid serve: [[hybridProbeEachBatch]] against snapshots of
+    * BOTH indexes resolved once at stream start — the steady-state
+    * production endpoint (per batch: two probed-slice reads + RRF; no
+    * index-table re-resolution, at cluster scale no per-batch
+    * object-store LISTs). Pinning contract is the union of
+    * [[bm25ProbeEachBatchPinned]]'s and [[annProbeEachBatchPinned]]'s:
+    * mutations land at the next restart, and no compaction/rebuild may
+    * replace either prefix under a live stream (versioned-prefix rebuilds
+    * — [[graft.io.VersionedIndex]] — make that safe by construction).
+    * Same query-id/corpus-id disjointness caveat as the fresh form. */
+  def hybridProbeEachBatchPinned(
+      lexSnap: graft.functions.LexIndex.LexSnapshot,
+      annSnap: graft.functions.AnnIndex.IndexSnapshot,
+      qidCol: String, qTextCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, rrfC: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch0, _) => {
+      val batch = materializeBatch(batch0)
+      try {
+        val lex = graft.functions.LexIndex.bm25TopK(
+            lexSnap, batch, qidCol, qTextCol, k, k1, b, pruneTerms = true)
+          .select(col("qid"), col("doc_id"), col("rnk"))
+        val ann = graft.functions.AnnIndex.ivfTopK(
+            annSnap, batch, qidCol, vecCol, k, nprobe, pruneProbed = true)
+          .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+            col("rank").cast("long").as("rnk"))
+        sink(graft.functions.LexIndex.rrfFuse(
+          Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC))
+      } finally {
         batch.unpersist()
         ()
       }

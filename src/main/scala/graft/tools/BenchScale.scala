@@ -82,11 +82,23 @@ object BenchScale {
     // 1's postings build (shared shape with q_bm25_topk); the feedback
     // gather and weighted pass 2 are query-bounded probes on top.
     "q_bm25_rm3",
-    // round-12 additions: alpha-sampling mixers — one keyed count plus
-    // one corpus shuffle by key for the hash-order window (the capPerKey
-    // cost model; quota math is key-cardinality-bounded).
+    // round-12 additions (selection rewritten round 13): alpha-sampling
+    // mixers — two-phase histogram selection: one keyed histogram pass,
+    // broadcast bucket offsets, and a (key, samp_u-bucket)-partitioned
+    // rank window, so a dominant mixing key spreads over 2^16 sort chunks
+    // instead of one reducer. Run these against a `ScaleGen ... skew`
+    // corpus too (90% one key) — the uniform ×k corpus never exercises
+    // the dominant-key shape the rewrite exists for.
     "q_temperature_mix",
     "q_temperature_mix_tokens",
+    // round-13 additions: the remaining per-key-window operators, for the
+    // adversarial-skew rows. The literal-cap window (q_source_cap) and
+    // the literal-k weighted sample rely on Spark 4.1's WindowGroupLimit
+    // partial top-k to bound the dominant key's reducer; the mixers
+    // cannot (their limit is a quota COLUMN), hence the two-phase rank.
+    "q_epoch_mix_expand",
+    "q_source_cap",
+    "q_weighted_sample",
     // round-12 addition: the PRODUCTION hybrid (persisted BM25 ⊕ trained
     // IVF ⊕ RRF — both retrievers serve from index tables; the IVF side
     // replaces q_hybrid_rrf's brute-force witness, whose corpus-linear

@@ -54,6 +54,23 @@ object ScaleGen {
         col("label"))
     }.reduce(_.unionByName(_))
 
+  /** Adversarial-skew documents ×k: [[scaleDocuments]] then reassign ~90%
+    * of rows (by content hash of doc_id — deterministic, layout-free) to
+    * ONE dominant mixing key, in BOTH key columns per-key operators use
+    * (`lang` — mixers, weighted sampling; `source` — domain caps). The
+    * plain ×k corpus scales every key uniformly (~5% per lang), so no
+    * ×100 row ever exercises the real shape of a pretraining mix — GPT-3's
+    * own table is 60% CommonCrawl, and a dominant key is exactly what a
+    * single-reducer per-key window dies on. The remaining ~10% keeps the
+    * original key distribution so quota math still has a long tail. */
+  def skewDocuments(docs: DataFrame, k: Int): DataFrame = {
+    val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10L))
+    scaleDocuments(docs, k)
+      .withColumn("lang", when(h < 9, lit("en")).otherwise(col("lang")))
+      .withColumn("source", when(h < 9, lit("commoncrawl")).otherwise(col("source")))
+  }
+
   /** events ×k: user/event ids shift per replica (distinct users, so
     * sessions/retention cohorts never straddle replicas — the workload a
     * k×-bigger user base actually produces); ts/value/type unchanged so the
@@ -153,6 +170,9 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, kStr) = args.take(3)
     val k = kStr.toInt
+    // Optional 4th arg `skew`: adversarial dominant-key documents corpus
+    // (see [[skewDocuments]]); the other tables scale as usual.
+    val skew = args.length > 3 && args(3) == "skew"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 8)
@@ -160,7 +180,7 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def pq(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
-    scaleDocuments(pq("documents"), k)
+    (if (skew) skewDocuments(pq("documents"), k) else scaleDocuments(pq("documents"), k))
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaleEmbeddings(pq("embeddings"), k)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -168,7 +188,7 @@ object ScaleGen {
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
     scaleEvents(pq("events"), k)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    println(s"""{"scaled":"$outDir","k":$k}""")
+    println(s"""{"scaled":"$outDir","k":$k,"skew":$skew}""")
     spark.stop()
   }
 }

@@ -68,18 +68,68 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans <= 2, s"documents scanned $scans times:\n${plan.take(600)}")
   }
 
-  test("alpha-sampling mixers: quota side broadcasts, corpus scanned at most twice") {
-    // The quota frame is key-cardinality-bounded and explicitly
-    // broadcast; the corpus appears once for the mass aggregate and once
-    // for the main pass — anything beyond that means the quota subtree
-    // re-derived the corpus per consumer.
-    for (q <- Seq("q_temperature_mix", "q_temperature_mix_tokens",
-        "q_epoch_mix_expand")) {
+  test("alpha-sampling mixers: quota side broadcasts, corpus scans bounded") {
+    // The quota/offset frames are (key x bucket)-cardinality-bounded and
+    // explicitly broadcast; the corpus appears once for the histogram
+    // aggregate (which doubles as the mass pass) and once for the main
+    // pass — the weight mixer needs one more, because its eligibility
+    // filter depends on the quota, which depends on the full mass
+    // aggregate, so its offset histogram cannot reuse the mass pass.
+    for ((q, maxScans) <- Seq("q_temperature_mix" -> 2,
+        "q_temperature_mix_tokens" -> 3, "q_epoch_mix_expand" -> 2)) {
       val plan = planOf(q)
       assert(plan.contains("BroadcastHashJoin"),
         s"$q quota join is not broadcast:\n${plan.take(600)}")
       val scans = "ReadSchema:".r.findAllIn(plan).length
-      assert(scans <= 2, s"$q scans the corpus $scans times:\n${plan.take(600)}")
+      assert(scans <= maxScans,
+        s"$q scans the corpus $scans times (max $maxScans):\n${plan.take(600)}")
+    }
+  }
+
+  test("alpha-sampling mixers: no full-key window sort (two-phase rank)") {
+    // The mixing key is a corpus SOURCE (a handful of values, one often
+    // dominant), so a Window partitioned by the key alone funnels that
+    // key's every row into ONE reducer's sort. The two-phase selection
+    // must rank within (key, samp_u-bucket) partitions; the only
+    // single-attribute-partition windows allowed are the histogram-side
+    // offsets (ordered by the bucket id over <= |keys| x 2^16 rows),
+    // never a corpus-row window ordered by samp_u.
+    // String-matched (windowspecdefinition args: partition columns, then
+    // `col ASC/DESC ...` order columns, then the frame) because AQE wraps
+    // the unexecuted plan and hides the WindowExec nodes from collect.
+    for (q <- Seq("q_temperature_mix", "q_temperature_mix_tokens",
+        "q_epoch_mix_expand")) {
+      val plan = planOf(q)
+      val specs = "windowspecdefinition\\(([^)]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      val corpusRank = specs.filter(_.contains("samp_u"))
+      assert(corpusRank.nonEmpty, s"$q lost its rank window")
+      corpusRank.foreach { s =>
+        val partCols = s.split(",").map(_.trim)
+          .takeWhile(a => !a.contains(" ASC") && !a.contains(" DESC"))
+        assert(partCols.length >= 2,
+          s"$q ranks corpus rows in a single-key window partition ($s) — " +
+            "the dominant-source reducer the two-phase selection exists to avoid")
+      }
+    }
+  }
+
+  test("q_mix_shards: one corpus scan through the composition; pack window per shard") {
+    // The mix→shard→pack manifest must not re-derive the corpus per stage:
+    // the mixer's histogram is materialized at construction, so the final
+    // plan holds ONE corpus scan (the mixer's main pass); shard assignment
+    // and token packing are narrow expressions plus one hash-even shuffle
+    // by shard — never a global (empty-partition) window.
+    val plan = planOf("q_mix_shards")
+    val scans = "ReadSchema:".r.findAllIn(plan).length
+    assert(scans <= 1, s"composition scans the corpus $scans times:\n${plan.take(600)}")
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val packSpecs = specs.filter(_.contains("order_key"))
+    assert(packSpecs.nonEmpty, "lost the packing window")
+    packSpecs.foreach { s =>
+      assert(s.split(",").head.contains("shard"),
+        s"packing window not partitioned by shard: $s")
     }
   }
 

@@ -100,11 +100,61 @@ class VersionedIndexSpec extends SparkSpec {
     assert(serve(LexIndex.snapshotVersioned(store, "lex")) === before)
     assert(store.exists("lex_g2_doclens") && !store.exists("lex_g2_postings"))
 
-    // The next successful rebuild simply takes the next generation number
-    // and overwrites the orphan on its way through.
+    // The crashed build left its claim marker behind, so a blind retry
+    // FAILS FAST — from the store's view a crashed writer and a live
+    // concurrent one are indistinguishable, and building into a claimed
+    // prefix is exactly the mixed-generation interleave the class
+    // prevents. Releasing the claim (the documented recovery step)
+    // lets the next rebuild take the generation and overwrite the orphan.
+    val blocked = intercept[IllegalStateException] {
+      LexIndex.rebuildVersioned(store, "lex", corpusB, "doc_id", "text")
+    }
+    assert(blocked.getMessage.contains("already claimed"), blocked.getMessage)
+    store.drop("lex_g2_claim")
     val p = LexIndex.rebuildVersioned(store, "lex", corpusB, "doc_id", "text")
     assert(p === "lex_g2")
     assert(VersionedIndex.currentGeneration(store, "lex") === Some(2L))
+    // A completed rebuild releases its claim.
+    assert(!store.exists("lex_g2_claim"))
+  }
+
+  test("rebuild fails fast when the target generation is claimed by another writer") {
+    val store = tmpStore()
+    LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+    // A second writer that read the same current generation (1) has
+    // claimed generation 2 and is mid-build.
+    import spark.implicits._
+    store.overwrite("lex_g2_claim", Seq(2L).toDF("generation"))
+    val boom = intercept[IllegalStateException] {
+      LexIndex.rebuildVersioned(store, "lex", corpusB, "doc_id", "text")
+    }
+    assert(boom.getMessage.contains("lex_g2_claim"), boom.getMessage)
+    // Nothing was published or built over the other writer's prefix.
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(1L))
+    assert(!store.exists("lex_g2_postings"))
+  }
+
+  test("prune stops at the first fully-absent generation (no full-history rescan)") {
+    val store = tmpStore()
+    (1 to 4).foreach { i =>
+      LexIndex.rebuildVersioned(
+        store, "lex", if (i % 2 == 0) corpusB else corpusA, "doc_id", "text")
+    }
+    VersionedIndex.prune(store, "lex", LexIndex.TableSuffixes, keepPrevious = 1)
+    assert(!store.exists("lex_g1_postings") && !store.exists("lex_g2_postings"))
+    // Re-prune on a counting store: only generation 3-and-below probes
+    // until the first absent generation (g2) — g1 is never re-probed.
+    val probed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val counting = new graft.io.TableStore {
+      def load(t: String) = store.load(t)
+      def exists(t: String) = { probed += t; store.exists(t) }
+      def overwrite(t: String, df: org.apache.spark.sql.DataFrame) = store.overwrite(t, df)
+      def append(t: String, df: org.apache.spark.sql.DataFrame) = store.append(t, df)
+    }
+    VersionedIndex.prune(counting, "lex", LexIndex.TableSuffixes, keepPrevious = 1)
+    assert(probed.exists(_.startsWith("lex_g2_")), probed.mkString(","))
+    assert(!probed.exists(_.startsWith("lex_g1_")),
+      s"pruned low generations re-probed: ${probed.mkString(",")}")
   }
 
   test("prune drops superseded generations, keeps current + keepPrevious") {

@@ -499,6 +499,63 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(acc.exists(_._4 == 2L), s"no doubly-retrieved doc in ${acc.toSeq}")
   }
 
+  test("hybridProbeEachBatchPinned: snapshot serve == fresh serve, no store reads per batch") {
+    import graft.functions.{AnnIndex, LexIndex}
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "ducks swim across the pond"),
+      (4L, "the pond holds small ducks")).toDF("doc_id", "text")
+    val vecs = (1L to 4L).map(i =>
+      i -> Array.tabulate(8)(j => (((i * 13 + j * 5) % 17).toFloat - 8f) / 4f)).toMap
+    val emb = vecs.toSeq.toDF("doc_id", "embedding")
+    val lexStore = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("hybp_lex_").toString)
+    val annStore = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("hybp_ann_").toString)
+    LexIndex.build(lexStore, "lex", docs, "doc_id", "text", forwardIndex = true)
+    AnnIndex.buildIvf(annStore, "ivf", emb, "doc_id", "embedding", nlist = 2)
+    val queries = Seq(
+      (10L, "spark data", vecs(1L)),
+      (11L, "small ducks", vecs(4L)),
+      (12L, "the pond", vecs(3L)))
+
+    def drive(probe: (org.apache.spark.sql.DataFrame => Unit) =>
+        (org.apache.spark.sql.DataFrame, Long) => Unit)
+        : Set[(Long, Long, Double, Long, Long)] = {
+      val input = MemoryStream[(Long, String, Array[Float])]
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long, Long)]()
+      val q = input.toDF().toDF("qid", "qtext", "qvec")
+        .writeStream
+        .foreachBatch(probe { out =>
+          acc.synchronized {
+            acc ++= out.as[(Long, Long, Double, Long, Long)](implicitly).collect()
+          }
+          ()
+        })
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      input.addData(queries(0), queries(1))
+      q.processAllAvailable()
+      input.addData(queries(2))
+      q.processAllAvailable()
+      q.stop()
+      acc.toSet
+    }
+
+    val fresh = drive(EventAnalytics.hybridProbeEachBatch(
+      lexStore, "lex", annStore, "ivf", "qid", "qtext", "qvec", k = 3, nprobe = 2))
+    val lexSnap = LexIndex.snapshot(lexStore, "lex")
+    val annSnap = AnnIndex.ivfSnapshot(annStore, "ivf")
+    val pinned = drive(EventAnalytics.hybridProbeEachBatchPinned(
+      lexSnap, annSnap, "qid", "qtext", "qvec", k = 3, nprobe = 2))
+    lexSnap.release()
+    annSnap.release()
+    assert(pinned === fresh, "pinned hybrid serve diverged from the fresh path")
+  }
+
   test("annProbePqEachBatch: micro-batched ADC probes == one batch probe") {
     import graft.functions.AnnIndex
     import graft.io.ParquetTableStore
