@@ -99,6 +99,9 @@ object BenchScale {
     "q_epoch_mix_expand",
     "q_source_cap",
     "q_weighted_sample",
+    // round-13 addition: the mix→shard→pack composition (one corpus scan
+    // through the mixer + one hash-even shuffle by shard).
+    "q_mix_shards",
     // round-12 addition: the PRODUCTION hybrid (persisted BM25 ⊕ trained
     // IVF ⊕ RRF — both retrievers serve from index tables; the IVF side
     // replaces q_hybrid_rrf's brute-force witness, whose corpus-linear

@@ -114,6 +114,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("literal-cap per-key windows plan as WindowGroupLimit (partial top-k)") {
+    // capPerKey / weightedSampleTopK rank with a LITERAL limit, which
+    // Spark 4.1 rewrites to WindowGroupLimit: each map task keeps only
+    // its partition's top `cap` rows per key BEFORE the shuffle, so a
+    // dominant key ships ~cap×tasks rows instead of its whole population
+    // (measured flat at ×100 under a 94%-one-key corpus — BASELINE.md
+    // round-13 skew table). The mixers' quota is a COLUMN, which this
+    // rewrite cannot see — that is why they carry the two-phase rank.
+    for (q <- Seq("q_source_cap", "q_weighted_sample")) {
+      val plan = planOf(q)
+      val n = "WindowGroupLimit".r.findAllIn(plan).length
+      assert(n >= 2, s"$q lost its partial+final WindowGroupLimit (found $n):" +
+        s"\n${plan.take(600)}")
+    }
+  }
+
   test("q_mix_shards: one corpus scan through the composition; pack window per shard") {
     // The mix→shard→pack manifest must not re-derive the corpus per stage:
     // the mixer's histogram is materialized at construction, so the final
