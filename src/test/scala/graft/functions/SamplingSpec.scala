@@ -304,6 +304,90 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSet === got.toSet)
   }
 
+  test("two-phase mixer selection == the naive per-key window on a dominant-key corpus") {
+    // The round-13 rewrite's exactness contract, pinned directly: on a
+    // 90%-one-key corpus whose quota boundary falls mid-bucket, the
+    // histogram-selected rows (and their rnk/cum values) must equal the
+    // straightforward single-window computation the oracle replays.
+    import org.apache.spark.sql.expressions.Window
+    val corpus = ((1L to 900L).map(i => (i, "en", (i % 7 + 1))) ++
+      (1001L to 1060L).map(i => (i, "de", (i % 5 + 1))) ++
+      (2001L to 2040L).map(i => (i, "sw", (i % 3 + 1))))
+      .toDF("doc_id", "lang", "w")
+
+    // Naive reference for temperatureMix: global per-key hash-order rank.
+    def samp(seed: String) = {
+      val v = conv(substring(md5(concat_ws(":", lit(seed), col("lang"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+      round((v + lit(0.5)) / lit(4294967296.0), 6)
+    }
+    val got = Sampling.temperatureMix(corpus, "doc_id", "lang", n = 300L)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val quotas = got.groupBy(_._1).view.mapValues(_.head._3).toMap
+    val w = Window.partitionBy("lang").orderBy(col("__u").asc, col("doc_id").asc)
+    val naive = corpus.withColumn("__u", samp("graft"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("lang", "doc_id", "rnk")
+      .as[(String, Long, Long)].collect()
+      .filter(r => r._3 <= quotas(r._1))
+      .map(r => (r._1, r._2, quotas(r._1), r._3)).toSet
+    assert(got === naive, "two-phase rank diverged from the naive window")
+
+    // Naive reference for temperatureMixByWeight: per-key running sum.
+    val gotW = Sampling.temperatureMixByWeight(
+        corpus, "doc_id", "lang", "w", budget = 600L)
+      .select("lang", "doc_id", "quota", "cum")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val quotasW = gotW.groupBy(_._1).view.mapValues(_.head._3).toMap
+    val naiveW = corpus.withColumn("__u", samp("graft"))
+      .filter(col("lang").isin(quotasW.keys.toSeq: _*))
+      .as[(Long, String, Long, Double)].collect()
+      .filter { case (_, lang, wgt, _) => wgt > 0 && wgt <= quotasW(lang) }
+      .groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+        rows.sortBy(r => (r._4, r._1))
+          .scanLeft((0L, 0L, "", 0L)) { case ((cum, _, _, _), (id, lg, wgt, _)) =>
+            (cum + wgt, id, lg, wgt) }.drop(1)
+          .takeWhile(_._1 <= quotasW(lang))
+          .map { case (cum, id, lg, _) => (lg, id, quotasW(lg), cum) }
+      }.toSet
+    assert(gotW === naiveW, "two-phase cumsum diverged from the naive window")
+
+    // And the dominant key genuinely spans many rank buckets (the rewrite
+    // is exercised, not vacuously equal on a one-bucket corpus).
+    val enQuota = quotas("en")
+    assert(enQuota > 100L, s"en quota $enQuota too small to span buckets")
+  }
+
+  test("epochMixExpand fails loudly past the repetition ceiling; plan div is exact at huge n") {
+    // A 2-row key asked for 2^40 samples would build million-element
+    // sequence arrays per row — the guard must throw with the named
+    // limit, not OOM an executor.
+    val tiny = Seq((1L, "en"), (2L, "en")).toDF("doc_id", "lang")
+    val boom = intercept[Exception] {
+      Sampling.epochMixExpand(tiny, "doc_id", "lang", n = 1L << 40).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](boom)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("epochMixExpand"), s"unexpected failure: ${msgs.take(400)}")
+    // The PLAN stays exact at magnitudes where double division would
+    // round: epochs * keyn + rem == quota as true long arithmetic
+    // (Spark `div`, oracle `//`; a `/`-based plan breaks above 2^53).
+    // n must be double-representable (the quota formula is one double
+    // division BY DESIGN); 2^60 is, and 2^60/3 already rounds wrong under
+    // `/`-then-cast (…336 vs the exact …325), so the invariant below
+    // catches a regression to double division.
+    val plan = Sampling.epochMixPlan(
+        Seq((1L, "en"), (2L, "en"), (3L, "en")).toDF("doc_id", "lang"),
+        "lang", n = 1L << 60)
+      .select("keyn", "quota", "epochs", "rem")
+      .as[(Long, Long, Long, Long)].head()
+    assert(plan._3 * plan._1 + plan._4 === plan._2,
+      s"plan arithmetic drifted: $plan")
+    assert(plan._2 === 1L << 60, s"single-key quota must be n: $plan")
+  }
+
   test("epochMixPlan/epochMixExpand: surplus quota becomes repetition; " +
       "expand emits exactly quota rows per key with contiguous epoch ids") {
     // en 8 rows, sw 2 rows, n = 20: sqrt shares 2/3 and 1/3 give quotas

@@ -891,6 +891,23 @@ class EventAnalyticsSpec extends SparkSpec {
       "alarm.release() did not free the pinned baseline histogram")
   }
 
+  test("dsirGateEachBatch rejects a batch already carrying n_feats/log_w") {
+    // The gate left-joins score columns onto the batch; a pre-existing
+    // column of either name would be ambiguous (or silently mis-gate).
+    // Contract: fail loudly with the clashing names, like the mixers.
+    import graft.functions.Sampling
+    val raw = Seq((0L, "spark shuffle")).toDF("doc_id", "text")
+    val target = Seq((1L, "spark")).toDF("doc_id", "text")
+    val ratio = Sampling.dsirFit(raw, "text", target, "text", buckets = 64)
+    val gate = EventAnalytics.dsirGateEachBatch(
+      ratio, "doc_id", "text", buckets = 64) { _ => () }
+    val poisoned = raw.withColumn("log_w",
+      org.apache.spark.sql.functions.lit(99.0))
+    val boom = intercept[IllegalArgumentException] { gate(poisoned, 0L) }
+    assert(boom.getMessage.contains("log_w") &&
+      boom.getMessage.contains("dsirGateEachBatch"), boom.getMessage)
+  }
+
   test("dsirGateEachBatch: featureless docs score neutral log_w=0 and obey the threshold") {
     // A doc whose text yields NO feature rows (null text — the tokenizer
     // maps it to no n-grams at all) produces no score row through
