@@ -76,6 +76,7 @@ object Sampling {
       df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
       k: Int, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreeColumns(df, "weightedSampleTopK", Seq("skey", "rnk"))
     val u = hashUniform(lit(seed), col(stratumCol), col(idCol).cast("string"))
     val skey = round(log(u) / greatest(col(weightCol).cast("double"), lit(1e-9)), 6)
     val w = Window.partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
@@ -305,8 +306,14 @@ object Sampling {
     val plan = epochPlanFromMasses(
       hist.groupBy(col(keyCol)).agg(sum(col("__bn")).as("__mass")),
       keyCol, n, alpha)
+    // A bucket past the partial-pass boundary contributes copies only via
+    // `epochs`; when epochs = 0 (the prefix-only regime — any mix where
+    // n ≪ corpus) such a bucket's every row lands at copies = 0, so drop
+    // the bucket here and the corpus tail never shuffles — the same
+    // narrow past-quota drop as [[temperatureMix]].
     val bmeta = bucketOffsets(hist, keyCol, "__bn")
       .join(plan, Seq(keyCol))
+      .filter(col("epochs") > 0L || col("__off") < col("rem"))
       .select(col(keyCol), col("__b"), col("__off"), col("epochs"), col("rem"))
     val w = Window.partitionBy(col(keyCol), col("__b"))
       .orderBy(col("samp_u").asc, col(idCol).asc)
@@ -672,6 +679,7 @@ object Sampling {
       target: DataFrame, targetTextCol: String,
       k: Int, buckets: Int = 4096, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreeColumns(raw, "dsirResample", Seq("skey", "rnk"))
     val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
     val skey = gumbelKey(hashUniform(lit(seed), col(idCol).cast("string")))
     val win = Window.orderBy(col("skey").desc, col(idCol).asc)
@@ -694,6 +702,7 @@ object Sampling {
       target: DataFrame, targetTextCol: String,
       kPerStratum: Int, buckets: Int = 4096, seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireFreeColumns(raw, "dsirResamplePerStratum", Seq("skey", "rnk"))
     val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
       .join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
     val skey = gumbelKey(

@@ -304,6 +304,25 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSet === got.toSet)
   }
 
+  test("sampler reserved-name guards fail loudly on clashing input columns") {
+    // Every sampler that adds output columns must reject an input that
+    // already carries one of those names — a silent join ambiguity (or a
+    // dropped user column) is the failure mode the mixers guard against.
+    val df = Seq((1L, "en", 2L)).toDF("doc_id", "lang", "w")
+      .withColumn("rnk", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSampleTopK(df, "doc_id", "lang", "w", k = 1)
+    }
+    assert(e.getMessage.contains("weightedSampleTopK") &&
+      e.getMessage.contains("rnk"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.dsirResample(df.withColumnRenamed("rnk", "skey"),
+        "doc_id", "lang", df, "lang", k = 1)
+    }
+    assert(e2.getMessage.contains("dsirResample") &&
+      e2.getMessage.contains("skey"), e2.getMessage)
+  }
+
   test("two-phase mixer selection == the naive per-key window on a dominant-key corpus") {
     // The round-13 rewrite's exactness contract, pinned directly: on a
     // 90%-one-key corpus whose quota boundary falls mid-bucket, the
