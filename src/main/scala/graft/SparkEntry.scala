@@ -1899,6 +1899,17 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
         .orderBy("lang", "rnk")),
 
+    // Largest-remainder completion: quotas sum to EXACTLY n before the
+    // population caps (integer-exact decimal/HUGEINT remainder ranking —
+    // the opt-in topUp variant; the plain q_temperature_mix keeps the
+    // pinned floor recipe).
+    "q_temperature_mix_topup" -> ((s, dir) =>
+      graft.functions.Sampling.temperatureMix(
+        pq(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", n = 200L, topUp = true)
+        .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
+        .orderBy("lang", "rnk")),
+
     // Epoch-repetition plan (epochs = full passes, rem = partial-pass
     // rows). n = 1000 forces quota > population at the 500-doc sf0.01
     // ORACLE fixture; at larger fixtures the plan degrades gracefully to
@@ -5267,6 +5278,39 @@ object SparkEntry {
         |    CAST(floor(200.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT),
         |    keyn) AS quota
         |  FROM weights CROSS JOIN total),
+        |hashed AS (
+        |  SELECT doc_id, lang,
+        |    round(((('0x' || substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |      / 4294967296.0), 6) AS samp_u
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT h.doc_id, h.lang, q.quota,
+        |    CAST(row_number() OVER (PARTITION BY h.lang ORDER BY h.samp_u ASC, h.doc_id ASC) AS BIGINT) AS rnk
+        |  FROM hashed h JOIN quotas q USING (lang))
+        |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
+        |ORDER BY lang, rnk""".stripMargin,
+
+    // Top-up replay: exact HUGEINT quotient/remainder per key, remainder-
+    // ranked +1 for the n - Σ floor leftover, then the population cap and
+    // the shared hash-order pick — every comparison is integer-exact.
+    "q_temperature_mix_topup" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS keyn FROM documents GROUP BY 1),
+        |weights AS (
+        |  SELECT lang, keyn,
+        |    CAST(round(sqrt(CAST(keyn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS w6 FROM counts),
+        |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+        |exact AS (
+        |  SELECT lang, keyn,
+        |    CAST((CAST(w6 AS HUGEINT) * 200) // CAST(sumw6 AS HUGEINT) AS BIGINT) AS q0,
+        |    (CAST(w6 AS HUGEINT) * 200) % CAST(sumw6 AS HUGEINT) AS r
+        |  FROM weights CROSS JOIN total),
+        |topped AS (
+        |  SELECT lang, keyn,
+        |    q0 + CASE WHEN CAST(row_number() OVER (ORDER BY r DESC, lang ASC) AS BIGINT)
+        |      <= 200 - (SELECT CAST(sum(q0) AS BIGINT) FROM exact) THEN 1 ELSE 0 END AS quota0
+        |  FROM exact),
+        |quotas AS (SELECT lang, least(quota0, keyn) AS quota FROM topped),
         |hashed AS (
         |  SELECT doc_id, lang,
         |    round(((('0x' || substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)

@@ -101,9 +101,10 @@ object Sampling {
     * exactly-representable integers, so the DuckDB oracle replays every
     * quota bit-exactly. Other alphas route through pow, which IEEE does
     * NOT require correctly rounded — spot-check before oracle-pinning a
-    * non-0.5 alpha. Quotas FLOOR, so Σ sampled ≤ n: the
-    * largest-remainder top-up is deliberately absent (determinism and
-    * engine-exactness over hitting n exactly).
+    * non-0.5 alpha. Quotas FLOOR by default, so Σ sampled ≤ n;
+    * `topUp = true` adds the largest-remainder completion
+    * ([[alphaQuotasTopUp]]) so quotas sum to EXACTLY n (before
+    * population caps) — integer-exact in both engines, see its note.
     *
     * Scale shape (two-phase histogram selection — see [[rankBucket]]):
     * the mixing key is a corpus SOURCE (a handful of values, one often
@@ -119,7 +120,8 @@ object Sampling {
     * single-window per-key rank. Output: the sampled rows + (quota, rnk). */
   def temperatureMix(
       df: DataFrame, idCol: String, keyCol: String,
-      n: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
+      n: Long, alpha: Double = 0.5, seed: String = "graft",
+      topUp: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     requireFreeColumns(df, "temperatureMix",
       Seq("quota", "rnk", "samp_u", "__b", "__bn", "__off"))
@@ -139,10 +141,11 @@ object Sampling {
     // scarce key MORE than it holds (sqrt upsampling is exactly that
     // aggressive), and this operator samples without replacement —
     // [[epochMixPlan]]/[[epochMixExpand]] are the replacement path.
-    val quotas = alphaQuotas(
-        hist.groupBy(col(keyCol)).agg(sum(col("__bn")).as("__mass")),
-        keyCol, n, alpha)
-      .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
+    val masses = hist.groupBy(col(keyCol)).agg(sum(col("__bn")).as("__mass"))
+    val quotas =
+      (if (topUp) alphaQuotasTopUp(masses, keyCol, n, alpha)
+       else alphaQuotas(masses, keyCol, n, alpha))
+        .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
     // Only buckets whose rank offset is below the quota can hold selected
     // rows; the inner join drops the rest of the corpus NARROWLY.
     val bmeta = bucketOffsets(hist, keyCol, "__bn")
@@ -218,6 +221,44 @@ object Sampling {
       .select(col(keyCol), col("__mass"),
         floor(lit(n.toDouble) * col("__w6").cast("double")
           / col("__sumw6").cast("double")).cast("long").as("quota"))
+  }
+
+  /** [[alphaQuotas]] completed by LARGEST-REMAINDER top-up, so Σ quota =
+    * n exactly (before each caller's population cap): the n − Σ floor
+    * leftover goes to the keys with the largest division remainders,
+    * ties by key ascending. The double-division floor recipe cannot
+    * anchor this (a correctly-rounded quotient just below an integer can
+    * round ACROSS it, and the remainder ordering needs exact values), so
+    * this variant computes quota and remainder in DECIMAL(38,0) integer
+    * arithmetic — n·w6 ≤ 2^63·2^63 < 10^38 stays exact, and the DuckDB
+    * oracle replays it in HUGEINT: every quota, remainder, and
+    * tie-break compares as integers in both engines. All on the
+    * key-cardinality-bounded weights frame — zero corpus cost. The
+    * default (no top-up) recipe stays byte-for-byte what the pinned
+    * oracles replay; this is an opt-in completion, not a change. */
+  private def alphaQuotasTopUp(
+      masses: DataFrame, keyCol: String, n: Long, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 0L, s"n must be >= 0, got $n")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val m = col("__mass").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(m) else pow(m, lit(alpha))
+    val all = Window.partitionBy(lit(1))
+    masses.select(col(keyCol), col("__mass"),
+        round(wExpr * 1e6, 0).cast("long").as("__w6"))
+      .withColumn("__sumw6",
+        sum(col("__w6")).over(all).cast("decimal(38,0)"))
+      .withColumn("__prod",
+        col("__w6").cast("decimal(38,0)") * lit(n).cast("decimal(38,0)"))
+      .withColumn("__r", col("__prod") % col("__sumw6"))
+      .withColumn("__q0",
+        ((col("__prod") - col("__r")) / col("__sumw6")).cast("long"))
+      .withColumn("__t", lit(n) - sum(col("__q0")).over(all))
+      .withColumn("__rr", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__r").desc, col(keyCol).asc)))
+      .select(col(keyCol), col("__mass"),
+        (col("__q0") + when(col("__rr") <= col("__t"), 1L).otherwise(0L))
+          .as("quota"))
   }
 
   /** Reserved-name guard for the mixers (and the DSIR streaming gate):

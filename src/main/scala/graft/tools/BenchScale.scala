@@ -90,6 +90,7 @@ object BenchScale {
     // corpus too (90% one key) — the uniform ×k corpus never exercises
     // the dominant-key shape the rewrite exists for.
     "q_temperature_mix",
+    "q_temperature_mix_topup", // round 13: exact-sum quotas — same corpus cost, one extra tiny window
     "q_temperature_mix_tokens",
     // round-13 additions: the remaining per-key-window operators, for the
     // adversarial-skew rows. The literal-cap window (q_source_cap) and

@@ -378,6 +378,36 @@ class SamplingSpec extends SparkSpec {
     assert(enQuota > 100L, s"en quota $enQuota too small to span buckets")
   }
 
+  test("temperatureMix topUp: quotas sum to exactly n; floor-or-floor+1 per key") {
+    // 80/16/40 corpus, n = 50: floor quotas are 23/10/16 → Σ = 49, the
+    // one leftover goes to the largest remainder (sw, ≈.411). Every key
+    // ends at floor or floor+1, never more; no population cap binds.
+    val corpus = ((1 to 80).map(i => (i.toLong, "en")) ++
+      (101 to 116).map(i => (i.toLong, "de")) ++
+      (201 to 240).map(i => (i.toLong, "sw"))).toDF("doc_id", "lang")
+    val n = 50L
+    val floorQ = Sampling.temperatureMix(corpus, "doc_id", "lang", n)
+      .groupBy("lang").agg(max("quota")).as[(String, Long)].collect().toMap
+    val topQ = Sampling.temperatureMix(corpus, "doc_id", "lang", n, topUp = true)
+      .groupBy("lang").agg(max("quota")).as[(String, Long)].collect().toMap
+    assert(topQ.values.sum === n,
+      s"topped-up quotas $topQ do not sum to n=$n (floor was $floorQ)")
+    topQ.foreach { case (k, q) =>
+      assert(q == floorQ(k) || q == floorQ(k) + 1,
+        s"$k topped from ${floorQ(k)} to $q — not a largest-remainder +1")
+    }
+    assert(floorQ.values.sum < n, "fixture must exercise a real top-up")
+    // Deterministic and layout-independent, like the floor form.
+    val again = Sampling.temperatureMix(
+        corpus.repartition(7, col("doc_id")), "doc_id", "lang", n, topUp = true)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val first = Sampling.temperatureMix(corpus, "doc_id", "lang", n, topUp = true)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again === first)
+  }
+
   test("epochMixExpand fails loudly past the repetition ceiling; plan div is exact at huge n") {
     // A 2-row key asked for 2^40 samples would build million-element
     // sequence arrays per row — the guard must throw with the named
