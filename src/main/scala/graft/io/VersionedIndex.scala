@@ -80,17 +80,26 @@ object VersionedIndex {
       build: String => Unit): String = {
     val gen = currentGeneration(store, name).getOrElse(0L) + 1L
     val claim = claimTable(name, gen)
-    if (store.exists(claim)) throw new IllegalStateException(
-      s"generation $gen of versioned index '$name' is already claimed " +
-        s"($claim exists) — a concurrent rebuild is running, or a crashed " +
-        "one left partial tables behind; verify no writer is live, clean " +
-        s"up the ${prefixOf(name, gen)}_* tables, and drop $claim")
+    // A claim row >= 0 is live; -1 is the released sentinel left on
+    // stores without a drop primitive (see the release below).
+    if (store.exists(claim) && store.load(claim).head().getLong(0) >= 0L)
+      throw new IllegalStateException(
+        s"generation $gen of versioned index '$name' is already claimed " +
+          s"($claim exists) — a concurrent rebuild is running, or a crashed " +
+          "one left partial tables behind; verify no writer is live, clean " +
+          s"up the ${prefixOf(name, gen)}_* tables, and drop $claim")
     import spark.implicits._
     store.overwrite(claim, Seq(gen).toDF("generation"))
     val prefix = prefixOf(name, gen)
     build(prefix)
     publish(store, name, spark, gen)
-    store.drop(claim)
+    // Release: drop where the store supports it; otherwise overwrite with
+    // the released sentinel — a post-publish release must never fail on a
+    // drop-less backend (e.g. the COPY-transport Postgres store).
+    try store.drop(claim)
+    catch { case _: UnsupportedOperationException =>
+      store.overwrite(claim, Seq(-1L).toDF("generation"))
+    }
     prefix
   }
 

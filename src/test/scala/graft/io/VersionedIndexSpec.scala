@@ -134,6 +134,27 @@ class VersionedIndexSpec extends SparkSpec {
     assert(!store.exists("lex_g2_postings"))
   }
 
+  test("claim release degrades to a sentinel on drop-less stores; later rebuilds proceed") {
+    // A backend without a drop primitive (the COPY-transport Postgres
+    // store) must still release its claim after publish — via the -1
+    // sentinel — and a released claim must never block the next rebuild.
+    val inner = tmpStore()
+    val noDrop = new graft.io.TableStore {
+      def load(t: String) = inner.load(t)
+      def exists(t: String) = inner.exists(t)
+      def overwrite(t: String, df: org.apache.spark.sql.DataFrame) = inner.overwrite(t, df)
+      def append(t: String, df: org.apache.spark.sql.DataFrame) = inner.append(t, df)
+    }
+    val p1 = LexIndex.rebuildVersioned(noDrop, "lex", corpusA, "doc_id", "text")
+    assert(p1 === "lex_g1")
+    assert(noDrop.exists("lex_g1_claim") &&
+      noDrop.load("lex_g1_claim").head().getLong(0) === -1L,
+      "release sentinel missing on the drop-less store")
+    val p2 = LexIndex.rebuildVersioned(noDrop, "lex", corpusB, "doc_id", "text")
+    assert(p2 === "lex_g2")
+    assert(VersionedIndex.currentGeneration(noDrop, "lex") === Some(2L))
+  }
+
   test("prune stops at the first fully-absent generation (no full-history rescan)") {
     val store = tmpStore()
     (1 to 4).foreach { i =>
