@@ -128,28 +128,16 @@ object Sampling {
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
     val hashed = df.withColumn("samp_u", round(u, 6))
       .withColumn("__b", rankBucket(col("samp_u")))
-    // The histogram feeds BOTH the quota masses and the rank offsets:
-    // materialize it once (bounded <= |keys| x RankBuckets rows) or the
-    // corpus aggregation would re-run per consumer — the double-subtree
-    // trap the clusterLabels scaladoc documents. One-shot convenience
-    // form, like [[driftAgainstCounts]]: the checkpoint lives until the
-    // session drops it.
     val hist = hashed.groupBy(col(keyCol), col("__b"))
       .agg(count(lit(1)).as("__bn"))
-      .localCheckpoint()
     // Quota caps at the key's population: alpha-rebalancing can assign a
     // scarce key MORE than it holds (sqrt upsampling is exactly that
     // aggressive), and this operator samples without replacement —
     // [[epochMixPlan]]/[[epochMixExpand]] are the replacement path.
-    val masses = hist.groupBy(col(keyCol)).agg(sum(col("__bn")).as("__mass"))
-    val quotas =
-      (if (topUp) alphaQuotasTopUp(masses, keyCol, n, alpha)
-       else alphaQuotas(masses, keyCol, n, alpha))
-        .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
     // Only buckets whose rank offset is below the quota can hold selected
     // rows; the inner join drops the rest of the corpus NARROWLY.
-    val bmeta = bucketOffsets(hist, keyCol, "__bn")
-      .join(quotas, Seq(keyCol))
+    val bmeta = histMeta(hist, keyCol, n, alpha, topUp, "__bn")
+      .withColumn("quota", least(col("quota"), col("__mass")))
       .filter(col("__off") < col("quota"))
       .select(col(keyCol), col("__b"), col("__off"), col("quota"))
     val w = Window.partitionBy(col(keyCol), col("__b"))
@@ -159,6 +147,71 @@ object Sampling {
       .withColumn("rnk", (col("__off") + row_number().over(w)).cast("long"))
       .filter(col("rnk") <= col("quota"))
       .drop("samp_u", "__b", "__off")
+  }
+
+  /** Quota + rank-offset metadata over a mixer histogram, computed as
+    * WINDOWS over the histogram itself — the lazy single-subtree twin of
+    * [[alphaQuotas]] (same fixed-point sqrt weights, same one-double-
+    * division floor; the oracle rows pin both forms, and SamplingSpec
+    * pins their quota equality). The agg-then-rejoin form needed an
+    * EAGER localCheckpoint because the histogram fed two consumers
+    * (masses and offsets); here masses, weights, Σweights, quota, and
+    * offsets are all windows over the ≤ |keys|·[[RankBuckets]]-row
+    * frame, so the whole quota side is ONE lazy subtree the broadcast
+    * join references once — no materialization jobs, no double corpus
+    * scan (measured: the checkpoints cost the toy-scale bench ~0.5-1 s
+    * per mixer; at 100 TB an eager build-time corpus job per operator
+    * construction is simply wrong). `topUp` adds the largest-remainder
+    * completion in DECIMAL(38,0) integer arithmetic (oracle: HUGEINT) —
+    * quota, remainder, and the dense-rank tie-break all compare exactly
+    * in both engines; the double floor recipe cannot anchor remainder
+    * ordering (a correctly-rounded quotient can round across an
+    * integer). Output: hist columns + (__off, __mass, quota) — quota
+    * UNCAPPED; each caller applies its own cap/div-mod policy. */
+  private def histMeta(
+      hist: DataFrame, keyCol: String, n: Long, alpha: Double,
+      topUp: Boolean, massCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 0L, s"n must be >= 0, got $n")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val wKey = Window.partitionBy(col(keyCol))
+    val ordered = wKey.orderBy(col("__b").asc)
+    val all = Window.partitionBy(lit(1))
+    val base = hist
+      .withColumn("__off", coalesce(sum(col(massCol))
+        .over(ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .cast("long"))
+      .withColumn("__mass", sum(col(massCol)).over(wKey).cast("long"))
+      .withColumn("__rn", row_number().over(ordered))
+    val m = col("__mass").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(m) else pow(m, lit(alpha))
+    // Σw6 counts each KEY once: only the key's first histogram row
+    // contributes its weight to the whole-frame sum.
+    val withW = base
+      .withColumn("__w6", round(wExpr * 1e6, 0).cast("long"))
+      .withColumn("__sumw6",
+        sum(when(col("__rn") === 1, col("__w6"))).over(all).cast("long"))
+    val out =
+      if (!topUp)
+        withW.withColumn("quota",
+          floor(lit(n.toDouble) * col("__w6").cast("double")
+            / col("__sumw6").cast("double")).cast("long"))
+      else withW
+        .withColumn("__prod",
+          col("__w6").cast("decimal(38,0)") * lit(n).cast("decimal(38,0)"))
+        .withColumn("__r", col("__prod") % col("__sumw6").cast("decimal(38,0)"))
+        .withColumn("__q0", ((col("__prod") - col("__r"))
+          / col("__sumw6").cast("decimal(38,0)")).cast("long"))
+        .withColumn("__t",
+          lit(n) - sum(when(col("__rn") === 1, col("__q0"))).over(all))
+        // (__r, key) is constant per key, so dense_rank ranks KEYS by
+        // largest remainder with the key as tie-break.
+        .withColumn("__kr", dense_rank().over(
+          Window.partitionBy(lit(1)).orderBy(col("__r").desc, col(keyCol).asc)))
+        .withColumn("quota",
+          col("__q0") + when(col("__kr") <= col("__t"), 1L).otherwise(0L))
+    out.select(hist.columns.map(col) ++
+      Seq(col("__off"), col("__mass"), col("quota")): _*)
   }
 
   /** samp_u buckets for the mixers' two-phase rank: 2^16 spreads a key
@@ -221,44 +274,6 @@ object Sampling {
       .select(col(keyCol), col("__mass"),
         floor(lit(n.toDouble) * col("__w6").cast("double")
           / col("__sumw6").cast("double")).cast("long").as("quota"))
-  }
-
-  /** [[alphaQuotas]] completed by LARGEST-REMAINDER top-up, so Σ quota =
-    * n exactly (before each caller's population cap): the n − Σ floor
-    * leftover goes to the keys with the largest division remainders,
-    * ties by key ascending. The double-division floor recipe cannot
-    * anchor this (a correctly-rounded quotient just below an integer can
-    * round ACROSS it, and the remainder ordering needs exact values), so
-    * this variant computes quota and remainder in DECIMAL(38,0) integer
-    * arithmetic — n·w6 ≤ 2^63·2^63 < 10^38 stays exact, and the DuckDB
-    * oracle replays it in HUGEINT: every quota, remainder, and
-    * tie-break compares as integers in both engines. All on the
-    * key-cardinality-bounded weights frame — zero corpus cost. The
-    * default (no top-up) recipe stays byte-for-byte what the pinned
-    * oracles replay; this is an opt-in completion, not a change. */
-  private def alphaQuotasTopUp(
-      masses: DataFrame, keyCol: String, n: Long, alpha: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(n >= 0L, s"n must be >= 0, got $n")
-    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
-    val m = col("__mass").cast("double")
-    val wExpr = if (alpha == 0.5) sqrt(m) else pow(m, lit(alpha))
-    val all = Window.partitionBy(lit(1))
-    masses.select(col(keyCol), col("__mass"),
-        round(wExpr * 1e6, 0).cast("long").as("__w6"))
-      .withColumn("__sumw6",
-        sum(col("__w6")).over(all).cast("decimal(38,0)"))
-      .withColumn("__prod",
-        col("__w6").cast("decimal(38,0)") * lit(n).cast("decimal(38,0)"))
-      .withColumn("__r", col("__prod") % col("__sumw6"))
-      .withColumn("__q0",
-        ((col("__prod") - col("__r")) / col("__sumw6")).cast("long"))
-      .withColumn("__t", lit(n) - sum(col("__q0")).over(all))
-      .withColumn("__rr", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("__r").desc, col(keyCol).asc)))
-      .select(col(keyCol), col("__mass"),
-        (col("__q0") + when(col("__rr") <= col("__t"), 1L).otherwise(0L))
-          .as("quota"))
   }
 
   /** Reserved-name guard for the mixers (and the DSIR streaming gate):
@@ -339,21 +354,18 @@ object Sampling {
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
     val hashed = df.withColumn("samp_u", round(u, 6))
       .withColumn("__b", rankBucket(col("samp_u")))
-    // Materialized once: the histogram feeds both the plan's masses and
-    // the rank offsets (see [[temperatureMix]]'s note).
     val hist = hashed.groupBy(col(keyCol), col("__b"))
       .agg(count(lit(1)).as("__bn"))
-      .localCheckpoint()
-    val plan = epochPlanFromMasses(
-      hist.groupBy(col(keyCol)).agg(sum(col("__bn")).as("__mass")),
-      keyCol, n, alpha)
     // A bucket past the partial-pass boundary contributes copies only via
     // `epochs`; when epochs = 0 (the prefix-only regime — any mix where
     // n ≪ corpus) such a bucket's every row lands at copies = 0, so drop
     // the bucket here and the corpus tail never shuffles — the same
-    // narrow past-quota drop as [[temperatureMix]].
-    val bmeta = bucketOffsets(hist, keyCol, "__bn")
-      .join(plan, Seq(keyCol))
+    // narrow past-quota drop as [[temperatureMix]]. Quota stays UNCAPPED
+    // (the with-replacement contract); `div`, not `/` — see
+    // [[epochPlanFromMasses]].
+    val bmeta = histMeta(hist, keyCol, n, alpha, topUp = false, "__bn")
+      .withColumn("epochs", expr("quota div __mass").cast("long"))
+      .withColumn("rem", col("quota") % col("__mass"))
       .filter(col("epochs") > 0L || col("__off") < col("rem"))
       .select(col(keyCol), col("__b"), col("__off"), col("epochs"), col("rem"))
     val w = Window.partitionBy(col(keyCol), col("__b"))

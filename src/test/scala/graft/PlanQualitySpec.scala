@@ -130,15 +130,16 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("q_mix_shards: one corpus scan through the composition; pack window per shard") {
-    // The mix→shard→pack manifest must not re-derive the corpus per stage:
-    // the mixer's histogram is materialized at construction, so the final
-    // plan holds ONE corpus scan (the mixer's main pass); shard assignment
-    // and token packing are narrow expressions plus one hash-even shuffle
-    // by shard — never a global (empty-partition) window.
+  test("q_mix_shards: no extra corpus scan in the composition; pack window per shard") {
+    // The mix→shard→pack manifest must not re-derive the corpus per
+    // stage: the final plan holds exactly the mixer's own two scans
+    // (histogram + main pass — both lazy since the window-form quota
+    // metadata landed); shard assignment and token packing are narrow
+    // expressions plus one hash-even shuffle by shard — never a global
+    // (empty-partition) window and never a third scan.
     val plan = planOf("q_mix_shards")
     val scans = "ReadSchema:".r.findAllIn(plan).length
-    assert(scans <= 1, s"composition scans the corpus $scans times:\n${plan.take(600)}")
+    assert(scans <= 2, s"composition scans the corpus $scans times:\n${plan.take(600)}")
     val specs = "windowspecdefinition\\(([^)]*)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     val packSpecs = specs.filter(_.contains("order_key"))
