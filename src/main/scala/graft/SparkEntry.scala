@@ -697,6 +697,15 @@ object SparkEntry {
         n = 4, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
+    // The dfCap-guarded exact-jaccard path (stop-shingles rerouted through
+    // the pair-keyed decomposition — the production setting for corpora
+    // with corpus-wide boilerplate): same answer as q_dedup_jaccard (one
+    // oracle SQL pins both), bounded worst join bucket.
+    "q_dedup_jaccard_capped" -> ((s, dir) =>
+      graft.functions.Dedup.jaccardPairs(pq(s, dir, "documents"), "doc_id", "text",
+        n = 4, threshold = 0.8, dfCap = 1000)
+        .orderBy("id_a", "id_b")),
+
     // Leader-clustering text near-dup: members verify against their LSH
     // band-bucket / content-hash leaders only — candidate AND output volume
     // linear even over dense near-dup families where the all-pairs answer
@@ -1899,6 +1908,17 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
         .orderBy("lang", "rnk")),
 
+    // The DOMAIN-cardinality form: same quotas and picks as
+    // q_temperature_mix (one oracle SQL pins both) through keyed metadata
+    // joins — no whole-frame window, no bucket-offset broadcast — so a
+    // 10^6-key mix neither single-reduces nor OOMs an executor.
+    "q_temperature_mix_manykeys" -> ((s, dir) =>
+      graft.functions.Sampling.temperatureMixManyKeys(
+        pq(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", n = 200L)
+        .select(col("lang"), col("doc_id"), col("quota"), col("rnk"))
+        .orderBy("lang", "rnk")),
+
     // Largest-remainder completion: quotas sum to EXACTLY n before the
     // population caps (integer-exact decimal/HUGEINT remainder ranking —
     // the opt-in topUp variant; the plain q_temperature_mix keeps the
@@ -2861,6 +2881,53 @@ object SparkEntry {
          |  SELECT g1.doc_id, g1_drop, g2_drop, g3_drop, g4_drop
          |  FROM g1 JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
          |  JOIN g4 USING (doc_id))""".stripMargin
+
+  /** Exact inverted-index jaccard pairs — shared verbatim by
+    * q_dedup_jaccard (uncapped witness) and q_dedup_jaccard_capped (the
+    * dfCap-guarded production path): the two agree on every corpus whose
+    * stop-shingle-only pairs sit below threshold (all of them, at 0.8). */
+  private val jaccardPairsOracleSql: String =
+    s"""WITH $shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The alpha-sampling quota+pick replay, shared verbatim by
+    * q_temperature_mix (window-form metadata) and
+    * q_temperature_mix_manykeys (keyed metadata): the two operators differ
+    * only in physical plan, so one SQL pins both. */
+  private val temperatureMixOracleSql: String =
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1),
+      |weights AS (
+      |  SELECT lang, CAST(cnt AS BIGINT) AS keyn,
+      |    CAST(round(sqrt(cnt) * 1e6, 0) AS BIGINT) AS w6 FROM counts),
+      |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+      |quotas AS (
+      |  SELECT lang, least(
+      |    CAST(floor(200.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT),
+      |    keyn) AS quota
+      |  FROM weights CROSS JOIN total),
+      |hashed AS (
+      |  SELECT doc_id, lang,
+      |    round(((('0x' || substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+      |      / 4294967296.0), 6) AS samp_u
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT h.doc_id, h.lang, q.quota,
+      |    CAST(row_number() OVER (PARTITION BY h.lang ORDER BY h.samp_u ASC, h.doc_id ASC) AS BIGINT) AS rnk
+      |  FROM hashed h JOIN quotas q USING (lang))
+      |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
+      |ORDER BY lang, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_clean_rows" -> withCtes(
@@ -4071,20 +4138,15 @@ object SparkEntry {
          |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_jaccard" ->
-      s"""WITH $shingleCtes,
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
-         |FROM pairs
-         |JOIN sizes sa ON id_a = sa.doc_id
-         |JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_jaccard" -> jaccardPairsOracleSql,
+
+    // The skew-guarded (dfCap) path computes the SAME answer — a pair
+    // whose only overlap is stop-shingles cannot reach threshold 0.8, and
+    // the stop-term decomposition keeps `inter` exact for every candidate
+    // — so the exact inverted-index SQL pins it verbatim. The plan differs
+    // (the hot shingle's join bucket is rerouted); the hot-band ×100 rows
+    // in BASELINE.md measure that difference.
+    "q_dedup_jaccard_capped" -> jaccardPairsOracleSql,
 
     "q_dedup_leaders" ->
       s"""WITH $shingleCtes,
@@ -5266,29 +5328,13 @@ object SparkEntry {
     // engines, the quota division is one correctly-rounded double divide
     // of exactly-representable longs, and row order is the shared
     // content-hash-uniform recipe — quotas and picks replay bit-exactly.
-    "q_temperature_mix" ->
-      """WITH counts AS (
-        |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1),
-        |weights AS (
-        |  SELECT lang, CAST(cnt AS BIGINT) AS keyn,
-        |    CAST(round(sqrt(cnt) * 1e6, 0) AS BIGINT) AS w6 FROM counts),
-        |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
-        |quotas AS (
-        |  SELECT lang, least(
-        |    CAST(floor(200.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT),
-        |    keyn) AS quota
-        |  FROM weights CROSS JOIN total),
-        |hashed AS (
-        |  SELECT doc_id, lang,
-        |    round(((('0x' || substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
-        |      / 4294967296.0), 6) AS samp_u
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT h.doc_id, h.lang, q.quota,
-        |    CAST(row_number() OVER (PARTITION BY h.lang ORDER BY h.samp_u ASC, h.doc_id ASC) AS BIGINT) AS rnk
-        |  FROM hashed h JOIN quotas q USING (lang))
-        |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
-        |ORDER BY lang, rnk""".stripMargin,
+    "q_temperature_mix" -> temperatureMixOracleSql,
+
+    // The keyed (domain-cardinality) variant computes the SAME quotas and
+    // picks through keyed joins instead of whole-frame windows +
+    // broadcasts — the oracle is literally the same SQL, pinning the plan
+    // swap as a pure physical change.
+    "q_temperature_mix_manykeys" -> temperatureMixOracleSql,
 
     // Top-up replay: exact HUGEINT quotient/remainder per key, remainder-
     // ranked +1 for the n - Σ floor leftover, then the population cap and

@@ -117,7 +117,12 @@ object Sampling {
     * shuffle, and a rank window partitioned by (key, bucket) — the
     * surviving ~quota rows sort in ≤ keyn/[[RankBuckets]]-row chunks.
     * `rnk` = bucket offset + within-bucket rank, bit-identical to the
-    * single-window per-key rank. Output: the sampled rows + (quota, rnk). */
+    * single-window per-key rank. Output: the sampled rows + (quota, rnk).
+    *
+    * Key-cardinality envelope: ENFORCED ([[MixerMaxKeys]]) — past
+    * `graft.mixer.maxKeys` the quota column raises with guidance instead
+    * of single-reducing the histogram; domain-cardinality mixes go
+    * through [[temperatureMixManyKeys]]. */
   def temperatureMix(
       df: DataFrame, idCol: String, keyCol: String,
       n: Long, alpha: Double = 0.5, seed: String = "graft",
@@ -144,6 +149,81 @@ object Sampling {
       .orderBy(col("samp_u").asc, col(idCol).asc)
     hashed
       .join(broadcast(bmeta), Seq(keyCol, "__b"))
+      .withColumn("rnk", (col("__off") + row_number().over(w)).cast("long"))
+      .filter(col("rnk") <= col("quota"))
+      .drop("samp_u", "__b", "__off")
+  }
+
+  /** [[temperatureMix]] for DOMAIN-cardinality mixing keys (10^6-10^7
+    * values — "at most its alpha-share per registrable domain"), where the
+    * window-form metadata is wrong twice over: the whole-frame quota
+    * windows would funnel a corpus-scale histogram through ONE partition,
+    * and the bucket-offset broadcast would ship a corpus-scale frame to
+    * every executor ([[MixerMaxKeys]] guards the default path against
+    * exactly this). Same quotas, same selection, same output — bit-equal
+    * to [[temperatureMix]] (spec-pinned; q_temperature_mix_manykeys pins
+    * it against the same oracle) — but every metadata step scales with
+    * key count:
+    *
+    *   - per-key masses aggregate ONCE into a |keys|-row frame, cached
+    *     (persist — lazy, lineage-backed) because it feeds both the
+    *     weight-sum scalar and the quota join;
+    *   - Σ w^alpha is an AGGREGATE to one broadcast row, not a
+    *     whole-frame window (a window cannot tree-reduce: its partition
+    *     holds every row regardless of what is summed);
+    *   - quota and bucket-offset joins are KEYED (shuffle on the key; AQE
+    *     broadcasts from measured size when the key space is actually
+    *     small), never hinted broadcast — at 10^7 keys the offset frame
+    *     is up to O(n + |keys|) rows, far past broadcast budget;
+    *   - the rank join and window share one exchange on (key, bucket).
+    *
+    * Cost: three corpus scans (masses + histogram + main pass) versus the
+    * window form's two — the price of not holding the key space in one
+    * task. The per-key population cap and the two-phase bucket rank are
+    * unchanged, so a dominant key among the many is still spread over
+    * [[RankBuckets]] sort chunks. No `topUp`: largest-remainder
+    * completion globally ranks keys by remainder — a single-partition
+    * sort of the key space, the exact shape this variant exists to avoid
+    * (and distributing < |keys| leftover rows is noise at this
+    * cardinality). */
+  def temperatureMixManyKeys(
+      df: DataFrame, idCol: String, keyCol: String,
+      n: Long, alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 0L, s"n must be >= 0, got $n")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    requireFreeColumns(df, "temperatureMixManyKeys",
+      Seq("quota", "rnk", "samp_u", "__b", "__bn", "__off", "__mass",
+        "__w6", "__sumw6"))
+    val masses = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__mass"))
+      .persist()
+    val m = col("__mass").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(m) else pow(m, lit(alpha))
+    val weights = masses.withColumn("__w6", round(wExpr * 1e6, 0).cast("long"))
+    // The scalar referencing `weights` twice is safe: masses is cached, so
+    // the second reference replays a narrow map over the cache, not the
+    // corpus aggregation (the agg-plus-cross-join trap alphaQuotas' window
+    // form exists to avoid applies to UNCACHED subtrees).
+    val sumw6 = weights.agg(sum(col("__w6")).cast("long").as("__sumw6"))
+    val quotas = weights.crossJoin(broadcast(sumw6))
+      .select(col(keyCol),
+        least(floor(lit(n.toDouble) * col("__w6").cast("double")
+          / col("__sumw6").cast("double")).cast("long"), col("__mass"))
+          .as("quota"))
+    val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
+    val hashed = df.withColumn("samp_u", round(u, 6))
+      .withColumn("__b", rankBucket(col("samp_u")))
+    val hist = hashed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+    val bmeta = bucketOffsets(hist, keyCol, "__bn")
+      .join(quotas, Seq(keyCol))
+      .filter(col("__off") < col("quota"))
+      .select(col(keyCol), col("__b"), col("__off"), col("quota"))
+    val w = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("samp_u").asc, col(idCol).asc)
+    hashed
+      .join(bmeta, Seq(keyCol, "__b"))
       .withColumn("rnk", (col("__off") + row_number().over(w)).cast("long"))
       .filter(col("rnk") <= col("quota"))
       .drop("samp_u", "__b", "__off")
@@ -189,6 +269,11 @@ object Sampling {
     // contributes its weight to the whole-frame sum.
     val withW = base
       .withColumn("__w6", round(wExpr * 1e6, 0).cast("long"))
+      // Key count and weight sum share the one whole-frame window pass:
+      // the cardinality guard costs nothing in-envelope, and it observes
+      // the AGGREGATED histogram, never corpus rows.
+      .withColumn("__nk",
+        sum(when(col("__rn") === 1, 1L)).over(all).cast("long"))
       .withColumn("__sumw6",
         sum(when(col("__rn") === 1, col("__w6"))).over(all).cast("long"))
     val out =
@@ -211,8 +296,42 @@ object Sampling {
         .withColumn("quota",
           col("__q0") + when(col("__kr") <= col("__t"), 1L).otherwise(0L))
     out.select(hist.columns.map(col) ++
-      Seq(col("__off"), col("__mass"), col("quota")): _*)
+      Seq(col("__off"), col("__mass"),
+        guardedQuota("mixer quota metadata", mixerMaxKeys(hist)).as("quota")): _*)
   }
+
+  /** Ceiling on MIXING-KEY cardinality for the window-form quota metadata
+    * ([[histMeta]] / [[alphaQuotas]]); session-tunable via
+    * `graft.mixer.maxKeys`. The mixers' quota side runs whole-frame
+    * windows in ONE partition (bounded by |keys|·[[RankBuckets]] histogram
+    * rows) and BROADCASTS the bucket-offset frame — correct and cheap for
+    * a corpus-source key (a handful of values), silently degrading toward
+    * a single-reducer sort + a multi-GB broadcast for a domain-cardinality
+    * key (10^6-10^7 values). Past this ceiling the quota column raises a
+    * curated error instead (checked in the same window pass — zero cost
+    * in-envelope, and the guard sees the AGGREGATED key count, never
+    * corpus rows); route high-cardinality count mixes through
+    * [[temperatureMixManyKeys]], whose metadata joins are keyed. */
+  private[functions] val MixerMaxKeys: Int = 65536
+
+  private def mixerMaxKeys(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("graft.mixer.maxKeys")
+      .map(_.toInt).getOrElse(MixerMaxKeys)
+
+  /** Wrap a computed quota column with the [[MixerMaxKeys]] guard: raises
+    * with guidance when `__nk` (the observed key count, computed in the
+    * same whole-frame window pass as the weight sum) exceeds the ceiling. */
+  private def guardedQuota(op: String, maxKeys: Int): Column =
+    when(col("__nk") > lit(maxKeys.toLong), raise_error(concat(
+      lit(s"$op: mixing-key cardinality "), col("__nk"),
+      lit(s" exceeds graft.mixer.maxKeys ($maxKeys) — the window-form " +
+        "quota metadata runs single-partition windows and broadcasts " +
+        "bucket offsets, which assumes a corpus-source key (a handful of " +
+        "values). For domain-cardinality count mixing use " +
+        "temperatureMixManyKeys (keyed quota joins); or raise " +
+        "graft.mixer.maxKeys if the histogram genuinely fits one task")))
+      .cast("long"))
+      .otherwise(col("quota"))
 
   /** samp_u buckets for the mixers' two-phase rank: 2^16 spreads a key
     * that owns the whole corpus over 65k rank partitions (each bounded
@@ -268,12 +387,15 @@ object Sampling {
     // caught exactly that — 3 corpus scans instead of 2). The weights
     // frame is key-cardinality-bounded, so one single-partition window
     // over it is free.
+    val all = Window.partitionBy(lit(1))
     weights
-      .withColumn("__sumw6",
-        sum(col("__w6")).over(Window.partitionBy(lit(1))).cast("long"))
-      .select(col(keyCol), col("__mass"),
+      .withColumn("__nk", count(lit(1)).over(all).cast("long"))
+      .withColumn("__sumw6", sum(col("__w6")).over(all).cast("long"))
+      .withColumn("quota",
         floor(lit(n.toDouble) * col("__w6").cast("double")
-          / col("__sumw6").cast("double")).cast("long").as("quota"))
+          / col("__sumw6").cast("double")).cast("long"))
+      .select(col(keyCol), col("__mass"),
+        guardedQuota("mixer quota metadata", mixerMaxKeys(masses)).as("quota"))
   }
 
   /** Reserved-name guard for the mixers (and the DSIR streaming gate):
@@ -419,14 +541,20 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     requireFreeColumns(df, "temperatureMixByWeight",
       Seq("quota", "cum", "samp_u", "__b", "__bw", "__off"))
-    // Materialized once (<= |keys| rows): the quota frame feeds both the
+    // Cached once (<= |keys| rows): the quota frame feeds both the
     // eligibility join and the bucket-offset join — unmaterialized, each
-    // consumer would re-run the corpus mass aggregation.
+    // consumer would re-run the corpus mass aggregation. persist(), not
+    // localCheckpoint(): lazy (no corpus job fires at operator
+    // construction — the histMeta discipline) and lineage-backed, so an
+    // executor loss or cache eviction recomputes the deterministic quota
+    // frame instead of failing the job on missing checkpoint blocks. The
+    // cache lives until the session evicts it (same lifecycle note as the
+    // DSIR fit histograms).
     val quotas = alphaQuotas(
         df.groupBy(col(keyCol)).agg(sum(col(weightCol).cast("long")).as("__mass")),
         keyCol, budget, alpha)
       .select(col(keyCol), least(col("quota"), col("__mass")).as("quota"))
-      .localCheckpoint()
+      .persist()
     val u = hashUniform(lit(seed), col(keyCol), col(idCol).cast("string"))
     // Maximal-prefix fill: cumulative sum over hash order, keep while
     // cum <= quota; rows whose own weight exceeds the quota are excluded

@@ -194,6 +194,22 @@ class PostgresCopyTableStore(
     if (!exists(table)) { createTable(table, df.schema); copyIn(table, df) }
     else commitAll(Nil, Nil, Seq(table -> df))
 
+  /** True CAS via Postgres's transactional DDL: two racing CREATE TABLEs
+    * (deliberately NOT `IF NOT EXISTS`) serialize on the catalog lock and
+    * the loser errors — the database itself is the arbiter. Rows COPY in
+    * after the create; a writer crashing between the two leaves an EMPTY
+    * claim, which readers must treat as claimed (VersionedIndex wraps
+    * that read with the recovery guidance). */
+  override def createIfAbsent(table: String, df: DataFrame): Boolean = {
+    if (exists(table)) return false
+    try createTable(table, df.schema)
+    catch {
+      case e: Exception => if (exists(table)) return false else throw e
+    }
+    copyIn(table, df)
+    true
+  }
+
   override def overwriteAll(tables: Seq[(String, DataFrame)]): Unit =
     commitAll(Nil, Nil, tables)
 

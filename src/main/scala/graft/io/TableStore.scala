@@ -77,6 +77,18 @@ trait TableStore {
     if (overwrites.nonEmpty) overwriteAll(overwrites)
   }
 
+  /** Create `table` with `df`'s rows ONLY if it does not already exist;
+    * returns true iff THIS call created it — the mutual-exclusion
+    * primitive [[VersionedIndex.rebuild]] claims generations through.
+    * Backends with an atomic create override with a true compare-and-swap
+    * (Postgres: the catalog's own CREATE TABLE serialization; parquet:
+    * POSIX/HDFS rename-refuses-existing-directory). This DEFAULT is
+    * CHECK-THEN-ACT — two racers inside the exists→write window can both
+    * report true — so callers that need exclusion on a default-impl store
+    * must verify after winning (VersionedIndex re-reads its writer token). */
+  def createIfAbsent(table: String, df: DataFrame): Boolean =
+    if (exists(table)) false else { overwrite(table, df); true }
+
   /** Remove a table entirely — the garbage-collection primitive
     * [[VersionedIndex.prune]] uses on superseded index generations. Must
     * only be called when no live plan or pinned snapshot still reads the
@@ -188,6 +200,48 @@ class ParquetTableStore(
 
   override def overwrite(table: String, df: DataFrame): Unit =
     swap(table, writeTmp(table, df))
+
+  /** True CAS via the filesystem's rename exclusivity: both racers write
+    * their own tmp dir, then rename onto the target, and exactly one
+    * rename wins. The legacy `FileSystem#rename` CANNOT express this (it
+    * has `mv` semantics — an existing directory target silently absorbs
+    * src as a CHILD; measured: 8 racers all "won"), so:
+    *   - local (`file:`) roots rename through POSIX rename(2)
+    *     (`Files.move` ATOMIC_MOVE) — atomically refuses an existing
+    *     non-empty target (a freshly created table dir is never empty:
+    *     parquet writes data + _SUCCESS);
+    *   - other schemes rename through `FileContext` with the default
+    *     `Rename.NONE`, which refuses an existing destination — enforced
+    *     atomically by the HDFS namenode.
+    * The loser's tmp is deleted and it reports false. Object stores
+    * without atomic rename (s3a) cannot host this guarantee — put claims
+    * on a database-backed store there. */
+  override def createIfAbsent(table: String, df: DataFrame): Boolean = {
+    if (exists(table)) return false
+    val tmp = writeTmp(table, df)
+    val target = new Path(dir(table))
+    val won =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
+      else
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+            .rename(tmp, target)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException if fs.exists(target) => false
+        }
+    if (!won) fs.delete(tmp, true)
+    won
+  }
 
   override def drop(table: String): Unit = {
     fs.delete(new Path(dir(table)), true)
@@ -393,6 +447,21 @@ class JdbcTableStore(
         finally st.close()
       } finally conn.close()
     }
+
+  /** True CAS via the database's DDL serialization: the writer's CREATE
+    * TABLE (Spark's ErrorIfExists JDBC write) races through the catalog
+    * lock — the loser's create errors and, seeing the table now exists,
+    * reports false. A writer that created the table but failed mid-insert
+    * leaves an EMPTY claim behind (reported false here; readers must
+    * treat empty as claimed — VersionedIndex does). */
+  override def createIfAbsent(table: String, df: DataFrame): Boolean =
+    if (tableExists(table)) false
+    else
+      try { write(df).jdbc(url, table, props); true }
+      catch {
+        case e: Exception =>
+          if (tableExists(table)) false else throw e
+      }
 
   /** Replace several tables whose plans may read EACH OTHER: every plan is
     * staged (materialized) before any target is touched, then all swaps run

@@ -56,6 +56,34 @@ object VersionedIndex {
   private def claimTable(name: String, generation: Long): String =
     s"${prefixOf(name, generation)}_claim"
 
+  /** The claim's first row, read DEFENSIVELY: an EMPTY or half-written
+    * claim table (a writer that created it and crashed before its row
+    * landed) reads as claimed-by-an-unknown-writer — generation 0 with no
+    * token — never as a raw NoSuchElementException. Token is "" for
+    * tokenless claims (pre-token format, or rows whose token is null). */
+  private def claimRow(store: TableStore, claim: String): (Long, String) =
+    store.load(claim).collect().headOption.map { r =>
+      val g = r.getLong(r.fieldIndex("generation"))
+      val t =
+        if (r.schema.fieldNames.contains("token") &&
+          !r.isNullAt(r.fieldIndex("token")))
+          r.getString(r.fieldIndex("token"))
+        else ""
+      (g, t)
+    }.getOrElse((0L, ""))
+
+  private def claimError(name: String, gen: Long): IllegalStateException =
+    new IllegalStateException(
+      s"generation $gen of versioned index '$name' is already claimed " +
+        s"(${claimTable(name, gen)} holds a live claim) — a concurrent " +
+        "rebuild is running, or a crashed one left partial tables behind; " +
+        "verify no writer is live, clean up the " +
+        s"${prefixOf(name, gen)}_* tables, then release the claim: drop " +
+        s"${claimTable(name, gen)} where the store supports drop, or on " +
+        "drop-less backends (e.g. the COPY-transport Postgres store) " +
+        "overwrite it with the single released-sentinel row " +
+        "(generation = -1)")
+
   /** Build generation current+1 under its own prefix via `build(prefix)`,
     * then publish it by atomically swapping the manifest — the ONLY write
     * that changes what readers resolve, and the LAST one. Returns the new
@@ -63,33 +91,38 @@ object VersionedIndex {
     * generation serves untouched (the claim marker below stays behind as
     * the crashed build's tombstone).
     *
-    * SINGLE-WRITER CONTRACT: rebuilds must not run concurrently for the
-    * same index name. Two concurrent rebuilds would both read the same
-    * current generation, build into the same g+1 prefix, and interleave
-    * their table writes — recreating exactly the mixed-generation state
-    * this class exists to prevent ([[publish]] is last-write-wins, not
-    * compare-and-swap; [[TableStore]] has no create-if-absent primitive
-    * to build a true CAS on). As a guard, rebuild CLAIMS its target
-    * generation with a marker table before building and fails fast if
-    * the marker already exists — catching overlapping rebuilds whose
-    * races are longer than the one marker write, and crashed builds
-    * whose half-written tables would otherwise be silently republished.
-    * After a crash (or a verified-dead writer), drop
-    * `<name>_g<gen>_claim` to release the generation. */
+    * SINGLE-WRITER ENFORCEMENT: rebuild CLAIMS its target generation
+    * before building, through [[TableStore.createIfAbsent]] — a true
+    * compare-and-swap on backends with an atomic create (Postgres DDL,
+    * filesystem rename), so two rebuilds racing the same generation
+    * resolve to exactly one builder and one [[claimError]]; without the
+    * claim they would interleave table writes into the same g+1 prefix —
+    * the mixed-generation state this class exists to prevent ([[publish]]
+    * is last-write-wins). Two residual windows, both verified after the
+    * fact: (a) on default (check-then-act) createIfAbsent stores and (b)
+    * when re-taking a RELEASED (-1 sentinel) claim on a drop-less store,
+    * the writer re-reads the claim and proceeds only if it still holds
+    * its own token — shrinking any race to the one marker write. Crashed
+    * builds leave a live claim behind, so a blind retry fails fast; the
+    * error message carries the recovery steps. */
   def rebuild(store: TableStore, name: String, spark: SparkSession)(
       build: String => Unit): String = {
     val gen = currentGeneration(store, name).getOrElse(0L) + 1L
     val claim = claimTable(name, gen)
-    // A claim row >= 0 is live; -1 is the released sentinel left on
-    // stores without a drop primitive (see the release below).
-    if (store.exists(claim) && store.load(claim).head().getLong(0) >= 0L)
-      throw new IllegalStateException(
-        s"generation $gen of versioned index '$name' is already claimed " +
-          s"($claim exists) — a concurrent rebuild is running, or a crashed " +
-          "one left partial tables behind; verify no writer is live, clean " +
-          s"up the ${prefixOf(name, gen)}_* tables, and drop $claim")
+    val token = java.util.UUID.randomUUID().toString
     import spark.implicits._
-    store.overwrite(claim, Seq(gen).toDF("generation"))
+    def claimDf = Seq((gen, token)).toDF("generation", "token")
+    if (store.exists(claim)) {
+      // A live claim (generation >= 0, or an empty/half-written table)
+      // belongs to another writer; only the released sentinel (-1) may
+      // be re-taken — by overwrite, since the table exists.
+      if (claimRow(store, claim)._1 >= 0L) throw claimError(name, gen)
+      store.overwrite(claim, claimDf)
+    } else if (!store.createIfAbsent(claim, claimDf)) throw claimError(name, gen)
+    // Post-claim verification closes the residual windows: proceed only
+    // if the claim still carries THIS writer's token.
+    val (heldGen, heldToken) = claimRow(store, claim)
+    if (heldGen != gen || heldToken != token) throw claimError(name, gen)
     val prefix = prefixOf(name, gen)
     build(prefix)
     publish(store, name, spark, gen)
@@ -98,7 +131,7 @@ object VersionedIndex {
     // drop-less backend (e.g. the COPY-transport Postgres store).
     try store.drop(claim)
     catch { case _: UnsupportedOperationException =>
-      store.overwrite(claim, Seq(-1L).toDF("generation"))
+      store.overwrite(claim, Seq((-1L, "")).toDF("generation", "token"))
     }
     prefix
   }

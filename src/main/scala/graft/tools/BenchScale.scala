@@ -24,6 +24,7 @@ object BenchScale {
     "q_dedup_exact",       // content-hash shuffle
     "q_dedup_lsh_pairs",   // signature pass + band buckets
     "q_cluster_sizes",     // guardedPairs materialization + label propagation
+    "q_corpus_prep",       // quality gates + dup-loser anti-join (pairs warm from above)
     "q_hard_negatives",    // DF-capped inverted index at lo = 0.01
     "q_dedup_incremental", // Bloom + broadcast verify
     "q_repeated_ngrams",   // shingle-keyed aggregation
@@ -43,6 +44,12 @@ object BenchScale {
     "q_ngram_novelty",     // shingle-keyed first-occurrence credit
     "q_tfidf_top",         // tf-idf with auto-switched vocab join
     "q_dedup_prefix_pairs", // PPJoin prefix index (exactness witness)
+    // round-14 addition: the dfCap-guarded exact jaccard. Run against a
+    // `ScaleGen ... hotband` corpus (one boilerplate sentence on 30% of
+    // docs) — the stop-shingle bucket the cap exists to reroute; the
+    // uncapped q_dedup_jaccard is quadratic there BY CONSTRUCTION and
+    // stays excluded (its candidate volume, not its answer, explodes).
+    "q_dedup_jaccard_capped",
     "q_dedup_simhash_pairs", // pigeonhole-banded hamming pairs (32-bit)
     "q_dedup_simhash64_pairs", // 64-bit variant: the occupancy scale path
     "q_dedup_incremental_near", // batch-broadcast near-dup vs corpus
@@ -92,6 +99,10 @@ object BenchScale {
     "q_temperature_mix",
     "q_temperature_mix_topup", // round 13: exact-sum quotas — same corpus cost, one extra tiny window
     "q_temperature_mix_tokens",
+    // round-14 addition: the domain-cardinality mixer (keyed quota
+    // metadata). Run against a `ScaleGen ... manykeys` corpus (~100k
+    // mixing keys) — the shape the window form's guard refuses.
+    "q_temperature_mix_manykeys",
     // round-13 additions: the remaining per-key-window operators, for the
     // adversarial-skew rows. The literal-cap window (q_source_cap) and
     // the literal-k weighted sample rely on Spark 4.1's WindowGroupLimit

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *     discipline for blocked linkage (the adversarial mega-block lives in
   *     LinkageStressSpec, where it is measured, not benched).
   *
-  * Usage: ScaleGen <inDir> <outDir> <k>
+  * Usage: ScaleGen <inDir> <outDir> <k> [skew|manykeys|hotband]
   */
 object ScaleGen {
 
@@ -70,6 +70,46 @@ object ScaleGen {
       .withColumn("lang", when(h < 9, lit("en")).otherwise(col("lang")))
       .withColumn("source", when(h < 9, lit("commoncrawl")).otherwise(col("source")))
   }
+
+  /** Domain-cardinality documents ×k: [[scaleDocuments]] then re-key
+    * `lang` (the mixer queries' mixing key) to ~100k distinct values —
+    * "mix by registrable domain", the key shape the window-form quota
+    * metadata must REFUSE ([[graft.functions.Sampling.MixerMaxKeys]]) and
+    * the keyed variant (temperatureMixManyKeys) must absorb. 100003 keys
+    * (prime, so the md5 pmod spreads evenly) at ×100 gives ~60 docs/key:
+    * past the default 65536-key ceiling, and quota floor(n·w^α/Σ) is
+    * exercised in its everything-rounds-to-zero-or-one regime. */
+  def manyKeyDocuments(docs: DataFrame, k: Int): DataFrame = {
+    val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long"), lit(100003L))
+    scaleDocuments(docs, k)
+      .withColumn("lang", concat(lit("d"), h.cast("string")))
+  }
+
+  /** HOT-BAND documents ×k: [[scaleDocuments]] then append ONE shared
+    * boilerplate sentence to ~30% of ALL replicas' docs (by doc_id content
+    * hash — deterministic, replica-independent, so the hot set GROWS with
+    * k). The sentence's 4-shingles become corpus-wide stop-shingles
+    * (df ≈ 0.3·N·k): the adversary of the shingle-keyed inverted index
+    * (one join bucket of (0.3Nk)² pairs unless dfCap reroutes it) and the
+    * shape real web crawls have (footer/cookie boilerplate on a third of
+    * pages). Pairs overlapping ONLY on the sentence sit far below any
+    * useful jaccard threshold, so answers are unchanged — only candidate
+    * volume is attacked. n_chars is refreshed (weight-keyed operators see
+    * the true lengths). */
+  def hotBandDocuments(docs: DataFrame, k: Int): DataFrame = {
+    val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10L))
+    scaleDocuments(docs, k)
+      .withColumn("text", when(h < 3,
+        concat(col("text"), lit(" " + HotBandSentence))).otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** The planted boilerplate (14 words → 11 shared 4-shingles per doc). */
+  val HotBandSentence: String =
+    "subscribe to our newsletter for daily updates exclusive offers " +
+      "and breaking news from partners"
 
   /** events ×k: user/event ids shift per replica (distinct users, so
     * sessions/retention cohorts never straddle replicas — the workload a
@@ -170,9 +210,12 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, kStr) = args.take(3)
     val k = kStr.toInt
-    // Optional 4th arg `skew`: adversarial dominant-key documents corpus
-    // (see [[skewDocuments]]); the other tables scale as usual.
-    val skew = args.length > 3 && args(3) == "skew"
+    // Optional 4th arg — adversarial documents modes (other tables scale
+    // as usual): `skew` = dominant mixing key ([[skewDocuments]]),
+    // `manykeys` = domain-cardinality mixing key ([[manyKeyDocuments]]),
+    // `hotband` = corpus-wide boilerplate stop-shingle
+    // ([[hotBandDocuments]]).
+    val mode = if (args.length > 3) args(3) else ""
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", 8)
@@ -180,15 +223,19 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def pq(t: String) = spark.read.parquet(s"$inDir/$t.parquet")
-    (if (skew) skewDocuments(pq("documents"), k) else scaleDocuments(pq("documents"), k))
-      .repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    (mode match {
+      case "skew" => skewDocuments(pq("documents"), k)
+      case "manykeys" => manyKeyDocuments(pq("documents"), k)
+      case "hotband" => hotBandDocuments(pq("documents"), k)
+      case _ => scaleDocuments(pq("documents"), k)
+    }).repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaleEmbeddings(pq("embeddings"), k)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     scalePart(pq("part"), k)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
     scaleEvents(pq("events"), k)
       .repartition(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
-    println(s"""{"scaled":"$outDir","k":$k,"skew":$skew}""")
+    println(s"""{"scaled":"$outDir","k":$k,"mode":"${if (mode.isEmpty) "uniform" else mode}"}""")
     spark.stop()
   }
 }

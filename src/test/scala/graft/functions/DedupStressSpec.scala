@@ -119,4 +119,40 @@ class DedupStressSpec extends SparkSpec {
     assert(got === expected)
     assert(expected.nonEmpty)
   }
+
+  test("hot-band boilerplate: capped jaccard == uncapped answer while the cap engages") {
+    // The q_dedup_jaccard_capped oracle-sharing claim, pinned where the
+    // cap genuinely fires: a ScaleGen-hotband-shaped corpus — ONE shared
+    // boilerplate sentence appended to 30% of docs (df far above the cap)
+    // over distinct bodies plus planted true near-dup pairs. Pairs
+    // overlapping only on boilerplate sit far below threshold, so the
+    // capped answer (stop-shingles rerouted through the pair-keyed
+    // decomposition) must equal the uncapped witness EXACTLY — rows,
+    // scores, and all.
+    val boiler = graft.tools.ScaleGen.HotBandSentence
+    val docs = (0 until 600).map { i =>
+      val fam = i / 2
+      // 12 distinct body words per family; odd ids differ in ONE word
+      // (near-dup with 8/10 shared 4-shingles); a third of FAMILIES carry
+      // the boilerplate on both members (family-aligned, like real
+      // template spam — one-sided boilerplate would just dilute that
+      // pair's jaccard below threshold).
+      val last = if (i % 2 == 0) s"b${fam}h" else s"b${fam}x"
+      val body = s"w${fam}a w${fam}b w${fam}c w${fam}d w${fam}e w${fam}f " +
+        s"w${fam}g w${fam}h w${fam}i w${fam}j w${fam}k $last"
+      val text = if (fam % 3 == 0) s"$body $boiler" else body
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4,
+      threshold = 0.5, dfCap = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped === uncapped, "capped answer diverged from the witness")
+    // The cap is genuinely engaged (boilerplate shingle df = 200 > 100)
+    // and true pairs exist on both sides of the boilerplate divide.
+    assert(uncapped.nonEmpty)
+    assert(uncapped.exists { case (a, _, _) => (a / 2) % 3 == 0 } &&
+      uncapped.exists { case (a, _, _) => (a / 2) % 3 != 0 })
+  }
 }

@@ -472,4 +472,70 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSet === got.toSet)
     assert(again.length === got.length)
   }
+
+  test("temperatureMixManyKeys == temperatureMix: keyed metadata is a pure physical change") {
+    // Mixed shape: one dominant key + a tail, quotas mid-bucket — the
+    // keyed variant must reproduce the window form's rows, quotas, AND
+    // ranks exactly (the shared oracle row pins the same equality at
+    // sf0.01; this pins it on an adversarial in-memory corpus too).
+    val corpus = ((1L to 800L).map(i => (i, "en")) ++
+      (1001L to 1080L).map(i => (i, "de")) ++
+      (2001L to 2030L).map(i => (i, "sw")) ++
+      (3001L to 3010L).map(i => (i, "fi")))
+      .toDF("doc_id", "lang")
+    val win = Sampling.temperatureMix(corpus, "doc_id", "lang", n = 250L)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val keyed = Sampling.temperatureMixManyKeys(corpus, "doc_id", "lang", n = 250L)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(keyed === win, "keyed quota/selection diverged from the window form")
+    // Layout-independence (the keyed joins introduce new exchanges; the
+    // content-hash selection must not care).
+    val again = Sampling.temperatureMixManyKeys(
+        corpus.repartition(7, col("doc_id")), "doc_id", "lang", n = 250L)
+      .select("lang", "doc_id", "quota", "rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again === win)
+  }
+
+  test("mixer key-cardinality guard: past graft.mixer.maxKeys the quota raises " +
+      "with guidance; the keyed variant has no ceiling") {
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val corpus = (1L to 200L).map(i => (i, s"k${i % 50}", i % 7 + 1L))
+      .toDF("doc_id", "key", "w")
+    spark.conf.set("graft.mixer.maxKeys", "8")
+    try {
+      // histMeta guard: count mixers.
+      val e1 = intercept[Exception] {
+        Sampling.temperatureMix(corpus, "doc_id", "key", n = 60L).collect()
+      }
+      assert(msgs(e1).contains("graft.mixer.maxKeys") &&
+        msgs(e1).contains("temperatureMixManyKeys"), msgs(e1).take(400))
+      val e2 = intercept[Exception] {
+        Sampling.epochMixExpand(corpus, "doc_id", "key", n = 60L).collect()
+      }
+      assert(msgs(e2).contains("graft.mixer.maxKeys"), msgs(e2).take(400))
+      // alphaQuotas guard: the weight mixer and the epoch plan.
+      val e3 = intercept[Exception] {
+        Sampling.temperatureMixByWeight(
+          corpus, "doc_id", "key", "w", budget = 300L).collect()
+      }
+      assert(msgs(e3).contains("graft.mixer.maxKeys"), msgs(e3).take(400))
+      // The keyed variant is the documented escape hatch: same call, same
+      // ceiling setting, correct result.
+      val keyed = Sampling.temperatureMixManyKeys(corpus, "doc_id", "key", n = 60L)
+        .select("key", "doc_id", "quota", "rnk")
+        .as[(String, Long, Long, Long)].collect()
+      assert(keyed.nonEmpty)
+      // ... equal to the window form once the ceiling admits the corpus.
+      spark.conf.set("graft.mixer.maxKeys", "1000")
+      val win = Sampling.temperatureMix(corpus, "doc_id", "key", n = 60L)
+        .select("key", "doc_id", "quota", "rnk")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(keyed.toSet === win)
+    } finally spark.conf.unset("graft.mixer.maxKeys")
+  }
 }

@@ -130,4 +130,15 @@ class JdbcStoreSpec extends SparkSpec {
     val rows = spark.read.jdbc(url, "ptx", props).as[(Int, String)].collect().toSet
     assert(rows === Set((1, "a"), (2, "b")))
   }
+
+  test("JdbcTableStore.createIfAbsent: creates once, refuses thereafter (DDL-arbitrated)") {
+    val store = new JdbcTableStore(spark, url, props)
+    import spark.implicits._
+    assert(store.createIfAbsent("cas_claim",
+      Seq((1L, "first")).toDF("generation", "token")))
+    assert(!store.createIfAbsent("cas_claim",
+      Seq((2L, "late")).toDF("generation", "token")))
+    val row = store.load("cas_claim").as[(Long, String)].head()
+    assert(row === ((1L, "first")))
+  }
 }

@@ -143,4 +143,34 @@ class PostgresCopyLifecycleSpec extends PostgresCluster {
     assert(r3.outcome === "SKIPPED")
     assert(psql("SELECT count(*) FROM contacts") === "3")
   }
+
+  test("createIfAbsent is a real CAS through Postgres DDL: racing writers, one winner") {
+    val s = spark
+    import s.implicits._
+    val store = new PostgresCopyTableStore(spark, psqlRunner, s"$pgRoot/scratch")
+    // Serial semantics first: create-once, then refuse.
+    assert(store.createIfAbsent("cas_claim",
+      Seq((1L, "first")).toDF("generation", "token")))
+    assert(!store.createIfAbsent("cas_claim",
+      Seq((2L, "late")).toDF("generation", "token")))
+    assert(store.load("cas_claim").orderBy("generation")
+      .as[(Long, String)].head() === ((1L, "first")))
+    // Race: 4 writers CREATE TABLE the same name concurrently — the
+    // catalog lock serializes them; exactly one reports true. (4, not 8:
+    // each locked-out CREATE holds a psql round trip.)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        val df = Seq((i.toLong, s"writer-$i")).toDF("generation", "token")
+        barrier.await()
+        results.put(i, store.createIfAbsent("cas_race", df))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val winners = (0 until 4).filter(results.get(_))
+    assert(winners.size === 1, s"winners: $winners")
+    assert(store.load("cas_race").as[(Long, String)].head() ===
+      ((winners.head.toLong, s"writer-${winners.head}")))
+  }
 }

@@ -233,4 +233,88 @@ class VersionedIndexSpec extends SparkSpec {
     assert(got2 !== got1)
     snap1.release()
   }
+
+  test("parquet createIfAbsent is a real CAS: 8 racing writers, exactly one winner") {
+    // The claim primitive's whole premise, validated empirically against
+    // the filesystem: POSIX rename(2) refuses a non-empty directory
+    // target atomically, so of N concurrent createIfAbsent calls exactly
+    // ONE returns true — and the surviving table holds the winner's row,
+    // never a blend.
+    val store = tmpStore()
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        val df = Seq((i.toLong, s"writer-$i")).toDF("generation", "token")
+        barrier.await()
+        results.put(i, store.createIfAbsent("cas_probe", df))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val winners = (0 until 8).filter(results.get(_))
+    assert(winners.size === 1, s"winners: $winners")
+    val row = store.load("cas_probe").as[(Long, String)].head()
+    assert(row === ((winners.head.toLong, s"writer-${winners.head}")),
+      s"surviving claim $row is not the winner's")
+    // Serial semantics: present table -> false, content untouched.
+    assert(!store.createIfAbsent("cas_probe", Seq((99L, "late")).toDF("generation", "token")))
+    assert(store.load("cas_probe").as[(Long, String)].head()._2 === s"writer-${winners.head}")
+  }
+
+  test("concurrent rebuilds: the loser gets the claim error, never a mixed generation") {
+    // Two writers rebuild the same index CONCURRENTLY — the winner holds
+    // its claim through a real build (latch-held so the overlap is
+    // deterministic, not scheduler luck; the claim-WRITE race itself is
+    // the 8-thread CAS drill above) while the loser attempts the same
+    // generation mid-build. The loser must surface the curated claim
+    // error (with the drop-less sentinel recovery guidance) and write
+    // NOTHING; the published generation is the winner's wholesale.
+    val store = tmpStore()
+    LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+    val inBuild = new java.util.concurrent.CountDownLatch(1)
+    val loserDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var winnerErr: Throwable = null
+    val winner = new Thread(() => {
+      try VersionedIndex.rebuild(store, "lex", spark) { p =>
+        inBuild.countDown()
+        LexIndex.build(store, p, corpusB, "doc_id", "text")
+        // Hold the claim until the loser has observed it.
+        loserDone.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+      catch { case t: Throwable => winnerErr = t }
+    })
+    winner.start()
+    try {
+      assert(inBuild.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      val boom = intercept[IllegalStateException] {
+        LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+      }
+      assert(boom.getMessage.contains("already claimed") &&
+        boom.getMessage.contains("generation = -1"), boom.getMessage)
+    } finally {
+      loserDone.countDown()
+      winner.join(120000)
+    }
+    assert(winnerErr === null, s"winner failed: $winnerErr")
+    // Generation 2 published, complete, serving the WINNER's corpus
+    // exactly (any loser write into the prefix would change served rows).
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(2L))
+    val want = TextAnalysis.bm25TopK(corpusB, "doc_id", "text",
+        queries, "doc_id", "text", k = 4)
+      .orderBy("qid", "rnk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(serve(LexIndex.snapshotVersioned(store, "lex")) === want)
+  }
+
+  test("empty claim table reads as claimed (curated error), not NoSuchElementException") {
+    val store = tmpStore()
+    LexIndex.rebuildVersioned(store, "lex", corpusA, "doc_id", "text")
+    // A writer that created the claim and died before its row landed.
+    store.overwrite("lex_g2_claim",
+      Seq((0L, "x")).toDF("generation", "token").limit(0))
+    val boom = intercept[IllegalStateException] {
+      LexIndex.rebuildVersioned(store, "lex", corpusB, "doc_id", "text")
+    }
+    assert(boom.getMessage.contains("already claimed"), boom.getMessage)
+    assert(VersionedIndex.currentGeneration(store, "lex") === Some(1L))
+  }
 }
