@@ -508,6 +508,62 @@ object LexIndex {
     * Scale: each input is already a top-k (k·|queries| rows), so the
     * union + one keyed aggregation + a qid-partitioned window is
     * query-batch-sized — never corpus-sized. */
+  /** PINNED hybrid retrieval with FUSED probe routing — the steady-state
+    * dual-encoder endpoint: BM25 over a [[LexSnapshot]] ⊕ probed IVF over
+    * an [[AnnIndex.IndexSnapshot]] ⊕ [[rrfFuse]], with the two
+    * retrievers' routing gathered in ONE driver round trip. Serving a
+    * batch otherwise pays TWO sequential routing jobs — the BM25 term
+    * gather and the IVF probe assignment — each a full job-submit +
+    * collect over the same (tiny, materialized) query batch; at a few
+    * hundred ms of fixed per-job latency apiece, that is the pinned
+    * hybrid's micro-batch floor (BenchHybridServe r13: ~2.7 s p50 at
+    * batch 64). Here both routing frames — (qid, term) and
+    * (cent_id, qid, qv, nq), each bounded by the batch itself — are
+    * tagged, UNIONed, and collected as one job, then split driver-side
+    * back into the per-retriever local frames the probe paths consume
+    * (the collectTerms convention: local frames feed broadcast probe
+    * sides, the distinct key strings feed static IN pushdowns).
+    * Row-identical to composing the two pinned serves separately
+    * (spec-pinned, and BenchHybridServe asserts it per batch before
+    * timing). Same query-id/corpus-id disjointness caveat as
+    * [[graft.stream.EventAnalytics.hybridProbeEachBatch]]. */
+  def hybridTopKPinned(
+      lexSnap: LexSnapshot, annSnap: AnnIndex.IndexSnapshot,
+      queries: DataFrame, qidCol: String, qTextCol: String, vecCol: String,
+      k: Int, nprobe: Int = 4, rrfC: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val qTerms = TextAnalysis.bm25QueryTerms(queries, qidCol, qTextCol)
+    val probes = Similarity.ivfProbes(annSnap.small, queries, qidCol, vecCol, nprobe)
+    val qvType = probes.schema("qv").dataType
+    val nulls = Seq(lit(null).cast("long").as("cent_id"),
+      lit(null).cast(qvType).as("qv"), lit(null).cast("double").as("nq"))
+    val tagged = qTerms.select(
+        lit("lex").as("__side") +: col("qid") +: col("term") +: nulls: _*)
+      .unionByName(probes.select(lit("ann").as("__side"),
+        col("query_id").as("qid"), lit(null).cast("string").as("term"),
+        col("cent_id"), col("qv"), col("nq")))
+    val rows = tagged.collect() // the ONE routing round trip per batch
+    import org.apache.spark.sql.Row
+    def local(rs: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(java.util.Arrays.asList(rs: _*), schema)
+    val (lexRows, annRows) = rows.toSeq.partition(_.getString(0) == "lex")
+    val lexLocal = local(lexRows.map(r => Row(r.get(1), r.get(2))), qTerms.schema)
+    val annLocal = local(
+      annRows.map(r => Row(r.get(3), r.get(1), r.get(4), r.get(5))), probes.schema)
+    val terms = lexRows.map(_.getString(2)).distinct
+    val probed = annRows.map(_.getLong(3)).distinct
+    val lex = bm25TopKLocalTerms(lexSnap, lexLocal, terms, k, k1, b)
+      .select(col("qid"), col("doc_id"), col("rnk"))
+    // Static cent_id pushdown + broadcast probe side — the ivfTopKFrames
+    // pruneProbed recipe over the already-collected routing rows.
+    val ann = Similarity.ivfSearchLists(
+        annSnap.big.filter(col("cent_id").isin(probed: _*)), annLocal, k)
+      .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("rnk"))
+    rrfFuse(Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC)
+  }
+
   def rrfFuse(
       rankings: Seq[DataFrame], qidCol: String, docCol: String,
       rankCol: String, k: Int, c: Int = 60): DataFrame = {

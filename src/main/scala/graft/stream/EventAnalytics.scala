@@ -463,26 +463,49 @@ object EventAnalytics {
     * mutations land at the next restart, and no compaction/rebuild may
     * replace either prefix under a live stream (versioned-prefix rebuilds
     * — [[graft.io.VersionedIndex]] — make that safe by construction).
-    * Same query-id/corpus-id disjointness caveat as the fresh form. */
+    * Same query-id/corpus-id disjointness caveat as the fresh form.
+    *
+    * `fuseRouting` (default) gathers BOTH retrievers' probe routing in
+    * ONE driver round trip per batch
+    * ([[graft.functions.LexIndex.hybridTopKPinned]]) — the r13 pinned
+    * floor was dominated by the two sequential routing collects; false
+    * keeps the two independent pinned serves composed (row-identical —
+    * BenchHybridServe asserts it per batch; the knob exists for that
+    * A/B and for callers that want the retrievers' plans fully
+    * independent). */
   def hybridProbeEachBatchPinned(
       lexSnap: graft.functions.LexIndex.LexSnapshot,
       annSnap: graft.functions.AnnIndex.IndexSnapshot,
       qidCol: String, qTextCol: String, vecCol: String,
       k: Int, nprobe: Int = 4, rrfC: Int = 60,
-      k1: Double = 1.2, b: Double = 0.75)(
+      k1: Double = 1.2, b: Double = 0.75,
+      fuseRouting: Boolean = true)(
       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch0, _) => {
-      val batch = materializeBatch(batch0)
+      // LAZY persist (no eager count): the routing collect is the
+      // batch's first consumer and populates the cache in-flight — an
+      // eager count() here is one more fixed-latency job on the pinned
+      // serve floor, which per-batch job overhead dominates (measured:
+      // the two routing collects themselves were only ~0.1 s of the
+      // ~2.2 s batch p50). Recompute-on-cache-race is a MemoryStream /
+      // source batch re-read — cheap and deterministic.
+      val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val lex = graft.functions.LexIndex.bm25TopK(
-            lexSnap, batch, qidCol, qTextCol, k, k1, b, pruneTerms = true)
-          .select(col("qid"), col("doc_id"), col("rnk"))
-        val ann = graft.functions.AnnIndex.ivfTopK(
-            annSnap, batch, qidCol, vecCol, k, nprobe, pruneProbed = true)
-          .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
-            col("rank").cast("long").as("rnk"))
-        sink(graft.functions.LexIndex.rrfFuse(
-          Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC))
+        if (fuseRouting)
+          sink(graft.functions.LexIndex.hybridTopKPinned(
+            lexSnap, annSnap, batch, qidCol, qTextCol, vecCol,
+            k, nprobe, rrfC, k1, b))
+        else {
+          val lex = graft.functions.LexIndex.bm25TopK(
+              lexSnap, batch, qidCol, qTextCol, k, k1, b, pruneTerms = true)
+            .select(col("qid"), col("doc_id"), col("rnk"))
+          val ann = graft.functions.AnnIndex.ivfTopK(
+              annSnap, batch, qidCol, vecCol, k, nprobe, pruneProbed = true)
+            .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+              col("rank").cast("long").as("rnk"))
+          sink(graft.functions.LexIndex.rrfFuse(
+            Seq(lex, ann), "qid", "doc_id", "rnk", k, rrfC))
+        }
       } finally {
         batch.unpersist()
         ()

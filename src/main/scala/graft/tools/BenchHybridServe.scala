@@ -16,7 +16,12 @@ import org.apache.spark.sql.streaming.Trigger
   * ([[EventAnalytics.hybridProbeEachBatch]] — index tables re-resolved
   * every micro-batch) and PINNED ([[EventAnalytics
   * .hybridProbeEachBatchPinned]] — both snapshots resolved once at stream
-  * start, the steady-QPS path). Queries are dual-encoder rows (text +
+  * start, the steady-QPS path), the pinned posture in BOTH routing
+  * shapes: separate (two sequential routing collects per batch — the r13
+  * floor) and FUSED (one union-collect round trip,
+  * [[LexIndex.hybridTopKPinned]] — the default). An untimed pre-pass
+  * asserts fused == separate row-for-row on EVERY batch before anything
+  * is timed. Queries are dual-encoder rows (text +
   * embedding) drawn from corpus members with ids remapped out of the
   * corpus id space (the fusion scaladoc's disjointness contract).
   *
@@ -99,8 +104,70 @@ object BenchHybridServe {
       k = k, nprobe = nprobe))
     val lexSnap = LexIndex.snapshot(lexStore, "lex")
     val annSnap = AnnIndex.ivfSnapshot(annStore, "ivf")
-    val pinnedSecs = drive("pinned", EventAnalytics.hybridProbeEachBatchPinned(
-      lexSnap, annSnap, "qid", "qtext", "qvec", k = k, nprobe = nprobe))
+
+    // Untimed equality pre-pass: EVERY batch's fused-routing result must
+    // equal the separate two-collect composition row-for-row — the fused
+    // number below can never be a speedup over different answers.
+    queryRows.grouped(batchSize).zipWithIndex.foreach { case (chunk, i) =>
+      val batch = spark.createDataFrame(chunk.toSeq)
+        .toDF("qid", "qtext", "qvec")
+      def rowsOf(df: DataFrame) =
+        df.select("qid", "doc_id", "rrf_score", "n_systems", "rnk")
+          .collect().map(_.toSeq).toSet
+      val fused = rowsOf(LexIndex.hybridTopKPinned(
+        lexSnap, annSnap, batch, "qid", "qtext", "qvec", k, nprobe))
+      val lex = LexIndex.bm25TopK(lexSnap, batch, "qid", "qtext",
+          k, 1.2, 0.75, pruneTerms = true)
+        .select(col("qid"), col("doc_id"), col("rnk"))
+      val ann = AnnIndex.ivfTopK(annSnap, batch, "qid", "qvec",
+          k, nprobe, pruneProbed = true)
+        .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+          col("rank").cast("long").as("rnk"))
+      val separate = rowsOf(LexIndex.rrfFuse(
+        Seq(lex, ann), "qid", "doc_id", "rnk", k))
+      require(fused == separate, s"batch $i: fused != separate routing")
+    }
+
+    // Fused vs separate routing, INTERLEAVED batch-by-batch on two
+    // standing streams: in-JVM phase order is a real effect (the later
+    // phase measured 0.77× the earlier on identical code — broadcast/GC
+    // accumulation), so sequential phases cannot compare the two paths.
+    // Alternating chunks lands session drift on both evenly; each path
+    // serves nBatches/2 chunks, first one excluded as its warm-up.
+    val inputF = MemoryStream[(Long, String, Array[Float])]
+    val inputS = MemoryStream[(Long, String, Array[Float])]
+    @volatile var gotF = 0L
+    @volatile var gotS = 0L
+    val qF = inputF.toDF().toDF("qid", "qtext", "qvec").writeStream
+      .foreachBatch(EventAnalytics.hybridProbeEachBatchPinned(
+        lexSnap, annSnap, "qid", "qtext", "qvec", k = k, nprobe = nprobe) {
+        out => gotF += out.count(); () })
+      .trigger(Trigger.ProcessingTime("0 seconds")).start()
+    val qS = inputS.toDF().toDF("qid", "qtext", "qvec").writeStream
+      .foreachBatch(EventAnalytics.hybridProbeEachBatchPinned(
+        lexSnap, annSnap, "qid", "qtext", "qvec", k = k, nprobe = nprobe,
+        fuseRouting = false) { out => gotS += out.count(); () })
+      .trigger(Trigger.ProcessingTime("0 seconds")).start()
+    val (fusedTimes, sepTimes) = {
+      val f = Vector.newBuilder[Double]
+      val s = Vector.newBuilder[Double]
+      queryRows.grouped(batchSize).zipWithIndex.foreach { case (chunk, i) =>
+        val fused = i % 2 == 0
+        val (input, q) = if (fused) (inputF, qF) else (inputS, qS)
+        val t0 = System.nanoTime()
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (fused) f += dt else s += dt
+      }
+      (f.result(), s.result())
+    }
+    qF.stop(); qS.stop()
+    val half = nBatches / 2
+    require(gotF == half.toLong * batchSize * k && gotS == half.toLong * batchSize * k,
+      s"interleaved fused rows $gotF / separate rows $gotS != expected ${half.toLong * batchSize * k}")
+    val pinnedSecs = fusedTimes
+    val sepSecs = sepTimes
     lexSnap.release()
     annSnap.release()
 
@@ -108,10 +175,11 @@ object BenchHybridServe {
     def stats(secs: Vector[Double]): (Double, Double, Double, Double) = {
       val steady = secs.tail
       val sorted = steady.sorted
-      ((nBatches - 1) * batchSize / steady.sum,
+      (steady.size * batchSize / steady.sum,
         secs.head, sorted(sorted.size / 2), sorted.last)
     }
     val (qps, warm, p50, pmax) = stats(freshSecs)
+    val (sQps, sWarm, sP50, sMax) = stats(sepSecs)
     val (pQps, pWarm, pP50, pMax) = stats(pinnedSecs)
     println(s"""{"metric":"hybrid_serve_qps","value":${r3(qps)},""" +
       s""""unit":"queries/sec","batches":$nBatches,"batch_size":$batchSize,""" +
@@ -119,6 +187,8 @@ object BenchHybridServe {
       s""""lex_build_sec":${r3(lexBuildSec)},"ann_build_sec":${r3(annBuildSec)},""" +
       s""""warm_batch_sec":${r3(warm)},"steady_batch_p50_sec":${r3(p50)},""" +
       s""""steady_batch_max_sec":${r3(pmax)},""" +
+      s""""pinned_separate_qps":${r3(sQps)},"pinned_separate_warm_batch_sec":${r3(sWarm)},""" +
+      s""""pinned_separate_batch_p50_sec":${r3(sP50)},"pinned_separate_batch_max_sec":${r3(sMax)},""" +
       s""""pinned_qps":${r3(pQps)},"pinned_warm_batch_sec":${r3(pWarm)},""" +
       s""""pinned_batch_p50_sec":${r3(pP50)},"pinned_batch_max_sec":${r3(pMax)}}""")
     spark.stop()
