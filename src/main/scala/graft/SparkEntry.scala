@@ -1997,6 +1997,53 @@ object SparkEntry {
         .orderBy("shard", "position")
     }),
 
+    // NORTH-STAR composition, end to end in ONE plan: raw crawl in,
+    // training manifest out. Quality-gate (q_corpus_prep's scorer) →
+    // drop near-duplicate losers (the shared LSH-verified pair frame,
+    // computed once per corpus) → temperature-mix the SURVIVORS by
+    // language (alpha-sampling quotas over post-curation counts — mixing
+    // before dedup would let duplicate farms inflate their language's
+    // share) → content-hash shard + within-shard pseudo-random order →
+    // greedy token-budget packing per shard. One frame = which document,
+    // which shard, which position, which pack — the artifact a training
+    // run consumes. Everything after the mix is narrow + ONE hash-even
+    // shuffle by shard; the corpus is scanned exactly twice (the mixer's
+    // histogram + main pass, each through the curation filter with the
+    // cached pairs anti-joined) — plan-gated.
+    "q_pipeline_manifest" -> ((s, dir) => {
+      import graft.functions.{Sampling, TextAnalysis}
+      import org.apache.spark.sql.expressions.Window
+      val docs = pq(s, dir, "documents")
+      val dupLosers = guardedPairs(s, dir)
+        .select(col("id_b").as("doc_id")).distinct()
+      val survivors = docs
+        .withColumn("quality", TextAnalysis.qualityScore(col("text"),
+          TextAnalysis.stopwordHits(col("text"), TextAnalysis.stopwords.head._2)))
+        .filter(col("quality") >= 0.6)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "quality", "text")
+      val mixed = Sampling.temperatureMix(survivors, "doc_id", "lang", n = 200L)
+      val mid = col("doc_id").cast("string")
+      val sharded = mixed
+        .withColumn("shard", pmod(conv(substring(md5(
+          concat(lit("shard:"), mid)), 1, 8), 16, 10).cast("long"), lit(8L)))
+        .withColumn("order_key", substring(md5(
+          concat(lit("order:"), mid)), 1, 16))
+        .withColumn("n_tokens", TextAnalysis.wordCount(col("text")).cast("long"))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("order_key"), col("doc_id"))
+      sharded
+        .withColumn("position", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 512.0).cast("long"))
+        .select(col("lang"), col("doc_id"), col("quality"), col("shard"),
+          col("position"), col("pack_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("shard", "position")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed-ngram likelihood
     // ratio of every document against the English slice as the target
     // distribution — the "select raw data that looks like my curated set"
@@ -5487,6 +5534,74 @@ object SparkEntry {
         |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
         |  n_tokens, cum_tokens
         |FROM packed ORDER BY shard, position""".stripMargin,
+
+    // North-star replay: the corpus-prep quality+dedup CTEs verbatim,
+    // then the temperature-mix quota/pick recipe over the SURVIVORS, then
+    // the per-copy shard/order hash and the per-shard packing prefix sum
+    // — every stage is the already-pinned fragment of its parent oracle.
+    "q_pipeline_manifest" ->
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM prs
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8),
+         |scored AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS n_words,
+         |    round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS stop_hits
+         |  FROM documents),
+         |survivors AS (
+         |  SELECT doc_id, lang, text,
+         |    round(0.4 * (least(n_words, 100.0) / 100.0)
+         |        + 0.3 * (1.0 - punct_ratio)
+         |        + 0.3 * least(stop_hits / greatest(n_words, 1.0) * 5.0, 1.0), 6) AS quality
+         |  FROM scored
+         |  WHERE round(0.4 * (least(n_words, 100.0) / 100.0)
+         |        + 0.3 * (1.0 - punct_ratio)
+         |        + 0.3 * least(stop_hits / greatest(n_words, 1.0) * 5.0, 1.0), 6) >= 0.6
+         |    AND doc_id NOT IN (SELECT doc_id FROM losers)),
+         |counts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM survivors GROUP BY 1),
+         |weights AS (
+         |  SELECT lang, CAST(cnt AS BIGINT) AS keyn,
+         |    CAST(round(sqrt(cnt) * 1e6, 0) AS BIGINT) AS w6 FROM counts),
+         |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+         |quotas AS (
+         |  SELECT lang, least(
+         |    CAST(floor(200.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT),
+         |    keyn) AS quota
+         |  FROM weights CROSS JOIN total),
+         |ranked AS (
+         |  SELECT s.doc_id, s.lang, s.quality, s.text, q.quota,
+         |    CAST(row_number() OVER (PARTITION BY s.lang ORDER BY
+         |      round(((('0x' || substr(md5('graft:' || s.lang || ':' || CAST(s.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+         |        / 4294967296.0), 6) ASC, s.doc_id ASC) AS BIGINT) AS rnk
+         |  FROM survivors s JOIN quotas q USING (lang)),
+         |picked AS (SELECT doc_id, lang, quality, text FROM ranked WHERE rnk <= quota),
+         |sharded AS (
+         |  SELECT lang, doc_id, quality,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+         |    substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 16) AS order_key
+         |  FROM picked),
+         |packed AS (
+         |  SELECT lang, doc_id, quality, shard, n_tokens,
+         |    CAST(row_number() OVER win AS BIGINT) AS position,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY order_key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sharded WINDOW win AS (PARTITION BY shard ORDER BY order_key, doc_id))
+         |SELECT lang, doc_id, quality, shard, position,
+         |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+         |  n_tokens, cum_tokens
+         |FROM packed ORDER BY shard, position""".stripMargin,
 
     // DSIR: the oracle replays the full pipeline — hashed unigram+bigram
     // features (md5 % 4096, the cross-engine uniform-hash idiom), Laplace-

@@ -114,6 +114,10 @@ object BenchScale {
     // round-13 addition: the mix→shard→pack composition (one corpus scan
     // through the mixer + one hash-even shuffle by shard).
     "q_mix_shards",
+    // round-14 addition: the full north-star (curate → dedup survivors →
+    // mix → shard → pack) as one plan — pairs warm from q_cluster_sizes,
+    // so this measures the two survivor passes + mix + pack on top.
+    "q_pipeline_manifest",
     // round-12 addition: the PRODUCTION hybrid (persisted BM25 ⊕ trained
     // IVF ⊕ RRF — both retrievers serve from index tables; the IVF side
     // replaces q_hybrid_rrf's brute-force witness, whose corpus-linear

@@ -170,6 +170,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans <= 3, s"keyed variant scans the corpus $scans times:\n${plan.take(600)}")
   }
 
+  test("q_pipeline_manifest: two live corpus scans, two-phase mixer rank, pack window per shard") {
+    // The north-star composition (curate → dedup → mix → shard → pack)
+    // must not re-derive anything per stage: the dup-loser side reads the
+    // CACHED guardedPairs frame (exactly 2 InMemoryTableScan references —
+    // one per mixer pass through the survivor filter), the mixer's
+    // two-phase rank survives the composition (samp_u window partitioned
+    // by (key, bucket), never key alone), and packing windows per SHARD.
+    // Scan budget: 2 live survivor scans + the 2 cache references each
+    // printing the pairs build plan's 7 scans = 16 textual ReadSchema;
+    // a third live scan breaks the bound.
+    val plan = planOf("q_pipeline_manifest")
+    val inMem = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(inMem === 2, s"pairs cache referenced $inMem times (want 2)")
+    val reads = "ReadSchema:".r.findAllIn(plan).length
+    assert(reads <= 16, s"composition gained a corpus scan ($reads ReadSchema)")
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val rank = specs.filter(_.contains("samp_u"))
+    assert(rank.nonEmpty, "lost the mixer rank window")
+    rank.foreach { s =>
+      val partCols = s.split(",").map(_.trim)
+        .takeWhile(a => !a.contains(" ASC") && !a.contains(" DESC"))
+      assert(partCols.length >= 2,
+        s"mixer ranks corpus rows in a single-key window partition: $s")
+    }
+    val pack = specs.filter(_.contains("order_key"))
+    assert(pack.nonEmpty, "lost the packing window")
+    pack.foreach(s => assert(s.split(",").head.contains("shard"),
+      s"packing window not partitioned by shard: $s"))
+  }
+
   test("literal-cap per-key windows plan as WindowGroupLimit (partial top-k)") {
     // capPerKey / weightedSampleTopK rank with a LITERAL limit, which
     // Spark 4.1 rewrites to WindowGroupLimit: each map task keeps only
