@@ -2228,6 +2228,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Classifier-filter TRAINING (the GPT-3 appendix-A / CCNet stage the
+    // fixed-weight q_quality_score consumes): z-score standardization +
+    // 20 full-batch GD steps of a logistic regression over four O(1)
+    // document statistics, label = "long document" (n_chars >= 300 — the
+    // one separable signal this synthetic fixture has, so convergence is
+    // REAL and pinned: train_acc 0.958 vs the 0.512 base rate, log_loss
+    // 0.194 vs the zero-model's ln 2). Every step is one aggregation over
+    // the cached standardized frame; scaler stats and weights re-round to
+    // 1e-6 per step so the DuckDB oracle replays all 20 steps bit-exactly.
+    "q_lr_train" -> ((s, dir) => {
+      import graft.functions.QualityModel
+      val d = pq(s, dir, "documents")
+      QualityModel.logisticTrain(d,
+        QualityModel.docFeatures(col("text"), col("n_chars")),
+        (col("n_chars") >= 300).cast("double"), steps = 20, lr = 1.0)
+    }),
+
+    // Train-then-filter composition: fit the classifier (same 20 GD steps
+    // as q_lr_train), score every document with the trained model (weights
+    // + scaler), keep score >= 0.5 (0.554 of the fixture; min distance of
+    // any rounded score from the threshold is 7.3e-3, so the cut is
+    // engine-stable). Inference is the broadcast of ONE model row into
+    // codegen'd arithmetic — the corpus never shuffles.
+    "q_lr_filter" -> ((s, dir) => {
+      import graft.functions.QualityModel
+      val d = pq(s, dir, "documents")
+      val fs = QualityModel.docFeatures(col("text"), col("n_chars"))
+      val w = QualityModel.logisticTrain(
+        d, fs, (col("n_chars") >= 300).cast("double"), steps = 20, lr = 1.0)
+      QualityModel.scoreWith(d, w, fs)
+        .filter(col("score") >= 0.5)
+        .select(col("doc_id"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // One DoReMi domain-reweighting step (Xie et al. 2023): mixture
+    // weights move by exp(eta * excess proxy loss) per source, the
+    // harder-than-average domains gaining share. Proxy loss here = the
+    // corpus-unigram NLL (the CCNet LM filter stand-in) — one corpus
+    // scoring pass, one groupBy(source), then metadata-frame arithmetic.
+    // The output's new_weight column is exactly the weight table
+    // temperatureMixByWeight / epochMixPlan consume.
+    "q_domain_reweight" -> ((s, dir) => {
+      import graft.functions.{Sampling, TextAnalysis}
+      val d = pq(s, dir, "documents")
+      val perDoc = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), (-col("logprob")).as("loss"))
+      Sampling.domainReweight(perDoc, "source", "loss", eta = 50.0)
+        .orderBy("key")
+    }),
+
     // Snapshot CDC: added / removed / changed / unchanged between two crawl
     // snapshots (derived deterministically from `documents`: the old
     // snapshot is missing doc_id%11==3 and carries upper-cased text for
@@ -2975,6 +3027,80 @@ object SparkEntry {
       |  FROM hashed h JOIN quotas q USING (lang))
       |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
       |ORDER BY lang, rnk""".stripMargin
+
+  /** The logistic-GD training chain, shared by q_lr_train and q_lr_filter:
+    * feature CTE `f` (rounded to 1e-6, mirroring
+    * [[graft.functions.QualityModel.docFeatures]] term by term), zero
+    * weights `s0`, then per step t: scoring pass `p{t}` (the z fold in
+    * declared feature order, bias first — Spark's fold order verbatim),
+    * fixed-point gradient aggregate `g{t}`, weight update `s{t}` re-rounded
+    * to 1e-6. Generated by the same loop for any step count so the two
+    * engines can never drift on a hand-copied step. */
+  private val lrFeatureNames: Seq[String] = Seq("mwl", "alpha", "digit", "loglen")
+  private def lrChainSql(steps: Int, lr: String): String = {
+    val ns = lrFeatureNames
+    val z = "bias + " + ns.map(n => s"w_$n * $n").mkString(" + ")
+    val f0 =
+      """f0 AS (
+        |  SELECT doc_id,
+        |    floor(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 10.0 * 1000000.0 + 0.5) / 1000000.0 AS mwl,
+        |    floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+        |    floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |      / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS digit,
+        |    floor(ln(1.0 + CAST(n_chars AS DOUBLE)) / 10.0 * 1000000.0 + 0.5) / 1000000.0 AS loglen,
+        |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents)""".stripMargin
+    // The z-score scaler, mirroring logisticTrain: fixed-point sums from
+    // ONE pass, mean/std rounded to 1e-6, variance by E[x^2] - mean^2,
+    // zero-variance features standardized with a stand-in std of 1.
+    val scaler =
+      s"""st AS (SELECT count(*) AS n,
+         |  ${ns.flatMap(n => Seq(
+             s"sum(CAST(floor($n * 1000000.0 + 0.5) AS BIGINT)) AS sx_$n",
+             s"sum(CAST(floor(($n * $n) * 1000000.0 + 0.5) AS BIGINT)) AS sxx_$n"))
+               .mkString(",\n  ")}
+         |  FROM f0),
+         |sm AS (SELECT n,
+         |  ${ns.flatMap(n => Seq(
+             s"floor(CAST(sx_$n AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_$n",
+             s"sxx_$n")).mkString(",\n  ")}
+         |  FROM st),
+         |sc AS (SELECT
+         |  ${ns.flatMap(n => Seq(
+             s"mean_$n",
+             s"floor(sqrt(greatest(floor((CAST(sxx_$n AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) - mean_$n * mean_$n) * 1000000.0 + 0.5) / 1000000.0, 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS std_$n"))
+               .mkString(",\n  ")}
+         |  FROM sm),
+         |f AS (SELECT doc_id,
+         |  ${ns.map(n =>
+             s"floor(($n - mean_$n) / (CASE WHEN std_$n < 0.000001 THEN 1.0 ELSE std_$n END) * 1000000.0 + 0.5) / 1000000.0 AS $n")
+               .mkString(",\n  ")},
+         |  y FROM f0 CROSS JOIN sc)""".stripMargin
+    val s0 = "s0 AS (SELECT " +
+      (ns.map(n => s"0.0 AS w_$n") :+ "0.0 AS bias").mkString(", ") + ")"
+    val stepCtes = (1 to steps).map { t =>
+      val prev = s"s${t - 1}"
+      s"""p$t AS (SELECT f.*, ${ns.map(n => s"w_$n").mkString(", ")}, bias,
+         |  1.0 / (1.0 + exp(-($z))) AS p FROM f CROSS JOIN $prev),
+         |g$t AS (SELECT count(*) AS n,
+         |  ${ns.map(n => s"max(w_$n) AS w_$n").mkString(", ")}, max(bias) AS bias,
+         |  ${ns.map(n =>
+             s"sum(CAST(floor(((p - y) * $n) * 1000000.0 + 0.5) AS BIGINT)) AS g_$n")
+               .mkString(",\n  ")},
+         |  sum(CAST(floor((p - y) * 1000000.0 + 0.5) AS BIGINT)) AS g_bias FROM p$t),
+         |s$t AS (SELECT
+         |  ${ns.map(n =>
+             s"floor((w_$n - $lr * (CAST(g_$n AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS w_$n")
+               .mkString(",\n  ")},
+         |  floor((bias - $lr * (CAST(g_bias AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))) * 1000000.0 + 0.5) / 1000000.0 AS bias
+         |  FROM g$t)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $f0,\n$scaler,\n$s0,\n$stepCtes"
+  }
+  private val lrZFinal: String =
+    "bias + " + lrFeatureNames.map(n => s"w_$n * $n").mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q_clean_rows" -> withCtes(
@@ -6113,6 +6239,67 @@ object SparkEntry {
         |SELECT doc_id, source, score, round(pr, 6) AS pct_rank,
         |  CAST(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_lr_train" ->
+      s"""${lrChainSql(20, "1.0")},
+         |pf AS (SELECT f.*, ${lrFeatureNames.map(n => s"w_$n").mkString(", ")}, bias,
+         |  1.0 / (1.0 + exp(-($lrZFinal))) AS p FROM f CROSS JOIN s20),
+         |m AS (SELECT count(*) AS n,
+         |  sum(CAST(floor(((-y) * ln(p) - (1.0 - y) * ln(1.0 - p)) * 1000000.0 + 0.5) AS BIGINT)) AS l_fp,
+         |  sum(CAST(floor((CASE WHEN (floor(p * 1000000.0 + 0.5) / 1000000.0 >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT)) AS a_fp
+         |  FROM pf)
+         |SELECT CAST(20 AS BIGINT) AS step,
+         |  ${lrFeatureNames.map(n => s"w_$n").mkString(", ")}, bias,
+         |  ${lrFeatureNames.flatMap(n => Seq(s"mean_$n", s"std_$n")).mkString(", ")},
+         |  floor(CAST(l_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS log_loss,
+         |  floor(CAST(a_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS train_acc
+         |FROM s20 CROSS JOIN m CROSS JOIN sc""".stripMargin,
+
+    "q_lr_filter" ->
+      s"""${lrChainSql(20, "1.0")},
+         |scored AS (SELECT doc_id,
+         |  floor(1.0 / (1.0 + exp(-($lrZFinal))) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM f CROSS JOIN s20)
+         |SELECT doc_id, score FROM scored WHERE score >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_reweight" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        |fixedt AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000, 0) AS BIGINT) AS lp
+        |  FROM toks JOIN freq USING (w) CROSS JOIN tot),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS logprob
+        |  FROM fixedt GROUP BY 1),
+        |loss AS (
+        |  SELECT d.source AS key, (-logprob) AS loss
+        |  FROM documents d JOIN perdoc USING (doc_id)),
+        |bykey AS (
+        |  SELECT key, count(*) AS n_docs,
+        |    sum(CAST(floor(loss * 1000000.0 + 0.5) AS BIGINT)) AS sfp
+        |  FROM loss GROUP BY 1),
+        |meta AS (
+        |  SELECT key, n_docs,
+        |    floor(CAST(sfp AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_loss,
+        |    floor(CAST(sum(sfp) OVER () AS DOUBLE)
+        |      / CAST(sum(n_docs) OVER () AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS gavg,
+        |    floor(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS old_share
+        |  FROM bykey),
+        |upd AS (
+        |  SELECT key, n_docs, avg_loss,
+        |    greatest(floor((avg_loss - gavg) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS excess, old_share
+        |  FROM meta),
+        |ufp AS (
+        |  SELECT *, CAST(floor(old_share * exp(50.0 * excess) * 1000000.0 + 0.5) AS BIGINT) AS u_fp
+        |  FROM upd)
+        |SELECT key, CAST(n_docs AS BIGINT) AS n_docs, avg_loss, excess, old_share,
+        |  floor(CAST(u_fp AS DOUBLE) / CAST(sum(u_fp) OVER () AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS new_weight
+        |FROM ufp ORDER BY key""".stripMargin,
 
     "q_snapshot_delta" ->
       """WITH olds AS (

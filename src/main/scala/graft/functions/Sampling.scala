@@ -893,4 +893,62 @@ object Sampling {
       .withColumn("rnk", row_number().over(win).cast("long"))
       .filter(col("rnk") <= kPerStratum)
   }
+
+  /** One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining", alg. 1's multiplicative-weights update): given a
+    * per-document proxy-model loss, each domain's mixture weight moves by
+    * `exp(eta · excess)` where excess = max(domain mean loss − corpus
+    * mean loss, 0) — domains the proxy finds HARDER than average gain
+    * share, easy/memorized domains lose it. The reference method runs
+    * this inside a training loop; as a corpus operator one step maps a
+    * loss table to the next epoch's mixture, which then feeds
+    * [[temperatureMix]] / [[epochMixPlan]] as the weight column.
+    *
+    * Dataflow: ONE aggregation of the loss table by domain (map-side
+    * combined — the only corpus-sized pass is upstream, in whatever
+    * produced `lossCol`), then arithmetic over the ≤|domains| metadata
+    * frame; the global mean is derived from the SAME per-domain
+    * fixed-point sums (no second corpus pass). The whole-frame windows at
+    * the end run over the aggregated domain frame (≤ thousands of rows),
+    * never the corpus — the distinction [[histMeta]]'s scaladoc draws.
+    *
+    * Determinism: per-row losses are fixed-pointed to 1e-6 longs before
+    * summing ([[graft.functions.Similarity.kmeansTrain]]'s contract), so
+    * sums are partition-order-independent; `exp` outputs are fixed-pointed
+    * to 1e-6 longs before the normalizing sum (a whole-frame sum of
+    * doubles would depend on this metadata frame's row order). All 1e-6
+    * roundings use [[QualityModel.r6]]'s pure-IEEE floor form — the
+    * shares/averages here live on exact decimal grids, where
+    * BigDecimal-style round-half can disagree across engines.
+    *
+    * Output: (key, n_docs, avg_loss, excess, old_share, new_weight),
+    * rounded to 6, new_weight summing to ~1 (each term rounded). */
+  def domainReweight(
+      perDoc: DataFrame, keyCol: String, lossCol: String,
+      eta: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import QualityModel.{r6, fp6}
+    val byKey = perDoc.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(fp6(col(lossCol).cast("double"))).as("sfp"))
+    val all = Window.partitionBy(lit(1))
+    val meta = byKey
+      .withColumn("avg_loss",
+        r6(col("sfp").cast("double") / col("n_docs").cast("double") / lit(1e6)))
+      .withColumn("__gavg",
+        r6(sum(col("sfp")).over(all).cast("double")
+          / sum(col("n_docs")).over(all).cast("double") / lit(1e6)))
+      .withColumn("excess", greatest(r6(col("avg_loss") - col("__gavg")), lit(0.0)))
+      .withColumn("old_share",
+        r6(col("n_docs").cast("double")
+          / sum(col("n_docs")).over(all).cast("double")))
+      .withColumn("__ufp",
+        fp6(col("old_share") * exp(lit(eta) * col("excess"))))
+    meta
+      .withColumn("new_weight",
+        r6(col("__ufp").cast("double") / sum(col("__ufp")).over(all).cast("double")))
+      .select(col("key"), col("n_docs").cast("long").as("n_docs"),
+        col("avg_loss"), col("excess"), col("old_share"), col("new_weight"))
+  }
 }

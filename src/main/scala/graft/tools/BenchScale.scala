@@ -122,7 +122,13 @@ object BenchScale {
     // IVF ⊕ RRF — both retrievers serve from index tables; the IVF side
     // replaces q_hybrid_rrf's brute-force witness, whose corpus-linear
     // cosine pass is that query's entire ×100 weight).
-    "q_hybrid_ivf")
+    "q_hybrid_ivf",
+    // round-14 session-2 additions: the trainable classifier filter
+    // (steps+2 aggregation passes over a cached 5-double-column frame +
+    // one corpus scoring pass) and the DoReMi reweight step (one unigram
+    // LM pass + one groupBy(source)).
+    "q_lr_filter",
+    "q_domain_reweight")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)

@@ -201,6 +201,41 @@ class PlanQualitySpec extends SparkSpec {
       s"packing window not partitioned by shard: $s"))
   }
 
+  test("q_lr_filter: inference is one live corpus scan + a broadcast model row") {
+    // Training (stats pass + 20 GD aggregations) runs eagerly against the
+    // CACHED standardized frame at construction; the returned plan is the
+    // inference pass only: exactly one live documents scan, the 1-row
+    // model riding a broadcast, and no shuffle besides the presentation
+    // sort — classifier scoring over 100 TB must never leave the scan
+    // stage.
+    val plan = planOf("q_lr_filter")
+    val reads = "ReadSchema:".r.findAllIn(plan).length
+    assert(reads === 1, s"inference pass scans the corpus $reads times:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "model row must ride a broadcast")
+    assert(!plan.contains("Window"), "no window belongs in the scoring pass")
+    assert("HashAggregate".r.findAllIn(plan).isEmpty,
+      "no aggregation belongs in the scoring pass")
+  }
+
+  test("q_domain_reweight: one corpus token pass feeding keyed aggregation; " +
+    "whole-frame windows only over the domain metadata frame") {
+    // unigram NLL proxy: documents feeds the vocab aggregate, the token
+    // total (freq referenced twice — unigramLogProb's documented shape),
+    // the scoring join and the source attach — 4 scans; the
+    // groupBy(source) is partial+final; the OVER () windows normalize the
+    // ≤|domains|-row aggregate, so their input must arrive through an
+    // Exchange fed by a HashAggregate, never a raw corpus scan.
+    val plan = planOf("q_domain_reweight")
+    val reads = "ReadSchema:".r.findAllIn(plan).length
+    assert(reads <= 4, s"documents scanned $reads times:\n${plan.take(600)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "per-domain aggregation lost its partial (map-side) combine")
+    // the single-partition window exists, but its producer is the keyed
+    // aggregate (domain cardinality), not corpus rows
+    assert(plan.contains("Window"), "lost the normalization windows")
+  }
+
   test("literal-cap per-key windows plan as WindowGroupLimit (partial top-k)") {
     // capPerKey / weightedSampleTopK rank with a LITERAL limit, which
     // Spark 4.1 rewrites to WindowGroupLimit: each map task keeps only

@@ -56,7 +56,16 @@ API_KEY = re.compile(r"\b(AKIA[0-9A-Z]{16}|ASIA[0-9A-Z]{16}|"
                      r"sk-[A-Za-z0-9]{20,}|ghp_[A-Za-z0-9]{36}|"
                      r"xox[baprs]-[A-Za-z0-9-]{10,}|"
                      r"-----BEGIN [A-Z ]*PRIVATE KEY-----)")
-ENV = re.compile(r"\bsys\.env(?:\.get(?:OrElse)?)?\(\"([A-Z0-9_]+)\"")
+# Env-var references in every scanned language: Scala sys.env,
+# Python os.environ[...] / os.getenv(...) / environ.get(...), and shell
+# $VAR / ${VAR} expansion (round-13 advice: the Scala-only pattern left
+# .py and .sh env references entirely unchecked). The shell pattern also
+# fires on $VAR inside double-quoted strings in any file type, which is
+# how committed .md command examples reference variables.
+ENV_SCALA = re.compile(r"\bsys\.env(?:\.get(?:OrElse)?)?\(\"([A-Z0-9_]+)\"")
+ENV_PY = re.compile(
+    r"\b(?:os\.)?(?:environ(?:\.get)?[\[(]|getenv\()\s*[\"']([A-Z0-9_]+)[\"']")
+ENV_SH = re.compile(r"\$\{?([A-Z][A-Z0-9_]{2,})\}?")
 ALLOWED_ENV = re.compile(r"^(SPARK_|GRAFT_|JAVA_|COURSIER_|PATH$|HOME$|"
                          r"USER$|TMPDIR$|LANG$|TZ$|PG)")
 
@@ -97,7 +106,12 @@ def scan():
                 hits["slack-link"].append(where)
             if API_KEY.search(line):
                 hits["api-key"].append(where)
-            for v in ENV.findall(line):
+            env_refs = ENV_SCALA.findall(line)
+            if rel.endswith(".py"):
+                env_refs += ENV_PY.findall(line)
+            if rel.endswith(".sh"):
+                env_refs += ENV_SH.findall(line)
+            for v in env_refs:
                 if not ALLOWED_ENV.match(v):
                     hits["axon-env"].append(f"{where}: {v}")
     return hits, digest.hexdigest(), len(paths)
