@@ -454,13 +454,22 @@ object SparkEntry {
     * q_minhash_accuracy exactly like a nightly pipeline computes pairs ONCE
     * (q_dedup_jaccard stays the uncached, exact inverted-index witness).
     * Cached per (session, dir). */
+  /** Band-bucket stop cap for every production banding path (guardedPairs,
+    * q_dedup_lsh_pairs_capped): buckets above this are boilerplate-keyed
+    * crowds whose pair expansion is quadratic (the hot-band ×100 corpus put
+    * ~70k docs in ONE bucket per band — killed at 25+ min where uniform
+    * ×100 takes ~20 s). 2048 is ~100× the largest content-driven family on
+    * any fixture, and caps a worst bucket at ~2M pairs. The uncapped forms
+    * stay as exactness witnesses. */
+  private val ProductionLshBucketCap = 2048
+
   private val guardedPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def guardedPairs(s: SparkSession, dir: String): DataFrame =
     guardedPairsCache.getOrElseUpdate((s, dir), {
       val docs = pq(s, dir, "documents")
       graft.functions.Dedup.nearDupPairsLsh(docs, "doc_id", "text",
-        n = 4, threshold = 0.8).cache()
+        n = 4, threshold = 0.8, bucketCap = ProductionLshBucketCap).cache()
     })
 
   /** Materialize the two cross-query shared caches, timing each — bench
@@ -690,6 +699,18 @@ object SparkEntry {
 
     "q_dedup_lsh_pairs" -> ((s, dir) =>
       graft.functions.Dedup.lshCandidatePairs(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // The stop-band-guarded banding (bucketCap — the band join's dfCap
+    // twin): buckets above the cap are corpus-wide boilerplate keys and
+    // are dropped whole before pair expansion. Same oracle SQL as the
+    // uncapped witness — no fixture bucket approaches the cap, so the two
+    // must agree row-for-row here while diverging by design on a hot-band
+    // corpus (where the uncapped witness is quadratic BY CONSTRUCTION and
+    // stays excluded from that bench, like q_dedup_jaccard).
+    "q_dedup_lsh_pairs_capped" -> ((s, dir) =>
+      graft.functions.Dedup.lshCandidatePairs(pq(s, dir, "documents"), "doc_id", "text",
+        bucketCap = ProductionLshBucketCap)
         .orderBy("id_a", "id_b")),
 
     "q_dedup_jaccard" -> ((s, dir) =>
@@ -3028,6 +3049,23 @@ object SparkEntry {
       |SELECT lang, doc_id, quota, rnk FROM ranked WHERE rnk <= quota
       |ORDER BY lang, rnk""".stripMargin
 
+  /** LSH band-collision candidate pairs — shared verbatim by
+    * q_dedup_lsh_pairs (uncapped witness) and q_dedup_lsh_pairs_capped
+    * (the stop-band-guarded production path): the two agree on every
+    * corpus whose band buckets stay under the cap (all fixtures). */
+  private val lshPairsOracleSql: String =
+    s"""WITH $shingleCtes,
+       |$minhashSigsCte,
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sigs
+       |  UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
+       |  UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
+       |  UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |WHERE a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The logistic-GD training chain, shared by q_lr_train and q_lr_filter:
     * feature CTE `f` (rounded to 1e-6, mirroring
     * [[graft.functions.QualityModel.docFeatures]] term by term), zero
@@ -4281,18 +4319,12 @@ object SparkEntry {
          |WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_dedup_lsh_pairs" ->
-      s"""WITH $shingleCtes,
-         |$minhashSigsCte,
-         |banded AS (
-         |  SELECT doc_id, 0 AS band, md5(sig_0 || sig_1) AS bkey FROM sigs
-         |  UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
-         |  UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
-         |  UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-         |WHERE a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_lsh_pairs" -> lshPairsOracleSql,
+
+    // Shared verbatim with the uncapped witness: no fixture band bucket
+    // approaches the production cap, so the stop-band guard must be inert
+    // here — the capped and uncapped plans agree row-for-row.
+    "q_dedup_lsh_pairs_capped" -> lshPairsOracleSql,
 
     // Same exact-pairs oracle as q_dedup_jaccard: prefix filtering is an
     // exact algorithm, so the two queries must agree row-for-row.

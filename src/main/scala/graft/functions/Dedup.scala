@@ -75,12 +75,32 @@ object Dedup {
     * rows in one pass (no per-band union), and pairs are expanded
     * bucket-locally from one groupBy (no self-join) — so the expensive
     * shingle→minhash subtree is evaluated exactly ONCE, with no cache needed.
-    * Bucket cardinality = near-dup family size (tiny by construction); a
-    * degenerate mega-bucket would hurt any LSH formulation equally and is the
-    * signature-length/bands tuning knob, not a plan problem. */
+    * Bucket cardinality ~ near-dup family size for CONTENT-driven buckets.
+    *
+    * `bucketCap` (0 = off) is [[jaccardPairs]]' dfCap twin for the band
+    * join, guarding the OTHER degenerate bucket shape: corpus-wide
+    * boilerplate (a footer/cookie sentence on a third of all pages) makes
+    * every affected document's per-hash minimum collapse to the SAME
+    * shared-shingle minimum with probability ~(shared/total shingles), so
+    * one (band, bkey) bucket holds an O(corpus) crowd and its bucket-local
+    * pair expansion is quadratic — measured: a 14-word sentence planted on
+    * 30% of a 5M-doc corpus put ~70k docs in one bucket per band (~10¹⁰
+    * candidate pairs; the ×100 hot-band bench ran 25+ min before being
+    * killed where the uniform corpus takes ~20 s). Buckets larger than
+    * `bucketCap` are STOP BANDS and are dropped whole: a crowd that large
+    * is necessarily boilerplate-keyed (a true near-dup family of that size
+    * is the leader-clustering regime — [[nearDupLeadersLsh]]), its
+    * within-bucket pairs overlap mostly on the shared boilerplate (far
+    * below any useful threshold), and a genuine near-dup pair caught in a
+    * stop band still collides in each remaining band with probability j^r
+    * — miss probability (1-j^r)^(b-s) for s stop bands, the same
+    * recall algebra the banding already accepts (exact duplicates stay
+    * guaranteed via [[nearDupPairsLsh]]'s content-hash floor).
+    * The uncapped form (cap 0) remains the exactness witness
+    * (q_dedup_lsh_pairs pins it). */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, k: Int = 8, bands: Int = 4): DataFrame = {
+      n: Int = 4, k: Int = 8, bands: Int = 4, bucketCap: Int = 0): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
     val bandStructs = (0 until bands).map { b =>
@@ -90,9 +110,13 @@ object Dedup {
     val banded = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    banded.groupBy("band", "bkey")
+    val buckets = banded.groupBy("band", "bkey")
       .agg(collect_set(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
+    val kept =
+      if (bucketCap > 0) buckets.filter(size(col("ids")) <= bucketCap)
+      else buckets
+    kept
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(filter(col("ids"), x => x > col("id_a"))).as("id_b"))
       .distinct()
@@ -248,7 +272,12 @@ object Dedup {
     * missed with probability (1 - j^r)^b per pair (r = k/bands rows per
     * band) — at the default 4x2 configuration and j = 0.875 that is ~0.3%,
     * shrinking fast as j -> 1; raise `bands` (more, narrower bands) to trade
-    * candidate-verify work for recall. The uncapped `jaccardPairs` remains
+    * candidate-verify work for recall. With `bucketCap` > 0 (the stop-band
+    * guard — see [[lshCandidatePairs]]), a pair whose collisions all fell
+    * in stop bands is also missed: the same algebra over b - s bands —
+    * while exact duplicates remain guaranteed by the content-hash floor
+    * regardless of banding (DedupStressSpec pins both properties on a
+    * hot-band corpus). The uncapped `jaccardPairs` remains
     * the exactness witness (q_dedup_jaccard) pinning this generator's output
     * on the test corpora.
     *
@@ -261,10 +290,11 @@ object Dedup {
     * computes. */
   def nearDupPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, threshold: Double = 0.8, k: Int = 8, bands: Int = 4): DataFrame = {
+      n: Int = 4, threshold: Double = 0.8, k: Int = 8, bands: Int = 4,
+      bucketCap: Int = 0): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val cand = lshCandidatePairs(df, idCol, textCol, n, k, bands)
+    val cand = lshCandidatePairs(df, idCol, textCol, n, k, bands, bucketCap)
       .unionByName(exactDupPairs(df, idCol, textCol))
       .distinct()
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))

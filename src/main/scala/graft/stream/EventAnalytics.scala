@@ -251,6 +251,37 @@ object EventAnalytics {
       }
     }
 
+  /** Classifier-quality curation gate — the streaming half of
+    * [[graft.functions.QualityModel.logisticTrain]]: score each
+    * micro-batch's documents with a PERSISTED 1-row model (weights +
+    * scaler, trained offline and refreshed like the DSIR fit table and
+    * the repeated-shingle snapshot) and keep rows whose score clears
+    * `minScore` — the train-offline / filter-online deployment of the
+    * classifier filter. Scoring is [[graft.functions.QualityModel
+    * .scoreWith]]: the model row rides a broadcast into codegen'd
+    * arithmetic, so the per-batch cost is ONE narrow map over the batch
+    * — no join against batch rows, no shuffle, no state, and no
+    * materializeBatch (the batch has exactly one consumer). A document's
+    * score depends only on its own columns and the model row, so batch
+    * boundaries cannot change any decision (spec-pinned batch ==
+    * stream). Emits surviving rows with the derived feature columns and
+    * `score` appended. Pass a CACHED/collected-once model frame for a
+    * standing gate; a store.load per construction is fine (1 row), but
+    * re-loading per batch would re-LIST the table each trigger. */
+  def qualityGateEachBatch(
+      model: DataFrame, features: Seq[(String, org.apache.spark.sql.Column)],
+      minScore: Double)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      // scoreWith overwrites feature-named columns and appends `score`; a
+      // batch already carrying any of them would be silently clobbered or
+      // ambiguous — fail loudly instead, like the mixers and the DSIR gate.
+      graft.functions.Sampling.requireFreeColumns(
+        batch, "qualityGateEachBatch", features.map(_._1) :+ "score")
+      sink(graft.functions.QualityModel.scoreWith(batch, model, features)
+        .filter(col("score") >= minScore))
+    }
+
   /** Streaming drift alarm — per-micro-batch
     * [[graft.functions.Sampling.distributionDrift]] against a PERSISTED
     * baseline histogram ([[graft.functions.Sampling.bucketCounts]],

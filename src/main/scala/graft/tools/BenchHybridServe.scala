@@ -37,6 +37,12 @@ object BenchHybridServe {
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 16
+    // The fused-vs-separate A/B interleaves the two pinned paths
+    // batch-by-batch on two standing streams, so each path serves
+    // nBatches/2 — an odd count would hand the fused stream one extra
+    // batch and trip the row-count assertion with a confusing message.
+    require(nBatches % 2 == 0, s"nBatches must be even (got $nBatches): " +
+      "the fused-vs-separate A/B serves nBatches/2 chunks per path")
     val batchSize = if (args.length > 2) args(2).toInt else 64
     val nlist = if (args.length > 3) args(3).toInt else 64
     val nprobe = if (args.length > 4) args(4).toInt else 4

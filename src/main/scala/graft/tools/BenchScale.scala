@@ -22,7 +22,12 @@ object BenchScale {
 
   val HeavyQueries: Seq[String] = Seq(
     "q_dedup_exact",       // content-hash shuffle
-    "q_dedup_lsh_pairs",   // signature pass + band buckets
+    "q_dedup_lsh_pairs",   // signature pass + band buckets (uncapped witness:
+    // EXCLUDED from hotband runs by construction — one boilerplate sentence
+    // on 30% of docs keys ~1.4% of them into ONE bucket per band, and the
+    // uncapped bucket-local pair expansion is quadratic there; the capped
+    // production twin is the row that corpus gets)
+    "q_dedup_lsh_pairs_capped",
     "q_cluster_sizes",     // guardedPairs materialization + label propagation
     "q_corpus_prep",       // quality gates + dup-loser anti-join (pairs warm from above)
     "q_hard_negatives",    // DF-capped inverted index at lo = 0.01

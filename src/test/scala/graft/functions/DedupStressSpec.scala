@@ -155,4 +155,50 @@ class DedupStressSpec extends SparkSpec {
     assert(uncapped.exists { case (a, _, _) => (a / 2) % 3 == 0 } &&
       uncapped.exists { case (a, _, _) => (a / 2) % 3 != 0 })
   }
+
+  test("hot-band boilerplate: the band bucketCap drops only stop buckets — " +
+    "exact dups survive via the hash floor, losses are boiler-band-only, " +
+    "candidate volume collapses") {
+    // The LSH twin of the dfCap test, with the contract the band cap can
+    // actually honor: unlike stop-SHINGLE rerouting (provably lossless),
+    // dropping a stop BUCKET loses a near-dup pair iff EVERY band it
+    // collided in was a stop band — the banding's own (1-j^r)^b recall
+    // algebra, applied to b-s bands. Pin exactly that: capped ⊆ uncapped,
+    // exact duplicates are never lost (content-hash floor), every lost
+    // pair is boilerplate-carrying, and the candidate count collapses
+    // (the quadratic stop bucket is GONE — the shape that ran 25+ min at
+    // hot-band ×100 before the cap).
+    val boiler = graft.tools.ScaleGen.HotBandSentence
+    val docs = ((0 until 600).map { i =>
+      val fam = i / 2
+      val last = if (i % 2 == 0) s"b${fam}h" else s"b${fam}x"
+      val body = s"w${fam}a w${fam}b w${fam}c w${fam}d w${fam}e w${fam}f " +
+        s"w${fam}g w${fam}h w${fam}i w${fam}j w${fam}k $last"
+      val text = if (fam % 3 == 0) s"$body $boiler" else body
+      (i.toLong, text)
+    } ++ (0 until 20).flatMap { e => // planted EXACT dup pairs carrying the boilerplate
+      val t = s"x${e}a x${e}b x${e}c x${e}d x${e}e x${e}f x${e}g $boiler"
+      Seq((10000L + 2 * e, t), (10001L + 2 * e, t))
+    }).toDF("doc_id", "text")
+    val cap = 16
+    def pairsOf(bc: Int) =
+      Dedup.nearDupPairsLsh(docs, "doc_id", "text", n = 4, threshold = 0.5,
+        bucketCap = bc).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairsOf(0)
+    val capped = pairsOf(cap)
+    assert(capped.subsetOf(uncapped), "the cap must never ADD pairs")
+    val exactDups = (0 until 20).map(e => (10000L + 2 * e, 10001L + 2 * e)).toSet
+    assert(exactDups.subsetOf(capped),
+      "exact duplicates must survive any cap via the content-hash floor")
+    val carriers = docs.as[(Long, String)].collect()
+      .filter(_._2.contains(boiler)).map(_._1).toSet
+    val lost = uncapped -- capped
+    assert(lost.forall { case (a, b) => carriers(a) && carriers(b) },
+      s"a non-boilerplate pair was lost: ${lost.filterNot { case (a, b) => carriers(a) && carriers(b) }}")
+    // candidate volume: the stop bucket's quadratic expansion is gone
+    val candU = Dedup.lshCandidatePairs(docs, "doc_id", "text").count()
+    val candC = Dedup.lshCandidatePairs(docs, "doc_id", "text", bucketCap = cap).count()
+    assert(candC * 5 < candU,
+      s"cap did not collapse candidate volume (uncapped $candU, capped $candC)")
+  }
 }

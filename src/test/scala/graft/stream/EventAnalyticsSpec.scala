@@ -198,6 +198,68 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(acc.toSet === want, "stream gate diverged from the batch scoring")
   }
 
+  test("qualityGateEachBatch: micro-batched gate == batch scoring with a persisted model") {
+    import graft.functions.QualityModel
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    // Separable corpus: long docs (many words) vs short ones; the trained
+    // classifier must gate on exactly the long half.
+    def txt(i: Long, n: Int) = (0 until n).map(j => s"w${(i + j) % 17}").mkString(" ")
+    val docs = ((0L until 10L).map(i => (i, txt(i, 60))) ++
+      (10L until 20L).map(i => (i, txt(i, 8)))).toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val feats = QualityModel.docFeatures($"text", $"n_chars")
+    // Train offline, PERSIST the 1-row model, serve from the reloaded copy
+    // — the train-offline / filter-online lifecycle the scaladoc promises
+    // (parquet round-trips doubles losslessly, so the reloaded model
+    // scores bit-identically).
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("lr_model_").toString)
+    store.overwrite("quality_lr", QualityModel.logisticTrain(
+      docs, feats, ($"n_chars" >= 100).cast("double"), steps = 10, lr = 2.0))
+    val model = store.load("quality_lr")
+    val want = QualityModel.scoreWith(docs, model, feats)
+      .filter($"score" >= 0.5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    assert(want.map(_._1) === (0L until 10L).toSet,
+      s"classifier should admit exactly the long half, got ${want.map(_._1)}")
+
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = input.toDF().toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .writeStream
+      .foreachBatch(EventAnalytics.qualityGateEachBatch(model, feats, 0.5) { out =>
+        acc.synchronized {
+          acc ++= out.select("doc_id", "score").as[(Long, Double)].collect()
+        }
+        ()
+      })
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    input.addData(rows.take(7).toSeq)
+    q.processAllAvailable()
+    input.addData(rows.drop(7).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === want, "stream gate diverged from the batch scoring")
+  }
+
+  test("qualityGateEachBatch rejects a batch already carrying a feature or score column") {
+    import graft.functions.QualityModel
+    val feats = QualityModel.docFeatures($"text", $"n_chars")
+    val model = QualityModel.logisticTrain(
+      Seq((1L, "a b c", 5L), (2L, "d e f g h i j k l m n o p q r s t", 40L))
+        .toDF("doc_id", "text", "n_chars"),
+      feats, ($"n_chars" >= 20).cast("double"), steps = 2, lr = 1.0)
+    val poisoned = Seq((1L, "a b", 3L, 0.9))
+      .toDF("doc_id", "text", "n_chars", "score")
+    val gate = EventAnalytics.qualityGateEachBatch(model, feats, 0.5)(_ => ())
+    val e = intercept[IllegalArgumentException](gate(poisoned, 0L))
+    assert(e.getMessage.contains("score"))
+  }
+
   test("driftAlarmEachBatch: per-batch drift == batch-mode drift; drifted batch alarms") {
     import graft.functions.Sampling
     import graft.io.ParquetTableStore
