@@ -1737,6 +1737,33 @@ object SparkEntry {
       graft.functions.TextAnalysis.bpePairCounts(
         pq(s, dir, "documents"), "text", topK = 50)),
 
+    // Full BPE tokenizer TRAINING (the merge loop bpePairCounts is one
+    // iteration of): 8 ordered merges learned from the weighted
+    // vocabulary. The DuckDB oracle replays every round exactly — greedy
+    // left-to-right non-overlapping pair merging is string replace() on a
+    // double-space-separated symbol string, and the argmax tie-break
+    // (count desc, then smallest pair) is an ORDER BY — so the previously
+    // spec-only tokenizer family gains hash-level pinning.
+    "q_bpe_train" -> ((s, dir) =>
+      graft.functions.TextAnalysis.bpeTrainMerges(
+        pq(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank")),
+
+    // Encode-side consumer: per-document token counts under the SAME 8
+    // learned merges (the real-tokenizer sizing for token budgets /
+    // packing). The merge table is numMerges rows — the collect is
+    // merge-bounded, never corpus-bounded.
+    "q_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val d = pq(s, dir, "documents")
+      val merges = graft.functions.TextAnalysis
+        .bpeTrainMerges(d, "text", numMerges = 8)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      graft.functions.TextAnalysis.bpeTokenCounts(d, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // Paragraph-level cross-doc dedup signal: fraction of each document's
     // 32-token paragraphs that appear verbatim in other documents
     "q_paragraph_dup" -> ((s, dir) =>
@@ -3065,6 +3092,47 @@ object SparkEntry {
        |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
        |WHERE a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The BPE merge-loop replay, shared by q_bpe_train and q_bpe_encode:
+    * weighted vocabulary, then per round t — adjacent-pair counts from the
+    * current segmentation (one unnest pass), the argmax merge (count
+    * DESC, then smallest pair — bpeTrainMerges' tie-break verbatim), and
+    * the merge applied as string replace() over a DOUBLE-space-separated
+    * symbol string with single-space edges: ' l␣␣r ' → ' lr ' consumes one
+    * space from each side's double gap, so adjacent occurrences never
+    * contend for a delimiter and non-overlapping left-to-right replace()
+    * is EXACTLY bpeMergeOnce's greedy scan in both engines. Every w/m CTE
+    * is MATERIALIZED (each is referenced twice+ — plain CTE inlining
+    * would re-execute the whole upstream chain ~2^rounds times, the
+    * round-10 label-propagation lesson). Assumes no round's best pair
+    * falls below count 2 on the fixture (bpeTrainMerges would stop early;
+    * sf0.01's top pairs are in the hundreds). */
+  private def bpeChainSql(merges: Int): String = {
+    val vocab =
+      """vocab AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |w0 AS MATERIALIZED (
+        |  SELECT word, freq, array_to_string(
+        |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+        |    '  ') AS rep
+        |  FROM vocab)""".stripMargin
+    val rounds = (1 to merges).map { t =>
+      s"""px$t AS (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |  FROM (SELECT freq, string_split(rep, '  ') AS s FROM w${t - 1})),
+         |p$t AS (SELECT s[i] AS l, s[i + 1] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM px$t GROUP BY 1, 2),
+         |m$t AS MATERIALIZED (
+         |  SELECT l, r2, cnt FROM p$t ORDER BY cnt DESC, l, r2 LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT word, freq, trim(replace(' ' || rep || ' ',
+         |    (SELECT ' ' || l || '  ' || r2 || ' ' FROM m$t),
+         |    (SELECT ' ' || l || r2 || ' ' FROM m$t))) AS rep
+         |  FROM w${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"WITH $vocab,\n$rounds"
+  }
 
   /** The logistic-GD training chain, shared by q_lr_train and q_lr_filter:
     * feature CTE `f` (rounded to 1e-6, mirroring
@@ -5097,6 +5165,35 @@ object SparkEntry {
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM p GROUP BY pair
         |ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+
+    "q_bpe_train" ->
+      s"""${bpeChainSql(8)}
+         |SELECT * FROM (
+         |  ${(1 to 8).map(t =>
+              s"""SELECT CAST(${t - 1} AS BIGINT) AS rank, l AS "left", r2 AS "right", cnt AS pair_count FROM m$t""")
+                .mkString("\n  UNION ALL ")}
+         |) ORDER BY rank""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""${bpeChainSql(8)},
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+         |    '  ') AS rep
+         |  FROM dw WHERE length(word) >= 1),
+         |${(1 to 8).map(t =>
+            s"""e$t AS (SELECT doc_id, trim(replace(' ' || rep || ' ',
+               |  (SELECT ' ' || l || '  ' || r2 || ' ' FROM m$t),
+               |  (SELECT ' ' || l || r2 || ' ' FROM m$t))) AS rep FROM e${t - 1})""".stripMargin)
+              .mkString(",\n")}
+         |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, sum(len(string_split(rep, '  '))) AS n FROM e8 GROUP BY 1) t
+         |ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_ngram_novelty" ->
       s"""WITH $shingleCtes,

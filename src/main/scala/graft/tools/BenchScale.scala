@@ -133,7 +133,11 @@ object BenchScale {
     // one corpus scoring pass) and the DoReMi reweight step (one unigram
     // LM pass + one groupBy(source)).
     "q_lr_filter",
-    "q_domain_reweight")
+    "q_domain_reweight",
+    // round-14: BPE train (vocab-bounded merge loop — the one corpus pass
+    // is the word-frequency aggregation) + encode (memoized mapPartitions,
+    // corpus-linear).
+    "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
