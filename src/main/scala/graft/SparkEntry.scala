@@ -2311,6 +2311,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Held-out evaluation of the trained classifier — the generalization
+    // check a real filter deploy requires before trusting the cut: train
+    // on the doc_id%5!=0 split, score the held-out 20%, output the
+    // confusion counts + accuracy/precision/recall (floor-form rounding —
+    // these ratios live on a 1/n_eval decimal grid).
+    "q_lr_holdout" -> ((s, dir) => {
+      import graft.functions.QualityModel
+      val d = pq(s, dir, "documents")
+      val fs = QualityModel.docFeatures(col("text"), col("n_chars"))
+      val label = (col("n_chars") >= 300).cast("double")
+      val train = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldOut = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val w = QualityModel.logisticTrain(train, fs, label, steps = 20, lr = 1.0)
+      val scored = QualityModel.scoreWith(heldOut, w, fs).select(
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"),
+        when(col("score") >= 0.5, 1L).otherwise(0L).as("pred"))
+      val cm = scored.agg(
+        count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col("y") === 1 && col("pred") === 1, 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("y") === 0 && col("pred") === 1, 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(col("y") === 0 && col("pred") === 0, 1L).otherwise(0L))
+          .cast("long").as("tn"),
+        sum(when(col("y") === 1 && col("pred") === 0, 1L).otherwise(0L))
+          .cast("long").as("fn"))
+      import QualityModel.r6
+      cm.select(col("n_eval"), col("tp"), col("fp"), col("tn"), col("fn"),
+        r6((col("tp") + col("tn")).cast("double") / col("n_eval").cast("double"))
+          .as("eval_acc"),
+        r6(col("tp").cast("double")
+          / greatest(col("tp") + col("fp"), lit(1L)).cast("double"))
+          .as("eval_precision"),
+        r6(col("tp").cast("double")
+          / greatest(col("tp") + col("fn"), lit(1L)).cast("double"))
+          .as("eval_recall"))
+    }),
+
     // One DoReMi domain-reweighting step (Xie et al. 2023): mixture
     // weights move by exp(eta * excess proxy loss) per source, the
     // harder-than-average domains gaining share. Proxy loss here = the
@@ -3143,21 +3181,24 @@ object SparkEntry {
     * to 1e-6. Generated by the same loop for any step count so the two
     * engines can never drift on a hand-copied step. */
   private val lrFeatureNames: Seq[String] = Seq("mwl", "alpha", "digit", "loglen")
-  private def lrChainSql(steps: Int, lr: String): String = {
+  /** The rounded raw-feature + label projection, reusable with any split
+    * predicate (q_lr_holdout derives its eval CTE from the same text). */
+  private def lrFeatureSelectSql(cte: String, where: String): String =
+    s"""$cte AS (
+       |  SELECT doc_id,
+       |    floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) / 10.0 * 1000000.0 + 0.5) / 1000000.0 AS mwl,
+       |    floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+       |    floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS digit,
+       |    floor(ln(1.0 + CAST(n_chars AS DOUBLE)) / 10.0 * 1000000.0 + 0.5) / 1000000.0 AS loglen,
+       |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents$where)""".stripMargin
+  private def lrChainSql(steps: Int, lr: String, where: String = ""): String = {
     val ns = lrFeatureNames
     val z = "bias + " + ns.map(n => s"w_$n * $n").mkString(" + ")
-    val f0 =
-      """f0 AS (
-        |  SELECT doc_id,
-        |    floor(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) / 10.0 * 1000000.0 + 0.5) / 1000000.0 AS mwl,
-        |    floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-        |      / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS alpha,
-        |    floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-        |      / CAST(greatest(length(text), 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS digit,
-        |    floor(ln(1.0 + CAST(n_chars AS DOUBLE)) / 10.0 * 1000000.0 + 0.5) / 1000000.0 AS loglen,
-        |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
-        |  FROM documents)""".stripMargin
+    val f0 = lrFeatureSelectSql("f0", where)
     // The z-score scaler, mirroring logisticTrain: fixed-point sums from
     // ONE pass, mean/std rounded to 1e-6, variance by E[x^2] - mean^2,
     // zero-variance features standardized with a stand-in std of 1.
@@ -6391,6 +6432,30 @@ object SparkEntry {
          |  FROM f CROSS JOIN s20)
          |SELECT doc_id, score FROM scored WHERE score >= 0.5
          |ORDER BY doc_id""".stripMargin,
+
+    "q_lr_holdout" ->
+      s"""${lrChainSql(20, "1.0", " WHERE doc_id % 5 <> 0")},
+         |${lrFeatureSelectSql("ev", " WHERE doc_id % 5 = 0")},
+         |evz AS (SELECT doc_id,
+         |  ${lrFeatureNames.map(n =>
+              s"floor(($n - mean_$n) / (CASE WHEN std_$n < 0.000001 THEN 1.0 ELSE std_$n END) * 1000000.0 + 0.5) / 1000000.0 AS $n")
+                .mkString(",\n  ")},
+         |  y FROM ev CROSS JOIN sc),
+         |scored AS (SELECT y,
+         |  CASE WHEN floor(1.0 / (1.0 + exp(-($lrZFinal))) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+         |    THEN 1 ELSE 0 END AS pred
+         |  FROM evz CROSS JOIN s20),
+         |cm AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN y = 1.0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN y = 0.0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN y = 0.0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN y = 1.0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM scored)
+         |SELECT n_eval, tp, fp, tn, fn,
+         |  floor(CAST(tp + tn AS DOUBLE) / CAST(n_eval AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS eval_acc,
+         |  floor(CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS eval_precision,
+         |  floor(CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS eval_recall
+         |FROM cm""".stripMargin,
 
     "q_domain_reweight" ->
       """WITH toks AS (

@@ -23,12 +23,12 @@ object QualityModel {
     * can disagree with another engine's multiply-then-round there. floor,
     * multiply and add are IEEE-defined, so any engine computes this
     * bit-identically. Half-way values round toward +inf on both sides. */
-  private[functions] def r6(c: Column): Column =
+  private[graft] def r6(c: Column): Column =
     floor(c * 1e6 + lit(0.5)) / 1e6
 
   /** The fixed-point 1e-6 LONG contract ([[Similarity.kmeansTrain]]) in
     * the same pure-IEEE form. */
-  private[functions] def fp6(c: Column): Column =
+  private[graft] def fp6(c: Column): Column =
     floor(c * 1e6 + lit(0.5)).cast("long")
 
   /** sigmoid(bias + Σ wᵢ·featureᵢ) — pure column arithmetic, codegen'd,
