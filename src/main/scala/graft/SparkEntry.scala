@@ -2349,6 +2349,36 @@ object SparkEntry {
           .as("eval_recall"))
     }),
 
+    // Calibration (reliability) table of the trained classifier: scores
+    // bucketed into deciles, per bucket the observed positive rate vs the
+    // mean predicted score — the diagnostic that decides whether scores
+    // can be treated as probabilities (and where to put the filter cut).
+    // One scoring pass + one 10-key aggregation; rates in floor-form
+    // rounding (1/n_bucket decimal grid).
+    "q_lr_calibration" -> ((s, dir) => {
+      import graft.functions.QualityModel
+      import QualityModel.{r6, fp6}
+      val d = pq(s, dir, "documents")
+      val fs = QualityModel.docFeatures(col("text"), col("n_chars"))
+      val w = QualityModel.logisticTrain(
+        d, fs, (col("n_chars") >= 300).cast("double"), steps = 20, lr = 1.0)
+      QualityModel.scoreWith(d, w, fs)
+        .select(
+          least(floor(col("score") * 10).cast("long"), lit(9L)).as("bucket"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"),
+          col("score"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(fp6(col("score"))).as("__sfp"),
+          sum(col("y")).cast("long").as("__pos"))
+        .select(col("bucket"), col("n_docs"),
+          r6(col("__sfp").cast("double") / (col("n_docs").cast("double") * 1e6))
+            .as("mean_score"),
+          r6(col("__pos").cast("double") / col("n_docs").cast("double"))
+            .as("pos_rate"))
+        .orderBy("bucket")
+    }),
+
     // One DoReMi domain-reweighting step (Xie et al. 2023): mixture
     // weights move by exp(eta * excess proxy loss) per source, the
     // harder-than-average domains gaining share. Proxy loss here = the
@@ -6456,6 +6486,19 @@ object SparkEntry {
          |  floor(CAST(tp AS DOUBLE) / CAST(greatest(tp + fp, 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS eval_precision,
          |  floor(CAST(tp AS DOUBLE) / CAST(greatest(tp + fn, 1) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS eval_recall
          |FROM cm""".stripMargin,
+
+    "q_lr_calibration" ->
+      s"""${lrChainSql(20, "1.0")},
+         |scored AS (SELECT y,
+         |  floor(1.0 / (1.0 + exp(-($lrZFinal))) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM f CROSS JOIN s20)
+         |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  floor(CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+         |  floor(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS pos_rate
+         |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_domain_reweight" ->
       """WITH toks AS (

@@ -130,6 +130,26 @@ class QualityModelSpec extends SparkSpec {
       s"mean score gap ${byY(1.0) - byY(0.0)} too small")
   }
 
+  test("logisticTrain: degenerate inputs stay finite — one-class labels fit " +
+    "without NaN, constant features standardize to 0 and take zero weight") {
+    // All-positive labels: GD drives the bias up; loss and metrics must
+    // stay finite (sigmoid never reaches 1.0 in double at these scales)
+    // and accuracy must hit 1.0. A CONSTANT feature (zero variance) must
+    // ride the std<1e-6 stand-in: standardized value 0 everywhere, so its
+    // weight stays exactly 0 through every step.
+    val df = (0 until 50).map(i => (i.toLong, 0.2 + (i % 5) * 0.1, 7.5))
+      .toDF("id", "x", "const")
+    val feats = Seq("x" -> col("x"), "const" -> col("const"))
+    val r = QualityModel.logisticTrain(df, feats, lit(1.0), steps = 10, lr = 2.0)
+      .collect().head
+    assert(!r.getAs[Double]("log_loss").isNaN && !r.getAs[Double]("log_loss").isInfinite)
+    assert(r.getAs[Double]("train_acc") === 1.0)
+    assert(r.getAs[Double]("std_const") === 0.0, "constant feature must report std 0")
+    assert(r.getAs[Double]("w_const") === 0.0,
+      "a zero-variance feature must never accumulate weight")
+    assert(r.getAs[Double]("bias") > 0.5, "all-positive labels should push the bias up")
+  }
+
   test("domainReweight: harder-than-average domains gain share, weights " +
     "renormalize to ~1, and the update is layout-independent") {
     // key A: mean loss 4.0 (hard), key B: 2.0 (easy), 100 docs each.
