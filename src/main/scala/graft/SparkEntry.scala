@@ -1764,6 +1764,77 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Kneser-Ney smoothed bigram LM scoring — the smoothing family the
+    // real CCNet filter's KenLM model uses: absolute discounting with
+    // backoff to the CONTINUATION distribution (distinct-context counts),
+    // not the frequency distribution the interpolated scorers above use
+    "q_kn_bigram" -> ((s, dir) =>
+      graft.functions.TextAnalysis.knBigramLogProb(
+        pq(s, dir, "documents"), "doc_id", "text", discount = 0.75)
+        .orderBy("doc_id")),
+
+    // CCNet perplexity bucketing over the Kneser-Ney score: per-LANGUAGE
+    // head/middle/tail terciles, keep head+middle. The per-language
+    // ranking runs the two-phase histogram rank (a dominant language
+    // would single-reduce a per-key window — the mixer lesson applied to
+    // the filter side); tile assignment is per-row arithmetic equal to
+    // SQL ntile(3)
+    "q_ppl_buckets" -> ((s, dir) =>
+      graft.functions.TextAnalysis.pplBuckets(
+        pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
+        .orderBy("doc_id")),
+
+    // Frozen-model KN scoring with OOV semantics — the REAL CCNet
+    // posture (train the LM on the clean split, score everything else):
+    // train on doc_id%5!=0, score the held-out 20% (unseen words/
+    // contexts route through the documented continuation-backoff OOV
+    // branches)
+    "q_kn_score_holdout" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      graft.functions.LmIndex.crossScore(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The PERSISTED twin: build the model tables once, score the same
+    // held-out split from the store — shares q_kn_score_holdout's oracle
+    // SQL verbatim (score reads ONLY the vocabulary-bounded model
+    // tables; the training corpus is never rescanned at serve time)
+    "q_kn_persisted" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build(
+        store, "lm", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.score(
+        store, "lm", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // WordPiece-objective tokenizer training on the same corpus as
+    // q_bpe_train: likelihood-gain argmax count(l,r)/(count(l)·count(r))
+    // instead of frequency — the two families diverge from merge 0
+    "q_wordpiece_train" -> ((s, dir) =>
+      graft.functions.TextAnalysis.wordpieceTrainMerges(
+        pq(s, dir, "documents"), "text", numMerges = 8, minPairCount = 2L)
+        .orderBy("rank")),
+
+    // Encode-side consumer: per-document token counts under the 8
+    // learned WordPiece merges (merge-replay inference, the same encode
+    // rule as BPE over the likelihood-ranked merge list)
+    "q_wordpiece_encode" -> ((s, dir) => {
+      import s.implicits._
+      val d = pq(s, dir, "documents")
+      val merges = graft.functions.TextAnalysis
+        .wordpieceTrainMerges(d, "text", numMerges = 8, minPairCount = 2L)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      graft.functions.TextAnalysis
+        .bpeTokenCounts(d, "doc_id", "text", merges, outCol = "wp_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Paragraph-level cross-doc dedup signal: fraction of each document's
     // 32-token paragraphs that appear verbatim in other documents
     "q_paragraph_dup" -> ((s, dir) =>
@@ -3198,6 +3269,168 @@ object SparkEntry {
          |    (SELECT ' ' || l || '  ' || r2 || ' ' FROM m$t),
          |    (SELECT ' ' || l || r2 || ' ' FROM m$t))) AS rep
          |  FROM w${t - 1})""".stripMargin
+    }.mkString(",\n")
+    s"WITH $vocab,\n$rounds"
+  }
+
+  /** Kneser-Ney bigram score chain, shared by q_kn_bigram and
+    * q_ppl_buckets — mirrors [[graft.functions.TextAnalysis.knBigramLogProb]]
+    * term by term (absolute discount 0.75, continuation backoff, MLE
+    * unigram for document-initial tokens, 1e-6 fixed-point long per-token
+    * sums). `big` feeds four consumers and `pt`/`toks` two each →
+    * MATERIALIZED against plain-CTE re-inlining. Exports `knscore`
+    * (doc_id, n_tokens, logprob). */
+  private val knBigramScoreSql: String =
+    """toks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(text, '\s+')) AS w,
+      |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+      |  FROM documents),
+      |pt AS MATERIALIZED (
+      |  SELECT doc_id, pos, w,
+      |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+      |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+      |big AS MATERIALIZED (
+      |  SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
+      |  FROM pt WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT prev, CAST(sum(c2) AS BIGINT) AS cc,
+      |    CAST(count(*) AS BIGINT) AS n1f
+      |  FROM big GROUP BY prev),
+      |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+      |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
+      |knsc AS (
+      |  SELECT pt.doc_id,
+      |    CAST(round(ln(CASE WHEN pt.prev IS NULL
+      |      THEN CAST(uni.c1 AS DOUBLE) / tot.total
+      |      ELSE greatest(CAST(big.c2 AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cc AS DOUBLE)
+      |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE)
+      |          * (CAST(cont.n1c AS DOUBLE) / btot.btypes) END) * 1000000, 0)
+      |      AS BIGINT) AS lp
+      |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+      |  LEFT JOIN big ON pt.prev = big.prev AND pt.w = big.w
+      |  LEFT JOIN ctx ON pt.prev = ctx.prev
+      |  LEFT JOIN cont ON pt.w = cont.w
+      |  CROSS JOIN btot),
+      |knagg AS (
+      |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM knsc GROUP BY 1),
+      |knscore AS (
+      |  SELECT doc_id, n AS n_tokens,
+      |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+      |  FROM knagg)""".stripMargin
+
+  /** Frozen-model KN cross-scoring replay (train split → score split),
+    * mirroring [[graft.functions.LmIndex.scoreFrames]] with its OOV
+    * branches: unseen continuation/unigram take the reserved 0.5-type
+    * mass, a seen context covers seen and unseen pairs in one
+    * absolute-discount expression (c2 defaulting 0), an unseen context
+    * backs off fully to the continuation probability. Shared verbatim by
+    * q_kn_score_holdout and q_kn_persisted (the persisted serve must be
+    * row-identical to the inline cross-score). Exports `knx`. */
+  private def knCrossScoreSql(trainWhere: String, scoreWhere: String): String =
+    s"""ttoks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents WHERE $trainWhere),
+       |tpt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM ttoks),
+       |uni AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM ttoks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |big AS MATERIALIZED (
+       |  SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM tpt WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT prev, CAST(sum(c2) AS BIGINT) AS cc,
+       |    CAST(count(*) AS BIGINT) AS n1f
+       |  FROM big GROUP BY prev),
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+       |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
+       |spt AS (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(text, '\\s+')) AS w,
+       |      unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |    FROM documents WHERE $scoreWhere)),
+       |knxsc AS (
+       |  SELECT spt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN spt.prev IS NULL THEN
+       |        CASE WHEN uni.c1 IS NOT NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |             ELSE 0.5 / tot.total END
+       |      WHEN ctx.cc IS NOT NULL THEN
+       |        greatest(CAST(coalesce(big.c2, 0) AS DOUBLE) - 0.75, 0.0)
+       |          / CAST(ctx.cc AS DOUBLE)
+       |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE)
+       |          * (CASE WHEN cont.n1c IS NOT NULL
+       |               THEN CAST(cont.n1c AS DOUBLE) / btot.btypes
+       |               ELSE 0.5 / btot.btypes END)
+       |      ELSE
+       |        CASE WHEN cont.n1c IS NOT NULL
+       |          THEN CAST(cont.n1c AS DOUBLE) / btot.btypes
+       |          ELSE 0.5 / btot.btypes END
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM spt
+       |  LEFT JOIN uni ON spt.w = uni.w
+       |  LEFT JOIN big ON spt.prev = big.prev AND spt.w = big.w
+       |  LEFT JOIN ctx ON spt.prev = ctx.prev
+       |  LEFT JOIN cont ON spt.w = cont.w
+       |  CROSS JOIN tot CROSS JOIN btot),
+       |knxagg AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM knxsc GROUP BY 1),
+       |knx AS (
+       |  SELECT doc_id, n AS n_tokens,
+       |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |  FROM knxagg)""".stripMargin
+
+  /** WordPiece-objective merge-loop replay — [[bpeChainSql]]'s structure
+    * with the likelihood argmax: per round, symbol counts from the
+    * current segmentation join the pair counts, candidates below the
+    * support floor drop, and the winner maximizes cnt/(c_left·c_right)
+    * (exact-integer-valued doubles under one IEEE divide — both engines
+    * pick the same pair; ties break on the smaller pair). Assumes every
+    * round keeps a candidate at the floor (wordpieceTrainMerges would
+    * stop early; spot-checked on the fixtures). */
+  private def wordpieceChainSql(merges: Int, minPairCount: Long): String = {
+    val vocab =
+      """vocab AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |v0 AS MATERIALIZED (
+        |  SELECT word, freq, array_to_string(
+        |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+        |    '  ') AS rep
+        |  FROM vocab)""".stripMargin
+    val rounds = (1 to merges).map { t =>
+      s"""qx$t AS (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |  FROM (SELECT freq, string_split(rep, '  ') AS s FROM v${t - 1})),
+         |q$t AS (SELECT s[i] AS l, s[i + 1] AS r2, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM qx$t GROUP BY 1, 2),
+         |yx$t AS (SELECT freq, unnest(string_split(rep, '  ')) AS sym FROM v${t - 1}),
+         |y$t AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(freq) AS BIGINT) AS c FROM yx$t GROUP BY 1),
+         |n$t AS MATERIALIZED (
+         |  SELECT q.l, q.r2, q.cnt, cl.c AS lc, cr.c AS rc
+         |  FROM q$t q JOIN y$t cl ON q.l = cl.sym JOIN y$t cr ON q.r2 = cr.sym
+         |  WHERE q.cnt >= $minPairCount
+         |  ORDER BY CAST(q.cnt AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)) DESC,
+         |    q.l, q.r2
+         |  LIMIT 1),
+         |v$t AS MATERIALIZED (
+         |  SELECT word, freq, trim(replace(' ' || rep || ' ',
+         |    (SELECT ' ' || l || '  ' || r2 || ' ' FROM n$t),
+         |    (SELECT ' ' || l || r2 || ' ' FROM n$t))) AS rep
+         |  FROM v${t - 1})""".stripMargin
     }.mkString(",\n")
     s"WITH $vocab,\n$rounds"
   }
@@ -5263,6 +5496,63 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS bpe_tokens
          |FROM documents d LEFT JOIN (
          |  SELECT doc_id, sum(len(string_split(rep, '  '))) AS n FROM e8 GROUP BY 1) t
+         |ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_kn_bigram" ->
+      s"""WITH $knBigramScoreSql
+         |SELECT doc_id, n_tokens, logprob FROM knscore ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      s"""WITH $knBigramScoreSql,
+         |ld AS (
+         |  SELECT d.doc_id, d.lang, k.n_tokens, k.logprob
+         |  FROM documents d JOIN knscore k USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id, lang, n_tokens, logprob,
+         |    CAST(ntile(3) OVER (PARTITION BY lang ORDER BY logprob DESC, doc_id)
+         |      AS BIGINT) AS tile
+         |  FROM ld)
+         |SELECT doc_id, lang, n_tokens, logprob, tile,
+         |  CASE WHEN tile = 1 THEN 'head' WHEN tile = 3 THEN 'tail'
+         |    ELSE 'middle' END AS bucket,
+         |  tile < 3 AS kept
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    "q_kn_score_holdout" ->
+      s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0")}
+         |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
+
+    "q_kn_persisted" ->
+      s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0")}
+         |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
+
+    "q_wordpiece_train" ->
+      s"""${wordpieceChainSql(8, 2L)}
+         |SELECT * FROM (
+         |  ${(1 to 8).map(t =>
+              s"""SELECT CAST(${t - 1} AS BIGINT) AS rank, l AS "left", r2 AS "right", cnt AS pair_count, lc AS left_count, rc AS right_count FROM n$t""")
+                .mkString("\n  UNION ALL ")}
+         |) ORDER BY rank""".stripMargin,
+
+    "q_wordpiece_encode" ->
+      s"""${wordpieceChainSql(8, 2L)},
+         |dw AS (
+         |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+         |  FROM documents),
+         |f0 AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+         |    '  ') AS rep
+         |  FROM dw WHERE length(word) >= 1),
+         |${(1 to 8).map(t =>
+            s"""f$t AS (SELECT doc_id, trim(replace(' ' || rep || ' ',
+               |  (SELECT ' ' || l || '  ' || r2 || ' ' FROM n$t),
+               |  (SELECT ' ' || l || r2 || ' ' FROM n$t))) AS rep FROM f${t - 1})""".stripMargin)
+              .mkString(",\n")}
+         |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS wp_tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, sum(len(string_split(rep, '  '))) AS n FROM f8 GROUP BY 1) t
          |ON d.doc_id = t.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.io.TableStore
+
+/** Persisted Kneser-Ney bigram language model over a
+  * [[graft.io.TableStore]] — the train-offline / score-online split the
+  * REAL CCNet deployment runs (Wenzek et al. 2020: the KenLM model is
+  * trained ONCE on a clean reference corpus, then every crawl shard is
+  * scored against the frozen model): the corpus-scale counting pass
+  * happens at [[build]] time and lands as model TABLES; scoring any
+  * later document set reads only those vocabulary-bounded tables. The
+  * LM twin of [[LexIndex]]/[[AnnIndex]]'s build/serve posture.
+  *
+  * Unlike the in-corpus scorer ([[TextAnalysis.knBigramLogProb]], which
+  * by construction never meets an unseen event), a frozen model scoring
+  * NEW text needs total out-of-vocabulary semantics. The recipe, every
+  * branch deterministic and oracle-replayable:
+  *
+  *   - continuation: P_cont(w) = N1+(•,w)/btypes when w was ever a
+  *     bigram continuation, else 0.5/btypes (half of one type's mass —
+  *     the reserved-OOV convention, mirroring [[build]]'s docs);
+  *   - document-initial token: MLE unigram c1/total, else 0.5/total;
+  *   - seen context `prev`: P = max(c(prev,w) − D, 0)/cc +
+  *     D·N1+(prev,•)/cc · P_cont(w) — with c(prev,w) defaulting to 0,
+  *     this is the textbook absolute-discount interpolation covering
+  *     both the seen-pair and unseen-pair cases in one expression;
+  *   - unseen context: full backoff to P_cont(w).
+  *
+  * Scoring the training corpus itself never reaches an OOV branch, so
+  * [[crossScore]](train, train) == [[TextAnalysis.knBigramLogProb]]
+  * bit-for-bit (spec-pinned, and q_kn_persisted shares q_kn_bigram's
+  * oracle SQL verbatim).
+  *
+  * Scale: model tables are vocabulary-bounded (Heaps' law), written
+  * key-sorted; the scoring joins stay UNHINTED — statically a 100 TB
+  * corpus can never vocab-broadcast (the [[TextAnalysis]] joinVocab
+  * rationale), and AQE broadcasts the SMALLER side from measured bytes
+  * (for a micro-batch gate that is the batch's token frame, which is
+  * exactly right). The three KN aggregates derive from the bigram
+  * table, localCheckpoint'ed once at build so the corpus tokenizes
+  * exactly once ([[LexIndex.build]]'s discipline).
+  *
+  * Model tables (under `prefix`):
+  *   - `<prefix>_uni` (w, c1) — unigram counts
+  *   - `<prefix>_big` (prev, w, c2) — bigram counts
+  *   - `<prefix>_ctx` (prev, cc, n1f) — per-context total + distinct
+  *     followers
+  *   - `<prefix>_cont` (w, n1c) — continuation counts
+  *   - `<prefix>_stats` (total_tokens, bigram_types) — ONE row, longs
+  */
+object LmIndex {
+
+  /** The five model frames, derivable inline from a training corpus or
+    * loaded from a store — the single scoring input shape. */
+  private[graft] final case class KnModel(
+      uni: DataFrame, big: DataFrame, ctx: DataFrame, cont: DataFrame,
+      stats: DataFrame)
+
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+
+  private def withPrev(toks: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    toks.withColumn("prev", lag(col("w"), 1).over(win))
+  }
+
+  /** Model frames computed LAZILY from a training corpus (no jobs fire
+    * here; [[build]] adds the one-tokenize checkpoint discipline). */
+  private[graft] def modelFrames(
+      train: DataFrame, idCol: String, textCol: String): KnModel = {
+    val toks = tokens(train, idCol, textCol)
+    val pt = withPrev(toks, idCol)
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val big = pt.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val ctx = big.groupBy("prev").agg(
+      sum(col("c2")).cast("long").as("cc"),
+      count(lit(1)).cast("long").as("n1f"))
+    val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+    val stats = uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
+      .crossJoin(big.agg(count(lit(1)).cast("long").as("bigram_types")))
+    KnModel(uni, big, ctx, cont, stats)
+  }
+
+  /** Score `docs` against a frozen model — the shared recipe every
+    * entry point funnels through (the hashUniform single-sourcing
+    * principle). Output: (idCol, n_tokens, logprob), the
+    * [[TextAnalysis.knBigramLogProb]] contract (1e-6 fixed-point
+    * per-token longs, one division at the end). */
+  private[graft] def scoreFrames(
+      m: KnModel, docs: DataFrame, idCol: String, textCol: String,
+      discount: Double): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val pt = withPrev(tokens(docs, idCol, textCol), idCol)
+    val total = col("total_tokens").cast("double")
+    val btypes = col("bigram_types").cast("double")
+    val pcont = when(col("n1c").isNotNull,
+      col("n1c").cast("double") / btypes).otherwise(lit(0.5) / btypes)
+    val uniP = when(col("c1").isNotNull,
+      col("c1").cast("double") / total).otherwise(lit(0.5) / total)
+    val knP = greatest(coalesce(col("c2"), lit(0L)).cast("double")
+        - lit(discount), lit(0.0)) / col("cc").cast("double") +
+      lit(discount) * col("n1f").cast("double") / col("cc").cast("double") * pcont
+    val p = when(col("prev").isNull, uniP)
+      .when(col("cc").isNotNull, knP)
+      .otherwise(pcont)
+    pt.join(m.uni, Seq("w"), "left")
+      .join(m.big, Seq("prev", "w"), "left")
+      .join(m.ctx, Seq("prev"), "left")
+      .join(m.cont, Seq("w"), "left")
+      .crossJoin(broadcast(m.stats))
+      .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
+  /** Inline train-on-A / score-B — no store. With `docs eq train` this
+    * is exactly [[TextAnalysis.knBigramLogProb]] (no OOV branch can
+    * fire in-corpus; spec-pinned). */
+  def crossScore(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames(modelFrames(train, idCol, textCol), docs, idCol, textCol,
+      discount)
+
+  /** Build (or rebuild) the model tables from `train`. The bigram table
+    * feeds three derived tables and `overwriteAll` evaluates each write
+    * as its own job, so it is localCheckpoint'ed once — ONE tokenize
+    * pass over the corpus (build-time only; swap for reliable
+    * checkpoint() on a real cluster — the [[LexIndex.build]] note). */
+  def build(
+      store: TableStore, prefix: String,
+      train: DataFrame, idCol: String, textCol: String): Unit = {
+    val m0 = modelFrames(train, idCol, textCol)
+    val big = m0.big.localCheckpoint()
+    val ctx = big.groupBy("prev").agg(
+      sum(col("c2")).cast("long").as("cc"),
+      count(lit(1)).cast("long").as("n1f"))
+    val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+    val uni = m0.uni.localCheckpoint()
+    val stats = uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
+      .crossJoin(big.agg(count(lit(1)).cast("long").as("bigram_types")))
+    try
+      store.overwriteAll(Seq(
+        s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
+        s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
+        s"${prefix}_ctx" -> ctx.sortWithinPartitions("prev"),
+        s"${prefix}_cont" -> cont.sortWithinPartitions("w"),
+        s"${prefix}_stats" -> stats))
+    finally {
+      big.unpersist()
+      uni.unpersist()
+      ()
+    }
+  }
+
+  /** Load the model frames from a store (lazy table reads). */
+  def loadModel(store: TableStore, prefix: String): KnModel =
+    KnModel(
+      uni = store.load(s"${prefix}_uni"),
+      big = store.load(s"${prefix}_big"),
+      ctx = store.load(s"${prefix}_ctx"),
+      cont = store.load(s"${prefix}_cont"),
+      stats = store.load(s"${prefix}_stats"))
+
+  /** Score `docs` against the persisted model — reads ONLY the model
+    * tables; the training corpus is never touched. */
+  def score(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames(loadModel(store, prefix), docs, idCol, textCol, discount)
+}

@@ -364,6 +364,75 @@ object Sampling {
       coalesce(sum(col(massCol)).over(w), lit(0L)).cast("long"))
   }
 
+  /** Exact per-key rank over an arbitrary LONG sort key, in the mixers'
+    * two-phase histogram shape — the reusable "rank without a per-key
+    * corpus window" primitive ([[temperatureMix]]'s selection,
+    * generalized from samp_u to any fixed-point order column). Adds
+    * `rnk` = the 1-based rank of each row within its key under
+    * (`fpCol` ASC, `idCol` ASC), and `__total` = the key's row count —
+    * bit-identical to `row_number() OVER (PARTITION BY key ORDER BY fp,
+    * id)` but with the dominant key spread over [[RankBuckets]] sort
+    * chunks instead of ONE reducer (the round-12 mixer lesson, available
+    * to any per-key ranking consumer: perplexity terciles, percentile
+    * filters).
+    *
+    * Bucketization: fp is range-mapped to floor((fp − min) · B / span)
+    * via one 1-row min/max aggregate (broadcast). Any monotone
+    * bucketization yields the EXACT rank (offsets restore cross-bucket
+    * order, the window restores intra-bucket order) — the range map only
+    * affects how evenly the sort chunks spread; a value-skewed fp
+    * degrades toward fewer occupied buckets, never toward wrongness.
+    *
+    * Key-cardinality envelope: same as the mixers ([[MixerMaxKeys]],
+    * enforced in the offset pass — the histogram window is per-key over
+    * ≤ |keys|·B rows and `bmeta` broadcasts). */
+  private[graft] def rankExactByKey(
+      df: DataFrame, keyCol: String, fpCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireFreeColumns(df, "rankExactByKey",
+      Seq("rnk", "__total", "__b", "__bn", "__off", "__mn", "__mx", "__nk"))
+    val mnmx = df.agg(min(col(fpCol)).cast("long").as("__mn"),
+      max(col(fpCol)).cast("long").as("__mx"))
+    val bucketed = df.crossJoin(broadcast(mnmx))
+      .withColumn("__b", least(
+        floor((col(fpCol).cast("double") - col("__mn").cast("double"))
+          * lit(RankBuckets.toDouble)
+          / (col("__mx").cast("double") - col("__mn").cast("double") + 1.0))
+          .cast("long"),
+        lit(RankBuckets - 1L)))
+      .drop("__mn", "__mx")
+    val hist = bucketed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+    val all = Window.partitionBy(lit(1))
+    val wKey = Window.partitionBy(col(keyCol))
+    val guard = mixerMaxKeys(df)
+    // Key count from the same per-key window pass (only each key's first
+    // histogram row contributes 1 to the whole-frame sum) — the
+    // histMeta guard recipe; the guard observes the AGGREGATED
+    // histogram, never corpus rows.
+    val ordered = wKey.orderBy(col("__b").asc)
+    val bmeta = bucketOffsets(hist, keyCol, "__bn")
+      .withColumn("__total", sum(col("__bn")).over(wKey).cast("long"))
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__nk",
+        sum(when(col("__rn") === 1, 1L)).over(all).cast("long"))
+      .withColumn("__off",
+        when(col("__nk") > lit(guard.toLong), raise_error(concat(
+          lit("rankExactByKey: key cardinality "), col("__nk"),
+          lit(s" exceeds graft.mixer.maxKeys ($guard) — the histogram " +
+            "offsets run per-key single-partition windows and broadcast; " +
+            "a high-cardinality key needs keyed metadata joins " +
+            "(temperatureMixManyKeys pattern)"))).cast("long"))
+          .otherwise(col("__off")))
+      .select(col(keyCol), col("__b"), col("__off"), col("__total"))
+    val w = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col(fpCol).asc, col(idCol).asc)
+    bucketed
+      .join(broadcast(bmeta), Seq(keyCol, "__b"))
+      .withColumn("rnk", (col("__off") + row_number().over(w)).cast("long"))
+      .drop("__b", "__off")
+  }
+
   /** The SINGLE-SOURCED alpha-quota recipe every mixer shares (the
     * [[hashUniform]] principle: one edit here, not a silent divergence
     * in whichever copy was missed): input is one row per key with its

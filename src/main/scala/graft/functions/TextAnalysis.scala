@@ -342,6 +342,100 @@ object TextAnalysis {
           .as("logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score — the smoothing family the
+    * REAL CCNet filter uses (Wenzek et al. 2020 score with a KenLM model;
+    * KenLM implements modified Kneser-Ney, Heafield 2011). The deleted-
+    * interpolation scorers above back off to the unigram FREQUENCY
+    * distribution, which over-scores words that are frequent but occur in
+    * few contexts ("Francisco" appears often, almost only after "San");
+    * Kneser-Ney backs off to the CONTINUATION distribution — how many
+    * distinct contexts a word follows — with absolute discounting
+    * (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26):
+    *
+    *   P(w|prev) = max(c(prev,w) − D, 0)/c(prev)
+    *             + D · N1+(prev,•)/c(prev) · N1+(•,w)/|bigram types|
+    *
+    * Scoring the training corpus itself, every non-initial (prev,w) was
+    * observed (c ≥ 1 > D), so the max() never zeroes and the formula is
+    * total; a document's FIRST token has no bigram context and scores
+    * maximum-likelihood unigram (the continuation distribution is
+    * undefined for words only ever seen document-initial — their
+    * continuation count is 0).
+    *
+    * Determinism: identical fixed-point contract to the other LM scorers
+    * — per-token ln(p) rounded to 1e-6 LONGS, summed, divided once.
+    * Every input to ln() is built from exact integer counts by IEEE
+    * divide/multiply/add, so both engines compute bit-identical doubles.
+    *
+    * Scale: the same shuffle structure as [[bigramLogProb]] — one
+    * corpus-scale token frame ranked per doc (window per doc_id), then
+    * KEYED joins against vocabulary-bounded count tables (the bigram
+    * table is the largest; never broadcast). The three extra Kneser-Ney
+    * aggregates (distinct followers per context, continuation counts per
+    * word, total bigram types) all derive from the bigram-count table —
+    * vocabulary-bounded, map-side combined, no extra corpus pass. */
+  def knBigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    // Single-sourced on the frozen-model scorer (train == score corpus):
+    // in-corpus, every non-initial (prev, w) was observed, so none of the
+    // scorer's OOV branches can fire and the result is the textbook
+    // in-corpus Kneser-Ney score. One formula, one edit point — the
+    // hashUniform principle applied to smoothing arithmetic.
+    LmIndex.crossScore(df, df, idCol, textCol, discount)
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document with the Kneser-Ney LM ([[knBigramLogProb]]), then
+    * split each LANGUAGE into `tiles` equal score bands — tile 1 ("head")
+    * = lowest perplexity, tile `tiles` ("tail") = highest — and keep
+    * head+middle (`kept` = tile < tiles), the standard pretraining
+    * curation cut. CCNet computes per-language percentile CUTOFFS and
+    * filters by them; equal-count tiles over the same per-language score
+    * order are that exact policy with the cutoffs implied.
+    *
+    * Scale: the per-language ranking is the shape that CANNOT be a
+    * per-key corpus window (one language usually owns most of a crawl —
+    * the same dominant-key reality the mixers hit): it routes through
+    * [[Sampling.rankExactByKey]]'s two-phase histogram rank, so the
+    * dominant language sorts in ≤ n/2^16-row chunks. Tile assignment is
+    * then per-row arithmetic over (rank, key total) — bit-equal to SQL
+    * `ntile(tiles)` (first `total mod tiles` tiles take one extra row),
+    * with ties broken by doc id so the order is total in both engines.
+    * The LM score itself is [[knBigramLogProb]]'s fixed-point contract;
+    * ranking compares the 1e-6 LONG score, never a raw double. */
+  def pplBuckets(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      tiles: Int = 3, discount: Double = 0.75): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val scores = knBigramLogProb(df, idCol, textCol, discount)
+    val base = df.select(col(idCol), col(langCol))
+      .join(scores, Seq(idCol))
+      // DESC by score == ASC by the negated fixed-point long (logprob is
+      // already on the 1e-6 grid, so the negation is exact).
+      .withColumn("__fp", round(col("logprob") * lit(-1e6), 0).cast("long"))
+    val ranked = Sampling.rankExactByKey(base, langCol, "__fp", idCol)
+    // ntile(k) over (rnk, total): q = total div k rows per tile, the
+    // first r = total mod k tiles take q + 1. The otherwise-branch's
+    // `div __q` is unreachable when q = 0 (then cut = total >= rnk), and
+    // CaseWhen evaluates branches conditionally, so no division by zero.
+    val tiled = ranked
+      .withColumn("__q", expr(s"__total div ${tiles}L"))
+      .withColumn("__r", col("__total") % lit(tiles.toLong))
+      .withColumn("__cut", col("__r") * (col("__q") + 1L))
+      .withColumn("tile",
+        when(col("rnk") <= col("__cut"),
+          expr("(rnk - 1) div (__q + 1) + 1"))
+          .otherwise(col("__r") + expr("(rnk - __cut - 1) div __q") + 1L)
+          .cast("long"))
+    tiled
+      .select(col(idCol), col(langCol), col("n_tokens"), col("logprob"),
+        col("tile"),
+        when(col("tile") === 1L, lit("head"))
+          .when(col("tile") === lit(tiles.toLong), lit("tail"))
+          .otherwise(lit("middle")).as("bucket"),
+        (col("tile") < lit(tiles.toLong)).as("kept"))
+  }
+
   /** Composite quality score in [0,1]:
     * 0.4 * min(words,100)/100  (length credit)
     * + 0.3 * (1 - punct_ratio) (cleanliness)
@@ -997,7 +1091,7 @@ object TextAnalysis {
     * the merge loop, so this is the documented mapPartitions exception. */
   def bpeTokenCounts(
       df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)], outCol: String = "bpe_tokens"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toVector)
@@ -1016,7 +1110,80 @@ object TextAnalysis {
           (id, n.toLong)
         }
       }
-      .toDF(idCol, "bpe_tokens")
+      .toDF(idCol, outCol)
+  }
+
+  /** WordPiece-objective tokenizer training — same merge machinery as
+    * [[bpeTrainMerges]] (weighted vocabulary from ONE corpus-scale pass;
+    * the merge loop is vocabulary-bounded local iteration), but the
+    * argmax is the WordPiece LIKELIHOOD score instead of raw frequency
+    * (Schuster & Nakajima 2012; the scoring rule documented for
+    * e.g. BERT's trainer): score(l, r) = count(l,r) / (count(l) ·
+    * count(r)) — the pair that most exceeds its independence expectation,
+    * i.e. the merge with the largest training-corpus likelihood gain
+    * under a unigram segment model. Frequency picks common ADJACENCY
+    * ("th" because both are everywhere); likelihood picks strong
+    * ASSOCIATION (symbols that almost only occur together), so the two
+    * trainers diverge from merge 0 on the same corpus — q_bpe_train /
+    * q_wordpiece_train pin both families side by side.
+    *
+    * The score maximally rewards pairs of RARE symbols (two singleton
+    * symbols adjacent once score 1.0, the maximum), which is the real
+    * objective's behavior, not an artifact — production trainers temper
+    * it with a support floor, as here: only pairs with count >=
+    * `minPairCount` are candidates; training stops early when none
+    * remain. Ties (identical IEEE ratios) break on the smaller (left,
+    * right) pair. Score arithmetic is exact-integer-valued doubles under
+    * one IEEE divide, so the DuckDB oracle replays every argmax
+    * bit-identically. Returns (rank, left, right, pair_count,
+    * left_count, right_count) — counts, not the float score, so the
+    * output is integer-exact. */
+  def wordpieceTrainMerges(
+      df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(minPairCount >= 1L, s"minPairCount must be >= 1, got $minPairCount")
+    val vocab: Array[(String, Long)] = df
+      .select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .as[(String, Long)].collect()
+
+    var segs: Array[(Vector[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = Vector.newBuilder[(Int, String, String, Long, Long, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      val symCounts = scala.collection.mutable.Map.empty[String, Long]
+      segs.foreach { case (seg, f) =>
+        var i = 0
+        while (i < seg.length) {
+          symCounts(seg(i)) = symCounts.getOrElse(seg(i), 0L) + f
+          if (i + 1 < seg.length) {
+            val k = (seg(i), seg(i + 1))
+            pairCounts(k) = pairCounts.getOrElse(k, 0L) + f
+          }
+          i += 1
+        }
+      }
+      val cand = pairCounts.filter { case (_, n) => n >= minPairCount }
+      if (cand.isEmpty) done = true
+      else {
+        val ((l, r), c) = cand.minBy { case ((a, b), n) =>
+          (-(n.toDouble / (symCounts(a).toDouble * symCounts(b).toDouble)), a, b)
+        }
+        merges += ((rank, l, r, c, symCounts(l), symCounts(r)))
+        segs = segs.map { case (seg, f) => (bpeMergeOnce(seg, l, r), f) }
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "left", "right", "pair_count", "left_count", "right_count")
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        col("pair_count"), col("left_count"), col("right_count"))
   }
 
   /** Per-document n-gram novelty against the rest of the corpus in id

@@ -282,6 +282,65 @@ object EventAnalytics {
         .filter(col("score") >= minScore))
     }
 
+  /** Streaming perplexity gate with its release handle — usable
+    * directly as a foreachBatch body; [[release]] unpins the cached
+    * model tables when the gate is retired (the [[DriftAlarm]]
+    * lifecycle contract). */
+  final class PplGate private[stream] (
+      probe: (DataFrame, Long) => Unit,
+      pinned: Seq[DataFrame]) extends ((DataFrame, Long) => Unit) {
+    def apply(batch: DataFrame, id: Long): Unit = probe(batch, id)
+    /** Unpersist the pinned model tables. */
+    def release(): Unit = { pinned.foreach(_.unpersist()); () }
+  }
+
+  /** Streaming perplexity curation gate — the CCNet deployment of
+    * [[graft.functions.LmIndex]]: score each micro-batch against a
+    * FROZEN Kneser-Ney model (trained offline on the clean reference
+    * corpus, refreshed like the DSIR fit table) and keep documents
+    * whose per-token logprob clears `minLogprob` (the head/middle cut,
+    * calibrated offline from [[graft.functions.TextAnalysis.pplBuckets]]
+    * — DSIR-gate lesson: thresholds come from observed score
+    * distributions, never assumed).
+    *
+    * The model tables are PINNED at construction (cache + count, the
+    * ivfSnapshot discipline) so a standing gate never re-reads or
+    * re-LISTs them per trigger; per-batch cost is the batch's token
+    * frame joined against the cached vocabulary tables — AQE broadcasts
+    * the BATCH side from measured bytes, so the model never ships. A
+    * document's score depends only on its own text and the frozen
+    * model, so batch boundaries cannot change any decision (spec-pinned
+    * batch == stream). Emits surviving rows with (n_tokens, logprob)
+    * appended. */
+  def pplGateEachBatch(
+      store: graft.io.TableStore, prefix: String,
+      idCol: String, textCol: String, minLogprob: Double,
+      discount: Double = 0.75)(
+      sink: DataFrame => Unit): PplGate = {
+    val m0 = graft.functions.LmIndex.loadModel(store, prefix)
+    val m = graft.functions.LmIndex.KnModel(
+      uni = materializeBatch(m0.uni), big = materializeBatch(m0.big),
+      ctx = materializeBatch(m0.ctx), cont = materializeBatch(m0.cont),
+      stats = materializeBatch(m0.stats))
+    new PplGate((batch, _) => {
+      graft.functions.Sampling.requireFreeColumns(
+        batch, "pplGateEachBatch", Seq("n_tokens", "logprob"))
+      // The batch feeds BOTH the score subtree and the rejoin — the
+      // double-subtree rule: materialize once, release in finally.
+      val b = materializeBatch(batch)
+      try
+        sink(b.join(
+            graft.functions.LmIndex.scoreFrames(
+              m, b, idCol, textCol, discount),
+            Seq(idCol))
+          .filter(col("logprob") >= minLogprob))
+      finally {
+        b.unpersist()
+        ()
+      }
+    }, Seq(m.uni, m.big, m.ctx, m.cont, m.stats))
+  }
+
   /** Streaming drift alarm — per-micro-batch
     * [[graft.functions.Sampling.distributionDrift]] against a PERSISTED
     * baseline histogram ([[graft.functions.Sampling.bucketCounts]],

@@ -137,7 +137,14 @@ object BenchScale {
     // round-14: BPE train (vocab-bounded merge loop — the one corpus pass
     // is the word-frequency aggregation) + encode (memoized mapPartitions,
     // corpus-linear).
-    "q_bpe_encode")
+    "q_bpe_encode",
+    // round-14 session-3 additions: Kneser-Ney scoring (the bigram-table
+    // joins plus three vocabulary-bounded KN aggregates) and the CCNet
+    // perplexity tercile filter on top of it (two-phase per-lang rank —
+    // run against the `skew` corpus too: the dominant language is the
+    // shape the two-phase rank exists for).
+    "q_kn_bigram",
+    "q_ppl_buckets")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)

@@ -1,0 +1,253 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the Kneser-Ney LM scorer, the CCNet perplexity bucketing it
+  * feeds, the generalized two-phase rank primitive under both, and the
+  * WordPiece-objective tokenizer trainer (round-14 session-3 block).
+  */
+class LmSmoothingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- knBigramLogProb ---------------------------------------------------
+
+  test("knBigramLogProb matches the hand-computed Kneser-Ney fixture") {
+    // Corpus: "a b a b" + "a c".
+    //   unigrams: a=3 b=2 c=1, total 6
+    //   bigrams:  (a,b)=2 (b,a)=1 (a,c)=1  -> 3 types
+    //   contexts: a: cc=3 n1f=2;  b: cc=1 n1f=1
+    //   continuations: a=1 b=1 c=1 (each follows exactly one context)
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val d = 0.75
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    // doc 1: a(first)=3/6; b|a=(2-d)/3 + d*2/3*(1/3); a|b=(1-d)/1 + d*1/1*(1/3);
+    //        b|a again
+    val pba = (2 - d) / 3 + d * 2 / 3 * (1.0 / 3)
+    val pab = (1 - d) / 1 + d * 1 / 1 * (1.0 / 3)
+    val exp1 = BigDecimal((fp(0.5) + fp(pba) + fp(pab) + fp(pba)) / 4.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2: a(first)=3/6; c|a=(1-d)/3 + d*2/3*(1/3)
+    val pca = (1 - d) / 3 + d * 2 / 3 * (1.0 / 3)
+    val exp2 = BigDecimal((fp(0.5) + fp(pca)) / 2.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.knBigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((1L, 4L, exp1), (2L, 2L, exp2)))
+  }
+
+  test("knBigramLogProb backs off to continuation, not frequency " +
+      "(the Francisco property)") {
+    // "x sf" repeated: sf is FREQUENT but only ever follows x (one
+    // continuation context). "a b", "c b", "d b": b is equally frequent
+    // but follows three distinct contexts. Under the frequency backoff
+    // both look alike; under Kneser-Ney a novel-context occurrence of sf
+    // must score LOWER than one of b. Pin via the continuation shares:
+    // both words hold c2=1 after the probe context "z", so the score
+    // difference is exactly the continuation count (1 vs 3).
+    val df = Seq(
+      (1L, "x sf x sf x sf"), (2L, "a b c b d b"),
+      (3L, "z sf"), (4L, "z b")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramLogProb(df, "doc_id", "text")
+      .filter(col("doc_id") >= 3L)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // Same first token z; second token: c(z,sf)=1=c(z,b), cc(z)=2,
+    // n1f(z)=2, so the bigram terms tie and only N1+(.,sf)=1 vs
+    // N1+(.,b)=3 separates the scores.
+    assert(got(0)._3 < got(1)._3,
+      s"KN scored single-context sf (${got(0)._3}) >= " +
+        s"diverse-context b (${got(1)._3})")
+  }
+
+  // ---- LmIndex: frozen-model scoring with OOV -----------------------------
+
+  test("crossScore matches the hand-computed OOV fixture") {
+    // Train: "a b a b" + "a c" (model as in the in-corpus fixture).
+    // Score: "a z b c z" exercises every OOV branch:
+    //   a  first+seen        -> 3/6
+    //   z|a ctx seen, pair unseen, cont unseen -> .75*(2/3)*(0.5/3)
+    //   b|z ctx unseen       -> Pcont(b) = 1/3
+    //   c|b ctx seen, pair unseen, cont seen   -> .75*(1/1)*(1/3)
+    //   z|c ctx unseen, cont unseen            -> 0.5/3
+    // Plus "zz": first token unseen -> 0.5/6.
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a z b c z"), (11L, "zz")).toDF("doc_id", "text")
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    def mean6(ps: Seq[Double]): Double =
+      BigDecimal(ps.map(fp).sum.toDouble / ps.length / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp10 = mean6(Seq(3.0 / 6,
+      0.75 * 2 / 3 * (0.5 / 3), 1.0 / 3, 0.75 * 1 / 1 * (1.0 / 3), 0.5 / 3))
+    val exp11 = mean6(Seq(0.5 / 6))
+    val got = LmIndex.crossScore(train, docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((10L, 5L, exp10), (11L, 1L, exp11)))
+  }
+
+  test("persisted LmIndex.score == inline crossScore (store round trip)") {
+    val rnd = new scala.util.Random(3)
+    val pool = Vector("red", "green", "blue", "qq", "zz", "tt", "mm")
+    def txt(): String =
+      (0 until (2 + rnd.nextInt(9))).map(_ => pool(rnd.nextInt(7)))
+        .mkString(" ")
+    val all = (1L to 60L).map(i => (i, txt())).toDF("doc_id", "text")
+    val train = all.filter(col("doc_id") % 3 =!= 0L)
+    val score = all.filter(col("doc_id") % 3 === 0L)
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_spec_").toString)
+    LmIndex.build(store, "lm", train, "doc_id", "text")
+    val got = LmIndex.score(store, "lm", score, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = LmIndex.crossScore(train, score, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "persisted serve diverged from the inline cross-score")
+  }
+
+  test("knBigramLogProb == crossScore on itself (no OOV branch in-corpus)") {
+    val df = Seq((1L, "a b a b c"), (2L, "b c a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.knBigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = LmIndex.crossScore(df, df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
+  // ---- rankExactByKey ----------------------------------------------------
+
+  test("rankExactByKey == the naive per-key window, negative keys and skew") {
+    import org.apache.spark.sql.expressions.Window
+    // 90%-one-key frame with NEGATIVE and colliding sort values — the
+    // range bucketization must stay monotone and the offsets must
+    // restore the exact global per-key rank.
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 900L).map(i => (i, "en", rnd.nextInt(50).toLong - 25L)) ++
+      (1001L to 1100L).map(i => (i, "de", rnd.nextInt(10).toLong - 5L))
+    val df = rows.toDF("doc_id", "lang", "fp")
+    val got = Sampling.rankExactByKey(df, "lang", "fp", "doc_id")
+      .select("lang", "doc_id", "rnk", "__total")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("lang").orderBy(col("fp").asc, col("doc_id").asc)
+    val naive = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("__total",
+        count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+      .select("lang", "doc_id", "rnk", "__total")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === naive)
+  }
+
+  test("rankExactByKey: key-cardinality guard raises with guidance") {
+    val df = (1L to 30L).map(i => (i, s"k${i % 10}", i)).toDF("id", "k", "fp")
+    val prev = spark.conf.getOption("graft.mixer.maxKeys")
+    spark.conf.set("graft.mixer.maxKeys", "4")
+    try {
+      val e = intercept[Exception] {
+        Sampling.rankExactByKey(df, "k", "fp", "id").collect()
+      }
+      assert(e.getMessage.contains("rankExactByKey") &&
+        e.getMessage.contains("graft.mixer.maxKeys"), e.getMessage)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.mixer.maxKeys", v)
+        case None => spark.conf.unset("graft.mixer.maxKeys")
+      }
+    }
+  }
+
+  // ---- pplBuckets --------------------------------------------------------
+
+  test("pplBuckets == naive per-lang ntile on a dominant-lang corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val wordsPool = Vector("alpha", "beta", "gamma", "delta", "ep", "ze", "qq")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(8))).map(_ => wordsPool(rnd.nextInt(7)))
+        .mkString(" ")
+    val rows = (1L to 180L).map(i =>
+      (i, if (i <= 160) "en" else if (i <= 172) "de" else "sw", txt()))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.pplBuckets(df, "doc_id", "text", "lang", tiles = 3)
+      .select("doc_id", "lang", "tile", "bucket", "kept")
+      .as[(Long, String, Long, String, Boolean)].collect().toSet
+    val scores = TextAnalysis.knBigramLogProb(df, "doc_id", "text")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("logprob").desc, col("doc_id").asc)
+    val naive = df.select("doc_id", "lang").join(scores, Seq("doc_id"))
+      .withColumn("tile", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("tile"),
+        when(col("tile") === 1L, "head").when(col("tile") === 3L, "tail")
+          .otherwise("middle").as("bucket"),
+        (col("tile") < 3L).as("kept"))
+      .as[(Long, String, Long, String, Boolean)].collect().toSet
+    assert(got === naive, "two-phase tiles diverged from the ntile window")
+    // Tail is dropped, head+middle kept, per language.
+    val byLang = got.groupBy(_._2)
+    byLang.foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$lang tiles unbalanced: $sizes")
+      assert(rs.filter(_._5).map(_._3).forall(_ < 3L))
+    }
+  }
+
+  test("pplBuckets ranks corpus rows only in (lang, bucket) windows") {
+    val df = Seq((1L, "en", "a b c"), (2L, "en", "a b"), (3L, "de", "c a"))
+      .toDF("doc_id", "lang", "text")
+    val plan = TextAnalysis.pplBuckets(df, "doc_id", "text", "lang")
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val rank = specs.filter(_.contains("__fp"))
+    assert(rank.nonEmpty, "lost the score rank window")
+    rank.foreach { s =>
+      val partCols = s.split(",").map(_.trim)
+        .takeWhile(a => !a.contains(" ASC") && !a.contains(" DESC"))
+      assert(partCols.length >= 2,
+        s"pplBuckets ranks corpus rows in a single-key window: $s")
+    }
+  }
+
+  // ---- wordpieceTrainMerges ----------------------------------------------
+
+  test("wordpiece argmax is association, not frequency (the qu property)") {
+    // (a,b) occurs 20x over common symbols; (q,u) occurs 2x but q and u
+    // occur ONLY together. Frequency (BPE) picks (a,b) first; the
+    // WordPiece likelihood score 2/(2*2)=0.5 beats 20/(20*20)=0.05.
+    val df = (Seq.fill(10)("abab") ++ Seq.fill(2)("qu")).toDF("text")
+    val wp = TextAnalysis.wordpieceTrainMerges(df, "text", numMerges = 10)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(wp(0) === ((0L, "q", "u", 2L, 2L, 2L)))
+    assert(wp(1) === ((1L, "a", "b", 20L, 20L, 20L)))
+    assert(wp(2) === ((2L, "ab", "ab", 10L, 20L, 20L)))
+    // After ab+ab -> abab there is no pair with support >= 2: early stop.
+    assert(wp.length === 3)
+    val bpe = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 1)
+      .as[(Long, String, String, Long)].collect()
+    assert(bpe(0)._2 === "a" && bpe(0)._3 === "b",
+      "BPE frequency argmax should pick (a,b) where WordPiece picks (q,u)")
+  }
+
+  test("wordpiece support floor excludes perfect-score singletons") {
+    // "xy" appears once: score 1/(1*1)=1.0, the maximum — but support 1
+    // is below the floor, so the trainer must pick (a,b) instead.
+    val df = (Seq.fill(5)("ab") ++ Seq("xy")).toDF("text")
+    val wp = TextAnalysis.wordpieceTrainMerges(
+      df, "text", numMerges = 5, minPairCount = 2L)
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    assert(wp.map(r => (r._2, r._3)).toSeq === Seq(("a", "b")))
+  }
+
+  test("wordpiece merges drive bpeTokenCounts with a custom output column") {
+    val df = Seq((1L, "qu ququ zz")).toDF("doc_id", "text")
+    val train = (Seq.fill(2)("qu") ++ Seq.fill(2)("ququ")).toDF("text")
+    val merges = TextAnalysis.wordpieceTrainMerges(train, "text", numMerges = 2)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val got = TextAnalysis.bpeTokenCounts(
+      df, "doc_id", "text", merges, outCol = "wp_tokens")
+    assert(got.columns.toSeq === Seq("doc_id", "wp_tokens"))
+    // merges: (q,u) then (qu,qu) -> "qu"=1, "ququ"=1, "zz"=2 tokens
+    assert(got.as[(Long, Long)].head() === ((1L, 4L)))
+  }
+}

@@ -246,6 +246,71 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(acc.toSet === want, "stream gate diverged from the batch scoring")
   }
 
+  test("pplGateEachBatch: micro-batched gate == batch scoring against the frozen KN model") {
+    import graft.functions.LmIndex
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    // Template-like docs (natural bigrams) vs word salad; the frozen LM
+    // must separate them, and the stream must admit exactly the batch-
+    // computed survivors regardless of batch boundaries.
+    val rnd = new scala.util.Random(19)
+    val phrases = Vector("the cat sat", "on the mat", "a dog ran", "in the park")
+    def natural(): String =
+      (0 until 3).map(_ => phrases(rnd.nextInt(4))).mkString(" ")
+    val pool = Vector("qx", "zv", "wk", "jj", "pf", "bn", "the", "cat")
+    def salad(): String =
+      (0 until 9).map(_ => pool(rnd.nextInt(8))).mkString(" ")
+    val train = (1L to 40L).map(i => (i, natural())).toDF("doc_id", "text")
+    val docs = ((100L to 109L).map(i => (i, natural())) ++
+      (200L to 209L).map(i => (i, salad()))).toDF("doc_id", "text")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_gate_").toString)
+    LmIndex.build(store, "lm", train, "doc_id", "text")
+    // Threshold calibrated from the OBSERVED scores (the DSIR-gate
+    // lesson): the midpoint of the two class means.
+    val scores = LmIndex.score(store, "lm", docs, "doc_id", "text")
+      .select($"doc_id", $"logprob").as[(Long, Double)].collect()
+    val natMean = scores.filter(_._1 < 200).map(_._2).sum / 10
+    val salMean = scores.filter(_._1 >= 200).map(_._2).sum / 10
+    assert(natMean > salMean + 0.5,
+      s"LM failed to separate template ($natMean) from salad ($salMean)")
+    val thr = (natMean + salMean) / 2
+    val want = scores.filter(_._2 >= thr).toSet
+    assert(want.map(_._1).forall(_ < 200L) && want.size === 10,
+      s"threshold should admit exactly the natural half: $want")
+
+    val input = MemoryStream[(Long, String)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val gate = EventAnalytics.pplGateEachBatch(
+      store, "lm", "doc_id", "text", minLogprob = thr) { out =>
+      acc.synchronized {
+        acc ++= out.select("doc_id", "logprob").as[(Long, Double)].collect()
+      }
+      ()
+    }
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(gate)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    input.addData(rows.take(7).toSeq)
+    q.processAllAvailable()
+    input.addData(rows.drop(7).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === want, "stream ppl gate diverged from batch scoring")
+    gate.release()
+
+    // Reserved-column guard: a batch already carrying logprob fails loudly.
+    val gate2 = EventAnalytics.pplGateEachBatch(
+      store, "lm", "doc_id", "text", minLogprob = 0.0)(_ => ())
+    val e = intercept[IllegalArgumentException](
+      gate2(Seq((1L, "a", 0.5)).toDF("doc_id", "text", "logprob"), 0L))
+    assert(e.getMessage.contains("pplGateEachBatch"))
+    gate2.release()
+  }
+
   test("qualityGateEachBatch rejects a batch already carrying a feature or score column") {
     import graft.functions.QualityModel
     val feats = QualityModel.docFeatures($"text", $"n_chars")
