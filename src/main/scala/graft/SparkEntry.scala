@@ -1784,6 +1784,30 @@ object SparkEntry {
         pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
         .orderBy("doc_id")),
 
+    // Deterministic global corpus shuffle: every doc's training position
+    // (content-hash order, no RNG) + the (shard, pos) layout a sharded
+    // reader consumes. Global rank via the two-phase histogram (constant
+    // key) — the whole corpus never sorts on one reducer
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.functions.Sampling.corpusShuffle(
+        pq(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", docsPerShard = 64L)
+        .orderBy("doc_id")),
+
+    // Curriculum ordering: easy -> hard by PERPLEXITY stage (the KN
+    // tercile from q_ppl_buckets), hash-shuffled within each stage,
+    // with the global seq/shard/pos layout. seq == row_number over
+    // (stage, md5, id) — computed via per-stage two-phase rank + a
+    // broadcast stage-offset join
+    "q_curriculum_order" -> ((s, dir) => {
+      val stages = graft.functions.TextAnalysis.pplBuckets(
+          pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
+        .select(col("doc_id"), col("tile").as("stage"))
+      graft.functions.Sampling.curriculumOrder(
+        stages, "doc_id", "stage", docsPerShard = 64L)
+        .orderBy("doc_id")
+    }),
+
     // Frozen-model KN scoring with OOV semantics — the REAL CCNet
     // posture (train the LM on the clean split, score everything else):
     // train on doc_id%5!=0, score the held-out 20% (unseen words/
@@ -5518,6 +5542,43 @@ object SparkEntry {
          |    ELSE 'middle' END AS bucket,
          |  tile < 3 AS kept
          |FROM rk ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (ORDER BY fp, doc_id) AS BIGINT) AS seq
+        |  FROM h)
+        |SELECT doc_id, source, seq,
+        |  CAST((seq - 1) // 64 AS BIGINT) AS shard,
+        |  CAST((seq - 1) % 64 AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum_order" ->
+      s"""WITH $knBigramScoreSql,
+         |ld AS (
+         |  SELECT d.doc_id, d.lang, k.logprob
+         |  FROM documents d JOIN knscore k USING (doc_id)),
+         |st AS (
+         |  SELECT doc_id,
+         |    CAST(ntile(3) OVER (PARTITION BY lang ORDER BY logprob DESC, doc_id)
+         |      AS BIGINT) AS stage
+         |  FROM ld),
+         |h AS (
+         |  SELECT doc_id, stage,
+         |    ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS fp
+         |  FROM st),
+         |r AS (
+         |  SELECT doc_id, stage,
+         |    CAST(row_number() OVER (ORDER BY stage, fp, doc_id) AS BIGINT) AS seq
+         |  FROM h)
+         |SELECT doc_id, stage, seq,
+         |  CAST((seq - 1) // 64 AS BIGINT) AS shard,
+         |  CAST((seq - 1) % 64 AS BIGINT) AS pos
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_kn_score_holdout" ->
       s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0")}

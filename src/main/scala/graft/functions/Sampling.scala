@@ -433,6 +433,83 @@ object Sampling {
       .drop("__b", "__off")
   }
 
+  /** Content-hash 32-bit LONG sort key (the [[hashUniform]] recipe
+    * without the (0,1) map — ranking needs the exact integer, and the
+    * oracle replays it as `('0x' || substr(md5(...), 1, 8))::UBIGINT`). */
+  private def hashSortKey(parts: Column*): Column =
+    conv(keyHash(concat_ws(":", parts: _*)), 16, 10).cast("long")
+
+  /** Deterministic global corpus shuffle — the ordering step a training
+    * run consumes (data order is part of the training recipe; "shuffle
+    * the corpus" must be reproducible, resumable, and stable under
+    * re-runs, so it is a content-hash ORDER, not an RNG): every document
+    * gets its global training position `seq` (1-based rank under
+    * (md5(seed:id), id)), plus the derived `(shard, pos)` layout a
+    * sharded reader consumes (`shard` = (seq-1) div docsPerShard).
+    *
+    * Scale: a global rank is the canonical single-reducer trap; this one
+    * routes through [[rankExactByKey]]'s two-phase histogram (constant
+    * key, hash-bucketized) so the whole corpus sorts in ≤ n/2^16-row
+    * chunks — the same exactness contract as the mixers (spec-pinned
+    * against the naive global window). Re-sharding is arithmetic on
+    * `seq`; appending documents perturbs ranks globally by construction
+    * (a hash order is a permutation, not an append log) — epoch-stable
+    * ordering across corpus GROWTH is what [[temperatureMix]]'s
+    * hash-prefix selection provides instead. */
+  def corpusShuffle(
+      df: DataFrame, idCol: String, docsPerShard: Long,
+      seed: String = "graft"): DataFrame = {
+    require(docsPerShard >= 1L, s"docsPerShard must be >= 1, got $docsPerShard")
+    requireFreeColumns(df, "corpusShuffle",
+      Seq("seq", "shard", "pos", "__fp", "__k", "rnk", "__total"))
+    val ranked = rankExactByKey(
+      df.withColumn("__k", lit("all"))
+        .withColumn("__fp", hashSortKey(lit(seed), col(idCol).cast("string"))),
+      "__k", "__fp", idCol)
+    ranked
+      .withColumn("seq", col("rnk"))
+      .withColumn("shard", expr(s"(seq - 1) div ${docsPerShard}L"))
+      .withColumn("pos", (col("seq") - 1L) % lit(docsPerShard))
+      .drop("__k", "__fp", "rnk", "__total")
+  }
+
+  /** Curriculum ordering — documents visit training in ascending
+    * `stageCol` order (the difficulty schedule: perplexity tercile,
+    * length band, quality bucket — any LONG stage the caller derives),
+    * shuffled WITHIN each stage by content hash, with the global
+    * position and shard layout of [[corpusShuffle]]. `seq` is exactly
+    * `row_number() OVER (ORDER BY stage, md5(seed:id), id)` — computed
+    * scalably: per-stage two-phase rank + a stage-offset join (stage
+    * masses aggregate to ≤ |stages| rows, cumulative-summed in one tiny
+    * window and broadcast). The input is scanned twice (masses + rank
+    * pass — the [[temperatureMixManyKeys]] accounting); a deployment
+    * whose stage column is itself expensive (e.g. a perplexity tile)
+    * should materialize the stage table first. */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, stageCol: String, docsPerShard: Long,
+      seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(docsPerShard >= 1L, s"docsPerShard must be >= 1, got $docsPerShard")
+    requireFreeColumns(df, "curriculumOrder",
+      Seq("seq", "shard", "pos", "__fp", "__soff", "__sn", "rnk", "__total"))
+    val offs = df.groupBy(col(stageCol))
+      .agg(count(lit(1)).cast("long").as("__sn"))
+      .withColumn("__soff", coalesce(
+        sum(col("__sn")).over(Window.partitionBy(lit(1))
+          .orderBy(col(stageCol).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
+      .select(col(stageCol), col("__soff"))
+    val ranked = rankExactByKey(
+      df.withColumn("__fp", hashSortKey(lit(seed), col(idCol).cast("string"))),
+      stageCol, "__fp", idCol)
+    ranked
+      .join(broadcast(offs), Seq(stageCol))
+      .withColumn("seq", (col("__soff") + col("rnk")).cast("long"))
+      .withColumn("shard", expr(s"(seq - 1) div ${docsPerShard}L"))
+      .withColumn("pos", (col("seq") - 1L) % lit(docsPerShard))
+      .drop("__fp", "__soff", "rnk", "__total")
+  }
+
   /** The SINGLE-SOURCED alpha-quota recipe every mixer shares (the
     * [[hashUniform]] principle: one edit here, not a silent divergence
     * in whichever copy was missed): input is one row per key with its

@@ -538,4 +538,61 @@ class SamplingSpec extends SparkSpec {
       assert(keyed.toSet === win)
     } finally spark.conf.unset("graft.mixer.maxKeys")
   }
+
+  test("corpusShuffle == naive global hash window; seq is a permutation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val got = Sampling.corpusShuffle(df, "doc_id", docsPerShard = 32L)
+      .select("doc_id", "seq", "shard", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    val fp = conv(substring(md5(concat_ws(":", lit("graft"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val naive = df.withColumn("__fp", fp)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__fp").asc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("seq"),
+        expr("(seq - 1) div 32L").as("shard"),
+        ((col("seq") - 1L) % 32L).as("pos"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSet === naive.toSet,
+      "two-phase global shuffle diverged from the naive window")
+    assert(got.map(_._2).sorted.toSeq === (1L to 500L),
+      "seq is not a permutation of 1..n")
+    // Determinism across layout.
+    val again = Sampling.corpusShuffle(df.repartition(7), "doc_id", 32L)
+      .select("doc_id", "seq").as[(Long, Long)].collect().toSet
+    assert(again === got.map(r => (r._1, r._2)).toSet)
+  }
+
+  test("curriculumOrder: stages are contiguous, within-stage order is the hash shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 300L).map(i => (i, (i % 3) + 1)).toDF("doc_id", "stage")
+    val got = Sampling.curriculumOrder(df, "doc_id", "stage", docsPerShard = 16L)
+      .select("doc_id", "stage", "seq", "shard", "pos")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val fp = conv(substring(md5(concat_ws(":", lit("graft"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val naive = df.withColumn("__fp", fp)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("stage").asc, col("__fp").asc, col("doc_id").asc))
+        .cast("long"))
+      .select(col("doc_id"), col("stage"), col("seq"),
+        expr("(seq - 1) div 16L").as("shard"),
+        ((col("seq") - 1L) % 16L).as("pos"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSet === naive.toSet,
+      "curriculum order diverged from the naive (stage, hash, id) window")
+    // Every stage occupies one contiguous seq range, in ascending order.
+    val ranges = got.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._3).min, rs.map(_._3).max)).toMap
+    assert(ranges(1L)._2 < ranges(2L)._1 && ranges(2L)._2 < ranges(3L)._1,
+      s"stages interleave: $ranges")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(
+        df.withColumn("seq", lit(1L)), "doc_id", "stage", 16L)
+    }
+    assert(e.getMessage.contains("curriculumOrder"))
+  }
 }
