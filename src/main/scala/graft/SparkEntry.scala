@@ -1800,9 +1800,14 @@ object SparkEntry {
     // (stage, md5, id) — computed via per-stage two-phase rank + a
     // broadcast stage-offset join
     "q_curriculum_order" -> ((s, dir) => {
+      // The stage column is the whole KN perplexity chain and
+      // curriculumOrder references its input three times (stage masses +
+      // histogram + rank) — persist the narrow stage table first, per
+      // its scaladoc (lazy, lineage-backed).
       val stages = graft.functions.TextAnalysis.pplBuckets(
           pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
         .select(col("doc_id"), col("tile").as("stage"))
+        .persist()
       graft.functions.Sampling.curriculumOrder(
         stages, "doc_id", "stage", docsPerShard = 64L)
         .orderBy("doc_id")

@@ -387,20 +387,38 @@ object Sampling {
     * enforced in the offset pass — the histogram window is per-key over
     * ≤ |keys|·B rows and `bmeta` broadcasts). */
   private[graft] def rankExactByKey(
-      df: DataFrame, keyCol: String, fpCol: String, idCol: String): DataFrame = {
+      df: DataFrame, keyCol: String, fpCol: String, idCol: String,
+      fpRange: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     requireFreeColumns(df, "rankExactByKey",
       Seq("rnk", "__total", "__b", "__bn", "__off", "__mn", "__mx", "__nk"))
-    val mnmx = df.agg(min(col(fpCol)).cast("long").as("__mn"),
-      max(col(fpCol)).cast("long").as("__mx"))
-    val bucketed = df.crossJoin(broadcast(mnmx))
-      .withColumn("__b", least(
-        floor((col(fpCol).cast("double") - col("__mn").cast("double"))
-          * lit(RankBuckets.toDouble)
-          / (col("__mx").cast("double") - col("__mn").cast("double") + 1.0))
-          .cast("long"),
-        lit(RankBuckets - 1L)))
-      .drop("__mn", "__mx")
+    // The input feeds the histogram AND the rank join (plus, without
+    // `fpRange`, the min/max probe): 2-3 references. Callers whose fp
+    // domain is statically known (a 32-bit content hash: [0, 2^32)) pass
+    // `fpRange` and skip the probe pass entirely; callers with an
+    // EXPENSIVE input subtree (a model-scored frame) should persist()
+    // it first — each reference otherwise re-runs the subtree
+    // (pplBuckets does exactly that).
+    val bucketed = fpRange match {
+      case Some((mn, mx)) =>
+        require(mx >= mn, s"fpRange must be ordered, got ($mn, $mx)")
+        df.withColumn("__b", least(greatest(
+          floor((col(fpCol).cast("double") - lit(mn.toDouble))
+            * lit(RankBuckets.toDouble)
+            / lit(mx.toDouble - mn.toDouble + 1.0)).cast("long"), lit(0L)),
+          lit(RankBuckets - 1L)))
+      case None =>
+        val mnmx = df.agg(min(col(fpCol)).cast("long").as("__mn"),
+          max(col(fpCol)).cast("long").as("__mx"))
+        df.crossJoin(broadcast(mnmx))
+          .withColumn("__b", least(
+            floor((col(fpCol).cast("double") - col("__mn").cast("double"))
+              * lit(RankBuckets.toDouble)
+              / (col("__mx").cast("double") - col("__mn").cast("double") + 1.0))
+              .cast("long"),
+            lit(RankBuckets - 1L)))
+          .drop("__mn", "__mx")
+    }
     val hist = bucketed.groupBy(col(keyCol), col("__b"))
       .agg(count(lit(1)).as("__bn"))
     val all = Window.partitionBy(lit(1))
@@ -465,7 +483,9 @@ object Sampling {
     val ranked = rankExactByKey(
       df.withColumn("__k", lit("all"))
         .withColumn("__fp", hashSortKey(lit(seed), col(idCol).cast("string"))),
-      "__k", "__fp", idCol)
+      // The hash domain is static — no min/max probe pass: 2 input scans
+      // (histogram + rank), the mixer accounting.
+      "__k", "__fp", idCol, fpRange = Some((0L, (1L << 32) - 1L)))
     ranked
       .withColumn("seq", col("rnk"))
       .withColumn("shard", expr(s"(seq - 1) div ${docsPerShard}L"))
@@ -501,7 +521,7 @@ object Sampling {
       .select(col(stageCol), col("__soff"))
     val ranked = rankExactByKey(
       df.withColumn("__fp", hashSortKey(lit(seed), col(idCol).cast("string"))),
-      stageCol, "__fp", idCol)
+      stageCol, "__fp", idCol, fpRange = Some((0L, (1L << 32) - 1L)))
     ranked
       .join(broadcast(offs), Seq(stageCol))
       .withColumn("seq", (col("__soff") + col("rnk")).cast("long"))

@@ -413,6 +413,13 @@ object TextAnalysis {
       // DESC by score == ASC by the negated fixed-point long (logprob is
       // already on the 1e-6 grid, so the negation is exact).
       .withColumn("__fp", round(col("logprob") * lit(-1e6), 0).cast("long"))
+      // The rank primitive references its input THREE times (min/max
+      // probe + histogram + rank join) and this input is the whole KN
+      // scoring chain — persist() so the chain runs once, not 3x
+      // (lazy, lineage-backed: the temperatureMixByWeight quota-cache
+      // discipline; the cache is the narrow scored frame, not the
+      // token-level intermediates).
+      .persist()
     val ranked = Sampling.rankExactByKey(base, langCol, "__fp", idCol)
     // ntile(k) over (rnk, total): q = total div k rows per tile, the
     // first r = total mod k tiles take q + 1. The otherwise-branch's

@@ -144,7 +144,12 @@ object BenchScale {
     // run against the `skew` corpus too: the dominant language is the
     // shape the two-phase rank exists for).
     "q_kn_bigram",
-    "q_ppl_buckets")
+    "q_ppl_buckets",
+    // round-14 session-3: the ordering operators (two-phase GLOBAL rank —
+    // the corpus never sorts on one reducer; curriculum adds the
+    // per-stage rank over the persisted KN-tercile stage table).
+    "q_corpus_shuffle",
+    "q_curriculum_order")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
