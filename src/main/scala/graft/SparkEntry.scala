@@ -1841,6 +1841,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental LM maintenance, append side: build on 40% of the
+    // corpus, APPEND the next 40% (count merge, no retrain), score the
+    // held-out 20% — must equal training on the union, so it shares
+    // q_kn_score_holdout's oracle SQL verbatim
+    "q_kn_append" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build(
+        store, "lm", d.filter(col("doc_id") % 5 isin (1, 2)), "doc_id", "text")
+      graft.functions.LmIndex.append(
+        store, "lm", d.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text")
+      graft.functions.LmIndex.score(
+        store, "lm", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Delete side (GDPR erasure): build on 80%, DELETE half of it
+    // (count subtraction, zero rows drop), score the held-out 20% —
+    // must equal rebuilding without the deleted documents
+    "q_kn_delete" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build(
+        store, "lm", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.deleteDocs(
+        store, "lm", d.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text")
+      graft.functions.LmIndex.score(
+        store, "lm", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // WordPiece-objective tokenizer training on the same corpus as
     // q_bpe_train: likelihood-gain argmax count(l,r)/(count(l)·count(r))
     // instead of frequency — the two families diverge from merge 0
@@ -5591,6 +5624,14 @@ object SparkEntry {
 
     "q_kn_persisted" ->
       s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0")}
+         |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
+
+    "q_kn_append" ->
+      s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0")}
+         |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
+
+    "q_kn_delete" ->
+      s"""WITH ${knCrossScoreSql("doc_id % 5 IN (1, 2)", "doc_id % 5 = 0")}
          |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
 
     "q_wordpiece_train" ->

@@ -163,6 +163,83 @@ object LmIndex {
     }
   }
 
+  /** Count-merge core shared by [[append]] (sign +1) and [[deleteDocs]]
+    * (sign −1): merge the delta's unigram/bigram counts into the stored
+    * tables, re-derive the three KN aggregates from the MERGED bigram
+    * table, and swap all five tables. Every frame here is
+    * vocabulary-bounded — maintenance never rescans the training corpus,
+    * only tokenizes the delta. Merged tables localCheckpoint BEFORE the
+    * overwrite (plans derived from store tables must materialize before
+    * the store swaps them — the round-1 storage invariant). */
+  private def mergeCounts(
+      store: TableStore, prefix: String,
+      delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
+    val d = modelFrames(delta, idCol, textCol)
+    val uni = store.load(s"${prefix}_uni")
+      .unionByName(d.uni.select(col("w"), (col("c1") * lit(sign)).as("c1")))
+      .groupBy("w").agg(sum(col("c1")).cast("long").as("c1"))
+      .filter(col("c1") =!= 0L)
+      .localCheckpoint()
+    val big = store.load(s"${prefix}_big")
+      .unionByName(d.big.select(col("prev"), col("w"),
+        (col("c2") * lit(sign)).as("c2")))
+      .groupBy("prev", "w").agg(sum(col("c2")).cast("long").as("c2"))
+      .filter(col("c2") =!= 0L)
+      .localCheckpoint()
+    try {
+      // A negative merged count means the delta was NOT a subset of what
+      // the model was trained on (deleting text never added, or adding a
+      // negative ghost) — the un-tombstoning lesson from LexIndex: fail
+      // loudly BEFORE the swap, never persist a corrupt model. Both
+      // probes run on the checkpointed (vocabulary-bounded) tables.
+      require(uni.filter(col("c1") < 0L).isEmpty &&
+        big.filter(col("c2") < 0L).isEmpty,
+        "LmIndex delta drives a count negative — deletes must carry " +
+          "exactly previously-added documents (GDPR-erasure contract); " +
+          "rebuild the model if the original text is gone")
+      val ctx = big.groupBy("prev").agg(
+        sum(col("c2")).cast("long").as("cc"),
+        count(lit(1)).cast("long").as("n1f"))
+      val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+      val stats = uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
+        .crossJoin(big.agg(count(lit(1)).cast("long").as("bigram_types")))
+      store.overwriteAll(Seq(
+        s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
+        s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
+        s"${prefix}_ctx" -> ctx.sortWithinPartitions("prev"),
+        s"${prefix}_cont" -> cont.sortWithinPartitions("w"),
+        s"${prefix}_stats" -> stats))
+    } finally {
+      uni.unpersist()
+      big.unpersist()
+      ()
+    }
+  }
+
+  /** Add documents to the persisted model WITHOUT retraining: the
+    * delta's counts merge additively and the KN aggregates re-derive
+    * from the merged bigram table — append == full rebuild on the
+    * grown corpus, table-for-table (spec-pinned and oracle-pinned:
+    * q_kn_append scores against the oracle's train-on-union replay).
+    * Counts are content-based (no per-doc records), so appending the
+    * same documents twice double-counts — idempotency is the CALLER's
+    * ledger, exactly as with a real KenLM count merge. */
+  def append(
+      store: TableStore, prefix: String,
+      delta: DataFrame, idCol: String, textCol: String): Unit =
+    mergeCounts(store, prefix, delta, idCol, textCol, sign = 1L)
+
+  /** Remove previously-added documents from the persisted model (the
+    * GDPR-erasure path): their counts subtract, zero-count rows drop,
+    * and the KN aggregates re-derive — delete == rebuild-without-deleted
+    * (spec- and oracle-pinned). The delta must be exactly text the model
+    * was trained on; a delta that drives any count negative fails loudly
+    * before the swap. */
+  def deleteDocs(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit =
+    mergeCounts(store, prefix, docs, idCol, textCol, sign = -1L)
+
   /** Load the model frames from a store (lazy table reads). */
   def loadModel(store: TableStore, prefix: String): KnModel =
     KnModel(

@@ -103,6 +103,52 @@ class LmSmoothingSpec extends SparkSpec {
     assert(got === want, "persisted serve diverged from the inline cross-score")
   }
 
+  test("LmIndex.append == rebuild on the union; deleteDocs == rebuild without") {
+    val rnd = new scala.util.Random(23)
+    val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(6))).mkString(" ")
+    val all = (1L to 90L).map(i => (i, txt())).toDF("doc_id", "text")
+    val a = all.filter(col("doc_id") <= 30L)
+    val b = all.filter(col("doc_id") > 30L && col("doc_id") <= 60L)
+    val probe = all.filter(col("doc_id") > 60L)
+    def tmp() = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_maint_").toString)
+
+    // append: build(a) + append(b) must equal build(a ∪ b).
+    val s1 = tmp()
+    LmIndex.build(s1, "lm", a, "doc_id", "text")
+    LmIndex.append(s1, "lm", b, "doc_id", "text")
+    val s2 = tmp()
+    LmIndex.build(s2, "lm", all.filter(col("doc_id") <= 60L), "doc_id", "text")
+    for (t <- Seq("lm_uni", "lm_big", "lm_ctx", "lm_cont", "lm_stats"))
+      assert(s1.load(t).collect().toSet === s2.load(t).collect().toSet,
+        s"appended $t diverged from the rebuilt table")
+    val g1 = LmIndex.score(s1, "lm", probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val g2 = LmIndex.score(s2, "lm", probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(g1 === g2)
+
+    // delete: build(a ∪ b) − b must equal build(a).
+    LmIndex.deleteDocs(s2, "lm", b, "doc_id", "text")
+    val s3 = tmp()
+    LmIndex.build(s3, "lm", a, "doc_id", "text")
+    for (t <- Seq("lm_uni", "lm_big", "lm_ctx", "lm_cont", "lm_stats"))
+      assert(s2.load(t).collect().toSet === s3.load(t).collect().toSet,
+        s"deleted $t diverged from the rebuilt-without table")
+
+    // Deleting text the model never saw fails loudly BEFORE any swap.
+    val before = s3.load("lm_stats").collect().toSeq
+    val alien = Seq((999L, "zz zz yy xx")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LmIndex.deleteDocs(s3, "lm", alien, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+    assert(s3.load("lm_stats").collect().toSeq === before,
+      "a rejected delete must not have touched the store")
+  }
+
   test("knBigramLogProb == crossScore on itself (no OOV branch in-corpus)") {
     val df = Seq((1L, "a b a b c"), (2L, "b c a"), (3L, "c"))
       .toDF("doc_id", "text")
