@@ -1773,6 +1773,15 @@ object SparkEntry {
         pq(s, dir, "documents"), "doc_id", "text", discount = 0.75)
         .orderBy("doc_id")),
 
+    // MODIFIED Kneser-Ney — KenLM's default smoothing (what the literal
+    // CCNet filter computes): three count-bucketed discounts D1/D2/D3+
+    // estimated from the corpus's count-of-count statistics; degenerate
+    // corpora fail loudly like KenLM instead of dividing by zero
+    "q_mkn_bigram" -> ((s, dir) =>
+      graft.functions.TextAnalysis.mknBigramLogProb(
+        pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // CCNet perplexity bucketing over the Kneser-Ney score: per-LANGUAGE
     // head/middle/tail terciles, keep head+middle. The per-language
     // ranking runs the two-phase histogram rank (a dominant language
@@ -5564,6 +5573,69 @@ object SparkEntry {
     "q_kn_bigram" ->
       s"""WITH $knBigramScoreSql
          |SELECT doc_id, n_tokens, logprob FROM knscore ORDER BY doc_id""".stripMargin,
+
+    "q_mkn_bigram" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |pt AS MATERIALIZED (
+        |  SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM toks),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+        |big AS MATERIALIZED (
+        |  SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
+        |  FROM pt WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT prev, CAST(sum(c2) AS BIGINT) AS cc,
+        |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
+        |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
+        |    CAST(sum(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nf3p
+        |  FROM big GROUP BY prev),
+        |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+        |cnts AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS btypes,
+        |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM big),
+        |cy AS (
+        |  SELECT btypes, n1, n2, n3, n4,
+        |    CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) AS y
+        |  FROM cnts),
+        |d AS (
+        |  SELECT btypes,
+        |    1.0 - 2.0 * y * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS d1,
+        |    2.0 - 3.0 * y * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) AS d2,
+        |    3.0 - 4.0 * y * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE) AS d3
+        |  FROM cy),
+        |sc AS (
+        |  SELECT pt.doc_id,
+        |    CAST(round(ln(CASE WHEN pt.prev IS NULL
+        |      THEN CAST(uni.c1 AS DOUBLE) / tot.total
+        |      ELSE
+        |        (CAST(big.c2 AS DOUBLE) - CASE WHEN big.c2 = 1 THEN d.d1
+        |           WHEN big.c2 = 2 THEN d.d2 ELSE d.d3 END)
+        |          / CAST(ctx.cc AS DOUBLE)
+        |        + (d.d1 * CAST(ctx.nf1 AS DOUBLE) + d.d2 * CAST(ctx.nf2 AS DOUBLE)
+        |           + d.d3 * CAST(ctx.nf3p AS DOUBLE)) / CAST(ctx.cc AS DOUBLE)
+        |          * (CAST(cont.n1c AS DOUBLE) / d.btypes)
+        |      END) * 1000000, 0) AS BIGINT) AS lp
+        |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+        |  LEFT JOIN big ON pt.prev = big.prev AND pt.w = big.w
+        |  LEFT JOIN ctx ON pt.prev = ctx.prev
+        |  LEFT JOIN cont ON pt.w = cont.w
+        |  CROSS JOIN d),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_ppl_buckets" ->
       s"""WITH $knBigramScoreSql,

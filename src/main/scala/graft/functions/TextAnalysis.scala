@@ -384,6 +384,94 @@ object TextAnalysis {
     // hashUniform principle applied to smoothing arithmetic.
     LmIndex.crossScore(df, df, idCol, textCol, discount)
 
+  /** MODIFIED Kneser-Ney bigram score — the exact smoothing KenLM
+    * defaults to (Heafield 2011), i.e. what the literal CCNet filter
+    * computes: instead of one absolute discount, three count-bucketed
+    * discounts D1/D2/D3+ ESTIMATED FROM THE CORPUS's count-of-count
+    * statistics (Chen & Goodman 1999 §3, eq. 26):
+    *
+    *   Y  = n1 / (n1 + 2·n2)
+    *   D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,  D3+ = 3 − 4Y·n4/n3
+    *   λ(prev) = (D1·N1(prev) + D2·N2(prev) + D3+·N3+(prev)) / c(prev)
+    *   P(w|prev) = (c(prev,w) − D(c)) / c(prev) + λ(prev)·P_cont(w)
+    *
+    * where n_k = #bigram types with count k and N_k(prev) = #followers
+    * of `prev` with count k. Like KenLM, a corpus whose n1/n2/n3 is zero
+    * cannot calibrate the discounts — the plan raises a curated error
+    * (KenLM: "Could not calculate Kneser-Ney discounts") instead of
+    * dividing by zero. First tokens score MLE unigram; the continuation
+    * distribution and the 1e-6 fixed-point contract match
+    * [[knBigramLogProb]]. All new aggregates (count-of-counts, per-
+    * context count buckets) derive from the bigram table — no extra
+    * corpus pass; the discounts frame is ONE broadcast row. */
+  def mknBigramLogProb(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val pt = toks.withColumn("prev", lag(col("w"), 1).over(win))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
+    val big = pt.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val ctx = big.groupBy("prev").agg(
+      sum(col("c2")).cast("long").as("cc"),
+      sum(when(col("c2") === 1L, 1L).otherwise(0L)).cast("long").as("nf1"),
+      sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("nf2"),
+      sum(when(col("c2") >= 3L, 1L).otherwise(0L)).cast("long").as("nf3p"))
+    val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+    // Count-of-counts + total types in ONE pass over the bigram table;
+    // the Y/D1/D2/D3 arithmetic mirrors the oracle term by term.
+    val disc = big.agg(
+        count(lit(1)).cast("double").as("btypes"),
+        sum(when(col("c2") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("c2") === 3L, 1L).otherwise(0L)).cast("long").as("n3"),
+        sum(when(col("c2") === 4L, 1L).otherwise(0L)).cast("long").as("n4"))
+      // The guard wraps btypes (consumed by every token's score) so
+      // column pruning can never drop it: a corpus with an empty n1/n2/n3
+      // bucket cannot calibrate the discounts and must fail loudly, not
+      // divide by zero.
+      .withColumn("btypes",
+        when(col("n1") === 0L || col("n2") === 0L || col("n3") === 0L,
+          raise_error(lit("mknBigramLogProb: could not calibrate modified " +
+            "Kneser-Ney discounts — the corpus has no bigram types at " +
+            "count 1, 2, or 3 (KenLM fails identically); use " +
+            "knBigramLogProb's fixed discount instead")).cast("double"))
+          .otherwise(col("btypes")))
+      .withColumn("y", col("n1").cast("double")
+        / (col("n1").cast("double") + lit(2.0) * col("n2").cast("double")))
+      .withColumn("d1", lit(1.0) - lit(2.0) * col("y")
+        * col("n2").cast("double") / col("n1").cast("double"))
+      .withColumn("d2", lit(2.0) - lit(3.0) * col("y")
+        * col("n3").cast("double") / col("n2").cast("double"))
+      .withColumn("d3", lit(3.0) - lit(4.0) * col("y")
+        * col("n4").cast("double") / col("n3").cast("double"))
+      .select("btypes", "d1", "d2", "d3")
+    val uniP = col("c1").cast("double") / col("total")
+    val dOfC = when(col("c2") === 1L, col("d1"))
+      .when(col("c2") === 2L, col("d2")).otherwise(col("d3"))
+    val lam = (col("d1") * col("nf1").cast("double")
+      + col("d2") * col("nf2").cast("double")
+      + col("d3") * col("nf3p").cast("double")) / col("cc").cast("double")
+    val p = when(col("prev").isNull, uniP).otherwise(
+      (col("c2").cast("double") - dOfC) / col("cc").cast("double")
+        + lam * (col("n1c").cast("double") / col("btypes")))
+    pt.join(uni, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .join(big.join(ctx, Seq("prev")).join(cont, Seq("w")),
+        Seq("prev", "w"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col(idCol),
+        round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
     * every document with the Kneser-Ney LM ([[knBigramLogProb]]), then
     * split each LANGUAGE into `tiles` equal score bands — tile 1 ("head")

@@ -59,6 +59,39 @@ class LmSmoothingSpec extends SparkSpec {
         s"diverse-context b (${got(1)._3})")
   }
 
+  test("mknBigramLogProb matches the hand-computed modified-KN fixture") {
+    // "a b a b a b" + "c d": bigrams (a,b)=3 (b,a)=2 (c,d)=1, so the
+    // count-of-count buckets are n1=n2=n3=1, n4=0:
+    //   Y = 1/3, D1 = 1-2/3 = 1/3, D2 = 2-1 = 1, D3+ = 3-0 = 3
+    // contexts: a(cc=3, N3+=1) b(cc=2, N2=1) c(cc=1, N1=1);
+    // continuations: a=b=d=1 of 3 types; unigrams a=b=3 c=d=1 of 8.
+    val df = Seq((1L, "a b a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    def mean6(ps: Seq[Double]): Double =
+      BigDecimal(ps.map(fp).sum.toDouble / ps.length / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // b|a: (3-3)/3 + (3*1/3)*(1/3) = 1/3
+    // a|b: (2-1)/2 + (1*1/2)*(1/3) = 1/2 + 1/6 = 2/3
+    // d|c: (1-1/3)/1 + ((1/3)*1/1)*(1/3) = 2/3 + 1/9
+    val pba = 1.0 / 3
+    val pab = (2.0 - 1.0) / 2 + 1.0 * 1 / 2 * (1.0 / 3)
+    val pdc = (1.0 - 1.0 / 3) / 1 + (1.0 / 3) * 1 / 1 * (1.0 / 3)
+    val exp1 = mean6(Seq(3.0 / 8, pba, pab, pba, pab, pba))
+    val exp2 = mean6(Seq(1.0 / 8, pdc))
+    val got = TextAnalysis.mknBigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((1L, 6L, exp1), (2L, 2L, exp2)))
+  }
+
+  test("mknBigramLogProb fails loudly on a discount-degenerate corpus") {
+    // Only count-1 bigrams: n2 = 0 — KenLM cannot calibrate D2 either.
+    val df = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.mknBigramLogProb(df, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("Kneser-Ney discounts"), e.getMessage)
+  }
+
   // ---- LmIndex: frozen-model scoring with OOV -----------------------------
 
   test("crossScore matches the hand-computed OOV fixture") {
