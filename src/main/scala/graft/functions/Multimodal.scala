@@ -373,6 +373,102 @@ object Multimodal {
         .filter(col("kind") === "image" && col("decoded")),
       "media_id", "phash", bits = 64, maxHamming = maxHamming)
 
+  /** Windowed mean-square energy of the first channel over `nWindows`
+    * equal spans — the audio twin of [[lumaGrid]] (same PCM walk as
+    * [[decodeAudio]], parameterized window count). Deterministic: same
+    * bytes → same doubles on any JVM/partitioning. */
+  private def windowedMeanSquare(
+      payload: Array[Byte], nWindows: Int): Option[Array[Double]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        if (bits != 8 && bits != 16) None
+        else {
+          val raw = ais.readAllBytes()
+          val bytesPerSample = bits / 8
+          val frameBytes = bytesPerSample * channels
+          val nFrames = raw.length / frameBytes
+          if (nFrames < nWindows) None
+          else {
+            val sumSq = new Array[Double](nWindows)
+            val cnt = new Array[Long](nWindows)
+            val bigEndian = fmt.isBigEndian
+            var f = 0
+            while (f < nFrames) {
+              val base = f * frameBytes
+              val s =
+                if (bits == 8) ((raw(base) & 0xff) - 128) / 128.0
+                else {
+                  val (b0, b1) = if (bigEndian) (raw(base), raw(base + 1))
+                    else (raw(base + 1), raw(base))
+                  ((b0 << 8) | (b1 & 0xff)).toShort / 32768.0
+                }
+              val wIdx = (f.toLong * nWindows / nFrames).toInt
+              sumSq(wIdx) += s * s
+              cnt(wIdx) += 1
+              f += 1
+            }
+            val ms = new Array[Double](nWindows)
+            var i = 0
+            while (i < nWindows) {
+              ms(i) = if (cnt(i) == 0) 0.0 else sumSq(i) / cnt(i)
+              i += 1
+            }
+            Some(ms)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit audio fingerprint — [[dHash]]'s difference-hash idea applied
+    * to the ENERGY ENVELOPE (the chromaprint/echoprint family reduced to
+    * its deterministic core): 65 windowed mean-square energies over the
+    * first channel, bit i set iff window i+1 is louder than window i.
+    * Comparing energies (not their square roots — sqrt is monotone, so
+    * the bits are identical and one transcendental per window is saved)
+    * makes the hash VOLUME-INVARIANT: uniform amplitude scaling
+    * multiplies every window by the same factor and preserves every
+    * comparison, so a re-normalized copy of a track collides exactly
+    * (spec-pinned). None for undecodable payloads or clips shorter than
+    * 65 frames. */
+  def audioHash(payload: Array[Byte]): Option[Long] =
+    windowedMeanSquare(payload, 65).map { ms =>
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (ms(i + 1) > ms(i)) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+
+  /** Audio near-duplicate pairs with EXACT hamming-≤k recall — the audio
+    * twin of [[perceptualDupPairs]]: [[audioHash]] per decodable audio
+    * row, then the shared [[Dedup.hammingPairs]] pigeonhole banding.
+    * Undecodable/non-audio rows are excluded (never mixed into the
+    * 64-bit bands — the stub-saturation hazard documented on the image
+    * path). */
+  def audioDupPairs(
+      media: Dataset[MediaFile],
+      maxHamming: Int = 3,
+      targetBytesPerTask: Long = 128L * 1024 * 1024): DataFrame = {
+    import media.sparkSession.implicits._
+    val totalBytes = media.select(sum(length(col("payload"))))
+      .as[Option[Long]].head().getOrElse(0L)
+    val parts = math.max(1, math.min(10000,
+      (totalBytes / math.max(1, targetBytesPerTask)).toInt + 1))
+    val hashes = media.filter(col("kind") === "audio")
+      .repartition(parts).mapPartitions { files =>
+        files.flatMap(f => audioHash(f.payload).map(h => (f.media_id, h)))
+      }.toDF("media_id", "ahash")
+    Dedup.hammingPairs(hashes, "media_id", "ahash",
+      bits = 64, maxHamming = maxHamming)
+  }
+
   /** Payload-checksum near-collision pairs over the NON-decodable rows —
     * the honest counterpart of [[perceptualDupPairs]] for stub-hashed
     * payloads (video, undecodable bytes): the 32-bit [[payloadChecksum]]

@@ -516,6 +516,62 @@ class FunctionsSpec extends SparkSpec {
     assert((8 until 16).forall(i => r.features(i) === 0.5f))                 // peak
   }
 
+  private def envelopeWav(amps: Seq[Double], framesPerWindow: Int = 64): Array[Byte] = {
+    // 16-bit PCM mono square wave whose amplitude steps per window — the
+    // energy envelope is exactly `amps`, so audioHash bits are known.
+    val nFrames = amps.length * framesPerWindow
+    val pcm = new Array[Byte](nFrames * 2)
+    for (f <- 0 until nFrames) {
+      val a = amps(f / framesPerWindow)
+      val mag = math.min(32767, (a * 32767).toInt)
+      val s: Short = (if (f % 2 == 0) mag else -mag).toShort
+      pcm(2 * f) = (s & 0xff).toByte
+      pcm(2 * f + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("multimodal: audioHash is the envelope difference hash, volume-invariant") {
+    // Alternating loud/quiet windows: bit i = (window i+1 louder) = i even.
+    val amps = (0 until 65).map(i => if (i % 2 == 0) 0.2 else 0.8)
+    val h = Multimodal.audioHash(envelopeWav(amps)).get
+    (0 until 64).foreach { i =>
+      assert(((h >> i) & 1L) === (if (i % 2 == 0) 1L else 0L),
+        s"bit $i wrong in ${h.toBinaryString}")
+    }
+    // Uniform volume scaling preserves every energy comparison.
+    val scaled = Multimodal.audioHash(envelopeWav(amps.map(_ * 0.5))).get
+    assert(scaled === h, "volume-scaled copy must collide exactly")
+    // A different envelope yields a different fingerprint.
+    val other = Multimodal.audioHash(
+      envelopeWav((0 until 65).map(i => 0.1 + 0.8 * (i / 64.0)))).get
+    assert(other !== h)
+    // Too short to window (< 65 frames) and undecodable bytes: None.
+    assert(Multimodal.audioHash(envelopeWav(Seq.fill(65)(0.5), 0)).isEmpty)
+    assert(Multimodal.audioHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("multimodal: audioDupPairs pairs the re-normalized copy, not the different track") {
+    val amps = (0 until 65).map(i => if (i % 3 == 0) 0.9 else 0.3)
+    val media = Seq(
+      Multimodal.MediaFile(1L, "audio", envelopeWav(amps), "a"),
+      Multimodal.MediaFile(2L, "audio", envelopeWav(amps.map(_ * 0.4)), "a-quiet"),
+      Multimodal.MediaFile(3L, "audio",
+        envelopeWav((0 until 65).map(i => 0.1 + 0.8 * ((i % 7) / 7.0))), "b"),
+      Multimodal.MediaFile(4L, "image", Array[Byte](1, 2, 3), "not-audio"),
+      Multimodal.MediaFile(5L, "audio", Array[Byte](9, 9, 9), "corrupt")).toDS()
+    val pairs = Multimodal.audioDupPairs(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected exactly the volume-scaled pair, got $pairs")
+  }
+
   test("multimodal: REAL animated-GIF video decode — frame sampling and motion envelope") {
     // 4 frames of increasing uniform brightness: sampled lumas rise, motion
     // deltas are positive; dims come from the real decoded frames.
