@@ -1850,6 +1850,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The probed LM serve: score a SMALL batch (4% of doc ids) against
+    // the persisted model with the batch's words pushed down as static
+    // IN filters on every model table — serve cost is the probed slices,
+    // never the vocabulary; row-identical to the full-scan score path
+    "q_kn_probed" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build(
+        store, "lm", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.scoreBatch(
+        store, "lm", d.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Incremental LM maintenance, append side: build on 40% of the
     // corpus, APPEND the next 40% (count merge, no retrain), score the
     // held-out 20% — must equal training on the union, so it shares
@@ -5696,6 +5711,10 @@ object SparkEntry {
 
     "q_kn_persisted" ->
       s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0")}
+         |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
+
+    "q_kn_probed" ->
+      s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 25 = 0")}
          |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
 
     "q_kn_append" ->

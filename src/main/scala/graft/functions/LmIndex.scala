@@ -250,10 +250,44 @@ object LmIndex {
       stats = store.load(s"${prefix}_stats"))
 
   /** Score `docs` against the persisted model — reads ONLY the model
-    * tables; the training corpus is never touched. */
+    * tables; the training corpus is never touched. The model tables scan
+    * in full: right for CORPUS-scale scoring (the CCNet posture — score
+    * everything; every vocabulary row is needed). For a small probe
+    * batch use [[scoreBatch]], whose table reads prune to the batch's
+    * own words. */
   def score(
       store: TableStore, prefix: String,
       docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame =
     scoreFrames(loadModel(store, prefix), docs, idCol, textCol, discount)
+
+  /** [[score]] for a QUERY-BATCH-sized document set — the probed serve
+    * shape ([[LexIndex.bm25TopK]]'s convention): the batch's DISTINCT
+    * words collect once (batch-bounded by construction, never
+    * corpus-bounded) and push down as static `IN` filters on every
+    * model table — the key-sorted parquet layout turns them into
+    * row-group skipping, so serve cost is the probed slices, not the
+    * vocabulary. Row-identical to [[score]] (pruning only drops rows
+    * the left joins could never hit — every w/prev outside the batch's
+    * vocabulary; spec-pinned, and q_kn_probed shares the cross-score
+    * oracle SQL). One batch-tokenization job per call, the documented
+    * serve-call cost. */
+  def scoreBatch(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    import docs.sparkSession.implicits._
+    val m = loadModel(store, prefix)
+    val batchWords: Array[String] = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .distinct().as[String].collect()
+    val pruned = KnModel(
+      uni = m.uni.filter(col("w").isin(batchWords: _*)),
+      big = m.big.filter(col("prev").isin(batchWords: _*) &&
+        col("w").isin(batchWords: _*)),
+      ctx = m.ctx.filter(col("prev").isin(batchWords: _*)),
+      cont = m.cont.filter(col("w").isin(batchWords: _*)),
+      stats = m.stats)
+    scoreFrames(pruned, docs, idCol, textCol, discount)
+  }
 }

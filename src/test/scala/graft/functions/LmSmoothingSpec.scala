@@ -182,6 +182,39 @@ class LmSmoothingSpec extends SparkSpec {
       "a rejected delete must not have touched the store")
   }
 
+  test("scoreBatch == score, and its model-table scans carry the word IN pushdown") {
+    val rnd = new scala.util.Random(5)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(7))).map(_ => pool(rnd.nextInt(7))).mkString(" ")
+    val train = (1L to 80L).map(i => (i, txt())).toDF("doc_id", "text")
+    val batch = (200L to 206L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_probe_").toString)
+    LmIndex.build(store, "lm", train, "doc_id", "text")
+    val probed = LmIndex.scoreBatch(store, "lm", batch, "doc_id", "text")
+    val got = probed.as[(Long, Long, Double)].collect().toSet
+    val want = LmIndex.score(store, "lm", batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "probed serve diverged from the full-scan score")
+    // The big-table scan must carry the collected IN-list itself (a bare
+    // isnotnull would also stringify with the column name).
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val scans = graft.PlanTestUtils.scansOf(
+      probed.queryExecution.executedPlan, "lm_big")
+    assert(scans.nonEmpty, "no lm_big scan in the probed serve plan")
+    scans.foreach { f =>
+      val hasIn = f.dataFilters.exists(_.exists {
+        case i: In => i.value.toString.contains("prev") ||
+          i.value.toString.contains("w")
+        case i: InSet => i.child.toString.contains("prev") ||
+          i.child.toString.contains("w")
+        case _ => false
+      })
+      assert(hasIn, s"lm_big scan lost the word IN pushdown: ${f.dataFilters}")
+    }
+  }
+
   test("knBigramLogProb == crossScore on itself (no OOV branch in-corpus)") {
     val df = Seq((1L, "a b a b c"), (2L, "b c a"), (3L, "c"))
       .toDF("doc_id", "text")
