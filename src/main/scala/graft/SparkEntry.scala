@@ -1850,6 +1850,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The LM "dataset card": per-source token-weighted mean KN logprob —
+    // the per-slice fluency panel a corpus report carries next to the
+    // length/quality profiles. Weighted mean recovers the per-doc
+    // fixed-point longs exactly (logprob is on the 1e-6 grid), so the
+    // aggregation is order-independent in both engines
+    "q_ppl_by_source" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val scores = graft.functions.TextAnalysis.knBigramLogProb(
+        d, "doc_id", "text")
+      d.select(col("doc_id"), col("source")).join(scores, Seq("doc_id"))
+        .withColumn("lp_fp", round(col("logprob") * 1e6, 0).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(col("lp_fp") * col("n_tokens")).cast("long").as("w_sum"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_sum").cast("double") / col("n_tokens").cast("double")
+            / 1e6, 6).as("mean_logprob"))
+        .orderBy("source")
+    }),
+
     // The probed LM serve: score a SMALL batch (4% of doc ids) against
     // the persisted model with the batch's words pushed down as static
     // IN filters on every model table — serve cost is the probed slices,
@@ -5712,6 +5733,20 @@ object SparkEntry {
     "q_kn_persisted" ->
       s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0")}
          |SELECT doc_id, n_tokens, logprob FROM knx ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_by_source" ->
+      s"""WITH $knBigramScoreSql,
+         |j AS (
+         |  SELECT d.source,
+         |    CAST(round(k.logprob * 1000000, 0) AS BIGINT) AS lp_fp,
+         |    k.n_tokens
+         |  FROM documents d JOIN knscore k USING (doc_id))
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(lp_fp * n_tokens) AS DOUBLE)
+         |    / CAST(sum(n_tokens) AS DOUBLE) / 1000000.0, 6) AS mean_logprob
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "q_kn_probed" ->
       s"""WITH ${knCrossScoreSql("doc_id % 5 <> 0", "doc_id % 25 = 0")}

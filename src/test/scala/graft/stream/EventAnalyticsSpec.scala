@@ -1018,6 +1018,46 @@ class EventAnalyticsSpec extends SparkSpec {
       "alarm.release() did not free the pinned baseline histogram")
   }
 
+  test("pplGateEachBatch soak: persistent-RDD storage stays flat across 20+ triggers") {
+    // Same forever-contract as the drift alarm: the gate pins its FIVE
+    // model tables once at construction; each trigger materializes the
+    // batch and must release it in finally — storage growth proportional
+    // to trigger count is the fatal leak class.
+    import graft.functions.LmIndex
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val train = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_soak_").toString)
+    LmIndex.build(store, "lm", train, "doc_id", "text")
+
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val input = MemoryStream[(Long, String)]
+    val acc = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = EventAnalytics.pplGateEachBatch(
+      store, "lm", "doc_id", "text", minLogprob = -100.0) { out =>
+      acc.addAndGet(out.count().toInt); ()
+    }
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(gate)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    (0 until 22).foreach { i =>
+      input.addData((100L + i, "the cat sat"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(acc.get() === 22, s"expected 22 admitted rows, got ${acc.get()}")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 5,
+      s"persistent RDDs grew $before -> $after across 22 triggers (leak)")
+    gate.release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "gate.release() did not free the pinned model tables")
+  }
+
   test("dsirGateEachBatch rejects a batch already carrying n_feats/log_w") {
     // The gate left-joins score columns onto the batch; a pre-existing
     // column of either name would be ambiguous (or silently mis-gate).
