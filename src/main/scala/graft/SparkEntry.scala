@@ -1773,6 +1773,15 @@ object SparkEntry {
         pq(s, dir, "documents"), "doc_id", "text", discount = 0.75)
         .orderBy("doc_id")),
 
+    // The recursive KN chain at order 3: discounted trigram counts over
+    // a CONTINUATION-count bigram level over the continuation unigram —
+    // the structure KenLM runs at order 5; second tokens fall back to
+    // count-based bigram KN, first tokens to MLE unigram
+    "q_kn_trigram" -> ((s, dir) =>
+      graft.functions.TextAnalysis.knTrigramLogProb(
+        pq(s, dir, "documents"), "doc_id", "text", discount = 0.75)
+        .orderBy("doc_id")),
+
     // MODIFIED Kneser-Ney — KenLM's default smoothing (what the literal
     // CCNet filter computes): three count-bucketed discounts D1/D2/D3+
     // estimated from the corpus's count-of-count statistics; degenerate
@@ -5609,6 +5618,73 @@ object SparkEntry {
     "q_kn_bigram" ->
       s"""WITH $knBigramScoreSql
          |SELECT doc_id, n_tokens, logprob FROM knscore ORDER BY doc_id""".stripMargin,
+
+    "q_kn_trigram" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w,
+        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+        |  FROM documents),
+        |pt AS MATERIALIZED (
+        |  SELECT doc_id, pos, w,
+        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+        |  FROM toks),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+        |big AS MATERIALIZED (
+        |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+        |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (
+        |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
+        |    CAST(count(*) AS BIGINT) AS n1f
+        |  FROM big GROUP BY prev1),
+        |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+        |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
+        |tri AS MATERIALIZED (
+        |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+        |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+        |ctx3 AS (
+        |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
+        |    CAST(count(*) AS BIGINT) AS n1f3
+        |  FROM tri GROUP BY prev2, prev1),
+        |m2 AS MATERIALIZED (
+        |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+        |  FROM tri GROUP BY prev1, w),
+        |mctx AS (
+        |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
+        |    CAST(count(*) AS BIGINT) AS n1f2c
+        |  FROM m2 GROUP BY prev1),
+        |sc AS (
+        |  SELECT pt.doc_id,
+        |    CAST(round(ln(CASE
+        |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+        |      WHEN pt.prev2 IS NULL THEN
+        |        greatest(CAST(big.c2 AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cc AS DOUBLE)
+        |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE)
+        |          * (CAST(cont.n1c AS DOUBLE) / btot.btypes)
+        |      ELSE
+        |        greatest(CAST(tri.c3 AS DOUBLE) - 0.75, 0.0) / CAST(ctx3.cc3 AS DOUBLE)
+        |        + 0.75 * CAST(ctx3.n1f3 AS DOUBLE) / CAST(ctx3.cc3 AS DOUBLE)
+        |          * (greatest(CAST(m2.mcount AS DOUBLE) - 0.75, 0.0) / CAST(mctx.mcc AS DOUBLE)
+        |             + 0.75 * CAST(mctx.n1f2c AS DOUBLE) / CAST(mctx.mcc AS DOUBLE)
+        |               * (CAST(cont.n1c AS DOUBLE) / btot.btypes))
+        |      END) * 1000000, 0) AS BIGINT) AS lp
+        |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+        |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
+        |  LEFT JOIN ctx ON pt.prev1 = ctx.prev1
+        |  LEFT JOIN cont ON pt.w = cont.w
+        |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
+        |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1
+        |  LEFT JOIN m2 ON pt.prev1 = m2.prev1 AND pt.w = m2.w
+        |  LEFT JOIN mctx ON pt.prev1 = mctx.prev1
+        |  CROSS JOIN btot),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_mkn_bigram" ->
       """WITH toks AS MATERIALIZED (

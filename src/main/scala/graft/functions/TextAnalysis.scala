@@ -384,6 +384,94 @@ object TextAnalysis {
     // hashUniform principle applied to smoothing arithmetic.
     LmIndex.crossScore(df, df, idCol, textCol, discount)
 
+  /** Interpolated Kneser-Ney TRIGRAM score — the recursive KN chain at
+    * order 3 (Chen & Goodman 1999 §4; KenLM runs this recursion at
+    * order 5): the top level discounts raw trigram counts; the MIDDLE
+    * level is the continuation bigram — counts are "how many distinct
+    * left-contexts produced this bigram" (N1+(•,p1,w)), NOT raw bigram
+    * frequency; the bottom level is the continuation unigram over
+    * bigram types. A token with two tokens of context scores
+    *
+    *   P(w|p2,p1) = max(c3−D,0)/cc3 + D·N1+(p2,p1,•)/cc3 · P_KN(w|p1)
+    *   P_KN(w|p1) = max(N1+(•,p1,w)−D,0)/N1+(•,p1,•)
+    *              + D·N1+(p1,*)/N1+(•,p1,•) · P_cont(w)
+    *
+    * (N1+(p1,*) = distinct continuation types after p1). The second
+    * token of a document falls back to the COUNT-based bigram KN
+    * ([[knBigramLogProb]]'s formula — at the top of a backoff chain
+    * raw counts are correct; continuation counts replace them only
+    * BELOW the top level), and the first token scores MLE unigram. One
+    * fixed discount D at both levels (the interpolated-KN flavor;
+    * [[mknBigramLogProb]] shows the estimated-discount variant).
+    *
+    * In-corpus totality: position ≥ 3 implies the token's own trigram
+    * is in the table, so cc3 ≥ 1, N1+(•,p1,w) ≥ 1, N1+(•,p1,•) ≥ 1 —
+    * no OOV branch exists. Scale: all SEVEN model aggregates derive
+    * from the token stream's trigram/bigram tables (vocabulary-bounded,
+    * keyed joins, never broadcast); same fixed-point contract as the
+    * whole LM family. */
+  def knTrigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val pt = toks
+      .withColumn("prev1", lag(col("w"), 1).over(win))
+      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
+    val big = pt.filter(col("prev1").isNotNull)
+      .groupBy("prev1", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val ctx = big.groupBy("prev1").agg(
+      sum(col("c2")).cast("long").as("cc"),
+      count(lit(1)).cast("long").as("n1f"))
+    val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+    val btot = big.agg(count(lit(1)).cast("double").as("btypes"))
+    val tri = pt.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev1", "w").agg(count(lit(1)).cast("long").as("c3"))
+    val ctx3 = tri.groupBy("prev2", "prev1").agg(
+      sum(col("c3")).cast("long").as("cc3"),
+      count(lit(1)).cast("long").as("n1f3"))
+    // Continuation-bigram tables: one row of m2 per (p1, w) counts the
+    // DISTINCT p2 that produced it (each tri row is one).
+    val m2 = tri.groupBy("prev1", "w").agg(count(lit(1)).cast("long").as("mcount"))
+    val mctx = m2.groupBy("prev1").agg(
+      sum(col("mcount")).cast("long").as("mcc"),
+      count(lit(1)).cast("long").as("n1f2c"))
+    val uniP = col("c1").cast("double") / col("total")
+    val contP = col("n1c").cast("double") / col("btypes")
+    val bigKn = greatest(col("c2").cast("double") - lit(discount), lit(0.0)) /
+      col("cc").cast("double") +
+      lit(discount) * col("n1f").cast("double") / col("cc").cast("double") * contP
+    val midKn = greatest(col("mcount").cast("double") - lit(discount), lit(0.0)) /
+      col("mcc").cast("double") +
+      lit(discount) * col("n1f2c").cast("double") / col("mcc").cast("double") * contP
+    val triKn = greatest(col("c3").cast("double") - lit(discount), lit(0.0)) /
+      col("cc3").cast("double") +
+      lit(discount) * col("n1f3").cast("double") / col("cc3").cast("double") * midKn
+    val p = when(col("prev1").isNull, uniP)
+      .when(col("prev2").isNull, bigKn)
+      .otherwise(triKn)
+    pt.join(uni, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .join(big.join(ctx, Seq("prev1")), Seq("prev1", "w"), "left")
+      .join(cont, Seq("w"), "left")
+      .crossJoin(broadcast(btot))
+      .join(tri.join(ctx3, Seq("prev2", "prev1")), Seq("prev2", "prev1", "w"), "left")
+      .join(m2.join(mctx, Seq("prev1")), Seq("prev1", "w"), "left")
+      .select(col(idCol),
+        round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
   /** MODIFIED Kneser-Ney bigram score — the exact smoothing KenLM
     * defaults to (Heafield 2011), i.e. what the literal CCNet filter
     * computes: instead of one absolute discount, three count-bucketed

@@ -145,6 +145,10 @@ object BenchScale {
     // shape the two-phase rank exists for).
     "q_kn_bigram",
     "q_ppl_buckets",
+    // round-14 session-3: the order-3 recursive KN chain — the heaviest
+    // LM shape (trigram + continuation-bigram + bigram tables, 8 keyed
+    // joins against the token stream).
+    "q_kn_trigram",
     // round-14 session-3: the ordering operators (two-phase GLOBAL rank —
     // the corpus never sorts on one reducer; curriculum adds the
     // per-stage rank over the persisted KN-tercile stage table).

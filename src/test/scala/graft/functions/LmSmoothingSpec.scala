@@ -59,6 +59,24 @@ class LmSmoothingSpec extends SparkSpec {
         s"diverse-context b (${got(1)._3})")
   }
 
+  test("knTrigramLogProb matches the hand-computed recursive-KN fixture") {
+    // "a b c a b c" + "b c d": trigram counts (a,b,c)=2 (b,c,a)=1
+    // (c,a,b)=1 (b,c,d)=1; continuation-bigram m2 all 1; bigram types 4.
+    // Worked per-token probabilities (D = 0.75, derivation in the
+    // session notes; middle level uses CONTINUATION counts):
+    val df = Seq((1L, "a b c a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    def mean6(ps: Seq[Double]): Double =
+      BigDecimal(ps.map(fp).sum.toDouble / ps.length / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = mean6(Seq(2.0 / 9, 0.71875, 0.7890625, 0.359375,
+      0.578125, 0.7890625))
+    val exp2 = mean6(Seq(3.0 / 9, 0.8125, 0.359375))
+    val got = TextAnalysis.knTrigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((1L, 6L, exp1), (2L, 3L, exp2)))
+  }
+
   test("mknBigramLogProb matches the hand-computed modified-KN fixture") {
     // "a b a b a b" + "c d": bigrams (a,b)=3 (b,a)=2 (c,d)=1, so the
     // count-of-count buckets are n1=n2=n3=1, n4=0:
