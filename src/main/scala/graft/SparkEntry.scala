@@ -1786,9 +1786,14 @@ object SparkEntry {
     // CCNet filter computes): three count-bucketed discounts D1/D2/D3+
     // estimated from the corpus's count-of-count statistics; degenerate
     // corpora fail loudly like KenLM instead of dividing by zero
+    // fallbackDiscounts = KenLM's --discount_fallback default: sf0.1's
+    // dense synthetic corpus has NO count-1/2 bigram types (every bigram
+    // repeats), the exact degenerate case the flag exists for; sf0.01
+    // calibrates and uses the estimated discounts
     "q_mkn_bigram" -> ((s, dir) =>
       graft.functions.TextAnalysis.mknBigramLogProb(
-        pq(s, dir, "documents"), "doc_id", "text")
+        pq(s, dir, "documents"), "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
         .orderBy("doc_id")),
 
     // CCNet perplexity bucketing over the Kneser-Ney score: per-LANGUAGE
@@ -5717,13 +5722,18 @@ object SparkEntry {
         |  FROM big),
         |cy AS (
         |  SELECT btypes, n1, n2, n3, n4,
-        |    CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) AS y
+        |    (n1 = 0 OR n2 = 0 OR n3 = 0) AS degen,
+        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.0
+        |      ELSE CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) END AS y
         |  FROM cnts),
         |d AS (
         |  SELECT btypes,
-        |    1.0 - 2.0 * y * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS d1,
-        |    2.0 - 3.0 * y * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) AS d2,
-        |    3.0 - 4.0 * y * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE) AS d3
+        |    CASE WHEN degen THEN 0.5
+        |      ELSE 1.0 - 2.0 * y * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS d1,
+        |    CASE WHEN degen THEN 1.0
+        |      ELSE 2.0 - 3.0 * y * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS d2,
+        |    CASE WHEN degen THEN 1.5
+        |      ELSE 3.0 - 4.0 * y * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE) END AS d3
         |  FROM cy),
         |sc AS (
         |  SELECT pt.doc_id,

@@ -485,15 +485,38 @@ object TextAnalysis {
     *
     * where n_k = #bigram types with count k and N_k(prev) = #followers
     * of `prev` with count k. Like KenLM, a corpus whose n1/n2/n3 is zero
-    * cannot calibrate the discounts — the plan raises a curated error
-    * (KenLM: "Could not calculate Kneser-Ney discounts") instead of
-    * dividing by zero. First tokens score MLE unigram; the continuation
-    * distribution and the 1e-6 fixed-point contract match
-    * [[knBigramLogProb]]. All new aggregates (count-of-counts, per-
-    * context count buckets) derive from the bigram table — no extra
-    * corpus pass; the discounts frame is ONE broadcast row. */
+    * cannot calibrate the discounts: `fallbackDiscounts` is KenLM's
+    * `--discount_fallback` — a fixed (D1, D2, D3+) substituted when
+    * calibration is impossible (KenLM's own default is 0.5/1.0/1.5;
+    * small dense corpora whose every bigram repeats are exactly the
+    * case the flag exists for). Without it the plan raises a curated
+    * error (KenLM: "Could not calculate Kneser-Ney discounts") instead
+    * of dividing by zero — every estimate lives in the non-degenerate
+    * branch of a CaseWhen (branches evaluate lazily), so ANSI mode's
+    * double-division-by-zero can never preempt the curated path. First
+    * tokens score MLE unigram; the continuation distribution and the
+    * 1e-6 fixed-point contract match [[knBigramLogProb]]. All new
+    * aggregates (count-of-counts, per-context count buckets) derive
+    * from the bigram table — no extra corpus pass; the discounts frame
+    * is ONE broadcast row. */
+  /** The k-th degenerate-corpus discount: the caller's fallback value,
+    * or the curated calibration error when none was given. */
+  private def degenDiscount(
+      fallback: Option[(Double, Double, Double)], k: Int): Column =
+    fallback match {
+      case Some((f1, f2, f3)) =>
+        lit(k match { case 1 => f1; case 2 => f2; case _ => f3 })
+      case None =>
+        raise_error(lit("mknBigramLogProb: could not calibrate modified " +
+          "Kneser-Ney discounts — the corpus has no bigram types at " +
+          "count 1, 2, or 3 (KenLM fails identically without " +
+          "--discount_fallback); pass fallbackDiscounts, e.g. KenLM's " +
+          "default (0.5, 1.0, 1.5)")).cast("double")
+    }
+
   def mknBigramLogProb(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
@@ -517,25 +540,27 @@ object TextAnalysis {
         sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("n2"),
         sum(when(col("c2") === 3L, 1L).otherwise(0L)).cast("long").as("n3"),
         sum(when(col("c2") === 4L, 1L).otherwise(0L)).cast("long").as("n4"))
-      // The guard wraps btypes (consumed by every token's score) so
-      // column pruning can never drop it: a corpus with an empty n1/n2/n3
-      // bucket cannot calibrate the discounts and must fail loudly, not
-      // divide by zero.
-      .withColumn("btypes",
-        when(col("n1") === 0L || col("n2") === 0L || col("n3") === 0L,
-          raise_error(lit("mknBigramLogProb: could not calibrate modified " +
-            "Kneser-Ney discounts — the corpus has no bigram types at " +
-            "count 1, 2, or 3 (KenLM fails identically); use " +
-            "knBigramLogProb's fixed discount instead")).cast("double"))
-          .otherwise(col("btypes")))
-      .withColumn("y", col("n1").cast("double")
-        / (col("n1").cast("double") + lit(2.0) * col("n2").cast("double")))
-      .withColumn("d1", lit(1.0) - lit(2.0) * col("y")
-        * col("n2").cast("double") / col("n1").cast("double"))
-      .withColumn("d2", lit(2.0) - lit(3.0) * col("y")
-        * col("n3").cast("double") / col("n2").cast("double"))
-      .withColumn("d3", lit(3.0) - lit(4.0) * col("y")
-        * col("n4").cast("double") / col("n3").cast("double"))
+      // A corpus with an empty n1/n2/n3 bucket cannot calibrate the
+      // discounts. KenLM's answer is --discount_fallback: substitute a
+      // fixed discount triple (its default 0.5/1.0/1.5); without it,
+      // KenLM refuses the corpus — and so does this operator, with a
+      // curated error. Every estimate lives in the non-degenerate branch
+      // of a CaseWhen (branches evaluate lazily), so ANSI mode's
+      // double-division-by-zero can never preempt the curated path.
+      .withColumn("__degen",
+        col("n1") === 0L || col("n2") === 0L || col("n3") === 0L)
+      .withColumn("y", when(col("__degen"), lit(0.0))
+        .otherwise(col("n1").cast("double")
+          / (col("n1").cast("double") + lit(2.0) * col("n2").cast("double"))))
+      .withColumn("d1", when(col("__degen"), degenDiscount(fallbackDiscounts, 1))
+        .otherwise(lit(1.0) - lit(2.0) * col("y")
+          * col("n2").cast("double") / col("n1").cast("double")))
+      .withColumn("d2", when(col("__degen"), degenDiscount(fallbackDiscounts, 2))
+        .otherwise(lit(2.0) - lit(3.0) * col("y")
+          * col("n3").cast("double") / col("n2").cast("double")))
+      .withColumn("d3", when(col("__degen"), degenDiscount(fallbackDiscounts, 3))
+        .otherwise(lit(3.0) - lit(4.0) * col("y")
+          * col("n4").cast("double") / col("n3").cast("double")))
       .select("btypes", "d1", "d2", "d3")
     val uniP = col("c1").cast("double") / col("total")
     val dOfC = when(col("c2") === 1L, col("d1"))

@@ -107,7 +107,21 @@ class LmSmoothingSpec extends SparkSpec {
     val e = intercept[Exception] {
       TextAnalysis.mknBigramLogProb(df, "doc_id", "text").collect()
     }
-    assert(e.getMessage.contains("Kneser-Ney discounts"), e.getMessage)
+    assert(e.getMessage.contains("Kneser-Ney discounts") &&
+      e.getMessage.contains("discount_fallback"), e.getMessage)
+  }
+
+  test("mknBigramLogProb degenerate corpus + fallback == KenLM --discount_fallback") {
+    // Same degenerate corpus; with the fallback triple every bigram has
+    // count 1 -> D = f1 = 0.5, lambda(a) = 0.5*1/1, Pcont = 1/2.
+    val df = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    val exp = BigDecimal((fp(0.25) + fp(0.75)) / 2.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.mknBigramLogProb(
+      df, "doc_id", "text", fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((1L, 2L, exp), (2L, 2L, exp)))
   }
 
   // ---- LmIndex: frozen-model scoring with OOV -----------------------------
