@@ -110,10 +110,16 @@ object LmIndex {
     val p = when(col("prev").isNull, uniP)
       .when(col("cc").isNotNull, knP)
       .otherwise(pcont)
-    pt.join(m.uni, Seq("w"), "left")
+    // The token frame is the fat side — every model join is one exchange
+    // of it. The two w-keyed tables fold into ONE probe (cont's keys are
+    // a subset of uni's: a continuation word IS a word), so the corpus
+    // shuffles three times (w, (prev,w), prev), not four. ctx must stay
+    // its own join: an unseen (prev,w) pair with a SEEN context needs
+    // cc/n1f without a bigram-row hit.
+    val wM = m.uni.join(m.cont, Seq("w"), "left")
+    pt.join(wM, Seq("w"), "left")
       .join(m.big, Seq("prev", "w"), "left")
       .join(m.ctx, Seq("prev"), "left")
-      .join(m.cont, Seq("w"), "left")
       .crossJoin(broadcast(m.stats))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)

@@ -456,13 +456,21 @@ object TextAnalysis {
     val p = when(col("prev1").isNull, uniP)
       .when(col("prev2").isNull, bigKn)
       .otherwise(triKn)
-    pt.join(uni, Seq("w"))
+    // Fold the model tables by join key before touching the corpus-scale
+    // token frame: the w-keyed pair (uni, cont — cont's keys ⊆ uni's)
+    // and the (prev1, w)-keyed pair (big⋈ctx, m2⋈mctx — every scored
+    // position ≥ 3 contributed its own trigram, so its (p1, w) has an
+    // m2 row and the fold can never null a consumed column) each become
+    // ONE probe. The token frame shuffles three times (w, (p1,w),
+    // (p2,p1,w)) instead of five.
+    val wM = uni.join(cont, Seq("w"), "left")
+    val bigM = big.join(ctx, Seq("prev1"))
+      .join(m2.join(mctx, Seq("prev1")), Seq("prev1", "w"), "left")
+    pt.join(wM, Seq("w"))
       .crossJoin(broadcast(tot))
-      .join(big.join(ctx, Seq("prev1")), Seq("prev1", "w"), "left")
-      .join(cont, Seq("w"), "left")
+      .join(bigM, Seq("prev1", "w"), "left")
       .crossJoin(broadcast(btot))
       .join(tri.join(ctx3, Seq("prev2", "prev1")), Seq("prev2", "prev1", "w"), "left")
-      .join(m2.join(mctx, Seq("prev1")), Seq("prev1", "w"), "left")
       .select(col(idCol),
         round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)
