@@ -246,6 +246,35 @@ object LmIndex {
       docs: DataFrame, idCol: String, textCol: String): Unit =
     mergeCounts(store, prefix, docs, idCol, textCol, sign = -1L)
 
+  /** Versioned rebuild under live serving — the [[LexIndex
+    * .rebuildVersioned]] posture: [[build]] writes five tables through
+    * SEQUENTIAL atomic swaps, so a serve loading mid-rebuild could pair
+    * new bigram counts with old stats; the versioned path builds into a
+    * fresh `<name>_g<N>` prefix and publishes it with ONE manifest swap,
+    * last ([[graft.io.VersionedIndex]] — CAS-claimed, crash-drilled). */
+  def rebuildVersioned(
+      store: TableStore, name: String,
+      train: DataFrame, idCol: String, textCol: String): String =
+    graft.io.VersionedIndex.rebuild(store, name, train.sparkSession)(
+      p => build(store, p, train, idCol, textCol))
+
+  /** Model frames of the CURRENT generation, pinned: the manifest is
+    * resolved once, here — a rebuild publishing mid-serve cannot
+    * retarget the returned frames (they read the resolved generation's
+    * prefix). Feed to [[scoreFrames]] via [[scoreVersioned]], or pass
+    * the resolved prefix to a standing [[graft.stream.EventAnalytics
+    * .pplGateEachBatch]]. */
+  def loadModelVersioned(store: TableStore, name: String): KnModel =
+    loadModel(store, graft.io.VersionedIndex.currentPrefix(store, name))
+
+  /** [[score]] against the current generation (resolved once per call). */
+  def scoreVersioned(
+      store: TableStore, name: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames(loadModelVersioned(store, name), docs, idCol, textCol,
+      discount)
+
   /** Load the model frames from a store (lazy table reads). */
   def loadModel(store: TableStore, prefix: String): KnModel =
     KnModel(

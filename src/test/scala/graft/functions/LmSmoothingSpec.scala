@@ -214,6 +214,32 @@ class LmSmoothingSpec extends SparkSpec {
       "a rejected delete must not have touched the store")
   }
 
+  test("versioned LM rebuild under a pinned serve: generations never mix") {
+    val a = Seq((1L, "aa bb aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val b = Seq((1L, "xx yy xx yy xx"), (2L, "yy zz")).toDF("doc_id", "text")
+    val probe = Seq((10L, "aa bb xx")).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_ver_").toString)
+    LmIndex.rebuildVersioned(store, "lm", a, "doc_id", "text")
+    // Pin a model, then publish a NEW generation underneath it.
+    val pinned = LmIndex.loadModelVersioned(store, "lm")
+    LmIndex.rebuildVersioned(store, "lm", b, "doc_id", "text")
+    val gotPinned = LmIndex.scoreFrames(pinned, probe, "doc_id", "text", 0.75)
+      .as[(Long, Long, Double)].collect().toSet
+    val wantA = LmIndex.crossScore(a, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotPinned === wantA,
+      "pinned model drifted off its generation after a rebuild published")
+    // A fresh resolution serves the NEW generation.
+    val gotFresh = LmIndex.scoreVersioned(store, "lm", probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val wantB = LmIndex.crossScore(b, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotFresh === wantB)
+    assert(gotPinned !== gotFresh,
+      "fixture too weak: the two generations score identically")
+  }
+
   test("scoreBatch == score, and its model-table scans carry the word IN pushdown") {
     val rnd = new scala.util.Random(5)
     val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr")
