@@ -457,11 +457,15 @@ object Multimodal {
       maxHamming: Int = 3,
       targetBytesPerTask: Long = 128L * 1024 * 1024): DataFrame = {
     import media.sparkSession.implicits._
-    val totalBytes = media.select(sum(length(col("payload"))))
+    // Byte budget sized over the AUDIO rows only (the rows this path
+    // decodes) — a corpus dominated by video payloads must not inflate
+    // the partition count of the audio decode stage.
+    val audio = media.filter(col("kind") === "audio")
+    val totalBytes = audio.select(sum(length(col("payload"))))
       .as[Option[Long]].head().getOrElse(0L)
     val parts = math.max(1, math.min(10000,
       (totalBytes / math.max(1, targetBytesPerTask)).toInt + 1))
-    val hashes = media.filter(col("kind") === "audio")
+    val hashes = audio
       .repartition(parts).mapPartitions { files =>
         files.flatMap(f => audioHash(f.payload).map(h => (f.media_id, h)))
       }.toDF("media_id", "ahash")
