@@ -1956,6 +1956,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The tokenizer-export vocabulary artifact: every word segmented
+    // under the 8 learned BPE merges (single-char words included — they
+    // segment to themselves), symbols counted weighted by word frequency
+    // — the training-frequency table an encoder ships beside the merges
+    "q_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val d = pq(s, dir, "documents")
+      val merges = graft.functions.TextAnalysis
+        .bpeTrainMerges(d, "text", numMerges = 8)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      graft.functions.TextAnalysis.tokenizerVocab(d, "text", merges)
+        .orderBy(col("sym_count").desc, col("symbol"))
+    }),
+
     // Paragraph-level cross-doc dedup signal: fraction of each document's
     // 32-token paragraphs that appear verbatim in other documents
     "q_paragraph_dup" -> ((s, dir) =>
@@ -5623,6 +5638,20 @@ object SparkEntry {
     "q_kn_bigram" ->
       s"""WITH $knBigramScoreSql
          |SELECT doc_id, n_tokens, logprob FROM knscore ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_vocab" ->
+      s"""${bpeChainSql(8)},
+         |v1 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+         |  WHERE length(word) = 1 GROUP BY 1),
+         |syms AS (
+         |  SELECT unnest(string_split(rep, '  ')) AS symbol, freq FROM w8
+         |  UNION ALL
+         |  SELECT word AS symbol, freq FROM v1)
+         |SELECT symbol, CAST(sum(freq) AS BIGINT) AS sym_count
+         |FROM syms GROUP BY symbol
+         |ORDER BY sym_count DESC, symbol""".stripMargin,
 
     "q_kn_trigram" ->
       """WITH toks AS MATERIALIZED (

@@ -1329,6 +1329,39 @@ object TextAnalysis {
       .toDF(idCol, outCol)
   }
 
+  /** The trained tokenizer's VOCABULARY artifact — the symbol inventory
+    * a tokenizer export ships: every word segmented under the learned
+    * merge list (merge replay == the training loop's final segmentation
+    * by construction), symbols counted weighted by word frequency.
+    * Unlike the trainer's working vocabulary, single-character words ARE
+    * included (they segment to themselves; the trainer skips them only
+    * because they cannot merge). Works for any merge list — BPE or
+    * WordPiece-objective. One corpus pass (the word-frequency agg); the
+    * merge list broadcasts; segmentation is the [[bpeTokenCounts]]
+    * mapPartitions exception with the same per-partition word memo.
+    * Output: (symbol, sym_count), the training-frequency table encoders
+    * ship next to the merges. */
+  def tokenizerVocab(
+      df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toVector)
+    df.select(explode(words(col(textCol))).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.Map.empty[String, Vector[String]]
+        it.flatMap { case (w, f) =>
+          memo.getOrElseUpdate(w, bpeSegmentWord(w, ms)).map(s => (s, f))
+        }
+      }
+      .toDF("symbol", "freq")
+      .groupBy("symbol").agg(sum(col("freq")).cast("long").as("sym_count"))
+  }
+
   /** WordPiece-objective tokenizer training — same merge machinery as
     * [[bpeTrainMerges]] (weighted vocabulary from ONE corpus-scale pass;
     * the merge loop is vocabulary-bounded local iteration), but the

@@ -408,6 +408,25 @@ class LmSmoothingSpec extends SparkSpec {
     assert(wp.map(r => (r._2, r._3)).toSeq === Seq(("a", "b")))
   }
 
+  test("tokenizerVocab: segment-weighted symbol counts; totals == encode totals") {
+    // "abab"x3 + "ab" + "z": merges (a,b) then (ab,ab).
+    val df = (Seq.fill(3)("abab") ++ Seq("ab", "z")).toDF("text")
+    val merges = TextAnalysis.bpeTrainMerges(df, "text", numMerges = 5)
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val vocab = TextAnalysis.tokenizerVocab(df, "text", merges)
+      .as[(String, Long)].collect().toMap
+    // abab -> [abab] x3; ab -> [ab] x1; z -> [z] x1 (single char kept).
+    assert(vocab === Map("abab" -> 3L, "ab" -> 1L, "z" -> 1L))
+    // Invariant: Σ sym_count == Σ per-doc encoded token counts.
+    val docs = df.withColumn("doc_id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val encTotal = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .agg(sum(col("bpe_tokens"))).as[Long].head()
+    assert(vocab.values.sum === encTotal,
+      "vocabulary mass diverged from the encoder's token count")
+  }
+
   test("wordpiece merges drive bpeTokenCounts with a custom output column") {
     val df = Seq((1L, "qu ququ zz")).toDF("doc_id", "text")
     val train = (Seq.fill(2)("qu") ++ Seq.fill(2)("ququ")).toDF("text")
