@@ -937,6 +937,52 @@ class PlanQualitySpec extends SparkSpec {
       "resample selection lost the TakeOrdered top-k")
   }
 
+  test("q_corpus_shuffle: two 2-column corpus scans, rank windows per (key, bucket)") {
+    // The global shuffle's accounting claim: histogram + rank pass only
+    // (the hash sort key's static domain skips the min/max probe), each
+    // reading just (doc_id, source), and the global rank partitioned by
+    // (constant key, hash bucket) — never a whole-frame corpus window.
+    val plan = planOf("q_corpus_shuffle")
+    val scans = readSchemas(plan)
+    assert(scans.nonEmpty && scans.length <= 2,
+      s"expected <= 2 corpus scans, got ${scans.length}: $scans")
+    assert(scans.forall(_.split(",").length <= 2), scans.mkString("; "))
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val rank = specs.filter(_.contains("__fp"))
+    assert(rank.nonEmpty, "lost the global rank window")
+    rank.foreach { s =>
+      val partCols = s.split(",").map(_.trim)
+        .takeWhile(a => !a.contains(" ASC") && !a.contains(" DESC"))
+      // Catalyst folds the constant key out of the partition spec,
+      // leaving the bucket alone — the 2^16-way spread IS the contract;
+      // an empty partition list (whole-frame window) is the regression.
+      assert(partCols.nonEmpty && partCols.exists(_.contains("__b")),
+        s"global shuffle ranks corpus rows without the bucket refinement: $s")
+    }
+  }
+
+  test("q_curriculum_order: stage table cached once, offsets broadcast, bucketed rank") {
+    // The stage column is the whole KN chain: the wiring persists it, so
+    // the expensive subtree materializes ONCE (InMemoryRelation present)
+    // and the three references (stage masses + histogram + rank) read the
+    // cache; the stage-offset join is an explicit broadcast.
+    val plan = planOf("q_curriculum_order")
+    assert(plan.contains("InMemoryRelation"),
+      "stage table lost its cache — the KN chain re-runs per reference")
+    assert(plan.contains("BroadcastHashJoin"), "stage-offset join not broadcast")
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val rank = specs.filter(_.contains("__fp"))
+    assert(rank.nonEmpty, "lost the per-stage rank window")
+    rank.foreach { s =>
+      val partCols = s.split(",").map(_.trim)
+        .takeWhile(a => !a.contains(" ASC") && !a.contains(" DESC"))
+      assert(partCols.length >= 2,
+        s"curriculum ranks corpus rows in a single-key window: $s")
+    }
+  }
+
   test("no query plan falls back out of whole-stage codegen") {
     // A failed codegen compile logs and silently degrades; spot-check the
     // expression-heavy queries still contain codegen stages.
