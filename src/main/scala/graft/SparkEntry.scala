@@ -1971,6 +1971,19 @@ object SparkEntry {
         .orderBy(col("sym_count").desc, col("symbol"))
     }),
 
+    // The same export artifact under the WordPiece-objective merges —
+    // tokenizerVocab is merge-list-agnostic, pinned here at oracle level
+    "q_wordpiece_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val d = pq(s, dir, "documents")
+      val merges = graft.functions.TextAnalysis
+        .wordpieceTrainMerges(d, "text", numMerges = 8, minPairCount = 2L)
+        .orderBy("rank").select("left", "right")
+        .as[(String, String)].collect().toSeq
+      graft.functions.TextAnalysis.tokenizerVocab(d, "text", merges)
+        .orderBy(col("sym_count").desc, col("symbol"))
+    }),
+
     // Paragraph-level cross-doc dedup signal: fraction of each document's
     // 32-token paragraphs that appear verbatim in other documents
     "q_paragraph_dup" -> ((s, dir) =>
@@ -5651,6 +5664,20 @@ object SparkEntry {
          |  SELECT word AS symbol, freq FROM v1)
          |SELECT symbol, CAST(sum(freq) AS BIGINT) AS sym_count
          |FROM syms GROUP BY symbol
+         |ORDER BY sym_count DESC, symbol""".stripMargin,
+
+    "q_wordpiece_vocab" ->
+      s"""${wordpieceChainSql(8, 2L)},
+         |u1 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+         |  WHERE length(word) = 1 GROUP BY 1),
+         |wsyms AS (
+         |  SELECT unnest(string_split(rep, '  ')) AS symbol, freq FROM v8
+         |  UNION ALL
+         |  SELECT word AS symbol, freq FROM u1)
+         |SELECT symbol, CAST(sum(freq) AS BIGINT) AS sym_count
+         |FROM wsyms GROUP BY symbol
          |ORDER BY sym_count DESC, symbol""".stripMargin,
 
     "q_kn_trigram" ->
