@@ -214,6 +214,46 @@ class LmSmoothingSpec extends SparkSpec {
       "a rejected delete must not have touched the store")
   }
 
+  test("Kneser-Ney conditionals sum to 1 over the vocabulary, OOV branches included") {
+    // The discount identity: sum_w [(c(prev,w)-D)/cc] + lambda(prev) *
+    // sum_w Pcont(w) = (cc - D*n1f)/cc + (D*n1f/cc) * 1 = 1 — PROVIDED
+    // every vocabulary word has a continuation count (true here: each
+    // word occurs non-initially somewhere). The probe enumerates ALL
+    // (prev, w) pairs as 2-token docs — unseen pairs route through the
+    // frozen scorer's OOV absolute-discount branch, so the identity
+    // also certifies that branch's mass accounting. Probabilities are
+    // recovered from the public scorer output (1-token docs give the
+    // first-token fp; 2-token docs give the mean), so the check rides
+    // the exact fixed-point contract with ~1e-6-per-term tolerance.
+    val train = Seq((1L, "a b c d"), (2L, "b a d c"), (3L, "c d a b"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "c", "d")
+    // The bigram table must be INCOMPLETE or no OOV branch fires.
+    val nBigrams = LmIndex.modelFrames(train, "doc_id", "text").big.count()
+    assert(nBigrams < 16, s"fixture too dense: $nBigrams of 16 pairs seen")
+    val singles = vocab.zipWithIndex.map { case (w, i) => (100L + i, w) }
+    val pairs = for {
+      (p, i) <- vocab.zipWithIndex
+      (w, j) <- vocab.zipWithIndex
+    } yield (1000L + i * 10 + j, s"$p $w")
+    val scored = LmIndex.crossScore(
+      train, (singles ++ pairs).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val fp1 = vocab.zipWithIndex.map { case (w, i) =>
+      w -> scored(100L + i)._2 * 1e6
+    }.toMap
+    vocab.zipWithIndex.foreach { case (p, i) =>
+      val total = vocab.zipWithIndex.map { case (w, j) =>
+        val (n, lp) = scored(1000L + i * 10 + j)
+        assert(n === 2L)
+        math.exp((lp * 2e6 - fp1(p)) / 1e6)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-4,
+        s"P(.|$p) sums to $total, not 1 — the discount mass leaked")
+    }
+  }
+
   test("versioned LM rebuild under a pinned serve: generations never mix") {
     val a = Seq((1L, "aa bb aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
     val b = Seq((1L, "xx yy xx yy xx"), (2L, "yy zz")).toDF("doc_id", "text")
