@@ -1092,6 +1092,22 @@ object SparkEntry {
     // PII redaction (narrow map stage) over a contact-ish text built from
     // the CSV-input stand-in: emails + NNN-NNN-NNNN phones scrubbed, match
     // counts on the original text
+    // Luhn-VALIDATED credit-card redaction: a deterministic 13-digit
+    // account number per customer (Knuth-hash of the key) is a
+    // candidate, and ~10% pass the checksum by chance — a mixed fixture
+    // proving the cross-engine Luhn fold (blind digit-run redaction
+    // would eat all of them)
+    "q_pii_cc" -> ((s, dir) => {
+      val t = pq(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("doc_id"),
+          concat(lit("acct "),
+            lpad(pmod(col("c_custkey").cast("long") * lit(2654435761L),
+              lit(10000000000000L)).cast("string"), 13, "0"),
+            lit(" end")).as("text"))
+      graft.functions.Pii.redactCreditCards(t, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       val txt = csvInput(s, dir).select(col("row_number"),
         concat(lit("reach "), col("email"), lit(" at 555-"),
@@ -4517,6 +4533,36 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q_pii_cc" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+        |    'acct ' || lpad(CAST((CAST(c_custkey AS BIGINT) * 2654435761) % 10000000000000 AS VARCHAR), 13, '0')
+        |      || ' end' AS text
+        |  FROM customer),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b') AS cands
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id, text, cands,
+        |    list_filter(cands, x ->
+        |      length(regexp_replace(x, '[ -]', '', 'g')) > 0 AND
+        |      CAST(list_sum(list_transform(
+        |        generate_series(1, length(regexp_replace(x, '[ -]', '', 'g'))),
+        |        i -> CASE WHEN i % 2 = 0 THEN
+        |               CASE WHEN (ascii(substr(reverse(regexp_replace(x, '[ -]', '', 'g')), CAST(i AS INTEGER), 1)) - 48) * 2 > 9
+        |                 THEN (ascii(substr(reverse(regexp_replace(x, '[ -]', '', 'g')), CAST(i AS INTEGER), 1)) - 48) * 2 - 9
+        |                 ELSE (ascii(substr(reverse(regexp_replace(x, '[ -]', '', 'g')), CAST(i AS INTEGER), 1)) - 48) * 2 END
+        |             ELSE ascii(substr(reverse(regexp_replace(x, '[ -]', '', 'g')), CAST(i AS INTEGER), 1)) - 48 END))
+        |        AS BIGINT) % 10 = 0) AS valids
+        |  FROM c)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(text, valids),
+        |    (acc, x) -> replace(acc, x, '<CC>')) AS redacted,
+        |  CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+        |  CAST(len(valids) AS BIGINT) AS n_cc_valid
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" -> withCtes(
       """, pii AS (

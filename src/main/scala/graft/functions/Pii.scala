@@ -32,6 +32,53 @@ object Pii {
 
   val defaultRules: Seq[Rule] = Seq(emailRule, phoneRule, ipv4Rule)
 
+  /** Luhn checksum validity of a SEPARATOR-FREE digit string — the
+    * check that separates credit-card detection from blind digit-run
+    * redaction (a 16-digit order id fails it 90% of the time; every
+    * real PAN passes by construction). Pure built-in expressions
+    * (reverse + per-position fold), integer arithmetic only, so Spark
+    * and the DuckDB oracle agree bit-for-bit; higher-order transform/
+    * aggregate are interpreted, not codegen'd — acceptable here because
+    * the fold runs once per CANDIDATE, and candidates are regex-rare. */
+  def luhnValid(digits: Column): Column = {
+    // Walk the REVERSED digits (Luhn doubles every second digit from the
+    // right); element access via a char split — positions 1..length only,
+    // so a trailing empty split artifact can never be read.
+    val chars = split(reverse(digits), "")
+    val total = aggregate(
+      transform(sequence(lit(1), length(digits)), i => {
+        val d = ascii(element_at(chars, i)) - lit(48)
+        val dd = d * lit(2)
+        when(i % 2 === 0, when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    length(digits) > 0 && total % 10 === 0
+  }
+
+  /** Credit-card detection + redaction with Luhn VALIDATION: digit runs
+    * of 13-19 (spaces/dashes allowed) are candidates; only candidates
+    * whose digits pass [[luhnValid]] redact — the practice that keeps a
+    * scrubber from eating order ids and timestamps wholesale. Candidate
+    * extraction is the same RE2-safe regex subset as the rules above;
+    * per-row redaction is a fold of plain replacements over the row's
+    * OWN valid candidates (higher-order aggregate — no shuffle, no UDF).
+    * Emits idCol, `redacted`, `n_cc_candidates`, `n_cc_valid`. */
+  val ccCandidatePattern = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  def redactCreditCards(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(ccCandidatePattern), lit(0))
+    val valid = filter(cands,
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+    df.select(col(idCol),
+        col(textCol).as("__t"), cands.as("__c"), valid.as("__v"))
+      .select(col(idCol),
+        aggregate(col("__v"), col("__t"),
+          (acc, c) => regexp_replace(acc, c, lit("<CC>"))).as("redacted"),
+        size(col("__c")).cast("long").as("n_cc_candidates"),
+        size(col("__v")).cast("long").as("n_cc_valid"))
+  }
+
   /** Redact `textCol` under `rules` (in order) and count matches per rule
     * (counted on the ORIGINAL text, so counts are rule-order-independent).
     * Emits `idCol`, `redacted`, and one `n_<name>` column per rule. */

@@ -880,6 +880,36 @@ class FunctionsSpec extends SparkSpec {
     assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) === ((0L, 0L, 0L)))
   }
 
+  test("luhnValid: textbook test numbers, both parities, empty string") {
+    val cases = Seq(
+      ("4532015112830366", true),   // 16-digit Visa test number
+      ("4532015112830367", false),  // same with a broken check digit
+      ("378282246310005", true),    // 15-digit Amex test number
+      ("1234567890123", false),
+      ("", false))
+    val got = cases.map(_._1).toDF("d")
+      .select(col("d"), Pii.luhnValid(col("d")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (d, want) =>
+      assert(got(d) === want, s"luhn($d)")
+    }
+  }
+
+  test("credit-card redaction: only Luhn-valid candidates redact") {
+    val df = Seq(
+      (1L, "pay 4532 0151 1283 0366 or 4532-0151-1283-0367 ok"),
+      (2L, "call 555-123-4567 ref 378282246310005"),
+      (3L, "order 12345678901234567890 plain")).toDF("id", "text")
+    val out = Pii.redactCreditCards(df, "id", "text").orderBy("id")
+      .as[(Long, String, Long, Long)].collect()
+    // Row 1: two candidates, only the valid one redacts (spacing kept out).
+    assert(out(0) === ((1L, "pay <CC> or 4532-0151-1283-0367 ok", 2L, 1L)))
+    // Row 2: the 10-digit phone is no candidate; the Amex redacts.
+    assert(out(1) === ((2L, "call 555-123-4567 ref <CC>", 1L, 1L)))
+    // Row 3: 20 digits exceed the PAN length envelope — no candidate.
+    assert(out(2) === ((3L, "order 12345678901234567890 plain", 0L, 0L)))
+  }
+
   test("repetitionProfile: dup_frac and top_word_frac count word repeats") {
     val df = Seq(
       (1L, "a a a b"),      // 4 words, 2 distinct, top 'a' x3
