@@ -1108,6 +1108,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // IBAN redaction with the mod-97 check: deterministic GB##BANK+13
+    // account strings, valid at the ~1/97 chance rate — the
+    // international sibling of q_pii_cc's Luhn fixture
+    "q_pii_iban" -> ((s, dir) => {
+      val t = pq(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("doc_id"),
+          concat(lit("iban GB"),
+            lpad(pmod(col("c_custkey").cast("long") * lit(7919L),
+              lit(100L)).cast("string"), 2, "0"),
+            lit("BANK"),
+            lpad(pmod(col("c_custkey").cast("long") * lit(2654435761L),
+              lit(10000000000000L)).cast("string"), 13, "0"),
+            lit(" ok")).as("text"))
+      graft.functions.Pii.redactIbans(t, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       val txt = csvInput(s, dir).select(col("row_number"),
         concat(lit("reach "), col("email"), lit(" at 555-"),
@@ -4562,6 +4579,38 @@ object SparkEntry {
         |    (acc, x) -> replace(acc, x, '<CC>')) AS redacted,
         |  CAST(len(cands) AS BIGINT) AS n_cc_candidates,
         |  CAST(len(valids) AS BIGINT) AS n_cc_valid
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q_pii_iban" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+        |    'iban GB' || lpad(CAST((CAST(c_custkey AS BIGINT) * 7919) % 100 AS VARCHAR), 2, '0')
+        |      || 'BANK'
+        |      || lpad(CAST((CAST(c_custkey AS BIGINT) * 2654435761) % 10000000000000 AS VARCHAR), 13, '0')
+        |      || ' ok' AS text
+        |  FROM customer),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b') AS cands
+        |  FROM t),
+        |v AS (
+        |  SELECT doc_id, text, cands,
+        |    list_filter(cands, x ->
+        |      length(x) >= 15 AND
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT), list_transform(
+        |          string_split(array_to_string(list_transform(
+        |            string_split(substr(x, 5) || substr(x, 1, 4), ''),
+        |            ch -> CASE WHEN ascii(ch) >= 65
+        |              THEN CAST(ascii(ch) - 55 AS VARCHAR) ELSE ch END), ''), ''),
+        |          d -> CAST(ascii(d) - 48 AS BIGINT))),
+        |        (a, b) -> (a * 10 + b) % 97) = 1) AS valids
+        |  FROM c)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(text, valids),
+        |    (acc, x) -> replace(acc, x, '<IBAN>')) AS redacted,
+        |  CAST(len(cands) AS BIGINT) AS n_iban_candidates,
+        |  CAST(len(valids) AS BIGINT) AS n_iban_valid
         |FROM v ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" -> withCtes(

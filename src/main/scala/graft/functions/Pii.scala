@@ -79,6 +79,47 @@ object Pii {
         size(col("__v")).cast("long").as("n_cc_valid"))
   }
 
+  /** ISO 13616 IBAN checksum validity (mod-97-10): rearrange (first 4
+    * chars to the end), map letters to two-digit numbers (A=10..Z=35),
+    * and the resulting big decimal must be ≡ 1 (mod 97). The big number
+    * never materializes — the fold carries only `acc mod 97` (digits:
+    * acc·10+d; letters: acc·100+v, each reduced immediately), so the
+    * arithmetic stays in integer range and is engine-exact. Input must
+    * be the bare candidate (uppercase, no spaces). */
+  def ibanValid(iban: Column): Column = {
+    val rearranged = concat(substring(iban, 5, 1000000), substring(iban, 1, 4))
+    val chars = split(rearranged, "")
+    val m = aggregate(
+      sequence(lit(1), length(rearranged)),
+      lit(0L),
+      (acc, i) => {
+        val c = ascii(element_at(chars, i))
+        when(c >= 65, (acc * 100L + (c - 48 - 7L).cast("long")) % 97L)
+          .otherwise((acc * 10L + (c - 48L).cast("long")) % 97L)
+      })
+    length(iban) >= 15 && m === 1L
+  }
+
+  /** IBAN detection + redaction with mod-97 VALIDATION — the
+    * international sibling of [[redactCreditCards]], same candidate →
+    * validate → fold-replace shape. Candidates: two country letters,
+    * two check digits, 11-30 alphanumerics. Emits idCol, `redacted`,
+    * `n_iban_candidates`, `n_iban_valid`. */
+  val ibanCandidatePattern = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  def redactIbans(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(ibanCandidatePattern), lit(0))
+    val valid = filter(cands, c => ibanValid(c))
+    df.select(col(idCol),
+        col(textCol).as("__t"), cands.as("__c"), valid.as("__v"))
+      .select(col(idCol),
+        aggregate(col("__v"), col("__t"),
+          (acc, c) => regexp_replace(acc, c, lit("<IBAN>"))).as("redacted"),
+        size(col("__c")).cast("long").as("n_iban_candidates"),
+        size(col("__v")).cast("long").as("n_iban_valid"))
+  }
+
   /** Redact `textCol` under `rules` (in order) and count matches per rule
     * (counted on the ORIGINAL text, so counts are rule-order-independent).
     * Emits `idCol`, `redacted`, and one `n_<name>` column per rule. */

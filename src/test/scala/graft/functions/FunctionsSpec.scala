@@ -910,6 +910,29 @@ class FunctionsSpec extends SparkSpec {
     assert(out(2) === ((3L, "order 12345678901234567890 plain", 0L, 0L)))
   }
 
+  test("ibanValid: textbook IBANs, broken check digits, too-short input") {
+    val cases = Seq(
+      ("GB82WEST12345698765432", true),   // ISO 13616 example
+      ("DE89370400440532013000", true),
+      ("GB82WEST12345698765433", false),  // last digit broken
+      ("DE89370400440532013001", false),
+      ("GB82WEST", false))                // under the length floor
+    val got = cases.map(_._1).toDF("d")
+      .select(col("d"), Pii.ibanValid(col("d")).as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (d, want) => assert(got(d) === want, s"iban($d)") }
+  }
+
+  test("iban redaction: only mod-97-valid candidates redact") {
+    val df = Seq(
+      (1L, "send to GB82WEST12345698765432 not GB82WEST12345698765433"),
+      (2L, "code AB12 plain")).toDF("id", "text")
+    val out = Pii.redactIbans(df, "id", "text").orderBy("id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((1L, "send to <IBAN> not GB82WEST12345698765433", 2L, 1L)))
+    assert(out(1) === ((2L, "code AB12 plain", 0L, 0L)))
+  }
+
   test("repetitionProfile: dup_frac and top_word_frac count word repeats") {
     val df = Seq(
       (1L, "a a a b"),      // 4 words, 2 distinct, top 'a' x3
