@@ -100,10 +100,23 @@ object LmIndex {
     val pt = withPrev(tokens(docs, idCol, textCol), idCol)
     val total = col("total_tokens").cast("double")
     val btypes = col("bigram_types").cast("double")
+    // Degenerate-model guards live INSIDE the OOV branches (the lazy
+    // CaseWhen discipline from mknBigramLogProb — ANSI mode errors on
+    // double division by zero, and only these branches can divide by a
+    // zero stat: a seen continuation/unigram implies its denominator is
+    // positive). A model with no bigram types (single-token training
+    // docs) or no tokens at all fails with guidance, not DIVIDE_BY_ZERO.
     val pcont = when(col("n1c").isNotNull,
-      col("n1c").cast("double") / btypes).otherwise(lit(0.5) / btypes)
+      col("n1c").cast("double") / btypes)
+      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
+        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
+          "trained on single-token documents? Rebuild on a corpus with " +
+          "adjacent tokens")).cast("double")))
     val uniP = when(col("c1").isNotNull,
-      col("c1").cast("double") / total).otherwise(lit(0.5) / total)
+      col("c1").cast("double") / total)
+      .otherwise(when(total > 0.0, lit(0.5) / total)
+        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
+          "training tokens)")).cast("double")))
     val knP = greatest(coalesce(col("c2"), lit(0L)).cast("double")
         - lit(discount), lit(0.0)) / col("cc").cast("double") +
       lit(discount) * col("n1f").cast("double") / col("cc").cast("double") * pcont

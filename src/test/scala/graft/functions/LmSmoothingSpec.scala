@@ -313,6 +313,23 @@ class LmSmoothingSpec extends SparkSpec {
     }
   }
 
+  test("degenerate models fail with guidance, not DIVIDE_BY_ZERO") {
+    // Single-token training docs: no bigram types — scoring a 2-token
+    // doc needs the continuation mass and must raise the curated error.
+    val train = Seq((1L, "solo"), (2L, "alone")).toDF("doc_id", "text")
+    val docs = Seq((9L, "solo alone")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LmIndex.crossScore(train, docs, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("no bigram types"), e.getMessage)
+    // Scoring KNOWN single tokens against the same model stays fine
+    // (their unigram denominators are positive).
+    val ok = LmIndex.crossScore(
+      train, Seq((8L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(ok.length === 1 && ok.head._2 === 1L)
+  }
+
   test("knBigramLogProb == crossScore on itself (no OOV branch in-corpus)") {
     val df = Seq((1L, "a b a b c"), (2L, "b c a"), (3L, "c"))
       .toDF("doc_id", "text")
