@@ -146,9 +146,14 @@ object BenchScale {
     "q_kn_bigram",
     "q_ppl_buckets",
     // round-14 session-3: the order-3 recursive KN chain — the heaviest
-    // LM shape (trigram + continuation-bigram + bigram tables, 8 keyed
-    // joins against the token stream).
+    // LM shape (trigram + continuation-bigram + bigram tables, keyed
+    // joins against the token stream, post-fold 3 token-frame shuffles).
     "q_kn_trigram",
+    // round-14 session-3: modified KN (count-of-count discounts — one
+    // extra vocab-bounded aggregate over the bigram table) and the
+    // per-source LM report (the KN chain + one keyed aggregation).
+    "q_mkn_bigram",
+    "q_ppl_by_source",
     // round-14 session-3: the ordering operators (two-phase GLOBAL rank —
     // the corpus never sorts on one reducer; curriculum adds the
     // per-stage rank over the persisted KN-tercile stage table).
