@@ -1858,12 +1858,14 @@ object SparkEntry {
     "q_curriculum_order" -> ((s, dir) => {
       // The stage column is the whole KN perplexity chain and
       // curriculumOrder references its input three times (stage masses +
-      // histogram + rank) — persist the narrow stage table first, per
-      // its scaladoc (lazy, lineage-backed).
+      // histogram + rank) — materialize the narrow stage table first.
+      // localCheckpoint, not persist(): queries() frames outlive the
+      // call, so a persist() here leaks one CacheManager entry per
+      // invocation (the pplBuckets release discipline).
       val stages = graft.functions.TextAnalysis.pplBuckets(
           pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
         .select(col("doc_id"), col("tile").as("stage"))
-        .persist()
+        .localCheckpoint()
       graft.functions.Sampling.curriculumOrder(
         stages, "doc_id", "stage", docsPerShard = 64L)
         .orderBy("doc_id")
@@ -1963,6 +1965,52 @@ object SparkEntry {
         store, "lm", d.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text")
       graft.functions.LmIndex.score(
         store, "lm", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // PERSISTED ORDER-3 model — the train-offline/score-online split at
+    // the recursion depth the real CCNet-style deployments freeze (KenLM
+    // runs order 5; this family reaches 3): build the NINE model tables
+    // once, serve the corpus from the store. In-corpus no OOV branch
+    // fires, so it shares q_kn_trigram's oracle SQL verbatim — the
+    // persisted serve must be row-identical to the inline recursion.
+    "q_kn3_persisted" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      graft.functions.LmIndex.score3(store, "lm3", d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The order-3 probed serve: a 4% batch scored against the persisted
+    // model with every table read pruned to the batch's vocabulary
+    // (IN pushdown under the probeMaxWords ceiling, broadcast semi-join
+    // past it). Scoring in-corpus, so the oracle is the trigram chain
+    // with the batch predicate on the SCORED side only.
+    "q_kn3_probed" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreBatch3(
+        store, "lm3", d.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // PERSISTED modified-KN serve — the KenLM-default smoothing scored
+    // from the same build3 model: D1/D2/D3+ re-estimated at serve time
+    // from the STORED count-of-count tallies (stats n1..n4, per-context
+    // buckets in ctx), never rescanning any corpus. Shares
+    // q_mkn_bigram's oracle SQL verbatim (in-corpus row-identity), same
+    // --discount_fallback on this templated corpus.
+    "q_mkn_persisted" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreMkn(store, "lm3", d, "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
         .orderBy("doc_id")
     }),
 
@@ -2341,6 +2389,53 @@ object SparkEntry {
         .withColumn("pack_id",
           floor((col("cum_tokens") - col("n_tokens")) / 512.0).cast("long"))
         .select(col("lang"), col("doc_id"), col("quality"), col("shard"),
+          col("position"), col("pack_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("shard", "position")
+    }),
+
+    // NORTH-STAR v2 — the same composition with the TRAINED filter in
+    // the gate slot: fit the logistic quality classifier on the labeled
+    // 80% split (the deployed posture: label a seed set, fit in-engine,
+    // score the corpus — q_lr_holdout's split), gate on the model score
+    // instead of the static stopword heuristic, then the same dedup →
+    // temperature-mix → shard → pack chain. Training runs EAGERLY at
+    // construction (bounded: scaler pass + 20 GD aggregations over the
+    // cached standardized split); the returned plan is inference + mix +
+    // pack — the corpus scans exactly twice (mixer histogram + main
+    // pass), each through the broadcast-model score gate with the cached
+    // pairs anti-joined — plan-gated like v1.
+    "q_pipeline_manifest_v2" -> ((s, dir) => {
+      import graft.functions.{QualityModel, Sampling, TextAnalysis}
+      import org.apache.spark.sql.expressions.Window
+      val docs = pq(s, dir, "documents")
+      val fs = QualityModel.docFeatures(col("text"), col("n_chars"))
+      val model = QualityModel.logisticTrain(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), fs,
+        (col("n_chars") >= 300).cast("double"), steps = 20, lr = 1.0)
+      val dupLosers = guardedPairs(s, dir)
+        .select(col("id_b").as("doc_id")).distinct()
+      val survivors = QualityModel.scoreWith(docs, model, fs)
+        .filter(col("score") >= 0.5)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "score", "text")
+      val mixed = Sampling.temperatureMix(survivors, "doc_id", "lang", n = 200L)
+      val mid = col("doc_id").cast("string")
+      val sharded = mixed
+        .withColumn("shard", pmod(conv(substring(md5(
+          concat(lit("shard:"), mid)), 1, 8), 16, 10).cast("long"), lit(8L)))
+        .withColumn("order_key", substring(md5(
+          concat(lit("order:"), mid)), 1, 16))
+        .withColumn("n_tokens", TextAnalysis.wordCount(col("text")).cast("long"))
+      val w = Window.partitionBy("shard")
+        .orderBy(col("order_key"), col("doc_id"))
+      sharded
+        .withColumn("position", row_number().over(w).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 512.0).cast("long"))
+        .select(col("lang"), col("doc_id"), col("score"), col("shard"),
           col("position"), col("pack_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy("shard", "position")
     }),
@@ -3574,14 +3669,169 @@ object SparkEntry {
        |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
        |  FROM knxagg)""".stripMargin
 
+  /** Order-3 interpolated-KN score chain — mirrors
+    * [[graft.functions.TextAnalysis.knTrigramLogProb]] term by term
+    * (trigram discounting over the continuation-BIGRAM middle level,
+    * count-based bigram at the second token, MLE unigram first).
+    * Shared verbatim by q_kn_trigram (inline) and q_kn3_persisted (the
+    * build3 store serve, which must be row-identical in-corpus);
+    * `scoreWhere` filters the SCORED documents only — the model CTEs
+    * always read the full corpus — so q_kn3_probed replays the probed
+    * in-corpus batch against the same frozen model. */
+  private def knTrigramChainSql(scoreWhere: String = ""): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents),
+       |pt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+       |  FROM toks),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |big AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
+       |    CAST(count(*) AS BIGINT) AS n1f
+       |  FROM big GROUP BY prev1),
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+       |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
+       |tri AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+       |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
+       |    CAST(count(*) AS BIGINT) AS n1f3
+       |  FROM tri GROUP BY prev2, prev1),
+       |m2 AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+       |  FROM tri GROUP BY prev1, w),
+       |mctx AS (
+       |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
+       |    CAST(count(*) AS BIGINT) AS n1f2c
+       |  FROM m2 GROUP BY prev1),
+       |sc AS (
+       |  SELECT pt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |      WHEN pt.prev2 IS NULL THEN
+       |        greatest(CAST(big.c2 AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cc AS DOUBLE)
+       |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE)
+       |          * (CAST(cont.n1c AS DOUBLE) / btot.btypes)
+       |      ELSE
+       |        greatest(CAST(tri.c3 AS DOUBLE) - 0.75, 0.0) / CAST(ctx3.cc3 AS DOUBLE)
+       |        + 0.75 * CAST(ctx3.n1f3 AS DOUBLE) / CAST(ctx3.cc3 AS DOUBLE)
+       |          * (greatest(CAST(m2.mcount AS DOUBLE) - 0.75, 0.0) / CAST(mctx.mcc AS DOUBLE)
+       |             + 0.75 * CAST(mctx.n1f2c AS DOUBLE) / CAST(mctx.mcc AS DOUBLE)
+       |               * (CAST(cont.n1c AS DOUBLE) / btot.btypes))
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+       |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
+       |  LEFT JOIN ctx ON pt.prev1 = ctx.prev1
+       |  LEFT JOIN cont ON pt.w = cont.w
+       |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
+       |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1
+       |  LEFT JOIN m2 ON pt.prev1 = m2.prev1 AND pt.w = m2.w
+       |  LEFT JOIN mctx ON pt.prev1 = mctx.prev1
+       |  CROSS JOIN btot),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
+
+  /** Modified-KN bigram score chain — mirrors
+    * [[graft.functions.TextAnalysis.mknBigramLogProb]] (count-of-count
+    * estimated D1/D2/D3+, per-context bucket tallies, the 0.5/1.0/1.5
+    * fallback in the degenerate branch). Shared verbatim by q_mkn_bigram
+    * (inline) and q_mkn_persisted (the build3 store serve with the
+    * tallies READ from the model tables — row-identical in-corpus). */
+  private val mknBigramChainSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(text, '\s+')) AS w,
+      |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+      |  FROM documents),
+      |pt AS MATERIALIZED (
+      |  SELECT doc_id, pos, w,
+      |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+      |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+      |big AS MATERIALIZED (
+      |  SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
+      |  FROM pt WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT prev, CAST(sum(c2) AS BIGINT) AS cc,
+      |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
+      |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
+      |    CAST(sum(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nf3p
+      |  FROM big GROUP BY prev),
+      |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+      |cnts AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS btypes,
+      |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |    CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      |  FROM big),
+      |cy AS (
+      |  SELECT btypes, n1, n2, n3, n4,
+      |    (n1 = 0 OR n2 = 0 OR n3 = 0) AS degen,
+      |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.0
+      |      ELSE CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) END AS y
+      |  FROM cnts),
+      |d AS (
+      |  SELECT btypes,
+      |    CASE WHEN degen THEN 0.5
+      |      ELSE 1.0 - 2.0 * y * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS d1,
+      |    CASE WHEN degen THEN 1.0
+      |      ELSE 2.0 - 3.0 * y * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS d2,
+      |    CASE WHEN degen THEN 1.5
+      |      ELSE 3.0 - 4.0 * y * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE) END AS d3
+      |  FROM cy),
+      |sc AS (
+      |  SELECT pt.doc_id,
+      |    CAST(round(ln(CASE WHEN pt.prev IS NULL
+      |      THEN CAST(uni.c1 AS DOUBLE) / tot.total
+      |      ELSE
+      |        (CAST(big.c2 AS DOUBLE) - CASE WHEN big.c2 = 1 THEN d.d1
+      |           WHEN big.c2 = 2 THEN d.d2 ELSE d.d3 END)
+      |          / CAST(ctx.cc AS DOUBLE)
+      |        + (d.d1 * CAST(ctx.nf1 AS DOUBLE) + d.d2 * CAST(ctx.nf2 AS DOUBLE)
+      |           + d.d3 * CAST(ctx.nf3p AS DOUBLE)) / CAST(ctx.cc AS DOUBLE)
+      |          * (CAST(cont.n1c AS DOUBLE) / d.btypes)
+      |      END) * 1000000, 0) AS BIGINT) AS lp
+      |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+      |  LEFT JOIN big ON pt.prev = big.prev AND pt.w = big.w
+      |  LEFT JOIN ctx ON pt.prev = ctx.prev
+      |  LEFT JOIN cont ON pt.w = cont.w
+      |  CROSS JOIN d),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, n AS n_tokens,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** WordPiece-objective merge-loop replay — [[bpeChainSql]]'s structure
     * with the likelihood argmax: per round, symbol counts from the
     * current segmentation join the pair counts, candidates below the
     * support floor drop, and the winner maximizes cnt/(c_left·c_right)
     * (exact-integer-valued doubles under one IEEE divide — both engines
-    * pick the same pair; ties break on the smaller pair). Assumes every
-    * round keeps a candidate at the floor (wordpieceTrainMerges would
-    * stop early; spot-checked on the fixtures). */
+    * pick the same pair; ties break on the smaller pair). A corpus that
+    * runs dry before the requested merges (no candidate at the floor)
+    * makes wordpieceTrainMerges stop EARLY while this chain's scalar
+    * subqueries would go NULL — so each round's winner is wrapped in
+    * coalesce(..., error(...)): the oracle fails LOUDLY with the
+    * mismatch's cause instead of NULL-propagating a silently shorter
+    * merge list (the fixtures sustain all rounds; the error is the
+    * tripwire for anyone re-pointing the query at a thinner corpus). */
   private def wordpieceChainSql(merges: Int, minPairCount: Long): String = {
     val vocab =
       """vocab AS (
@@ -3610,8 +3860,10 @@ object SparkEntry {
          |  LIMIT 1),
          |v$t AS MATERIALIZED (
          |  SELECT word, freq, trim(replace(' ' || rep || ' ',
-         |    (SELECT ' ' || l || '  ' || r2 || ' ' FROM n$t),
-         |    (SELECT ' ' || l || r2 || ' ' FROM n$t))) AS rep
+         |    coalesce((SELECT ' ' || l || '  ' || r2 || ' ' FROM n$t),
+         |      error('wordpiece oracle: corpus ran dry at merge $t of $merges (no pair >= minPairCount $minPairCount) — the trainer stops early here; gate the query on a corpus that sustains all rounds')),
+         |    coalesce((SELECT ' ' || l || r2 || ' ' FROM n$t),
+         |      error('wordpiece oracle: corpus ran dry at merge $t')))) AS rep
          |  FROM v${t - 1})""".stripMargin
     }.mkString(",\n")
     s"WITH $vocab,\n$rounds"
@@ -5775,140 +6027,15 @@ object SparkEntry {
          |FROM wsyms GROUP BY symbol
          |ORDER BY sym_count DESC, symbol""".stripMargin,
 
-    "q_kn_trigram" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(text, '\s+')) AS w,
-        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
-        |  FROM documents),
-        |pt AS MATERIALIZED (
-        |  SELECT doc_id, pos, w,
-        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
-        |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
-        |  FROM toks),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
-        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
-        |big AS MATERIALIZED (
-        |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
-        |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
-        |ctx AS (
-        |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
-        |    CAST(count(*) AS BIGINT) AS n1f
-        |  FROM big GROUP BY prev1),
-        |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
-        |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
-        |tri AS MATERIALIZED (
-        |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
-        |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
-        |ctx3 AS (
-        |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
-        |    CAST(count(*) AS BIGINT) AS n1f3
-        |  FROM tri GROUP BY prev2, prev1),
-        |m2 AS MATERIALIZED (
-        |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
-        |  FROM tri GROUP BY prev1, w),
-        |mctx AS (
-        |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
-        |    CAST(count(*) AS BIGINT) AS n1f2c
-        |  FROM m2 GROUP BY prev1),
-        |sc AS (
-        |  SELECT pt.doc_id,
-        |    CAST(round(ln(CASE
-        |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
-        |      WHEN pt.prev2 IS NULL THEN
-        |        greatest(CAST(big.c2 AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cc AS DOUBLE)
-        |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE)
-        |          * (CAST(cont.n1c AS DOUBLE) / btot.btypes)
-        |      ELSE
-        |        greatest(CAST(tri.c3 AS DOUBLE) - 0.75, 0.0) / CAST(ctx3.cc3 AS DOUBLE)
-        |        + 0.75 * CAST(ctx3.n1f3 AS DOUBLE) / CAST(ctx3.cc3 AS DOUBLE)
-        |          * (greatest(CAST(m2.mcount AS DOUBLE) - 0.75, 0.0) / CAST(mctx.mcc AS DOUBLE)
-        |             + 0.75 * CAST(mctx.n1f2c AS DOUBLE) / CAST(mctx.mcc AS DOUBLE)
-        |               * (CAST(cont.n1c AS DOUBLE) / btot.btypes))
-        |      END) * 1000000, 0) AS BIGINT) AS lp
-        |  FROM pt JOIN uni USING (w) CROSS JOIN tot
-        |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
-        |  LEFT JOIN ctx ON pt.prev1 = ctx.prev1
-        |  LEFT JOIN cont ON pt.w = cont.w
-        |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
-        |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1
-        |  LEFT JOIN m2 ON pt.prev1 = m2.prev1 AND pt.w = m2.w
-        |  LEFT JOIN mctx ON pt.prev1 = mctx.prev1
-        |  CROSS JOIN btot),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-        |  FROM sc GROUP BY 1)
-        |SELECT doc_id, n AS n_tokens,
-        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_kn3_persisted" -> knTrigramChainSql(),
 
-    "q_mkn_bigram" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    unnest(string_split_regex(text, '\s+')) AS w,
-        |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
-        |  FROM documents),
-        |pt AS MATERIALIZED (
-        |  SELECT doc_id, pos, w,
-        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM toks),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
-        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
-        |big AS MATERIALIZED (
-        |  SELECT prev, w, CAST(count(*) AS BIGINT) AS c2
-        |  FROM pt WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |ctx AS (
-        |  SELECT prev, CAST(sum(c2) AS BIGINT) AS cc,
-        |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
-        |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
-        |    CAST(sum(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nf3p
-        |  FROM big GROUP BY prev),
-        |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
-        |cnts AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS btypes,
-        |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |    CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
-        |    CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
-        |  FROM big),
-        |cy AS (
-        |  SELECT btypes, n1, n2, n3, n4,
-        |    (n1 = 0 OR n2 = 0 OR n3 = 0) AS degen,
-        |    CASE WHEN n1 = 0 OR n2 = 0 OR n3 = 0 THEN 0.0
-        |      ELSE CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE)) END AS y
-        |  FROM cnts),
-        |d AS (
-        |  SELECT btypes,
-        |    CASE WHEN degen THEN 0.5
-        |      ELSE 1.0 - 2.0 * y * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS d1,
-        |    CASE WHEN degen THEN 1.0
-        |      ELSE 2.0 - 3.0 * y * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS d2,
-        |    CASE WHEN degen THEN 1.5
-        |      ELSE 3.0 - 4.0 * y * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE) END AS d3
-        |  FROM cy),
-        |sc AS (
-        |  SELECT pt.doc_id,
-        |    CAST(round(ln(CASE WHEN pt.prev IS NULL
-        |      THEN CAST(uni.c1 AS DOUBLE) / tot.total
-        |      ELSE
-        |        (CAST(big.c2 AS DOUBLE) - CASE WHEN big.c2 = 1 THEN d.d1
-        |           WHEN big.c2 = 2 THEN d.d2 ELSE d.d3 END)
-        |          / CAST(ctx.cc AS DOUBLE)
-        |        + (d.d1 * CAST(ctx.nf1 AS DOUBLE) + d.d2 * CAST(ctx.nf2 AS DOUBLE)
-        |           + d.d3 * CAST(ctx.nf3p AS DOUBLE)) / CAST(ctx.cc AS DOUBLE)
-        |          * (CAST(cont.n1c AS DOUBLE) / d.btypes)
-        |      END) * 1000000, 0) AS BIGINT) AS lp
-        |  FROM pt JOIN uni USING (w) CROSS JOIN tot
-        |  LEFT JOIN big ON pt.prev = big.prev AND pt.w = big.w
-        |  LEFT JOIN ctx ON pt.prev = ctx.prev
-        |  LEFT JOIN cont ON pt.w = cont.w
-        |  CROSS JOIN d),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-        |  FROM sc GROUP BY 1)
-        |SELECT doc_id, n AS n_tokens,
-        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_kn3_probed" -> knTrigramChainSql("WHERE doc_id % 25 = 0"),
+
+    "q_mkn_persisted" -> mknBigramChainSql,
+
+    "q_kn_trigram" -> knTrigramChainSql(),
+
+    "q_mkn_bigram" -> mknBigramChainSql,
 
     "q_ppl_buckets" ->
       s"""WITH $knBigramScoreSql,
@@ -6685,6 +6812,73 @@ object SparkEntry {
          |      ORDER BY order_key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM sharded WINDOW win AS (PARTITION BY shard ORDER BY order_key, doc_id))
          |SELECT lang, doc_id, quality, shard, position,
+         |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+         |  n_tokens, cum_tokens
+         |FROM packed ORDER BY shard, position""".stripMargin,
+
+    // v2: the trained-filter gate replaces the heuristic — the 20-step GD
+    // chain (trained on the 80% split) scores every document via the
+    // holdout-style eval CTE, the gate keeps score >= 0.5, and the rest of
+    // the chain (losers anti-join, sqrt-temperature quotas, hash shard +
+    // order, 512-token packing) is v1's verbatim.
+    "q_pipeline_manifest_v2" ->
+      s"""${lrChainSql(20, "1.0", " WHERE doc_id % 5 <> 0")},
+         |${lrFeatureSelectSql("ev", "")},
+         |evz AS (SELECT doc_id,
+         |  ${lrFeatureNames.map(n =>
+              s"floor(($n - mean_$n) / (CASE WHEN std_$n < 0.000001 THEN 1.0 ELSE std_$n END) * 1000000.0 + 0.5) / 1000000.0 AS $n")
+                .mkString(",\n  ")}
+         |  FROM ev CROSS JOIN sc),
+         |lsc AS MATERIALIZED (SELECT doc_id,
+         |  floor(1.0 / (1.0 + exp(-($lrZFinal))) * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM evz CROSS JOIN s20),
+         |$shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM prs
+         |  JOIN sizes sa ON id_a = sa.doc_id
+         |  JOIN sizes sb ON id_b = sb.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.8),
+         |survivors AS (
+         |  SELECT d.doc_id, d.lang, d.text, l.score
+         |  FROM documents d JOIN lsc l USING (doc_id)
+         |  WHERE l.score >= 0.5
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM losers)),
+         |counts AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM survivors GROUP BY 1),
+         |weights AS (
+         |  SELECT lang, CAST(cnt AS BIGINT) AS keyn,
+         |    CAST(round(sqrt(cnt) * 1e6, 0) AS BIGINT) AS w6 FROM counts),
+         |total AS (SELECT CAST(sum(w6) AS BIGINT) AS sumw6 FROM weights),
+         |quotas AS (
+         |  SELECT lang, least(
+         |    CAST(floor(200.0 * CAST(w6 AS DOUBLE) / CAST(sumw6 AS DOUBLE)) AS BIGINT),
+         |    keyn) AS quota
+         |  FROM weights CROSS JOIN total),
+         |ranked AS (
+         |  SELECT s.doc_id, s.lang, s.score, s.text, q.quota,
+         |    CAST(row_number() OVER (PARTITION BY s.lang ORDER BY
+         |      round(((('0x' || substr(md5('graft:' || s.lang || ':' || CAST(s.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+         |        / 4294967296.0), 6) ASC, s.doc_id ASC) AS BIGINT) AS rnk
+         |  FROM survivors s JOIN quotas q USING (lang)),
+         |picked AS (SELECT doc_id, lang, score, text FROM ranked WHERE rnk <= quota),
+         |sharded AS (
+         |  SELECT lang, doc_id, score,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+         |    substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 16) AS order_key
+         |  FROM picked),
+         |packed AS (
+         |  SELECT lang, doc_id, score, shard, n_tokens,
+         |    CAST(row_number() OVER win AS BIGINT) AS position,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY order_key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM sharded WINDOW win AS (PARTITION BY shard ORDER BY order_key, doc_id))
+         |SELECT lang, doc_id, score, shard, position,
          |  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id,
          |  n_tokens, cum_tokens
          |FROM packed ORDER BY shard, position""".stripMargin,

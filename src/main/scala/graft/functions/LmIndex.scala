@@ -309,33 +309,476 @@ object LmIndex {
       discount: Double = 0.75): DataFrame =
     scoreFrames(loadModel(store, prefix), docs, idCol, textCol, discount)
 
+  /** Distinct-word ceiling for [[scoreBatch]]'s literal-IN pruning;
+    * session-tunable via `graft.lm.probeMaxWords`. Below it, the batch's
+    * words collect to the driver and push down as static IN filters
+    * (In/InSet + parquet row-group skipping — the fastest shape at the
+    * documented ~10³ words/batch). Above it, NOTHING collects: an
+    * oversized batch would inflate four filter expressions and the plan
+    * itself (driver memory pressure — the plan carries the literal list
+    * per table), so pruning reroutes through a broadcast LEFT SEMI join
+    * on the batch's word frame (the [[TextAnalysis]] joinVocab posture:
+    * same rows kept, executor-side). The default 65536 words keeps the
+    * literal plans ≈ a few MB. */
+  private[graft] def probeMaxWords(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("graft.lm.probeMaxWords")
+      .map(_.toInt).getOrElse(65536)
+
   /** [[score]] for a QUERY-BATCH-sized document set — the probed serve
     * shape ([[LexIndex.bm25TopK]]'s convention): the batch's DISTINCT
-    * words collect once (batch-bounded by construction, never
-    * corpus-bounded) and push down as static `IN` filters on every
-    * model table — the key-sorted parquet layout turns them into
-    * row-group skipping, so serve cost is the probed slices, not the
-    * vocabulary. Row-identical to [[score]] (pruning only drops rows
+    * words prune every model-table read to the batch's own vocabulary.
+    * Below [[probeMaxWords]] they collect once (batch-bounded by
+    * construction, never corpus-bounded) and push down as static `IN`
+    * filters — the key-sorted parquet layout turns them into row-group
+    * skipping, so serve cost is the probed slices, not the vocabulary.
+    * Past the ceiling the SAME pruning runs as a broadcast semi-join on
+    * the batch's word frame — no driver collect at any batch size.
+    * Row-identical to [[score]] in BOTH regimes (pruning only drops rows
     * the left joins could never hit — every w/prev outside the batch's
-    * vocabulary; spec-pinned, and q_kn_probed shares the cross-score
-    * oracle SQL). One batch-tokenization job per call, the documented
-    * serve-call cost. */
+    * vocabulary; spec-pinned at both regimes, and q_kn_probed shares the
+    * cross-score oracle SQL). One batch-tokenization job per call (the
+    * word take/collect), the documented serve-call cost. */
+  /** The regime switch itself, shared by [[scoreBatch]] and
+    * [[scoreBatch3]]: returns a pruner that restricts a model table's
+    * given word-valued columns to the batch's vocabulary — static IN
+    * filters below [[probeMaxWords]] (one bounded driver collect;
+    * `limit(max+1)` caps the driver at max+1 rows even on a huge batch —
+    * the overflow probe IS the word collect when it fits), broadcast
+    * LEFT SEMI joins on the lazy word frame above it (no driver collect
+    * at any size; the frame is the batch's tokenize, re-derived per
+    * consumer — cheap, and the price of never materializing it
+    * driver-side). */
+  private def batchWordPruner(
+      docs: DataFrame, textCol: String): (DataFrame, Seq[String]) => DataFrame = {
+    val wordsDf = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .distinct()
+    val maxWords = probeMaxWords(docs)
+    val sample: Array[String] =
+      wordsDf.limit(maxWords + 1).collect().map(_.getString(0))
+    if (sample.length <= maxWords)
+      (t, cols) => cols.foldLeft(t)((d, c) => d.filter(col(c).isin(sample: _*)))
+    else
+      (t, cols) => cols.foldLeft(t)((d, c) =>
+        d.join(broadcast(wordsDf.withColumnRenamed("w", c)), Seq(c), "left_semi"))
+  }
+
   def scoreBatch(
       store: TableStore, prefix: String,
       docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
-    import docs.sparkSession.implicits._
     val m = loadModel(store, prefix)
-    val batchWords: Array[String] = docs
-      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
-      .distinct().as[String].collect()
+    val prune = batchWordPruner(docs, textCol)
     val pruned = KnModel(
-      uni = m.uni.filter(col("w").isin(batchWords: _*)),
-      big = m.big.filter(col("prev").isin(batchWords: _*) &&
-        col("w").isin(batchWords: _*)),
-      ctx = m.ctx.filter(col("prev").isin(batchWords: _*)),
-      cont = m.cont.filter(col("w").isin(batchWords: _*)),
+      uni = prune(m.uni, Seq("w")),
+      big = prune(m.big, Seq("prev", "w")),
+      ctx = prune(m.ctx, Seq("prev")),
+      cont = prune(m.cont, Seq("w")),
       stats = m.stats)
     scoreFrames(pruned, docs, idCol, textCol, discount)
+  }
+
+  // ---- order-3 / modified-KN persisted model (the v2 model family) ----
+  //
+  // The REAL CCNet deployment serves a frozen order-5 KenLM with
+  // modified-KN discounts; the train-offline/score-online split here
+  // reaches order 3 (interpolated KN, [[TextAnalysis.knTrigramLogProb]]'s
+  // recursion) and modified-KN at the bigram level
+  // ([[TextAnalysis.mknBigramLogProb]]'s estimated discounts) from ONE
+  // extended model: [[build3]] writes the five bigram tables (ctx and
+  // stats widened with the count-bucket tallies modified KN estimates
+  // its discounts from) plus four trigram-level tables. A build3'd model
+  // therefore serves all three smoothings — [[score]] (order-2 KN, reads
+  // the five), [[score3]] (order-3 KN), [[scoreMkn]] (modified-KN
+  // bigram) — without retraining.
+
+  /** The nine model frames of the order-3 family. Bigram-level tables
+    * share the [[KnModel]] shapes (ctx/stats widened); trigram level:
+    *   - `<prefix>_tri`  (prev2, prev, w, c3) — trigram counts
+    *   - `<prefix>_ctx3` (prev2, prev, cc3, n1f3) — per-2-gram-context
+    *     total + distinct followers
+    *   - `<prefix>_m2`   (prev, w, mcount) — continuation-BIGRAM counts
+    *     N1+(•,prev,w) (the middle KN level counts distinct left
+    *     contexts, not raw frequency)
+    *   - `<prefix>_mctx` (prev, mcc, n1f2c) — middle-level context
+    *     totals. */
+  private[graft] final case class Kn3Model(
+      uni: DataFrame, big: DataFrame, ctx: DataFrame, cont: DataFrame,
+      tri: DataFrame, ctx3: DataFrame, m2: DataFrame, mctx: DataFrame,
+      stats: DataFrame)
+
+  /** The nine frames computed lazily from a training corpus. The
+    * bigram-level aggregates all derive from the bigram table and the
+    * trigram-level ones from the trigram table ([[build3]] checkpoints
+    * both so the corpus tokenizes once). ctx carries the per-context
+    * count buckets (nf1/nf2/nf3p) and stats the global count-of-counts
+    * (n1..n4) — the tallies [[scoreFramesMkn]] estimates D1/D2/D3+ from
+    * (Chen & Goodman 1999 eq. 26), free at build time: one extra
+    * conditional sum in aggregations that already scan the bigram
+    * table. */
+  private[graft] def modelFrames3(
+      train: DataFrame, idCol: String, textCol: String): Kn3Model = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val toks = tokens(train, idCol, textCol)
+    val pt = toks
+      .withColumn("prev", lag(col("w"), 1).over(win))
+      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val big = pt.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val tri = pt.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "w").agg(count(lit(1)).cast("long").as("c3"))
+    Kn3Model(uni, big, derivedCtx(big), derivedCont(big),
+      tri, derivedCtx3(tri), derivedM2(tri), derivedMctx(derivedM2(tri)),
+      stats = derivedStats3(uni, big))
+  }
+
+  private def derivedCtx(big: DataFrame): DataFrame =
+    big.groupBy("prev").agg(
+      sum(col("c2")).cast("long").as("cc"),
+      count(lit(1)).cast("long").as("n1f"),
+      sum(when(col("c2") === 1L, 1L).otherwise(0L)).cast("long").as("nf1"),
+      sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("nf2"),
+      sum(when(col("c2") >= 3L, 1L).otherwise(0L)).cast("long").as("nf3p"))
+
+  private def derivedCont(big: DataFrame): DataFrame =
+    big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+
+  private def derivedCtx3(tri: DataFrame): DataFrame =
+    tri.groupBy("prev2", "prev").agg(
+      sum(col("c3")).cast("long").as("cc3"),
+      count(lit(1)).cast("long").as("n1f3"))
+
+  private def derivedM2(tri: DataFrame): DataFrame =
+    tri.groupBy("prev", "w").agg(count(lit(1)).cast("long").as("mcount"))
+
+  private def derivedMctx(m2: DataFrame): DataFrame =
+    m2.groupBy("prev").agg(
+      sum(col("mcount")).cast("long").as("mcc"),
+      count(lit(1)).cast("long").as("n1f2c"))
+
+  private def derivedStats3(uni: DataFrame, big: DataFrame): DataFrame =
+    uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
+      .crossJoin(big.agg(
+        count(lit(1)).cast("long").as("bigram_types"),
+        sum(when(col("c2") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("c2") === 3L, 1L).otherwise(0L)).cast("long").as("n3"),
+        sum(when(col("c2") === 4L, 1L).otherwise(0L)).cast("long").as("n4")))
+
+  /** Score `docs` against a frozen ORDER-3 model — the recursive KN
+    * chain ([[TextAnalysis.knTrigramLogProb]]) made total over unseen
+    * events by extending the bigram OOV recipe one level up, every
+    * branch deterministic and oracle-replayable:
+    *
+    *   - seen 2-gram context (prev2, prev): P = max(c3−D,0)/cc3 +
+    *     D·N1+(p2,p1,•)/cc3 · P_KN2(w|p1), c3 defaulting 0 (one
+    *     expression covers seen and unseen triples);
+    *   - unseen 2-gram context: full backoff to P_KN2(w|p1);
+    *   - P_KN2 over a seen middle context: max(N1+(•,p1,w)−D,0)/mcc +
+    *     D·N1+(p1,*)/mcc · P_cont(w); unseen middle context → P_cont(w);
+    *   - second token (no prev2): the bigram formula with
+    *     [[scoreFrames]]' OOV branches; first token: MLE unigram with
+    *     the reserved 0.5-type mass; P_cont OOV as in [[scoreFrames]].
+    *
+    * In-corpus no OOV branch can fire, so scoring the training corpus
+    * equals [[TextAnalysis.knTrigramLogProb]] bit-for-bit (spec-pinned;
+    * q_kn3_persisted shares q_kn_trigram's oracle SQL verbatim).
+    *
+    * Scale: the token frame is the fat side; tables fold by join key
+    * where OOV semantics allow (uni+cont on w; big+m2 on (prev,w);
+    * ctx+mctx on prev — each right side's keys make the fold lossless
+    * because a row is only CONSUMED when its own branch's guard column
+    * is non-null), so the corpus exchanges five times (w, (prev,w),
+    * prev, (prev2,prev,w), (prev2,prev)) — the OOV floor; the in-corpus
+    * scorer's 3-exchange fold is unsound here (an unseen triple with a
+    * seen 2-gram context still needs cc3). */
+  private[graft] def scoreFrames3(
+      m: Kn3Model, docs: DataFrame, idCol: String, textCol: String,
+      discount: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val pt = tokens(docs, idCol, textCol)
+      .withColumn("prev", lag(col("w"), 1).over(win))
+      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val total = col("total_tokens").cast("double")
+    val btypes = col("bigram_types").cast("double")
+    val d = lit(discount)
+    val pcont = when(col("n1c").isNotNull,
+      col("n1c").cast("double") / btypes)
+      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
+        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
+          "trained on single-token documents? Rebuild on a corpus with " +
+          "adjacent tokens")).cast("double")))
+    val uniP = when(col("c1").isNotNull,
+      col("c1").cast("double") / total)
+      .otherwise(when(total > 0.0, lit(0.5) / total)
+        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
+          "training tokens)")).cast("double")))
+    val midP = when(col("mcc").isNotNull,
+      greatest(coalesce(col("mcount"), lit(0L)).cast("double") - d, lit(0.0))
+        / col("mcc").cast("double") +
+        d * col("n1f2c").cast("double") / col("mcc").cast("double") * pcont)
+      .otherwise(pcont)
+    val bigP = when(col("cc").isNotNull,
+      greatest(coalesce(col("c2"), lit(0L)).cast("double") - d, lit(0.0))
+        / col("cc").cast("double") +
+        d * col("n1f").cast("double") / col("cc").cast("double") * pcont)
+      .otherwise(pcont)
+    val triP = when(col("cc3").isNotNull,
+      greatest(coalesce(col("c3"), lit(0L)).cast("double") - d, lit(0.0))
+        / col("cc3").cast("double") +
+        d * col("n1f3").cast("double") / col("cc3").cast("double") * midP)
+      .otherwise(midP)
+    val p = when(col("prev").isNull, uniP)
+      .when(col("prev2").isNull, bigP)
+      .otherwise(triP)
+    val wM = m.uni.join(m.cont, Seq("w"), "left")
+    val bigM = m.big.join(m.m2, Seq("prev", "w"), "left")
+    val ctxM = m.ctx.select("prev", "cc", "n1f")
+      .join(m.mctx, Seq("prev"), "left")
+    pt.join(wM, Seq("w"), "left")
+      .join(bigM, Seq("prev", "w"), "left")
+      .join(ctxM, Seq("prev"), "left")
+      .join(m.tri, Seq("prev2", "prev", "w"), "left")
+      .join(m.ctx3, Seq("prev2", "prev"), "left")
+      .crossJoin(broadcast(m.stats))
+      .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
+  /** Inline order-3 train-on-A / score-B — no store. With `docs eq
+    * train` this is exactly [[TextAnalysis.knTrigramLogProb]]
+    * (spec-pinned). */
+  def crossScore3(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames3(modelFrames3(train, idCol, textCol), docs, idCol, textCol,
+      discount)
+
+  /** Build (or rebuild) the NINE order-3 model tables from `train`.
+    * Like [[build]]: the bigram and trigram tables feed the derived
+    * aggregates and `overwriteAll` evaluates each write as its own job,
+    * so both localCheckpoint — ONE tokenize pass over the corpus. */
+  def build3(
+      store: TableStore, prefix: String,
+      train: DataFrame, idCol: String, textCol: String): Unit = {
+    val m0 = modelFrames3(train, idCol, textCol)
+    val uni = m0.uni.localCheckpoint()
+    val big = m0.big.localCheckpoint()
+    val tri = m0.tri.localCheckpoint()
+    try writeTables3(store, prefix, uni, big, tri)
+    finally {
+      uni.unpersist(); big.unpersist(); tri.unpersist()
+      ()
+    }
+  }
+
+  /** Derive the six aggregate tables from (checkpointed) uni/big/tri and
+    * swap all nine — shared by [[build3]] and [[mergeCounts3]]. */
+  private def writeTables3(
+      store: TableStore, prefix: String,
+      uni: DataFrame, big: DataFrame, tri: DataFrame): Unit = {
+    val m2 = derivedM2(tri)
+    store.overwriteAll(Seq(
+      s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
+      s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
+      s"${prefix}_ctx" -> derivedCtx(big).sortWithinPartitions("prev"),
+      s"${prefix}_cont" -> derivedCont(big).sortWithinPartitions("w"),
+      s"${prefix}_tri" -> tri.sortWithinPartitions("prev2", "prev", "w"),
+      s"${prefix}_ctx3" -> derivedCtx3(tri).sortWithinPartitions("prev2", "prev"),
+      s"${prefix}_m2" -> m2.sortWithinPartitions("prev", "w"),
+      s"${prefix}_mctx" -> derivedMctx(m2).sortWithinPartitions("prev"),
+      s"${prefix}_stats" -> derivedStats3(uni, big)))
+  }
+
+  /** Count-merge core for the order-3 model — [[mergeCounts]]' recipe
+    * over THREE count tables (uni/big/tri); all six aggregates re-derive
+    * from the merged tables, so maintenance is vocabulary-bounded and
+    * never rescans the training corpus. Same negative-count tripwire
+    * (the GDPR-erasure contract) before any swap. */
+  private def mergeCounts3(
+      store: TableStore, prefix: String,
+      delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
+    val d = modelFrames3(delta, idCol, textCol)
+    def merged(name: String, dd: DataFrame, keys: Seq[String], c: String) =
+      store.load(s"${prefix}_$name")
+        .unionByName(dd.select(keys.map(col) :+ (col(c) * lit(sign)).as(c): _*))
+        .groupBy(keys.map(col): _*).agg(sum(col(c)).cast("long").as(c))
+        .filter(col(c) =!= 0L)
+        .localCheckpoint()
+    val uni = merged("uni", d.uni, Seq("w"), "c1")
+    val big = merged("big", d.big, Seq("prev", "w"), "c2")
+    val tri = merged("tri", d.tri, Seq("prev2", "prev", "w"), "c3")
+    try {
+      require(uni.filter(col("c1") < 0L).isEmpty &&
+        big.filter(col("c2") < 0L).isEmpty &&
+        tri.filter(col("c3") < 0L).isEmpty,
+        "LmIndex delta drives a count negative — deletes must carry " +
+          "exactly previously-added documents (GDPR-erasure contract); " +
+          "rebuild the model if the original text is gone")
+      writeTables3(store, prefix, uni, big, tri)
+    } finally {
+      uni.unpersist(); big.unpersist(); tri.unpersist()
+      ()
+    }
+  }
+
+  /** [[append]] for the order-3 model: count merge at all three orders,
+    * aggregates re-derived — append == full rebuild on the grown corpus,
+    * table-for-table (spec-pinned). */
+  def append3(
+      store: TableStore, prefix: String,
+      delta: DataFrame, idCol: String, textCol: String): Unit =
+    mergeCounts3(store, prefix, delta, idCol, textCol, sign = 1L)
+
+  /** [[deleteDocs]] for the order-3 model (spec-pinned: delete ==
+    * rebuild-without-deleted). */
+  def deleteDocs3(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit =
+    mergeCounts3(store, prefix, docs, idCol, textCol, sign = -1L)
+
+  /** Load the order-3 model frames (lazy table reads). */
+  def loadModel3(store: TableStore, prefix: String): Kn3Model =
+    Kn3Model(
+      uni = store.load(s"${prefix}_uni"),
+      big = store.load(s"${prefix}_big"),
+      ctx = store.load(s"${prefix}_ctx"),
+      cont = store.load(s"${prefix}_cont"),
+      tri = store.load(s"${prefix}_tri"),
+      ctx3 = store.load(s"${prefix}_ctx3"),
+      m2 = store.load(s"${prefix}_m2"),
+      mctx = store.load(s"${prefix}_mctx"),
+      stats = store.load(s"${prefix}_stats"))
+
+  /** Corpus-scale order-3 scoring against the persisted model (full
+    * table scans — the CCNet posture; [[scoreBatch3]] is the probed
+    * twin). */
+  def score3(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames3(loadModel3(store, prefix), docs, idCol, textCol, discount)
+
+  /** [[scoreBatch]] at order 3: every model-table read prunes to the
+    * batch's vocabulary through the same [[batchWordPruner]] regime
+    * switch (static IN below [[probeMaxWords]], broadcast semi-join
+    * above). Row-identical to [[score3]] in both regimes — pruning only
+    * drops rows the left joins could never hit. */
+  def scoreBatch3(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val m = loadModel3(store, prefix)
+    val prune = batchWordPruner(docs, textCol)
+    val pruned = Kn3Model(
+      uni = prune(m.uni, Seq("w")),
+      big = prune(m.big, Seq("prev", "w")),
+      ctx = prune(m.ctx, Seq("prev")),
+      cont = prune(m.cont, Seq("w")),
+      tri = prune(m.tri, Seq("prev2", "prev", "w")),
+      ctx3 = prune(m.ctx3, Seq("prev2", "prev")),
+      m2 = prune(m.m2, Seq("prev", "w")),
+      mctx = prune(m.mctx, Seq("prev")),
+      stats = m.stats)
+    scoreFrames3(pruned, docs, idCol, textCol, discount)
+  }
+
+  /** Versioned order-3 rebuild — [[rebuildVersioned]] over the
+    * nine-table build (one manifest swap publishes all nine). */
+  def rebuildVersioned3(
+      store: TableStore, name: String,
+      train: DataFrame, idCol: String, textCol: String): String =
+    graft.io.VersionedIndex.rebuild(store, name, train.sparkSession)(
+      p => build3(store, p, train, idCol, textCol))
+
+  /** Score `docs` against the persisted model with MODIFIED Kneser-Ney
+    * discounts ([[TextAnalysis.mknBigramLogProb]]'s smoothing — the
+    * KenLM default CCNet literally runs) — reads the five bigram-level
+    * tables of a [[build3]] model: D1/D2/D3+ estimate from the STORED
+    * count-of-count tallies (stats n1..n4; per-context buckets from
+    * ctx), so serve time never rescans any corpus. Frozen-model OOV
+    * semantics extend the absolute-discount recipe: D(0) = 0 (Chen &
+    * Goodman's modified discount for unseen counts), so an unseen pair
+    * under a seen context scores λ(prev)·P_cont(w); an unseen context
+    * backs off to P_cont(w); P_cont/unigram OOV take the reserved
+    * 0.5-type mass as everywhere in this family. In-corpus no OOV
+    * branch fires and the result equals mknBigramLogProb bit-for-bit
+    * (spec-pinned; q_mkn_persisted shares q_mkn_bigram's oracle SQL).
+    * Degenerate calibration (an empty n1/n2/n3 bucket) takes
+    * `fallbackDiscounts` (KenLM --discount_fallback) or raises the
+    * curated error — evaluated lazily per branch, the
+    * [[TextAnalysis.mknBigramLogProb]] ANSI discipline. */
+  def scoreMkn(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
+    val uni = store.load(s"${prefix}_uni")
+    val big = store.load(s"${prefix}_big")
+    val ctx = store.load(s"${prefix}_ctx")
+    val cont = store.load(s"${prefix}_cont")
+    val stats = store.load(s"${prefix}_stats")
+    val pt = withPrev(tokens(docs, idCol, textCol), idCol)
+    val total = col("total_tokens").cast("double")
+    val btypes = col("bigram_types").cast("double")
+    // Discount columns over the broadcast stats row — the
+    // mknBigramLogProb estimates replayed from the stored tallies, with
+    // the same lazy degenerate branches.
+    val degen = col("n1") === 0L || col("n2") === 0L || col("n3") === 0L
+    val y = when(degen, lit(0.0)).otherwise(col("n1").cast("double")
+      / (col("n1").cast("double") + lit(2.0) * col("n2").cast("double")))
+    val disc = stats.select(
+      col("total_tokens"), col("bigram_types"),
+      when(degen, TextAnalysis.degenDiscount(fallbackDiscounts, 1))
+        .otherwise(lit(1.0) - lit(2.0) * y
+          * col("n2").cast("double") / col("n1").cast("double")).as("d1"),
+      when(degen, TextAnalysis.degenDiscount(fallbackDiscounts, 2))
+        .otherwise(lit(2.0) - lit(3.0) * y
+          * col("n3").cast("double") / col("n2").cast("double")).as("d2"),
+      when(degen, TextAnalysis.degenDiscount(fallbackDiscounts, 3))
+        .otherwise(lit(3.0) - lit(4.0) * y
+          * col("n4").cast("double") / col("n3").cast("double")).as("d3"))
+    val pcont = when(col("n1c").isNotNull,
+      col("n1c").cast("double") / btypes)
+      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
+        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
+          "trained on single-token documents? Rebuild on a corpus with " +
+          "adjacent tokens")).cast("double")))
+    val uniP = when(col("c1").isNotNull,
+      col("c1").cast("double") / total)
+      .otherwise(when(total > 0.0, lit(0.5) / total)
+        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
+          "training tokens)")).cast("double")))
+    val dOfC = when(col("c2") === 1L, col("d1"))
+      .when(col("c2") === 2L, col("d2")).otherwise(col("d3"))
+    val lam = (col("d1") * col("nf1").cast("double")
+      + col("d2") * col("nf2").cast("double")
+      + col("d3") * col("nf3p").cast("double")) / col("cc").cast("double")
+    val seenCtx =
+      when(col("c2").isNotNull,
+        (col("c2").cast("double") - dOfC) / col("cc").cast("double"))
+        .otherwise(lit(0.0)) + lam * pcont
+    val p = when(col("prev").isNull, uniP)
+      .when(col("cc").isNotNull, seenCtx)
+      .otherwise(pcont)
+    val wM = uni.join(cont, Seq("w"), "left")
+    pt.join(wM, Seq("w"), "left")
+      .join(big, Seq("prev", "w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
   }
 }

@@ -509,7 +509,7 @@ object TextAnalysis {
     * is ONE broadcast row. */
   /** The k-th degenerate-corpus discount: the caller's fallback value,
     * or the curated calibration error when none was given. */
-  private def degenDiscount(
+  private[graft] def degenDiscount(
       fallback: Option[(Double, Double, Double)], k: Int): Column =
     fallback match {
       case Some((f1, f2, f3)) =>
@@ -624,11 +624,16 @@ object TextAnalysis {
       .withColumn("__fp", round(col("logprob") * lit(-1e6), 0).cast("long"))
       // The rank primitive references its input THREE times (min/max
       // probe + histogram + rank join) and this input is the whole KN
-      // scoring chain — persist() so the chain runs once, not 3x
-      // (lazy, lineage-backed: the temperatureMixByWeight quota-cache
-      // discipline; the cache is the narrow scored frame, not the
-      // token-level intermediates).
-      .persist()
+      // scoring chain — materialize it once. localCheckpoint, NOT
+      // persist(): a persist() here has no unpersist point (the caller
+      // holds only the returned frame), so repeated calls in a
+      // long-lived session would accumulate CacheManager entries
+      // forever; checkpoint blocks are context-cleaned as soon as the
+      // result frame is unreferenced. Cost: the KN chain runs eagerly
+      // here (it would run on first use anyway); the materialized frame
+      // is the NARROW scored projection, never the token-level
+      // intermediates.
+      .localCheckpoint()
     val ranked = Sampling.rankExactByKey(base, langCol, "__fp", idCol)
     // ntile(k) over (rnk, total): q = total div k rows per tile, the
     // first r = total mod k tiles take q + 1. The otherwise-branch's
@@ -1241,21 +1246,80 @@ object TextAnalysis {
     * each O(vocab); running it as numMerges Spark jobs would add a
     * scheduler round-trip per merge for data that fits in one task. The
     * collect here is vocabulary-bounded BY CONSTRUCTION, never
-    * corpus-bounded — it is not a driver-side loop over corpus rows.
+    * corpus-bounded — it is not a driver-side loop over corpus rows —
+    * but vocabulary is Heaps-unbounded, so the collect sits behind the
+    * [[tokenizerMaxTypes]] envelope (fail loudly past the ceiling) and
+    * `maxTypes` offers the SentencePiece-style top-K-by-frequency
+    * pre-prune for corpora whose full vocabulary does not fit: training
+    * on the pruned table IS training on the corpus restricted to the
+    * kept words (spec-pinned equality).
     *
     * Determinism: argmax ties break on the lexicographically smallest
     * (left, right) pair, so the merge list is corpus-order-independent.
     * Returns (rank, left, right, pair_count) with rank = merge order.
     * Stops early when no adjacent pair repeats. */
-  def bpeTrainMerges(
-      df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  /** Driver-collect ceiling (word types) for the merge-loop trainers;
+    * session-tunable via `graft.tokenizer.maxTypes`. The trainers'
+    * collect is vocabulary-bounded BY CONSTRUCTION (never corpus-
+    * bounded), but vocabulary itself is Heaps-unbounded: at 100 TB word
+    * types are O(10⁸⁺) — a driver Array that OOMs. Production trainers
+    * prune (SentencePiece caps candidate vocabulary / applies a
+    * frequency floor); past this ceiling the trainers fail loudly with
+    * that guidance instead of attempting the collect. The default 4M
+    * types ≈ a few hundred MB driver-side — the
+    * [[vocabBroadcastMaxTerms]] rationale applied to the driver. */
+  private[graft] def tokenizerMaxTypes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.tokenizer.maxTypes")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** The weighted word-type table both merge-loop trainers collect: ONE
+    * corpus-scale pass (map-side combined word-frequency aggregation),
+    * optional top-`maxTypes`-by-frequency pre-prune (ties to the
+    * lexicographically smaller word — deterministic; pruning the vocab
+    * table is EXACTLY training on the corpus restricted to the kept
+    * words, spec-pinned), then the [[tokenizerMaxTypes]] envelope checked
+    * EXECUTOR-side (count of the materialized table) before any driver
+    * collect — the guard protects the driver, so it must fire before the
+    * Array exists. The table localCheckpoints so the guard count and the
+    * collect read the same one-pass materialization instead of charging
+    * a second corpus scan. */
+  private def trainerVocab(
+      df: DataFrame, textCol: String, maxTypes: Option[Int]): Array[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab: Array[(String, Long)] = df
+    maxTypes.foreach(m => require(m >= 1, s"maxTypes must be >= 1, got $m"))
+    val full = df
       .select(explode(words(col(textCol))).as("word"))
       .where(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-      .as[(String, Long)].collect()
+    val pruned = maxTypes match {
+      case Some(m) => full.orderBy(col("freq").desc, col("word")).limit(m)
+      case None => full
+    }
+    val vb = pruned.localCheckpoint()
+    try {
+      val n = vb.count()
+      val ceiling = tokenizerMaxTypes(df)
+      require(n <= ceiling,
+        s"tokenizer training would collect $n word types — exceeds " +
+          s"graft.tokenizer.maxTypes ($ceiling). Vocabulary is " +
+          "Heaps-unbounded at corpus scale; prune with maxTypes (top-K " +
+          "by frequency — the SentencePiece posture) or raise " +
+          "graft.tokenizer.maxTypes if the vocabulary genuinely fits " +
+          "the driver")
+      vb.as[(String, Long)].collect()
+    } finally {
+      vb.unpersist()
+      ()
+    }
+  }
+
+  def bpeTrainMerges(
+      df: DataFrame, textCol: String, numMerges: Int,
+      maxTypes: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = trainerVocab(df, textCol, maxTypes)
 
     var segs: Array[(Vector[String], Long)] =
       vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
@@ -1389,15 +1453,11 @@ object TextAnalysis {
     * output is integer-exact. */
   def wordpieceTrainMerges(
       df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L, maxTypes: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(minPairCount >= 1L, s"minPairCount must be >= 1, got $minPairCount")
-    val vocab: Array[(String, Long)] = df
-      .select(explode(words(col(textCol))).as("word"))
-      .where(length(col("word")) >= 2)
-      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-      .as[(String, Long)].collect()
+    val vocab: Array[(String, Long)] = trainerVocab(df, textCol, maxTypes)
 
     var segs: Array[(Vector[String], Long)] =
       vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }

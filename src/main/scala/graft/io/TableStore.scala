@@ -214,9 +214,12 @@ class ParquetTableStore(
     *     `Rename.NONE`, which refuses an existing destination — enforced
     *     atomically by the HDFS namenode.
     * The loser's tmp is deleted and it reports false. Object stores
-    * without atomic rename (s3a) cannot host this guarantee — put claims
-    * on a database-backed store there. */
+    * without atomic rename (s3a) cannot host this guarantee — ENFORCED:
+    * [[ParquetTableStore.requireAtomicRenameScheme]] refuses those
+    * schemes loudly (a silent lost guarantee would let two racers both
+    * "win" a claim); put claims on a database-backed store there. */
   override def createIfAbsent(table: String, df: DataFrame): Boolean = {
+    ParquetTableStore.requireAtomicRenameScheme(fs.getScheme)
     if (exists(table)) return false
     val tmp = writeTmp(table, df)
     val target = new Path(dir(table))
@@ -401,6 +404,33 @@ class ParquetTableStore(
       }
     }
   }
+}
+
+object ParquetTableStore {
+  /** Filesystem schemes whose rename is a copy-and-delete (or otherwise
+    * not atomic-exclusive): the s3 connectors emulate rename client-side
+    * over PUT/DELETE, and the other object-store connectors listed do the
+    * same — two racers can BOTH observe "renamed", which silently voids
+    * the CAS claim guarantee [[ParquetTableStore.createIfAbsent]] is
+    * documented to provide. (abfs/HDFS/file are absent deliberately:
+    * ADLS gen2 and HDFS rename atomically server-side; local roots go
+    * through POSIX rename(2).) */
+  private[io] val NonAtomicRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cosn", "swift")
+
+  /** Refuse CAS claims on schemes that cannot host rename exclusivity —
+    * loudly, with the documented guidance, instead of returning a claim
+    * that two racers can both win. Checked on every
+    * [[ParquetTableStore.createIfAbsent]] call (claims are control-plane
+    * rows; a string compare is free). */
+  private[graft] def requireAtomicRenameScheme(scheme: String): Unit =
+    require(scheme == null || !NonAtomicRenameSchemes.contains(scheme.toLowerCase),
+      s"createIfAbsent claims need the filesystem's atomic rename " +
+        s"exclusivity; scheme '$scheme' is an object store whose rename " +
+        "is copy+delete (two racers can both win). Put claims on a " +
+        "database-backed TableStore (JdbcTableStore/PostgresCopyStore) " +
+        "or an HDFS-backed root; parquet DATA tables on this scheme " +
+        "remain fine")
 }
 
 /** JDBC-backed store (Postgres parity). Reads push the table/user predicate

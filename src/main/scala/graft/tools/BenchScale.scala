@@ -158,7 +158,19 @@ object BenchScale {
     // the corpus never sorts on one reducer; curriculum adds the
     // per-stage rank over the persisted KN-tercile stage table).
     "q_corpus_shuffle",
-    "q_curriculum_order")
+    "q_curriculum_order",
+    // round-15 additions, for the DIVERSE-VOCABULARY (ScaleGen `heaps`)
+    // rows: the tokenizer trainers (one corpus-scale word-frequency pass
+    // + a vocabulary-bounded driver merge loop — the collect sits behind
+    // the graft.tokenizer.maxTypes envelope), the persisted order-3 /
+    // modified-KN serves (build3's nine tables + the store-read scoring
+    // joins — the model-table-growth regime the templated corpora cannot
+    // express), and the trained-gate north-star.
+    "q_bpe_train",
+    "q_wordpiece_train",
+    "q_kn3_persisted",
+    "q_mkn_persisted",
+    "q_pipeline_manifest_v2")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)

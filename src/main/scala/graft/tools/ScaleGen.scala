@@ -106,6 +106,45 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Heaps-law vocabulary size at scale factor k: the base corpus draws
+    * from [[HeapsBaseVocab]] word types; a ×k corpus from
+    * HeapsBaseVocab·k^[[HeapsBeta]] — sublinear growth, the published
+    * Heaps-law shape (V = K·N^β, β ≈ 0.4-0.8 for natural text; 0.7 here
+    * keeps the ×100 vocabulary past every broadcast/driver envelope the
+    * LM and tokenizer families guard). */
+  val HeapsBaseVocab: Long = 20000L
+  val HeapsBeta: Double = 0.7
+  def heapsVocab(k: Int): Long =
+    math.ceil(HeapsBaseVocab * math.pow(k.toDouble, HeapsBeta)).toLong
+
+  /** DIVERSE-VOCABULARY documents ×k — the corpus mode the templated
+    * testdata cannot express: sf0.1 holds 31 word types / 931 bigram
+    * types at ANY replication factor, so every templated ×100 row
+    * exercises the LM scorers' corpus-side shuffles but never their
+    * MODEL-TABLE growth (the regime BenchLmServe's `synth:` mode proved
+    * matters: full-scan serve collapses at ~20M bigram types). This mode
+    * rewrites every token to a deterministic draw from a Heaps-law
+    * vocabulary ([[heapsVocab]]): word rank = floor(V·u²) where u is a
+    * Knuth-hash of the token's global position (doc_id·1024 + pos) on a
+    * 2²⁴ grid — rank frequency ∝ rank^(−0.5), a power-law head + long
+    * tail, so the realized vocabulary grows with the corpus and bigram
+    * types grow near-linearly with tokens. Doc count, per-doc word
+    * counts, lang/source keys and doc ids all match [[scaleDocuments]],
+    * so per-key operators (ppl buckets, mixers) see the same key shape —
+    * only the CONTENT diversifies. Deterministic and replica-distinct
+    * (replica id stride shifts the position hash). */
+  def heapsDocuments(docs: DataFrame, k: Int): DataFrame = {
+    val v = heapsVocab(k)
+    scaleDocuments(docs, k)
+      .withColumn("text", expr(
+        s"""array_join(transform(split(text, '\\\\s+'), (w, i) ->
+           |  concat('h', CAST(FLOOR($v * POW(
+           |    pmod(pmod(doc_id * 1024 + i, 16777216) * 2654435761,
+           |         16777216) / 16777216.0e0, 2.0e0)) AS BIGINT))),
+           |  ' ')""".stripMargin))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** The planted boilerplate (14 words → 11 shared 4-shingles per doc). */
   val HotBandSentence: String =
     "subscribe to our newsletter for daily updates exclusive offers " +
@@ -214,7 +253,8 @@ object ScaleGen {
     // as usual): `skew` = dominant mixing key ([[skewDocuments]]),
     // `manykeys` = domain-cardinality mixing key ([[manyKeyDocuments]]),
     // `hotband` = corpus-wide boilerplate stop-shingle
-    // ([[hotBandDocuments]]).
+    // ([[hotBandDocuments]]), `heaps` = diverse Heaps-law vocabulary
+    // ([[heapsDocuments]]).
     val mode = if (args.length > 3) args(3) else ""
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
@@ -227,6 +267,7 @@ object ScaleGen {
       case "skew" => skewDocuments(pq("documents"), k)
       case "manykeys" => manyKeyDocuments(pq("documents"), k)
       case "hotband" => hotBandDocuments(pq("documents"), k)
+      case "heaps" => heapsDocuments(pq("documents"), k)
       case _ => scaleDocuments(pq("documents"), k)
     }).repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaleEmbeddings(pq("embeddings"), k)

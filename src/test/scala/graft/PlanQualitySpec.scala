@@ -201,6 +201,40 @@ class PlanQualitySpec extends SparkSpec {
       s"packing window not partitioned by shard: $s"))
   }
 
+  test("q_pipeline_manifest_v2: trained gate keeps the two-scan composition; " +
+      "GD training never leaks into the serve plan") {
+    // v1's contract with the TRAINED filter in the gate slot: training
+    // (scaler pass + 20 GD aggregations) runs eagerly at construction
+    // against the cached standardized split, so the RETURNED plan must
+    // still be: 2 live survivor scans (mixer histogram + main pass, each
+    // through the broadcast-model score gate) + the 2 cached-pairs
+    // references (7 ReadSchema each) — a third live scan means the
+    // training subtree leaked into the serve plan.
+    val plan = planOf("q_pipeline_manifest_v2")
+    val inMem = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(inMem === 2, s"pairs cache referenced $inMem times (want 2)")
+    val reads = "ReadSchema:".r.findAllIn(plan).length
+    assert(reads <= 16, s"composition gained a corpus scan ($reads ReadSchema)")
+    // The model row rides a broadcast into the gate (checkpointed 1-row
+    // scan), and the mixer's two-phase rank survives the composition.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "model row must ride a broadcast")
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val rank = specs.filter(_.contains("samp_u"))
+    assert(rank.nonEmpty, "lost the mixer rank window")
+    rank.foreach { s =>
+      val partCols = s.split(",").map(_.trim)
+        .takeWhile(a => !a.contains(" ASC") && !a.contains(" DESC"))
+      assert(partCols.length >= 2,
+        s"mixer ranks corpus rows in a single-key window partition: $s")
+    }
+    val pack = specs.filter(_.contains("order_key"))
+    assert(pack.nonEmpty, "lost the packing window")
+    pack.foreach(s => assert(s.split(",").head.contains("shard"),
+      s"packing window not partitioned by shard: $s"))
+  }
+
   test("q_lr_filter: inference is one live corpus scan + a broadcast model row") {
     // Training (stats pass + 20 GD aggregations) runs eagerly against the
     // CACHED standardized frame at construction; the returned plan is the
@@ -963,13 +997,22 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q_curriculum_order: stage table cached once, offsets broadcast, bucketed rank") {
-    // The stage column is the whole KN chain: the wiring persists it, so
-    // the expensive subtree materializes ONCE (InMemoryRelation present)
-    // and the three references (stage masses + histogram + rank) read the
-    // cache; the stage-offset join is an explicit broadcast.
+    // The stage column is the whole KN chain: the wiring localCheckpoints
+    // it (not persist() — queries() frames outlive the call, and an
+    // unreleasable cache entry per invocation is the round-14 ADVICE
+    // leak), so the expensive subtree materializes ONCE at construction
+    // and the three references (stage masses + histogram + rank) read
+    // checkpoint blocks: the SERVE plan must carry ZERO corpus scans and
+    // no InMemoryRelation; the stage-offset join is an explicit
+    // broadcast.
     val plan = planOf("q_curriculum_order")
-    assert(plan.contains("InMemoryRelation"),
-      "stage table lost its cache — the KN chain re-runs per reference")
+    assert(plan.contains("Scan ExistingRDD"),
+      "stage table lost its checkpoint — the KN chain re-runs per reference")
+    assert(!plan.contains("InMemoryRelation"),
+      "a persist() crept back into the curriculum wiring (session cache leak)")
+    assert(!plan.contains("ReadSchema:"),
+      "the serve plan re-scans the corpus — the checkpointed stage table " +
+        "should be its only input")
     assert(plan.contains("BroadcastHashJoin"), "stage-offset join not broadcast")
     val specs = "windowspecdefinition\\(([^)]*)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq

@@ -313,6 +313,223 @@ class LmSmoothingSpec extends SparkSpec {
     }
   }
 
+  // ---- order-3 / modified-KN persisted model ------------------------------
+
+  test("crossScore3 == knTrigramLogProb in-corpus (no OOV branch fires " +
+      "at any of the three levels)") {
+    val df = Seq((1L, "a b a b c a"), (2L, "b c a b"), (3L, "c a"),
+      (4L, "a"), (5L, "a b c a b")).toDF("doc_id", "text")
+    val want = TextAnalysis.knTrigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = LmIndex.crossScore3(df, df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("order-3 persisted serve == inline cross-score on a held-out split " +
+      "(OOV branches live)") {
+    val rnd = new scala.util.Random(11)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr", "zz")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(8))).map(_ => pool(rnd.nextInt(8))).mkString(" ")
+    val all = (1L to 100L).map(i => (i, txt())).toDF("doc_id", "text")
+    val train = all.filter(col("doc_id") % 5 =!= 0)
+    val hold = all.filter(col("doc_id") % 5 === 0)
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm3_").toString)
+    LmIndex.build3(store, "lm3", train, "doc_id", "text")
+    val got = LmIndex.score3(store, "lm3", hold, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = LmIndex.crossScore3(train, hold, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "persisted order-3 serve diverged from inline")
+  }
+
+  test("order-3 OOV recipe matches the hand-computed fixture at every " +
+      "backoff depth") {
+    // Train: "a b c" + "a b d".
+    //   uni: a=2 b=2 c=1 d=1 (total 6); big: (a,b)=2 (b,c)=1 (b,d)=1
+    //   (btypes 3); ctx: a cc=2 n1f=1, b cc=2 n1f=2; cont: b=1 c=1 d=1
+    //   tri: (a,b,c)=1 (a,b,d)=1; ctx3: (a,b) cc3=2 n1f3=2
+    //   m2: (b,c)=1 (b,d)=1; mctx: b mcc=2 n1f2c=2
+    val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val docs = Seq((9L, "z a b c"), (10L, "a b e")).toDF("doc_id", "text")
+    val d = 0.75
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 9 "z a b c": z OOV-unigram 0.5/6; a after unseen ctx z ->
+    // OOV continuation 0.5/3 (a never continues); b with unseen (z,a)
+    // and unseen middle ctx a -> P_cont(b)=1/3; c with seen (a,b):
+    // mid(c|b) = (1-d)/2 + d*2/2*(1/3); tri = (1-d)/2 + d*2/2*mid.
+    val midC = (1 - d) / 2 + d * 2 / 2 * (1.0 / 3)
+    val triC = (1 - d) / 2 + d * 2 / 2 * midC
+    val exp9 = r6((fp(0.5 / 6) + fp(0.5 / 3) + fp(1.0 / 3) + fp(triC))
+      / 4.0 / 1e6)
+    // doc 10 "a b e": a unigram 2/6; b after seen ctx a: (2-d)/2 +
+    // d*1/2*(1/3); e: seen (a,b) but unseen triple AND unseen middle
+    // pair, OOV continuation: mid = 0 + d*2/2*(0.5/3); tri = 0 +
+    // d*2/2*mid.
+    val pba = (2 - d) / 2 + d * 1.0 / 2 * (1.0 / 3)
+    val midE = d * 2 / 2 * (0.5 / 3)
+    val triE = d * 2 / 2 * midE
+    val exp10 = r6((fp(2.0 / 6) + fp(pba) + fp(triE)) / 3.0 / 1e6)
+    val got = LmIndex.crossScore3(train, docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((9L, 4L, exp9), (10L, 3L, exp10)))
+  }
+
+  test("order-3 maintenance: append3 == rebuild on the union; deleteDocs3 " +
+      "== rebuild without — table-for-table and score-for-score") {
+    val rnd = new scala.util.Random(13)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(6))).mkString(" ")
+    val a = (1L to 40L).map(i => (i, txt())).toDF("doc_id", "text")
+    val b = (41L to 70L).map(i => (i, txt())).toDF("doc_id", "text")
+    val probe = (900L to 905L).map(i => (i, txt())).toDF("doc_id", "text")
+    def newStore() = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm3m_").toString)
+    def tablesOf(st: graft.io.ParquetTableStore): Map[String, Set[String]] =
+      Seq("uni", "big", "ctx", "cont", "tri", "ctx3", "m2", "mctx", "stats")
+        .map(t => t -> st.load(s"lm3_$t").collect()
+          .map(_.toString).toSet).toMap
+    val incr = newStore()
+    LmIndex.build3(incr, "lm3", a, "doc_id", "text")
+    LmIndex.append3(incr, "lm3", b, "doc_id", "text")
+    val full = newStore()
+    LmIndex.build3(full, "lm3", a.unionByName(b), "doc_id", "text")
+    assert(tablesOf(incr) === tablesOf(full),
+      "append3 diverged from the full rebuild")
+    assert(LmIndex.score3(incr, "lm3", probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet ===
+      LmIndex.score3(full, "lm3", probe, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet)
+    // Delete side: removing b from the incremented store recovers a.
+    LmIndex.deleteDocs3(incr, "lm3", b, "doc_id", "text")
+    val onlyA = newStore()
+    LmIndex.build3(onlyA, "lm3", a, "doc_id", "text")
+    assert(tablesOf(incr) === tablesOf(onlyA),
+      "deleteDocs3 diverged from rebuilding without the deleted docs")
+  }
+
+  test("scoreBatch3 == score3 with the trigram-table word pushdown; " +
+      "semi-join regime row-identical too") {
+    val rnd = new scala.util.Random(17)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr")
+    def txt(): String =
+      (0 until (4 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(7))).mkString(" ")
+    val train = (1L to 80L).map(i => (i, txt())).toDF("doc_id", "text")
+    val batch = (200L to 206L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm3p_").toString)
+    LmIndex.build3(store, "lm3", train, "doc_id", "text")
+    val want = LmIndex.score3(store, "lm3", batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val probed = LmIndex.scoreBatch3(store, "lm3", batch, "doc_id", "text")
+    assert(probed.as[(Long, Long, Double)].collect().toSet === want)
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val scans = graft.PlanTestUtils.scansOf(
+      probed.queryExecution.executedPlan, "lm3_tri")
+    assert(scans.nonEmpty, "no lm3_tri scan in the probed plan")
+    scans.foreach { f =>
+      assert(f.dataFilters.exists(_.exists {
+        case _: In => true; case _: InSet => true; case _ => false
+      }), s"lm3_tri scan lost the word IN pushdown: ${f.dataFilters}")
+    }
+    spark.conf.set("graft.lm.probeMaxWords", "3")
+    try {
+      val semi = LmIndex.scoreBatch3(store, "lm3", batch, "doc_id", "text")
+      assert(semi.as[(Long, Long, Double)].collect().toSet === want,
+        "order-3 semi-join probed serve diverged")
+      assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    } finally spark.conf.unset("graft.lm.probeMaxWords")
+  }
+
+  test("scoreMkn in-corpus == mknBigramLogProb: calibrated discounts from " +
+      "the stored tallies; degenerate corpus takes the fallback") {
+    // Count-of-counts corpus: bigram counts 4/3/2/1 -> n1..n4 all 1,
+    // the calibrated branch.
+    val docs = (Seq.fill(4)("p q") ++ Seq.fill(3)("r s") ++
+      Seq.fill(2)("t u") ++ Seq("v w")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mkn_").toString)
+    LmIndex.build3(store, "mkn", docs, "doc_id", "text")
+    val got = LmIndex.scoreMkn(store, "mkn", docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = TextAnalysis.mknBigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "persisted modified-KN diverged in-corpus")
+    // OOV hand-check: "x p" = OOV unigram 0.5/20, then unseen context x
+    // -> P_cont(p) OOV = 0.5/4 (p never continues).
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    val exp = BigDecimal((fp(0.5 / 20) + fp(0.5 / 4)) / 2.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oov = LmIndex.scoreMkn(store, "mkn",
+      Seq((99L, "x p")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(oov === Array((99L, 2L, exp)))
+    // Degenerate corpus (every bigram repeats, n1=0): persisted serve
+    // takes the same --discount_fallback as the inline scorer.
+    val degen = (0L to 5L).map(i => (i, "aa bb aa bb")).toDF("doc_id", "text")
+    val st2 = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mkn_d_").toString)
+    LmIndex.build3(st2, "mkn", degen, "doc_id", "text")
+    val gotD = LmIndex.scoreMkn(st2, "mkn", degen, "doc_id", "text",
+      fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+      .as[(Long, Long, Double)].collect().toSet
+    val wantD = TextAnalysis.mknBigramLogProb(degen, "doc_id", "text",
+      fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotD === wantD)
+    // Without the fallback the degenerate model refuses with the curated
+    // calibration error, not DIVIDE_BY_ZERO.
+    val e = intercept[Exception] {
+      LmIndex.scoreMkn(st2, "mkn", degen, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("discount"), e.getMessage)
+  }
+
+  test("scoreBatch past graft.lm.probeMaxWords: same rows via broadcast " +
+      "semi-join, no literal IN and no driver word collect") {
+    val rnd = new scala.util.Random(7)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr", "ss")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(7))).map(_ => pool(rnd.nextInt(8))).mkString(" ")
+    val train = (1L to 80L).map(i => (i, txt())).toDF("doc_id", "text")
+    val batch = (200L to 206L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm_semi_").toString)
+    LmIndex.build(store, "lm", train, "doc_id", "text")
+    val want = LmIndex.score(store, "lm", batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    // Force the oversized-batch regime: ceiling below the batch's
+    // distinct words (the pool holds 8).
+    spark.conf.set("graft.lm.probeMaxWords", "3")
+    try {
+      val probed = LmIndex.scoreBatch(store, "lm", batch, "doc_id", "text")
+      assert(probed.as[(Long, Long, Double)].collect().toSet === want,
+        "semi-join probed serve diverged from the full-scan score")
+      // Plan gate: the big-table prune is a LeftSemi join, not an IN.
+      import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+      val plan = probed.queryExecution.executedPlan
+      val scans = graft.PlanTestUtils.scansOf(plan, "lm_big")
+      assert(scans.nonEmpty, "no lm_big scan in the semi-join serve plan")
+      scans.foreach { f =>
+        val hasIn = f.dataFilters.exists(_.exists {
+          case _: In => true
+          case _: InSet => true
+          case _ => false
+        })
+        assert(!hasIn,
+          s"oversized batch still pushed a literal IN: ${f.dataFilters}")
+      }
+      assert(plan.toString.contains("LeftSemi"),
+        "no LeftSemi join in the oversized-batch probed plan")
+    } finally spark.conf.unset("graft.lm.probeMaxWords")
+  }
+
   test("degenerate models fail with guidance, not DIVIDE_BY_ZERO") {
     // Single-token training docs: no bigram types — scoring a 2-token
     // doc needs the continuation mass and must raise the curated error.

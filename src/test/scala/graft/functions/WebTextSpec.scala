@@ -454,4 +454,57 @@ class WebTextSpec extends SparkSpec {
     assert(got(4L) === ((4L, 1L, 1.0)))
     assert(got(5L) === ((5L, 1L, 1.0)))
   }
+
+  // ---- tokenizer trainer vocabulary envelope ------------------------------
+
+  test("tokenizer trainers refuse a vocabulary past graft.tokenizer.maxTypes " +
+      "with pruning guidance") {
+    // 5 distinct trainable words (>= 2 chars) against a ceiling of 3.
+    val df = Seq((1L, "alpha beta gamma delta epsilon alpha"))
+      .toDF("doc_id", "text")
+    spark.conf.set("graft.tokenizer.maxTypes", "3")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        TextAnalysis.bpeTrainMerges(df, "text", numMerges = 2)
+      }
+      assert(e1.getMessage.contains("graft.tokenizer.maxTypes") &&
+        e1.getMessage.contains("maxTypes (top-K by frequency"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        TextAnalysis.wordpieceTrainMerges(df, "text", numMerges = 2)
+      }
+      assert(e2.getMessage.contains("graft.tokenizer.maxTypes"), e2.getMessage)
+      // The SentencePiece posture: pruning to the ceiling makes the same
+      // corpus trainable (the guard observes the PRUNED table).
+      assert(TextAnalysis.bpeTrainMerges(df, "text", numMerges = 2,
+        maxTypes = Some(3)).count() >= 0L)
+    } finally spark.conf.unset("graft.tokenizer.maxTypes")
+  }
+
+  test("maxTypes pre-prune == training on the corpus restricted to the " +
+      "kept words; ties break to the smaller word") {
+    // Frequencies: pp=4, qq=3, rr=2, ss=2, tt=1. Top-3 by (freq DESC,
+    // word ASC) = {pp, qq, rr} (rr beats ss on the tie).
+    val words = Seq.fill(4)("pp") ++ Seq.fill(3)("qq") ++
+      Seq.fill(2)("rr") ++ Seq.fill(2)("ss") ++ Seq("tt")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val kept = Seq("pp", "qq", "rr")
+    val restricted = Seq((1L, words.filter(kept.contains).mkString(" ")))
+      .toDF("doc_id", "text")
+    for (trainer <- Seq("bpe", "wordpiece")) {
+      def run(d: org.apache.spark.sql.DataFrame, mt: Option[Int]) =
+        (if (trainer == "bpe")
+          TextAnalysis.bpeTrainMerges(d, "text", numMerges = 6, maxTypes = mt)
+            .select("rank", "left", "right", "pair_count")
+        else
+          TextAnalysis.wordpieceTrainMerges(d, "text", numMerges = 6,
+              minPairCount = 1L, maxTypes = mt)
+            .select("rank", "left", "right", "pair_count"))
+          .as[(Long, String, String, Long)].collect().toSeq
+      assert(run(df, Some(3)) === run(restricted, None),
+        s"$trainer: pruned training diverged from the restricted corpus")
+      // maxTypes >= vocabulary is the identity.
+      assert(run(df, Some(100)) === run(df, None),
+        s"$trainer: an over-wide prune changed the merges")
+    }
+  }
 }

@@ -317,4 +317,21 @@ class VersionedIndexSpec extends SparkSpec {
     assert(boom.getMessage.contains("already claimed"), boom.getMessage)
     assert(VersionedIndex.currentGeneration(store, "lex") === Some(1L))
   }
+
+  test("createIfAbsent refuses object-store schemes that cannot host " +
+      "rename exclusivity — loudly, with store guidance") {
+    // The s3 connectors emulate rename as copy+delete: two racers can
+    // both "win" — a silently void claim. The scheme check turns that
+    // into a curated error at claim time.
+    for (scheme <- Seq("s3a", "s3", "S3N", "gs", "wasbs", "oss")) {
+      val e = intercept[IllegalArgumentException] {
+        ParquetTableStore.requireAtomicRenameScheme(scheme)
+      }
+      assert(e.getMessage.contains("atomic rename") &&
+        e.getMessage.contains("database-backed"), s"$scheme: ${e.getMessage}")
+    }
+    // Atomic-rename hosts pass (local POSIX, HDFS namenode, ADLS gen2).
+    for (scheme <- Seq("file", "hdfs", "abfs", "abfss", null))
+      ParquetTableStore.requireAtomicRenameScheme(scheme)
+  }
 }
