@@ -1998,6 +1998,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Order-3 frozen-model scoring with OOV semantics — the CCNet
+    // posture at recursion depth 3: train on the 80% split, score the
+    // held-out 20% (unseen words/pairs/triples route through the
+    // documented backoff recipe at every level). Oracle-pins what the
+    // spec's hand fixture pins pointwise.
+    "q_kn3_holdout" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      graft.functions.LmIndex.crossScore3(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The persisted twin under OOV: build3 on the split, serve the
+    // held-out docs from the store — shares q_kn3_holdout's oracle SQL
+    // verbatim (store roundtrip must not perturb a single count).
+    "q_kn3_persisted_holdout" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build3(
+        store, "lm3", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.score3(
+        store, "lm3", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // PERSISTED modified-KN serve — the KenLM-default smoothing scored
     // from the same build3 model: D1/D2/D3+ re-estimated at serve time
     // from the STORED count-of-count tallies (stats n1..n4, per-context
@@ -3744,6 +3771,111 @@ object SparkEntry {
        |SELECT doc_id, n AS n_tokens,
        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
        |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
+
+  /** Frozen-model ORDER-3 cross-scoring replay (train split → score
+    * split) — [[knCrossScoreSql]]'s shape one recursion level up,
+    * mirroring [[graft.functions.LmIndex.scoreFrames3]]'s total OOV
+    * recipe branch for branch: reserved 0.5-type continuation/unigram
+    * mass; a seen 2-gram context covers seen and unseen triples in one
+    * absolute-discount expression (c3 defaulting 0); an unseen 2-gram
+    * context backs off to the continuation-bigram middle level, which
+    * itself backs off to P_cont when the middle context is unseen; the
+    * second token runs the bigram OOV recipe, the first MLE unigram.
+    * Oracle-pins the OOV semantics the LmSmoothingSpec hand fixture
+    * pins pointwise. Exports the final select directly. */
+  private def knTrigramCrossScoreSql(
+      trainWhere: String, scoreWhere: String): String = {
+    val pcont = """CASE WHEN cont.n1c IS NOT NULL
+      THEN CAST(cont.n1c AS DOUBLE) / btot.btypes
+      ELSE 0.5 / btot.btypes END"""
+    val midP = s"""CASE WHEN mctx.mcc IS NOT NULL THEN
+        greatest(CAST(coalesce(m2.mcount, 0) AS DOUBLE) - 0.75, 0.0)
+          / CAST(mctx.mcc AS DOUBLE)
+        + 0.75 * CAST(mctx.n1f2c AS DOUBLE) / CAST(mctx.mcc AS DOUBLE)
+          * ($pcont)
+      ELSE ($pcont) END"""
+    s"""WITH ttoks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents WHERE $trainWhere),
+       |tpt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+       |  FROM ttoks),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM ttoks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |big AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM tpt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
+       |    CAST(count(*) AS BIGINT) AS n1f
+       |  FROM big GROUP BY prev1),
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+       |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
+       |tri AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+       |  FROM tpt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
+       |    CAST(count(*) AS BIGINT) AS n1f3
+       |  FROM tri GROUP BY prev2, prev1),
+       |m2 AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+       |  FROM tri GROUP BY prev1, w),
+       |mctx AS (
+       |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
+       |    CAST(count(*) AS BIGINT) AS n1f2c
+       |  FROM m2 GROUP BY prev1),
+       |spt AS (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(text, '\\s+')) AS w,
+       |      unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |    FROM documents WHERE $scoreWhere)),
+       |sc3 AS (
+       |  SELECT spt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN spt.prev1 IS NULL THEN
+       |        CASE WHEN uni.c1 IS NOT NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |             ELSE 0.5 / tot.total END
+       |      WHEN spt.prev2 IS NULL THEN
+       |        CASE WHEN ctx.cc IS NOT NULL THEN
+       |          greatest(CAST(coalesce(big.c2, 0) AS DOUBLE) - 0.75, 0.0)
+       |            / CAST(ctx.cc AS DOUBLE)
+       |          + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cc AS DOUBLE)
+       |            * ($pcont)
+       |        ELSE ($pcont) END
+       |      ELSE
+       |        CASE WHEN ctx3.cc3 IS NOT NULL THEN
+       |          greatest(CAST(coalesce(tri.c3, 0) AS DOUBLE) - 0.75, 0.0)
+       |            / CAST(ctx3.cc3 AS DOUBLE)
+       |          + 0.75 * CAST(ctx3.n1f3 AS DOUBLE) / CAST(ctx3.cc3 AS DOUBLE)
+       |            * ($midP)
+       |        ELSE ($midP) END
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM spt
+       |  LEFT JOIN uni ON spt.w = uni.w
+       |  LEFT JOIN cont ON spt.w = cont.w
+       |  LEFT JOIN big ON spt.prev1 = big.prev1 AND spt.w = big.w
+       |  LEFT JOIN ctx ON spt.prev1 = ctx.prev1
+       |  LEFT JOIN tri ON spt.prev2 = tri.prev2 AND spt.prev1 = tri.prev1 AND spt.w = tri.w
+       |  LEFT JOIN ctx3 ON spt.prev2 = ctx3.prev2 AND spt.prev1 = ctx3.prev1
+       |  LEFT JOIN m2 ON spt.prev1 = m2.prev1 AND spt.w = m2.w
+       |  LEFT JOIN mctx ON spt.prev1 = mctx.prev1
+       |  CROSS JOIN tot CROSS JOIN btot),
+       |agg3 AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc3 GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg3 ORDER BY doc_id""".stripMargin
+  }
 
   /** Modified-KN bigram score chain — mirrors
     * [[graft.functions.TextAnalysis.mknBigramLogProb]] (count-of-count
@@ -6030,6 +6162,12 @@ object SparkEntry {
     "q_kn3_persisted" -> knTrigramChainSql(),
 
     "q_kn3_probed" -> knTrigramChainSql("WHERE doc_id % 25 = 0"),
+
+    "q_kn3_holdout" ->
+      knTrigramCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
+    "q_kn3_persisted_holdout" ->
+      knTrigramCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
 
     "q_mkn_persisted" -> mknBigramChainSql,
 

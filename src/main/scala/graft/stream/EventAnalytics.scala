@@ -341,6 +341,52 @@ object EventAnalytics {
     }, Seq(m.uni, m.big, m.ctx, m.cont, m.stats))
   }
 
+  /** [[pplGateEachBatch]] at ORDER 3 — the same pinned-serve contract
+    * over the nine-table [[graft.functions.LmIndex.build3]] model: all
+    * nine tables cache at construction, each batch scores through
+    * [[graft.functions.LmIndex.scoreFrames3]]'s total OOV recipe and
+    * keeps rows clearing `minLogprob`. The BenchLmServe order-3 record
+    * record shows the order-2 hierarchy does not carry here: with the
+    * batch side broadcast, every join's cost is a scan of the MODEL
+    * side (~60M rows across eight tables at 20M bigram types), and an
+    * unpruned in-memory scan costs what the page-cache-warm parquet
+    * scans cost — so this gate ALSO prunes its pinned tables to each
+    * batch's vocabulary ([[graft.functions.LmIndex.pruneModel3]]): the
+    * IN filters skip cached batches via the in-memory column stats the
+    * key-sorted build layout makes selective. Pruning is lossless
+    * (left joins outside the batch's words can never hit), so the
+    * batch==stream law (a doc's score depends only on its text and the
+    * frozen model) and the release() lifecycle are unchanged. */
+  def pplGate3EachBatch(
+      store: graft.io.TableStore, prefix: String,
+      idCol: String, textCol: String, minLogprob: Double,
+      discount: Double = 0.75)(
+      sink: DataFrame => Unit): PplGate = {
+    val m0 = graft.functions.LmIndex.loadModel3(store, prefix)
+    val m = graft.functions.LmIndex.Kn3Model(
+      uni = materializeBatch(m0.uni), big = materializeBatch(m0.big),
+      ctx = materializeBatch(m0.ctx), cont = materializeBatch(m0.cont),
+      tri = materializeBatch(m0.tri), ctx3 = materializeBatch(m0.ctx3),
+      m2 = materializeBatch(m0.m2), mctx = materializeBatch(m0.mctx),
+      stats = materializeBatch(m0.stats))
+    new PplGate((batch, _) => {
+      graft.functions.Sampling.requireFreeColumns(
+        batch, "pplGate3EachBatch", Seq("n_tokens", "logprob"))
+      val b = materializeBatch(batch)
+      try
+        sink(b.join(
+            graft.functions.LmIndex.scoreFrames3(
+              graft.functions.LmIndex.pruneModel3(m, b, textCol),
+              b, idCol, textCol, discount),
+            Seq(idCol))
+          .filter(col("logprob") >= minLogprob))
+      finally {
+        b.unpersist()
+        ()
+      }
+    }, Seq(m.uni, m.big, m.ctx, m.cont, m.tri, m.ctx3, m.m2, m.mctx, m.stats))
+  }
+
   /** Streaming drift alarm — per-micro-batch
     * [[graft.functions.Sampling.distributionDrift]] against a PERSISTED
     * baseline histogram ([[graft.functions.Sampling.bucketCounts]],

@@ -446,6 +446,33 @@ class LmSmoothingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lm.probeMaxWords")
   }
 
+  test("versioned order-3 rebuild under a pinned serve: generations never " +
+      "mix across nine tables") {
+    val a = Seq((1L, "aa bb cc aa bb"), (2L, "aa cc dd")).toDF("doc_id", "text")
+    val b = Seq((1L, "xx yy zz xx yy"), (2L, "yy zz ww")).toDF("doc_id", "text")
+    val probe = Seq((10L, "aa bb cc xx yy zz")).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm3v_").toString)
+    LmIndex.rebuildVersioned3(store, "lm3", a, "doc_id", "text")
+    val pinnedPrefix = graft.io.VersionedIndex.currentPrefix(store, "lm3")
+    val pinned = LmIndex.loadModel3(store, pinnedPrefix)
+    LmIndex.rebuildVersioned3(store, "lm3", b, "doc_id", "text")
+    val gotPinned = LmIndex.scoreFrames3(pinned, probe, "doc_id", "text", 0.75)
+      .as[(Long, Long, Double)].collect().toSet
+    val wantA = LmIndex.crossScore3(a, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotPinned === wantA,
+      "pinned order-3 model drifted off its generation after a rebuild")
+    val freshPrefix = graft.io.VersionedIndex.currentPrefix(store, "lm3")
+    val gotFresh = LmIndex.score3(store, freshPrefix, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val wantB = LmIndex.crossScore3(b, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotFresh === wantB)
+    assert(gotPinned !== gotFresh,
+      "fixture too weak: the two generations score identically")
+  }
+
   test("scoreMkn in-corpus == mknBigramLogProb: calibrated discounts from " +
       "the stored tallies; degenerate corpus takes the fallback") {
     // Count-of-counts corpus: bigram counts 4/3/2/1 -> n1..n4 all 1,
