@@ -1998,6 +1998,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FULL modified Kneser-Ney at order 3 — the literal KenLM shape:
+    // the order-3 recursion with D1/D2/D3+ estimated PER LEVEL from
+    // that level's own count-of-counts (trigram, continuation-bigram,
+    // and the second-token bigram fallback each calibrate separately).
+    // Same --discount_fallback posture per degenerate level.
+    "q_mkn_trigram" -> ((s, dir) =>
+      graft.functions.TextAnalysis.mknTrigramLogProb(
+        pq(s, dir, "documents"), "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")),
+
+    // The persisted twin: the same smoothing served from the build3
+    // model — per-level discounts re-estimated from the STORED tallies
+    // (stats t1..t4/m1..m4/n1..n4; per-context buckets in the widened
+    // ctx/ctx3/mctx tables), no corpus rescan. Shares q_mkn_trigram's
+    // oracle SQL verbatim (in-corpus row-identity).
+    "q_mkn3_persisted" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreMkn3(store, "lm3", d, "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")
+    }),
+
     // Order-3 frozen-model scoring with OOV semantics — the CCNet
     // posture at recursion depth 3: train on the 80% split, score the
     // held-out 20% (unseen words/pairs/triples route through the
@@ -3950,6 +3976,142 @@ object SparkEntry {
       |SELECT doc_id, n AS n_tokens,
       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** One level of modified-KN discount estimation in SQL: count-of-count
+    * columns `<p>1..<p>4` (already selected by the caller's counts CTE
+    * `cn$p`) → (d1$p, d2$p, d3$p) with the 0.5/1.0/1.5 fallback in the
+    * degenerate branch — mirrors
+    * [[graft.functions.TextAnalysis.mknLevelDiscounts]] term by term. */
+  private def mknLevelDiscountSql(p: String): String =
+    s"""cy$p AS (SELECT *,
+       |    (${p}1 = 0 OR ${p}2 = 0 OR ${p}3 = 0) AS degen$p,
+       |    CASE WHEN ${p}1 = 0 OR ${p}2 = 0 OR ${p}3 = 0 THEN 0.0
+       |      ELSE CAST(${p}1 AS DOUBLE) / (CAST(${p}1 AS DOUBLE) + 2.0 * CAST(${p}2 AS DOUBLE)) END AS y$p
+       |  FROM cn$p),
+       |dl$p AS (SELECT
+       |    CASE WHEN degen$p THEN 0.5
+       |      ELSE 1.0 - 2.0 * y$p * CAST(${p}2 AS DOUBLE) / CAST(${p}1 AS DOUBLE) END AS d1$p,
+       |    CASE WHEN degen$p THEN 1.0
+       |      ELSE 2.0 - 3.0 * y$p * CAST(${p}3 AS DOUBLE) / CAST(${p}2 AS DOUBLE) END AS d2$p,
+       |    CASE WHEN degen$p THEN 1.5
+       |      ELSE 3.0 - 4.0 * y$p * CAST(${p}4 AS DOUBLE) / CAST(${p}3 AS DOUBLE) END AS d3$p
+       |  FROM cy$p)""".stripMargin
+
+  /** Modified-KN ORDER-3 score chain — mirrors
+    * [[graft.functions.TextAnalysis.mknTrigramLogProb]]: the order-3
+    * recursion with per-LEVEL estimated discounts (trigram level from
+    * t1..t4, continuation-bigram level from m1..m4, the second-token
+    * bigram fallback from b1..b4), per-context bucket tallies at every
+    * level, 0.5/1.0/1.5 fallback per degenerate level. Shared verbatim
+    * by q_mkn_trigram (inline) and q_mkn3_persisted (the build3 store
+    * serve reading the same tallies from its widened tables). */
+  private val mknTrigramChainSql: String = {
+    val pcont = "(CAST(cont.n1c AS DOUBLE) / dd.btypes)"
+    val midP =
+      s"""(CAST(m2.mcount AS DOUBLE) - CASE WHEN m2.mcount = 1 THEN dd.d1m
+         |            WHEN m2.mcount = 2 THEN dd.d2m ELSE dd.d3m END)
+         |          / CAST(mctx.mcc AS DOUBLE)
+         |        + (dd.d1m * CAST(mctx.mf1 AS DOUBLE) + dd.d2m * CAST(mctx.mf2 AS DOUBLE)
+         |           + dd.d3m * CAST(mctx.mf3p AS DOUBLE)) / CAST(mctx.mcc AS DOUBLE)
+         |          * $pcont""".stripMargin
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents),
+       |pt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+       |  FROM toks),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |big AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
+       |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
+       |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
+       |    CAST(sum(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nf3p
+       |  FROM big GROUP BY prev1),
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+       |tri AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+       |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
+       |    CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+       |    CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+       |    CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS tf3p
+       |  FROM tri GROUP BY prev2, prev1),
+       |m2 AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+       |  FROM tri GROUP BY prev1, w),
+       |mctx AS (
+       |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
+       |    CAST(sum(CASE WHEN mcount = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mf1,
+       |    CAST(sum(CASE WHEN mcount = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mf2,
+       |    CAST(sum(CASE WHEN mcount >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS mf3p
+       |  FROM m2 GROUP BY prev1),
+       |cnb AS (SELECT CAST(count(*) AS DOUBLE) AS btypes,
+       |  CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       |  CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       |  CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+       |  CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+       |  FROM big),
+       |cnt AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t1,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t2,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t3,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t4
+       |  FROM tri),
+       |cnm AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN mcount = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m1,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m2,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m3,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m4
+       |  FROM m2),
+       |${mknLevelDiscountSql("b")},
+       |${mknLevelDiscountSql("t")},
+       |${mknLevelDiscountSql("m")},
+       |dd AS (SELECT cnb.btypes, dlb.*, dlt.*, dlm.*
+       |  FROM cnb CROSS JOIN dlb CROSS JOIN dlt CROSS JOIN dlm),
+       |sc AS (
+       |  SELECT pt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |      WHEN pt.prev2 IS NULL THEN
+       |        (CAST(big.c2 AS DOUBLE) - CASE WHEN big.c2 = 1 THEN dd.d1b
+       |           WHEN big.c2 = 2 THEN dd.d2b ELSE dd.d3b END)
+       |          / CAST(ctx.cc AS DOUBLE)
+       |        + (dd.d1b * CAST(ctx.nf1 AS DOUBLE) + dd.d2b * CAST(ctx.nf2 AS DOUBLE)
+       |           + dd.d3b * CAST(ctx.nf3p AS DOUBLE)) / CAST(ctx.cc AS DOUBLE)
+       |          * $pcont
+       |      ELSE
+       |        (CAST(tri.c3 AS DOUBLE) - CASE WHEN tri.c3 = 1 THEN dd.d1t
+       |           WHEN tri.c3 = 2 THEN dd.d2t ELSE dd.d3t END)
+       |          / CAST(ctx3.cc3 AS DOUBLE)
+       |        + (dd.d1t * CAST(ctx3.tf1 AS DOUBLE) + dd.d2t * CAST(ctx3.tf2 AS DOUBLE)
+       |           + dd.d3t * CAST(ctx3.tf3p AS DOUBLE)) / CAST(ctx3.cc3 AS DOUBLE)
+       |          * ($midP)
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+       |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
+       |  LEFT JOIN ctx ON pt.prev1 = ctx.prev1
+       |  LEFT JOIN cont ON pt.w = cont.w
+       |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
+       |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1
+       |  LEFT JOIN m2 ON pt.prev1 = m2.prev1 AND pt.w = m2.w
+       |  LEFT JOIN mctx ON pt.prev1 = mctx.prev1
+       |  CROSS JOIN dd),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 
   /** WordPiece-objective merge-loop replay — [[bpeChainSql]]'s structure
     * with the likelihood argmax: per round, symbol counts from the
@@ -6162,6 +6324,10 @@ object SparkEntry {
     "q_kn3_persisted" -> knTrigramChainSql(),
 
     "q_kn3_probed" -> knTrigramChainSql("WHERE doc_id % 25 = 0"),
+
+    "q_mkn_trigram" -> mknTrigramChainSql,
+
+    "q_mkn3_persisted" -> mknTrigramChainSql,
 
     "q_kn3_holdout" ->
       knTrigramCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),

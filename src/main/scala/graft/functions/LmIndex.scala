@@ -431,7 +431,7 @@ object LmIndex {
       .groupBy("prev2", "prev", "w").agg(count(lit(1)).cast("long").as("c3"))
     Kn3Model(uni, big, derivedCtx(big), derivedCont(big),
       tri, derivedCtx3(tri), derivedM2(tri), derivedMctx(derivedM2(tri)),
-      stats = derivedStats3(uni, big))
+      stats = derivedStats3(uni, big, tri))
   }
 
   private def derivedCtx(big: DataFrame): DataFrame =
@@ -448,7 +448,10 @@ object LmIndex {
   private def derivedCtx3(tri: DataFrame): DataFrame =
     tri.groupBy("prev2", "prev").agg(
       sum(col("c3")).cast("long").as("cc3"),
-      count(lit(1)).cast("long").as("n1f3"))
+      count(lit(1)).cast("long").as("n1f3"),
+      sum(when(col("c3") === 1L, 1L).otherwise(0L)).cast("long").as("tf1"),
+      sum(when(col("c3") === 2L, 1L).otherwise(0L)).cast("long").as("tf2"),
+      sum(when(col("c3") >= 3L, 1L).otherwise(0L)).cast("long").as("tf3p"))
 
   private def derivedM2(tri: DataFrame): DataFrame =
     tri.groupBy("prev", "w").agg(count(lit(1)).cast("long").as("mcount"))
@@ -456,9 +459,18 @@ object LmIndex {
   private def derivedMctx(m2: DataFrame): DataFrame =
     m2.groupBy("prev").agg(
       sum(col("mcount")).cast("long").as("mcc"),
-      count(lit(1)).cast("long").as("n1f2c"))
+      count(lit(1)).cast("long").as("n1f2c"),
+      sum(when(col("mcount") === 1L, 1L).otherwise(0L)).cast("long").as("mf1"),
+      sum(when(col("mcount") === 2L, 1L).otherwise(0L)).cast("long").as("mf2"),
+      sum(when(col("mcount") >= 3L, 1L).otherwise(0L)).cast("long").as("mf3p"))
 
-  private def derivedStats3(uni: DataFrame, big: DataFrame): DataFrame =
+  /** The one-row stats table: token total plus PER-LEVEL count-of-count
+    * tallies — bigram (n1..n4, [[scoreMkn]]'s calibration), trigram
+    * (t1..t4) and continuation-bigram (m1..m4) for [[scoreMkn3]]'s
+    * per-order discounts. All ride aggregations over tables the build
+    * already derives — no extra corpus pass. */
+  private def derivedStats3(
+      uni: DataFrame, big: DataFrame, tri: DataFrame): DataFrame =
     uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
       .crossJoin(big.agg(
         count(lit(1)).cast("long").as("bigram_types"),
@@ -466,6 +478,18 @@ object LmIndex {
         sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("n2"),
         sum(when(col("c2") === 3L, 1L).otherwise(0L)).cast("long").as("n3"),
         sum(when(col("c2") === 4L, 1L).otherwise(0L)).cast("long").as("n4")))
+      .crossJoin(tri.agg(
+        count(lit(1)).cast("long").as("trigram_types"),
+        coalesce(sum(when(col("c3") === 1L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t1"),
+        coalesce(sum(when(col("c3") === 2L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t2"),
+        coalesce(sum(when(col("c3") === 3L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t3"),
+        coalesce(sum(when(col("c3") === 4L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t4")))
+      .crossJoin(derivedM2(tri).agg(
+        count(lit(1)).cast("long").as("m2_types"),
+        coalesce(sum(when(col("mcount") === 1L, 1L).otherwise(0L)), lit(0L)).cast("long").as("m1"),
+        coalesce(sum(when(col("mcount") === 2L, 1L).otherwise(0L)), lit(0L)).cast("long").as("m2"),
+        coalesce(sum(when(col("mcount") === 3L, 1L).otherwise(0L)), lit(0L)).cast("long").as("m3"),
+        coalesce(sum(when(col("mcount") === 4L, 1L).otherwise(0L)), lit(0L)).cast("long").as("m4")))
 
   /** Score `docs` against a frozen ORDER-3 model — the recursive KN
     * chain ([[TextAnalysis.knTrigramLogProb]]) made total over unseen
@@ -596,7 +620,7 @@ object LmIndex {
       s"${prefix}_ctx3" -> derivedCtx3(tri).sortWithinPartitions("prev2", "prev"),
       s"${prefix}_m2" -> m2.sortWithinPartitions("prev", "w"),
       s"${prefix}_mctx" -> derivedMctx(m2).sortWithinPartitions("prev"),
-      s"${prefix}_stats" -> derivedStats3(uni, big)))
+      s"${prefix}_stats" -> derivedStats3(uni, big, tri)))
   }
 
   /** Count-merge core for the order-3 model — [[mergeCounts]]' recipe
@@ -786,6 +810,105 @@ object LmIndex {
     pt.join(wM, Seq("w"), "left")
       .join(big, Seq("prev", "w"), "left")
       .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
+  /** Score `docs` against the persisted model with FULL modified
+    * Kneser-Ney at order 3 ([[TextAnalysis.mknTrigramLogProb]]'s
+    * smoothing — KenLM's literal shape: per-LEVEL D1/D2/D3+ estimated
+    * from that level's own count-of-count tallies, all READ from the
+    * stored stats row; the per-context bucket tallies come from the
+    * widened ctx/ctx3/mctx tables). Serve time never rescans any
+    * corpus. OOV semantics are [[scoreFrames3]]'s structure with
+    * modified discounts and D(0) = 0: an unseen event under a seen
+    * context contributes only the context's λ-weighted backoff mass; an
+    * unseen context backs off a full level; P_cont/unigram take the
+    * reserved 0.5-type mass. In-corpus no OOV branch fires and the
+    * result equals mknTrigramLogProb bit-for-bit (spec-pinned;
+    * q_mkn3_persisted shares q_mkn_trigram's oracle SQL). Degenerate
+    * levels take `fallbackDiscounts` (KenLM --discount_fallback, per
+    * order) or the curated error, lazily. */
+  def scoreMkn3(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = loadModel3(store, prefix)
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val pt = tokens(docs, idCol, textCol)
+      .withColumn("prev", lag(col("w"), 1).over(win))
+      .withColumn("prev2", lag(col("w"), 2).over(win))
+    // Rename the stored per-level count-of-count columns to the
+    // mknLevelDiscounts naming (bigram n1..n4 -> b1..b4) and derive the
+    // nine discounts as ONE broadcast row.
+    val disc = m.stats.select(
+      Seq(col("total_tokens"), col("bigram_types").cast("double").as("btypes")) ++
+        Seq("1", "2", "3", "4").map(k => col(s"n$k").as(s"b$k")) ++
+        Seq("1", "2", "3", "4").map(k => col(s"t$k")) ++
+        Seq("1", "2", "3", "4").map(k => col(s"m$k")): _*)
+      .select(col("total_tokens") +: col("btypes") +:
+        Seq("b", "t", "m").flatMap(p =>
+          TextAnalysis.mknLevelDiscounts(p, fallbackDiscounts)): _*)
+    val total = col("total_tokens").cast("double")
+    val btypes = col("btypes")
+    val pcont = when(col("n1c").isNotNull,
+      col("n1c").cast("double") / btypes)
+      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
+        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
+          "trained on single-token documents? Rebuild on a corpus with " +
+          "adjacent tokens")).cast("double")))
+    val uniP = when(col("c1").isNotNull,
+      col("c1").cast("double") / total)
+      .otherwise(when(total > 0.0, lit(0.5) / total)
+        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
+          "training tokens)")).cast("double")))
+    def dOf(c: Column, p: String): Column =
+      when(c === 1L, col(s"d1$p")).when(c === 2L, col(s"d2$p"))
+        .otherwise(col(s"d3$p"))
+    val lamB = (col("d1b") * col("nf1").cast("double")
+      + col("d2b") * col("nf2").cast("double")
+      + col("d3b") * col("nf3p").cast("double")) / col("cc").cast("double")
+    val bigP = when(col("cc").isNotNull,
+      when(col("c2").isNotNull,
+        (col("c2").cast("double") - dOf(col("c2"), "b")) /
+          col("cc").cast("double")).otherwise(lit(0.0)) + lamB * pcont)
+      .otherwise(pcont)
+    val lamM = (col("d1m") * col("mf1").cast("double")
+      + col("d2m") * col("mf2").cast("double")
+      + col("d3m") * col("mf3p").cast("double")) / col("mcc").cast("double")
+    val midP = when(col("mcc").isNotNull,
+      when(col("mcount").isNotNull,
+        (col("mcount").cast("double") - dOf(col("mcount"), "m")) /
+          col("mcc").cast("double")).otherwise(lit(0.0)) + lamM * pcont)
+      .otherwise(pcont)
+    val lamT = (col("d1t") * col("tf1").cast("double")
+      + col("d2t") * col("tf2").cast("double")
+      + col("d3t") * col("tf3p").cast("double")) / col("cc3").cast("double")
+    val triP = when(col("cc3").isNotNull,
+      when(col("c3").isNotNull,
+        (col("c3").cast("double") - dOf(col("c3"), "t")) /
+          col("cc3").cast("double")).otherwise(lit(0.0)) + lamT * midP)
+      .otherwise(midP)
+    val p = when(col("prev").isNull, uniP)
+      .when(col("prev2").isNull, bigP)
+      .otherwise(triP)
+    // The OOV join layout of scoreFrames3 (5 token-frame exchanges);
+    // ctx/ctx3/mctx stay separate probes so a seen context reaches its
+    // λ tallies without an event-row hit.
+    val wM = m.uni.join(m.cont, Seq("w"), "left")
+    val bigM = m.big.join(m.m2, Seq("prev", "w"), "left")
+    val ctxM = m.ctx.join(m.mctx, Seq("prev"), "left")
+    pt.join(wM, Seq("w"), "left")
+      .join(bigM, Seq("prev", "w"), "left")
+      .join(ctxM, Seq("prev"), "left")
+      .join(m.tri, Seq("prev2", "prev", "w"), "left")
+      .join(m.ctx3, Seq("prev2", "prev"), "left")
       .crossJoin(broadcast(disc))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)

@@ -593,6 +593,148 @@ object TextAnalysis {
           .as("logprob"))
   }
 
+  /** MODIFIED Kneser-Ney at ORDER 3 — the literal KenLM shape: the
+    * order-3 recursion of [[knTrigramLogProb]] with
+    * [[mknBigramLogProb]]'s count-bucketed discounts estimated PER
+    * LEVEL from that level's own count-of-count statistics (KenLM
+    * calibrates D1/D2/D3+ per order; Chen & Goodman 1999 eq. 26):
+    *
+    *   P(w|p2,p1) = (c3 − D_t(c3))/cc3 + λ_t(p2,p1) · P_m(w|p1)
+    *   P_m(w|p1)  = (N1+(•,p1,w) − D_m)/N1+(•,p1,•) + λ_m(p1) · P_cont(w)
+    *   λ_x(ctx)   = (D1_x·N1(ctx) + D2_x·N2(ctx) + D3+_x·N3+(ctx)) / total(ctx)
+    *
+    * with the trigram level's discounts from trigram count-of-counts
+    * (t1..t4), the middle level's from the CONTINUATION-BIGRAM counts'
+    * own count-of-counts (m1..m4 — how many (p1,w) pairs have exactly k
+    * distinct left contexts), and the second-token fallback running
+    * [[mknBigramLogProb]]'s formula with the bigram-level estimates.
+    * First tokens score MLE unigram. A level whose n1/n2/n3 bucket is
+    * empty cannot calibrate: `fallbackDiscounts` substitutes KenLM's
+    * --discount_fallback PER LEVEL, else the curated error — and the
+    * discount row materializes all three levels' estimates, so a corpus
+    * with no trigrams at all still needs the fallback (KenLM likewise
+    * refuses an order it cannot calibrate). Every estimate lives in a
+    * lazy CaseWhen branch (the ANSI division discipline).
+    *
+    * Scale: identical join/shuffle structure to [[knTrigramLogProb]]
+    * (the 3-exchange in-corpus fold) — the bucket tallies ride the
+    * aggregations that already scan the bigram/trigram tables, and the
+    * nine per-level discounts are ONE broadcast row. Same 1e-6
+    * fixed-point contract as the whole LM family. */
+  def mknTrigramLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val toks = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val pt = toks
+      .withColumn("prev1", lag(col("w"), 1).over(win))
+      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
+    val big = pt.filter(col("prev1").isNotNull)
+      .groupBy("prev1", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val ctx = big.groupBy("prev1").agg(
+      sum(col("c2")).cast("long").as("cc"),
+      sum(when(col("c2") === 1L, 1L).otherwise(0L)).cast("long").as("nf1"),
+      sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("nf2"),
+      sum(when(col("c2") >= 3L, 1L).otherwise(0L)).cast("long").as("nf3p"))
+    val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+    val tri = pt.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev1", "w").agg(count(lit(1)).cast("long").as("c3"))
+    val ctx3 = tri.groupBy("prev2", "prev1").agg(
+      sum(col("c3")).cast("long").as("cc3"),
+      sum(when(col("c3") === 1L, 1L).otherwise(0L)).cast("long").as("tf1"),
+      sum(when(col("c3") === 2L, 1L).otherwise(0L)).cast("long").as("tf2"),
+      sum(when(col("c3") >= 3L, 1L).otherwise(0L)).cast("long").as("tf3p"))
+    val m2 = tri.groupBy("prev1", "w").agg(count(lit(1)).cast("long").as("mcount"))
+    val mctx = m2.groupBy("prev1").agg(
+      sum(col("mcount")).cast("long").as("mcc"),
+      sum(when(col("mcount") === 1L, 1L).otherwise(0L)).cast("long").as("mf1"),
+      sum(when(col("mcount") === 2L, 1L).otherwise(0L)).cast("long").as("mf2"),
+      sum(when(col("mcount") >= 3L, 1L).otherwise(0L)).cast("long").as("mf3p"))
+    // coalesce: a LEVEL with no events at all (e.g. no trigrams in a
+    // 2-token-doc corpus) sums to NULL, which would NULL-skip the
+    // degenerate check instead of taking the fallback/curated error.
+    def countOfCounts(t: DataFrame, c: String, p: String): DataFrame = t.agg(
+      count(lit(1)).cast("long").as(s"${p}types"),
+      coalesce(sum(when(col(c) === 1L, 1L).otherwise(0L)), lit(0L)).cast("long").as(s"${p}1"),
+      coalesce(sum(when(col(c) === 2L, 1L).otherwise(0L)), lit(0L)).cast("long").as(s"${p}2"),
+      coalesce(sum(when(col(c) === 3L, 1L).otherwise(0L)), lit(0L)).cast("long").as(s"${p}3"),
+      coalesce(sum(when(col(c) === 4L, 1L).otherwise(0L)), lit(0L)).cast("long").as(s"${p}4"))
+    val disc = countOfCounts(big, "c2", "b")
+      .crossJoin(countOfCounts(tri, "c3", "t"))
+      .crossJoin(countOfCounts(m2, "mcount", "m"))
+      .select(col("btypes").cast("double").as("btypes") +:
+        Seq("b", "t", "m").flatMap(p => mknLevelDiscounts(p, fallbackDiscounts)): _*)
+    val uniP = col("c1").cast("double") / col("total")
+    val pcont = col("n1c").cast("double") / col("btypes")
+    def dOf(c: Column, p: String): Column =
+      when(c === 1L, col(s"d1$p")).when(c === 2L, col(s"d2$p"))
+        .otherwise(col(s"d3$p"))
+    val lamB = (col("d1b") * col("nf1").cast("double")
+      + col("d2b") * col("nf2").cast("double")
+      + col("d3b") * col("nf3p").cast("double")) / col("cc").cast("double")
+    val bigP = (col("c2").cast("double") - dOf(col("c2"), "b")) /
+      col("cc").cast("double") + lamB * pcont
+    val lamM = (col("d1m") * col("mf1").cast("double")
+      + col("d2m") * col("mf2").cast("double")
+      + col("d3m") * col("mf3p").cast("double")) / col("mcc").cast("double")
+    val midP = (col("mcount").cast("double") - dOf(col("mcount"), "m")) /
+      col("mcc").cast("double") + lamM * pcont
+    val lamT = (col("d1t") * col("tf1").cast("double")
+      + col("d2t") * col("tf2").cast("double")
+      + col("d3t") * col("tf3p").cast("double")) / col("cc3").cast("double")
+    val triP = (col("c3").cast("double") - dOf(col("c3"), "t")) /
+      col("cc3").cast("double") + lamT * midP
+    val p = when(col("prev1").isNull, uniP)
+      .when(col("prev2").isNull, bigP)
+      .otherwise(triP)
+    // The knTrigramLogProb 3-exchange fold: in-corpus every scored
+    // position >= 3 has its own m2 row, so folding m2/mctx into the
+    // (prev1, w) probe can never null a consumed column.
+    val wM = uni.join(cont, Seq("w"), "left")
+    val bigM = big.join(ctx, Seq("prev1"))
+      .join(m2.join(mctx, Seq("prev1")), Seq("prev1", "w"), "left")
+    pt.join(wM, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .join(bigM, Seq("prev1", "w"), "left")
+      .join(tri.join(ctx3, Seq("prev2", "prev1")), Seq("prev2", "prev1", "w"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
+  /** One level's (D1, D2, D3+) estimate columns from count-of-count
+    * columns `<p>1..<p>4` — eq. 26 with the degenerate branch routed to
+    * the caller's fallback or the curated error, lazily (the
+    * [[mknBigramLogProb]] ANSI discipline). Shared by the inline
+    * order-3 scorer and the persisted serve. */
+  private[graft] def mknLevelDiscounts(
+      p: String, fallback: Option[(Double, Double, Double)]): Seq[Column] = {
+    val degen = col(s"${p}1") === 0L || col(s"${p}2") === 0L || col(s"${p}3") === 0L
+    val y = when(degen, lit(0.0)).otherwise(col(s"${p}1").cast("double")
+      / (col(s"${p}1").cast("double") + lit(2.0) * col(s"${p}2").cast("double")))
+    Seq(
+      when(degen, degenDiscount(fallback, 1))
+        .otherwise(lit(1.0) - lit(2.0) * y
+          * col(s"${p}2").cast("double") / col(s"${p}1").cast("double"))
+        .as(s"d1$p"),
+      when(degen, degenDiscount(fallback, 2))
+        .otherwise(lit(2.0) - lit(3.0) * y
+          * col(s"${p}3").cast("double") / col(s"${p}2").cast("double"))
+        .as(s"d2$p"),
+      when(degen, degenDiscount(fallback, 3))
+        .otherwise(lit(3.0) - lit(4.0) * y
+          * col(s"${p}4").cast("double") / col(s"${p}3").cast("double"))
+        .as(s"d3$p"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
     * every document with the Kneser-Ney LM ([[knBigramLogProb]]), then
     * split each LANGUAGE into `tiles` equal score bands — tile 1 ("head")

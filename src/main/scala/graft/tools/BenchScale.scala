@@ -170,7 +170,12 @@ object BenchScale {
     "q_wordpiece_train",
     "q_kn3_persisted",
     "q_mkn_persisted",
-    "q_pipeline_manifest_v2")
+    "q_pipeline_manifest_v2",
+    // round-15 session 2: full modified-KN at order 3 (per-level
+    // estimated discounts — the heaviest inline LM shape) and its
+    // persisted twin (build3 + tally-read serve).
+    "q_mkn_trigram",
+    "q_mkn3_persisted")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)

@@ -518,6 +518,78 @@ class LmSmoothingSpec extends SparkSpec {
     assert(e.getMessage.contains("discount"), e.getMessage)
   }
 
+  test("mknTrigramLogProb: per-level calibrated discounts; persisted " +
+      "scoreMkn3 is bit-identical in-corpus") {
+    val rnd = new scala.util.Random(29)
+    // Quadratic-skew draws over 25 word types: a Zipf-ish count spectrum
+    // so every level's count-of-count buckets 1..3 are populated (a
+    // uniform pool repeats every bigram ~18x and cannot calibrate).
+    def txt(): String =
+      (0 until (4 + rnd.nextInt(7)))
+        .map(_ => "w" + (25 * rnd.nextDouble() * rnd.nextDouble()).toInt)
+        .mkString(" ")
+    val docs = (1L to 120L).map(i => (i, txt())).toDF("doc_id", "text")
+    // The fixture must CALIBRATE at all three levels, or the spec would
+    // silently test only the fallback path: assert n1/n2/n3 nonzero for
+    // bigram counts, trigram counts, AND continuation-bigram counts.
+    val m = LmIndex.modelFrames3(docs, "doc_id", "text")
+    def buckets(t: org.apache.spark.sql.DataFrame, c: String): Seq[Long] =
+      (1 to 3).map(k => t.filter(col(c) === k.toLong).count())
+    assert(buckets(m.big, "c2").forall(_ > 0L), "bigram level degenerate")
+    assert(buckets(m.tri, "c3").forall(_ > 0L), "trigram level degenerate")
+    assert(buckets(m.m2, "mcount").forall(_ > 0L), "middle level degenerate")
+    val inline = TextAnalysis.mknTrigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mkn3_").toString)
+    LmIndex.build3(store, "mkn3", docs, "doc_id", "text")
+    val persisted = LmIndex.scoreMkn3(store, "mkn3", docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(persisted === inline,
+      "persisted modified-KN order-3 diverged from inline in-corpus")
+    // It is genuinely order-3: must differ from the order-2 modified KN
+    // on a corpus with real trigram structure.
+    val mkn2 = TextAnalysis.mknBigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(persisted !== mkn2, "fixture too weak: order 3 == order 2")
+    // OOV totality at the persisted serve, hand-checkable without
+    // touching any discount: a fully-novel 2-token doc scores OOV
+    // unigram then unseen-context continuation backoff.
+    val total = m.uni.agg(sum(col("c1"))).as[Long].head().toDouble
+    val btypes = m.big.count().toDouble
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    val exp = BigDecimal((fp(0.5 / total) + fp(0.5 / btypes)) / 2.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oov = LmIndex.scoreMkn3(store, "mkn3",
+      Seq((999L, "zz yy")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(oov === Array((999L, 2L, exp)))
+  }
+
+  test("mknTrigramLogProb reduces to mknBigramLogProb on a corpus with " +
+      "no position-3 tokens; degenerate levels take the fallback") {
+    // 2-token docs: the trigram and continuation-bigram levels are EMPTY
+    // (degenerate — the fallback is required, as KenLM refuses an order
+    // it cannot calibrate), and every scored token routes through the
+    // unigram or bigram branch — which must equal the order-2 modified
+    // KN with the same bigram-level calibration.
+    val docs = (Seq.fill(4)("p q") ++ Seq.fill(3)("r s") ++
+      Seq.fill(2)("t u") ++ Seq("v w")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fb = Some((0.5, 1.0, 1.5))
+    val got = TextAnalysis.mknTrigramLogProb(docs, "doc_id", "text", fb)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = TextAnalysis.mknBigramLogProb(docs, "doc_id", "text", fb)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want,
+      "order-3 modified KN did not reduce to order-2 without trigrams")
+    // Without the fallback, the uncalibratable levels refuse loudly.
+    val e = intercept[Exception] {
+      TextAnalysis.mknTrigramLogProb(docs, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("discount"), e.getMessage)
+  }
+
   test("scoreBatch past graft.lm.probeMaxWords: same rows via broadcast " +
       "semi-join, no literal IN and no driver word collect") {
     val rnd = new scala.util.Random(7)
