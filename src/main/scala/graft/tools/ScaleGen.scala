@@ -145,6 +145,28 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** GIANT-DOCUMENT corpus ×k — the window-partition adversary: every
+    * LM scorer computes lag(w, 1/2) over a window PARTITIONED BY doc_id,
+    * so per-doc token count bounds one task's sort. The other modes keep
+    * ~50-token docs (5M tiny window partitions at ×100 — embarrassingly
+    * parallel); this mode folds the ×k corpus into [[LongDocCount]]
+    * documents (fewer than the 32 cores), each ~`k·tokens/8` tokens —
+    * at ×100 that is ~3.4M tokens per doc, the single-reducer-sort shape
+    * a pathological crawl page (or a mis-segmented dump) produces. Texts
+    * concatenate in doc_id order (array_sort over (doc_id, text) structs
+    * — deterministic, layout-free); lang/source take the fold's minimum
+    * doc's values so per-key operators still run. */
+  val LongDocCount: Int = 8
+  def longDocDocuments(docs: DataFrame, k: Int): DataFrame =
+    scaleDocuments(docs, k)
+      .groupBy(pmod(col("doc_id"), lit(LongDocCount.toLong)).as("bucket"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(doc_id, text))), s -> s.text), ' ')").as("text"),
+        expr("min_by(lang, doc_id)").as("lang"),
+        expr("min_by(source, doc_id)").as("source"))
+      .select(col("bucket").as("doc_id"), col("text"), col("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+
   /** The planted boilerplate (14 words → 11 shared 4-shingles per doc). */
   val HotBandSentence: String =
     "subscribe to our newsletter for daily updates exclusive offers " +
@@ -254,7 +276,8 @@ object ScaleGen {
     // `manykeys` = domain-cardinality mixing key ([[manyKeyDocuments]]),
     // `hotband` = corpus-wide boilerplate stop-shingle
     // ([[hotBandDocuments]]), `heaps` = diverse Heaps-law vocabulary
-    // ([[heapsDocuments]]).
+    // ([[heapsDocuments]]), `longdoc` = giant-document fold
+    // ([[longDocDocuments]]).
     val mode = if (args.length > 3) args(3) else ""
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
@@ -268,6 +291,7 @@ object ScaleGen {
       case "manykeys" => manyKeyDocuments(pq("documents"), k)
       case "hotband" => hotBandDocuments(pq("documents"), k)
       case "heaps" => heapsDocuments(pq("documents"), k)
+      case "longdoc" => longDocDocuments(pq("documents"), k)
       case _ => scaleDocuments(pq("documents"), k)
     }).repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     scaleEmbeddings(pq("embeddings"), k)
