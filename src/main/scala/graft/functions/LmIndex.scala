@@ -87,6 +87,26 @@ object LmIndex {
     KnModel(uni, big, ctx, cont, stats)
   }
 
+  /** The reserved-0.5-type-mass OOV branches shared by EVERY serve path
+    * (order-2, order-3, modified-KN — the specs pin them as one recipe;
+    * a forked copy is the divergence risk). `btypes`/`total` are the
+    * caller's stat columns; the degenerate guards stay INSIDE the
+    * otherwise-branch (the lazy CaseWhen ANSI discipline). */
+  private def pcontOOV(btypes: Column): Column =
+    when(col("n1c").isNotNull,
+      col("n1c").cast("double") / btypes)
+      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
+        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
+          "trained on single-token documents? Rebuild on a corpus with " +
+          "adjacent tokens")).cast("double")))
+
+  private def uniPOOV(total: Column): Column =
+    when(col("c1").isNotNull,
+      col("c1").cast("double") / total)
+      .otherwise(when(total > 0.0, lit(0.5) / total)
+        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
+          "training tokens)")).cast("double")))
+
   /** Score `docs` against a frozen model — the shared recipe every
     * entry point funnels through (the hashUniform single-sourcing
     * principle). Output: (idCol, n_tokens, logprob), the
@@ -106,17 +126,8 @@ object LmIndex {
     // zero stat: a seen continuation/unigram implies its denominator is
     // positive). A model with no bigram types (single-token training
     // docs) or no tokens at all fails with guidance, not DIVIDE_BY_ZERO.
-    val pcont = when(col("n1c").isNotNull,
-      col("n1c").cast("double") / btypes)
-      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
-        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
-          "trained on single-token documents? Rebuild on a corpus with " +
-          "adjacent tokens")).cast("double")))
-    val uniP = when(col("c1").isNotNull,
-      col("c1").cast("double") / total)
-      .otherwise(when(total > 0.0, lit(0.5) / total)
-        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
-          "training tokens)")).cast("double")))
+    val pcont = pcontOOV(btypes)
+    val uniP = uniPOOV(total)
     val knP = greatest(coalesce(col("c2"), lit(0L)).cast("double")
         - lit(discount), lit(0.0)) / col("cc").cast("double") +
       lit(discount) * col("n1f").cast("double") / col("cc").cast("double") * pcont
@@ -358,9 +369,16 @@ object LmIndex {
       wordsDf.limit(maxWords + 1).collect().map(_.getString(0))
     if (sample.length <= maxWords)
       (t, cols) => cols.foldLeft(t)((d, c) => d.filter(col(c).isin(sample: _*)))
-    else
+    else {
+      // Materialize the word frame ONCE, executor-side (no driver rows):
+      // each pruned key column broadcasts its own renamed copy, and a
+      // rename Project under the BroadcastExchange defeats exchange
+      // reuse — without the checkpoint the batch would re-tokenize and
+      // re-distinct once per pruned column (13 times at order 3).
+      val wordsCp = wordsDf.localCheckpoint()
       (t, cols) => cols.foldLeft(t)((d, c) =>
-        d.join(broadcast(wordsDf.withColumnRenamed("w", c)), Seq(c), "left_semi"))
+        d.join(broadcast(wordsCp.withColumnRenamed("w", c)), Seq(c), "left_semi"))
+    }
   }
 
   def scoreBatch(
@@ -429,9 +447,10 @@ object LmIndex {
       .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
     val tri = pt.filter(col("prev2").isNotNull)
       .groupBy("prev2", "prev", "w").agg(count(lit(1)).cast("long").as("c3"))
+    val m2 = derivedM2(tri)
     Kn3Model(uni, big, derivedCtx(big), derivedCont(big),
-      tri, derivedCtx3(tri), derivedM2(tri), derivedMctx(derivedM2(tri)),
-      stats = derivedStats3(uni, big, tri))
+      tri, derivedCtx3(tri), m2, derivedMctx(m2),
+      stats = derivedStats3(uni, big, tri, m2))
   }
 
   private def derivedCtx(big: DataFrame): DataFrame =
@@ -470,21 +489,22 @@ object LmIndex {
     * per-order discounts. All ride aggregations over tables the build
     * already derives — no extra corpus pass. */
   private def derivedStats3(
-      uni: DataFrame, big: DataFrame, tri: DataFrame): DataFrame =
+      uni: DataFrame, big: DataFrame, tri: DataFrame,
+      m2: DataFrame): DataFrame =
     uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
       .crossJoin(big.agg(
         count(lit(1)).cast("long").as("bigram_types"),
-        sum(when(col("c2") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
-        sum(when(col("c2") === 2L, 1L).otherwise(0L)).cast("long").as("n2"),
-        sum(when(col("c2") === 3L, 1L).otherwise(0L)).cast("long").as("n3"),
-        sum(when(col("c2") === 4L, 1L).otherwise(0L)).cast("long").as("n4")))
+        coalesce(sum(when(col("c2") === 1L, 1L).otherwise(0L)), lit(0L)).cast("long").as("n1"),
+        coalesce(sum(when(col("c2") === 2L, 1L).otherwise(0L)), lit(0L)).cast("long").as("n2"),
+        coalesce(sum(when(col("c2") === 3L, 1L).otherwise(0L)), lit(0L)).cast("long").as("n3"),
+        coalesce(sum(when(col("c2") === 4L, 1L).otherwise(0L)), lit(0L)).cast("long").as("n4")))
       .crossJoin(tri.agg(
         count(lit(1)).cast("long").as("trigram_types"),
         coalesce(sum(when(col("c3") === 1L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t1"),
         coalesce(sum(when(col("c3") === 2L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t2"),
         coalesce(sum(when(col("c3") === 3L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t3"),
         coalesce(sum(when(col("c3") === 4L, 1L).otherwise(0L)), lit(0L)).cast("long").as("t4")))
-      .crossJoin(derivedM2(tri).agg(
+      .crossJoin(m2.agg(
         count(lit(1)).cast("long").as("m2_types"),
         coalesce(sum(when(col("mcount") === 1L, 1L).otherwise(0L)), lit(0L)).cast("long").as("m1"),
         coalesce(sum(when(col("mcount") === 2L, 1L).otherwise(0L)), lit(0L)).cast("long").as("m2"),
@@ -531,17 +551,8 @@ object LmIndex {
     val total = col("total_tokens").cast("double")
     val btypes = col("bigram_types").cast("double")
     val d = lit(discount)
-    val pcont = when(col("n1c").isNotNull,
-      col("n1c").cast("double") / btypes)
-      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
-        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
-          "trained on single-token documents? Rebuild on a corpus with " +
-          "adjacent tokens")).cast("double")))
-    val uniP = when(col("c1").isNotNull,
-      col("c1").cast("double") / total)
-      .otherwise(when(total > 0.0, lit(0.5) / total)
-        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
-          "training tokens)")).cast("double")))
+    val pcont = pcontOOV(btypes)
+    val uniP = uniPOOV(total)
     val midP = when(col("mcc").isNotNull,
       greatest(coalesce(col("mcount"), lit(0L)).cast("double") - d, lit(0.0))
         / col("mcc").cast("double") +
@@ -610,8 +621,12 @@ object LmIndex {
   private def writeTables3(
       store: TableStore, prefix: String,
       uni: DataFrame, big: DataFrame, tri: DataFrame): Unit = {
-    val m2 = derivedM2(tri)
-    store.overwriteAll(Seq(
+    // m2 is an aggregation over the LARGEST model table and feeds three
+    // of the write jobs (m2, mctx, stats) — checkpoint it once so
+    // overwriteAll's per-table jobs read blocks instead of re-running
+    // the groupBy over the trigram table per consumer.
+    val m2 = derivedM2(tri).localCheckpoint()
+    try store.overwriteAll(Seq(
       s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
       s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
       s"${prefix}_ctx" -> derivedCtx(big).sortWithinPartitions("prev"),
@@ -620,7 +635,11 @@ object LmIndex {
       s"${prefix}_ctx3" -> derivedCtx3(tri).sortWithinPartitions("prev2", "prev"),
       s"${prefix}_m2" -> m2.sortWithinPartitions("prev", "w"),
       s"${prefix}_mctx" -> derivedMctx(m2).sortWithinPartitions("prev"),
-      s"${prefix}_stats" -> derivedStats3(uni, big, tri)))
+      s"${prefix}_stats" -> derivedStats3(uni, big, tri, m2)))
+    finally {
+      m2.unpersist()
+      ()
+    }
   }
 
   /** Count-merge core for the order-3 model — [[mergeCounts]]' recipe
@@ -783,17 +802,8 @@ object LmIndex {
       when(degen, TextAnalysis.degenDiscount(fallbackDiscounts, 3))
         .otherwise(lit(3.0) - lit(4.0) * y
           * col("n4").cast("double") / col("n3").cast("double")).as("d3"))
-    val pcont = when(col("n1c").isNotNull,
-      col("n1c").cast("double") / btypes)
-      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
-        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
-          "trained on single-token documents? Rebuild on a corpus with " +
-          "adjacent tokens")).cast("double")))
-    val uniP = when(col("c1").isNotNull,
-      col("c1").cast("double") / total)
-      .otherwise(when(total > 0.0, lit(0.5) / total)
-        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
-          "training tokens)")).cast("double")))
+    val pcont = pcontOOV(btypes)
+    val uniP = uniPOOV(total)
     val dOfC = when(col("c2") === 1L, col("d1"))
       .when(col("c2") === 2L, col("d2")).otherwise(col("d3"))
     val lam = (col("d1") * col("nf1").cast("double")
@@ -857,17 +867,8 @@ object LmIndex {
           TextAnalysis.mknLevelDiscounts(p, fallbackDiscounts)): _*)
     val total = col("total_tokens").cast("double")
     val btypes = col("btypes")
-    val pcont = when(col("n1c").isNotNull,
-      col("n1c").cast("double") / btypes)
-      .otherwise(when(btypes > 0.0, lit(0.5) / btypes)
-        .otherwise(raise_error(lit("LmIndex: model has no bigram types — " +
-          "trained on single-token documents? Rebuild on a corpus with " +
-          "adjacent tokens")).cast("double")))
-    val uniP = when(col("c1").isNotNull,
-      col("c1").cast("double") / total)
-      .otherwise(when(total > 0.0, lit(0.5) / total)
-        .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
-          "training tokens)")).cast("double")))
+    val pcont = pcontOOV(btypes)
+    val uniP = uniPOOV(total)
     def dOf(c: Column, p: String): Column =
       when(c === 1L, col(s"d1$p")).when(c === 2L, col(s"d2$p"))
         .otherwise(col(s"d3$p"))

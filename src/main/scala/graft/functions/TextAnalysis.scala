@@ -774,7 +774,10 @@ object TextAnalysis {
       // result frame is unreferenced. Cost: the KN chain runs eagerly
       // here (it would run on first use anyway); the materialized frame
       // is the NARROW scored projection, never the token-level
-      // intermediates.
+      // intermediates. Cluster-mode caveat (the LexIndex.build note):
+      // localCheckpoint blocks are NOT lineage-recoverable — an executor
+      // loss after construction fails later actions instead of
+      // recomputing; swap for reliable checkpoint() on a real cluster.
       .localCheckpoint()
     val ranked = Sampling.rankExactByKey(base, langCol, "__fp", idCol)
     // ntile(k) over (rnk, total): q = total div k rows per tile, the

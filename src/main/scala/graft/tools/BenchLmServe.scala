@@ -138,8 +138,9 @@ object BenchLmServe {
     def stats(secs: Vector[Double]): (Double, Double, Double, Double) = {
       val steady = secs.tail
       val sorted = steady.sorted
-      // The gate phase is skipped at order 3 (all-zero secs): report 0
-      // docs/sec, never Infinity (which is not JSON).
+      // Defensive: an all-zero phase (none exists today — all three
+      // phases run at both orders) must report 0 docs/sec, never
+      // Infinity (which is not JSON).
       (if (steady.sum == 0.0) 0.0 else (nBatches - 1) * batchSize / steady.sum,
         secs.head, sorted(sorted.size / 2), sorted.last)
     }
