@@ -2067,6 +2067,123 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The PROBED modified-KN serves (round-16 task 1 — modified KN is
+    // the smoothing the CCNet deployment actually gates with, so its
+    // batch path gets the same regime-switched pruning the plain-KN
+    // family has): a 4% batch scored against the persisted build3 model
+    // with every bigram-level (order 2) / all-eight-keyed (order 3)
+    // table read pruned to the batch's vocabulary. Scoring in-corpus,
+    // so each shares its inline twin's oracle SQL with the batch
+    // predicate on the SCORED side only (the q_kn3_probed pattern).
+    "q_mkn_probed" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreBatchMkn(
+        store, "lm3", d.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")
+    }),
+
+    "q_mkn3_probed" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreBatchMkn3(
+        store, "lm3", d.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")
+    }),
+
+    // PERSISTED ORDER-5 model (round-16 task 2 — the literal CCNet
+    // posture: Wenzek et al. 2020 serve a frozen order-5 KenLM): build
+    // the SEVENTEEN model tables once from one gramCounts5 corpus pass,
+    // serve the corpus from the store. In-corpus no OOV branch fires,
+    // so the serve must be row-identical to the order-5 chain oracle.
+    "q_kn5_persisted" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The order-5 probed serve (q_kn3_probed one model family up): all
+    // sixteen keyed table reads prune to the 4% batch's vocabulary.
+    "q_kn5_probed" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreBatch5(
+        store, "lm5", d.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Order-5 frozen-model scoring with OOV semantics: train on the 80%
+    // split, score the held-out 20% — unseen words/pairs/.../5-grams
+    // route through the documented backoff recipe at every level.
+    "q_kn5_holdout" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      graft.functions.LmIndex.crossScore5(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The persisted twin under OOV — shares q_kn5_holdout's oracle SQL
+    // verbatim (the seventeen-table store roundtrip must not perturb a
+    // single count).
+    "q_kn5_persisted_holdout" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(
+        store, "lm5", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.score5(
+        store, "lm5", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // FULL modified Kneser-Ney at ORDER 5 from the same build5 model —
+    // the literal KenLM serve shape: seven levels, each with its own
+    // D1/D2/D3+ estimated from that level's stored count-of-counts
+    // (all seven calibrate on this corpus — the ESTIMATED branch is
+    // what hash-matches, not the fallback).
+    "q_mkn5_persisted" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreMkn5(store, "lm5", d, "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")
+    }),
+
+    // q_kn3_persisted under the POSITIONAL-JOIN scorer mode (round-16
+    // task 4): graft.lm.positionalJoin replaces every per-doc lag
+    // window with one (doc_id, pos)-hash-aggregated shifted-copies
+    // exchange — the executable giant-document mitigation. The conf is
+    // read at PLAN-BUILD time, so setting it around the DataFrame
+    // construction pins the mode into the returned plan; shares
+    // q_kn3_persisted's oracle SQL verbatim (the mode must be
+    // row-identical, and the driver's hash compare proves it on the
+    // full corpus, not just the spec fixture).
+    "q_kn3_positional" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      s.conf.set("graft.lm.positionalJoin", "true")
+      try {
+        graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+        graft.functions.LmIndex.score3(store, "lm3", d, "doc_id", "text")
+          .orderBy("doc_id")
+      } finally s.conf.unset("graft.lm.positionalJoin")
+    }),
+
     // WordPiece-objective tokenizer training on the same corpus as
     // q_bpe_train: likelihood-gain argmax count(l,r)/(count(l)·count(r))
     // instead of frequency — the two families diverge from merge 0
@@ -3908,12 +4025,16 @@ object SparkEntry {
     * estimated D1/D2/D3+, per-context bucket tallies, the 0.5/1.0/1.5
     * fallback in the degenerate branch). Shared verbatim by q_mkn_bigram
     * (inline) and q_mkn_persisted (the build3 store serve with the
-    * tallies READ from the model tables — row-identical in-corpus). */
-  private val mknBigramChainSql: String =
-    """WITH toks AS MATERIALIZED (
+    * tallies READ from the model tables — row-identical in-corpus);
+    * `scoreWhere` filters the SCORED documents only (per-doc scores are
+    * independent, so filtering the aggregate equals scoring the batch —
+    * the q_kn3_probed convention), letting q_mkn_probed replay the
+    * probed serve against the same frozen model. */
+  private def mknBigramChainSql(scoreWhere: String = ""): String =
+    s"""WITH toks AS MATERIALIZED (
       |  SELECT doc_id,
-      |    unnest(string_split_regex(text, '\s+')) AS w,
-      |    unnest(generate_series(1, len(string_split_regex(text, '\s+')))) AS pos
+      |    unnest(string_split_regex(text, '\\s+')) AS w,
+      |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
       |  FROM documents),
       |pt AS MATERIALIZED (
       |  SELECT doc_id, pos, w,
@@ -3975,7 +4096,7 @@ object SparkEntry {
       |  FROM sc GROUP BY 1)
       |SELECT doc_id, n AS n_tokens,
       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
 
   /** One level of modified-KN discount estimation in SQL: count-of-count
     * columns `<p>1..<p>4` (already selected by the caller's counts CTE
@@ -4004,8 +4125,9 @@ object SparkEntry {
     * bigram fallback from b1..b4), per-context bucket tallies at every
     * level, 0.5/1.0/1.5 fallback per degenerate level. Shared verbatim
     * by q_mkn_trigram (inline) and q_mkn3_persisted (the build3 store
-    * serve reading the same tallies from its widened tables). */
-  private val mknTrigramChainSql: String = {
+    * serve reading the same tallies from its widened tables);
+    * `scoreWhere` filters the SCORED documents only (q_mkn3_probed). */
+  private def mknTrigramChainSql(scoreWhere: String = ""): String = {
     val pcont = "(CAST(cont.n1c AS DOUBLE) / dd.btypes)"
     val midP =
       s"""(CAST(m2.mcount AS DOUBLE) - CASE WHEN m2.mcount = 1 THEN dd.d1m
@@ -4110,7 +4232,480 @@ object SparkEntry {
        |  FROM sc GROUP BY 1)
        |SELECT doc_id, n AS n_tokens,
        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
+  }
+
+  /** Order-5 interpolated-KN score chain — mirrors
+    * [[graft.functions.LmIndex.scoreFrames5]] term by term: raw counts
+    * at the top of each position-k chain, continuation counts below
+    * (m2 = N1+ over trigram types, m3 over 4-gram types, m4 over 5-gram
+    * types), D = 0.75 at every level. Shared verbatim by
+    * q_kn5_persisted (the build5 store serve — row-identical in-corpus)
+    * and q_kn5_probed (`scoreWhere` filters the SCORED documents only;
+    * the model CTEs always read the full corpus). */
+  private def knPentaChainSql(scoreWhere: String = ""): String = {
+    val pcont = "(CAST(cont.n1c AS DOUBLE) / btot.btypes)"
+    def lvl(cnt: String, cc: String, nf: String, lower: String): String =
+      s"""greatest(CAST($cnt AS DOUBLE) - 0.75, 0.0) / CAST($cc AS DOUBLE)
+         |        + 0.75 * CAST($nf AS DOUBLE) / CAST($cc AS DOUBLE) * ($lower)""".stripMargin
+    val midP = lvl("m2.mcount", "mctx.mcc", "mctx.n1f2c", pcont)
+    val mid3P = lvl("m3.m3c", "mctx3.m3cc", "mctx3.n1f3c", midP)
+    val mid4P = lvl("m4.m4c", "mctx4.m4cc", "mctx4.n1f4c", mid3P)
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents),
+       |pt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2,
+       |    lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS prev3,
+       |    lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS prev4
+       |  FROM toks),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |big AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
+       |    CAST(count(*) AS BIGINT) AS n1f
+       |  FROM big GROUP BY prev1),
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+       |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
+       |tri AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+       |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
+       |    CAST(count(*) AS BIGINT) AS n1f3
+       |  FROM tri GROUP BY prev2, prev1),
+       |m2 AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+       |  FROM tri GROUP BY prev1, w),
+       |mctx AS (
+       |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
+       |    CAST(count(*) AS BIGINT) AS n1f2c
+       |  FROM m2 GROUP BY prev1),
+       |four AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c4
+       |  FROM pt WHERE prev3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |ctx4 AS (
+       |  SELECT prev3, prev2, prev1, CAST(sum(c4) AS BIGINT) AS cc4,
+       |    CAST(count(*) AS BIGINT) AS n1f4
+       |  FROM four GROUP BY prev3, prev2, prev1),
+       |m3 AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS m3c
+       |  FROM four GROUP BY prev2, prev1, w),
+       |mctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(m3c) AS BIGINT) AS m3cc,
+       |    CAST(count(*) AS BIGINT) AS n1f3c
+       |  FROM m3 GROUP BY prev2, prev1),
+       |five AS MATERIALIZED (
+       |  SELECT prev4, prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c5
+       |  FROM pt WHERE prev4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+       |ctx5 AS (
+       |  SELECT prev4, prev3, prev2, prev1, CAST(sum(c5) AS BIGINT) AS cc5,
+       |    CAST(count(*) AS BIGINT) AS n1f5
+       |  FROM five GROUP BY prev4, prev3, prev2, prev1),
+       |m4 AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS m4c
+       |  FROM five GROUP BY prev3, prev2, prev1, w),
+       |mctx4 AS (
+       |  SELECT prev3, prev2, prev1, CAST(sum(m4c) AS BIGINT) AS m4cc,
+       |    CAST(count(*) AS BIGINT) AS n1f4c
+       |  FROM m4 GROUP BY prev3, prev2, prev1),
+       |sc AS (
+       |  SELECT pt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |      WHEN pt.prev2 IS NULL THEN
+       |        ${lvl("big.c2", "ctx.cc", "ctx.n1f", pcont)}
+       |      WHEN pt.prev3 IS NULL THEN
+       |        ${lvl("tri.c3", "ctx3.cc3", "ctx3.n1f3", midP)}
+       |      WHEN pt.prev4 IS NULL THEN
+       |        ${lvl("four.c4", "ctx4.cc4", "ctx4.n1f4", mid3P)}
+       |      ELSE
+       |        ${lvl("five.c5", "ctx5.cc5", "ctx5.n1f5", mid4P)}
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+       |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
+       |  LEFT JOIN ctx ON pt.prev1 = ctx.prev1
+       |  LEFT JOIN cont ON pt.w = cont.w
+       |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
+       |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1
+       |  LEFT JOIN m2 ON pt.prev1 = m2.prev1 AND pt.w = m2.w
+       |  LEFT JOIN mctx ON pt.prev1 = mctx.prev1
+       |  LEFT JOIN four ON pt.prev3 = four.prev3 AND pt.prev2 = four.prev2
+       |    AND pt.prev1 = four.prev1 AND pt.w = four.w
+       |  LEFT JOIN ctx4 ON pt.prev3 = ctx4.prev3 AND pt.prev2 = ctx4.prev2
+       |    AND pt.prev1 = ctx4.prev1
+       |  LEFT JOIN m3 ON pt.prev2 = m3.prev2 AND pt.prev1 = m3.prev1 AND pt.w = m3.w
+       |  LEFT JOIN mctx3 ON pt.prev2 = mctx3.prev2 AND pt.prev1 = mctx3.prev1
+       |  LEFT JOIN five ON pt.prev4 = five.prev4 AND pt.prev3 = five.prev3
+       |    AND pt.prev2 = five.prev2 AND pt.prev1 = five.prev1 AND pt.w = five.w
+       |  LEFT JOIN ctx5 ON pt.prev4 = ctx5.prev4 AND pt.prev3 = ctx5.prev3
+       |    AND pt.prev2 = ctx5.prev2 AND pt.prev1 = ctx5.prev1
+       |  LEFT JOIN m4 ON pt.prev3 = m4.prev3 AND pt.prev2 = m4.prev2
+       |    AND pt.prev1 = m4.prev1 AND pt.w = m4.w
+       |  LEFT JOIN mctx4 ON pt.prev3 = mctx4.prev3 AND pt.prev2 = mctx4.prev2
+       |    AND pt.prev1 = mctx4.prev1
+       |  CROSS JOIN btot),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
+  }
+
+  /** Frozen-model ORDER-5 cross-scoring replay (train split → score
+    * split) — [[knTrigramCrossScoreSql]] two recursion levels up,
+    * mirroring [[graft.functions.LmIndex.scoreFrames5]]'s total OOV
+    * recipe branch for branch: every level covers its seen and unseen
+    * events in one absolute-discount expression (count coalesced to 0);
+    * an unseen context backs off a full level; reserved 0.5-type
+    * continuation/unigram mass. Shared verbatim by q_kn5_holdout
+    * (inline cross-score) and q_kn5_persisted_holdout (the build5 store
+    * serve). */
+  private def knPentaCrossScoreSql(
+      trainWhere: String, scoreWhere: String): String = {
+    val pcont = """CASE WHEN cont.n1c IS NOT NULL
+      THEN CAST(cont.n1c AS DOUBLE) / btot.btypes
+      ELSE 0.5 / btot.btypes END"""
+    def lvl(cnt: String, cc: String, nf: String, lower: String): String =
+      s"""CASE WHEN $cc IS NOT NULL THEN
+         |        greatest(CAST(coalesce($cnt, 0) AS DOUBLE) - 0.75, 0.0)
+         |          / CAST($cc AS DOUBLE)
+         |        + 0.75 * CAST($nf AS DOUBLE) / CAST($cc AS DOUBLE)
+         |          * ($lower)
+         |      ELSE ($lower) END""".stripMargin
+    val midP = lvl("m2.mcount", "mctx.mcc", "mctx.n1f2c", pcont)
+    val mid3P = lvl("m3.m3c", "mctx3.m3cc", "mctx3.n1f3c", midP)
+    val mid4P = lvl("m4.m4c", "mctx4.m4cc", "mctx4.n1f4c", mid3P)
+    s"""WITH ttoks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents WHERE $trainWhere),
+       |tpt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2,
+       |    lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS prev3,
+       |    lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS prev4
+       |  FROM ttoks),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM ttoks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |big AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM tpt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
+       |    CAST(count(*) AS BIGINT) AS n1f
+       |  FROM big GROUP BY prev1),
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+       |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM big),
+       |tri AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+       |  FROM tpt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
+       |    CAST(count(*) AS BIGINT) AS n1f3
+       |  FROM tri GROUP BY prev2, prev1),
+       |m2 AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+       |  FROM tri GROUP BY prev1, w),
+       |mctx AS (
+       |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
+       |    CAST(count(*) AS BIGINT) AS n1f2c
+       |  FROM m2 GROUP BY prev1),
+       |four AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c4
+       |  FROM tpt WHERE prev3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |ctx4 AS (
+       |  SELECT prev3, prev2, prev1, CAST(sum(c4) AS BIGINT) AS cc4,
+       |    CAST(count(*) AS BIGINT) AS n1f4
+       |  FROM four GROUP BY prev3, prev2, prev1),
+       |m3 AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS m3c
+       |  FROM four GROUP BY prev2, prev1, w),
+       |mctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(m3c) AS BIGINT) AS m3cc,
+       |    CAST(count(*) AS BIGINT) AS n1f3c
+       |  FROM m3 GROUP BY prev2, prev1),
+       |five AS MATERIALIZED (
+       |  SELECT prev4, prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c5
+       |  FROM tpt WHERE prev4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+       |ctx5 AS (
+       |  SELECT prev4, prev3, prev2, prev1, CAST(sum(c5) AS BIGINT) AS cc5,
+       |    CAST(count(*) AS BIGINT) AS n1f5
+       |  FROM five GROUP BY prev4, prev3, prev2, prev1),
+       |m4 AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS m4c
+       |  FROM five GROUP BY prev3, prev2, prev1, w),
+       |mctx4 AS (
+       |  SELECT prev3, prev2, prev1, CAST(sum(m4c) AS BIGINT) AS m4cc,
+       |    CAST(count(*) AS BIGINT) AS n1f4c
+       |  FROM m4 GROUP BY prev3, prev2, prev1),
+       |spt AS (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2,
+       |    lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS prev3,
+       |    lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS prev4
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(text, '\\s+')) AS w,
+       |      unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |    FROM documents WHERE $scoreWhere)),
+       |sc5 AS (
+       |  SELECT spt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN spt.prev1 IS NULL THEN
+       |        CASE WHEN uni.c1 IS NOT NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |             ELSE 0.5 / tot.total END
+       |      WHEN spt.prev2 IS NULL THEN
+       |        ${lvl("big.c2", "ctx.cc", "ctx.n1f", pcont)}
+       |      WHEN spt.prev3 IS NULL THEN
+       |        ${lvl("tri.c3", "ctx3.cc3", "ctx3.n1f3", midP)}
+       |      WHEN spt.prev4 IS NULL THEN
+       |        ${lvl("four.c4", "ctx4.cc4", "ctx4.n1f4", mid3P)}
+       |      ELSE
+       |        ${lvl("five.c5", "ctx5.cc5", "ctx5.n1f5", mid4P)}
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM spt
+       |  LEFT JOIN uni ON spt.w = uni.w
+       |  LEFT JOIN cont ON spt.w = cont.w
+       |  LEFT JOIN big ON spt.prev1 = big.prev1 AND spt.w = big.w
+       |  LEFT JOIN ctx ON spt.prev1 = ctx.prev1
+       |  LEFT JOIN tri ON spt.prev2 = tri.prev2 AND spt.prev1 = tri.prev1 AND spt.w = tri.w
+       |  LEFT JOIN ctx3 ON spt.prev2 = ctx3.prev2 AND spt.prev1 = ctx3.prev1
+       |  LEFT JOIN m2 ON spt.prev1 = m2.prev1 AND spt.w = m2.w
+       |  LEFT JOIN mctx ON spt.prev1 = mctx.prev1
+       |  LEFT JOIN four ON spt.prev3 = four.prev3 AND spt.prev2 = four.prev2
+       |    AND spt.prev1 = four.prev1 AND spt.w = four.w
+       |  LEFT JOIN ctx4 ON spt.prev3 = ctx4.prev3 AND spt.prev2 = ctx4.prev2
+       |    AND spt.prev1 = ctx4.prev1
+       |  LEFT JOIN m3 ON spt.prev2 = m3.prev2 AND spt.prev1 = m3.prev1 AND spt.w = m3.w
+       |  LEFT JOIN mctx3 ON spt.prev2 = mctx3.prev2 AND spt.prev1 = mctx3.prev1
+       |  LEFT JOIN five ON spt.prev4 = five.prev4 AND spt.prev3 = five.prev3
+       |    AND spt.prev2 = five.prev2 AND spt.prev1 = five.prev1 AND spt.w = five.w
+       |  LEFT JOIN ctx5 ON spt.prev4 = ctx5.prev4 AND spt.prev3 = ctx5.prev3
+       |    AND spt.prev2 = ctx5.prev2 AND spt.prev1 = ctx5.prev1
+       |  LEFT JOIN m4 ON spt.prev3 = m4.prev3 AND spt.prev2 = m4.prev2
+       |    AND spt.prev1 = m4.prev1 AND spt.w = m4.w
+       |  LEFT JOIN mctx4 ON spt.prev3 = mctx4.prev3 AND spt.prev2 = mctx4.prev2
+       |    AND spt.prev1 = mctx4.prev1
+       |  CROSS JOIN tot CROSS JOIN btot),
+       |agg5 AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc5 GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg5 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Modified-KN ORDER-5 score chain — mirrors
+    * [[graft.functions.LmIndex.scoreFramesMkn5]]: the order-5 recursion
+    * with per-LEVEL estimated D1/D2/D3+ across all SEVEN levels (raw
+    * 5/4/3/2-gram plus the three continuation levels), per-context
+    * bucket tallies at every level, 0.5/1.0/1.5 fallback per degenerate
+    * level. The oracle of q_mkn5_persisted (the build5 store serve
+    * reading the same tallies from its widened tables). */
+  private def mknPentaChainSql(scoreWhere: String = ""): String = {
+    val pcont = "(CAST(cont.n1c AS DOUBLE) / dd.btypes)"
+    def mlvl(cnt: String, cc: String, f1: String, f2: String, f3p: String,
+        p: String, lower: String): String =
+      s"""(CAST($cnt AS DOUBLE) - CASE WHEN $cnt = 1 THEN dd.d1$p
+         |            WHEN $cnt = 2 THEN dd.d2$p ELSE dd.d3$p END)
+         |          / CAST($cc AS DOUBLE)
+         |        + (dd.d1$p * CAST($f1 AS DOUBLE) + dd.d2$p * CAST($f2 AS DOUBLE)
+         |           + dd.d3$p * CAST($f3p AS DOUBLE)) / CAST($cc AS DOUBLE)
+         |          * ($lower)""".stripMargin
+    val midP = mlvl("m2.mcount", "mctx.mcc", "mctx.mf1", "mctx.mf2",
+      "mctx.mf3p", "m", pcont)
+    val mid3P = mlvl("m3.m3c", "mctx3.m3cc", "mctx3.pf1", "mctx3.pf2",
+      "mctx3.pf3p", "p", midP)
+    val mid4P = mlvl("m4.m4c", "mctx4.m4cc", "mctx4.qf1", "mctx4.qf2",
+      "mctx4.qf3p", "q", mid3P)
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents),
+       |pt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2,
+       |    lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS prev3,
+       |    lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS prev4
+       |  FROM toks),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |big AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+       |ctx AS (
+       |  SELECT prev1, CAST(sum(c2) AS BIGINT) AS cc,
+       |    CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
+       |    CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
+       |    CAST(sum(CASE WHEN c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nf3p
+       |  FROM big GROUP BY prev1),
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM big GROUP BY w),
+       |tri AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+       |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(c3) AS BIGINT) AS cc3,
+       |    CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+       |    CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+       |    CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS tf3p
+       |  FROM tri GROUP BY prev2, prev1),
+       |m2 AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+       |  FROM tri GROUP BY prev1, w),
+       |mctx AS (
+       |  SELECT prev1, CAST(sum(mcount) AS BIGINT) AS mcc,
+       |    CAST(sum(CASE WHEN mcount = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mf1,
+       |    CAST(sum(CASE WHEN mcount = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mf2,
+       |    CAST(sum(CASE WHEN mcount >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS mf3p
+       |  FROM m2 GROUP BY prev1),
+       |four AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c4
+       |  FROM pt WHERE prev3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |ctx4 AS (
+       |  SELECT prev3, prev2, prev1, CAST(sum(c4) AS BIGINT) AS cc4,
+       |    CAST(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ff1,
+       |    CAST(sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ff2,
+       |    CAST(sum(CASE WHEN c4 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ff3p
+       |  FROM four GROUP BY prev3, prev2, prev1),
+       |m3 AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS m3c
+       |  FROM four GROUP BY prev2, prev1, w),
+       |mctx3 AS (
+       |  SELECT prev2, prev1, CAST(sum(m3c) AS BIGINT) AS m3cc,
+       |    CAST(sum(CASE WHEN m3c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pf1,
+       |    CAST(sum(CASE WHEN m3c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS pf2,
+       |    CAST(sum(CASE WHEN m3c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS pf3p
+       |  FROM m3 GROUP BY prev2, prev1),
+       |five AS MATERIALIZED (
+       |  SELECT prev4, prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c5
+       |  FROM pt WHERE prev4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+       |ctx5 AS (
+       |  SELECT prev4, prev3, prev2, prev1, CAST(sum(c5) AS BIGINT) AS cc5,
+       |    CAST(sum(CASE WHEN c5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vf1,
+       |    CAST(sum(CASE WHEN c5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS vf2,
+       |    CAST(sum(CASE WHEN c5 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS vf3p
+       |  FROM five GROUP BY prev4, prev3, prev2, prev1),
+       |m4 AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS m4c
+       |  FROM five GROUP BY prev3, prev2, prev1, w),
+       |mctx4 AS (
+       |  SELECT prev3, prev2, prev1, CAST(sum(m4c) AS BIGINT) AS m4cc,
+       |    CAST(sum(CASE WHEN m4c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS qf1,
+       |    CAST(sum(CASE WHEN m4c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS qf2,
+       |    CAST(sum(CASE WHEN m4c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS qf3p
+       |  FROM m4 GROUP BY prev3, prev2, prev1),
+       |cnb AS (SELECT CAST(count(*) AS DOUBLE) AS btypes,
+       |  CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       |  CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       |  CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+       |  CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+       |  FROM big),
+       |cnt AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t1,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t2,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t3,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t4
+       |  FROM tri),
+       |cnm AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN mcount = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m1,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m2,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m3,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m4
+       |  FROM m2),
+       |cnf AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+       |  CAST(coalesce(sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f2,
+       |  CAST(coalesce(sum(CASE WHEN c4 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f3,
+       |  CAST(coalesce(sum(CASE WHEN c4 = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f4
+       |  FROM four),
+       |cnp AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN m3c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p1,
+       |  CAST(coalesce(sum(CASE WHEN m3c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p2,
+       |  CAST(coalesce(sum(CASE WHEN m3c = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p3,
+       |  CAST(coalesce(sum(CASE WHEN m3c = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p4
+       |  FROM m3),
+       |cnv AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN c5 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1,
+       |  CAST(coalesce(sum(CASE WHEN c5 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2,
+       |  CAST(coalesce(sum(CASE WHEN c5 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3,
+       |  CAST(coalesce(sum(CASE WHEN c5 = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4
+       |  FROM five),
+       |cnq AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN m4c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q1,
+       |  CAST(coalesce(sum(CASE WHEN m4c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q2,
+       |  CAST(coalesce(sum(CASE WHEN m4c = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q3,
+       |  CAST(coalesce(sum(CASE WHEN m4c = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q4
+       |  FROM m4),
+       |${mknLevelDiscountSql("b")},
+       |${mknLevelDiscountSql("t")},
+       |${mknLevelDiscountSql("m")},
+       |${mknLevelDiscountSql("f")},
+       |${mknLevelDiscountSql("p")},
+       |${mknLevelDiscountSql("v")},
+       |${mknLevelDiscountSql("q")},
+       |dd AS (SELECT cnb.btypes, dlb.*, dlt.*, dlm.*, dlf.*, dlp.*, dlv.*, dlq.*
+       |  FROM cnb CROSS JOIN dlb CROSS JOIN dlt CROSS JOIN dlm
+       |  CROSS JOIN dlf CROSS JOIN dlp CROSS JOIN dlv CROSS JOIN dlq),
+       |sc AS (
+       |  SELECT pt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |      WHEN pt.prev2 IS NULL THEN
+       |        ${mlvl("big.c2", "ctx.cc", "ctx.nf1", "ctx.nf2", "ctx.nf3p",
+                 "b", pcont)}
+       |      WHEN pt.prev3 IS NULL THEN
+       |        ${mlvl("tri.c3", "ctx3.cc3", "ctx3.tf1", "ctx3.tf2",
+                 "ctx3.tf3p", "t", midP)}
+       |      WHEN pt.prev4 IS NULL THEN
+       |        ${mlvl("four.c4", "ctx4.cc4", "ctx4.ff1", "ctx4.ff2",
+                 "ctx4.ff3p", "f", mid3P)}
+       |      ELSE
+       |        ${mlvl("five.c5", "ctx5.cc5", "ctx5.vf1", "ctx5.vf2",
+                 "ctx5.vf3p", "v", mid4P)}
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  FROM pt JOIN uni USING (w) CROSS JOIN tot
+       |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
+       |  LEFT JOIN ctx ON pt.prev1 = ctx.prev1
+       |  LEFT JOIN cont ON pt.w = cont.w
+       |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
+       |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1
+       |  LEFT JOIN m2 ON pt.prev1 = m2.prev1 AND pt.w = m2.w
+       |  LEFT JOIN mctx ON pt.prev1 = mctx.prev1
+       |  LEFT JOIN four ON pt.prev3 = four.prev3 AND pt.prev2 = four.prev2
+       |    AND pt.prev1 = four.prev1 AND pt.w = four.w
+       |  LEFT JOIN ctx4 ON pt.prev3 = ctx4.prev3 AND pt.prev2 = ctx4.prev2
+       |    AND pt.prev1 = ctx4.prev1
+       |  LEFT JOIN m3 ON pt.prev2 = m3.prev2 AND pt.prev1 = m3.prev1 AND pt.w = m3.w
+       |  LEFT JOIN mctx3 ON pt.prev2 = mctx3.prev2 AND pt.prev1 = mctx3.prev1
+       |  LEFT JOIN five ON pt.prev4 = five.prev4 AND pt.prev3 = five.prev3
+       |    AND pt.prev2 = five.prev2 AND pt.prev1 = five.prev1 AND pt.w = five.w
+       |  LEFT JOIN ctx5 ON pt.prev4 = ctx5.prev4 AND pt.prev3 = ctx5.prev3
+       |    AND pt.prev2 = ctx5.prev2 AND pt.prev1 = ctx5.prev1
+       |  LEFT JOIN m4 ON pt.prev3 = m4.prev3 AND pt.prev2 = m4.prev2
+       |    AND pt.prev1 = m4.prev1 AND pt.w = m4.w
+       |  LEFT JOIN mctx4 ON pt.prev3 = mctx4.prev3 AND pt.prev2 = mctx4.prev2
+       |    AND pt.prev1 = mctx4.prev1
+       |  CROSS JOIN dd),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
   }
 
   /** WordPiece-objective merge-loop replay — [[bpeChainSql]]'s structure
@@ -6323,11 +6918,29 @@ object SparkEntry {
 
     "q_kn3_persisted" -> knTrigramChainSql(),
 
+    "q_kn3_positional" -> knTrigramChainSql(),
+
     "q_kn3_probed" -> knTrigramChainSql("WHERE doc_id % 25 = 0"),
 
-    "q_mkn_trigram" -> mknTrigramChainSql,
+    "q_mkn_trigram" -> mknTrigramChainSql(),
 
-    "q_mkn3_persisted" -> mknTrigramChainSql,
+    "q_mkn3_persisted" -> mknTrigramChainSql(),
+
+    "q_mkn_probed" -> mknBigramChainSql("WHERE doc_id % 25 = 0"),
+
+    "q_mkn3_probed" -> mknTrigramChainSql("WHERE doc_id % 25 = 0"),
+
+    "q_kn5_persisted" -> knPentaChainSql(),
+
+    "q_kn5_probed" -> knPentaChainSql("WHERE doc_id % 25 = 0"),
+
+    "q_kn5_holdout" ->
+      knPentaCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
+    "q_kn5_persisted_holdout" ->
+      knPentaCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
+    "q_mkn5_persisted" -> mknPentaChainSql(),
 
     "q_kn3_holdout" ->
       knTrigramCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
@@ -6335,11 +6948,11 @@ object SparkEntry {
     "q_kn3_persisted_holdout" ->
       knTrigramCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
 
-    "q_mkn_persisted" -> mknBigramChainSql,
+    "q_mkn_persisted" -> mknBigramChainSql(),
 
     "q_kn_trigram" -> knTrigramChainSql(),
 
-    "q_mkn_bigram" -> mknBigramChainSql,
+    "q_mkn_bigram" -> mknBigramChainSql(),
 
     "q_ppl_buckets" ->
       s"""WITH $knBigramScoreSql,

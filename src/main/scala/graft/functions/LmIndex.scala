@@ -63,11 +63,12 @@ object LmIndex {
     df.select(col(idCol),
       posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
 
-  private def withPrev(toks: DataFrame, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(idCol).orderBy("pos")
-    toks.withColumn("prev", lag(col("w"), 1).over(win))
-  }
+  // Every lag frame in this family funnels through
+  // [[TextAnalysis.laggedTokens]] — the per-doc window by default, the
+  // single-exchange positional join under `graft.lm.positionalJoin`
+  // (the executable form of the giant-document mitigation).
+  private def withPrev(toks: DataFrame, idCol: String): DataFrame =
+    TextAnalysis.laggedTokens(toks, idCol, Seq("prev"))
 
   /** Model frames computed LAZILY from a training corpus (no jobs fire
     * here; [[build]] adds the one-tokenize checkpoint discipline). */
@@ -332,8 +333,61 @@ object LmIndex {
     * same rows kept, executor-side). The default 65536 words keeps the
     * literal plans ≈ a few MB. */
   private[graft] def probeMaxWords(df: DataFrame): Int =
-    df.sparkSession.conf.getOption("graft.lm.probeMaxWords")
-      .map(_.toInt).getOrElse(65536)
+    math.min(
+      TextAnalysis.confPositiveLong(df, "graft.lm.probeMaxWords", 65536L),
+      Int.MaxValue.toLong).toInt
+
+  /** A batch-vocabulary pruner with its release handle: [[release]]
+    * unpins the semi-join regime's checkpointed word frame (a no-op in
+    * the IN regime, which materializes nothing). One-shot serve calls
+    * ([[scoreBatch]]/[[scoreBatch3]]) return lazy plans and cannot know
+    * when the caller is done — they lean on Spark's ContextCleaner to
+    * reclaim the frame when it goes unreferenced (the pplBuckets
+    * localCheckpoint posture); a STANDING consumer (the streaming
+    * gates, which would otherwise leak one checkpoint per oversized
+    * micro-batch for the stream's lifetime) must call [[release]] after
+    * its sink has consumed the scored rows. */
+  private[graft] final class WordPruner(
+      f: (DataFrame, Seq[String]) => DataFrame,
+      val release: () => Unit) extends ((DataFrame, Seq[String]) => DataFrame) {
+    def apply(t: DataFrame, cols: Seq[String]): DataFrame = f(t, cols)
+  }
+
+  /** The probed-serve regime switch, shared by [[scoreBatch]],
+    * [[scoreBatch3]] and the modified-KN twins: returns a pruner that
+    * restricts a model table's given word-valued columns to the batch's
+    * vocabulary — static IN filters below [[probeMaxWords]] (one bounded
+    * driver collect; `limit(max+1)` caps the driver at max+1 rows even
+    * on a huge batch — the overflow probe IS the word collect when it
+    * fits), broadcast LEFT SEMI joins on the lazy word frame above it
+    * (no driver collect at any size; the frame is the batch's tokenize,
+    * re-derived per consumer — cheap, and the price of never
+    * materializing it driver-side). */
+  private def batchWordPruner(
+      docs: DataFrame, textCol: String): WordPruner = {
+    val wordsDf = docs
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .distinct()
+    val maxWords = probeMaxWords(docs)
+    val sample: Array[String] =
+      wordsDf.limit(maxWords + 1).collect().map(_.getString(0))
+    if (sample.length <= maxWords)
+      new WordPruner(
+        (t, cols) => cols.foldLeft(t)((d, c) => d.filter(col(c).isin(sample: _*))),
+        () => ())
+    else {
+      // Materialize the word frame ONCE, executor-side (no driver rows):
+      // each pruned key column broadcasts its own renamed copy, and a
+      // rename Project under the BroadcastExchange defeats exchange
+      // reuse — without the checkpoint the batch would re-tokenize and
+      // re-distinct once per pruned column (13 times at order 3).
+      val wordsCp = wordsDf.localCheckpoint()
+      new WordPruner(
+        (t, cols) => cols.foldLeft(t)((d, c) =>
+          d.join(broadcast(wordsCp.withColumnRenamed("w", c)), Seq(c), "left_semi")),
+        () => { wordsCp.unpersist(); () })
+    }
+  }
 
   /** [[score]] for a QUERY-BATCH-sized document set — the probed serve
     * shape ([[LexIndex.bm25TopK]]'s convention): the batch's DISTINCT
@@ -349,38 +403,6 @@ object LmIndex {
     * vocabulary; spec-pinned at both regimes, and q_kn_probed shares the
     * cross-score oracle SQL). One batch-tokenization job per call (the
     * word take/collect), the documented serve-call cost. */
-  /** The regime switch itself, shared by [[scoreBatch]] and
-    * [[scoreBatch3]]: returns a pruner that restricts a model table's
-    * given word-valued columns to the batch's vocabulary — static IN
-    * filters below [[probeMaxWords]] (one bounded driver collect;
-    * `limit(max+1)` caps the driver at max+1 rows even on a huge batch —
-    * the overflow probe IS the word collect when it fits), broadcast
-    * LEFT SEMI joins on the lazy word frame above it (no driver collect
-    * at any size; the frame is the batch's tokenize, re-derived per
-    * consumer — cheap, and the price of never materializing it
-    * driver-side). */
-  private def batchWordPruner(
-      docs: DataFrame, textCol: String): (DataFrame, Seq[String]) => DataFrame = {
-    val wordsDf = docs
-      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
-      .distinct()
-    val maxWords = probeMaxWords(docs)
-    val sample: Array[String] =
-      wordsDf.limit(maxWords + 1).collect().map(_.getString(0))
-    if (sample.length <= maxWords)
-      (t, cols) => cols.foldLeft(t)((d, c) => d.filter(col(c).isin(sample: _*)))
-    else {
-      // Materialize the word frame ONCE, executor-side (no driver rows):
-      // each pruned key column broadcasts its own renamed copy, and a
-      // rename Project under the BroadcastExchange defeats exchange
-      // reuse — without the checkpoint the batch would re-tokenize and
-      // re-distinct once per pruned column (13 times at order 3).
-      val wordsCp = wordsDf.localCheckpoint()
-      (t, cols) => cols.foldLeft(t)((d, c) =>
-        d.join(broadcast(wordsCp.withColumnRenamed("w", c)), Seq(c), "left_semi"))
-    }
-  }
-
   def scoreBatch(
       store: TableStore, prefix: String,
       docs: DataFrame, idCol: String, textCol: String,
@@ -399,16 +421,17 @@ object LmIndex {
   // ---- order-3 / modified-KN persisted model (the v2 model family) ----
   //
   // The REAL CCNet deployment serves a frozen order-5 KenLM with
-  // modified-KN discounts; the train-offline/score-online split here
-  // reaches order 3 (interpolated KN, [[TextAnalysis.knTrigramLogProb]]'s
-  // recursion) and modified-KN at the bigram level
-  // ([[TextAnalysis.mknBigramLogProb]]'s estimated discounts) from ONE
-  // extended model: [[build3]] writes the five bigram tables (ctx and
-  // stats widened with the count-bucket tallies modified KN estimates
-  // its discounts from) plus four trigram-level tables. A build3'd model
-  // therefore serves all three smoothings — [[score]] (order-2 KN, reads
-  // the five), [[score3]] (order-3 KN), [[scoreMkn]] (modified-KN
-  // bigram) — without retraining.
+  // modified-KN discounts; [[build5]] (further below) reaches that
+  // literal posture. This intermediate family is the order-3 split:
+  // interpolated KN ([[TextAnalysis.knTrigramLogProb]]'s recursion) and
+  // modified-KN ([[TextAnalysis.mknBigramLogProb]]'s estimated
+  // discounts) from ONE extended model: [[build3]] writes the five
+  // bigram tables (ctx and stats widened with the count-bucket tallies
+  // modified KN estimates its discounts from) plus four trigram-level
+  // tables. A build3'd model therefore serves FOUR smoothings —
+  // [[score]] (order-2 KN, reads the five), [[score3]] (order-3 KN),
+  // [[scoreMkn]] / [[scoreMkn3]] (modified-KN at both orders) — without
+  // retraining, each with a probed twin and a streaming gate.
 
   /** The nine model frames of the order-3 family. Bigram-level tables
     * share the [[KnModel]] shapes (ctx/stats widened); trigram level:
@@ -436,12 +459,8 @@ object LmIndex {
     * table. */
   private[graft] def modelFrames3(
       train: DataFrame, idCol: String, textCol: String): Kn3Model = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(idCol).orderBy("pos")
     val toks = tokens(train, idCol, textCol)
-    val pt = toks
-      .withColumn("prev", lag(col("w"), 1).over(win))
-      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val pt = TextAnalysis.laggedTokens(toks, idCol, Seq("prev", "prev2"))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
     val big = pt.filter(col("prev").isNotNull)
       .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
@@ -541,13 +560,10 @@ object LmIndex {
   private[graft] def scoreFrames3(
       m: Kn3Model, docs: DataFrame, idCol: String, textCol: String,
       discount: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val win = Window.partitionBy(idCol).orderBy("pos")
-    val pt = tokens(docs, idCol, textCol)
-      .withColumn("prev", lag(col("w"), 1).over(win))
-      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val pt = TextAnalysis.laggedTokens(
+      tokens(docs, idCol, textCol), idCol, Seq("prev", "prev2"))
     val total = col("total_tokens").cast("double")
     val btypes = col("bigram_types").cast("double")
     val d = lit(discount)
@@ -727,9 +743,20 @@ object LmIndex {
     * this; parquet row-group skipping remains finer-grained than
     * cached-batch stats, so the probed store path still leads at 18). */
   private[graft] def pruneModel3(
-      m: Kn3Model, docs: DataFrame, textCol: String): Kn3Model = {
+      m: Kn3Model, docs: DataFrame, textCol: String): Kn3Model =
+    pruneModel3R(m, docs, textCol)._1
+
+  /** [[pruneModel3]] with the pruner's release handle — for STANDING
+    * consumers (the streaming gates): in the oversized-batch regime the
+    * pruner checkpoints the batch's word frame, and a gate that never
+    * releases it leaks one checkpoint per such micro-batch until the
+    * driver GC happens to collect it ([[WordPruner.release]]). One-shot
+    * callers keep [[pruneModel3]] (ContextCleaner reclaims the frame
+    * when the returned plan goes unreferenced). */
+  private[graft] def pruneModel3R(
+      m: Kn3Model, docs: DataFrame, textCol: String): (Kn3Model, () => Unit) = {
     val prune = batchWordPruner(docs, textCol)
-    Kn3Model(
+    (Kn3Model(
       uni = prune(m.uni, Seq("w")),
       big = prune(m.big, Seq("prev", "w")),
       ctx = prune(m.ctx, Seq("prev")),
@@ -738,7 +765,7 @@ object LmIndex {
       ctx3 = prune(m.ctx3, Seq("prev2", "prev")),
       m2 = prune(m.m2, Seq("prev", "w")),
       mctx = prune(m.mctx, Seq("prev")),
-      stats = m.stats)
+      stats = m.stats), prune.release)
   }
 
   def scoreBatch3(
@@ -776,39 +803,50 @@ object LmIndex {
   def scoreMkn(
       store: TableStore, prefix: String,
       docs: DataFrame, idCol: String, textCol: String,
-      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
-    val uni = store.load(s"${prefix}_uni")
-    val big = store.load(s"${prefix}_big")
-    val ctx = store.load(s"${prefix}_ctx")
-    val cont = store.load(s"${prefix}_cont")
-    val stats = store.load(s"${prefix}_stats")
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
+    scoreFramesMkn(loadModel3(store, prefix), docs, idCol, textCol,
+      fallbackDiscounts)
+
+  /** [[scoreBatch]] for the modified-KN bigram serve: the same
+    * [[batchWordPruner]] regime switch (static IN below
+    * [[probeMaxWords]], broadcast semi-join above) restricts the four
+    * keyed bigram-level reads to the batch's vocabulary — row-identical
+    * to [[scoreMkn]] in both regimes (left joins outside the batch's
+    * words can never hit; the broadcast discounts row derives from the
+    * UNPRUNED stats table, so calibration never depends on the batch). */
+  def scoreBatchMkn(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
+    scoreFramesMkn(pruneModel3(loadModel3(store, prefix), docs, textCol),
+      docs, idCol, textCol, fallbackDiscounts)
+
+  /** The modified-KN bigram recipe over explicit frames (reads only the
+    * five bigram-level members of a [[Kn3Model]]) — shared by
+    * [[scoreMkn]] (full table scans), [[scoreBatchMkn]] (probed), and a
+    * pinned streaming gate. Discounts derive via
+    * [[TextAnalysis.mknLevelDiscounts]] from the stored bigram tallies
+    * (stats n1..n4 renamed to the estimator's level prefix) — ONE
+    * eq.-26 edit point across the inline, persisted, and order-3
+    * scorers (the pcontOOV single-sourcing discipline). */
+  private[graft] def scoreFramesMkn(
+      m: Kn3Model, docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)]): DataFrame = {
     val pt = withPrev(tokens(docs, idCol, textCol), idCol)
     val total = col("total_tokens").cast("double")
     val btypes = col("bigram_types").cast("double")
-    // Discount columns over the broadcast stats row — the
-    // mknBigramLogProb estimates replayed from the stored tallies, with
-    // the same lazy degenerate branches.
-    val degen = col("n1") === 0L || col("n2") === 0L || col("n3") === 0L
-    val y = when(degen, lit(0.0)).otherwise(col("n1").cast("double")
-      / (col("n1").cast("double") + lit(2.0) * col("n2").cast("double")))
-    val disc = stats.select(
-      col("total_tokens"), col("bigram_types"),
-      when(degen, TextAnalysis.degenDiscount(fallbackDiscounts, 1))
-        .otherwise(lit(1.0) - lit(2.0) * y
-          * col("n2").cast("double") / col("n1").cast("double")).as("d1"),
-      when(degen, TextAnalysis.degenDiscount(fallbackDiscounts, 2))
-        .otherwise(lit(2.0) - lit(3.0) * y
-          * col("n3").cast("double") / col("n2").cast("double")).as("d2"),
-      when(degen, TextAnalysis.degenDiscount(fallbackDiscounts, 3))
-        .otherwise(lit(3.0) - lit(4.0) * y
-          * col("n4").cast("double") / col("n3").cast("double")).as("d3"))
+    val disc = m.stats
+      .select(Seq(col("total_tokens"), col("bigram_types")) ++
+        Seq("1", "2", "3", "4").map(k => col(s"n$k").as(s"b$k")): _*)
+      .select(col("total_tokens") +: col("bigram_types") +:
+        TextAnalysis.mknLevelDiscounts("b", fallbackDiscounts): _*)
     val pcont = pcontOOV(btypes)
     val uniP = uniPOOV(total)
-    val dOfC = when(col("c2") === 1L, col("d1"))
-      .when(col("c2") === 2L, col("d2")).otherwise(col("d3"))
-    val lam = (col("d1") * col("nf1").cast("double")
-      + col("d2") * col("nf2").cast("double")
-      + col("d3") * col("nf3p").cast("double")) / col("cc").cast("double")
+    val dOfC = when(col("c2") === 1L, col("d1b"))
+      .when(col("c2") === 2L, col("d2b")).otherwise(col("d3b"))
+    val lam = (col("d1b") * col("nf1").cast("double")
+      + col("d2b") * col("nf2").cast("double")
+      + col("d3b") * col("nf3p").cast("double")) / col("cc").cast("double")
     val seenCtx =
       when(col("c2").isNotNull,
         (col("c2").cast("double") - dOfC) / col("cc").cast("double"))
@@ -816,10 +854,10 @@ object LmIndex {
     val p = when(col("prev").isNull, uniP)
       .when(col("cc").isNotNull, seenCtx)
       .otherwise(pcont)
-    val wM = uni.join(cont, Seq("w"), "left")
+    val wM = m.uni.join(m.cont, Seq("w"), "left")
     pt.join(wM, Seq("w"), "left")
-      .join(big, Seq("prev", "w"), "left")
-      .join(ctx, Seq("prev"), "left")
+      .join(m.big, Seq("prev", "w"), "left")
+      .join(m.ctx, Seq("prev"), "left")
       .crossJoin(broadcast(disc))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)
@@ -847,13 +885,30 @@ object LmIndex {
   def scoreMkn3(
       store: TableStore, prefix: String,
       docs: DataFrame, idCol: String, textCol: String,
-      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = loadModel3(store, prefix)
-    val win = Window.partitionBy(idCol).orderBy("pos")
-    val pt = tokens(docs, idCol, textCol)
-      .withColumn("prev", lag(col("w"), 1).over(win))
-      .withColumn("prev2", lag(col("w"), 2).over(win))
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
+    scoreFramesMkn3(loadModel3(store, prefix), docs, idCol, textCol,
+      fallbackDiscounts)
+
+  /** [[scoreBatch3]] for the modified-KN order-3 serve: all eight keyed
+    * table reads prune to the batch's vocabulary through
+    * [[pruneModel3]]'s regime switch — row-identical to [[scoreMkn3]]
+    * in both regimes (the discounts row reads the unpruned stats). */
+  def scoreBatchMkn3(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
+    scoreFramesMkn3(pruneModel3(loadModel3(store, prefix), docs, textCol),
+      docs, idCol, textCol, fallbackDiscounts)
+
+  /** The order-3 modified-KN recipe over explicit frames — shared by
+    * [[scoreMkn3]] (full scans), [[scoreBatchMkn3]] (probed), and
+    * [[graft.stream.EventAnalytics.pplGateMkn3EachBatch]] (pinned +
+    * pruned). */
+  private[graft] def scoreFramesMkn3(
+      m: Kn3Model, docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)]): DataFrame = {
+    val pt = TextAnalysis.laggedTokens(
+      tokens(docs, idCol, textCol), idCol, Seq("prev", "prev2"))
     // Rename the stored per-level count-of-count columns to the
     // mknLevelDiscounts naming (bigram n1..n4 -> b1..b4) and derive the
     // nine discounts as ONE broadcast row.
@@ -910,6 +965,590 @@ object LmIndex {
       .join(ctxM, Seq("prev"), "left")
       .join(m.tri, Seq("prev2", "prev", "w"), "left")
       .join(m.ctx3, Seq("prev2", "prev"), "left")
+      .crossJoin(broadcast(disc))
+      .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
+  // ---- order-5 persisted model (the v3 family — the literal CCNet
+  // posture) ----
+  //
+  // Wenzek et al. 2020 gate every crawl shard with a FROZEN ORDER-5
+  // KenLM under modified-KN discounts. [[build5]] extends [[build3]]'s
+  // table family two levels: raw 4-gram and 5-gram count tables with
+  // their context aggregates, the two continuation levels between them
+  // (N1+(•, 3-gram) from 4-gram types and N1+(•, 4-gram) from 5-gram
+  // types — the standard KN lower-order counts, exactly as m2/cont are
+  // to the trigram/bigram levels), and a stats row carrying EVERY
+  // level's count-of-count tallies. The bigram- and trigram-level
+  // tables are bit-identical to [[build3]]'s (same derivations over the
+  // same counts, spec-pinned), so ONE build5 model serves six
+  // smoothings without retraining: [[score]]/[[scoreMkn]] (order 2),
+  // [[score3]]/[[scoreMkn3]] (order 3), [[score5]]/[[scoreMkn5]]
+  // (order 5).
+
+  /** The seventeen model frames of the order-5 family — [[Kn3Model]]'s
+    * nine (stats widened further) plus:
+    *   - `<prefix>_four`  (prev3, prev2, prev, w, c4) — raw 4-gram counts
+    *   - `<prefix>_ctx4`  (prev3, prev2, prev, cc4, n1f4, ff1, ff2, ff3p)
+    *   - `<prefix>_m3`    (prev2, prev, w, m3c) — continuation-TRIGRAM
+    *     counts N1+(•, prev2, prev, w) over 4-gram types
+    *   - `<prefix>_mctx3` (prev2, prev, m3cc, n1f3c, pf1, pf2, pf3p)
+    *   - `<prefix>_five`  (prev4, prev3, prev2, prev, w, c5)
+    *   - `<prefix>_ctx5`  (prev4, prev3, prev2, prev, cc5, n1f5, vf1,
+    *     vf2, vf3p)
+    *   - `<prefix>_m4`    (prev3, prev2, prev, w, m4c) — continuation-
+    *     4-GRAM counts N1+(•, prev3, prev2, prev, w) over 5-gram types
+    *   - `<prefix>_mctx4` (prev3, prev2, prev, m4cc, n1f4c, qf1, qf2,
+    *     qf3p). */
+  private[graft] final case class Kn5Model(
+      uni: DataFrame, big: DataFrame, ctx: DataFrame, cont: DataFrame,
+      tri: DataFrame, ctx3: DataFrame, m2: DataFrame, mctx: DataFrame,
+      four: DataFrame, ctx4: DataFrame, m3: DataFrame, mctx3: DataFrame,
+      five: DataFrame, ctx5: DataFrame, m4: DataFrame, mctx4: DataFrame,
+      stats: DataFrame)
+
+  private def derivedCtx4(four: DataFrame): DataFrame =
+    four.groupBy("prev3", "prev2", "prev").agg(
+      sum(col("c4")).cast("long").as("cc4"),
+      count(lit(1)).cast("long").as("n1f4"),
+      sum(when(col("c4") === 1L, 1L).otherwise(0L)).cast("long").as("ff1"),
+      sum(when(col("c4") === 2L, 1L).otherwise(0L)).cast("long").as("ff2"),
+      sum(when(col("c4") >= 3L, 1L).otherwise(0L)).cast("long").as("ff3p"))
+
+  private def derivedM3(four: DataFrame): DataFrame =
+    four.groupBy("prev2", "prev", "w")
+      .agg(count(lit(1)).cast("long").as("m3c"))
+
+  private def derivedMctx3(m3: DataFrame): DataFrame =
+    m3.groupBy("prev2", "prev").agg(
+      sum(col("m3c")).cast("long").as("m3cc"),
+      count(lit(1)).cast("long").as("n1f3c"),
+      sum(when(col("m3c") === 1L, 1L).otherwise(0L)).cast("long").as("pf1"),
+      sum(when(col("m3c") === 2L, 1L).otherwise(0L)).cast("long").as("pf2"),
+      sum(when(col("m3c") >= 3L, 1L).otherwise(0L)).cast("long").as("pf3p"))
+
+  private def derivedCtx5(five: DataFrame): DataFrame =
+    five.groupBy("prev4", "prev3", "prev2", "prev").agg(
+      sum(col("c5")).cast("long").as("cc5"),
+      count(lit(1)).cast("long").as("n1f5"),
+      sum(when(col("c5") === 1L, 1L).otherwise(0L)).cast("long").as("vf1"),
+      sum(when(col("c5") === 2L, 1L).otherwise(0L)).cast("long").as("vf2"),
+      sum(when(col("c5") >= 3L, 1L).otherwise(0L)).cast("long").as("vf3p"))
+
+  private def derivedM4(five: DataFrame): DataFrame =
+    five.groupBy("prev3", "prev2", "prev", "w")
+      .agg(count(lit(1)).cast("long").as("m4c"))
+
+  private def derivedMctx4(m4: DataFrame): DataFrame =
+    m4.groupBy("prev3", "prev2", "prev").agg(
+      sum(col("m4c")).cast("long").as("m4cc"),
+      count(lit(1)).cast("long").as("n1f4c"),
+      sum(when(col("m4c") === 1L, 1L).otherwise(0L)).cast("long").as("qf1"),
+      sum(when(col("m4c") === 2L, 1L).otherwise(0L)).cast("long").as("qf2"),
+      sum(when(col("m4c") >= 3L, 1L).otherwise(0L)).cast("long").as("qf3p"))
+
+  /** One level's count-of-count tallies (types + buckets 1..4) as a
+    * one-row frame — the [[derivedStats3]] shape generalized to the new
+    * levels' prefixes. */
+  private def countOfCounts(
+      df: DataFrame, c: String, typesName: String, p: String): DataFrame = {
+    val cols = count(lit(1)).cast("long").as(typesName) +:
+      (1 to 4).map(k =>
+        coalesce(sum(when(col(c) === k.toLong, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as(s"$p$k"))
+    df.agg(cols.head, cols.tail: _*)
+  }
+
+  /** The order-5 one-row stats table: [[derivedStats3]]'s columns plus
+    * the four new levels' count-of-counts — raw 4-gram (f1..f4), the
+    * continuation-trigram level (p1..p4), raw 5-gram (v1..v4), the
+    * continuation-4-gram level (q1..q4). */
+  private def derivedStats5(
+      uni: DataFrame, big: DataFrame, tri: DataFrame, m2: DataFrame,
+      four: DataFrame, m3: DataFrame, five: DataFrame,
+      m4: DataFrame): DataFrame =
+    derivedStats3(uni, big, tri, m2)
+      .crossJoin(countOfCounts(four, "c4", "fourgram_types", "f"))
+      .crossJoin(countOfCounts(m3, "m3c", "m3_types", "p"))
+      .crossJoin(countOfCounts(five, "c5", "fivegram_types", "v"))
+      .crossJoin(countOfCounts(m4, "m4c", "m4_types", "q"))
+
+  /** The seventeen frames computed lazily from a training corpus (no
+    * jobs fire; [[build5]] adds the one-pass count discipline). */
+  private[graft] def modelFrames5(
+      train: DataFrame, idCol: String, textCol: String): Kn5Model = {
+    val toks = tokens(train, idCol, textCol)
+    val pt = TextAnalysis.laggedTokens(toks, idCol,
+      Seq("prev", "prev2", "prev3", "prev4"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
+    val big = pt.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
+    val tri = pt.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "w").agg(count(lit(1)).cast("long").as("c3"))
+    val four = pt.filter(col("prev3").isNotNull)
+      .groupBy("prev3", "prev2", "prev", "w")
+      .agg(count(lit(1)).cast("long").as("c4"))
+    val five = pt.filter(col("prev4").isNotNull)
+      .groupBy("prev4", "prev3", "prev2", "prev", "w")
+      .agg(count(lit(1)).cast("long").as("c5"))
+    framesFromCounts5(uni, big, tri, four, five)
+  }
+
+  /** Assemble the 17-frame model from the five count tables (aggregates
+    * all derive from the counts — shared by the lazy, built, and merged
+    * paths). */
+  private def framesFromCounts5(
+      uni: DataFrame, big: DataFrame, tri: DataFrame, four: DataFrame,
+      five: DataFrame): Kn5Model = {
+    val m2 = derivedM2(tri)
+    val m3 = derivedM3(four)
+    val m4 = derivedM4(five)
+    Kn5Model(uni, big, derivedCtx(big), derivedCont(big),
+      tri, derivedCtx3(tri), m2, derivedMctx(m2),
+      four, derivedCtx4(four), m3, derivedMctx3(m3),
+      five, derivedCtx5(five), m4, derivedMctx4(m4),
+      stats = derivedStats5(uni, big, tri, m2, four, m3, five, m4))
+  }
+
+  /** ALL FIVE count tables from ONE corpus pass: each token row explodes
+    * to its (order, context…, w) records — order k present only when the
+    * k-gram's full context exists — and a single keyed count aggregates
+    * every order at once (nulls in the unused context slots are ordinary
+    * group keys). The combined frame is vocabulary-bounded (Σ n-gram
+    * types over all five orders); the caller checkpoints it ONCE and
+    * per-order filters split it without touching the corpus again —
+    * [[build3]] pays one tokenize pass per checkpointed count table;
+    * at five orders that discipline would quintuple the corpus scans,
+    * which at 100 TB is the whole build cost. Counts are bit-identical
+    * to [[modelFrames5]]'s per-order aggregations (spec-pinned). */
+  private def gramCounts5(pt: DataFrame): DataFrame = {
+    val ns = lit(null).cast("string")
+    def g(ord: Int, p4: Column, p3: Column, p2: Column, p1: Column,
+        ok: Column) =
+      struct(lit(ord).as("ord"), p4.as("p4"), p3.as("p3"), p2.as("p2"),
+        p1.as("p1"), col("w").as("w"), ok.as("ok"))
+    pt.select(explode(array(
+        g(1, ns, ns, ns, ns, lit(true)),
+        g(2, ns, ns, ns, col("prev"), col("prev").isNotNull),
+        g(3, ns, ns, col("prev2"), col("prev"), col("prev2").isNotNull),
+        g(4, ns, col("prev3"), col("prev2"), col("prev"),
+          col("prev3").isNotNull),
+        g(5, col("prev4"), col("prev3"), col("prev2"), col("prev"),
+          col("prev4").isNotNull))).as("g"))
+      .filter(col("g.ok"))
+      .groupBy(col("g.ord").as("ord"), col("g.p4").as("p4"),
+        col("g.p3").as("p3"), col("g.p2").as("p2"), col("g.p1").as("p1"),
+        col("g.w").as("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
+
+  /** Split the checkpointed combined gram frame into the five count
+    * tables ([[gramCounts5]]'s inverse). */
+  private def splitGrams5(
+      g: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
+    g.filter(col("ord") === 1).select(col("w"), col("c").as("c1")),
+    g.filter(col("ord") === 2)
+      .select(col("p1").as("prev"), col("w"), col("c").as("c2")),
+    g.filter(col("ord") === 3)
+      .select(col("p2").as("prev2"), col("p1").as("prev"), col("w"),
+        col("c").as("c3")),
+    g.filter(col("ord") === 4)
+      .select(col("p3").as("prev3"), col("p2").as("prev2"),
+        col("p1").as("prev"), col("w"), col("c").as("c4")),
+    g.filter(col("ord") === 5)
+      .select(col("p4").as("prev4"), col("p3").as("prev3"),
+        col("p2").as("prev2"), col("p1").as("prev"), col("w"),
+        col("c").as("c5")))
+
+  /** Build (or rebuild) the SEVENTEEN order-5 model tables from `train`
+    * — ONE tokenize pass ([[gramCounts5]]) feeding one checkpointed
+    * combined count frame; every aggregate derives from its split. */
+  def build5(
+      store: TableStore, prefix: String,
+      train: DataFrame, idCol: String, textCol: String): Unit = {
+    val pt = TextAnalysis.laggedTokens(tokens(train, idCol, textCol), idCol,
+      Seq("prev", "prev2", "prev3", "prev4"))
+    val g = gramCounts5(pt).localCheckpoint()
+    try {
+      val (uni, big, tri, four, five) = splitGrams5(g)
+      writeTables5(store, prefix, uni, big, tri, four, five)
+    } finally {
+      g.unpersist()
+      ()
+    }
+  }
+
+  /** Derive the twelve aggregate tables from the (checkpoint-backed)
+    * count tables and swap all seventeen — shared by [[build5]] and
+    * [[mergeCounts5]]. The three continuation-count tables each feed
+    * multiple write jobs, so they checkpoint once ([[writeTables3]]'s
+    * discipline). */
+  private def writeTables5(
+      store: TableStore, prefix: String,
+      uni: DataFrame, big: DataFrame, tri: DataFrame, four: DataFrame,
+      five: DataFrame): Unit = {
+    val m2 = derivedM2(tri).localCheckpoint()
+    val m3 = derivedM3(four).localCheckpoint()
+    val m4 = derivedM4(five).localCheckpoint()
+    try store.overwriteAll(Seq(
+      s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
+      s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
+      s"${prefix}_ctx" -> derivedCtx(big).sortWithinPartitions("prev"),
+      s"${prefix}_cont" -> derivedCont(big).sortWithinPartitions("w"),
+      s"${prefix}_tri" -> tri.sortWithinPartitions("prev2", "prev", "w"),
+      s"${prefix}_ctx3" -> derivedCtx3(tri).sortWithinPartitions("prev2", "prev"),
+      s"${prefix}_m2" -> m2.sortWithinPartitions("prev", "w"),
+      s"${prefix}_mctx" -> derivedMctx(m2).sortWithinPartitions("prev"),
+      s"${prefix}_four" -> four.sortWithinPartitions("prev3", "prev2", "prev", "w"),
+      s"${prefix}_ctx4" -> derivedCtx4(four).sortWithinPartitions("prev3", "prev2", "prev"),
+      s"${prefix}_m3" -> m3.sortWithinPartitions("prev2", "prev", "w"),
+      s"${prefix}_mctx3" -> derivedMctx3(m3).sortWithinPartitions("prev2", "prev"),
+      s"${prefix}_five" -> five.sortWithinPartitions("prev4", "prev3", "prev2", "prev", "w"),
+      s"${prefix}_ctx5" -> derivedCtx5(five).sortWithinPartitions("prev4", "prev3", "prev2", "prev"),
+      s"${prefix}_m4" -> m4.sortWithinPartitions("prev3", "prev2", "prev", "w"),
+      s"${prefix}_mctx4" -> derivedMctx4(m4).sortWithinPartitions("prev3", "prev2", "prev"),
+      s"${prefix}_stats" -> derivedStats5(uni, big, tri, m2, four, m3, five, m4)))
+    finally {
+      m2.unpersist(); m3.unpersist(); m4.unpersist()
+      ()
+    }
+  }
+
+  /** Count-merge core for the order-5 model — [[mergeCounts3]]'s recipe
+    * over FIVE count tables; the delta's counts come from one
+    * [[gramCounts5]] pass, every aggregate re-derives from the merged
+    * tables (maintenance is vocabulary-bounded, never rescans the
+    * training corpus), and the same negative-count tripwire (the
+    * GDPR-erasure contract) runs on all five before any swap. */
+  private def mergeCounts5(
+      store: TableStore, prefix: String,
+      delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
+    val pt = TextAnalysis.laggedTokens(tokens(delta, idCol, textCol), idCol,
+      Seq("prev", "prev2", "prev3", "prev4"))
+    val g = gramCounts5(pt).localCheckpoint()
+    def merged(name: String, dd: DataFrame, keys: Seq[String], c: String) =
+      store.load(s"${prefix}_$name")
+        .unionByName(dd.select(keys.map(col) :+ (col(c) * lit(sign)).as(c): _*))
+        .groupBy(keys.map(col): _*).agg(sum(col(c)).cast("long").as(c))
+        .filter(col(c) =!= 0L)
+        .localCheckpoint()
+    try {
+      val (dUni, dBig, dTri, dFour, dFive) = splitGrams5(g)
+      val uni = merged("uni", dUni, Seq("w"), "c1")
+      val big = merged("big", dBig, Seq("prev", "w"), "c2")
+      val tri = merged("tri", dTri, Seq("prev2", "prev", "w"), "c3")
+      val four = merged("four", dFour, Seq("prev3", "prev2", "prev", "w"), "c4")
+      val five = merged("five", dFive,
+        Seq("prev4", "prev3", "prev2", "prev", "w"), "c5")
+      try {
+        require(uni.filter(col("c1") < 0L).isEmpty &&
+          big.filter(col("c2") < 0L).isEmpty &&
+          tri.filter(col("c3") < 0L).isEmpty &&
+          four.filter(col("c4") < 0L).isEmpty &&
+          five.filter(col("c5") < 0L).isEmpty,
+          "LmIndex delta drives a count negative — deletes must carry " +
+            "exactly previously-added documents (GDPR-erasure contract); " +
+            "rebuild the model if the original text is gone")
+        writeTables5(store, prefix, uni, big, tri, four, five)
+      } finally {
+        uni.unpersist(); big.unpersist(); tri.unpersist()
+        four.unpersist(); five.unpersist()
+        ()
+      }
+    } finally {
+      g.unpersist()
+      ()
+    }
+  }
+
+  /** [[append]] for the order-5 model: count merge at all five orders,
+    * aggregates re-derived — append == full rebuild on the grown corpus,
+    * table-for-table (spec-pinned). */
+  def append5(
+      store: TableStore, prefix: String,
+      delta: DataFrame, idCol: String, textCol: String): Unit =
+    mergeCounts5(store, prefix, delta, idCol, textCol, sign = 1L)
+
+  /** [[deleteDocs]] for the order-5 model (spec-pinned: delete ==
+    * rebuild-without-deleted). */
+  def deleteDocs5(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit =
+    mergeCounts5(store, prefix, docs, idCol, textCol, sign = -1L)
+
+  /** Load the order-5 model frames (lazy table reads). */
+  def loadModel5(store: TableStore, prefix: String): Kn5Model =
+    Kn5Model(
+      uni = store.load(s"${prefix}_uni"),
+      big = store.load(s"${prefix}_big"),
+      ctx = store.load(s"${prefix}_ctx"),
+      cont = store.load(s"${prefix}_cont"),
+      tri = store.load(s"${prefix}_tri"),
+      ctx3 = store.load(s"${prefix}_ctx3"),
+      m2 = store.load(s"${prefix}_m2"),
+      mctx = store.load(s"${prefix}_mctx"),
+      four = store.load(s"${prefix}_four"),
+      ctx4 = store.load(s"${prefix}_ctx4"),
+      m3 = store.load(s"${prefix}_m3"),
+      mctx3 = store.load(s"${prefix}_mctx3"),
+      five = store.load(s"${prefix}_five"),
+      ctx5 = store.load(s"${prefix}_ctx5"),
+      m4 = store.load(s"${prefix}_m4"),
+      mctx4 = store.load(s"${prefix}_mctx4"),
+      stats = store.load(s"${prefix}_stats"))
+
+  /** Score `docs` against a frozen ORDER-5 model — the recursive KN
+    * chain two levels past [[scoreFrames3]], every unseen event total
+    * under the same OOV recipe:
+    *
+    *   - position-k tokens (k <= 4) score with the order-k chain (raw
+    *     counts at the top, continuation counts below — exactly the
+    *     [[scoreFrames3]] treatment of positions 1-3, extended with the
+    *     raw-4-gram level for position 4);
+    *   - position-5+ tokens: raw 5-gram → continuation-4-gram (m4) →
+    *     continuation-trigram (m3) → continuation-bigram (m2) → P_cont;
+    *   - every level: seen context c → max(count−D,0)/total +
+    *     D·N1+(c,•)/total · lower, count defaulting 0; unseen context →
+    *     full backoff; P_cont/unigram OOV take the reserved
+    *     0.5-type mass.
+    *
+    * Scale: the token frame is the fat side; tables fold losslessly by
+    * join key (uni+cont on w; big+m2 on (prev,w); ctx+mctx on prev;
+    * tri+m3 on (prev2,prev,w); ctx3+mctx3 on (prev2,prev); four+m4 and
+    * ctx4+mctx4 on their 4-gram keys — each folded right side's keys
+    * are a SUBSET of its host's: an observed (k+1)-gram's suffix k-gram
+    * is observed at the same position, and a row is only consumed when
+    * its own guard column is non-null), so the corpus exchanges nine
+    * times — the order-5 OOV floor. */
+  private[graft] def scoreFrames5(
+      m: Kn5Model, docs: DataFrame, idCol: String, textCol: String,
+      discount: Double): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val pt = TextAnalysis.laggedTokens(tokens(docs, idCol, textCol), idCol,
+      Seq("prev", "prev2", "prev3", "prev4"))
+    val total = col("total_tokens").cast("double")
+    val btypes = col("bigram_types").cast("double")
+    val d = lit(discount)
+    val pcont = pcontOOV(btypes)
+    val uniP = uniPOOV(total)
+    def level(cnt: Column, cc: Column, nf: Column, lower: Column): Column =
+      when(cc.isNotNull,
+        greatest(coalesce(cnt, lit(0L)).cast("double") - d, lit(0.0))
+          / cc.cast("double") +
+          d * nf.cast("double") / cc.cast("double") * lower)
+        .otherwise(lower)
+    val midP = level(col("mcount"), col("mcc"), col("n1f2c"), pcont)
+    val bigP = level(col("c2"), col("cc"), col("n1f"), pcont)
+    val triP = level(col("c3"), col("cc3"), col("n1f3"), midP)
+    val mid3P = level(col("m3c"), col("m3cc"), col("n1f3c"), midP)
+    val fourP = level(col("c4"), col("cc4"), col("n1f4"), mid3P)
+    val mid4P = level(col("m4c"), col("m4cc"), col("n1f4c"), mid3P)
+    val fiveP = level(col("c5"), col("cc5"), col("n1f5"), mid4P)
+    val p = when(col("prev").isNull, uniP)
+      .when(col("prev2").isNull, bigP)
+      .when(col("prev3").isNull, triP)
+      .when(col("prev4").isNull, fourP)
+      .otherwise(fiveP)
+    joinModel5(m, pt, narrowCtx = true)
+      .crossJoin(broadcast(m.stats))
+      .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
+      .groupBy(idCol)
+      .agg(sum(col("lp")).as("s"), count(lit(1)).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
+          .as("logprob"))
+  }
+
+  /** The order-5 OOV join layout (nine token-frame exchanges), shared by
+    * [[scoreFrames5]] and [[scoreFramesMkn5]]. `narrowCtx` drops the
+    * modified-KN bucket columns from the context tables (plain KN never
+    * reads them); the mkn scorer keeps them for its λ tallies. */
+  private def joinModel5(
+      m: Kn5Model, pt: DataFrame, narrowCtx: Boolean): DataFrame = {
+    val wM = m.uni.join(m.cont, Seq("w"), "left")
+    val bigM = m.big.join(m.m2, Seq("prev", "w"), "left")
+    val ctx = if (narrowCtx) m.ctx.select("prev", "cc", "n1f") else m.ctx
+    val mctx =
+      if (narrowCtx) m.mctx.select("prev", "mcc", "n1f2c") else m.mctx
+    val ctxM = ctx.join(mctx, Seq("prev"), "left")
+    val triM = m.tri.join(m.m3, Seq("prev2", "prev", "w"), "left")
+    val ctx3 =
+      if (narrowCtx) m.ctx3.select("prev2", "prev", "cc3", "n1f3") else m.ctx3
+    val mctx3 =
+      if (narrowCtx) m.mctx3.select("prev2", "prev", "m3cc", "n1f3c")
+      else m.mctx3
+    val ctx3M = ctx3.join(mctx3, Seq("prev2", "prev"), "left")
+    val fourM = m.four.join(m.m4, Seq("prev3", "prev2", "prev", "w"), "left")
+    val ctx4 =
+      if (narrowCtx) m.ctx4.select("prev3", "prev2", "prev", "cc4", "n1f4")
+      else m.ctx4
+    val mctx4 =
+      if (narrowCtx) m.mctx4.select("prev3", "prev2", "prev", "m4cc", "n1f4c")
+      else m.mctx4
+    val ctx4M = ctx4.join(mctx4, Seq("prev3", "prev2", "prev"), "left")
+    pt.join(wM, Seq("w"), "left")
+      .join(bigM, Seq("prev", "w"), "left")
+      .join(ctxM, Seq("prev"), "left")
+      .join(triM, Seq("prev2", "prev", "w"), "left")
+      .join(ctx3M, Seq("prev2", "prev"), "left")
+      .join(fourM, Seq("prev3", "prev2", "prev", "w"), "left")
+      .join(ctx4M, Seq("prev3", "prev2", "prev"), "left")
+      .join(m.five, Seq("prev4", "prev3", "prev2", "prev", "w"), "left")
+      .join(m.ctx5, Seq("prev4", "prev3", "prev2", "prev"), "left")
+  }
+
+  /** Inline order-5 train-on-A / score-B — no store. With all-document
+    * lengths <= 3 this reduces to [[crossScore3]] exactly (the 4- and
+    * 5-gram levels are empty and no position-4+ token exists;
+    * spec-pinned). */
+  def crossScore5(
+      train: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames5(modelFrames5(train, idCol, textCol), docs, idCol, textCol,
+      discount)
+
+  /** Corpus-scale order-5 scoring against the persisted model (full
+    * table scans — the CCNet posture; [[scoreBatch5]] is the probed
+    * twin). */
+  def score5(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames5(loadModel5(store, prefix), docs, idCol, textCol, discount)
+
+  /** Restrict every keyed table of an order-5 model to `docs`'
+    * vocabulary through the [[batchWordPruner]] regime switch —
+    * lossless for scoring `docs` ([[pruneModel3]]'s argument, two
+    * levels up). */
+  private[graft] def pruneModel5(
+      m: Kn5Model, docs: DataFrame, textCol: String): Kn5Model = {
+    val prune = batchWordPruner(docs, textCol)
+    Kn5Model(
+      uni = prune(m.uni, Seq("w")),
+      big = prune(m.big, Seq("prev", "w")),
+      ctx = prune(m.ctx, Seq("prev")),
+      cont = prune(m.cont, Seq("w")),
+      tri = prune(m.tri, Seq("prev2", "prev", "w")),
+      ctx3 = prune(m.ctx3, Seq("prev2", "prev")),
+      m2 = prune(m.m2, Seq("prev", "w")),
+      mctx = prune(m.mctx, Seq("prev")),
+      four = prune(m.four, Seq("prev3", "prev2", "prev", "w")),
+      ctx4 = prune(m.ctx4, Seq("prev3", "prev2", "prev")),
+      m3 = prune(m.m3, Seq("prev2", "prev", "w")),
+      mctx3 = prune(m.mctx3, Seq("prev2", "prev")),
+      five = prune(m.five, Seq("prev4", "prev3", "prev2", "prev", "w")),
+      ctx5 = prune(m.ctx5, Seq("prev4", "prev3", "prev2", "prev")),
+      m4 = prune(m.m4, Seq("prev3", "prev2", "prev", "w")),
+      mctx4 = prune(m.mctx4, Seq("prev3", "prev2", "prev")),
+      stats = m.stats)
+  }
+
+  /** [[scoreBatch]] at order 5: all sixteen keyed table reads prune to
+    * the batch's vocabulary through the same [[batchWordPruner]] regime
+    * switch. Row-identical to [[score5]] in both regimes. */
+  def scoreBatch5(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    scoreFrames5(pruneModel5(loadModel5(store, prefix), docs, textCol),
+      docs, idCol, textCol, discount)
+
+  /** Versioned order-5 rebuild — one manifest swap publishes all
+    * seventeen tables. */
+  def rebuildVersioned5(
+      store: TableStore, name: String,
+      train: DataFrame, idCol: String, textCol: String): String =
+    graft.io.VersionedIndex.rebuild(store, name, train.sparkSession)(
+      p => build5(store, p, train, idCol, textCol))
+
+  /** Score `docs` against the persisted order-5 model with FULL modified
+    * Kneser-Ney — the literal KenLM/CCNet serve: per-LEVEL D1/D2/D3+
+    * estimated from each of the seven levels' own count-of-count
+    * tallies (all read from the stored stats row; per-context buckets
+    * from the widened context tables), the [[scoreFrames5]] backoff
+    * structure with D(0) = 0 semantics. Degenerate levels take
+    * `fallbackDiscounts` (KenLM --discount_fallback) or the curated
+    * error, lazily. With all-document lengths <= 3 this reduces to
+    * [[scoreMkn3]] exactly (spec-pinned). */
+  def scoreMkn5(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
+    scoreFramesMkn5(loadModel5(store, prefix), docs, idCol, textCol,
+      fallbackDiscounts)
+
+  /** [[scoreBatch5]] for the modified-KN order-5 serve — row-identical
+    * to [[scoreMkn5]] in both pruner regimes (the discounts row reads
+    * the unpruned stats). */
+  def scoreBatchMkn5(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
+    scoreFramesMkn5(pruneModel5(loadModel5(store, prefix), docs, textCol),
+      docs, idCol, textCol, fallbackDiscounts)
+
+  /** The order-5 modified-KN recipe over explicit frames. The seven
+    * discount levels: b (raw bigram), t (raw trigram), m (continuation
+    * bigram), f (raw 4-gram), p (continuation trigram), v (raw 5-gram),
+    * q (continuation 4-gram) — each calibrated from its own stored
+    * tallies via [[TextAnalysis.mknLevelDiscounts]] (one eq.-26 edit
+    * point), assembled into ONE broadcast row. */
+  private[graft] def scoreFramesMkn5(
+      m: Kn5Model, docs: DataFrame, idCol: String, textCol: String,
+      fallbackDiscounts: Option[(Double, Double, Double)]): DataFrame = {
+    val pt = TextAnalysis.laggedTokens(tokens(docs, idCol, textCol), idCol,
+      Seq("prev", "prev2", "prev3", "prev4"))
+    val disc = m.stats.select(
+      Seq(col("total_tokens"), col("bigram_types").cast("double").as("btypes")) ++
+        Seq("1", "2", "3", "4").map(k => col(s"n$k").as(s"b$k")) ++
+        Seq("1", "2", "3", "4").flatMap(k =>
+          Seq("t", "m", "f", "p", "v", "q").map(p => col(s"$p$k"))): _*)
+      .select(col("total_tokens") +: col("btypes") +:
+        Seq("b", "t", "m", "f", "p", "v", "q").flatMap(p =>
+          TextAnalysis.mknLevelDiscounts(p, fallbackDiscounts)): _*)
+    val total = col("total_tokens").cast("double")
+    val btypes = col("btypes")
+    val pcont = pcontOOV(btypes)
+    val uniP = uniPOOV(total)
+    def dOf(c: Column, p: String): Column =
+      when(c === 1L, col(s"d1$p")).when(c === 2L, col(s"d2$p"))
+        .otherwise(col(s"d3$p"))
+    def mLevel(cnt: Column, cc: Column, f1: Column, f2: Column, f3p: Column,
+        p: String, lower: Column): Column = {
+      val lam = (col(s"d1$p") * f1.cast("double")
+        + col(s"d2$p") * f2.cast("double")
+        + col(s"d3$p") * f3p.cast("double")) / cc.cast("double")
+      when(cc.isNotNull,
+        when(cnt.isNotNull, (cnt.cast("double") - dOf(cnt, p)) / cc.cast("double"))
+          .otherwise(lit(0.0)) + lam * lower)
+        .otherwise(lower)
+    }
+    val bigP = mLevel(col("c2"), col("cc"),
+      col("nf1"), col("nf2"), col("nf3p"), "b", pcont)
+    val midP = mLevel(col("mcount"), col("mcc"),
+      col("mf1"), col("mf2"), col("mf3p"), "m", pcont)
+    val triP = mLevel(col("c3"), col("cc3"),
+      col("tf1"), col("tf2"), col("tf3p"), "t", midP)
+    val mid3P = mLevel(col("m3c"), col("m3cc"),
+      col("pf1"), col("pf2"), col("pf3p"), "p", midP)
+    val fourP = mLevel(col("c4"), col("cc4"),
+      col("ff1"), col("ff2"), col("ff3p"), "f", mid3P)
+    val mid4P = mLevel(col("m4c"), col("m4cc"),
+      col("qf1"), col("qf2"), col("qf3p"), "q", mid3P)
+    val fiveP = mLevel(col("c5"), col("cc5"),
+      col("vf1"), col("vf2"), col("vf3p"), "v", mid4P)
+    val p = when(col("prev").isNull, uniP)
+      .when(col("prev2").isNull, bigP)
+      .when(col("prev3").isNull, triP)
+      .when(col("prev4").isNull, fourP)
+      .otherwise(fiveP)
+    joinModel5(m, pt, narrowCtx = false)
       .crossJoin(broadcast(disc))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)

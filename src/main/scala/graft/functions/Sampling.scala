@@ -315,8 +315,9 @@ object Sampling {
   private[functions] val MixerMaxKeys: Int = 65536
 
   private def mixerMaxKeys(df: DataFrame): Int =
-    df.sparkSession.conf.getOption("graft.mixer.maxKeys")
-      .map(_.toInt).getOrElse(MixerMaxKeys)
+    math.min(
+      TextAnalysis.confPositiveLong(df, "graft.mixer.maxKeys", MixerMaxKeys.toLong),
+      Int.MaxValue.toLong).toInt
 
   /** Wrap a computed quota column with the [[MixerMaxKeys]] guard: raises
     * with guidance when `__nk` (the observed key count, computed in the

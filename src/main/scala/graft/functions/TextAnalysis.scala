@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Parse a positive-integer session knob with a curated error: a
+    * malformed or non-positive value fails NAMING THE CONF KEY at the
+    * call that read it, instead of surfacing as a raw
+    * NumberFormatException (or, worse, a negative ceiling reaching
+    * `limit(n+1)` and throwing an obscure Spark error mid-plan). Shared
+    * by every `graft.*` envelope knob — one parse, one error style. */
+  private[graft] def confPositiveLong(
+      df: DataFrame, key: String, default: Long): Long =
+    df.sparkSession.conf.getOption(key).map { v =>
+      val n =
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a positive integer, got '$v'")
+        }
+      require(n >= 1L, s"$key must be >= 1, got $n")
+      n
+    }.getOrElse(default)
+
   /** Ceiling (rows) under which a VOCABULARY-sized table may broadcast;
     * session-tunable via `graft.vocab.broadcastMaxTerms`. Vocabulary
     * grows with the corpus (Heaps' law: O(10⁷-10⁸) distinct terms at
@@ -24,8 +43,7 @@ object TextAnalysis {
     * skew). The default 4M rows ≈ tens of MB broadcast for short terms,
     * comfortably inside executor memory. */
   private[graft] def vocabBroadcastMaxTerms(df: DataFrame): Long =
-    df.sparkSession.conf.getOption("graft.vocab.broadcastMaxTerms")
-      .map(_.toLong).getOrElse(4000000L)
+    confPositiveLong(df, "graft.vocab.broadcastMaxTerms", 4000000L)
 
   /** Join `left` against the vocabulary-sized `vocab` on `keys`.
     *
@@ -56,6 +74,70 @@ object TextAnalysis {
 
   /** Whitespace tokenization (split on runs of whitespace). */
   def words(text: Column): Column = split(text, "\\s+")
+
+  /** Opt-in positional-join form for the LM lag frames
+    * (`graft.lm.positionalJoin`); default false = the window form. */
+  private[graft] def positionalJoin(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("graft.lm.positionalJoin").exists { v =>
+      v.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft.lm.positionalJoin must be true or false, got '$other'")
+      }
+    }
+
+  /** Extend a token frame (idCol, pos, w) with lag columns —
+    * `lagCols(i)` = the token at pos−(i+1), NULL when the document
+    * starts later. Every n-gram LM surface funnels through here; two
+    * executable forms, row-identical (spec-pinned):
+    *
+    *   - WINDOW (default): lag(w, d) over a doc-partitioned window —
+    *     one exchange, then ONE SORT PER DOCUMENT. Right for real
+    *     corpora (a 5M-doc ×100 corpus is 5M tiny independent sorts),
+    *     but a single mis-segmented crawl document of ~100M+ tokens
+    *     serializes one task's sort-and-spill (the BASELINE
+    *     giant-document adjudication).
+    *   - POSITIONAL JOIN (`graft.lm.positionalJoin=true`): each token
+    *     explodes to `depth` (target-position, distance) copies and one
+    *     hash aggregation on (doc, pos) reassembles the lag row — the
+    *     (doc_id, pos−d) self-join family collapsed to a SINGLE
+    *     exchange (all copies of a target position meet in one reducer;
+    *     max-of-the-one-value per distance is the join). No per-doc
+    *     sort anywhere: a giant document spreads over every hash
+    *     partition. Costs depth× exploded rows through the exchange and
+    *     loses the window's streaming evaluation, so it is opt-in, not
+    *     the default.
+    *
+    * Rows whose target position holds no token (shifted copies past the
+    * document end) carry NULL `w` and are dropped — the output is
+    * exactly the window form's rows. */
+  private[graft] def laggedTokens(
+      toks: DataFrame, idCol: String, lagCols: Seq[String]): DataFrame = {
+    val depth = lagCols.length + 1
+    if (!positionalJoin(toks)) {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(idCol).orderBy("pos")
+      lagCols.zipWithIndex.foldLeft(toks) { case (df, (c, i)) =>
+        df.withColumn(c, lag(col("w"), i + 1).over(win))
+      }
+    } else {
+      val shifts = (0 until depth)
+        .map(d => s"struct(pos + $d AS p, $d AS d)").mkString(", ")
+      toks
+        .select(col(idCol), col("w"), explode(expr(s"array($shifts)")).as("sh"))
+        .select(col(idCol), col("w"),
+          col("sh.p").as("pos"), col("sh.d").as("d"))
+        .groupBy(col(idCol), col("pos"))
+        .agg(
+          max(when(col("d") === 0, col("w"))).as("w"),
+          lagCols.zipWithIndex.map { case (c, i) =>
+            max(when(col("d") === i + 1, col("w"))).as(c)
+          }: _*)
+        .filter(col("w").isNotNull)
+        .select(col(idCol) +: col("pos") +: col("w") +: lagCols.map(col): _*)
+    }
+  }
 
   /** Accent-fold mapping (public Latin-1/Latin-Extended folds, 1:1 — the
     * subset `translate` can express; both engines apply it identically). */
@@ -255,11 +337,9 @@ object TextAnalysis {
   def bigramLogProb(
       df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
       posexplode(words(col(textCol))).as(Seq("pos", "w")))
-    val pt = toks.withColumn("prev", lag(col("w"), 1).over(win))
+    val pt = laggedTokens(toks, idCol, Seq("prev"))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
     val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
     val big = pt.filter(col("prev").isNotNull)
@@ -306,15 +386,11 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       l3: Double = 0.5, l2: Double = 0.3, l1: Double = 0.2,
       b2: Double = 0.7, b1: Double = 0.3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9 && math.abs(b2 + b1 - 1.0) < 1e-9,
       "interpolation weights must sum to 1")
-    val win = Window.partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
       posexplode(words(col(textCol))).as(Seq("pos", "w")))
-    val pt = toks
-      .withColumn("prev1", lag(col("w"), 1).over(win))
-      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val pt = laggedTokens(toks, idCol, Seq("prev1", "prev2"))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
     val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
     val big = pt.filter(col("prev1").isNotNull)
@@ -413,15 +489,11 @@ object TextAnalysis {
   def knTrigramLogProb(
       df: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val win = Window.partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
       posexplode(words(col(textCol))).as(Seq("pos", "w")))
-    val pt = toks
-      .withColumn("prev1", lag(col("w"), 1).over(win))
-      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val pt = laggedTokens(toks, idCol, Seq("prev1", "prev2"))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
     val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
     val big = pt.filter(col("prev1").isNotNull)
@@ -525,11 +597,9 @@ object TextAnalysis {
   def mknBigramLogProb(
       df: DataFrame, idCol: String, textCol: String,
       fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
       posexplode(words(col(textCol))).as(Seq("pos", "w")))
-    val pt = toks.withColumn("prev", lag(col("w"), 1).over(win))
+    val pt = laggedTokens(toks, idCol, Seq("prev"))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
     val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
     val big = pt.filter(col("prev").isNotNull)
@@ -624,13 +694,9 @@ object TextAnalysis {
   def mknTrigramLogProb(
       df: DataFrame, idCol: String, textCol: String,
       fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(idCol).orderBy("pos")
     val toks = df.select(col(idCol),
       posexplode(words(col(textCol))).as(Seq("pos", "w")))
-    val pt = toks
-      .withColumn("prev1", lag(col("w"), 1).over(win))
-      .withColumn("prev2", lag(col("w"), 2).over(win))
+    val pt = laggedTokens(toks, idCol, Seq("prev1", "prev2"))
     val uni = toks.groupBy("w").agg(count(lit(1)).cast("long").as("c1"))
     val tot = uni.agg(sum(col("c1")).cast("double").as("total"))
     val big = pt.filter(col("prev1").isNotNull)
@@ -1414,8 +1480,7 @@ object TextAnalysis {
     * types ≈ a few hundred MB driver-side — the
     * [[vocabBroadcastMaxTerms]] rationale applied to the driver. */
   private[graft] def tokenizerMaxTypes(df: DataFrame): Long =
-    df.sparkSession.conf.getOption("graft.tokenizer.maxTypes")
-      .map(_.toLong).getOrElse(4000000L)
+    confPositiveLong(df, "graft.tokenizer.maxTypes", 4000000L)
 
   /** The weighted word-type table both merge-loop trainers collect: ONE
     * corpus-scale pass (map-side combined word-frequency aggregation),

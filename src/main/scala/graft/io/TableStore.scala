@@ -219,12 +219,22 @@ class ParquetTableStore(
     * schemes loudly (a silent lost guarantee would let two racers both
     * "win" a claim); put claims on a database-backed store there. */
   override def createIfAbsent(table: String, df: DataFrame): Boolean = {
-    ParquetTableStore.requireAtomicRenameScheme(fs.getScheme)
+    // Hadoop's FileSystem.getScheme BASE implementation throws
+    // UnsupportedOperationException ("not implemented by the FileSystem
+    // implementation") — a custom filesystem that never overrode it must
+    // not turn a previously-working claim into an unhandled crash. An
+    // unreported scheme passes the guard: the blocklist is the
+    // authority, and an impl that predates getScheme() predates the s3a
+    // family it blocks.
+    val scheme =
+      try fs.getScheme
+      catch { case _: UnsupportedOperationException => null }
+    ParquetTableStore.requireAtomicRenameScheme(scheme)
     if (exists(table)) return false
     val tmp = writeTmp(table, df)
     val target = new Path(dir(table))
     val won =
-      if (fs.getScheme == "file")
+      if (scheme == "file")
         try {
           java.nio.file.Files.move(
             java.nio.file.Paths.get(tmp.toUri.getPath),

@@ -373,14 +373,63 @@ object EventAnalytics {
       graft.functions.Sampling.requireFreeColumns(
         batch, "pplGate3EachBatch", Seq("n_tokens", "logprob"))
       val b = materializeBatch(batch)
+      // A standing gate must RELEASE the pruner after each batch: in the
+      // oversized-batch regime the pruner checkpoints the batch's word
+      // frame, and without the release every such micro-batch leaks
+      // checkpoint blocks for the stream's lifetime (the pplBuckets
+      // unreleasable-materialization class). Released in finally, after
+      // the sink has consumed the scored rows — the b.unpersist contract.
+      val (pruned, release) =
+        graft.functions.LmIndex.pruneModel3R(m, b, textCol)
       try
         sink(b.join(
             graft.functions.LmIndex.scoreFrames3(
-              graft.functions.LmIndex.pruneModel3(m, b, textCol),
-              b, idCol, textCol, discount),
+              pruned, b, idCol, textCol, discount),
             Seq(idCol))
           .filter(col("logprob") >= minLogprob))
       finally {
+        release()
+        b.unpersist()
+        ()
+      }
+    }, Seq(m.uni, m.big, m.ctx, m.cont, m.tri, m.ctx3, m.m2, m.mctx, m.stats))
+  }
+
+  /** [[pplGate3EachBatch]] under FULL modified Kneser-Ney — the literal
+    * CCNet gate smoothing: the same pinned-plus-pruned nine-table serve,
+    * scored through [[graft.functions.LmIndex.scoreFramesMkn3]]
+    * (per-level discounts re-derived from the pinned stats row each
+    * trigger — one broadcast row, no corpus rescans). Batch boundaries
+    * cannot change any decision (a doc's score depends only on its text,
+    * the frozen model, and the model-wide calibration; spec-pinned
+    * batch == stream), and the pruner releases per batch exactly as the
+    * KN gate does. */
+  def pplGateMkn3EachBatch(
+      store: graft.io.TableStore, prefix: String,
+      idCol: String, textCol: String, minLogprob: Double,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None)(
+      sink: DataFrame => Unit): PplGate = {
+    val m0 = graft.functions.LmIndex.loadModel3(store, prefix)
+    val m = graft.functions.LmIndex.Kn3Model(
+      uni = materializeBatch(m0.uni), big = materializeBatch(m0.big),
+      ctx = materializeBatch(m0.ctx), cont = materializeBatch(m0.cont),
+      tri = materializeBatch(m0.tri), ctx3 = materializeBatch(m0.ctx3),
+      m2 = materializeBatch(m0.m2), mctx = materializeBatch(m0.mctx),
+      stats = materializeBatch(m0.stats))
+    new PplGate((batch, _) => {
+      graft.functions.Sampling.requireFreeColumns(
+        batch, "pplGateMkn3EachBatch", Seq("n_tokens", "logprob"))
+      val b = materializeBatch(batch)
+      val (pruned, release) =
+        graft.functions.LmIndex.pruneModel3R(m, b, textCol)
+      try
+        sink(b.join(
+            graft.functions.LmIndex.scoreFramesMkn3(
+              pruned, b, idCol, textCol, fallbackDiscounts),
+            Seq(idCol))
+          .filter(col("logprob") >= minLogprob))
+      finally {
+        release()
         b.unpersist()
         ()
       }

@@ -629,6 +629,355 @@ class LmSmoothingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lm.probeMaxWords")
   }
 
+  // ---- probed modified-KN serves (round 16) --------------------------------
+
+  test("scoreBatchMkn == scoreMkn in both pruner regimes, with the IN " +
+      "pushdown / LeftSemi plan gates") {
+    val rnd = new scala.util.Random(31)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(7))).map(_ => pool(rnd.nextInt(7))).mkString(" ")
+    val train = (1L to 80L).map(i => (i, txt())).toDF("doc_id", "text")
+    val batch = (200L to 206L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mkn_probe_").toString)
+    LmIndex.build3(store, "lm3", train, "doc_id", "text")
+    val fb = Some((0.5, 1.0, 1.5))
+    val want = LmIndex.scoreMkn(store, "lm3", batch, "doc_id", "text", fb)
+      .as[(Long, Long, Double)].collect().toSet
+    val probed = LmIndex.scoreBatchMkn(store, "lm3", batch, "doc_id", "text", fb)
+    assert(probed.as[(Long, Long, Double)].collect().toSet === want,
+      "probed modified-KN serve diverged from the full-scan scoreMkn")
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val scans = graft.PlanTestUtils.scansOf(
+      probed.queryExecution.executedPlan, "lm3_big")
+    assert(scans.nonEmpty, "no lm3_big scan in the probed mkn plan")
+    scans.foreach { f =>
+      assert(f.dataFilters.exists(_.exists {
+        case _: In => true; case _: InSet => true; case _ => false
+      }), s"lm3_big scan lost the word IN pushdown: ${f.dataFilters}")
+    }
+    spark.conf.set("graft.lm.probeMaxWords", "3")
+    try {
+      val semi = LmIndex.scoreBatchMkn(store, "lm3", batch, "doc_id", "text", fb)
+      assert(semi.as[(Long, Long, Double)].collect().toSet === want,
+        "semi-join probed modified-KN serve diverged")
+      val plan = semi.queryExecution.executedPlan
+      assert(plan.toString.contains("LeftSemi"),
+        "no LeftSemi join in the oversized-batch probed mkn plan")
+      graft.PlanTestUtils.scansOf(plan, "lm3_big").foreach { f =>
+        assert(!f.dataFilters.exists(_.exists {
+          case _: In => true; case _: InSet => true; case _ => false
+        }), s"oversized mkn batch still pushed a literal IN: ${f.dataFilters}")
+      }
+    } finally spark.conf.unset("graft.lm.probeMaxWords")
+  }
+
+  test("scoreBatchMkn3 == scoreMkn3 in both pruner regimes, with the " +
+      "trigram-table IN pushdown") {
+    val rnd = new scala.util.Random(37)
+    // Quadratic-skew draws (the mknTrigram fixture recipe) so all three
+    // levels CALIBRATE — the probed serve must reproduce the estimated
+    // branch, not just the fallback.
+    def txt(): String =
+      (0 until (4 + rnd.nextInt(7)))
+        .map(_ => "w" + (25 * rnd.nextDouble() * rnd.nextDouble()).toInt)
+        .mkString(" ")
+    val train = (1L to 120L).map(i => (i, txt())).toDF("doc_id", "text")
+    val batch = (200L to 206L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mkn3_probe_").toString)
+    LmIndex.build3(store, "lm3", train, "doc_id", "text")
+    val want = LmIndex.scoreMkn3(store, "lm3", batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val probed = LmIndex.scoreBatchMkn3(store, "lm3", batch, "doc_id", "text")
+    assert(probed.as[(Long, Long, Double)].collect().toSet === want,
+      "probed order-3 modified-KN serve diverged from scoreMkn3")
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val scans = graft.PlanTestUtils.scansOf(
+      probed.queryExecution.executedPlan, "lm3_tri")
+    assert(scans.nonEmpty, "no lm3_tri scan in the probed mkn3 plan")
+    scans.foreach { f =>
+      assert(f.dataFilters.exists(_.exists {
+        case _: In => true; case _: InSet => true; case _ => false
+      }), s"lm3_tri scan lost the word IN pushdown: ${f.dataFilters}")
+    }
+    spark.conf.set("graft.lm.probeMaxWords", "3")
+    try {
+      val semi = LmIndex.scoreBatchMkn3(store, "lm3", batch, "doc_id", "text")
+      assert(semi.as[(Long, Long, Double)].collect().toSet === want,
+        "semi-join probed mkn3 serve diverged")
+      assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    } finally spark.conf.unset("graft.lm.probeMaxWords")
+  }
+
+  test("graft.lm.probeMaxWords: malformed or non-positive values fail " +
+      "with the curated message naming the conf key") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    for (bad <- Seq("banana", "-3", "0")) {
+      spark.conf.set("graft.lm.probeMaxWords", bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          LmIndex.probeMaxWords(docs)
+        }
+        assert(e.getMessage.contains("graft.lm.probeMaxWords"),
+          s"'$bad': ${e.getMessage}")
+      } finally spark.conf.unset("graft.lm.probeMaxWords")
+    }
+    // Same parser guards the tokenizer envelope (the other knob the
+    // round-15 review named).
+    spark.conf.set("graft.tokenizer.maxTypes", "many")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.wordpieceTrainMerges(docs, "text", numMerges = 1).collect()
+      }
+      assert(e.getMessage.contains("graft.tokenizer.maxTypes"), e.getMessage)
+    } finally spark.conf.unset("graft.tokenizer.maxTypes")
+  }
+
+  // ---- positional-join scorer mode (round 16) ------------------------------
+
+  test("graft.lm.positionalJoin: every LM scorer is row-identical to the " +
+      "window form, and the plan carries no per-doc Window sort") {
+    val rnd = new scala.util.Random(41)
+    val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    def txt(): String =
+      (0 until (1 + rnd.nextInt(9))).map(_ => pool(rnd.nextInt(7))).mkString(" ")
+    // Lengths 1..9 cover every lag-null shape at depths 2, 3 and 5.
+    val docs = (1L to 60L).map(i => (i, txt())).toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val hold = docs.filter(col("doc_id") % 5 === 0)
+    def all(): Seq[Set[String]] = Seq(
+      TextAnalysis.knBigramLogProb(docs, "doc_id", "text"),
+      TextAnalysis.knTrigramLogProb(docs, "doc_id", "text"),
+      TextAnalysis.mknTrigramLogProb(docs, "doc_id", "text",
+        Some((0.5, 1.0, 1.5))),
+      LmIndex.crossScore3(train, hold, "doc_id", "text"),
+      LmIndex.crossScore5(train, hold, "doc_id", "text"))
+      .map(_.collect().map(_.toString).toSet)
+    val windowForm = all()
+    spark.conf.set("graft.lm.positionalJoin", "true")
+    try {
+      val posForm = all()
+      assert(posForm === windowForm,
+        "positional-join scorer mode diverged from the window form")
+      // Plan gate: the giant-document mitigation must actually remove
+      // the per-doc sort — no Window operator anywhere; the lag frame
+      // is a hash aggregation keyed (doc, pos).
+      val plan = TextAnalysis.knTrigramLogProb(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        "positional mode still plans a Window operator")
+      // Malformed conf fails with guidance, not silent default.
+      spark.conf.set("graft.lm.positionalJoin", "maybe")
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.knBigramLogProb(docs, "doc_id", "text").collect()
+      }
+      assert(e.getMessage.contains("graft.lm.positionalJoin"), e.getMessage)
+    } finally spark.conf.unset("graft.lm.positionalJoin")
+  }
+
+  // ---- order-5 persisted model (round 16) ----------------------------------
+
+  test("build5 == modelFrames5 table-for-table (the one-pass gramCounts5 " +
+      "build is bit-identical to per-order counting), and the persisted " +
+      "score5 == inline crossScore5") {
+    val rnd = new scala.util.Random(43)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr")
+    def txt(): String =
+      (0 until (2 + rnd.nextInt(9))).map(_ => pool(rnd.nextInt(7))).mkString(" ")
+    val all = (1L to 60L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm5_").toString)
+    LmIndex.build5(store, "lm5", all, "doc_id", "text")
+    val lazyM = LmIndex.modelFrames5(all, "doc_id", "text")
+    val frames = Seq(
+      "uni" -> lazyM.uni, "big" -> lazyM.big, "ctx" -> lazyM.ctx,
+      "cont" -> lazyM.cont, "tri" -> lazyM.tri, "ctx3" -> lazyM.ctx3,
+      "m2" -> lazyM.m2, "mctx" -> lazyM.mctx, "four" -> lazyM.four,
+      "ctx4" -> lazyM.ctx4, "m3" -> lazyM.m3, "mctx3" -> lazyM.mctx3,
+      "five" -> lazyM.five, "ctx5" -> lazyM.ctx5, "m4" -> lazyM.m4,
+      "mctx4" -> lazyM.mctx4, "stats" -> lazyM.stats)
+    frames.foreach { case (n, df) =>
+      assert(store.load(s"lm5_$n").collect().map(_.toString).toSet ===
+        df.collect().map(_.toString).toSet,
+        s"built lm5_$n diverged from the lazy per-order derivation")
+    }
+    val got = LmIndex.score5(store, "lm5", all, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = LmIndex.crossScore5(all, all, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want, "persisted order-5 serve diverged from inline")
+    // OOV path through the store roundtrip too.
+    val probe = (900L to 905L).map(i => (i, txt())).toDF("doc_id", "text")
+    assert(LmIndex.score5(store, "lm5", probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet ===
+      LmIndex.crossScore5(all, probe, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet)
+  }
+
+  test("order-5 OOV recipe matches the hand-computed fixture at every " +
+      "backoff depth (positions 4 and 5; seen and unseen contexts at " +
+      "ctx5/mctx4/mctx3/mctx)") {
+    // Train: "a b c d e" + "a b c d f". Worked tables in the comments of
+    // the round-16 session notes; the load-bearing counts:
+    //   uni total 10; btypes 5; Pcont(w)=1/5 for all seen continuations.
+    //   ctx5 (a,b,c,d): cc5=2, n1f5=2; mctx4 (b,c,d): m4cc=2, n1f4c=2;
+    //   mctx3 (b,c): 1,1 / (c,d): 2,2; mctx b:1,1 c:1,1 d:2,2.
+    val train = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val d = 0.75
+    def fp(p: Double): Long = math.round(math.log(p) * 1e6)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Doc 10 "a b c d z": unseen EVENT under a seen context at every
+    // level of the position-5 chain.
+    val pba = (2 - d) / 2 + d * (1.0 / 2) * 0.2            // b|a
+    val midC = (1 - d) / 1 + d * 1.0 * 0.2                 // KN2'(c|b)
+    val triC = (2 - d) / 2 + d * (1.0 / 2) * midC          // c|(a,b)
+    val midD = (1 - d) / 1 + d * 1.0 * 0.2                 // KN2'(d|c)
+    val mid3D = (1 - d) / 1 + d * 1.0 * midD               // KN3'(d|(b,c))
+    val fourD = (2 - d) / 2 + d * (1.0 / 2) * mid3D        // d|(a,b,c)
+    val midZ = d * (2.0 / 2) * (0.5 / 5)                   // KN2'(z|d), z OOV
+    val mid3Z = d * (2.0 / 2) * midZ                       // KN3'(z|(c,d))
+    val mid4Z = d * (2.0 / 2) * mid3Z                      // KN4'(z|(b,c,d))
+    val fiveZ = d * (2.0 / 2) * mid4Z                      // z|(a,b,c,d)
+    val exp10 = r6((fp(2.0 / 10) + fp(pba) + fp(triC) + fp(fourD) + fp(fiveZ))
+      / 5.0 / 1e6)
+    // Doc 11 "a b c z e": unseen 4-gram under a SEEN ctx4 (z), then a
+    // fully-unseen context chain (e) backing off level by level to
+    // Pcont(e).
+    val midZc = d * 1.0 * (0.5 / 5)                        // KN2'(z|c)
+    val mid3Zbc = d * 1.0 * midZc                          // KN3'(z|(b,c))
+    val fourZ = d * (1.0 / 2) * mid3Zbc                    // z|(a,b,c)
+    val exp11 = r6((fp(2.0 / 10) + fp(pba) + fp(triC) + fp(fourZ) + fp(0.2))
+      / 5.0 / 1e6)
+    val docs = Seq((10L, "a b c d z"), (11L, "a b c z e")).toDF("doc_id", "text")
+    val got = LmIndex.crossScore5(train, docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((10L, 5L, exp10), (11L, 5L, exp11)))
+  }
+
+  test("order-5 reduces exactly to order 3 on a corpus with no position-4 " +
+      "tokens — KN and modified-KN alike; ONE build5 model serves all six " +
+      "smoothings") {
+    val rnd = new scala.util.Random(47)
+    val pool = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def short(): String =
+      (0 until (1 + rnd.nextInt(3))).map(_ => pool(rnd.nextInt(6))).mkString(" ")
+    val docs = (1L to 40L).map(i => (i, short())).toDF("doc_id", "text")
+    assert(LmIndex.crossScore5(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet ===
+      LmIndex.crossScore3(docs, docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet,
+      "order-5 KN did not reduce to order-3 without 4-grams")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm5r_").toString)
+    LmIndex.build5(store, "lm5", docs, "doc_id", "text")
+    val fb = Some((0.5, 1.0, 1.5))
+    assert(LmIndex.scoreMkn5(store, "lm5", docs, "doc_id", "text", fb)
+      .as[(Long, Long, Double)].collect().toSet ===
+      LmIndex.scoreMkn3(store, "lm5", docs, "doc_id", "text", fb)
+        .as[(Long, Long, Double)].collect().toSet,
+      "order-5 modified KN did not reduce to order-3 without 4-grams")
+    // The build5 model's bigram/trigram-level tables are build3's, so
+    // every lower-order smoothing serves from the SAME prefix.
+    assert(LmIndex.score(store, "lm5", docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet ===
+      LmIndex.crossScore(docs, docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet,
+      "build5 model failed to serve the order-2 KN score")
+    assert(LmIndex.score3(store, "lm5", docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet ===
+      LmIndex.crossScore3(docs, docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet,
+      "build5 model failed to serve the order-3 KN score")
+    assert(LmIndex.scoreMkn(store, "lm5", docs, "doc_id", "text", fb)
+      .as[(Long, Long, Double)].collect().toSet ===
+      TextAnalysis.mknBigramLogProb(docs, "doc_id", "text", fb)
+        .as[(Long, Long, Double)].collect().toSet,
+      "build5 model failed to serve the order-2 modified-KN score")
+  }
+
+  test("order-5 maintenance: append5 == rebuild on the union; deleteDocs5 " +
+      "== rebuild without — all seventeen tables; alien deletes refuse " +
+      "before any swap") {
+    val rnd = new scala.util.Random(53)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp")
+    def txt(): String =
+      (0 until (3 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(6))).mkString(" ")
+    val a = (1L to 40L).map(i => (i, txt())).toDF("doc_id", "text")
+    val b = (41L to 70L).map(i => (i, txt())).toDF("doc_id", "text")
+    def newStore() = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm5m_").toString)
+    val names = Seq("uni", "big", "ctx", "cont", "tri", "ctx3", "m2", "mctx",
+      "four", "ctx4", "m3", "mctx3", "five", "ctx5", "m4", "mctx4", "stats")
+    def tablesOf(st: graft.io.ParquetTableStore): Map[String, Set[String]] =
+      names.map(t => t -> st.load(s"lm5_$t").collect()
+        .map(_.toString).toSet).toMap
+    val incr = newStore()
+    LmIndex.build5(incr, "lm5", a, "doc_id", "text")
+    LmIndex.append5(incr, "lm5", b, "doc_id", "text")
+    val full = newStore()
+    LmIndex.build5(full, "lm5", a.unionByName(b), "doc_id", "text")
+    assert(tablesOf(incr) === tablesOf(full),
+      "append5 diverged from the full rebuild")
+    LmIndex.deleteDocs5(incr, "lm5", b, "doc_id", "text")
+    val onlyA = newStore()
+    LmIndex.build5(onlyA, "lm5", a, "doc_id", "text")
+    assert(tablesOf(incr) === tablesOf(onlyA),
+      "deleteDocs5 diverged from rebuilding without the deleted docs")
+    val before = onlyA.load("lm5_stats").collect().toSeq
+    val alien = Seq((999L, "zz zz yy xx ww vv")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LmIndex.deleteDocs5(onlyA, "lm5", alien, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("negative"), e.getMessage)
+    assert(onlyA.load("lm5_stats").collect().toSeq === before,
+      "a rejected order-5 delete must not have touched the store")
+  }
+
+  test("scoreBatch5 == score5 and scoreBatchMkn5 == scoreMkn5 in both " +
+      "pruner regimes, with the 5-gram-table IN pushdown") {
+    val rnd = new scala.util.Random(59)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr")
+    def txt(): String =
+      (0 until (4 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(7))).mkString(" ")
+    val train = (1L to 80L).map(i => (i, txt())).toDF("doc_id", "text")
+    val batch = (200L to 206L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm5p_").toString)
+    LmIndex.build5(store, "lm5", train, "doc_id", "text")
+    val fb = Some((0.5, 1.0, 1.5))
+    val want = LmIndex.score5(store, "lm5", batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val probed = LmIndex.scoreBatch5(store, "lm5", batch, "doc_id", "text")
+    assert(probed.as[(Long, Long, Double)].collect().toSet === want)
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val scans = graft.PlanTestUtils.scansOf(
+      probed.queryExecution.executedPlan, "lm5_five")
+    assert(scans.nonEmpty, "no lm5_five scan in the probed order-5 plan")
+    scans.foreach { f =>
+      assert(f.dataFilters.exists(_.exists {
+        case _: In => true; case _: InSet => true; case _ => false
+      }), s"lm5_five scan lost the word IN pushdown: ${f.dataFilters}")
+    }
+    val wantM = LmIndex.scoreMkn5(store, "lm5", batch, "doc_id", "text", fb)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(LmIndex.scoreBatchMkn5(store, "lm5", batch, "doc_id", "text", fb)
+      .as[(Long, Long, Double)].collect().toSet === wantM,
+      "probed order-5 modified-KN serve diverged")
+    spark.conf.set("graft.lm.probeMaxWords", "3")
+    try {
+      val semi = LmIndex.scoreBatch5(store, "lm5", batch, "doc_id", "text")
+      assert(semi.as[(Long, Long, Double)].collect().toSet === want,
+        "order-5 semi-join probed serve diverged")
+      assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+      assert(LmIndex.scoreBatchMkn5(store, "lm5", batch, "doc_id", "text", fb)
+        .as[(Long, Long, Double)].collect().toSet === wantM,
+        "order-5 semi-join probed mkn serve diverged")
+    } finally spark.conf.unset("graft.lm.probeMaxWords")
+  }
+
   test("degenerate models fail with guidance, not DIVIDE_BY_ZERO") {
     // Single-token training docs: no bigram types — scoring a 2-token
     // doc needs the continuation mass and must raise the curated error.

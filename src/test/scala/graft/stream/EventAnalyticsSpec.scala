@@ -369,6 +369,75 @@ class EventAnalyticsSpec extends SparkSpec {
     gate2.release()
   }
 
+  test("pplGateMkn3EachBatch: modified-KN micro-batched gate == batch " +
+      "scoreMkn3, batch-boundary-free, in BOTH pruner regimes") {
+    import graft.functions.LmIndex
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val phrases = Vector("the cat sat", "on the mat", "a dog ran", "in the park")
+    def natural(): String =
+      (0 until 3).map(_ => phrases(rnd.nextInt(4))).mkString(" ")
+    val pool = Vector("qx", "zv", "wk", "jj", "pf", "bn", "the", "cat")
+    def salad(): String =
+      (0 until 9).map(_ => pool(rnd.nextInt(8))).mkString(" ")
+    val train = (1L to 40L).map(i => (i, natural())).toDF("doc_id", "text")
+    val docs = ((100L to 109L).map(i => (i, natural())) ++
+      (200L to 209L).map(i => (i, salad()))).toDF("doc_id", "text")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_mkn3_gate_").toString)
+    LmIndex.build3(store, "lm3", train, "doc_id", "text")
+    val fb = Some((0.5, 1.0, 1.5))
+    val scores = LmIndex.scoreMkn3(store, "lm3", docs, "doc_id", "text", fb)
+      .select($"doc_id", $"logprob").as[(Long, Double)].collect()
+    val natMean = scores.filter(_._1 < 200).map(_._2).sum / 10
+    val salMean = scores.filter(_._1 >= 200).map(_._2).sum / 10
+    assert(natMean > salMean + 0.5,
+      s"modified-KN LM failed to separate template ($natMean) from salad ($salMean)")
+    val thr = (natMean + salMean) / 2
+    val want = scores.filter(_._2 >= thr).toSet
+
+    // Drive once in the IN-pruning regime and once FORCED past the
+    // probeMaxWords ceiling (the semi-join regime whose per-batch
+    // checkpoint the gate must release) — identical decisions in both.
+    for (ceiling <- Seq(None, Some("3"))) {
+      ceiling.foreach(c => spark.conf.set("graft.lm.probeMaxWords", c))
+      try {
+        val input = MemoryStream[(Long, String)]
+        val acc = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        val gate = EventAnalytics.pplGateMkn3EachBatch(
+          store, "lm3", "doc_id", "text", minLogprob = thr, fb) { out =>
+          acc.synchronized {
+            acc ++= out.select("doc_id", "logprob").as[(Long, Double)].collect()
+          }
+          ()
+        }
+        val q = input.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch(gate)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
+        val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+        input.addData(rows.take(7).toSeq)
+        q.processAllAvailable()
+        input.addData(rows.drop(7).toSeq)
+        q.processAllAvailable()
+        q.stop()
+        assert(acc.toSet === want,
+          s"modified-KN stream gate diverged from batch scoreMkn3 " +
+            s"(probeMaxWords=$ceiling)")
+        gate.release()
+      } finally ceiling.foreach(_ => spark.conf.unset("graft.lm.probeMaxWords"))
+    }
+
+    val gate2 = EventAnalytics.pplGateMkn3EachBatch(
+      store, "lm3", "doc_id", "text", minLogprob = 0.0)(_ => ())
+    val e = intercept[IllegalArgumentException](
+      gate2(Seq((1L, "a", 0.5)).toDF("doc_id", "text", "logprob"), 0L))
+    assert(e.getMessage.contains("pplGateMkn3EachBatch"))
+    gate2.release()
+  }
+
   test("qualityGateEachBatch rejects a batch already carrying a feature or score column") {
     import graft.functions.QualityModel
     val feats = QualityModel.docFeatures($"text", $"n_chars")
