@@ -37,10 +37,14 @@ import org.apache.spark.sql.streaming.Trigger
   * tables, e.g. synth:500000:3000000:40 yields ~20M bigram types),
   * the regime the IN pushdown exists for.
   *
-  * A 4th arg `order` (2, the default, or 3) picks the model family:
-  * order 3 builds the NINE-table [[LmIndex.build3]] model and drives
-  * [[LmIndex.score3]] (full) vs [[LmIndex.scoreBatch3]] (probed) vs
-  * [[EventAnalytics.pplGate3EachBatch]] (pinned) over the same batches.
+  * A 4th arg `order` (2, the default, 3, or mkn3) picks the model
+  * family: order 3 builds the NINE-table [[LmIndex.build3]] model and
+  * drives [[LmIndex.score3]] (full) vs [[LmIndex.scoreBatch3]] (probed)
+  * vs [[EventAnalytics.pplGate3EachBatch]] (pinned) over the same
+  * batches; `mkn3` drives the same build3 model through the MODIFIED-KN
+  * serve family ([[LmIndex.scoreMkn3]] / [[LmIndex.scoreBatchMkn3]] /
+  * [[EventAnalytics.pplGateMkn3EachBatch]]) — the smoothing the CCNet
+  * deployment actually gates with.
   *
   * Usage: BenchLmServe [documentsParquet|synth:n:v:w] [nBatches] [batchSize] [order]
   */
@@ -49,9 +53,11 @@ object BenchLmServe {
     val corpusPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
     val nBatches = if (args.length > 1) args(1).toInt else 16
     val batchSize = if (args.length > 2) args(2).toInt else 64
-    val order = if (args.length > 3) args(3).toInt else 2
+    val order = if (args.length > 3) args(3) else "2"
     require(nBatches >= 2, s"nBatches must be >= 2, got $nBatches")
-    require(order == 2 || order == 3, s"order must be 2 or 3, got $order")
+    require(Set("2", "3", "mkn3").contains(order),
+      s"order must be 2, 3 or mkn3, got $order")
+    val fb = Some((0.5, 1.0, 1.5))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,7 +84,7 @@ object BenchLmServe {
     val root = java.nio.file.Files.createTempDirectory("graft_lm_serve").toString
     val store = new ParquetTableStore(spark, root)
     val tBuild0 = System.nanoTime()
-    if (order == 3) LmIndex.build3(store, "lm", corpus, "doc_id", "text")
+    if (order != "2") LmIndex.build3(store, "lm", corpus, "doc_id", "text")
     else LmIndex.build(store, "lm", corpus, "doc_id", "text")
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
 
@@ -109,28 +115,40 @@ object BenchLmServe {
 
     @volatile var gotFull = 0L
     val fullSecs = drive((batch, _) => {
-      gotFull += (if (order == 3)
-        LmIndex.score3(store, "lm", batch, "doc_id", "text")
-      else LmIndex.score(store, "lm", batch, "doc_id", "text")).count()
+      gotFull += (order match {
+        case "3" => LmIndex.score3(store, "lm", batch, "doc_id", "text")
+        case "mkn3" =>
+          LmIndex.scoreMkn3(store, "lm", batch, "doc_id", "text", fb)
+        case _ => LmIndex.score(store, "lm", batch, "doc_id", "text")
+      }).count()
     }, () => gotFull)
     @volatile var gotProbed = 0L
     val probedSecs = drive((batch, _) => {
-      gotProbed += (if (order == 3)
-        LmIndex.scoreBatch3(store, "lm", batch, "doc_id", "text")
-      else LmIndex.scoreBatch(store, "lm", batch, "doc_id", "text")).count()
+      gotProbed += (order match {
+        case "3" => LmIndex.scoreBatch3(store, "lm", batch, "doc_id", "text")
+        case "mkn3" =>
+          LmIndex.scoreBatchMkn3(store, "lm", batch, "doc_id", "text", fb)
+        case _ => LmIndex.scoreBatch(store, "lm", batch, "doc_id", "text")
+      }).count()
     }, () => gotProbed)
     @volatile var gotGate = 0L
-    val gate =
-      if (order == 3)
+    val gate = order match {
+      case "3" =>
         EventAnalytics.pplGate3EachBatch(
           store, "lm", "doc_id", "text", minLogprob = -1e9) { out =>
           gotGate += out.count(); ()
         }
-      else
+      case "mkn3" =>
+        EventAnalytics.pplGateMkn3EachBatch(
+          store, "lm", "doc_id", "text", minLogprob = -1e9, fb) { out =>
+          gotGate += out.count(); ()
+        }
+      case _ =>
         EventAnalytics.pplGateEachBatch(
           store, "lm", "doc_id", "text", minLogprob = -1e9) { out =>
           gotGate += out.count(); ()
         }
+    }
     val gateSecs = drive(gate, () => gotGate)
     gate.release()
 
@@ -148,7 +166,7 @@ object BenchLmServe {
     val (pQ, pW, pP50, pMax) = stats(probedSecs)
     val (gQ, gW, gP50, gMax) = stats(gateSecs)
     println(s"""{"metric":"lm_serve_docs_per_sec","value":${r3(pQ)},""" +
-      s""""unit":"docs/sec","order":$order,"corpus_docs":$nDocs,"batches":$nBatches,""" +
+      s""""unit":"docs/sec","order":"$order","corpus_docs":$nDocs,"batches":$nBatches,""" +
       s""""batch_size":$batchSize,"build_sec":${r3(buildSec)},""" +
       s""""full_dps":${r3(fQ)},"full_warm_batch_sec":${r3(fW)},""" +
       s""""full_p50_sec":${r3(fP50)},"full_max_sec":${r3(fMax)},""" +

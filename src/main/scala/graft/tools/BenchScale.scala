@@ -175,7 +175,16 @@ object BenchScale {
     // estimated discounts — the heaviest inline LM shape) and its
     // persisted twin (build3 + tally-read serve).
     "q_mkn_trigram",
-    "q_mkn3_persisted")
+    "q_mkn3_persisted",
+    // round-16 additions: the ORDER-5 persisted family (seventeen-table
+    // gramCounts5 build + the nine-exchange scoring joins — the literal
+    // CCNet model shape; run against `heaps`/`heapsbigram` corpora for
+    // the model-table-growth rows) and q_kn3_persisted under the
+    // positional-join scorer mode (the giant-document mitigation — run
+    // against a `longdoc` corpus to measure the window-sort trade).
+    "q_kn5_persisted",
+    "q_mkn5_persisted",
+    "q_kn3_positional")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)

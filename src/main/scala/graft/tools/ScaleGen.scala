@@ -145,6 +145,31 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** BIGRAM-DIVERSE Heaps corpus ×k — [[heapsDocuments]] with the
+    * position-hash CHAIN CORRELATION broken: the Knuth multiplicative
+    * hash of consecutive positions differs by a CONSTANT mod 2²⁴
+    * (h(i+1) = h(i) + 2654435761), so w_{i+1} is a deterministic
+    * function of u_i and PAIR diversity grows only ~sublinearly in
+    * tokens — the BASELINE r15 caveat this mode closes. Here u comes
+    * from xxhash64(doc_id, position) (full avalanche, adjacent inputs
+    * independent), same Heaps-law vocabulary and rank law, so bigram
+    * types grow near-LINEARLY with tokens until V² saturation — the
+    * near-unique-bigram BUILD regime that previously only the
+    * BenchLmServe `synth:` serve record covered (full-scan serve
+    * collapse at ~20M bigram types). Doc/key/length shape matches
+    * [[scaleDocuments]] exactly, as in [[heapsDocuments]]. */
+  def heapsBigramDocuments(docs: DataFrame, k: Int): DataFrame = {
+    val v = heapsVocab(k)
+    scaleDocuments(docs, k)
+      .withColumn("text", expr(
+        s"""array_join(transform(split(text, '\\\\s+'), (w, i) ->
+           |  concat('h', CAST(FLOOR($v * POW(
+           |    pmod(xxhash64(doc_id, i), 16777216) / 16777216.0e0,
+           |    2.0e0)) AS BIGINT))),
+           |  ' ')""".stripMargin))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** GIANT-DOCUMENT corpus ×k — the window-partition adversary: every
     * LM scorer computes lag(w, 1/2) over a window PARTITIONED BY doc_id,
     * so per-doc token count bounds one task's sort. The other modes keep
@@ -276,7 +301,9 @@ object ScaleGen {
     // `manykeys` = domain-cardinality mixing key ([[manyKeyDocuments]]),
     // `hotband` = corpus-wide boilerplate stop-shingle
     // ([[hotBandDocuments]]), `heaps` = diverse Heaps-law vocabulary
-    // ([[heapsDocuments]]), `longdoc` = giant-document fold
+    // ([[heapsDocuments]]), `heapsbigram` = Heaps vocabulary with
+    // independent position hashing — near-linear PAIR growth
+    // ([[heapsBigramDocuments]]), `longdoc` = giant-document fold
     // ([[longDocDocuments]]).
     val mode = if (args.length > 3) args(3) else ""
     val spark = SparkSession.builder()
@@ -291,6 +318,7 @@ object ScaleGen {
       case "manykeys" => manyKeyDocuments(pq("documents"), k)
       case "hotband" => hotBandDocuments(pq("documents"), k)
       case "heaps" => heapsDocuments(pq("documents"), k)
+      case "heapsbigram" => heapsBigramDocuments(pq("documents"), k)
       case "longdoc" => longDocDocuments(pq("documents"), k)
       case _ => scaleDocuments(pq("documents"), k)
     }).repartition(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
