@@ -2163,6 +2163,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The order-5 probed modified-KN serve: sixteen keyed table reads
+    // pruned to the 4% batch's vocabulary, seven discount levels from
+    // the unpruned stats — shares q_mkn5_persisted's oracle chain with
+    // the batch predicate on the SCORED side only.
+    "q_mkn5_probed" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      graft.functions.LmIndex.scoreBatchMkn5(
+        store, "lm5", d.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")
+    }),
+
+    // Order-5 maintenance ORACLE-PINNED: build5 on two thirds of the
+    // corpus, append5 the remaining third, score everything — the
+    // oracle RETRAINS from scratch on the full corpus (knPentaChainSql
+    // reads all documents), so a hash match proves append == rebuild on
+    // the union through all seventeen tables AND the scoring joins
+    // (the q_kn_append convention at order 5).
+    "q_kn5_append" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(
+        store, "lm5", d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.append5(
+        store, "lm5", d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // q_kn3_persisted under the POSITIONAL-JOIN scorer mode (round-16
     // task 4): graft.lm.positionalJoin replaces every per-doc lag
     // window with one (doc_id, pos)-hash-aggregated shifted-copies
@@ -6941,6 +6974,10 @@ object SparkEntry {
       knPentaCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
 
     "q_mkn5_persisted" -> mknPentaChainSql(),
+
+    "q_mkn5_probed" -> mknPentaChainSql("WHERE doc_id % 25 = 0"),
+
+    "q_kn5_append" -> knPentaChainSql(),
 
     "q_kn3_holdout" ->
       knTrigramCrossScoreSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),

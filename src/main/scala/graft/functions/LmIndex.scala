@@ -1427,9 +1427,16 @@ object LmIndex {
     * lossless for scoring `docs` ([[pruneModel3]]'s argument, two
     * levels up). */
   private[graft] def pruneModel5(
-      m: Kn5Model, docs: DataFrame, textCol: String): Kn5Model = {
+      m: Kn5Model, docs: DataFrame, textCol: String): Kn5Model =
+    pruneModel5R(m, docs, textCol)._1
+
+  /** [[pruneModel5]] with the pruner's release handle — for standing
+    * consumers (the order-5 streaming gates), [[pruneModel3R]]'s
+    * contract two levels up. */
+  private[graft] def pruneModel5R(
+      m: Kn5Model, docs: DataFrame, textCol: String): (Kn5Model, () => Unit) = {
     val prune = batchWordPruner(docs, textCol)
-    Kn5Model(
+    (Kn5Model(
       uni = prune(m.uni, Seq("w")),
       big = prune(m.big, Seq("prev", "w")),
       ctx = prune(m.ctx, Seq("prev")),
@@ -1446,7 +1453,7 @@ object LmIndex {
       ctx5 = prune(m.ctx5, Seq("prev4", "prev3", "prev2", "prev")),
       m4 = prune(m.m4, Seq("prev3", "prev2", "prev", "w")),
       mctx4 = prune(m.mctx4, Seq("prev3", "prev2", "prev")),
-      stats = m.stats)
+      stats = m.stats), prune.release)
   }
 
   /** [[scoreBatch]] at order 5: all sixteen keyed table reads prune to

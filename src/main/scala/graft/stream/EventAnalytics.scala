@@ -436,6 +436,90 @@ object EventAnalytics {
     }, Seq(m.uni, m.big, m.ctx, m.cont, m.tri, m.ctx3, m.m2, m.mctx, m.stats))
   }
 
+  /** Pin all seventeen frames of an order-5 model (cache + count at
+    * construction — the ivfSnapshot discipline), shared by the two
+    * order-5 gates. */
+  private def pinModel5(
+      m0: graft.functions.LmIndex.Kn5Model): graft.functions.LmIndex.Kn5Model =
+    graft.functions.LmIndex.Kn5Model(
+      uni = materializeBatch(m0.uni), big = materializeBatch(m0.big),
+      ctx = materializeBatch(m0.ctx), cont = materializeBatch(m0.cont),
+      tri = materializeBatch(m0.tri), ctx3 = materializeBatch(m0.ctx3),
+      m2 = materializeBatch(m0.m2), mctx = materializeBatch(m0.mctx),
+      four = materializeBatch(m0.four), ctx4 = materializeBatch(m0.ctx4),
+      m3 = materializeBatch(m0.m3), mctx3 = materializeBatch(m0.mctx3),
+      five = materializeBatch(m0.five), ctx5 = materializeBatch(m0.ctx5),
+      m4 = materializeBatch(m0.m4), mctx4 = materializeBatch(m0.mctx4),
+      stats = materializeBatch(m0.stats))
+
+  private def pinned5Seq(
+      m: graft.functions.LmIndex.Kn5Model): Seq[DataFrame] =
+    Seq(m.uni, m.big, m.ctx, m.cont, m.tri, m.ctx3, m.m2, m.mctx,
+      m.four, m.ctx4, m.m3, m.mctx3, m.five, m.ctx5, m.m4, m.mctx4,
+      m.stats)
+
+  /** [[pplGate3EachBatch]] at ORDER 5 — the literal CCNet gate depth:
+    * all SEVENTEEN [[graft.functions.LmIndex.build5]] tables pinned at
+    * construction and pruned to each batch's vocabulary
+    * ([[graft.functions.LmIndex.pruneModel5R]], lossless; the pruner's
+    * checkpointed word frame releases per batch). Batch boundaries
+    * cannot change any decision (spec-pinned batch == stream). */
+  def pplGate5EachBatch(
+      store: graft.io.TableStore, prefix: String,
+      idCol: String, textCol: String, minLogprob: Double,
+      discount: Double = 0.75)(
+      sink: DataFrame => Unit): PplGate = {
+    val m = pinModel5(graft.functions.LmIndex.loadModel5(store, prefix))
+    new PplGate((batch, _) => {
+      graft.functions.Sampling.requireFreeColumns(
+        batch, "pplGate5EachBatch", Seq("n_tokens", "logprob"))
+      val b = materializeBatch(batch)
+      val (pruned, release) =
+        graft.functions.LmIndex.pruneModel5R(m, b, textCol)
+      try
+        sink(b.join(
+            graft.functions.LmIndex.scoreFrames5(
+              pruned, b, idCol, textCol, discount),
+            Seq(idCol))
+          .filter(col("logprob") >= minLogprob))
+      finally {
+        release()
+        b.unpersist()
+        ()
+      }
+    }, pinned5Seq(m))
+  }
+
+  /** [[pplGateMkn3EachBatch]] at ORDER 5 — the full CCNet serve
+    * (frozen order-5 model, modified-KN discounts) as a standing gate:
+    * seventeen pinned tables, per-batch pruning, seven levels of
+    * discounts re-derived from the pinned stats row each trigger. */
+  def pplGateMkn5EachBatch(
+      store: graft.io.TableStore, prefix: String,
+      idCol: String, textCol: String, minLogprob: Double,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None)(
+      sink: DataFrame => Unit): PplGate = {
+    val m = pinModel5(graft.functions.LmIndex.loadModel5(store, prefix))
+    new PplGate((batch, _) => {
+      graft.functions.Sampling.requireFreeColumns(
+        batch, "pplGateMkn5EachBatch", Seq("n_tokens", "logprob"))
+      val b = materializeBatch(batch)
+      val (pruned, release) =
+        graft.functions.LmIndex.pruneModel5R(m, b, textCol)
+      try
+        sink(b.join(
+            graft.functions.LmIndex.scoreFramesMkn5(
+              pruned, b, idCol, textCol, fallbackDiscounts),
+            Seq(idCol))
+          .filter(col("logprob") >= minLogprob))
+      finally {
+        release()
+        b.unpersist()
+        ()
+      }
+    }, pinned5Seq(m))
+  }
+
   /** Streaming drift alarm — per-micro-batch
     * [[graft.functions.Sampling.distributionDrift]] against a PERSISTED
     * baseline histogram ([[graft.functions.Sampling.bucketCounts]],

@@ -55,8 +55,8 @@ object BenchLmServe {
     val batchSize = if (args.length > 2) args(2).toInt else 64
     val order = if (args.length > 3) args(3) else "2"
     require(nBatches >= 2, s"nBatches must be >= 2, got $nBatches")
-    require(Set("2", "3", "mkn3").contains(order),
-      s"order must be 2, 3 or mkn3, got $order")
+    require(Set("2", "3", "mkn3", "5", "mkn5").contains(order),
+      s"order must be 2, 3, mkn3, 5 or mkn5, got $order")
     val fb = Some((0.5, 1.0, 1.5))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,8 +84,11 @@ object BenchLmServe {
     val root = java.nio.file.Files.createTempDirectory("graft_lm_serve").toString
     val store = new ParquetTableStore(spark, root)
     val tBuild0 = System.nanoTime()
-    if (order != "2") LmIndex.build3(store, "lm", corpus, "doc_id", "text")
-    else LmIndex.build(store, "lm", corpus, "doc_id", "text")
+    order match {
+      case "5" | "mkn5" => LmIndex.build5(store, "lm", corpus, "doc_id", "text")
+      case "3" | "mkn3" => LmIndex.build3(store, "lm", corpus, "doc_id", "text")
+      case _ => LmIndex.build(store, "lm", corpus, "doc_id", "text")
+    }
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
 
     val docRows = corpus.limit(nBatches * batchSize)
@@ -119,6 +122,9 @@ object BenchLmServe {
         case "3" => LmIndex.score3(store, "lm", batch, "doc_id", "text")
         case "mkn3" =>
           LmIndex.scoreMkn3(store, "lm", batch, "doc_id", "text", fb)
+        case "5" => LmIndex.score5(store, "lm", batch, "doc_id", "text")
+        case "mkn5" =>
+          LmIndex.scoreMkn5(store, "lm", batch, "doc_id", "text", fb)
         case _ => LmIndex.score(store, "lm", batch, "doc_id", "text")
       }).count()
     }, () => gotFull)
@@ -128,6 +134,9 @@ object BenchLmServe {
         case "3" => LmIndex.scoreBatch3(store, "lm", batch, "doc_id", "text")
         case "mkn3" =>
           LmIndex.scoreBatchMkn3(store, "lm", batch, "doc_id", "text", fb)
+        case "5" => LmIndex.scoreBatch5(store, "lm", batch, "doc_id", "text")
+        case "mkn5" =>
+          LmIndex.scoreBatchMkn5(store, "lm", batch, "doc_id", "text", fb)
         case _ => LmIndex.scoreBatch(store, "lm", batch, "doc_id", "text")
       }).count()
     }, () => gotProbed)
@@ -140,6 +149,16 @@ object BenchLmServe {
         }
       case "mkn3" =>
         EventAnalytics.pplGateMkn3EachBatch(
+          store, "lm", "doc_id", "text", minLogprob = -1e9, fb) { out =>
+          gotGate += out.count(); ()
+        }
+      case "5" =>
+        EventAnalytics.pplGate5EachBatch(
+          store, "lm", "doc_id", "text", minLogprob = -1e9) { out =>
+          gotGate += out.count(); ()
+        }
+      case "mkn5" =>
+        EventAnalytics.pplGateMkn5EachBatch(
           store, "lm", "doc_id", "text", minLogprob = -1e9, fb) { out =>
           gotGate += out.count(); ()
         }

@@ -978,6 +978,35 @@ class LmSmoothingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lm.probeMaxWords")
   }
 
+  test("versioned order-5 rebuild under a pinned serve: generations never " +
+      "mix across seventeen tables") {
+    val a = Seq((1L, "aa bb cc dd ee aa bb"), (2L, "aa cc dd ee ff"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "xx yy zz ww vv xx yy"), (2L, "yy zz ww vv uu"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, "aa bb cc dd xx yy zz ww")).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm5v_").toString)
+    LmIndex.rebuildVersioned5(store, "lm5", a, "doc_id", "text")
+    val pinnedPrefix = graft.io.VersionedIndex.currentPrefix(store, "lm5")
+    val pinned = LmIndex.loadModel5(store, pinnedPrefix)
+    LmIndex.rebuildVersioned5(store, "lm5", b, "doc_id", "text")
+    val gotPinned = LmIndex.scoreFrames5(pinned, probe, "doc_id", "text", 0.75)
+      .as[(Long, Long, Double)].collect().toSet
+    val wantA = LmIndex.crossScore5(a, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotPinned === wantA,
+      "pinned order-5 model drifted off its generation after a rebuild")
+    val freshPrefix = graft.io.VersionedIndex.currentPrefix(store, "lm5")
+    val gotFresh = LmIndex.score5(store, freshPrefix, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val wantB = LmIndex.crossScore5(b, probe, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotFresh === wantB)
+    assert(gotPinned !== gotFresh,
+      "fixture too weak: the two generations score identically")
+  }
+
   test("degenerate models fail with guidance, not DIVIDE_BY_ZERO") {
     // Single-token training docs: no bigram types — scoring a 2-token
     // doc needs the continuation mass and must raise the curated error.

@@ -438,6 +438,98 @@ class EventAnalyticsSpec extends SparkSpec {
     gate2.release()
   }
 
+  test("order-5 gates (KN and modified-KN): micro-batched == batch " +
+      "score5/scoreMkn5, batch-boundary-free; semi-join regime too") {
+    import graft.functions.LmIndex
+    import graft.io.ParquetTableStore
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val phrases = Vector("the cat sat on", "the mat today", "a dog ran fast",
+      "in the big park")
+    def natural(): String =
+      (0 until 3).map(_ => phrases(rnd.nextInt(4))).mkString(" ")
+    val pool = Vector("qx", "zv", "wk", "jj", "pf", "bn", "the", "cat")
+    def salad(): String =
+      (0 until 12).map(_ => pool(rnd.nextInt(8))).mkString(" ")
+    val train = (1L to 40L).map(i => (i, natural())).toDF("doc_id", "text")
+    val docs = ((100L to 109L).map(i => (i, natural())) ++
+      (200L to 209L).map(i => (i, salad()))).toDF("doc_id", "text")
+    val store = new ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lm5_gate_").toString)
+    LmIndex.build5(store, "lm5", train, "doc_id", "text")
+    val fb = Some((0.5, 1.0, 1.5))
+
+    // KN gate: threshold from observed batch scores.
+    val kn = LmIndex.score5(store, "lm5", docs, "doc_id", "text")
+      .select($"doc_id", $"logprob").as[(Long, Double)].collect()
+    val thrKn = (kn.filter(_._1 < 200).map(_._2).sum / 10 +
+      kn.filter(_._1 >= 200).map(_._2).sum / 10) / 2
+    val wantKn = kn.filter(_._2 >= thrKn).toSet
+    assert(wantKn.nonEmpty && wantKn.size < kn.length,
+      "fixture too weak: the order-5 KN threshold does not separate")
+    for (ceiling <- Seq(None, Some("3"))) {
+      ceiling.foreach(c => spark.conf.set("graft.lm.probeMaxWords", c))
+      try {
+        val acc = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+        val gate = EventAnalytics.pplGate5EachBatch(
+          store, "lm5", "doc_id", "text", minLogprob = thrKn) { out =>
+          acc.synchronized {
+            acc ++= out.select("doc_id", "logprob").as[(Long, Double)].collect()
+          }
+          ()
+        }
+        val input = MemoryStream[(Long, String)]
+        val q = input.toDF().toDF("doc_id", "text")
+          .writeStream.foreachBatch(gate)
+          .trigger(Trigger.ProcessingTime("1 second")).start()
+        val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+        input.addData(rows.take(7).toSeq)
+        q.processAllAvailable()
+        input.addData(rows.drop(7).toSeq)
+        q.processAllAvailable()
+        q.stop()
+        assert(acc.toSet === wantKn,
+          s"order-5 stream gate diverged from batch score5 ($ceiling)")
+        gate.release()
+      } finally ceiling.foreach(_ => spark.conf.unset("graft.lm.probeMaxWords"))
+    }
+
+    // Modified-KN gate: same corpus, same contract.
+    val mkn = LmIndex.scoreMkn5(store, "lm5", docs, "doc_id", "text", fb)
+      .select($"doc_id", $"logprob").as[(Long, Double)].collect()
+    val thrM = (mkn.filter(_._1 < 200).map(_._2).sum / 10 +
+      mkn.filter(_._1 >= 200).map(_._2).sum / 10) / 2
+    val wantM = mkn.filter(_._2 >= thrM).toSet
+    val accM = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val gateM = EventAnalytics.pplGateMkn5EachBatch(
+      store, "lm5", "doc_id", "text", minLogprob = thrM, fb) { out =>
+      accM.synchronized {
+        accM ++= out.select("doc_id", "logprob").as[(Long, Double)].collect()
+      }
+      ()
+    }
+    val inputM = MemoryStream[(Long, String)]
+    val qM = inputM.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(gateM)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    val rowsM = docs.select("doc_id", "text").as[(Long, String)].collect()
+    inputM.addData(rowsM.take(7).toSeq)
+    qM.processAllAvailable()
+    inputM.addData(rowsM.drop(7).toSeq)
+    qM.processAllAvailable()
+    qM.stop()
+    assert(accM.toSet === wantM,
+      "order-5 modified-KN stream gate diverged from batch scoreMkn5")
+    gateM.release()
+
+    val gate2 = EventAnalytics.pplGate5EachBatch(
+      store, "lm5", "doc_id", "text", minLogprob = 0.0)(_ => ())
+    val e = intercept[IllegalArgumentException](
+      gate2(Seq((1L, "a", 0.5)).toDF("doc_id", "text", "logprob"), 0L))
+    assert(e.getMessage.contains("pplGate5EachBatch"))
+    gate2.release()
+  }
+
   test("qualityGateEachBatch rejects a batch already carrying a feature or score column") {
     import graft.functions.QualityModel
     val feats = QualityModel.docFeatures($"text", $"n_chars")
