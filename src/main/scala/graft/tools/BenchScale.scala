@@ -184,7 +184,13 @@ object BenchScale {
     // against a `longdoc` corpus to measure the window-sort trade).
     "q_kn5_persisted",
     "q_mkn5_persisted",
-    "q_kn3_positional")
+    "q_kn3_positional",
+    // round-16 session 2: order-5 maintenance (build5 + append5 count
+    // merge + full score — two passes over the gram tables) and the
+    // probed modified-KN order-5 serve (weight is the in-closure build;
+    // the serve is the probed slices).
+    "q_kn5_append",
+    "q_mkn5_probed")
 
   def main(args: Array[String]): Unit = {
     val dataDir = args(0)
