@@ -330,8 +330,15 @@ object LmIndex {
     * itself (driver memory pressure — the plan carries the literal list
     * per table), so pruning reroutes through a broadcast LEFT SEMI join
     * on the batch's word frame (the [[TextAnalysis]] joinVocab posture:
-    * same rows kept, executor-side). The default 65536 words keeps the
-    * literal plans ≈ a few MB. */
+    * same rows kept, executor-side). The default 65536 words keeps ONE
+    * table's literal plan ≈ a few MB — but the cost multiplies by the
+    * PRUNED TABLE COUNT (sixteen at order 5): the BASELINE round-16
+    * wide-batch record measured ~13k words × 16 tables = 17 MB task
+    * binaries and an 82-109 s p50 (the plan itself became the
+    * workload), while the same batches under a LOWERED ceiling (4096,
+    * forcing the semi-join regime) served at 28-38 docs/sec. Serving
+    * order-5 models with wide batches: lower this ceiling so pruning
+    * routes executor-side. */
   private[graft] def probeMaxWords(df: DataFrame): Int =
     math.min(
       TextAnalysis.confPositiveLong(df, "graft.lm.probeMaxWords", 65536L),

@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * Verify only dumps at oracle scale).
   *
   * Usage: RunOne <dataDir> <queryName> [queryName ...]
+  *
+  * `GRAFT_SESSION_CONF` (optional): comma-separated key=value session
+  * confs applied before any query runs — the hook for measuring a
+  * conf-switched MODE of an existing query (e.g.
+  * `graft.lm.positionalJoin=true`) without registering a twin.
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -19,6 +24,10 @@ object RunOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_SESSION_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     var failed = false
     for (name <- args.drop(1)) {
       val t0 = System.nanoTime()
