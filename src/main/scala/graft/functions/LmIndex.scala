@@ -330,15 +330,15 @@ object LmIndex {
     * itself (driver memory pressure — the plan carries the literal list
     * per table), so pruning reroutes through a broadcast LEFT SEMI join
     * on the batch's word frame (the [[TextAnalysis]] joinVocab posture:
-    * same rows kept, executor-side). The default 65536 words keeps ONE
-    * table's literal plan ≈ a few MB — but the cost multiplies by the
-    * PRUNED TABLE COUNT (sixteen at order 5): the BASELINE round-16
-    * wide-batch record measured ~13k words × 16 tables = 17 MB task
-    * binaries and an 82-109 s p50 (the plan itself became the
-    * workload), while the same batches under a LOWERED ceiling (4096,
-    * forcing the semi-join regime) served at 28-38 docs/sec. Serving
-    * order-5 models with wide batches: lower this ceiling so pruning
-    * routes executor-side. */
+    * same rows kept, executor-side). The conf value is a TOTAL
+    * literal-plan budget: [[batchWordPruner]] divides it by the number
+    * of tables it will prune (4/8/16 at orders 2/3/5), because the
+    * plan cost multiplies by that count — the BASELINE round-16
+    * wide-batch record measured the undivided failure mode (~13k words
+    * × 16 order-5 tables = 17 MB task binaries, 82-109 s p50, the plan
+    * itself the workload) and the semi-join reroute's recovery
+    * (28-38 docs/sec). The default 65536 keeps the total literal mass
+    * ≈ a few MB at every model order. */
   private[graft] def probeMaxWords(df: DataFrame): Int =
     math.min(
       TextAnalysis.confPositiveLong(df, "graft.lm.probeMaxWords", 65536L),
@@ -361,21 +361,34 @@ object LmIndex {
   }
 
   /** The probed-serve regime switch, shared by [[scoreBatch]],
-    * [[scoreBatch3]] and the modified-KN twins: returns a pruner that
-    * restricts a model table's given word-valued columns to the batch's
-    * vocabulary — static IN filters below [[probeMaxWords]] (one bounded
-    * driver collect; `limit(max+1)` caps the driver at max+1 rows even
-    * on a huge batch — the overflow probe IS the word collect when it
-    * fits), broadcast LEFT SEMI joins on the lazy word frame above it
-    * (no driver collect at any size; the frame is the batch's tokenize,
-    * re-derived per consumer — cheap, and the price of never
-    * materializing it driver-side). */
+    * [[scoreBatch3]]/[[scoreBatch5]] and the modified-KN twins: returns
+    * a pruner that restricts a model table's given word-valued columns
+    * to the batch's vocabulary — static IN filters below the effective
+    * ceiling (one bounded driver collect; `limit(max+1)` caps the
+    * driver at max+1 rows even on a huge batch — the overflow probe IS
+    * the word collect when it fits), broadcast LEFT SEMI joins on the
+    * lazy word frame above it (no driver collect at any size; the
+    * frame is the batch's tokenize, re-derived per consumer — cheap,
+    * and the price of never materializing it driver-side).
+    *
+    * The effective ceiling is [[probeMaxWords]] / `prunedTables`: the
+    * literal-IN plan cost multiplies by the number of tables pruned
+    * (each carries its own copy of the list per key column), and the
+    * BASELINE round-16 wide-batch record measured the failure mode —
+    * ~13k words × 16 order-5 tables = 17 MB task binaries and the plan
+    * itself becoming the workload (probed 6.1 docs/sec vs 28.3 once
+    * rerouted to the semi-join). Dividing keeps the TOTAL literal plan
+    * mass bounded by the same budget at every model order, so order-5
+    * wide batches auto-route executor-side while small probe batches
+    * keep the row-group-skipping IN pushdown everywhere (every
+    * recorded serve number re-derives the same regime under the
+    * divided ceiling). */
   private def batchWordPruner(
-      docs: DataFrame, textCol: String): WordPruner = {
+      docs: DataFrame, textCol: String, prunedTables: Int): WordPruner = {
     val wordsDf = docs
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .distinct()
-    val maxWords = probeMaxWords(docs)
+    val maxWords = math.max(1, probeMaxWords(docs) / math.max(1, prunedTables))
     val sample: Array[String] =
       wordsDf.limit(maxWords + 1).collect().map(_.getString(0))
     if (sample.length <= maxWords)
@@ -415,7 +428,7 @@ object LmIndex {
       docs: DataFrame, idCol: String, textCol: String,
       discount: Double = 0.75): DataFrame = {
     val m = loadModel(store, prefix)
-    val prune = batchWordPruner(docs, textCol)
+    val prune = batchWordPruner(docs, textCol, prunedTables = 4)
     val pruned = KnModel(
       uni = prune(m.uni, Seq("w")),
       big = prune(m.big, Seq("prev", "w")),
@@ -762,7 +775,7 @@ object LmIndex {
     * when the returned plan goes unreferenced). */
   private[graft] def pruneModel3R(
       m: Kn3Model, docs: DataFrame, textCol: String): (Kn3Model, () => Unit) = {
-    val prune = batchWordPruner(docs, textCol)
+    val prune = batchWordPruner(docs, textCol, prunedTables = 8)
     (Kn3Model(
       uni = prune(m.uni, Seq("w")),
       big = prune(m.big, Seq("prev", "w")),
@@ -1442,7 +1455,7 @@ object LmIndex {
     * contract two levels up. */
   private[graft] def pruneModel5R(
       m: Kn5Model, docs: DataFrame, textCol: String): (Kn5Model, () => Unit) = {
-    val prune = batchWordPruner(docs, textCol)
+    val prune = batchWordPruner(docs, textCol, prunedTables = 16)
     (Kn5Model(
       uni = prune(m.uni, Seq("w")),
       big = prune(m.big, Seq("prev", "w")),

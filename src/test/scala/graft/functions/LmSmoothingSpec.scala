@@ -711,6 +711,45 @@ class LmSmoothingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.lm.probeMaxWords")
   }
 
+  test("probeMaxWords is a TOTAL literal-plan budget: the effective " +
+      "ceiling divides by the pruned-table count, so one conf value " +
+      "routes order 2 to IN and order 5 to the semi-join on the same batch") {
+    val rnd = new scala.util.Random(61)
+    val pool = Vector("kk", "ll", "mm", "nn", "oo", "pp", "rr", "ss")
+    def txt(): String =
+      (0 until (5 + rnd.nextInt(5))).map(_ => pool(rnd.nextInt(8))).mkString(" ")
+    val train = (1L to 60L).map(i => (i, txt())).toDF("doc_id", "text")
+    val batch = (200L to 206L).map(i => (i, txt())).toDF("doc_id", "text")
+    val store = new graft.io.ParquetTableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_budget_").toString)
+    // ONE build5 store serves both orders (its bigram-level tables ARE
+    // the order-2 model).
+    LmIndex.build5(store, "lm", train, "doc_id", "text")
+    // Budget 56: order 2 prunes 4 tables -> ceiling 14 >= the pool's 8
+    // words (IN regime); order 5 prunes 16 -> ceiling 3 < 8 (semi-join).
+    spark.conf.set("graft.lm.probeMaxWords", "56")
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+      def hasIn(plan: org.apache.spark.sql.execution.SparkPlan,
+          table: String): Boolean =
+        graft.PlanTestUtils.scansOf(plan, table).exists(_.dataFilters.exists(
+          _.exists { case _: In => true; case _: InSet => true; case _ => false }))
+      val p2 = LmIndex.scoreBatch(store, "lm", batch, "doc_id", "text")
+      assert(p2.as[(Long, Long, Double)].collect().toSet ===
+        LmIndex.score(store, "lm", batch, "doc_id", "text")
+          .as[(Long, Long, Double)].collect().toSet)
+      assert(hasIn(p2.queryExecution.executedPlan, "lm_big"),
+        "order 2 under the shared budget lost the IN pushdown")
+      val p5 = LmIndex.scoreBatch5(store, "lm", batch, "doc_id", "text")
+      assert(p5.as[(Long, Long, Double)].collect().toSet ===
+        LmIndex.score5(store, "lm", batch, "doc_id", "text")
+          .as[(Long, Long, Double)].collect().toSet)
+      val plan5 = p5.queryExecution.executedPlan
+      assert(!hasIn(plan5, "lm_five") && plan5.toString.contains("LeftSemi"),
+        "order 5 under the shared budget failed to reroute to the semi-join")
+    } finally spark.conf.unset("graft.lm.probeMaxWords")
+  }
+
   test("graft.lm.probeMaxWords: malformed or non-positive values fail " +
       "with the curated message naming the conf key") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
