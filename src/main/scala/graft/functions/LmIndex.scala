@@ -833,13 +833,27 @@ object LmIndex {
     * keyed bigram-level reads to the batch's vocabulary — row-identical
     * to [[scoreMkn]] in both regimes (left joins outside the batch's
     * words can never hit; the broadcast discounts row derives from the
-    * UNPRUNED stats table, so calibration never depends on the batch). */
+    * UNPRUNED stats table, so calibration never depends on the batch).
+    * The pruner prunes ONLY the four bigram-level tables this serve
+    * reads (prunedTables = 4, [[scoreBatch]]'s budget) — routing
+    * through [[pruneModel3]]'s 8-table divisor would halve the
+    * literal-IN budget for tables this scorer never touches and
+    * reroute wide batches to the semi-join regime earlier than the
+    * plan cost warrants. */
   def scoreBatchMkn(
       store: TableStore, prefix: String,
       docs: DataFrame, idCol: String, textCol: String,
-      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
-    scoreFramesMkn(pruneModel3(loadModel3(store, prefix), docs, textCol),
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
+    val m = loadModel3(store, prefix)
+    val prune = batchWordPruner(docs, textCol, prunedTables = 4)
+    scoreFramesMkn(
+      m.copy(
+        uni = prune(m.uni, Seq("w")),
+        big = prune(m.big, Seq("prev", "w")),
+        ctx = prune(m.ctx, Seq("prev")),
+        cont = prune(m.cont, Seq("w"))),
       docs, idCol, textCol, fallbackDiscounts)
+  }
 
   /** The modified-KN bigram recipe over explicit frames (reads only the
     * five bigram-level members of a [[Kn3Model]]) — shared by

@@ -111,7 +111,17 @@ object TextAnalysis {
     *
     * Rows whose target position holds no token (shifted copies past the
     * document end) carry NULL `w` and are dropped — the output is
-    * exactly the window form's rows. */
+    * exactly the window form's rows.
+    *
+    * PRECONDITION: (idCol, pos) pairs must be UNIQUE — the contract of
+    * every token frame this family produces (one row per token
+    * position of one document). On duplicate ids the two forms
+    * diverge: the positional join's (doc, pos) hash aggregation
+    * collapses the duplicates via max(), while the window form emits
+    * one lag row per input row — so the spec-pinned row-identity holds
+    * only for unique pairs. Callers feeding externally-sourced token
+    * frames must dedup ids first (the tokenize paths here cannot
+    * produce duplicates by construction). */
   private[graft] def laggedTokens(
       toks: DataFrame, idCol: String, lagCols: Seq[String]): DataFrame = {
     val depth = lagCols.length + 1

@@ -458,6 +458,22 @@ object EventAnalytics {
       m.four, m.ctx4, m.m3, m.mctx3, m.five, m.ctx5, m.m4, m.mctx4,
       m.stats)
 
+  /** The measured order-5 serve law, surfaced where a user would
+    * otherwise deploy a slow gate (BASELINE.md round-16 wide-batch
+    * record): at narrow trigger batches (~64 docs) EVERY order-5 path
+    * serves ~4-5 docs/s — the sixteen keyed table probes, not the
+    * scoring math, bound throughput — while wide batches amortize them
+    * (40+ docs/s at 1024-doc triggers under the default divided
+    * literal-IN budget). Logged once per gate construction; the full
+    * record is docs/OPERATORS.md ("Order-5 serving") and
+    * tools/BenchLmServe. */
+  private def logOrder5ServeHint(gate: String): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"$gate: order-5 serves are table-bound — narrow trigger batches " +
+        "cap at ~4-5 docs/s on every path; widen the source's trigger " +
+        "batches (maxFilesPerTrigger/maxOffsetsPerTrigger) to amortize " +
+        "the 16 keyed probes (docs/OPERATORS.md, 'Order-5 serving')")
+
   /** [[pplGate3EachBatch]] at ORDER 5 — the literal CCNet gate depth:
     * all SEVENTEEN [[graft.functions.LmIndex.build5]] tables pinned at
     * construction and pruned to each batch's vocabulary
@@ -469,6 +485,7 @@ object EventAnalytics {
       idCol: String, textCol: String, minLogprob: Double,
       discount: Double = 0.75)(
       sink: DataFrame => Unit): PplGate = {
+    logOrder5ServeHint("pplGate5EachBatch")
     val m = pinModel5(graft.functions.LmIndex.loadModel5(store, prefix))
     new PplGate((batch, _) => {
       graft.functions.Sampling.requireFreeColumns(
@@ -499,6 +516,7 @@ object EventAnalytics {
       idCol: String, textCol: String, minLogprob: Double,
       fallbackDiscounts: Option[(Double, Double, Double)] = None)(
       sink: DataFrame => Unit): PplGate = {
+    logOrder5ServeHint("pplGateMkn5EachBatch")
     val m = pinModel5(graft.functions.LmIndex.loadModel5(store, prefix))
     new PplGate((batch, _) => {
       graft.functions.Sampling.requireFreeColumns(

@@ -65,13 +65,10 @@ object BenchLmServe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Optional comma-separated key=value session confs (the RunOne
-    // convention) — e.g. a graft.lm.probeMaxWords ceiling to force the
-    // probed phases into the semi-join regime at wide batches.
-    sys.env.get("GRAFT_SESSION_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    // Optional comma-separated key=value session confs (the shared
+    // SessionConf hook) — e.g. a graft.lm.probeMaxWords ceiling to force
+    // the probed phases into the semi-join regime at wide batches.
+    SessionConf.applyFromEnv(spark)
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 

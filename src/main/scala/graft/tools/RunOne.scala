@@ -24,10 +24,7 @@ object RunOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sys.env.get("GRAFT_SESSION_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    SessionConf.applyFromEnv(spark)
     var failed = false
     for (name <- args.drop(1)) {
       val t0 = System.nanoTime()
