@@ -2178,6 +2178,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // COUNT-PRUNED order-5 model (round-17 task 1 — the KenLM --prune
+    // analog every deployed CCNet gate model runs): singletons drop at
+    // every key width (pruneMin 2,2,2,2 — at sf0.01 that prunes 10
+    // bigrams, ~9.4k trigrams, ~22.7k 4-grams, ~22.9k 5-grams), their
+    // mass folds into the context tables' pm columns, and the serve's
+    // λ carries it so every level stays a proper distribution.
+    // Scoring the corpus IN-CORPUS against the pruned model makes the
+    // pruned branches fire for real (a join miss here IS a pruned
+    // event) — the DuckDB chain replays the pruned build end to end.
+    "q_kn5_pruned" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text",
+        pruneMin = Seq(2L, 2L, 2L, 2L))
+      graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // The pruned model under FULL modified KN: all seven levels'
+    // discounts calibrate on the FULL count-of-counts (calibration
+    // precedes pruning — KenLM's order), bucket tallies count
+    // survivors, D(0) = 0 covers pruned events.
+    "q_mkn5_pruned" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text",
+        pruneMin = Seq(2L, 2L, 2L, 2L))
+      graft.functions.LmIndex.scoreMkn5(store, "lm5", d, "doc_id", "text",
+        fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")
+    }),
+
     // Order-5 maintenance ORACLE-PINNED: build5 on two thirds of the
     // corpus, append5 the remaining third, score everything — the
     // oracle RETRAINS from scratch on the full corpus (knPentaChainSql
@@ -4743,6 +4777,269 @@ object SparkEntry {
        |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared CTE block for the COUNT-PRUNED order-5 chains — the KenLM
+    * `--prune` analog's bookkeeping ([[graft.functions.LmIndex.build5]]
+    * with pruneMin): full count tables (`bigf trif m2f fourf m3f fivef
+    * m4f`) feed PRUNED event tables (`big tri m2 four m3 five m4`,
+    * rows with count >= the key width's threshold) and context tables
+    * whose `cc` stays the FULL total, whose follower/bucket tallies
+    * count SURVIVORS, and whose `pm*` column carries the pruned mass;
+    * contexts with zero survivors drop (HAVING) — the serve backs off a
+    * full level there, which is λ = pm/cc = 1 exactly. Continuation
+    * counts (m2f/m3f/m4f, cont) derive from the FULL higher-order
+    * tables — adjusted counts precede pruning, KenLM's order. */
+  private def prunedPentaModelCtes(
+      t2: Long, t3: Long, t4: Long, t5: Long): String = {
+    def ctxCte(name: String, src: String, keys: String, c: String, t: Long,
+        cc: String, nf: String, b: String, pm: String): String =
+      s"""$name AS (
+         |  SELECT $keys, CAST(sum($c) AS BIGINT) AS $cc,
+         |    CAST(sum(CASE WHEN $c >= $t THEN 1 ELSE 0 END) AS BIGINT) AS $nf,
+         |    CAST(sum(CASE WHEN $c >= $t AND $c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ${b}1,
+         |    CAST(sum(CASE WHEN $c >= $t AND $c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ${b}2,
+         |    CAST(sum(CASE WHEN $c >= $t AND $c >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ${b}3p,
+         |    CAST(coalesce(sum(CASE WHEN $c < $t THEN $c END), 0) AS BIGINT) AS $pm
+         |  FROM $src GROUP BY $keys
+         |  HAVING sum(CASE WHEN $c >= $t THEN 1 ELSE 0 END) > 0)""".stripMargin
+    s"""toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(text, '\\s+')) AS w,
+       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+       |  FROM documents),
+       |pt AS MATERIALIZED (
+       |  SELECT doc_id, pos, w,
+       |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+       |    lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2,
+       |    lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS prev3,
+       |    lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS prev4
+       |  FROM toks),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM uni),
+       |bigf AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS c2
+       |  FROM pt WHERE prev1 IS NOT NULL GROUP BY 1, 2),
+       |big AS (SELECT * FROM bigf WHERE c2 >= $t2),
+       |${ctxCte("ctx", "bigf", "prev1", "c2", t2, "cc", "n1f", "nf", "pmb")},
+       |cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1c FROM bigf GROUP BY w),
+       |btot AS (SELECT CAST(count(*) AS DOUBLE) AS btypes FROM bigf),
+       |trif AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS c3
+       |  FROM pt WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+       |tri AS (SELECT * FROM trif WHERE c3 >= $t3),
+       |${ctxCte("ctx3", "trif", "prev2, prev1", "c3", t3, "cc3", "n1f3",
+          "tf", "pmt")},
+       |m2f AS MATERIALIZED (
+       |  SELECT prev1, w, CAST(count(*) AS BIGINT) AS mcount
+       |  FROM trif GROUP BY prev1, w),
+       |m2 AS (SELECT * FROM m2f WHERE mcount >= $t2),
+       |${ctxCte("mctx", "m2f", "prev1", "mcount", t2, "mcc", "n1f2c",
+          "mf", "pmm")},
+       |fourf AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c4
+       |  FROM pt WHERE prev3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |four AS (SELECT * FROM fourf WHERE c4 >= $t4),
+       |${ctxCte("ctx4", "fourf", "prev3, prev2, prev1", "c4", t4, "cc4",
+          "n1f4", "ff", "pmf")},
+       |m3f AS MATERIALIZED (
+       |  SELECT prev2, prev1, w, CAST(count(*) AS BIGINT) AS m3c
+       |  FROM fourf GROUP BY prev2, prev1, w),
+       |m3 AS (SELECT * FROM m3f WHERE m3c >= $t3),
+       |${ctxCte("mctx3", "m3f", "prev2, prev1", "m3c", t3, "m3cc", "n1f3c",
+          "pf", "pmp")},
+       |fivef AS MATERIALIZED (
+       |  SELECT prev4, prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS c5
+       |  FROM pt WHERE prev4 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+       |five AS (SELECT * FROM fivef WHERE c5 >= $t5),
+       |${ctxCte("ctx5", "fivef", "prev4, prev3, prev2, prev1", "c5", t5,
+          "cc5", "n1f5", "vf", "pmv")},
+       |m4f AS MATERIALIZED (
+       |  SELECT prev3, prev2, prev1, w, CAST(count(*) AS BIGINT) AS m4c
+       |  FROM fivef GROUP BY prev3, prev2, prev1, w),
+       |m4 AS (SELECT * FROM m4f WHERE m4c >= $t4),
+       |${ctxCte("mctx4", "m4f", "prev3, prev2, prev1", "m4c", t4, "m4cc",
+          "n1f4c", "qf", "pmq")}""".stripMargin
+  }
+
+  /** The shared scoring-join block of the pruned order-5 chains: the
+    * token frame against the PRUNED event tables and the full-cc
+    * context tables. */
+  private val prunedPentaJoinsSql: String =
+    """FROM pt JOIN uni USING (w) CROSS JOIN tot
+      |  LEFT JOIN big ON pt.prev1 = big.prev1 AND pt.w = big.w
+      |  LEFT JOIN ctx ON pt.prev1 = ctx.prev1
+      |  LEFT JOIN cont ON pt.w = cont.w
+      |  LEFT JOIN tri ON pt.prev2 = tri.prev2 AND pt.prev1 = tri.prev1 AND pt.w = tri.w
+      |  LEFT JOIN ctx3 ON pt.prev2 = ctx3.prev2 AND pt.prev1 = ctx3.prev1
+      |  LEFT JOIN m2 ON pt.prev1 = m2.prev1 AND pt.w = m2.w
+      |  LEFT JOIN mctx ON pt.prev1 = mctx.prev1
+      |  LEFT JOIN four ON pt.prev3 = four.prev3 AND pt.prev2 = four.prev2
+      |    AND pt.prev1 = four.prev1 AND pt.w = four.w
+      |  LEFT JOIN ctx4 ON pt.prev3 = ctx4.prev3 AND pt.prev2 = ctx4.prev2
+      |    AND pt.prev1 = ctx4.prev1
+      |  LEFT JOIN m3 ON pt.prev2 = m3.prev2 AND pt.prev1 = m3.prev1 AND pt.w = m3.w
+      |  LEFT JOIN mctx3 ON pt.prev2 = mctx3.prev2 AND pt.prev1 = mctx3.prev1
+      |  LEFT JOIN five ON pt.prev4 = five.prev4 AND pt.prev3 = five.prev3
+      |    AND pt.prev2 = five.prev2 AND pt.prev1 = five.prev1 AND pt.w = five.w
+      |  LEFT JOIN ctx5 ON pt.prev4 = ctx5.prev4 AND pt.prev3 = ctx5.prev3
+      |    AND pt.prev2 = ctx5.prev2 AND pt.prev1 = ctx5.prev1
+      |  LEFT JOIN m4 ON pt.prev3 = m4.prev3 AND pt.prev2 = m4.prev2
+      |    AND pt.prev1 = m4.prev1 AND pt.w = m4.w
+      |  LEFT JOIN mctx4 ON pt.prev3 = mctx4.prev3 AND pt.prev2 = mctx4.prev2
+      |    AND pt.prev1 = mctx4.prev1""".stripMargin
+
+  /** COUNT-PRUNED order-5 KN chain — mirrors
+    * [[graft.functions.LmIndex.scoreFrames5]] over a
+    * `build5(pruneMin)` model: pruned rows coalesce to 0 under their
+    * (still-present, full-cc) contexts, every λ carries the pruned
+    * mass, and a fully-pruned context backs off a whole level. The
+    * oracle of q_kn5_pruned (in-corpus scoring of the pruned model, so
+    * pruned branches actually fire — unlike the unpruned chains, a
+    * miss here is a PRUNED event, which is the point). */
+  private def knPentaPrunedChainSql(
+      t2: Long, t3: Long, t4: Long, t5: Long): String = {
+    val pcont = "(CAST(cont.n1c AS DOUBLE) / btot.btypes)"
+    def plvl(cnt: String, cc: String, nf: String, pm: String,
+        lower: String): String =
+      s"""CASE WHEN $cc IS NOT NULL THEN
+         |        greatest(CAST(coalesce($cnt, 0) AS DOUBLE) - 0.75, 0.0)
+         |          / CAST($cc AS DOUBLE)
+         |        + (0.75 * CAST($nf AS DOUBLE) + CAST($pm AS DOUBLE))
+         |          / CAST($cc AS DOUBLE) * ($lower)
+         |      ELSE ($lower) END""".stripMargin
+    val midP = plvl("m2.mcount", "mctx.mcc", "mctx.n1f2c", "mctx.pmm", pcont)
+    val mid3P = plvl("m3.m3c", "mctx3.m3cc", "mctx3.n1f3c", "mctx3.pmp", midP)
+    val mid4P = plvl("m4.m4c", "mctx4.m4cc", "mctx4.n1f4c", "mctx4.pmq", mid3P)
+    s"""WITH ${prunedPentaModelCtes(t2, t3, t4, t5)},
+       |sc AS (
+       |  SELECT pt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |      WHEN pt.prev2 IS NULL THEN
+       |        ${plvl("big.c2", "ctx.cc", "ctx.n1f", "ctx.pmb", pcont)}
+       |      WHEN pt.prev3 IS NULL THEN
+       |        ${plvl("tri.c3", "ctx3.cc3", "ctx3.n1f3", "ctx3.pmt", midP)}
+       |      WHEN pt.prev4 IS NULL THEN
+       |        ${plvl("four.c4", "ctx4.cc4", "ctx4.n1f4", "ctx4.pmf", mid3P)}
+       |      ELSE
+       |        ${plvl("five.c5", "ctx5.cc5", "ctx5.n1f5", "ctx5.pmv", mid4P)}
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  $prunedPentaJoinsSql
+       |  CROSS JOIN btot),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** COUNT-PRUNED order-5 modified-KN chain — mirrors
+    * [[graft.functions.LmIndex.scoreFramesMkn5]] over a pruned model:
+    * all seven levels' discounts estimate from the FULL count-of-count
+    * tallies (calibration precedes pruning — KenLM's order), bucket
+    * tallies count survivors, λ carries the pruned mass, D(0) = 0 for
+    * pruned/unseen events. The oracle of q_mkn5_pruned. */
+  private def mknPentaPrunedChainSql(
+      t2: Long, t3: Long, t4: Long, t5: Long): String = {
+    val pcont = "(CAST(cont.n1c AS DOUBLE) / dd.btypes)"
+    def pmlvl(cnt: String, cc: String, f1: String, f2: String, f3p: String,
+        pm: String, p: String, lower: String): String =
+      s"""CASE WHEN $cc IS NOT NULL THEN
+         |        CASE WHEN $cnt IS NOT NULL THEN
+         |          (CAST($cnt AS DOUBLE) - CASE WHEN $cnt = 1 THEN dd.d1$p
+         |              WHEN $cnt = 2 THEN dd.d2$p ELSE dd.d3$p END)
+         |            / CAST($cc AS DOUBLE)
+         |        ELSE 0.0 END
+         |        + (dd.d1$p * CAST($f1 AS DOUBLE) + dd.d2$p * CAST($f2 AS DOUBLE)
+         |           + dd.d3$p * CAST($f3p AS DOUBLE) + CAST($pm AS DOUBLE))
+         |          / CAST($cc AS DOUBLE) * ($lower)
+         |      ELSE ($lower) END""".stripMargin
+    val midP = pmlvl("m2.mcount", "mctx.mcc", "mctx.mf1", "mctx.mf2",
+      "mctx.mf3p", "mctx.pmm", "m", pcont)
+    val mid3P = pmlvl("m3.m3c", "mctx3.m3cc", "mctx3.pf1", "mctx3.pf2",
+      "mctx3.pf3p", "mctx3.pmp", "p", midP)
+    val mid4P = pmlvl("m4.m4c", "mctx4.m4cc", "mctx4.qf1", "mctx4.qf2",
+      "mctx4.qf3p", "mctx4.pmq", "q", mid3P)
+    s"""WITH ${prunedPentaModelCtes(t2, t3, t4, t5)},
+       |cnb AS (SELECT CAST(count(*) AS DOUBLE) AS btypes,
+       |  CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       |  CAST(sum(CASE WHEN c2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       |  CAST(sum(CASE WHEN c2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+       |  CAST(sum(CASE WHEN c2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4
+       |  FROM bigf),
+       |cnt AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t1,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t2,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t3,
+       |  CAST(coalesce(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS t4
+       |  FROM trif),
+       |cnm AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN mcount = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m1,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m2,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m3,
+       |  CAST(coalesce(sum(CASE WHEN mcount = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m4
+       |  FROM m2f),
+       |cnf AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f1,
+       |  CAST(coalesce(sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f2,
+       |  CAST(coalesce(sum(CASE WHEN c4 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f3,
+       |  CAST(coalesce(sum(CASE WHEN c4 = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS f4
+       |  FROM fourf),
+       |cnp AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN m3c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p1,
+       |  CAST(coalesce(sum(CASE WHEN m3c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p2,
+       |  CAST(coalesce(sum(CASE WHEN m3c = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p3,
+       |  CAST(coalesce(sum(CASE WHEN m3c = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS p4
+       |  FROM m3f),
+       |cnv AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN c5 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v1,
+       |  CAST(coalesce(sum(CASE WHEN c5 = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2,
+       |  CAST(coalesce(sum(CASE WHEN c5 = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v3,
+       |  CAST(coalesce(sum(CASE WHEN c5 = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v4
+       |  FROM fivef),
+       |cnq AS (SELECT
+       |  CAST(coalesce(sum(CASE WHEN m4c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q1,
+       |  CAST(coalesce(sum(CASE WHEN m4c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q2,
+       |  CAST(coalesce(sum(CASE WHEN m4c = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q3,
+       |  CAST(coalesce(sum(CASE WHEN m4c = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS q4
+       |  FROM m4f),
+       |${mknLevelDiscountSql("b")},
+       |${mknLevelDiscountSql("t")},
+       |${mknLevelDiscountSql("m")},
+       |${mknLevelDiscountSql("f")},
+       |${mknLevelDiscountSql("p")},
+       |${mknLevelDiscountSql("v")},
+       |${mknLevelDiscountSql("q")},
+       |dd AS (SELECT cnb.btypes, dlb.*, dlt.*, dlm.*, dlf.*, dlp.*, dlv.*, dlq.*
+       |  FROM cnb CROSS JOIN dlb CROSS JOIN dlt CROSS JOIN dlm
+       |  CROSS JOIN dlf CROSS JOIN dlp CROSS JOIN dlv CROSS JOIN dlq),
+       |sc AS (
+       |  SELECT pt.doc_id,
+       |    CAST(round(ln(CASE
+       |      WHEN pt.prev1 IS NULL THEN CAST(uni.c1 AS DOUBLE) / tot.total
+       |      WHEN pt.prev2 IS NULL THEN
+       |        ${pmlvl("big.c2", "ctx.cc", "ctx.nf1", "ctx.nf2", "ctx.nf3p",
+                 "ctx.pmb", "b", pcont)}
+       |      WHEN pt.prev3 IS NULL THEN
+       |        ${pmlvl("tri.c3", "ctx3.cc3", "ctx3.tf1", "ctx3.tf2",
+                 "ctx3.tf3p", "ctx3.pmt", "t", midP)}
+       |      WHEN pt.prev4 IS NULL THEN
+       |        ${pmlvl("four.c4", "ctx4.cc4", "ctx4.ff1", "ctx4.ff2",
+                 "ctx4.ff3p", "ctx4.pmf", "f", mid3P)}
+       |      ELSE
+       |        ${pmlvl("five.c5", "ctx5.cc5", "ctx5.vf1", "ctx5.vf2",
+                 "ctx5.vf3p", "ctx5.pmv", "v", mid4P)}
+       |      END) * 1000000, 0) AS BIGINT) AS lp
+       |  $prunedPentaJoinsSql
+       |  CROSS JOIN dd),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1)
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** WordPiece-objective merge-loop replay — [[bpeChainSql]]'s structure
     * with the likelihood argmax: per round, symbol counts from the
     * current segmentation join the pair counts, candidates below the
@@ -6966,6 +7263,8 @@ object SparkEntry {
     "q_mkn3_probed" -> mknTrigramChainSql("WHERE doc_id % 25 = 0"),
 
     "q_kn5_persisted" -> knPentaChainSql(),
+    "q_kn5_pruned" -> knPentaPrunedChainSql(2L, 2L, 2L, 2L),
+    "q_mkn5_pruned" -> mknPentaPrunedChainSql(2L, 2L, 2L, 2L),
 
     "q_kn5_probed" -> knPentaChainSql("WHERE doc_id % 25 = 0"),
 

@@ -108,6 +108,17 @@ object LmIndex {
         .otherwise(raise_error(lit("LmIndex: model is empty (zero " +
           "training tokens)")).cast("double")))
 
+  /** Normalize a context frame for the serve recipes: ensure the
+    * PRUNED-MASS column exists (0L when absent). Models written by a
+    * count-pruned [[build5]] carry real pruned-mass columns in their
+    * context tables; unpruned builds (and every model written before
+    * pruning existed) do not — the scorers read the column
+    * unconditionally, so absence normalizes to zero here, at the join
+    * sites, covering stored, inline, and pruner-wrapped frames alike. */
+  private def withZero(df: DataFrame, pmName: String): DataFrame =
+    if (df.columns.contains(pmName)) df
+    else df.withColumn(pmName, lit(0L))
+
   /** Score `docs` against a frozen model — the shared recipe every
     * entry point funnels through (the hashUniform single-sourcing
     * principle). Output: (idCol, n_tokens, logprob), the
@@ -129,9 +140,16 @@ object LmIndex {
     // docs) or no tokens at all fails with guidance, not DIVIDE_BY_ZERO.
     val pcont = pcontOOV(btypes)
     val uniP = uniPOOV(total)
+    // Backoff weight: (D·n1f + pm)/cc — pm is the count mass a pruned
+    // build dropped from this context (0 on unpruned models, where the
+    // term is bit-inert). Folding it into λ keeps every pruned level a
+    // proper distribution: Σ_surv (c−D)/cc + λ·Σ P_lower = 1 exactly
+    // when λ carries the pruned mass (the KN-sums-to-1 convention
+    // through pruned branches).
     val knP = greatest(coalesce(col("c2"), lit(0L)).cast("double")
         - lit(discount), lit(0.0)) / col("cc").cast("double") +
-      lit(discount) * col("n1f").cast("double") / col("cc").cast("double") * pcont
+      (lit(discount) * col("n1f").cast("double")
+        + col("pmb").cast("double")) / col("cc").cast("double") * pcont
     val p = when(col("prev").isNull, uniP)
       .when(col("cc").isNotNull, knP)
       .otherwise(pcont)
@@ -144,7 +162,7 @@ object LmIndex {
     val wM = m.uni.join(m.cont, Seq("w"), "left")
     pt.join(wM, Seq("w"), "left")
       .join(m.big, Seq("prev", "w"), "left")
-      .join(m.ctx, Seq("prev"), "left")
+      .join(withZero(m.ctx, "pmb"), Seq("prev"), "left")
       .crossJoin(broadcast(m.stats))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)
@@ -589,33 +607,38 @@ object LmIndex {
     val d = lit(discount)
     val pcont = pcontOOV(btypes)
     val uniP = uniPOOV(total)
+    // λ = (D·followers + pm)/cc at every level — pm is the pruned mass
+    // (0 and bit-inert on unpruned models; the scoreFrames rationale).
     val midP = when(col("mcc").isNotNull,
       greatest(coalesce(col("mcount"), lit(0L)).cast("double") - d, lit(0.0))
         / col("mcc").cast("double") +
-        d * col("n1f2c").cast("double") / col("mcc").cast("double") * pcont)
+        (d * col("n1f2c").cast("double") + col("pmm").cast("double"))
+          / col("mcc").cast("double") * pcont)
       .otherwise(pcont)
     val bigP = when(col("cc").isNotNull,
       greatest(coalesce(col("c2"), lit(0L)).cast("double") - d, lit(0.0))
         / col("cc").cast("double") +
-        d * col("n1f").cast("double") / col("cc").cast("double") * pcont)
+        (d * col("n1f").cast("double") + col("pmb").cast("double"))
+          / col("cc").cast("double") * pcont)
       .otherwise(pcont)
     val triP = when(col("cc3").isNotNull,
       greatest(coalesce(col("c3"), lit(0L)).cast("double") - d, lit(0.0))
         / col("cc3").cast("double") +
-        d * col("n1f3").cast("double") / col("cc3").cast("double") * midP)
+        (d * col("n1f3").cast("double") + col("pmt").cast("double"))
+          / col("cc3").cast("double") * midP)
       .otherwise(midP)
     val p = when(col("prev").isNull, uniP)
       .when(col("prev2").isNull, bigP)
       .otherwise(triP)
     val wM = m.uni.join(m.cont, Seq("w"), "left")
     val bigM = m.big.join(m.m2, Seq("prev", "w"), "left")
-    val ctxM = m.ctx.select("prev", "cc", "n1f")
-      .join(m.mctx, Seq("prev"), "left")
+    val ctxM = withZero(m.ctx, "pmb").select("prev", "cc", "n1f", "pmb")
+      .join(withZero(m.mctx, "pmm"), Seq("prev"), "left")
     pt.join(wM, Seq("w"), "left")
       .join(bigM, Seq("prev", "w"), "left")
       .join(ctxM, Seq("prev"), "left")
       .join(m.tri, Seq("prev2", "prev", "w"), "left")
-      .join(m.ctx3, Seq("prev2", "prev"), "left")
+      .join(withZero(m.ctx3, "pmt"), Seq("prev2", "prev"), "left")
       .crossJoin(broadcast(m.stats))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)
@@ -878,9 +901,13 @@ object LmIndex {
     val uniP = uniPOOV(total)
     val dOfC = when(col("c2") === 1L, col("d1b"))
       .when(col("c2") === 2L, col("d2b")).otherwise(col("d3b"))
+    // λ carries the pruned mass (pmb; 0 and bit-inert unpruned): the
+    // bucket tallies count SURVIVING followers, so the level stays a
+    // proper distribution through pruned branches.
     val lam = (col("d1b") * col("nf1").cast("double")
       + col("d2b") * col("nf2").cast("double")
-      + col("d3b") * col("nf3p").cast("double")) / col("cc").cast("double")
+      + col("d3b") * col("nf3p").cast("double")
+      + col("pmb").cast("double")) / col("cc").cast("double")
     val seenCtx =
       when(col("c2").isNotNull,
         (col("c2").cast("double") - dOfC) / col("cc").cast("double"))
@@ -891,7 +918,7 @@ object LmIndex {
     val wM = m.uni.join(m.cont, Seq("w"), "left")
     pt.join(wM, Seq("w"), "left")
       .join(m.big, Seq("prev", "w"), "left")
-      .join(m.ctx, Seq("prev"), "left")
+      .join(withZero(m.ctx, "pmb"), Seq("prev"), "left")
       .crossJoin(broadcast(disc))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)
@@ -961,9 +988,12 @@ object LmIndex {
     def dOf(c: Column, p: String): Column =
       when(c === 1L, col(s"d1$p")).when(c === 2L, col(s"d2$p"))
         .otherwise(col(s"d3$p"))
+    // Every λ carries its level's pruned mass (pm*; 0 and bit-inert on
+    // unpruned models — the scoreFramesMkn rationale).
     val lamB = (col("d1b") * col("nf1").cast("double")
       + col("d2b") * col("nf2").cast("double")
-      + col("d3b") * col("nf3p").cast("double")) / col("cc").cast("double")
+      + col("d3b") * col("nf3p").cast("double")
+      + col("pmb").cast("double")) / col("cc").cast("double")
     val bigP = when(col("cc").isNotNull,
       when(col("c2").isNotNull,
         (col("c2").cast("double") - dOf(col("c2"), "b")) /
@@ -971,7 +1001,8 @@ object LmIndex {
       .otherwise(pcont)
     val lamM = (col("d1m") * col("mf1").cast("double")
       + col("d2m") * col("mf2").cast("double")
-      + col("d3m") * col("mf3p").cast("double")) / col("mcc").cast("double")
+      + col("d3m") * col("mf3p").cast("double")
+      + col("pmm").cast("double")) / col("mcc").cast("double")
     val midP = when(col("mcc").isNotNull,
       when(col("mcount").isNotNull,
         (col("mcount").cast("double") - dOf(col("mcount"), "m")) /
@@ -979,7 +1010,8 @@ object LmIndex {
       .otherwise(pcont)
     val lamT = (col("d1t") * col("tf1").cast("double")
       + col("d2t") * col("tf2").cast("double")
-      + col("d3t") * col("tf3p").cast("double")) / col("cc3").cast("double")
+      + col("d3t") * col("tf3p").cast("double")
+      + col("pmt").cast("double")) / col("cc3").cast("double")
     val triP = when(col("cc3").isNotNull,
       when(col("c3").isNotNull,
         (col("c3").cast("double") - dOf(col("c3"), "t")) /
@@ -993,12 +1025,13 @@ object LmIndex {
     // λ tallies without an event-row hit.
     val wM = m.uni.join(m.cont, Seq("w"), "left")
     val bigM = m.big.join(m.m2, Seq("prev", "w"), "left")
-    val ctxM = m.ctx.join(m.mctx, Seq("prev"), "left")
+    val ctxM = withZero(m.ctx, "pmb")
+      .join(withZero(m.mctx, "pmm"), Seq("prev"), "left")
     pt.join(wM, Seq("w"), "left")
       .join(bigM, Seq("prev", "w"), "left")
       .join(ctxM, Seq("prev"), "left")
       .join(m.tri, Seq("prev2", "prev", "w"), "left")
-      .join(m.ctx3, Seq("prev2", "prev"), "left")
+      .join(withZero(m.ctx3, "pmt"), Seq("prev2", "prev"), "left")
       .crossJoin(broadcast(disc))
       .select(col(idCol), round(log(p) * 1e6, 0).cast("long").as("lp"))
       .groupBy(idCol)
@@ -1199,18 +1232,73 @@ object LmIndex {
         col("p2").as("prev2"), col("p1").as("prev"), col("w"),
         col("c").as("c5")))
 
+  /** One context table over a (possibly count-pruned) gram table — the
+    * KenLM `--prune` analog's bookkeeping: `cc` stays the FULL count
+    * total, the follower/bucket tallies count SURVIVORS (count >=
+    * `minCount`), and `pm` is the PRUNED MASS (Σ of dropped counts).
+    * Serving folds pm into the backoff weight — λ = (ΣD·tally + pm)/cc
+    * — which keeps the level a proper distribution: Σ_surv (c−D(c))/cc
+    * + λ·Σ P_lower = (cc − pm − ΣD)/cc + (ΣD + pm)/cc = 1. A context
+    * whose EVERY follower was pruned drops out entirely: its λ would be
+    * pm/cc = 1, which is exactly the unseen-context full-backoff branch
+    * the serve already takes on a missing row (spec-pinned). */
+  private def ctxAgg(
+      df: DataFrame, keys: Seq[String], c: String, minCount: Long,
+      names: Seq[String]): DataFrame = {
+    val Seq(ccN, nfN, b1N, b2N, b3pN, pmN) = names
+    def surv(cond: Column) =
+      sum(when(col(c) >= minCount && cond, 1L).otherwise(0L)).cast("long")
+    df.groupBy(keys.map(col): _*).agg(
+      sum(col(c)).cast("long").as(ccN),
+      surv(lit(true)).as(nfN),
+      surv(col(c) === 1L).as(b1N),
+      surv(col(c) === 2L).as(b2N),
+      surv(col(c) >= 3L).as(b3pN),
+      coalesce(sum(when(col(c) < minCount, col(c))), lit(0L))
+        .cast("long").as(pmN))
+      .filter(col(nfN) > 0L)
+  }
+
   /** Build (or rebuild) the SEVENTEEN order-5 model tables from `train`
     * — ONE tokenize pass ([[gramCounts5]]) feeding one checkpointed
-    * combined count frame; every aggregate derives from its split. */
+    * combined count frame; every aggregate derives from its split.
+    *
+    * `pruneMin` is the COUNT-PRUNING threshold per key width (2, 3, 4,
+    * 5 words) — the KenLM `--prune` analog every deployed CCNet model
+    * runs (Wenzek et al. 2020 train with KenLM defaults; KenLM prunes
+    * n-grams below the per-order threshold, and frozen gate models
+    * prune singletons at orders >= 3 precisely because in the
+    * near-unique-gram regime the unpruned model IS the corpus — the
+    * BASELINE heapsbigram record). A table row whose count is below its
+    * width's threshold is dropped from the stored gram table (raw
+    * {big,tri,four,five} AND continuation {m2,m3,m4}, each pruned on
+    * ITS OWN count — the table-per-level generalization of KenLM's
+    * per-order rule); its mass folds into the context table's `pm`
+    * column so every serve distribution stays proper ([[ctxAgg]]).
+    * Never pruned: uni and cont (KenLM forbids unigram pruning; P_cont
+    * is the floor of every backoff chain) and the stats row's
+    * count-of-count tallies (discounts calibrate on the FULL counts,
+    * then pruning drops rows — KenLM's order of operations: adjusted
+    * counts and discounts precede pruning). Continuation counts
+    * likewise derive from the FULL higher-order tables. The default
+    * Seq(1,1,1,1) prunes nothing and writes byte-identical tables to
+    * the pre-pruning layout (spec-pinned), preserving the build3
+    * bigram/trigram-level table identity. A pruned model is FROZEN:
+    * [[append5]]/[[deleteDocs5]] reject it (merged counts cannot
+    * reconstruct pruned totals); rebuild on the grown corpus instead. */
   def build5(
       store: TableStore, prefix: String,
-      train: DataFrame, idCol: String, textCol: String): Unit = {
+      train: DataFrame, idCol: String, textCol: String,
+      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L)): Unit = {
+    require(pruneMin.length == 4 && pruneMin.forall(_ >= 1L),
+      s"pruneMin must be four thresholds >= 1 (key widths 2,3,4,5), " +
+        s"got $pruneMin")
     val pt = TextAnalysis.laggedTokens(tokens(train, idCol, textCol), idCol,
       Seq("prev", "prev2", "prev3", "prev4"))
     val g = gramCounts5(pt).localCheckpoint()
     try {
       val (uni, big, tri, four, five) = splitGrams5(g)
-      writeTables5(store, prefix, uni, big, tri, four, five)
+      writeTables5(store, prefix, uni, big, tri, four, five, pruneMin)
     } finally {
       g.unpersist()
       ()
@@ -1225,28 +1313,73 @@ object LmIndex {
   private def writeTables5(
       store: TableStore, prefix: String,
       uni: DataFrame, big: DataFrame, tri: DataFrame, four: DataFrame,
-      five: DataFrame): Unit = {
+      five: DataFrame,
+      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L)): Unit = {
+    val Seq(t2, t3, t4, t5) = pruneMin
+    // Continuation counts derive from the FULL higher-order tables
+    // (adjusted counts precede pruning — the KenLM order), then prune
+    // on their own counts at their key width's threshold.
     val m2 = derivedM2(tri).localCheckpoint()
     val m3 = derivedM3(four).localCheckpoint()
     val m4 = derivedM4(five).localCheckpoint()
+    // Per-table switches keep the unpruned path BYTE-IDENTICAL to the
+    // pre-pruning layout (no trivial filters, no all-zero pm columns in
+    // unpruned tables — the build3 table-identity contract); a pruned
+    // width filters its gram tables and swaps its context aggregates
+    // for [[ctxAgg]]'s full-cc + survivors + pm form.
+    def keep(df: DataFrame, c: String, t: Long) =
+      if (t == 1L) df else df.filter(col(c) >= t)
+    def ctxOf(t: Long, unpruned: => DataFrame, df: DataFrame,
+        keys: Seq[String], c: String, names: Seq[String]) =
+      if (t == 1L) unpruned else ctxAgg(df, keys, c, t, names)
+    val stats0 = derivedStats5(uni, big, tri, m2, four, m3, five, m4)
+    val stats =
+      if (pruneMin.forall(_ == 1L)) stats0
+      else stats0.withColumn("prune2", lit(t2)).withColumn("prune3", lit(t3))
+        .withColumn("prune4", lit(t4)).withColumn("prune5", lit(t5))
     try store.overwriteAll(Seq(
       s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
-      s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
-      s"${prefix}_ctx" -> derivedCtx(big).sortWithinPartitions("prev"),
+      s"${prefix}_big" -> keep(big, "c2", t2).sortWithinPartitions("prev", "w"),
+      s"${prefix}_ctx" -> ctxOf(t2, derivedCtx(big), big, Seq("prev"), "c2",
+        Seq("cc", "n1f", "nf1", "nf2", "nf3p", "pmb"))
+        .sortWithinPartitions("prev"),
       s"${prefix}_cont" -> derivedCont(big).sortWithinPartitions("w"),
-      s"${prefix}_tri" -> tri.sortWithinPartitions("prev2", "prev", "w"),
-      s"${prefix}_ctx3" -> derivedCtx3(tri).sortWithinPartitions("prev2", "prev"),
-      s"${prefix}_m2" -> m2.sortWithinPartitions("prev", "w"),
-      s"${prefix}_mctx" -> derivedMctx(m2).sortWithinPartitions("prev"),
-      s"${prefix}_four" -> four.sortWithinPartitions("prev3", "prev2", "prev", "w"),
-      s"${prefix}_ctx4" -> derivedCtx4(four).sortWithinPartitions("prev3", "prev2", "prev"),
-      s"${prefix}_m3" -> m3.sortWithinPartitions("prev2", "prev", "w"),
-      s"${prefix}_mctx3" -> derivedMctx3(m3).sortWithinPartitions("prev2", "prev"),
-      s"${prefix}_five" -> five.sortWithinPartitions("prev4", "prev3", "prev2", "prev", "w"),
-      s"${prefix}_ctx5" -> derivedCtx5(five).sortWithinPartitions("prev4", "prev3", "prev2", "prev"),
-      s"${prefix}_m4" -> m4.sortWithinPartitions("prev3", "prev2", "prev", "w"),
-      s"${prefix}_mctx4" -> derivedMctx4(m4).sortWithinPartitions("prev3", "prev2", "prev"),
-      s"${prefix}_stats" -> derivedStats5(uni, big, tri, m2, four, m3, five, m4)))
+      s"${prefix}_tri" -> keep(tri, "c3", t3)
+        .sortWithinPartitions("prev2", "prev", "w"),
+      s"${prefix}_ctx3" -> ctxOf(t3, derivedCtx3(tri), tri,
+        Seq("prev2", "prev"), "c3",
+        Seq("cc3", "n1f3", "tf1", "tf2", "tf3p", "pmt"))
+        .sortWithinPartitions("prev2", "prev"),
+      s"${prefix}_m2" -> keep(m2, "mcount", t2)
+        .sortWithinPartitions("prev", "w"),
+      s"${prefix}_mctx" -> ctxOf(t2, derivedMctx(m2), m2, Seq("prev"),
+        "mcount", Seq("mcc", "n1f2c", "mf1", "mf2", "mf3p", "pmm"))
+        .sortWithinPartitions("prev"),
+      s"${prefix}_four" -> keep(four, "c4", t4)
+        .sortWithinPartitions("prev3", "prev2", "prev", "w"),
+      s"${prefix}_ctx4" -> ctxOf(t4, derivedCtx4(four), four,
+        Seq("prev3", "prev2", "prev"), "c4",
+        Seq("cc4", "n1f4", "ff1", "ff2", "ff3p", "pmf"))
+        .sortWithinPartitions("prev3", "prev2", "prev"),
+      s"${prefix}_m3" -> keep(m3, "m3c", t3)
+        .sortWithinPartitions("prev2", "prev", "w"),
+      s"${prefix}_mctx3" -> ctxOf(t3, derivedMctx3(m3), m3,
+        Seq("prev2", "prev"), "m3c",
+        Seq("m3cc", "n1f3c", "pf1", "pf2", "pf3p", "pmp"))
+        .sortWithinPartitions("prev2", "prev"),
+      s"${prefix}_five" -> keep(five, "c5", t5)
+        .sortWithinPartitions("prev4", "prev3", "prev2", "prev", "w"),
+      s"${prefix}_ctx5" -> ctxOf(t5, derivedCtx5(five), five,
+        Seq("prev4", "prev3", "prev2", "prev"), "c5",
+        Seq("cc5", "n1f5", "vf1", "vf2", "vf3p", "pmv"))
+        .sortWithinPartitions("prev4", "prev3", "prev2", "prev"),
+      s"${prefix}_m4" -> keep(m4, "m4c", t4)
+        .sortWithinPartitions("prev3", "prev2", "prev", "w"),
+      s"${prefix}_mctx4" -> ctxOf(t4, derivedMctx4(m4), m4,
+        Seq("prev3", "prev2", "prev"), "m4c",
+        Seq("m4cc", "n1f4c", "qf1", "qf2", "qf3p", "pmq"))
+        .sortWithinPartitions("prev3", "prev2", "prev"),
+      s"${prefix}_stats" -> stats))
     finally {
       m2.unpersist(); m3.unpersist(); m4.unpersist()
       ()
@@ -1262,6 +1395,18 @@ object LmIndex {
   private def mergeCounts5(
       store: TableStore, prefix: String,
       delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
+    // A count-pruned model is FROZEN: its stored gram tables are
+    // missing the below-threshold rows, so a count merge would compound
+    // new deltas onto incomplete counts and re-derive context totals
+    // that disagree with the true corpus (cc/pm unreconstructable).
+    // Fail loudly before any tokenize — one 1-row stats read.
+    val st = store.load(s"${prefix}_stats")
+    if (st.columns.contains("prune2"))
+      require(st.select("prune2", "prune3", "prune4", "prune5")
+        .head().toSeq.forall(_ == 1L),
+        "LmIndex: append5/deleteDocs5 on a COUNT-PRUNED model — merged " +
+          "counts cannot reconstruct the pruned totals; rebuild5 on the " +
+          "updated corpus instead (pruned models are frozen gate models)")
     val pt = TextAnalysis.laggedTokens(tokens(delta, idCol, textCol), idCol,
       Seq("prev", "prev2", "prev3", "prev4"))
     val g = gramCounts5(pt).localCheckpoint()
@@ -1371,19 +1516,25 @@ object LmIndex {
     val d = lit(discount)
     val pcont = pcontOOV(btypes)
     val uniP = uniPOOV(total)
-    def level(cnt: Column, cc: Column, nf: Column, lower: Column): Column =
+    // λ = (D·followers + pm)/cc at every level — pm is the level's
+    // pruned count mass (0 and bit-inert on unpruned models); carrying
+    // it keeps each pruned level a proper distribution (the
+    // KN-sums-to-1 convention through pruned branches).
+    def level(cnt: Column, cc: Column, nf: Column, pm: Column,
+        lower: Column): Column =
       when(cc.isNotNull,
         greatest(coalesce(cnt, lit(0L)).cast("double") - d, lit(0.0))
           / cc.cast("double") +
-          d * nf.cast("double") / cc.cast("double") * lower)
+          (d * nf.cast("double") + pm.cast("double"))
+            / cc.cast("double") * lower)
         .otherwise(lower)
-    val midP = level(col("mcount"), col("mcc"), col("n1f2c"), pcont)
-    val bigP = level(col("c2"), col("cc"), col("n1f"), pcont)
-    val triP = level(col("c3"), col("cc3"), col("n1f3"), midP)
-    val mid3P = level(col("m3c"), col("m3cc"), col("n1f3c"), midP)
-    val fourP = level(col("c4"), col("cc4"), col("n1f4"), mid3P)
-    val mid4P = level(col("m4c"), col("m4cc"), col("n1f4c"), mid3P)
-    val fiveP = level(col("c5"), col("cc5"), col("n1f5"), mid4P)
+    val midP = level(col("mcount"), col("mcc"), col("n1f2c"), col("pmm"), pcont)
+    val bigP = level(col("c2"), col("cc"), col("n1f"), col("pmb"), pcont)
+    val triP = level(col("c3"), col("cc3"), col("n1f3"), col("pmt"), midP)
+    val mid3P = level(col("m3c"), col("m3cc"), col("n1f3c"), col("pmp"), midP)
+    val fourP = level(col("c4"), col("cc4"), col("n1f4"), col("pmf"), mid3P)
+    val mid4P = level(col("m4c"), col("m4cc"), col("n1f4c"), col("pmq"), mid3P)
+    val fiveP = level(col("c5"), col("cc5"), col("n1f5"), col("pmv"), mid4P)
     val p = when(col("prev").isNull, uniP)
       .when(col("prev2").isNull, bigP)
       .when(col("prev3").isNull, triP)
@@ -1407,24 +1558,40 @@ object LmIndex {
       m: Kn5Model, pt: DataFrame, narrowCtx: Boolean): DataFrame = {
     val wM = m.uni.join(m.cont, Seq("w"), "left")
     val bigM = m.big.join(m.m2, Seq("prev", "w"), "left")
-    val ctx = if (narrowCtx) m.ctx.select("prev", "cc", "n1f") else m.ctx
+    // Every context table normalizes its pruned-mass column first (0
+    // when absent — unpruned and legacy models), so the serve recipes
+    // read it unconditionally; narrowCtx keeps it (plain KN's λ needs
+    // the pruned mass even without the mkn buckets).
+    val ctx =
+      if (narrowCtx) withZero(m.ctx, "pmb").select("prev", "cc", "n1f", "pmb")
+      else withZero(m.ctx, "pmb")
     val mctx =
-      if (narrowCtx) m.mctx.select("prev", "mcc", "n1f2c") else m.mctx
+      if (narrowCtx)
+        withZero(m.mctx, "pmm").select("prev", "mcc", "n1f2c", "pmm")
+      else withZero(m.mctx, "pmm")
     val ctxM = ctx.join(mctx, Seq("prev"), "left")
     val triM = m.tri.join(m.m3, Seq("prev2", "prev", "w"), "left")
     val ctx3 =
-      if (narrowCtx) m.ctx3.select("prev2", "prev", "cc3", "n1f3") else m.ctx3
+      if (narrowCtx)
+        withZero(m.ctx3, "pmt").select("prev2", "prev", "cc3", "n1f3", "pmt")
+      else withZero(m.ctx3, "pmt")
     val mctx3 =
-      if (narrowCtx) m.mctx3.select("prev2", "prev", "m3cc", "n1f3c")
-      else m.mctx3
+      if (narrowCtx)
+        withZero(m.mctx3, "pmp")
+          .select("prev2", "prev", "m3cc", "n1f3c", "pmp")
+      else withZero(m.mctx3, "pmp")
     val ctx3M = ctx3.join(mctx3, Seq("prev2", "prev"), "left")
     val fourM = m.four.join(m.m4, Seq("prev3", "prev2", "prev", "w"), "left")
     val ctx4 =
-      if (narrowCtx) m.ctx4.select("prev3", "prev2", "prev", "cc4", "n1f4")
-      else m.ctx4
+      if (narrowCtx)
+        withZero(m.ctx4, "pmf")
+          .select("prev3", "prev2", "prev", "cc4", "n1f4", "pmf")
+      else withZero(m.ctx4, "pmf")
     val mctx4 =
-      if (narrowCtx) m.mctx4.select("prev3", "prev2", "prev", "m4cc", "n1f4c")
-      else m.mctx4
+      if (narrowCtx)
+        withZero(m.mctx4, "pmq")
+          .select("prev3", "prev2", "prev", "m4cc", "n1f4c", "pmq")
+      else withZero(m.mctx4, "pmq")
     val ctx4M = ctx4.join(mctx4, Seq("prev3", "prev2", "prev"), "left")
     pt.join(wM, Seq("w"), "left")
       .join(bigM, Seq("prev", "w"), "left")
@@ -1434,7 +1601,8 @@ object LmIndex {
       .join(fourM, Seq("prev3", "prev2", "prev", "w"), "left")
       .join(ctx4M, Seq("prev3", "prev2", "prev"), "left")
       .join(m.five, Seq("prev4", "prev3", "prev2", "prev", "w"), "left")
-      .join(m.ctx5, Seq("prev4", "prev3", "prev2", "prev"), "left")
+      .join(withZero(m.ctx5, "pmv"),
+        Seq("prev4", "prev3", "prev2", "prev"), "left")
   }
 
   /** Inline order-5 train-on-A / score-B — no store. With all-document
@@ -1501,12 +1669,14 @@ object LmIndex {
       docs, idCol, textCol, discount)
 
   /** Versioned order-5 rebuild — one manifest swap publishes all
-    * seventeen tables. */
+    * seventeen tables. `pruneMin` passes through to [[build5]] (the
+    * natural lifecycle for pruned models, which cannot append). */
   def rebuildVersioned5(
       store: TableStore, name: String,
-      train: DataFrame, idCol: String, textCol: String): String =
+      train: DataFrame, idCol: String, textCol: String,
+      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L)): String =
     graft.io.VersionedIndex.rebuild(store, name, train.sparkSession)(
-      p => build5(store, p, train, idCol, textCol))
+      p => build5(store, p, train, idCol, textCol, pruneMin))
 
   /** Score `docs` against the persisted order-5 model with FULL modified
     * Kneser-Ney — the literal KenLM/CCNet serve: per-LEVEL D1/D2/D3+
@@ -1560,30 +1730,33 @@ object LmIndex {
     def dOf(c: Column, p: String): Column =
       when(c === 1L, col(s"d1$p")).when(c === 2L, col(s"d2$p"))
         .otherwise(col(s"d3$p"))
+    // λ carries each level's pruned mass (pm*; 0 and bit-inert on
+    // unpruned models — the scoreFramesMkn rationale seven levels up).
     def mLevel(cnt: Column, cc: Column, f1: Column, f2: Column, f3p: Column,
-        p: String, lower: Column): Column = {
+        pm: Column, p: String, lower: Column): Column = {
       val lam = (col(s"d1$p") * f1.cast("double")
         + col(s"d2$p") * f2.cast("double")
-        + col(s"d3$p") * f3p.cast("double")) / cc.cast("double")
+        + col(s"d3$p") * f3p.cast("double")
+        + pm.cast("double")) / cc.cast("double")
       when(cc.isNotNull,
         when(cnt.isNotNull, (cnt.cast("double") - dOf(cnt, p)) / cc.cast("double"))
           .otherwise(lit(0.0)) + lam * lower)
         .otherwise(lower)
     }
     val bigP = mLevel(col("c2"), col("cc"),
-      col("nf1"), col("nf2"), col("nf3p"), "b", pcont)
+      col("nf1"), col("nf2"), col("nf3p"), col("pmb"), "b", pcont)
     val midP = mLevel(col("mcount"), col("mcc"),
-      col("mf1"), col("mf2"), col("mf3p"), "m", pcont)
+      col("mf1"), col("mf2"), col("mf3p"), col("pmm"), "m", pcont)
     val triP = mLevel(col("c3"), col("cc3"),
-      col("tf1"), col("tf2"), col("tf3p"), "t", midP)
+      col("tf1"), col("tf2"), col("tf3p"), col("pmt"), "t", midP)
     val mid3P = mLevel(col("m3c"), col("m3cc"),
-      col("pf1"), col("pf2"), col("pf3p"), "p", midP)
+      col("pf1"), col("pf2"), col("pf3p"), col("pmp"), "p", midP)
     val fourP = mLevel(col("c4"), col("cc4"),
-      col("ff1"), col("ff2"), col("ff3p"), "f", mid3P)
+      col("ff1"), col("ff2"), col("ff3p"), col("pmf"), "f", mid3P)
     val mid4P = mLevel(col("m4c"), col("m4cc"),
-      col("qf1"), col("qf2"), col("qf3p"), "q", mid3P)
+      col("qf1"), col("qf2"), col("qf3p"), col("pmq"), "q", mid3P)
     val fiveP = mLevel(col("c5"), col("cc5"),
-      col("vf1"), col("vf2"), col("vf3p"), "v", mid4P)
+      col("vf1"), col("vf2"), col("vf3p"), col("pmv"), "v", mid4P)
     val p = when(col("prev").isNull, uniP)
       .when(col("prev2").isNull, bigP)
       .when(col("prev3").isNull, triP)
