@@ -2212,6 +2212,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // VOCABULARY-CAPPED order-5 model (round-17 task 3 — the LM-build
+    // envelope): the top-20 words by frequency survive (ties by word
+    // ascending), the other 11 of sf0.01's 31-word vocabulary map to
+    // the reserved <unk> at tokenize time, and the RAW corpus then
+    // scores against the capped model — capped-out words are genuine
+    // OOVs and route through the reserved-mass recipe. The DuckDB
+    // chain replays the top-K selection, the mapping, and the build.
+    "q_kn5_vocab" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text",
+        maxVocab = 20L)
+      graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Order-5 maintenance ORACLE-PINNED: build5 on two thirds of the
     // corpus, append5 the remaining third, score everything — the
     // oracle RETRAINS from scratch on the full corpus (knPentaChainSql
@@ -4439,7 +4456,49 @@ object SparkEntry {
     * (inline cross-score) and q_kn5_persisted_holdout (the build5 store
     * serve). */
   private def knPentaCrossScoreSql(
-      trainWhere: String, scoreWhere: String): String = {
+      trainWhere: String, scoreWhere: String): String =
+    knPentaOovChainSql(
+      s"""ttoks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS w,
+         |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+         |  FROM documents WHERE $trainWhere)""".stripMargin,
+      s"""SELECT doc_id,
+         |      unnest(string_split_regex(text, '\\s+')) AS w,
+         |      unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+         |    FROM documents WHERE $scoreWhere""".stripMargin)
+
+  /** VOCABULARY-CAPPED order-5 chain — mirrors
+    * [[graft.functions.LmIndex.build5]] with `maxVocab`: the model
+    * trains on tokens whose below-top-K words (by frequency, ties by
+    * word ascending — both engines' ORDER BY cnt DESC, w) are mapped to
+    * the reserved `<unk>`, then the RAW corpus scores against it — a
+    * capped-out word at serve time is a genuine OOV and routes through
+    * the reserved-mass recipe. The oracle of q_kn5_vocab. */
+  private def knPentaVocabChainSql(maxVocab: Long): String =
+    knPentaOovChainSql(
+      s"""rtoks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS w,
+         |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
+         |  FROM documents),
+         |vtop AS (
+         |  SELECT w FROM (SELECT w, count(*) AS cnt FROM rtoks GROUP BY w)
+         |  ORDER BY cnt DESC, w LIMIT $maxVocab),
+         |ttoks AS MATERIALIZED (
+         |  SELECT r.doc_id, r.pos,
+         |    CASE WHEN v.w IS NOT NULL THEN r.w ELSE '<unk>' END AS w
+         |  FROM rtoks r LEFT JOIN vtop v ON r.w = v.w)""".stripMargin,
+      "SELECT doc_id, w, pos FROM rtoks")
+
+  /** The shared frozen-model order-5 OOV scoring chain: `ttoksCtes`
+    * defines the TRAINING token frame (CTE `ttoks`), `sptInner` the
+    * scored documents' raw token SELECT; every level covers its seen
+    * and unseen events with full backoff and the reserved 0.5-type
+    * mass ([[graft.functions.LmIndex.scoreFrames5]] branch for
+    * branch). */
+  private def knPentaOovChainSql(
+      ttoksCtes: String, sptInner: String): String = {
     val pcont = """CASE WHEN cont.n1c IS NOT NULL
       THEN CAST(cont.n1c AS DOUBLE) / btot.btypes
       ELSE 0.5 / btot.btypes END"""
@@ -4453,11 +4512,7 @@ object SparkEntry {
     val midP = lvl("m2.mcount", "mctx.mcc", "mctx.n1f2c", pcont)
     val mid3P = lvl("m3.m3c", "mctx3.m3cc", "mctx3.n1f3c", midP)
     val mid4P = lvl("m4.m4c", "mctx4.m4cc", "mctx4.n1f4c", mid3P)
-    s"""WITH ttoks AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    unnest(string_split_regex(text, '\\s+')) AS w,
-       |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
-       |  FROM documents WHERE $trainWhere),
+    s"""WITH $ttoksCtes,
        |tpt AS MATERIALIZED (
        |  SELECT doc_id, pos, w,
        |    lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
@@ -4525,10 +4580,7 @@ object SparkEntry {
        |    lag(w, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS prev3,
        |    lag(w, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS prev4
        |  FROM (
-       |    SELECT doc_id,
-       |      unnest(string_split_regex(text, '\\s+')) AS w,
-       |      unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
-       |    FROM documents WHERE $scoreWhere)),
+       |    $sptInner)),
        |sc5 AS (
        |  SELECT spt.doc_id,
        |    CAST(round(ln(CASE
@@ -7265,6 +7317,7 @@ object SparkEntry {
     "q_kn5_persisted" -> knPentaChainSql(),
     "q_kn5_pruned" -> knPentaPrunedChainSql(2L, 2L, 2L, 2L),
     "q_mkn5_pruned" -> mknPentaPrunedChainSql(2L, 2L, 2L, 2L),
+    "q_kn5_vocab" -> knPentaVocabChainSql(20L),
 
     "q_kn5_probed" -> knPentaChainSql("WHERE doc_id % 25 = 0"),
 

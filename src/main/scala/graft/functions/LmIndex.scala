@@ -63,6 +63,43 @@ object LmIndex {
     df.select(col(idCol),
       posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
 
+  /** The reserved out-of-vocabulary token a [[build5]] vocabulary
+    * envelope maps below-top-K words to — the `<unk>` convention of
+    * every deployed n-gram LM (KenLM/SRILM). A corpus that literally
+    * contains this token merges it with the OOV mass, which is the
+    * standard `<unk>` behavior, not an error. */
+  val OovToken: String = "<unk>"
+
+  /** Map every token outside the TOP-`maxVocab` words (by corpus
+    * frequency, ties broken by word ascending — deterministic and
+    * oracle-replayable) to [[OovToken]] — the LM-build vocabulary
+    * envelope, the [[TextAnalysis]] trainerVocab posture applied to
+    * model building: capping the vocabulary at TOKENIZE time means
+    * training on the capped corpus, so every downstream table is
+    * bounded by construction (Heaps-unbounded corpora stop building
+    * corpus-sized unigram/keyed tables) and the trained model is
+    * EXACTLY the model of the OOV-mapped corpus (spec-pinned).
+    *
+    * Scale: the top-K selection is a global bounded top-K
+    * (TakeOrderedAndProject — K rows to the driver-side limit, never
+    * the vocabulary), and the mapping join is token-frame vs a K-row
+    * frame (AQE broadcasts the measured small side). Cost: ONE extra
+    * corpus tokenize for the frequency pass — the same two-pass shape
+    * as every real vocabulary-capped trainer; checkpointing the token
+    * frame instead would hold corpus-sized state. */
+  private def capVocab(toks: DataFrame, maxVocab: Long): DataFrame = {
+    require(maxVocab >= 1L && maxVocab <= Int.MaxValue.toLong,
+      s"maxVocab must be in [1, ${Int.MaxValue}], got $maxVocab")
+    val top = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxVocab.toInt)
+      .select(col("w"), lit(true).as("__in_vocab"))
+    toks.join(top, Seq("w"), "left")
+      .withColumn("w",
+        when(col("__in_vocab"), col("w")).otherwise(lit(OovToken)))
+      .drop("__in_vocab")
+  }
+
   // Every lag frame in this family funnels through
   // [[TextAnalysis.laggedTokens]] — the per-doc window by default, the
   // single-exchange positional join under `graft.lm.positionalJoin`
@@ -1285,15 +1322,32 @@ object LmIndex {
     * the pre-pruning layout (spec-pinned), preserving the build3
     * bigram/trigram-level table identity. A pruned model is FROZEN:
     * [[append5]]/[[deleteDocs5]] reject it (merged counts cannot
-    * reconstruct pruned totals); rebuild on the grown corpus instead. */
+    * reconstruct pruned totals); rebuild on the grown corpus instead.
+    *
+    * `maxVocab` > 0 additionally caps the VOCABULARY ([[capVocab]]:
+    * below-top-K words map to [[OovToken]] before any counting) — the
+    * envelope [[TextAnalysis.tokenizerMaxTypes]] gives the tokenizer
+    * trainers, applied to the model build; composes with pruneMin
+    * (cap first, then prune the capped counts). */
   def build5(
       store: TableStore, prefix: String,
       train: DataFrame, idCol: String, textCol: String,
-      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L)): Unit = {
+      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L),
+      maxVocab: Long = 0L): Unit = {
     require(pruneMin.length == 4 && pruneMin.forall(_ >= 1L),
       s"pruneMin must be four thresholds >= 1 (key widths 2,3,4,5), " +
         s"got $pruneMin")
-    val pt = TextAnalysis.laggedTokens(tokens(train, idCol, textCol), idCol,
+    require(maxVocab >= 0L,
+      s"maxVocab must be >= 0 (0 = unbounded), got $maxVocab")
+    // maxVocab > 0 caps the vocabulary FIRST ([[capVocab]]: below-top-K
+    // words become [[OovToken]] at tokenize time), so pruning and every
+    // table derivation see the capped corpus — build5(maxVocab) ==
+    // build5 on the pre-mapped corpus, table for table (spec-pinned).
+    // 0 = unbounded (the default; a Heaps-unbounded corpus then builds
+    // a vocabulary-sized unigram table — cap it for frozen gate models).
+    val toks0 = tokens(train, idCol, textCol)
+    val toks = if (maxVocab > 0L) capVocab(toks0, maxVocab) else toks0
+    val pt = TextAnalysis.laggedTokens(toks, idCol,
       Seq("prev", "prev2", "prev3", "prev4"))
     val g = gramCounts5(pt).localCheckpoint()
     try {
@@ -1674,9 +1728,10 @@ object LmIndex {
   def rebuildVersioned5(
       store: TableStore, name: String,
       train: DataFrame, idCol: String, textCol: String,
-      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L)): String =
+      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L),
+      maxVocab: Long = 0L): String =
     graft.io.VersionedIndex.rebuild(store, name, train.sparkSession)(
-      p => build5(store, p, train, idCol, textCol, pruneMin))
+      p => build5(store, p, train, idCol, textCol, pruneMin, maxVocab))
 
   /** Score `docs` against the persisted order-5 model with FULL modified
     * Kneser-Ney — the literal KenLM/CCNet serve: per-LEVEL D1/D2/D3+
