@@ -2212,6 +2212,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The LITERAL CCNet gate composed end to end (round-17 task 2 —
+    // Wenzek et al. 2020 §4.3): content language-ID -> score against
+    // the PERSISTED order-5 modified-KN model -> per-detected-language
+    // perplexity terciles -> keep head+middle. Every piece is
+    // individually oracle-pinned; this row pins the COMPOSITION a user
+    // deploys (one hash-matched frame sharing the mkn5 chain and the
+    // ppl-buckets tiling SQL).
+    "q_ccnet_gate" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      graft.functions.LmIndex.ccnetGate(store, "lm5", d, "doc_id", "text",
+        tiles = 3, fallbackDiscounts = Some((0.5, 1.0, 1.5)))
+        .orderBy("doc_id")
+    }),
+
     // VOCABULARY-CAPPED order-5 model (round-17 task 3 — the LM-build
     // envelope): the top-20 words by frequency survive (ties by word
     // ascending), the other 11 of sf0.01's 31-word vocabulary map to
@@ -4635,7 +4652,16 @@ object SparkEntry {
     * bucket tallies at every level, 0.5/1.0/1.5 fallback per degenerate
     * level. The oracle of q_mkn5_persisted (the build5 store serve
     * reading the same tallies from its widened tables). */
-  private def mknPentaChainSql(scoreWhere: String = ""): String = {
+  private def mknPentaChainSql(scoreWhere: String = ""): String =
+    s"""WITH $mknPentaCtes
+       |SELECT doc_id, n AS n_tokens,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
+
+  /** The CTE chain of [[mknPentaChainSql]] up through the per-document
+    * fixed-point aggregate `agg(doc_id, s, n)` — exposed so composed
+    * chains (q_ccnet_gate) can extend it. */
+  private def mknPentaCtes: String = {
     val pcont = "(CAST(cont.n1c AS DOUBLE) / dd.btypes)"
     def mlvl(cnt: String, cc: String, f1: String, f2: String, f3p: String,
         p: String, lower: String): String =
@@ -4651,7 +4677,7 @@ object SparkEntry {
       "mctx3.pf3p", "p", midP)
     val mid4P = mlvl("m4.m4c", "mctx4.m4cc", "mctx4.qf1", "mctx4.qf2",
       "mctx4.qf3p", "q", mid3P)
-    s"""WITH toks AS MATERIALIZED (
+    s"""toks AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(string_split_regex(text, '\\s+')) AS w,
        |    unnest(generate_series(1, len(string_split_regex(text, '\\s+')))) AS pos
@@ -4823,11 +4849,51 @@ object SparkEntry {
        |  CROSS JOIN dd),
        |agg AS (
        |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-       |  FROM sc GROUP BY 1)
-       |SELECT doc_id, n AS n_tokens,
-       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
-       |FROM agg $scoreWhere ORDER BY doc_id""".stripMargin
+       |  FROM sc GROUP BY 1)""".stripMargin
   }
+
+  /** The composed CCNet gate chain — language-ID (the q_lang_mismatch
+    * stopword-voting CASE), the persisted order-5 modified-KN score
+    * ([[mknPentaCtes]] verbatim), per-DETECTED-language terciles
+    * (ntile over (logprob DESC, doc_id) — the q_ppl_buckets tiling),
+    * keep head+middle. The oracle of q_ccnet_gate (Wenzek et al. 2020
+    * §4.3 composed end to end). */
+  private def ccnetGateChainSql(tiles: Int): String =
+    s"""WITH $mknPentaCtes,
+       |mk AS (
+       |  SELECT doc_id, n AS n_tokens,
+       |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS logprob
+       |  FROM agg),
+       |lsc AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS hits_en,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS hits_de,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ('el','los','las','una','y'))) AS BIGINT) AS hits_es,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ('le','les','et','est','dans'))) AS BIGINT) AS hits_fr,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ('的','是','了','和','在'))) AS BIGINT) AS hits_zh
+       |  FROM documents),
+       |lp AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+       |      WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+       |      WHEN hits_es >= hits_en AND hits_es >= hits_de AND hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+       |      WHEN hits_fr >= hits_en AND hits_fr >= hits_de AND hits_fr >= hits_es AND hits_fr >= hits_zh THEN 'fr'
+       |      ELSE 'zh' END AS predicted_lang
+       |  FROM lsc),
+       |ld AS (
+       |  SELECT lp.doc_id, lp.predicted_lang, mk.n_tokens, mk.logprob
+       |  FROM lp JOIN mk USING (doc_id)),
+       |rk AS (
+       |  SELECT doc_id, predicted_lang, n_tokens, logprob,
+       |    CAST(ntile($tiles) OVER (PARTITION BY predicted_lang
+       |      ORDER BY logprob DESC, doc_id) AS BIGINT) AS tile
+       |  FROM ld)
+       |SELECT doc_id, predicted_lang, n_tokens, logprob, tile,
+       |  CASE WHEN tile = 1 THEN 'head' WHEN tile = $tiles THEN 'tail'
+       |    ELSE 'middle' END AS bucket,
+       |  tile < $tiles AS kept
+       |FROM rk ORDER BY doc_id""".stripMargin
 
   /** Shared CTE block for the COUNT-PRUNED order-5 chains — the KenLM
     * `--prune` analog's bookkeeping ([[graft.functions.LmIndex.build5]]
@@ -7318,6 +7384,7 @@ object SparkEntry {
     "q_kn5_pruned" -> knPentaPrunedChainSql(2L, 2L, 2L, 2L),
     "q_mkn5_pruned" -> mknPentaPrunedChainSql(2L, 2L, 2L, 2L),
     "q_kn5_vocab" -> knPentaVocabChainSql(20L),
+    "q_ccnet_gate" -> ccnetGateChainSql(3),
 
     "q_kn5_probed" -> knPentaChainSql("WHERE doc_id % 25 = 0"),
 

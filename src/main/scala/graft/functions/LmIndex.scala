@@ -1826,4 +1826,39 @@ object LmIndex {
         round(col("s").cast("double") / col("n_tokens").cast("double") / 1e6, 6)
           .as("logprob"))
   }
+
+  /** The LITERAL CCNet gate, composed end to end (Wenzek et al. 2020
+    * §4.3 verbatim): language-ID every document
+    * ([[TextAnalysis.langDetect]] — content-detected, no label
+    * needed), score it against the PERSISTED order-5 modified-KN model
+    * ([[scoreMkn5]] — the frozen KenLM serve), split each DETECTED
+    * language into `tiles` equal perplexity bands
+    * ([[TextAnalysis.pplTiles]] — two-phase histogram rank, so a
+    * dominant crawl language never single-reduces), and keep
+    * head+middle (`kept` = tile < tiles). Every piece is individually
+    * oracle-pinned; this is the composition a user deploys, itself
+    * oracle-pinned as q_ccnet_gate.
+    *
+    * Output: (idCol, predicted_lang, n_tokens, logprob, tile, bucket,
+    * kept).
+    *
+    * Scale: serve reads ONLY the seventeen vocabulary-bounded model
+    * tables (the training corpus is never touched — structurally: the
+    * model comes from the store); the gated documents scan twice by
+    * design (one narrow language-ID pass, one tokenize for scoring —
+    * both narrow maps over (id, text)), and the tiling ranks the
+    * NARROW scored projection. Works unchanged over a count-pruned
+    * and/or vocabulary-capped [[build5]] model — the production gate
+    * model posture. */
+  def ccnetGate(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      tiles: Int = 3,
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
+    val pred = TextAnalysis.langDetect(docs, idCol, textCol)
+    val scores = scoreMkn5(store, prefix, docs, idCol, textCol,
+      fallbackDiscounts)
+    TextAnalysis.pplTiles(pred.join(scores, Seq(idCol)),
+      idCol, "predicted_lang", tiles)
+  }
 }

@@ -213,6 +213,19 @@ object TextAnalysis {
     }
   }
 
+  /** Content-detected language per document — [[langMismatch]]'s
+    * detection half without a label column (the CCNet pipeline's LID
+    * step: language comes from the TEXT, labels may not exist). Pure
+    * narrow map (stopword-voting [[langPredict]], no shuffle); returns
+    * (idCol, predicted_lang). */
+  def langDetect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = langScores(textCol).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    scored.select(col(idCol),
+      langPredict(stopwords.map(l => s"hits_${l._1}")).as("predicted_lang"))
+  }
+
   /** Labeled-vs-detected language mismatch filter (the CCNet curation gate:
     * drop documents whose claimed language disagrees with content-detected
     * language — mislabeled crawls poison language-balanced sampling).
@@ -833,10 +846,21 @@ object TextAnalysis {
   def pplBuckets(
       df: DataFrame, idCol: String, textCol: String, langCol: String,
       tiles: Int = 3, discount: Double = 0.75): DataFrame = {
-    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
     val scores = knBigramLogProb(df, idCol, textCol, discount)
-    val base = df.select(col(idCol), col(langCol))
-      .join(scores, Seq(idCol))
+    pplTiles(df.select(col(idCol), col(langCol)).join(scores, Seq(idCol)),
+      idCol, langCol, tiles)
+  }
+
+  /** The per-key equal-count tiling half of [[pplBuckets]], over an
+    * ALREADY-SCORED frame (idCol, langCol, n_tokens, logprob) — shared
+    * with [[graft.functions.LmIndex.ccnetGate]], whose scores come from
+    * the persisted order-5 modified-KN model instead of the in-corpus
+    * order-2 scorer. Semantics and scale notes as in [[pplBuckets]]. */
+  private[graft] def pplTiles(
+      labeled: DataFrame, idCol: String, langCol: String,
+      tiles: Int): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val base = labeled
       // DESC by score == ASC by the negated fixed-point long (logprob is
       // already on the 1e-6 grid, so the negation is exact).
       .withColumn("__fp", round(col("logprob") * lit(-1e6), 0).cast("long"))
