@@ -472,6 +472,36 @@ object SparkEntry {
         n = 4, threshold = 0.8, bucketCap = ProductionLshBucketCap).cache()
     })
 
+  /** The shared FROZEN full-corpus LM model stores (order 3 / order 5)
+    * — the guardedPairs discipline applied to the persisted-model
+    * families: a frozen model is built ONCE and served by many
+    * consumers (the whole point of the persisted posture at 100 TB),
+    * so the six order-3 and five order-5 full-corpus serve queries
+    * read one shared store each instead of each rebuilding the
+    * identical 9/17 tables inside its own closure. Bench attributes
+    * the one-time builds as explicit `cache_lm3`/`cache_lm5` lines
+    * (warmSharedCaches), so per-query numbers are honest SERVE costs
+    * and the build is still computed from the parquet inputs on every
+    * invocation — once, like production. Queries that build a
+    * DIFFERENT model (holdout splits, append/delete maintenance,
+    * count-pruned, vocabulary-capped, the positional-mode twin) keep
+    * their own per-closure stores. */
+  private val lmStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), graft.io.TableStore]
+  private def lmSharedStore(
+      s: SparkSession, dir: String, order: Int): graft.io.TableStore =
+    lmStoreCache.getOrElseUpdate((s, dir, order), {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_lm${order}_shared_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      val d = pq(s, dir, "documents")
+      if (order == 3)
+        graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      else
+        graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      store
+    })
+
   /** Materialize the two cross-query shared caches, timing each — bench
     * attribution. Without this, whichever consumer happens to run first
     * absorbs the materialization cost (q_cluster_sizes absorbed ~4 s of
@@ -485,7 +515,12 @@ object SparkEntry {
     }
     Seq(
       "cache_classify" -> time(classified(s, dir).count()),
-      "cache_guardedPairs" -> time(guardedPairs(s, dir).count()))
+      "cache_guardedPairs" -> time(guardedPairs(s, dir).count()),
+      // The shared frozen-model builds (lmSharedStore): build5/build3
+      // run eagerly (store writes), so constructing the store IS the
+      // materialization — no count() needed.
+      "cache_lm3" -> time(lmSharedStore(s, dir, 3)),
+      "cache_lm5" -> time(lmSharedStore(s, dir, 5)))
   }
 
   /** Cross-source near-dup pair counts per unordered source pair (s1 < s2,
@@ -1976,9 +2011,7 @@ object SparkEntry {
     // persisted serve must be row-identical to the inline recursion.
     "q_kn3_persisted" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 3)
       graft.functions.LmIndex.score3(store, "lm3", d, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1990,9 +2023,7 @@ object SparkEntry {
     // with the batch predicate on the SCORED side only.
     "q_kn3_probed" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 3)
       graft.functions.LmIndex.scoreBatch3(
         store, "lm3", d.filter(col("doc_id") % 25 === 0), "doc_id", "text")
         .orderBy("doc_id")
@@ -2016,9 +2047,7 @@ object SparkEntry {
     // oracle SQL verbatim (in-corpus row-identity).
     "q_mkn3_persisted" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 3)
       graft.functions.LmIndex.scoreMkn3(store, "lm3", d, "doc_id", "text",
         fallbackDiscounts = Some((0.5, 1.0, 1.5)))
         .orderBy("doc_id")
@@ -2059,9 +2088,7 @@ object SparkEntry {
     // --discount_fallback on this templated corpus.
     "q_mkn_persisted" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 3)
       graft.functions.LmIndex.scoreMkn(store, "lm3", d, "doc_id", "text",
         fallbackDiscounts = Some((0.5, 1.0, 1.5)))
         .orderBy("doc_id")
@@ -2077,9 +2104,7 @@ object SparkEntry {
     // predicate on the SCORED side only (the q_kn3_probed pattern).
     "q_mkn_probed" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 3)
       graft.functions.LmIndex.scoreBatchMkn(
         store, "lm3", d.filter(col("doc_id") % 25 === 0), "doc_id", "text",
         fallbackDiscounts = Some((0.5, 1.0, 1.5)))
@@ -2088,9 +2113,7 @@ object SparkEntry {
 
     "q_mkn3_probed" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 3)
       graft.functions.LmIndex.scoreBatchMkn3(
         store, "lm3", d.filter(col("doc_id") % 25 === 0), "doc_id", "text",
         fallbackDiscounts = Some((0.5, 1.0, 1.5)))
@@ -2099,14 +2122,12 @@ object SparkEntry {
 
     // PERSISTED ORDER-5 model (round-16 task 2 — the literal CCNet
     // posture: Wenzek et al. 2020 serve a frozen order-5 KenLM): build
-    // the SEVENTEEN model tables once from one gramCounts5 corpus pass,
+    // the SEVENTEEN model tables once from one base-counts corpus pass,
     // serve the corpus from the store. In-corpus no OOV branch fires,
     // so the serve must be row-identical to the order-5 chain oracle.
     "q_kn5_persisted" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 5)
       graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -2115,9 +2136,7 @@ object SparkEntry {
     // sixteen keyed table reads prune to the 4% batch's vocabulary.
     "q_kn5_probed" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 5)
       graft.functions.LmIndex.scoreBatch5(
         store, "lm5", d.filter(col("doc_id") % 25 === 0), "doc_id", "text")
         .orderBy("doc_id")
@@ -2155,9 +2174,7 @@ object SparkEntry {
     // what hash-matches, not the fallback).
     "q_mkn5_persisted" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 5)
       graft.functions.LmIndex.scoreMkn5(store, "lm5", d, "doc_id", "text",
         fallbackDiscounts = Some((0.5, 1.0, 1.5)))
         .orderBy("doc_id")
@@ -2169,9 +2186,7 @@ object SparkEntry {
     // the batch predicate on the SCORED side only.
     "q_mkn5_probed" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 5)
       graft.functions.LmIndex.scoreBatchMkn5(
         store, "lm5", d.filter(col("doc_id") % 25 === 0), "doc_id", "text",
         fallbackDiscounts = Some((0.5, 1.0, 1.5)))
@@ -2221,9 +2236,7 @@ object SparkEntry {
     // ppl-buckets tiling SQL).
     "q_ccnet_gate" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+      val store = lmSharedStore(s, dir, 5)
       graft.functions.LmIndex.ccnetGate(store, "lm5", d, "doc_id", "text",
         tiles = 3, fallbackDiscounts = Some((0.5, 1.0, 1.5)))
         .orderBy("doc_id")

@@ -218,33 +218,54 @@ object LmIndex {
     scoreFrames(modelFrames(train, idCol, textCol), docs, idCol, textCol,
       discount)
 
-  /** Build (or rebuild) the model tables from `train`. The bigram table
-    * feeds three derived tables and `overwriteAll` evaluates each write
-    * as its own job, so it is localCheckpoint'ed once — ONE tokenize
-    * pass over the corpus (build-time only; swap for reliable
-    * checkpoint() on a real cluster — the [[LexIndex.build]] note). */
+  /** ONE corpus aggregation feeding EVERY count table of an order-N
+    * build: group the lag frame by its FULL context key — doc-start
+    * NULLs are ordinary group keys — and checkpoint the
+    * vocabulary-bounded result once. Each order's count table then
+    * re-derives by a cheap re-aggregation over the checkpointed base
+    * (count of a coarser group == Σ of its disjoint full-key subgroup
+    * counts — exact longs, bit-identical to aggregating the corpus per
+    * order, spec-pinned via the build==modelFrames table equalities).
+    * Before this the builds materialized one corpus aggregation PER
+    * COUNT TABLE (order 2: two tokenize passes; order 3: three; the
+    * order-5 explode-all-orders form paid one pass but pushed 5× the
+    * token rows through its exchange and checkpointed all five tables'
+    * rows) — at 100 TB the corpus passes are the whole build cost
+    * (guide §1.2/§2.3: remove passes, then shuffle fewer bytes). */
+  private def baseCounts(pt: DataFrame, ctxCols: Seq[String]): DataFrame =
+    pt.groupBy((ctxCols :+ "w").map(col): _*)
+      .agg(count(lit(1)).cast("long").as("c"))
+
+  /** Build (or rebuild) the model tables from `train` — ONE corpus
+    * pass: the checkpointed [[baseCounts]] frame (grouped by the full
+    * (prev, w) key) feeds both count tables and every derived
+    * aggregate; `overwriteAll`'s per-table jobs re-aggregate the
+    * vocabulary-bounded base, never the corpus (build-time only; swap
+    * for reliable checkpoint() on a real cluster — the
+    * [[LexIndex.build]] note). */
   def build(
       store: TableStore, prefix: String,
       train: DataFrame, idCol: String, textCol: String): Unit = {
-    val m0 = modelFrames(train, idCol, textCol)
-    val big = m0.big.localCheckpoint()
-    val ctx = big.groupBy("prev").agg(
-      sum(col("c2")).cast("long").as("cc"),
-      count(lit(1)).cast("long").as("n1f"))
-    val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
-    val uni = m0.uni.localCheckpoint()
-    val stats = uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
-      .crossJoin(big.agg(count(lit(1)).cast("long").as("bigram_types")))
-    try
+    val pt = withPrev(tokens(train, idCol, textCol), idCol)
+    val base = baseCounts(pt, Seq("prev")).localCheckpoint()
+    try {
+      val uni = base.groupBy("w").agg(sum(col("c")).cast("long").as("c1"))
+      val big = base.filter(col("prev").isNotNull)
+        .select(col("prev"), col("w"), col("c").as("c2"))
+      val ctx = big.groupBy("prev").agg(
+        sum(col("c2")).cast("long").as("cc"),
+        count(lit(1)).cast("long").as("n1f"))
+      val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
+      val stats = uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
+        .crossJoin(big.agg(count(lit(1)).cast("long").as("bigram_types")))
       store.overwriteAll(Seq(
         s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
         s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
         s"${prefix}_ctx" -> ctx.sortWithinPartitions("prev"),
         s"${prefix}_cont" -> cont.sortWithinPartitions("w"),
         s"${prefix}_stats" -> stats))
-    finally {
-      big.unpersist()
-      uni.unpersist()
+    } finally {
+      base.unpersist()
       ()
     }
   }
@@ -260,18 +281,27 @@ object LmIndex {
   private def mergeCounts(
       store: TableStore, prefix: String,
       delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
-    val d = modelFrames(delta, idCol, textCol)
+    // ONE delta pass: both merged tables derive from the checkpointed
+    // base frame (the [[baseCounts]] discipline — the lazy modelFrames
+    // form charged one delta tokenize per merged table).
+    val dBase = baseCounts(
+      withPrev(tokens(delta, idCol, textCol), idCol), Seq("prev"))
+      .localCheckpoint()
+    val dUni = dBase.groupBy("w").agg(sum(col("c")).cast("long").as("c1"))
+    val dBig = dBase.filter(col("prev").isNotNull)
+      .select(col("prev"), col("w"), col("c").as("c2"))
     val uni = store.load(s"${prefix}_uni")
-      .unionByName(d.uni.select(col("w"), (col("c1") * lit(sign)).as("c1")))
+      .unionByName(dUni.select(col("w"), (col("c1") * lit(sign)).as("c1")))
       .groupBy("w").agg(sum(col("c1")).cast("long").as("c1"))
       .filter(col("c1") =!= 0L)
       .localCheckpoint()
     val big = store.load(s"${prefix}_big")
-      .unionByName(d.big.select(col("prev"), col("w"),
+      .unionByName(dBig.select(col("prev"), col("w"),
         (col("c2") * lit(sign)).as("c2")))
       .groupBy("prev", "w").agg(sum(col("c2")).cast("long").as("c2"))
       .filter(col("c2") =!= 0L)
       .localCheckpoint()
+    dBase.unpersist()
     try {
       // A negative merged count means the delta was NOT a subset of what
       // the model was trained on (deleting text never added, or adding a
@@ -694,20 +724,36 @@ object LmIndex {
     scoreFrames3(modelFrames3(train, idCol, textCol), docs, idCol, textCol,
       discount)
 
-  /** Build (or rebuild) the NINE order-3 model tables from `train`.
-    * Like [[build]]: the bigram and trigram tables feed the derived
-    * aggregates and `overwriteAll` evaluates each write as its own job,
-    * so both localCheckpoint — ONE tokenize pass over the corpus. */
+  /** Derive the three order-3 count tables from a checkpointed
+    * [[baseCounts]] frame keyed (prev2, prev, w) — cheap re-aggregations
+    * of the vocabulary-bounded base, bit-identical to the per-order
+    * corpus aggregations (the baseCounts argument; lag columns are
+    * monotone, so prev2 non-null implies prev non-null). */
+  private def splitBase3(base: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = (
+    base.groupBy("w").agg(sum(col("c")).cast("long").as("c1")),
+    base.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(sum(col("c")).cast("long").as("c2")),
+    base.filter(col("prev2").isNotNull)
+      .select(col("prev2"), col("prev"), col("w"), col("c").as("c3")))
+
+  /** Build (or rebuild) the NINE order-3 model tables from `train` —
+    * ONE corpus pass and ONE corpus-scale exchange: the checkpointed
+    * (prev2, prev, w) [[baseCounts]] frame feeds all three count tables
+    * (the previous form materialized uni, big AND tri each as its own
+    * corpus aggregation — three tokenize passes, the whole build cost
+    * at 100 TB). */
   def build3(
       store: TableStore, prefix: String,
       train: DataFrame, idCol: String, textCol: String): Unit = {
-    val m0 = modelFrames3(train, idCol, textCol)
-    val uni = m0.uni.localCheckpoint()
-    val big = m0.big.localCheckpoint()
-    val tri = m0.tri.localCheckpoint()
-    try writeTables3(store, prefix, uni, big, tri)
-    finally {
-      uni.unpersist(); big.unpersist(); tri.unpersist()
+    val pt = TextAnalysis.laggedTokens(tokens(train, idCol, textCol), idCol,
+      Seq("prev", "prev2"))
+    val base = baseCounts(pt, Seq("prev2", "prev")).localCheckpoint()
+    try {
+      val (uni, big, tri) = splitBase3(base)
+      writeTables3(store, prefix, uni, big, tri)
+    } finally {
+      base.unpersist()
       ()
     }
   }
@@ -746,16 +792,24 @@ object LmIndex {
   private def mergeCounts3(
       store: TableStore, prefix: String,
       delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
-    val d = modelFrames3(delta, idCol, textCol)
+    // ONE delta pass: the three delta count tables derive from the
+    // checkpointed base frame (the [[baseCounts]] discipline — the lazy
+    // modelFrames3 form charged one delta tokenize per merged table).
+    val dBase = baseCounts(
+      TextAnalysis.laggedTokens(tokens(delta, idCol, textCol), idCol,
+        Seq("prev", "prev2")), Seq("prev2", "prev"))
+      .localCheckpoint()
+    val (dUni, dBig, dTri) = splitBase3(dBase)
     def merged(name: String, dd: DataFrame, keys: Seq[String], c: String) =
       store.load(s"${prefix}_$name")
         .unionByName(dd.select(keys.map(col) :+ (col(c) * lit(sign)).as(c): _*))
         .groupBy(keys.map(col): _*).agg(sum(col(c)).cast("long").as(c))
         .filter(col(c) =!= 0L)
         .localCheckpoint()
-    val uni = merged("uni", d.uni, Seq("w"), "c1")
-    val big = merged("big", d.big, Seq("prev", "w"), "c2")
-    val tri = merged("tri", d.tri, Seq("prev2", "prev", "w"), "c3")
+    val uni = merged("uni", dUni, Seq("w"), "c1")
+    val big = merged("big", dBig, Seq("prev", "w"), "c2")
+    val tri = merged("tri", dTri, Seq("prev2", "prev", "w"), "c3")
+    dBase.unpersist()
     try {
       require(uni.filter(col("c1") < 0L).isEmpty &&
         big.filter(col("c2") < 0L).isEmpty &&
@@ -1219,55 +1273,34 @@ object LmIndex {
       stats = derivedStats5(uni, big, tri, m2, four, m3, five, m4))
   }
 
-  /** ALL FIVE count tables from ONE corpus pass: each token row explodes
-    * to its (order, context…, w) records — order k present only when the
-    * k-gram's full context exists — and a single keyed count aggregates
-    * every order at once (nulls in the unused context slots are ordinary
-    * group keys). The combined frame is vocabulary-bounded (Σ n-gram
-    * types over all five orders); the caller checkpoints it ONCE and
-    * per-order filters split it without touching the corpus again —
-    * [[build3]] pays one tokenize pass per checkpointed count table;
-    * at five orders that discipline would quintuple the corpus scans,
-    * which at 100 TB is the whole build cost. Counts are bit-identical
-    * to [[modelFrames5]]'s per-order aggregations (spec-pinned). */
-  private def gramCounts5(pt: DataFrame): DataFrame = {
-    val ns = lit(null).cast("string")
-    def g(ord: Int, p4: Column, p3: Column, p2: Column, p1: Column,
-        ok: Column) =
-      struct(lit(ord).as("ord"), p4.as("p4"), p3.as("p3"), p2.as("p2"),
-        p1.as("p1"), col("w").as("w"), ok.as("ok"))
-    pt.select(explode(array(
-        g(1, ns, ns, ns, ns, lit(true)),
-        g(2, ns, ns, ns, col("prev"), col("prev").isNotNull),
-        g(3, ns, ns, col("prev2"), col("prev"), col("prev2").isNotNull),
-        g(4, ns, col("prev3"), col("prev2"), col("prev"),
-          col("prev3").isNotNull),
-        g(5, col("prev4"), col("prev3"), col("prev2"), col("prev"),
-          col("prev4").isNotNull))).as("g"))
-      .filter(col("g.ok"))
-      .groupBy(col("g.ord").as("ord"), col("g.p4").as("p4"),
-        col("g.p3").as("p3"), col("g.p2").as("p2"), col("g.p1").as("p1"),
-        col("g.w").as("w"))
-      .agg(count(lit(1)).cast("long").as("c"))
-  }
-
-  /** Split the checkpointed combined gram frame into the five count
-    * tables ([[gramCounts5]]'s inverse). */
-  private def splitGrams5(
-      g: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
-    g.filter(col("ord") === 1).select(col("w"), col("c").as("c1")),
-    g.filter(col("ord") === 2)
-      .select(col("p1").as("prev"), col("w"), col("c").as("c2")),
-    g.filter(col("ord") === 3)
-      .select(col("p2").as("prev2"), col("p1").as("prev"), col("w"),
-        col("c").as("c3")),
-    g.filter(col("ord") === 4)
-      .select(col("p3").as("prev3"), col("p2").as("prev2"),
-        col("p1").as("prev"), col("w"), col("c").as("c4")),
-    g.filter(col("ord") === 5)
-      .select(col("p4").as("prev4"), col("p3").as("prev3"),
-        col("p2").as("prev2"), col("p1").as("prev"), col("w"),
-        col("c").as("c5")))
+  /** ALL FIVE count tables from ONE corpus pass and ONE corpus-scale
+    * exchange: the caller checkpoints [[baseCounts]] keyed by the FULL
+    * (prev4..prev, w) context — doc-start nulls are ordinary group keys
+    * — and each order's table re-derives by a cheap re-aggregation of
+    * the vocabulary-bounded base (count of a coarser group == Σ of its
+    * disjoint full-key subgroup counts; lag columns are monotone, so a
+    * non-null prevK implies non-null prev(K−1)..prev). Counts are
+    * bit-identical to [[modelFrames5]]'s per-order aggregations
+    * (spec-pinned). This replaced the round-16 explode-all-orders form,
+    * which pushed 5× the token rows through its exchange (15 context
+    * fields per position vs 5 here) and checkpointed all five tables'
+    * rows where the base is the 5-gram table's size alone — guide
+    * §2.3: shuffle fewer bytes; aggregate once, re-aggregate the small
+    * result. */
+  private def splitBase5(base: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = (
+    base.groupBy("w").agg(sum(col("c")).cast("long").as("c1")),
+    base.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(sum(col("c")).cast("long").as("c2")),
+    base.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "w")
+      .agg(sum(col("c")).cast("long").as("c3")),
+    base.filter(col("prev3").isNotNull)
+      .groupBy("prev3", "prev2", "prev", "w")
+      .agg(sum(col("c")).cast("long").as("c4")),
+    base.filter(col("prev4").isNotNull)
+      .select(col("prev4"), col("prev3"), col("prev2"), col("prev"),
+        col("w"), col("c").as("c5")))
 
   /** One context table over a (possibly count-pruned) gram table — the
     * KenLM `--prune` analog's bookkeeping: `cc` stays the FULL count
@@ -1297,7 +1330,7 @@ object LmIndex {
   }
 
   /** Build (or rebuild) the SEVENTEEN order-5 model tables from `train`
-    * — ONE tokenize pass ([[gramCounts5]]) feeding one checkpointed
+    * — ONE tokenize pass ([[baseCounts]]) feeding one checkpointed
     * combined count frame; every aggregate derives from its split.
     *
     * `pruneMin` is the COUNT-PRUNING threshold per key width (2, 3, 4,
@@ -1349,12 +1382,13 @@ object LmIndex {
     val toks = if (maxVocab > 0L) capVocab(toks0, maxVocab) else toks0
     val pt = TextAnalysis.laggedTokens(toks, idCol,
       Seq("prev", "prev2", "prev3", "prev4"))
-    val g = gramCounts5(pt).localCheckpoint()
+    val base = baseCounts(pt, Seq("prev4", "prev3", "prev2", "prev"))
+      .localCheckpoint()
     try {
-      val (uni, big, tri, four, five) = splitGrams5(g)
+      val (uni, big, tri, four, five) = splitBase5(base)
       writeTables5(store, prefix, uni, big, tri, four, five, pruneMin)
     } finally {
-      g.unpersist()
+      base.unpersist()
       ()
     }
   }
@@ -1442,7 +1476,7 @@ object LmIndex {
 
   /** Count-merge core for the order-5 model — [[mergeCounts3]]'s recipe
     * over FIVE count tables; the delta's counts come from one
-    * [[gramCounts5]] pass, every aggregate re-derives from the merged
+    * [[baseCounts]] pass, every aggregate re-derives from the merged
     * tables (maintenance is vocabulary-bounded, never rescans the
     * training corpus), and the same negative-count tripwire (the
     * GDPR-erasure contract) runs on all five before any swap. */
@@ -1463,7 +1497,8 @@ object LmIndex {
           "updated corpus instead (pruned models are frozen gate models)")
     val pt = TextAnalysis.laggedTokens(tokens(delta, idCol, textCol), idCol,
       Seq("prev", "prev2", "prev3", "prev4"))
-    val g = gramCounts5(pt).localCheckpoint()
+    val g = baseCounts(pt, Seq("prev4", "prev3", "prev2", "prev"))
+      .localCheckpoint()
     def merged(name: String, dd: DataFrame, keys: Seq[String], c: String) =
       store.load(s"${prefix}_$name")
         .unionByName(dd.select(keys.map(col) :+ (col(c) * lit(sign)).as(c): _*))
@@ -1471,7 +1506,7 @@ object LmIndex {
         .filter(col(c) =!= 0L)
         .localCheckpoint()
     try {
-      val (dUni, dBig, dTri, dFour, dFive) = splitGrams5(g)
+      val (dUni, dBig, dTri, dFour, dFive) = splitBase5(g)
       val uni = merged("uni", dUni, Seq("w"), "c1")
       val big = merged("big", dBig, Seq("prev", "w"), "c2")
       val tri = merged("tri", dTri, Seq("prev2", "prev", "w"), "c3")

@@ -265,9 +265,51 @@ class ParquetTableStore(
   /** Two-phase: materialize EVERY plan into its tmp dir while all source
     * files still exist, then swap. A FlowResult's staging/issues/contacts
     * plans all read the pre-run snapshots — replacing one table before the
-    * others are written would yield FileNotFound stage failures. */
+    * others are written would yield FileNotFound stage failures.
+    *
+    * The staging phase runs its independent write JOBS concurrently
+    * (guide §2.6 — overlap independent jobs so the next job's tasks
+    * back-fill the tail of the current one): each plan only READS
+    * pre-commit snapshots and writes its own private tmp dir, so the
+    * writes commute; the swap phase stays sequential and ordered.
+    * `graft.store.writeParallelism` (session conf, default 4) bounds the
+    * in-flight jobs — enough to fill stage tails of a 17-table model
+    * build without the jobs fighting for executors; 1 restores the
+    * sequential staging. Scale-independent: this is JOB-level overlap,
+    * not a data-size constant, and on a cluster FIFO scheduling gives
+    * exactly the back-fill behaviour wanted. */
   override def overwriteAll(tables: Seq[(String, DataFrame)]): Unit = {
-    val tmps = tables.map { case (t, df) => t -> writeTmp(t, df) }
+    val par0 = spark.conf.getOption("graft.store.writeParallelism")
+      .map(_.trim.toInt).getOrElse(4)
+    require(par0 >= 1,
+      s"graft.store.writeParallelism must be >= 1, got $par0")
+    val par = math.min(par0, tables.size)
+    val tmps: Seq[(String, Path)] =
+      if (par <= 1) tables.map { case (t, df) => t -> writeTmp(t, df) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val staged = tables.map { case (t, df) =>
+            scala.concurrent.Future(t -> writeTmp(t, df))
+          }
+          val all = scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(staged),
+            scala.concurrent.duration.Duration.Inf)
+          pool.shutdown()
+          all
+        } catch {
+          case e: Throwable =>
+            // A failed staging write must not leave queued sibling jobs
+            // running behind the thrown commit — cancel them; nothing
+            // was swapped, so the store is untouched (tmp dirs of
+            // already-finished siblings are orphaned exactly as the
+            // sequential form orphaned its earlier writes).
+            pool.shutdownNow()
+            throw e
+        }
+      }
     tmps.foreach { case (t, tmp) => swap(t, tmp) }
   }
 

@@ -818,7 +818,7 @@ class LmSmoothingSpec extends SparkSpec {
 
   // ---- order-5 persisted model (round 16) ----------------------------------
 
-  test("build5 == modelFrames5 table-for-table (the one-pass gramCounts5 " +
+  test("build5 == modelFrames5 table-for-table (the one-pass base-counts " +
       "build is bit-identical to per-order counting), and the persisted " +
       "score5 == inline crossScore5") {
     val rnd = new scala.util.Random(43)
