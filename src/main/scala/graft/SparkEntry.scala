@@ -486,21 +486,43 @@ object SparkEntry {
     * DIFFERENT model (holdout splits, append/delete maintenance,
     * count-pruned, vocabulary-capped, the positional-mode twin) keep
     * their own per-closure stores. */
-  private val lmStoreCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), graft.io.TableStore]
+  private val sharedStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), graft.io.TableStore]
+  private def sharedStore(s: SparkSession, dir: String, variant: String)(
+      build: graft.io.TableStore => Unit): graft.io.TableStore =
+    sharedStoreCache.getOrElseUpdate((s, dir, variant), {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_${variant}_shared_").toString
+      val store = new graft.io.ParquetTableStore(s, root)
+      build(store)
+      store
+    })
   private def lmSharedStore(
       s: SparkSession, dir: String, order: Int): graft.io.TableStore =
-    lmStoreCache.getOrElseUpdate((s, dir, order), {
-      val root = java.nio.file.Files
-        .createTempDirectory(s"graft_lm${order}_shared_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
+    sharedStore(s, dir, s"lm$order") { store =>
       val d = pq(s, dir, "documents")
       if (order == 3)
         graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
       else
         graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
-      store
-    })
+    }
+  /** The count-pruned frozen gate model (pruneMin 2,2,2,2) — built once,
+    * served by both pruned-model queries. */
+  private def lm5PrunedSharedStore(
+      s: SparkSession, dir: String): graft.io.TableStore =
+    sharedStore(s, dir, "lm5p") { store =>
+      graft.functions.LmIndex.build5(store, "lm5", pq(s, dir, "documents"),
+        "doc_id", "text", pruneMin = Seq(2L, 2L, 2L, 2L))
+    }
+  /** The full-corpus BM25 index — built once, read by the persisted,
+    * pinned, and hybrid serves (the delete query mutates its index and
+    * keeps its own store). */
+  private def lexSharedStore(
+      s: SparkSession, dir: String): graft.io.TableStore =
+    sharedStore(s, dir, "lex") { store =>
+      graft.functions.LexIndex.build(store, "lex", pq(s, dir, "documents"),
+        "doc_id", "text")
+    }
 
   /** Materialize the two cross-query shared caches, timing each — bench
     * attribution. Without this, whichever consumer happens to run first
@@ -520,7 +542,9 @@ object SparkEntry {
       // run eagerly (store writes), so constructing the store IS the
       // materialization — no count() needed.
       "cache_lm3" -> time(lmSharedStore(s, dir, 3)),
-      "cache_lm5" -> time(lmSharedStore(s, dir, 5)))
+      "cache_lm5" -> time(lmSharedStore(s, dir, 5)),
+      "cache_lm5_pruned" -> time(lm5PrunedSharedStore(s, dir)),
+      "cache_lex" -> time(lexSharedStore(s, dir)))
   }
 
   /** Cross-source near-dup pair counts per unordered source pair (s1 < s2,
@@ -992,10 +1016,9 @@ object SparkEntry {
       val docs = pq(s, dir, "documents")
       val emb = pq(s, dir, "embeddings")
       val root = java.nio.file.Files.createTempDirectory("graft_hyb_").toString
-      val lexStore = new graft.io.ParquetTableStore(s, root + "/lex")
+      val lexStore = lexSharedStore(s, dir)
       val annStore = new graft.io.ParquetTableStore(s, root + "/ann",
         partitionByCols = AnnIndex.partitionSpec("ivf"))
-      LexIndex.build(lexStore, "lex", docs, "doc_id", "text")
       AnnIndex.buildIvf(annStore, "ivf", emb, "vec_id", "embedding",
         nlist = 16, trainIters = KnnTrainIters)
       val lex = LexIndex.bm25TopK(lexStore, "lex",
@@ -1017,9 +1040,7 @@ object SparkEntry {
     "q_bm25_persisted" -> ((s, dir) => {
       import graft.functions.LexIndex
       val docs = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lex_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      LexIndex.build(store, "lex", docs, "doc_id", "text")
+      val store = lexSharedStore(s, dir)
       LexIndex.bm25TopK(store, "lex",
           docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 5)
@@ -1057,9 +1078,7 @@ object SparkEntry {
     "q_bm25_pinned" -> ((s, dir) => {
       import graft.functions.LexIndex
       val docs = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lexp_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      LexIndex.build(store, "lex", docs, "doc_id", "text")
+      val store = lexSharedStore(s, dir)
       LexIndex.bm25TopK(LexIndex.snapshot(store, "lex"),
           docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 5, k1 = 1.2, b = 0.75, pruneTerms = true)
@@ -2204,10 +2223,7 @@ object SparkEntry {
     // event) — the DuckDB chain replays the pruned build end to end.
     "q_kn5_pruned" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text",
-        pruneMin = Seq(2L, 2L, 2L, 2L))
+      val store = lm5PrunedSharedStore(s, dir)
       graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -2218,10 +2234,7 @@ object SparkEntry {
     // survivors, D(0) = 0 covers pruned events.
     "q_mkn5_pruned" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text",
-        pruneMin = Seq(2L, 2L, 2L, 2L))
+      val store = lm5PrunedSharedStore(s, dir)
       graft.functions.LmIndex.scoreMkn5(store, "lm5", d, "doc_id", "text",
         fallbackDiscounts = Some((0.5, 1.0, 1.5)))
         .orderBy("doc_id")
