@@ -63,6 +63,28 @@ object LmIndex {
     df.select(col(idCol),
       posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
 
+  /** Run independent eager jobs (checkpoint materializations) on a
+    * short-lived pool — guide §2.6: a later job's tasks back-fill the
+    * tail of the current one; results keep input order. On failure the
+    * queued siblings are cancelled and the first error rethrown. */
+  private def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val out = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          thunks.map(t => scala.concurrent.Future(t()))),
+        scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
+      out
+    } catch {
+      case e: Throwable =>
+        pool.shutdownNow()
+        throw e
+    }
+  }
+
   /** The reserved out-of-vocabulary token a [[build5]] vocabulary
     * envelope maps below-top-K words to — the `<unk>` convention of
     * every deployed n-gram LM (KenLM/SRILM). A corpus that literally
@@ -806,9 +828,10 @@ object LmIndex {
         .groupBy(keys.map(col): _*).agg(sum(col(c)).cast("long").as(c))
         .filter(col(c) =!= 0L)
         .localCheckpoint()
-    val uni = merged("uni", dUni, Seq("w"), "c1")
-    val big = merged("big", dBig, Seq("prev", "w"), "c2")
-    val tri = merged("tri", dTri, Seq("prev2", "prev", "w"), "c3")
+    val Seq(uni, big, tri) = concurrently(Seq(
+      () => merged("uni", dUni, Seq("w"), "c1"),
+      () => merged("big", dBig, Seq("prev", "w"), "c2"),
+      () => merged("tri", dTri, Seq("prev2", "prev", "w"), "c3")))
     dBase.unpersist()
     try {
       require(uni.filter(col("c1") < 0L).isEmpty &&
@@ -1507,18 +1530,26 @@ object LmIndex {
         .localCheckpoint()
     try {
       val (dUni, dBig, dTri, dFour, dFive) = splitBase5(g)
-      val uni = merged("uni", dUni, Seq("w"), "c1")
-      val big = merged("big", dBig, Seq("prev", "w"), "c2")
-      val tri = merged("tri", dTri, Seq("prev2", "prev", "w"), "c3")
-      val four = merged("four", dFour, Seq("prev3", "prev2", "prev", "w"), "c4")
-      val five = merged("five", dFive,
-        Seq("prev4", "prev3", "prev2", "prev", "w"), "c5")
+      // The five merged-count checkpoints are independent jobs over the
+      // already-checkpointed delta base — run them concurrently
+      // (guide §2.6), like overwriteAll's staging phase.
+      val Seq(uni, big, tri, four, five) = concurrently(Seq(
+        () => merged("uni", dUni, Seq("w"), "c1"),
+        () => merged("big", dBig, Seq("prev", "w"), "c2"),
+        () => merged("tri", dTri, Seq("prev2", "prev", "w"), "c3"),
+        () => merged("four", dFour, Seq("prev3", "prev2", "prev", "w"), "c4"),
+        () => merged("five", dFive,
+          Seq("prev4", "prev3", "prev2", "prev", "w"), "c5")))
       try {
-        require(uni.filter(col("c1") < 0L).isEmpty &&
-          big.filter(col("c2") < 0L).isEmpty &&
-          tri.filter(col("c3") < 0L).isEmpty &&
-          four.filter(col("c4") < 0L).isEmpty &&
-          five.filter(col("c5") < 0L).isEmpty,
+        // One tripwire job over all five tables, not five sequential
+        // probes (the tables are checkpointed; the violation union is
+        // vocabulary-bounded and almost always empty).
+        require(uni.filter(col("c1") < 0L).select(col("c1").as("bad"))
+          .unionByName(big.filter(col("c2") < 0L).select(col("c2").as("bad")))
+          .unionByName(tri.filter(col("c3") < 0L).select(col("c3").as("bad")))
+          .unionByName(four.filter(col("c4") < 0L).select(col("c4").as("bad")))
+          .unionByName(five.filter(col("c5") < 0L).select(col("c5").as("bad")))
+          .isEmpty,
           "LmIndex delta drives a count negative — deletes must carry " +
             "exactly previously-added documents (GDPR-erasure contract); " +
             "rebuild the model if the original text is gone")

@@ -29,6 +29,48 @@ object Linkage {
     (a, b)
   }
 
+  /** Salt + spread a block-keyed pair join so the per-task DP work uses
+    * the whole cluster (guide §2.5). Two starvation shapes, one fix:
+    *
+    *   - SMALL input (the sf0.1 `part` table is ONE 176 KB parquet file
+    *     → one scan task): Catalyst broadcasts the b-side, the join +
+    *     levenshtein fuse into the scan stage, and the whole quadratic
+    *     DP runs on ONE core — measured FLAT from 8 to 32 cores, and a
+    *     join-key salt alone changed nothing (a broadcast join never
+    *     shuffles the probe side). The explicit-count repartition below
+    *     spreads the probe side first; the count is explicit because
+    *     AQE legitimately coalesces a tiny keyed exchange back to one
+    *     partition (`repartition(col)` without a count is advisory).
+    *   - LARGE input under a SHUFFLE join: few distinct block keys pool
+    *     one reduce task per block; the salt multiplies the key space
+    *     (a-side keyed by xxhash64(id) — never rand(): retried tasks
+    *     must re-derive the same bucket; b-side replicated to every
+    *     salt value) and the repartition keyed (blocks..., salt) is
+    *     exactly the join's partitioning, so it is the join's own
+    *     exchange, not an extra one (guide §2.4).
+    *
+    * Each unordered pair still matches exactly once (the b-replica
+    * whose salt equals a's), so the pair set is unchanged (spec-pinned
+    * salted == unsalted). Costs `saltBuckets`× the b-side rows through
+    * the exchange — block metadata, never the corpus. 1 restores the
+    * plain join. */
+  private def saltedPairJoin(
+      a: DataFrame, b: DataFrame, keys: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    if (saltBuckets == 1) a.join(b, keys)
+    else {
+      val parallelism = a.sparkSession.sparkContext.defaultParallelism
+      val saltKeys = keys :+ "__salt"
+      val aS = a.withColumn("__salt",
+        pmod(xxhash64(col("id_a")), lit(saltBuckets.toLong)))
+        .repartition(parallelism, saltKeys.map(col): _*)
+      val bS = b.withColumn("__salt",
+        explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
+      aS.join(bS, saltKeys).drop("__salt")
+    }
+  }
+
   /** Per-record nearest neighbor within its block: (id_a, blockCols...,
     * nn_dist) where nn_dist = min levenshtein to any OTHER record sharing
     * the block key. Records alone in their block are dropped (no neighbor
@@ -49,7 +91,8 @@ object Linkage {
     * exchange-reusable subtree. */
   def nearestNeighborWithinBlocks(
       df: DataFrame, idCol: String, nameCol: String,
-      blockCols: Seq[String], stagedThreshold: Int = 3): DataFrame = {
+      blockCols: Seq[String], stagedThreshold: Int = 3,
+      saltBuckets: Int = 16): DataFrame = {
     val (a, b) = sides(df, idCol, nameCol, blockCols)
     val t = math.max(stagedThreshold, 0)
     val sentinel = Int.MaxValue.toLong
@@ -57,7 +100,7 @@ object Linkage {
     // join output), then a narrow explode credits the distance to both
     // endpoints — edit distance is symmetric. Pairs beyond t keep the
     // sentinel so every non-singleton record stays represented.
-    val banded = a.join(b, blockCols)
+    val banded = saltedPairJoin(a, b, blockCols, saltBuckets)
       .filter(col("id_a") < col("id_b"))
       .withColumn("bdist", levenshtein(col("name_a"), col("name_b"), t))
       .withColumn("dist",
@@ -100,7 +143,7 @@ object Linkage {
   def fuzzyDupPairs(
       df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], maxDist: Int,
-      lengthBand: Boolean = false): DataFrame = {
+      lengthBand: Boolean = false, saltBuckets: Int = 16): DataFrame = {
     val (a0, b0) = sides(df, idCol, nameCol, blockCols)
     val (a, b, keys) =
       if (!lengthBand) (a0, b0, blockCols)
@@ -119,7 +162,7 @@ object Linkage {
     // early exit, returning the exact distance when <= maxDist and -1
     // otherwise — same output as compute-then-filter at a fraction of the
     // DP cells (the filter keeps exactly the non-negative rows).
-    a.join(b, keys)
+    saltedPairJoin(a, b, keys, saltBuckets)
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))

@@ -68,4 +68,30 @@ class LinkageSpec extends SparkSpec {
     } yield (ia, ib, d.toLong)).toSet
     assert(banded === brute)
   }
+
+  test("salted pair join (default) equals the unsalted form exactly — " +
+    "both operators, randomized blocks") {
+    // 120 names over 3 blocks with many near-pairs: the salt must change
+    // NOTHING about the pair set or the per-record minima (each unordered
+    // pair matches exactly one b-replica).
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 120).map { i =>
+      val base = "qwertyuiopas".take(4 + rnd.nextInt(8))
+      val name = if (i % 4 == 0) base + "z" else if (i % 4 == 1) base.drop(1)
+        else base
+      (i.toLong, name, s"B${i % 3}")
+    }.toDF("id", "name", "brand")
+    val pairsSalted = Linkage.fuzzyDupPairs(df, "id", "name", Seq("brand"),
+      maxDist = 2).as[(Long, Long, Long)].collect().toSet
+    val pairsPlain = Linkage.fuzzyDupPairs(df, "id", "name", Seq("brand"),
+      maxDist = 2, saltBuckets = 1).as[(Long, Long, Long)].collect().toSet
+    assert(pairsSalted === pairsPlain)
+    val nnSalted = Linkage.nearestNeighborWithinBlocks(df, "id", "name",
+      Seq("brand")).select("id_a", "nn_dist")
+      .as[(Long, Long)].collect().toMap
+    val nnPlain = Linkage.nearestNeighborWithinBlocks(df, "id", "name",
+      Seq("brand"), saltBuckets = 1).select("id_a", "nn_dist")
+      .as[(Long, Long)].collect().toMap
+    assert(nnSalted === nnPlain)
+  }
 }
