@@ -1085,9 +1085,13 @@ object TextAnalysis {
       k: Int = 5, m: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m >= 1, s"m must be >= 1, got $m")
+    // Bounded feedback set (k·|queries| rows) whose lineage embeds a
+    // full BM25 pass and is referenced twice in rm1TopTerms — checkpoint
+    // once (the bm25Rm3TopK rationale).
     val top = bm25TopK(corpus, idCol, textCol, queries, qidCol, qTextCol,
         k, k1, b)
       .select(col("qid"), col(idCol))
+      .localCheckpoint()
     val tf = bm25Postings(corpus, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val nDocs = dl.agg(count(lit(1)).cast("double").as("ndocs"))
@@ -1246,9 +1250,18 @@ object TextAnalysis {
       k: Int, fbK: Int = 5, m: Int = 5, alpha: Double = 0.6,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    // The two cross-pass frames are BOUNDED BY THE QUERY BATCH (fbK·|q|
+    // and m·|q| rows — scale-free) but each embeds a FULL BM25 pass in
+    // its lineage and is referenced twice downstream; left lazy, the
+    // whole upstream pipeline replays per reference and the physical
+    // plan grows combinatorially (measured: 422 Exchange nodes / 5,899
+    // plan lines at sf0.1; 46/636 after). localCheckpoint each once —
+    // the r12 serve-path lesson (localize every bounded intermediate)
+    // applied to the inline witness.
     val top = bm25TopK(corpus, idCol, textCol, queries, qidCol, qTextCol,
         fbK, k1, b)
       .select(col("qid"), col(idCol))
+      .localCheckpoint()
     val tf = bm25Postings(corpus, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(avg(col("dl")).as("avgdl"),
@@ -1256,6 +1269,7 @@ object TextAnalysis {
     val qTerms = bm25QueryTerms(queries, qidCol, qTextCol)
     val exp = rm1TopTerms(tf, stats.select("ndocs"), top, idCol, qTerms, m)
       .select("qid", "term", "w6")
+      .localCheckpoint()
     val qTermsW = rm3TermWeights(exp, qTerms, alpha)
     val qdf = tf.join(broadcast(qTermsW.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
