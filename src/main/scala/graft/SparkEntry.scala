@@ -527,6 +527,21 @@ object SparkEntry {
         (col("n_chars") >= 300).cast("double"), steps = 20, lr = 1.0)
     })
 
+  /** The shared DSIR weights frame (docs vs the English-slice target,
+    * 4096 buckets) — q_dsir_weights / q_dsir_sample / q_dsir_sample_strat
+    * all computed it identically in-closure (two fit histogram passes +
+    * one scoring pass each); the selection tails differ, the weights do
+    * not. Cached like classify/guardedPairs, attributed as cache_dsir. */
+  private val dsirWeightsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def dsirWeightsShared(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsCache.getOrElseUpdate((s, dir), {
+      val docs = pq(s, dir, "documents")
+      graft.functions.Sampling.dsirWeights(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+        .cache()
+    })
+
   /** The count-pruned frozen gate model (pruneMin 2,2,2,2) — built once,
     * served by both pruned-model queries. */
   private def lm5PrunedSharedStore(
@@ -567,7 +582,8 @@ object SparkEntry {
       "cache_lm5_pruned" -> time(lm5PrunedSharedStore(s, dir)),
       "cache_lex" -> time(lexSharedStore(s, dir)),
       "cache_lr" -> time(lrModel(s, dir, full = true)),
-      "cache_lr80" -> time(lrModel(s, dir, full = false)))
+      "cache_lr80" -> time(lrModel(s, dir, full = false)),
+      "cache_dsir" -> time(dsirWeightsShared(s, dir).count()))
   }
 
   /** Cross-source near-dup pair counts per unordered source pair (s1 < s2,
@@ -2764,12 +2780,8 @@ object SparkEntry {
     // ratio of every document against the English slice as the target
     // distribution — the "select raw data that looks like my curated set"
     // primitive. Per-feature log-ratios fixed-pointed before the doc sum.
-    "q_dsir_weights" -> ((s, dir) => {
-      val docs = pq(s, dir, "documents")
-      graft.functions.Sampling.dsirWeights(
-        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
-        .orderBy("doc_id")
-    }),
+    "q_dsir_weights" -> ((s, dir) =>
+      dsirWeightsShared(s, dir).orderBy("doc_id")),
 
     // Corpus drift monitor: JS divergence + L1 between the English and
     // non-English slices' hashed-ngram distributions — the snapshot-vs-
@@ -2796,9 +2808,8 @@ object SparkEntry {
     // target — deterministic (content-hash Gumbel), rank pinned by the
     // fixed-point skey on both engines.
     "q_dsir_sample" -> ((s, dir) => {
-      val docs = pq(s, dir, "documents")
-      graft.functions.Sampling.dsirResample(
-        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text", k = 25)
+      graft.functions.Sampling.dsirResampleFrom(
+        dsirWeightsShared(s, dir), "doc_id", k = 25)
         .select(col("doc_id"), col("n_feats"), col("log_w"), col("skey"), col("rnk"))
         .orderBy("rnk")
     }),
@@ -2807,9 +2818,8 @@ object SparkEntry {
     // one source's high weights can never crowd another out of the mix.
     "q_dsir_sample_strat" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
-      graft.functions.Sampling.dsirResamplePerStratum(
-        docs, "doc_id", "text", "source",
-        docs.filter(col("lang") === "en"), "text", kPerStratum = 5)
+      graft.functions.Sampling.dsirResamplePerStratumFrom(
+        dsirWeightsShared(s, dir), docs, "doc_id", "source", kPerStratum = 5)
         .select(col("source"), col("doc_id"), col("log_w"), col("skey"), col("rnk"))
         .orderBy("source", "rnk")
     }),

@@ -1429,7 +1429,12 @@ object LmIndex {
     val Seq(t2, t3, t4, t5) = pruneMin
     // Continuation counts derive from the FULL higher-order tables
     // (adjusted counts precede pruning — the KenLM order), then prune
-    // on their own counts at their key width's threshold.
+    // on their own counts at their key width's threshold. Kept
+    // SEQUENTIAL deliberately: a concurrently() variant (the §2.6
+    // overlap) measured 1-2 s WORSE at sf0.1 (8.8-9.6 s vs 7.7-7.8 s
+    // for q_kn5_persisted_holdout) — three re-aggregations of one tiny
+    // checkpointed base contend for the same cores overwriteAll's
+    // staging pool is about to use.
     val m2 = derivedM2(tri).localCheckpoint()
     val m3 = derivedM3(four).localCheckpoint()
     val m4 = derivedM4(five).localCheckpoint()

@@ -1026,12 +1026,24 @@ object Sampling {
       raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       k: Int, buckets: Int = 4096, seed: String = "graft"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     requireFreeColumns(raw, "dsirResample", Seq("skey", "rnk"))
-    val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+    dsirResampleFrom(
+      dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets),
+      idCol, k, seed)
+  }
+
+  /** [[dsirResample]] over an already-computed (or shared/persisted)
+    * [[dsirWeights]] frame — the selection tail alone, so several
+    * selections can reuse ONE weights pass (weights are deterministic
+    * in (corpus, target, buckets); the Gumbel key depends only on
+    * (seed, id)). */
+  def dsirResampleFrom(
+      weights: DataFrame, idCol: String, k: Int,
+      seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val skey = gumbelKey(hashUniform(lit(seed), col(idCol).cast("string")))
     val win = Window.orderBy(col("skey").desc, col(idCol).asc)
-    w.withColumn("skey", skey)
+    weights.withColumn("skey", skey)
       .orderBy(col("skey").desc, col(idCol).asc)
       .limit(k)
       .withColumn("rnk", row_number().over(win).cast("long"))
@@ -1049,10 +1061,20 @@ object Sampling {
       raw: DataFrame, idCol: String, textCol: String, stratumCol: String,
       target: DataFrame, targetTextCol: String,
       kPerStratum: Int, buckets: Int = 4096, seed: String = "graft"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     requireFreeColumns(raw, "dsirResamplePerStratum", Seq("skey", "rnk"))
-    val w = dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
-      .join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
+    dsirResamplePerStratumFrom(
+      dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets),
+      raw, idCol, stratumCol, kPerStratum, seed)
+  }
+
+  /** [[dsirResamplePerStratum]] over an already-computed weights frame
+    * ([[dsirResampleFrom]]'s rationale; `raw` supplies the stratum
+    * column only). */
+  def dsirResamplePerStratumFrom(
+      weights: DataFrame, raw: DataFrame, idCol: String, stratumCol: String,
+      kPerStratum: Int, seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.join(raw.select(col(idCol), col(stratumCol)), Seq(idCol))
     val skey = gumbelKey(
       hashUniform(lit(seed), col(stratumCol), col(idCol).cast("string")))
     val win = Window.partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
