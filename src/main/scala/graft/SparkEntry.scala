@@ -527,6 +527,17 @@ object SparkEntry {
         (col("n_chars") >= 300).cast("double"), steps = 20, lr = 1.0)
     })
 
+  /** The shared trained k-means centroids (embeddings, k=16, iters=2)
+    * — q_knn_ivf_trained and q_knn_recall_trained ran the identical
+    * eager Lloyd's training twice; kmeansTrain localCheckpoints its
+    * output, so memoizing the 16-row frame is free. cache_kmeans line. */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def kmeansCents16(s: SparkSession, dir: String): DataFrame =
+    kmeansCache.getOrElseUpdate((s, dir),
+      graft.functions.Similarity.kmeansTrain(
+        pq(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2))
+
   /** The shared DSIR weights frame (docs vs the English-slice target,
     * 4096 buckets) — q_dsir_weights / q_dsir_sample / q_dsir_sample_strat
     * all computed it identically in-closure (two fit histogram passes +
@@ -583,7 +594,8 @@ object SparkEntry {
       "cache_lex" -> time(lexSharedStore(s, dir)),
       "cache_lr" -> time(lrModel(s, dir, full = true)),
       "cache_lr80" -> time(lrModel(s, dir, full = false)),
-      "cache_dsir" -> time(dsirWeightsShared(s, dir).count()))
+      "cache_dsir" -> time(dsirWeightsShared(s, dir).count()),
+      "cache_kmeans" -> time(kmeansCents16(s, dir)))
   }
 
   /** Cross-source near-dup pair counts per unordered source pair (s1 < s2,
@@ -1592,8 +1604,7 @@ object SparkEntry {
     "q_knn_ivf_trained" -> ((s, dir) => {
       import graft.functions.Similarity
       val emb = pq(s, dir, "embeddings")
-      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
-        k = 16, iters = 2)
+      val cents = kmeansCents16(s, dir)
       Similarity.ivfSearch(cents,
           Similarity.ivfInvertedLists(emb, cents, "vec_id", "embedding"),
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -1614,8 +1625,7 @@ object SparkEntry {
       val brute = Similarity.bruteForceTopK(
         emb, qs, "vec_id", "embedding", k = 3)
         .select("query_id", "vec_id")
-      val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
-        k = 16, iters = 2)
+      val cents = kmeansCents16(s, dir)
       val ivf = Similarity.ivfSearch(cents,
           Similarity.ivfInvertedLists(emb, cents, "vec_id", "embedding"),
           qs, "vec_id", "embedding", k = 3, nprobe = 4)
