@@ -279,38 +279,46 @@ class ParquetTableStore(
     * not a data-size constant, and on a cluster FIFO scheduling gives
     * exactly the back-fill behaviour wanted. */
   override def overwriteAll(tables: Seq[(String, DataFrame)]): Unit = {
+    val tmps = stageConcurrently(
+      tables.map { case (t, df) => () => (t, writeTmp(t, df)): Any })
+      .map(_.asInstanceOf[(String, Path)])
+    tmps.foreach { case (t, tmp) => swap(t, tmp) }
+  }
+
+  /** Run independent STAGING writes (each to its own private tmp dir,
+    * reading only pre-commit snapshots — commuting by construction) on a
+    * bounded pool; results keep input order. `graft.store.
+    * writeParallelism` (session conf, default 4; 1 = sequential) bounds
+    * the in-flight Spark jobs — job-level overlap (§2.6), not a
+    * data-size constant; a cluster's FIFO scheduler back-fills stage
+    * tails exactly as wanted. On failure queued siblings are cancelled
+    * and the first error rethrown — nothing has been moved, so the
+    * store is untouched (finished siblings' tmp dirs are orphaned
+    * exactly as a sequential form's earlier writes were). */
+  private def stageConcurrently(thunks: Seq[() => Any]): Seq[Any] = {
     val par0 = spark.conf.getOption("graft.store.writeParallelism")
       .map(_.trim.toInt).getOrElse(4)
     require(par0 >= 1,
       s"graft.store.writeParallelism must be >= 1, got $par0")
-    val par = math.min(par0, tables.size)
-    val tmps: Seq[(String, Path)] =
-      if (par <= 1) tables.map { case (t, df) => t -> writeTmp(t, df) }
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        try {
-          val staged = tables.map { case (t, df) =>
-            scala.concurrent.Future(t -> writeTmp(t, df))
-          }
-          val all = scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(staged),
-            scala.concurrent.duration.Duration.Inf)
-          pool.shutdown()
-          all
-        } catch {
-          case e: Throwable =>
-            // A failed staging write must not leave queued sibling jobs
-            // running behind the thrown commit — cancel them; nothing
-            // was swapped, so the store is untouched (tmp dirs of
-            // already-finished siblings are orphaned exactly as the
-            // sequential form orphaned its earlier writes).
-            pool.shutdownNow()
-            throw e
-        }
+    val par = math.min(par0, thunks.size)
+    if (par <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val all = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            thunks.map(t => scala.concurrent.Future(t()))),
+          scala.concurrent.duration.Duration.Inf)
+        pool.shutdown()
+        all
+      } catch {
+        case e: Throwable =>
+          pool.shutdownNow()
+          throw e
       }
-    tmps.foreach { case (t, tmp) => swap(t, tmp) }
+    }
   }
 
   /** Per-job commit, physically: each df is written (hive-partitioned by its
@@ -337,8 +345,12 @@ class ParquetTableStore(
       appends: Seq[(String, DataFrame)],
       partitions: Seq[PartitionCommit] = Nil,
       overwrites: Seq[(String, DataFrame)] = Nil): Unit = {
-    val stagedAppends = appends.map { case (t, df) => (t, writeTmp(t, df)) }
-    val stagedParts = partitions.map { c =>
+    // Phase 1 stages every plan into its own private tmp dir while ALL
+    // pre-commit snapshots are intact — the writes only read pre-commit
+    // state, so they commute and run concurrently like overwriteAll's
+    // staging phase (guide §2.6; same writeParallelism bound, same
+    // failure semantics: nothing moved, queued siblings cancelled).
+    def stagePart(c: PartitionCommit): (PartitionCommit, Path) = {
       val tmp = new Path(dir(c.table) + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
       // Multi-job (wave) commits cluster rows by the partition value first:
       // a dynamic-partitioned write otherwise emits one file per (task,
@@ -355,7 +367,17 @@ class ParquetTableStore(
       clustered.write.partitionBy(c.partCol).parquet(tmp.toString)
       (c, tmp)
     }
-    val stagedOverwrites = overwrites.map { case (t, df) => (t, writeTmp(t, df)) }
+    val thunks: Seq[() => Any] =
+      appends.map { case (t, df) => () => (t, writeTmp(t, df)) } ++
+        partitions.map(c => () => stagePart(c)) ++
+        overwrites.map { case (t, df) => () => (t, writeTmp(t, df)) }
+    val staged = stageConcurrently(thunks)
+    val stagedAppends = staged.take(appends.size)
+      .map(_.asInstanceOf[(String, Path)])
+    val stagedParts = staged.slice(appends.size, appends.size + partitions.size)
+      .map(_.asInstanceOf[(PartitionCommit, Path)])
+    val stagedOverwrites = staged.drop(appends.size + partitions.size)
+      .map(_.asInstanceOf[(String, Path)])
 
     stagedAppends.foreach { case (t, tmp) => moveAppend(t, tmp) }
     stagedParts.foreach { case (c, tmp) =>
