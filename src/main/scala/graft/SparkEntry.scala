@@ -487,24 +487,69 @@ object SparkEntry {
     * count-pruned, vocabulary-capped, the positional-mode twin) keep
     * their own per-closure stores. */
   private val sharedStoreCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), graft.io.TableStore]
-  private def sharedStore(s: SparkSession, dir: String, variant: String)(
-      build: graft.io.TableStore => Unit): graft.io.TableStore =
+    .empty[(SparkSession, String, String), graft.io.ParquetTableStore]
+  private def sharedStore(
+      s: SparkSession, dir: String, variant: String,
+      partitionByCols: Option[Map[String, Seq[String]]] = None)(
+      build: graft.io.TableStore => Unit): graft.io.ParquetTableStore =
     sharedStoreCache.getOrElseUpdate((s, dir, variant), {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_${variant}_shared_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
+      val store = partitionByCols match {
+        case Some(p) => new graft.io.ParquetTableStore(s, root,
+          partitionByCols = p)
+        case None => new graft.io.ParquetTableStore(s, root)
+      }
       build(store)
       store
     })
+
+  /** Shared checkpointed [[graft.functions.LmIndex.baseCounts]] frames —
+    * the ONE-corpus-pass discipline applied ACROSS queries: every
+    * consumer of the same (split, order) training corpus derives its
+    * model from one checkpointed base instead of paying its own corpus
+    * pass. `b5full` feeds the plain AND count-pruned AND
+    * vocabulary-capped shared builds (three corpus passes → one);
+    * `b5h80`/`b3h80` feed each order's inline holdout cross-score AND
+    * its persisted-holdout build (two passes → one per order). Bench
+    * attributes the materializations as cache_lm*_base lines. */
+  private val lmBaseCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  private def lmSharedBase(
+      s: SparkSession, dir: String, variant: String): DataFrame =
+    lmBaseCache.getOrElseUpdate((s, dir, variant), {
+      val d = pq(s, dir, "documents")
+      val train80 = d.filter(col("doc_id") % 5 =!= 0)
+      (variant match {
+        case "b5full" => graft.functions.LmIndex.base5Of(d, "doc_id", "text")
+        case "b5h80" =>
+          graft.functions.LmIndex.base5Of(train80, "doc_id", "text")
+        case "b3h80" =>
+          graft.functions.LmIndex.base3Of(train80, "doc_id", "text")
+      }).localCheckpoint()
+    })
+
   private def lmSharedStore(
       s: SparkSession, dir: String, order: Int): graft.io.TableStore =
     sharedStore(s, dir, s"lm$order") { store =>
-      val d = pq(s, dir, "documents")
       if (order == 3)
-        graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
+        graft.functions.LmIndex.build3(store, "lm3",
+          pq(s, dir, "documents"), "doc_id", "text")
       else
-        graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text")
+        graft.functions.LmIndex.build5FromBase(store, "lm5",
+          lmSharedBase(s, dir, "b5full"))
+    }
+
+  /** The 80%-split order-2 model (train on doc_id % 5 != 0) — the
+    * persisted and probed holdout serves read it; the delete drill
+    * clones it ([[graft.io.ParquetTableStore.cloneTo]]) and mutates its
+    * private copy. */
+  private def lm2hSharedStore(
+      s: SparkSession, dir: String): graft.io.ParquetTableStore =
+    sharedStore(s, dir, "lm2h") { store =>
+      graft.functions.LmIndex.build(store, "lm",
+        pq(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
     }
   /** The trained logistic quality models — the same build-once
     * discipline for the eager GD trainer: q_lr_train / q_lr_filter /
@@ -554,18 +599,67 @@ object SparkEntry {
     })
 
   /** The count-pruned frozen gate model (pruneMin 2,2,2,2) — built once,
-    * served by both pruned-model queries. */
+    * served by both pruned-model queries; derives from the SHARED
+    * full-corpus base, so the pruned build re-aggregates the
+    * vocabulary-bounded base instead of paying a second corpus pass. */
   private def lm5PrunedSharedStore(
       s: SparkSession, dir: String): graft.io.TableStore =
     sharedStore(s, dir, "lm5p") { store =>
-      graft.functions.LmIndex.build5(store, "lm5", pq(s, dir, "documents"),
-        "doc_id", "text", pruneMin = Seq(2L, 2L, 2L, 2L))
+      graft.functions.LmIndex.build5FromBase(store, "lm5",
+        lmSharedBase(s, dir, "b5full"), pruneMin = Seq(2L, 2L, 2L, 2L))
     }
+
+  /** The shared UNTRAINED full-corpus IVF index (nlist 16, lowest-id
+    * stand-in centroids) — the persisted and pinned serves read it; the
+    * delete drill clones + mutates. */
+  private def ivfSharedStore(
+      s: SparkSession, dir: String): graft.io.ParquetTableStore =
+    sharedStore(s, dir, "ivf",
+      Some(graft.functions.AnnIndex.partitionSpec("ivf"))) { store =>
+      graft.functions.AnnIndex.buildIvf(store, "ivf",
+        pq(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16)
+    }
+
+  /** The TRAINED IVF inverted lists over the shared k-means centroids —
+    * the assignment pass ran identically in q_knn_ivf_trained,
+    * q_knn_recall_trained and q_hybrid_ivf's build. One checkpointed
+    * frame (corpus-assignment-sized), attributed as cache_ivf_lists. */
+  private val ivfListsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def ivfListsTrained(s: SparkSession, dir: String): DataFrame =
+    ivfListsCache.getOrElseUpdate((s, dir),
+      graft.functions.Similarity.ivfInvertedLists(
+        pq(s, dir, "embeddings"), kmeansCents16(s, dir),
+        "vec_id", "embedding").localCheckpoint())
+
+  /** The shared repeated-8-gram set (minDocs 2) — the corpus-frequency
+    * half both the repetition profile (q_repeated_ngrams) and the span
+    * excision (q_span_trim_text) consume; each previously re-ran the
+    * distinct+group-by over every shingle position. cache_rep8 line. */
+  private val rep8Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def rep8Shared(s: SparkSession, dir: String): DataFrame =
+    rep8Cache.getOrElseUpdate((s, dir),
+      graft.functions.Dedup.repeatedShingles(
+        pq(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .localCheckpoint())
+
+  /** The shared CCNet perplexity-tercile frame (order-2 KN score →
+    * per-language tiles) — q_ppl_buckets reports it and
+    * q_curriculum_order sorts by it; each previously ran the whole KN
+    * chain. cache_ppl line. */
+  private val pplStagesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def pplStagesShared(s: SparkSession, dir: String): DataFrame =
+    pplStagesCache.getOrElseUpdate((s, dir),
+      graft.functions.TextAnalysis.pplBuckets(
+        pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
+        .localCheckpoint())
   /** The full-corpus BM25 index — built once, read by the persisted,
     * pinned, and hybrid serves (the delete query mutates its index and
     * keeps its own store). */
   private def lexSharedStore(
-      s: SparkSession, dir: String): graft.io.TableStore =
+      s: SparkSession, dir: String): graft.io.ParquetTableStore =
     sharedStore(s, dir, "lex") { store =>
       graft.functions.LexIndex.build(store, "lex", pq(s, dir, "documents"),
         "doc_id", "text")
@@ -587,15 +681,25 @@ object SparkEntry {
       "cache_guardedPairs" -> time(guardedPairs(s, dir).count()),
       // The shared frozen-model builds (lmSharedStore): build5/build3
       // run eagerly (store writes), so constructing the store IS the
-      // materialization — no count() needed.
+      // materialization — no count() needed. The shared base-counts
+      // frames (localCheckpoint = eager) get their own lines so the
+      // store builds downstream of them measure as re-aggregations.
+      "cache_lm5_base" -> time(lmSharedBase(s, dir, "b5full")),
       "cache_lm3" -> time(lmSharedStore(s, dir, 3)),
       "cache_lm5" -> time(lmSharedStore(s, dir, 5)),
       "cache_lm5_pruned" -> time(lm5PrunedSharedStore(s, dir)),
+      "cache_lm2h" -> time(lm2hSharedStore(s, dir)),
+      "cache_lm3h_base" -> time(lmSharedBase(s, dir, "b3h80")),
+      "cache_lm5h_base" -> time(lmSharedBase(s, dir, "b5h80")),
       "cache_lex" -> time(lexSharedStore(s, dir)),
       "cache_lr" -> time(lrModel(s, dir, full = true)),
       "cache_lr80" -> time(lrModel(s, dir, full = false)),
       "cache_dsir" -> time(dsirWeightsShared(s, dir).count()),
-      "cache_kmeans" -> time(kmeansCents16(s, dir)))
+      "cache_kmeans" -> time(kmeansCents16(s, dir)),
+      "cache_ivf" -> time(ivfSharedStore(s, dir)),
+      "cache_ivf_lists" -> time(ivfListsTrained(s, dir)),
+      "cache_rep8" -> time(rep8Shared(s, dir)),
+      "cache_ppl" -> time(pplStagesShared(s, dir)))
   }
 
   /** Cross-source near-dup pair counts per unordered source pair (s1 < s2,
@@ -1070,8 +1174,12 @@ object SparkEntry {
       val lexStore = lexSharedStore(s, dir)
       val annStore = new graft.io.ParquetTableStore(s, root + "/ann",
         partitionByCols = AnnIndex.partitionSpec("ivf"))
-      AnnIndex.buildIvf(annStore, "ivf", emb, "vec_id", "embedding",
-        nlist = 16, trainIters = KnnTrainIters)
+      // Identical tables to buildIvf(trainIters = KnnTrainIters): the
+      // trained centroids and assignment lists are the SHARED frames
+      // (kmeansCents16 / ivfListsTrained — spec-pinned equality), so the
+      // hybrid build writes them instead of re-training + re-assigning.
+      AnnIndex.buildIvfFromFrames(annStore, "ivf",
+        kmeansCents16(s, dir), ivfListsTrained(s, dir))
       val lex = LexIndex.bm25TopK(lexStore, "lex",
           docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 5)
@@ -1159,9 +1267,12 @@ object SparkEntry {
       import s.implicits._
       import graft.functions.LexIndex
       val docs = pq(s, dir, "documents")
+      // Clone the shared full-corpus index (file copy, no rebuild) and
+      // tombstone the PRIVATE copy — the contract under test is the
+      // deletion (tombstoned ids vanish from results AND stats), not
+      // the build.
       val root = java.nio.file.Files.createTempDirectory("graft_lexd_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      LexIndex.build(store, "lex", docs, "doc_id", "text")
+      val store = lexSharedStore(s, dir).cloneTo(root)
       LexIndex.deleteDocs(store, "lex",
         Seq(3L, 4L, 5L, 6L, 7L).toDF("doc_id"), "doc_id")
       LexIndex.bm25TopK(store, "lex",
@@ -1564,10 +1675,7 @@ object SparkEntry {
     "q_knn_ivf_persisted" -> ((s, dir) => {
       import graft.functions.AnnIndex
       val emb = pq(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_ann_ivf_").toString
-      val store = new graft.io.ParquetTableStore(s, root,
-        partitionByCols = AnnIndex.partitionSpec("ivf"))
-      AnnIndex.buildIvf(store, "ivf", emb, "vec_id", "embedding", nlist = 16)
+      val store = ivfSharedStore(s, dir)
       AnnIndex.ivfTopK(store, "ivf", emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("cos_sim"),
@@ -1584,11 +1692,7 @@ object SparkEntry {
     "q_knn_ivf_pinned" -> ((s, dir) => {
       import graft.functions.AnnIndex
       val emb = pq(s, dir, "embeddings")
-      val root = java.nio.file.Files.createTempDirectory("graft_ann_pin_").toString
-      val store = new graft.io.ParquetTableStore(s, root,
-        partitionByCols = AnnIndex.partitionSpec("ivf"))
-      AnnIndex.buildIvf(store, "ivf", emb, "vec_id", "embedding", nlist = 16)
-      AnnIndex.ivfTopK(AnnIndex.ivfSnapshot(store, "ivf"),
+      AnnIndex.ivfTopK(AnnIndex.ivfSnapshot(ivfSharedStore(s, dir), "ivf"),
           emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 3, nprobe = 4, pruneProbed = true)
         .select(col("query_id"), col("vec_id"), col("cos_sim"),
@@ -1604,9 +1708,7 @@ object SparkEntry {
     "q_knn_ivf_trained" -> ((s, dir) => {
       import graft.functions.Similarity
       val emb = pq(s, dir, "embeddings")
-      val cents = kmeansCents16(s, dir)
-      Similarity.ivfSearch(cents,
-          Similarity.ivfInvertedLists(emb, cents, "vec_id", "embedding"),
+      Similarity.ivfSearch(kmeansCents16(s, dir), ivfListsTrained(s, dir),
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 3, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("cos_sim"),
@@ -1625,9 +1727,8 @@ object SparkEntry {
       val brute = Similarity.bruteForceTopK(
         emb, qs, "vec_id", "embedding", k = 3)
         .select("query_id", "vec_id")
-      val cents = kmeansCents16(s, dir)
-      val ivf = Similarity.ivfSearch(cents,
-          Similarity.ivfInvertedLists(emb, cents, "vec_id", "embedding"),
+      val ivf = Similarity.ivfSearch(kmeansCents16(s, dir),
+          ivfListsTrained(s, dir),
           qs, "vec_id", "embedding", k = 3, nprobe = 4)
         .select("query_id", "vec_id")
       val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
@@ -1646,10 +1747,11 @@ object SparkEntry {
     "q_knn_ivf_delete" -> ((s, dir) => {
       import graft.functions.AnnIndex
       val emb = pq(s, dir, "embeddings")
+      // Clone the shared index (file copy; partition layout preserved)
+      // and tombstone the private copy — the deletion contract is what
+      // the oracle pins, not the rebuild.
       val root = java.nio.file.Files.createTempDirectory("graft_ann_del_").toString
-      val store = new graft.io.ParquetTableStore(s, root,
-        partitionByCols = AnnIndex.partitionSpec("ivf"))
-      AnnIndex.buildIvf(store, "ivf", emb, "vec_id", "embedding", nlist = 16)
+      val store = ivfSharedStore(s, dir).cloneTo(root)
       AnnIndex.deleteVectors(store, "ivf",
         emb.filter((col("vec_id") >= 16) && (col("vec_id") % 7 === 3)), "vec_id")
       AnnIndex.ivfTopK(store, "ivf", emb.filter(col("vec_id") < 5),
@@ -1939,9 +2041,7 @@ object SparkEntry {
     // the filter side); tile assignment is per-row arithmetic equal to
     // SQL ntile(3)
     "q_ppl_buckets" -> ((s, dir) =>
-      graft.functions.TextAnalysis.pplBuckets(
-        pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
-        .orderBy("doc_id")),
+      pplStagesShared(s, dir).orderBy("doc_id")),
 
     // Deterministic global corpus shuffle: every doc's training position
     // (content-hash order, no RNG) + the (shard, pos) layout a sharded
@@ -1959,16 +2059,12 @@ object SparkEntry {
     // (stage, md5, id) — computed via per-stage two-phase rank + a
     // broadcast stage-offset join
     "q_curriculum_order" -> ((s, dir) => {
-      // The stage column is the whole KN perplexity chain and
-      // curriculumOrder references its input three times (stage masses +
-      // histogram + rank) — materialize the narrow stage table first.
-      // localCheckpoint, not persist(): queries() frames outlive the
-      // call, so a persist() here leaks one CacheManager entry per
-      // invocation (the pplBuckets release discipline).
-      val stages = graft.functions.TextAnalysis.pplBuckets(
-          pq(s, dir, "documents"), "doc_id", "text", "lang", tiles = 3)
+      // The stage column is the whole KN perplexity chain — read the
+      // SHARED checkpointed tercile frame (q_ppl_buckets reports the
+      // same one); curriculumOrder references its input three times
+      // (stage masses + histogram + rank), all served by the checkpoint.
+      val stages = pplStagesShared(s, dir)
         .select(col("doc_id"), col("tile").as("stage"))
-        .localCheckpoint()
       graft.functions.Sampling.curriculumOrder(
         stages, "doc_id", "stage", docsPerShard = 64L)
         .orderBy("doc_id")
@@ -1993,12 +2089,9 @@ object SparkEntry {
     // tables; the training corpus is never rescanned at serve time)
     "q_kn_persisted" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build(
-        store, "lm", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       graft.functions.LmIndex.score(
-        store, "lm", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        lm2hSharedStore(s, dir), "lm", d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2029,12 +2122,9 @@ object SparkEntry {
     // never the vocabulary; row-identical to the full-scan score path
     "q_kn_probed" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build(
-        store, "lm", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       graft.functions.LmIndex.scoreBatch(
-        store, "lm", d.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+        lm2hSharedStore(s, dir), "lm", d.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2060,10 +2150,11 @@ object SparkEntry {
     // must equal rebuilding without the deleted documents
     "q_kn_delete" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
+      // Clone the shared 80%-split model (file copy, no rebuild), then
+      // mutate the PRIVATE copy — the deletion contract under test is
+      // the count subtraction, not the build.
       val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
-      val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build(
-        store, "lm", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      val store = lm2hSharedStore(s, dir).cloneTo(root)
       graft.functions.LmIndex.deleteDocs(
         store, "lm", d.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text")
       graft.functions.LmIndex.score(
@@ -2128,9 +2219,13 @@ object SparkEntry {
     // spec's hand fixture pins pointwise.
     "q_kn3_holdout" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      graft.functions.LmIndex.crossScore3(
-        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
-        "doc_id", "text")
+      // Same computation as crossScore3(train80, heldout) — the model
+      // frames derive from the SHARED checkpointed 80%-split base
+      // (counts bit-identical, spec-pinned) instead of re-aggregating
+      // the training corpus once per count table.
+      graft.functions.LmIndex.scoreFrames3(
+        graft.functions.LmIndex.frames3FromBase(lmSharedBase(s, dir, "b3h80")),
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text", discount = 0.75)
         .orderBy("doc_id")
     }),
 
@@ -2141,8 +2236,8 @@ object SparkEntry {
       val d = pq(s, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
       val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build3(
-        store, "lm3", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.build3FromBase(
+        store, "lm3", lmSharedBase(s, dir, "b3h80"))
       graft.functions.LmIndex.score3(
         store, "lm3", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
@@ -2215,9 +2310,14 @@ object SparkEntry {
     // route through the documented backoff recipe at every level.
     "q_kn5_holdout" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      graft.functions.LmIndex.crossScore5(
-        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
-        "doc_id", "text")
+      // crossScore5(train80, heldout) over the SHARED checkpointed
+      // 80%-split base: the lazy modelFrames5 form re-aggregated the
+      // training corpus once per count table (five tokenize+lag passes
+      // in one plan); the base-derived frames are bit-identical
+      // (spec-pinned) and read checkpoint blocks instead.
+      graft.functions.LmIndex.scoreFrames5(
+        graft.functions.LmIndex.frames5FromBase(lmSharedBase(s, dir, "b5h80")),
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text", discount = 0.75)
         .orderBy("doc_id")
     }),
 
@@ -2228,8 +2328,8 @@ object SparkEntry {
       val d = pq(s, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
       val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(
-        store, "lm5", d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.functions.LmIndex.build5FromBase(
+        store, "lm5", lmSharedBase(s, dir, "b5h80"))
       graft.functions.LmIndex.score5(
         store, "lm5", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
@@ -2315,6 +2415,14 @@ object SparkEntry {
       val d = pq(s, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
       val store = new graft.io.ParquetTableStore(s, root)
+      // Deliberately NOT derived from the shared full-corpus base: a
+      // capBase5 variant (map the base's five key columns through the
+      // top-K membership, re-aggregate — bit-identical counts, it was
+      // spec-pinned) measured FLAT at sf0.1 (~9.0 vs 8.6 s warm-solo,
+      // ambient-normalized): on this corpus shape the base is
+      // near-corpus-sized, so re-aggregating it costs what the corpus
+      // pass costs, and writes+score dominate the query. Reverted to
+      // the direct capped build (r17 opt round 1).
       graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text",
         maxVocab = 20L)
       graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
@@ -2905,8 +3013,8 @@ object SparkEntry {
     // whose n-gram recurs in other documents (the suffix-array pass of
     // "Deduplicating Training Data" as corpus-wide group-bys)
     "q_repeated_ngrams" -> ((s, dir) =>
-      graft.functions.Dedup.repeatedNgramProfile(
-        pq(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+      graft.functions.Dedup.repeatedNgramProfileAgainst(
+        pq(s, dir, "documents"), rep8Shared(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
     // The ACTION step over the same signal: excise every token covered by
@@ -2914,8 +3022,8 @@ object SparkEntry {
     // verbatim — the Lee et al. span-removal pass (C4-style boilerplate
     // excision; the keep-one-copy flavor is q_paragraph_dedup)
     "q_span_trim_text" -> ((s, dir) =>
-      graft.functions.Dedup.trimRepeatedSpans(
-        pq(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+      graft.functions.Dedup.trimSpansAgainst(
+        pq(s, dir, "documents"), rep8Shared(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
     // Temperature-smoothed mixture weights (alpha = 0.5 sampling of

@@ -101,6 +101,19 @@ object AnnIndex {
         Similarity.ivfInvertedLists(corpus, cents, idCol, vecCol)))
   }
 
+  /** Publish an IVF index from ALREADY-COMPUTED centroid and
+    * inverted-list frames — the write half of [[buildIvf]], split out so
+    * several consumers of one training run (a direct serve and a
+    * persisted index) can share the trained frames instead of each
+    * re-running Lloyd's + the assignment pass. Identical tables to
+    * [[buildIvf]] given the same frames (spec-pinned). */
+  def buildIvfFromFrames(
+      store: TableStore, prefix: String,
+      cents: DataFrame, lists: DataFrame): Unit =
+    store.overwriteAll(Seq(
+      s"${prefix}_centroids" -> cents,
+      s"${prefix}_lists" -> lists))
+
   /** Probed exact top-k from the PERSISTED IVF index: reads only
     * `<prefix>_centroids` / `<prefix>_lists` (tombstoned ids excluded).
     * Row-identical to [[Similarity.ivfTopK]] over the corpus the index

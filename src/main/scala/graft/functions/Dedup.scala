@@ -772,14 +772,22 @@ object Dedup {
     * skew. */
   def repeatedNgramProfile(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minDocs: Int = 2): DataFrame = {
+      n: Int = 8, minDocs: Int = 2): DataFrame =
+    repeatedNgramProfileAgainst(df,
+      repeatedShingles(df, idCol, textCol, n, minDocs), idCol, textCol, n)
+
+  /** The profile half of [[repeatedNgramProfile]] against an EXPLICIT
+    * repeated-shingle set — [[trimSpansAgainst]]'s split applied to the
+    * signal side, so the profile and the excision (and any other
+    * consumer) can share ONE corpus-frequency pass
+    * ([[repeatedShingles]]) instead of each re-running the
+    * distinct+group-by over every shingle position. */
+  def repeatedNgramProfileAgainst(
+      df: DataFrame, repeated: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
     val sh = TextAnalysis.shingles(df, idCol, textCol, n)
-    val repeated = sh.select(col(idCol), col("shingle")).distinct()
-      .groupBy("shingle").agg(count(lit(1)).as("docs"))
-      .filter(col("docs") >= minDocs)
-      .select("shingle")
     val tot = sh.groupBy(idCol).agg(count(lit(1)).as("n_ngrams"))
-    val rep = sh.join(repeated, Seq("shingle"), "left_semi")
+    val rep = sh.join(repeated.select("shingle"), Seq("shingle"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_repeated"), (min(col("pos")) + 1).as("first_rep_pos"))
     df.select(col(idCol))

@@ -593,10 +593,50 @@ object LmIndex {
       .groupBy("prev", "w").agg(count(lit(1)).cast("long").as("c2"))
     val tri = pt.filter(col("prev2").isNotNull)
       .groupBy("prev2", "prev", "w").agg(count(lit(1)).cast("long").as("c3"))
+    framesFromCounts3(uni, big, tri)
+  }
+
+  /** Assemble the 9-frame order-3 model from the three count tables —
+    * shared by the lazy ([[modelFrames3]]) and base-derived
+    * ([[frames3FromBase]]) paths, so the aggregate derivations can never
+    * drift between them. */
+  private def framesFromCounts3(
+      uni: DataFrame, big: DataFrame, tri: DataFrame): Kn3Model = {
     val m2 = derivedM2(tri)
     Kn3Model(uni, big, derivedCtx(big), derivedCont(big),
       tri, derivedCtx3(tri), m2, derivedMctx(m2),
       stats = derivedStats3(uni, big, tri, m2))
+  }
+
+  /** The (prev2, prev, w) [[baseCounts]] frame of `train` — NOT
+    * checkpointed; the caller owns materialization and lifetime. The
+    * sharing handle for the one-corpus-pass discipline ACROSS queries:
+    * an inline cross-score ([[frames3FromBase]]) and a persisted build
+    * ([[build3FromBase]]) of the SAME training split can both derive
+    * from one checkpointed base instead of each paying its own corpus
+    * pass — at 100 TB the corpus passes are the whole training cost. */
+  private[graft] def base3Of(
+      train: DataFrame, idCol: String, textCol: String): DataFrame =
+    baseCounts(
+      TextAnalysis.laggedTokens(tokens(train, idCol, textCol), idCol,
+        Seq("prev", "prev2")),
+      Seq("prev2", "prev"))
+
+  /** Order-3 model frames derived from a (checkpointed) [[base3Of]]
+    * frame — counts bit-identical to [[modelFrames3]] (sum of disjoint
+    * full-key subgroup counts; spec-pinned). */
+  private[graft] def frames3FromBase(base: DataFrame): Kn3Model = {
+    val (uni, big, tri) = splitBase3(base)
+    framesFromCounts3(uni, big, tri)
+  }
+
+  /** [[build3]] from an already-checkpointed [[base3Of]] frame the
+    * caller shares with other consumers of the same training split (the
+    * caller owns the checkpoint's lifetime). */
+  private[graft] def build3FromBase(
+      store: TableStore, prefix: String, base: DataFrame): Unit = {
+    val (uni, big, tri) = splitBase3(base)
+    writeTables3(store, prefix, uni, big, tri)
   }
 
   private def derivedCtx(big: DataFrame): DataFrame =
@@ -768,13 +808,9 @@ object LmIndex {
   def build3(
       store: TableStore, prefix: String,
       train: DataFrame, idCol: String, textCol: String): Unit = {
-    val pt = TextAnalysis.laggedTokens(tokens(train, idCol, textCol), idCol,
-      Seq("prev", "prev2"))
-    val base = baseCounts(pt, Seq("prev2", "prev")).localCheckpoint()
-    try {
-      val (uni, big, tri) = splitBase3(base)
-      writeTables3(store, prefix, uni, big, tri)
-    } finally {
+    val base = base3Of(train, idCol, textCol).localCheckpoint()
+    try build3FromBase(store, prefix, base)
+    finally {
       base.unpersist()
       ()
     }
@@ -1407,13 +1443,45 @@ object LmIndex {
       Seq("prev", "prev2", "prev3", "prev4"))
     val base = baseCounts(pt, Seq("prev4", "prev3", "prev2", "prev"))
       .localCheckpoint()
-    try {
-      val (uni, big, tri, four, five) = splitBase5(base)
-      writeTables5(store, prefix, uni, big, tri, four, five, pruneMin)
-    } finally {
+    try build5FromBase(store, prefix, base, pruneMin)
+    finally {
       base.unpersist()
       ()
     }
+  }
+
+  /** The (prev4..prev, w) [[baseCounts]] frame of `train` — NOT
+    * checkpointed; the caller owns materialization and lifetime
+    * ([[base3Of]]'s cross-query sharing contract one family up: the
+    * full-corpus base feeds the plain AND count-pruned shared builds,
+    * the 80%-split base feeds the inline holdout cross-score and the
+    * persisted-holdout build, each paying ONE corpus pass total). */
+  private[graft] def base5Of(
+      train: DataFrame, idCol: String, textCol: String): DataFrame =
+    baseCounts(
+      TextAnalysis.laggedTokens(tokens(train, idCol, textCol), idCol,
+        Seq("prev", "prev2", "prev3", "prev4")),
+      Seq("prev4", "prev3", "prev2", "prev"))
+
+  /** Order-5 model frames from a (checkpointed) [[base5Of]] frame —
+    * counts bit-identical to [[modelFrames5]]'s per-order aggregations
+    * (sum of disjoint full-key subgroup counts; spec-pinned). */
+  private[graft] def frames5FromBase(base: DataFrame): Kn5Model = {
+    val (uni, big, tri, four, five) = splitBase5(base)
+    framesFromCounts5(uni, big, tri, four, five)
+  }
+
+  /** [[build5]] from an already-checkpointed [[base5Of]] frame the
+    * caller shares (lifetime owned by the caller). `pruneMin` as in
+    * [[build5]]. */
+  private[graft] def build5FromBase(
+      store: TableStore, prefix: String, base: DataFrame,
+      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L)): Unit = {
+    require(pruneMin.length == 4 && pruneMin.forall(_ >= 1L),
+      s"pruneMin must be four thresholds >= 1 (key widths 2,3,4,5), " +
+        s"got $pruneMin")
+    val (uni, big, tri, four, five) = splitBase5(base)
+    writeTables5(store, prefix, uni, big, tri, four, five, pruneMin)
   }
 
   /** Derive the twelve aggregate tables from the (checkpoint-backed)

@@ -138,6 +138,34 @@ class ParquetTableStore(
 
   override def load(table: String): DataFrame = spark.read.parquet(dir(table))
 
+  /** Snapshot-clone every table of this store into `destRoot` and return
+    * a store rooted there (same partition specs, same snapshot policy) —
+    * a FILE copy, zero Spark jobs, zero recompute. The maintenance-drill
+    * primitive: a consumer that must MUTATE a frozen shared artifact
+    * (delete/append drills over a published model or index) clones the
+    * snapshot and mutates its private copy instead of paying the full
+    * rebuild a second time. At 100 TB "rebuild the index so I can delete
+    * from it" is exactly the cost this removes — index/model clones are
+    * file copies (server-side copies on object stores), and the builds
+    * are deterministic, so clone-then-mutate equals build-then-mutate
+    * table for table. `_history` is deliberately NOT cloned (the clone
+    * starts life snapshot-free, like a fresh build); in-flight `.tmp-`
+    * staging dirs are skipped. */
+  def cloneTo(destRoot: String): ParquetTableStore = {
+    val src = new Path(root)
+    val dst = new Path(destRoot)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!fs.exists(dst)) fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      if (name != "_history" && !name.contains(".tmp-"))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, fs, new Path(dst, name), false, conf)
+    }
+    new ParquetTableStore(spark, destRoot, partitionByCols, keepSnapshots,
+      partitionBySuffix)
+  }
+
   // ---- bounded snapshot history (whole-table swap path) -----------------
   // With keepSnapshots > 0, `overwrite`/`overwriteAll` archive the replaced
   // table directory under _history/<table>/v<NNN> instead of deleting it —

@@ -199,6 +199,20 @@ class AnnIndexSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
+  test("buildIvfFromFrames == buildIvf(trainIters) table-for-table given " +
+      "the shared trained frames") {
+    val a = tmpStore(); val b = tmpStore()
+    AnnIndex.buildIvf(a, "ivf", corpus, "vec_id", "embedding",
+      nlist = 8, trainIters = 2)
+    val cents = Similarity.kmeansTrain(corpus, "vec_id", "embedding", 8, 2)
+    AnnIndex.buildIvfFromFrames(b, "ivf", cents,
+      Similarity.ivfInvertedLists(corpus, cents, "vec_id", "embedding"))
+    for (t <- Seq("ivf_centroids", "ivf_lists"))
+      assert(b.load(t).collect().map(_.toString).toSet ===
+        a.load(t).collect().map(_.toString).toSet,
+        s"$t diverged between buildIvf and buildIvfFromFrames")
+  }
+
   test("cent_id-partitioned lists: serve prunes to the probed partitions, same rows") {
     val flat = tmpStore()
     val part = new ParquetTableStore(spark,
