@@ -697,10 +697,18 @@ object Dedup {
     * answer size at maxHamming=0.
     */
   def simhashPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhash(df, idCol, textCol), idCol, maxHamming)
+
+  /** [[simhashPairs]] over an ALREADY-COMPUTED [[simhash]] frame — the
+    * banding half alone, so several consumers of one corpus's 32-bit
+    * fingerprints (the per-doc profile, the pair screen, the ensemble's
+    * lexical arm) can share ONE fingerprint pass. */
+  def simhashPairsFrom(
+      hashes: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"bands need >= 2 bits each for selectivity; got maxHamming=$maxHamming")
-    hammingPairs(simhash(df, idCol, textCol), idCol, "simhash",
+    hammingPairs(hashes, idCol, "simhash",
       bits = 32, maxHamming = maxHamming)
   }
 
@@ -958,10 +966,21 @@ object Dedup {
   def simhashPairsAdaptive(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 1, targetOccupancy: Long = 64,
+      rowCount: Long = -1L): DataFrame =
+    simhashPairsAdaptiveFrom(df, simhash(df, idCol, textCol), idCol, textCol,
+      maxHamming, targetOccupancy, rowCount)
+
+  /** [[simhashPairsAdaptive]] with the 32-bit fingerprint frame supplied
+    * by the caller (shared/persisted) — `hashes32` is LAZY and only read
+    * on the 32-bit branch, so the 64-bit escape pays nothing for it;
+    * identical switch, identical pairs. */
+  def simhashPairsAdaptiveFrom(
+      df: DataFrame, hashes32: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 1, targetOccupancy: Long = 64,
       rowCount: Long = -1L): DataFrame = {
     val n = if (rowCount >= 0) rowCount else df.select(idCol).count()
     if (n <= simhashWidthThreshold(maxHamming, targetOccupancy))
-      simhashPairs(df, idCol, textCol, maxHamming)
+      simhashPairsFrom(hashes32, idCol, maxHamming)
     else simhashPairs64(df, idCol, textCol, maxHamming)
   }
 }

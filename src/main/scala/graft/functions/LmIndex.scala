@@ -1993,10 +1993,21 @@ object LmIndex {
       store: TableStore, prefix: String,
       docs: DataFrame, idCol: String, textCol: String,
       tiles: Int = 3,
-      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame = {
+      fallbackDiscounts: Option[(Double, Double, Double)] = None): DataFrame =
+    ccnetGateFrom(
+      scoreMkn5(store, prefix, docs, idCol, textCol, fallbackDiscounts),
+      docs, idCol, textCol, tiles)
+
+  /** [[ccnetGate]] over an ALREADY-COMPUTED (shared/persisted)
+    * [[scoreMkn5]] frame — the gate composition alone (langid + join +
+    * per-language terciles), so one standing scores frame can serve both
+    * the raw scorer surface and the gate (the dsirResampleFrom split
+    * applied to the CCNet chain; the scores are deterministic in
+    * (model, corpus, discounts)). */
+  def ccnetGateFrom(
+      scores: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      tiles: Int = 3): DataFrame = {
     val pred = TextAnalysis.langDetect(docs, idCol, textCol)
-    val scores = scoreMkn5(store, prefix, docs, idCol, textCol,
-      fallbackDiscounts)
     TextAnalysis.pplTiles(pred.join(scores, Seq(idCol)),
       idCol, "predicted_lang", tiles)
   }

@@ -92,29 +92,63 @@ object Linkage {
   def nearestNeighborWithinBlocks(
       df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], stagedThreshold: Int = 3,
+      saltBuckets: Int = 16): DataFrame =
+    nearestNeighborFromDistances(
+      bandedPairDistances(df, idCol, nameCol, blockCols,
+        stagedThreshold, saltBuckets),
+      df, idCol, nameCol, blockCols)
+
+  /** Pass-1 sentinel value of [[bandedPairDistances]]: the pair's true
+    * distance exceeded the banded threshold. */
+  val FarSentinel: Long = Int.MaxValue.toLong
+
+  /** The pass-1 pair-distance frame both blocked-linkage operators score:
+    * every unordered within-block pair (id_a < id_b) with the
+    * THRESHOLD-BOUNDED levenshtein — the banded O(t·min(m,n)) DP with
+    * early exit — as `dist` (exact when <= `threshold`, [[FarSentinel]]
+    * beyond). Output: (blockCols..., id_a, id_b, dist). Compute (or
+    * checkpoint/persist) it ONCE and feed [[nearestNeighborFromDistances]]
+    * and [[fuzzyDupPairsFrom]] — the quadratic DP is the whole cost of
+    * both operators, and their consumption differs only in the aggregate
+    * (per-record min vs <= maxDist screen). */
+  def bandedPairDistances(
+      df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], threshold: Int = 3,
       saltBuckets: Int = 16): DataFrame = {
+    val t = math.max(threshold, 0)
     val (a, b) = sides(df, idCol, nameCol, blockCols)
-    val t = math.max(stagedThreshold, 0)
-    val sentinel = Int.MaxValue.toLong
-    // Each UNORDERED pair pays the banded DP once (id_a < id_b halves the
-    // join output), then a narrow explode credits the distance to both
-    // endpoints — edit distance is symmetric. Pairs beyond t keep the
-    // sentinel so every non-singleton record stays represented.
-    val banded = saltedPairJoin(a, b, blockCols, saltBuckets)
+    saltedPairJoin(a, b, blockCols, saltBuckets)
       .filter(col("id_a") < col("id_b"))
       .withColumn("bdist", levenshtein(col("name_a"), col("name_b"), t))
       .withColumn("dist",
-        when(col("bdist") >= 0, col("bdist").cast("long")).otherwise(sentinel))
+        when(col("bdist") >= 0, col("bdist").cast("long"))
+          .otherwise(FarSentinel))
+      .select(blockCols.map(col) ++
+        Seq(col("id_a"), col("id_b"), col("dist")): _*)
+  }
+
+  /** The aggregation half of [[nearestNeighborWithinBlocks]] over an
+    * explicit [[bandedPairDistances]] frame. */
+  def nearestNeighborFromDistances(
+      pairDists: DataFrame, df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String]): DataFrame = {
+    val (a, b) = sides(df, idCol, nameCol, blockCols)
+    // Each UNORDERED pair paid the banded DP once (id_a < id_b halves the
+    // join output); a narrow explode credits the distance to both
+    // endpoints — edit distance is symmetric. Pairs beyond the threshold
+    // carry the sentinel so every non-singleton record stays represented.
+    val banded = pairDists
       .select(blockCols.map(col) :+ explode(array(
         struct(col("id_a").as("rid"), col("dist")),
         struct(col("id_b").as("rid"), col("dist")))).as("x"): _*)
       .groupBy(col("x.rid").as("id_a") +: blockCols.map(col): _*)
       .agg(min(col("x.dist")).as("nn_dist"))
-    val resolved = banded.filter(col("nn_dist") < sentinel)
-    // Residual: every neighbor was farther than t — rescan ONLY these
-    // records' blocks at full width (id_a =!= id_b: each residual record
-    // needs all its neighbors, including pass-1-resolved ones).
-    val far = banded.filter(col("nn_dist") === sentinel).select(col("id_a"))
+    val resolved = banded.filter(col("nn_dist") < FarSentinel)
+    // Residual: every neighbor was farther than the threshold — rescan
+    // ONLY these records' blocks at full width (id_a =!= id_b: each
+    // residual record needs all its neighbors, including pass-1-resolved
+    // ones).
+    val far = banded.filter(col("nn_dist") === FarSentinel).select(col("id_a"))
       .join(a, Seq("id_a"))
       .join(b, blockCols)
       .filter(col("id_a") =!= col("id_b"))
@@ -122,6 +156,18 @@ object Linkage {
       .groupBy(col("id_a") +: blockCols.map(col): _*)
       .agg(min(col("dist")).cast("long").as("nn_dist"))
     resolved.unionByName(far)
+  }
+
+  /** The screen half of [[fuzzyDupPairs]] over an explicit
+    * [[bandedPairDistances]] frame whose threshold was >= `maxDist`:
+    * dist <= maxDist rows are exact distances by the banded-DP contract,
+    * so the screen equals the direct maxDist-bounded computation
+    * (spec-pinned). */
+  def fuzzyDupPairsFrom(pairDists: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist.toLong < FarSentinel,
+      s"maxDist must be a real distance bound, got $maxDist")
+    pairDists.filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** Candidate duplicate pairs within blocks: (id_a < id_b, dist) with

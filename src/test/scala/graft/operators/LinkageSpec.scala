@@ -94,4 +94,31 @@ class LinkageSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(nnSalted === nnPlain)
   }
+
+  test("one shared bandedPairDistances frame serves both operators: the " +
+    "<=maxDist screen over a WIDER threshold equals the direct maxDist " +
+    "computation, and the NN aggregate equals the direct form") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 150).map { i =>
+      val base = "zxcvbnmasdfg".take(4 + rnd.nextInt(8))
+      val name = if (i % 5 == 0) base + "q" else if (i % 5 == 1) base.drop(1)
+        else if (i % 5 == 2) base.reverse else base
+      (i.toLong, name, s"B${i % 3}")
+    }.toDF("id", "name", "brand")
+    val shared = Linkage.bandedPairDistances(df, "id", "name", Seq("brand"),
+      threshold = 3).localCheckpoint()
+    assert(
+      Linkage.fuzzyDupPairsFrom(shared, maxDist = 2)
+        .as[(Long, Long, Long)].collect().toSet ===
+        Linkage.fuzzyDupPairs(df, "id", "name", Seq("brand"), maxDist = 2)
+          .as[(Long, Long, Long)].collect().toSet,
+      "screen over the shared threshold-3 frame diverged from direct maxDist=2")
+    assert(
+      Linkage.nearestNeighborFromDistances(shared, df, "id", "name",
+        Seq("brand")).select("id_a", "nn_dist")
+        .as[(Long, Long)].collect().toMap ===
+        Linkage.nearestNeighborWithinBlocks(df, "id", "name", Seq("brand"))
+          .select("id_a", "nn_dist").as[(Long, Long)].collect().toMap,
+      "NN aggregate over the shared frame diverged from the direct form")
+  }
 }
