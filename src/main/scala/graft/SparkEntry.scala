@@ -614,7 +614,9 @@ object SparkEntry {
     * delete drill clones + mutates. */
   private def ivfSharedStore(
       s: SparkSession, dir: String): graft.io.ParquetTableStore =
-    sharedStore(s, dir, "ivf",
+    // Variant "ann_ivf" so the store root keeps the graft_ann_ prefix
+    // PlanQualitySpec's index-table scan gate keys on.
+    sharedStore(s, dir, "ann_ivf",
       Some(graft.functions.AnnIndex.partitionSpec("ivf"))) { store =>
       graft.functions.AnnIndex.buildIvf(store, "ivf",
         pq(s, dir, "embeddings"), "vec_id", "embedding", nlist = 16)
