@@ -433,6 +433,19 @@ object SparkEntry {
        |sigs AS (SELECT d.doc_id, $fallbacks FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)""".stripMargin
   }
 
+  // SHARED-CACHE INVARIANTS (all TrieMap caches below; r17 advice,
+  // documented): (1) entries assume an IMMUTABLE corpus per (session,
+  // dir) — the parquet under `dir` is never regenerated mid-session in
+  // any driver surface (Bench/Verify/RunOne build one session over one
+  // frozen testdata dir); (2) first access is SINGLE-THREADED —
+  // Bench.warmSharedCaches materializes every cache up front before the
+  // sequential query loop, and Verify/RunOne run queries sequentially,
+  // so getOrElseUpdate's evaluate-twice-under-race window is never
+  // exercised (a drill's intra-query concurrently() jobs run AFTER its
+  // closure resolved the caches); (3) entries live for the session —
+  // no eviction, sized for the bench surface (checkpoints of
+  // vocabulary-bounded or corpus-row-bounded frames).
+
   /** The classified input frame — the shared subplan of the whole pipeline
     * family (q_classify, q_consolidate, q_status_counts, q_job_counters,
     * q_reprocess_resolution). Cached once per (session, dir): a production
@@ -599,14 +612,19 @@ object SparkEntry {
     })
 
   /** The count-pruned frozen gate model (pruneMin 2,2,2,2) — built once,
-    * served by both pruned-model queries; derives from the SHARED
-    * full-corpus base, so the pruned build re-aggregates the
-    * vocabulary-bounded base instead of paying a second corpus pass. */
+    * served by both pruned-model queries. Round 18: derives from the
+    * SHARED UNPRUNED STORE's tables (its gram tables are the full count
+    * tables, its m2/m3/m4 the full continuation counts — bit-identical
+    * to the base-derived frames, spec-pinned), so the pruned build is
+    * filter+aggregate writes over vocabulary-bounded stored tables: no
+    * base re-aggregation, no m-table re-derivation (previously 5 + 3
+    * such jobs inside cache_lm5_pruned). */
   private def lm5PrunedSharedStore(
       s: SparkSession, dir: String): graft.io.TableStore =
     sharedStore(s, dir, "lm5p") { store =>
-      graft.functions.LmIndex.build5FromBase(store, "lm5",
-        lmSharedBase(s, dir, "b5full"), pruneMin = Seq(2L, 2L, 2L, 2L))
+      graft.functions.LmIndex.build5PrunedFromStore(
+        lmSharedStore(s, dir, 5), "lm5", store, "lm5",
+        pruneMin = Seq(2L, 2L, 2L, 2L))
     }
 
   /** The shared UNTRAINED full-corpus IVF index (nlist 16, lowest-id
@@ -660,14 +678,20 @@ object SparkEntry {
         pq(s, dir, "part"), "p_partkey", "p_name", Seq("p_brand"),
         threshold = 3).localCheckpoint())
 
-  /** The shared per-doc 32-bit SimHash fingerprints — the profile query
-    * IS this frame, the pair screen bands it, and the ensemble's lexical
-    * arm consumes it through the width-adaptive switch. cache_sim32. */
+  /** The shared per-doc SimHash fingerprints, BOTH widths from one
+    * corpus pass (Dedup.simhashBoth — the 64-bit votes subsume the
+    * 32-bit ones, so the combined pass costs one explode + one groupBy
+    * like the old 32-bit-only frame): the profile query reports the
+    * 32-bit column, the 32-bit pair screen bands it, the 64-bit pair
+    * screen bands `simhash64` (previously its own full corpus pass), and
+    * the ensemble's width-adaptive switch reads whichever width fires.
+    * Still attributed as the cache_sim32 bench line (key kept —
+    * additions-only contract). */
   private val sim32Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sim32Shared(s: SparkSession, dir: String): DataFrame =
     sim32Cache.getOrElseUpdate((s, dir),
-      graft.functions.Dedup.simhash(
+      graft.functions.Dedup.simhashBoth(
         pq(s, dir, "documents"), "doc_id", "text").localCheckpoint())
 
   /** The shared repeated-8-gram set (minDocs 2) — the corpus-frequency
@@ -1002,7 +1026,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      sim32Shared(s, dir).orderBy("doc_id")),
+      sim32Shared(s, dir).select("doc_id", "simhash").orderBy("doc_id")),
 
     // Policy survivor selection: exact-dup families collapse to the best
     // (priority, id) row — curated source (src1) beats everything else
@@ -1028,8 +1052,11 @@ object SparkEntry {
     // Same pigeonhole exactness, 2^32× the band key space; the oracle is
     // again the uncompromised all-pairs hamming join.
     "q_dedup_simhash64_pairs" -> ((s, dir) =>
-      graft.functions.Dedup.simhashPairs64(pq(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+      // The banding half over the shared combined-width fingerprint
+      // frame (§1.2 — the explode + token md5 was this query's whole
+      // cost, and simhashBoth already pays it for the 32-bit consumers).
+      graft.functions.Dedup.simhashPairs64From(
+        sim32Shared(s, dir), "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // Incremental dedup: the newest 20% of documents deduped against the
@@ -1292,9 +1319,13 @@ object SparkEntry {
       val docs = pq(s, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_lexa_").toString
       val store = new graft.io.ParquetTableStore(s, root)
-      LexIndex.build(store, "lex", docs.filter(col("doc_id") < 50), "doc_id", "text")
-      LexIndex.append(store, "lex", docs.filter(col("doc_id") >= 50), "doc_id", "text")
-      LexIndex.bm25TopK(store, "lex",
+      // §2.6 overlap drill: the batch's postings pass runs with the
+      // build's staged writes, and the serve — over the pre-commit
+      // tables plus the staged batch checkpoints, row-identical to the
+      // committed index — runs with the append's two-phase commit.
+      LexIndex.buildAppendTopK(store, "lex",
+          docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+          "doc_id", "text",
           docs.filter(col("doc_id") < 3).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 5)
         .orderBy("qid", "rnk")
@@ -1814,12 +1845,13 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_ann_inc_").toString
       val store = new graft.io.ParquetTableStore(s, root,
         partitionByCols = AnnIndex.partitionSpec("ivf"))
-      AnnIndex.buildIvf(store, "ivf", emb.filter(col("vec_id") < cut),
-        "vec_id", "embedding", nlist = 16)
-      AnnIndex.appendIvf(store, "ivf", emb.filter(col("vec_id") >= cut),
-        "vec_id", "embedding")
-      AnnIndex.ivfTopK(store, "ivf", emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 3, nprobe = 4)
+      // §2.6 overlap drill (the q_kn5_append pattern): batch assignment
+      // ∥ build writes, serve ∥ append commit; physical build+append and
+      // the shared append==rebuild oracle unchanged.
+      AnnIndex.buildAppendTopKIvf(store, "ivf",
+          emb.filter(col("vec_id") < cut), emb.filter(col("vec_id") >= cut),
+          "vec_id", "embedding", nlist = 16,
+          emb.filter(col("vec_id") < 5), k = 3, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("cos_sim"),
           col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
@@ -1890,11 +1922,16 @@ object SparkEntry {
       import graft.functions.Similarity
       val emb = pq(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 5)
-      val brute = Similarity.bruteForceTopK(
-        emb, qs, "vec_id", "embedding", k = 3)
-        .select("query_id", "vec_id")
-      val cb = Similarity.pqCodebookTrained(emb, "vec_id", "embedding",
-        dims = 64, m = 8, ksub = 16, iters = PqTrainIters)
+      // §2.6: the brute-force ground truth is independent of the eager
+      // per-subspace Lloyd's rounds — materialize it (k·|queries| rows)
+      // concurrently with the training jobs instead of serially after.
+      val Seq(cbAny, bruteAny) = graft.functions.Jobs.concurrently[Any](Seq(
+        () => Similarity.pqCodebookTrained(emb, "vec_id", "embedding",
+          dims = 64, m = 8, ksub = 16, iters = PqTrainIters),
+        () => Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 3)
+          .select("query_id", "vec_id").localCheckpoint()))
+      val cb = cbAny.asInstanceOf[org.apache.spark.sql.DataFrame]
+      val brute = bruteAny.asInstanceOf[org.apache.spark.sql.DataFrame]
       val adc = Similarity.pqAdcSearch(
           Similarity.pqEncodeWith(emb, cb, "vec_id", "embedding", dims = 64, m = 8),
           cb, qs, "vec_id", "embedding", dims = 64, m = 8, k = 3)
@@ -2176,12 +2213,13 @@ object SparkEntry {
       val d = pq(s, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
       val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build(
-        store, "lm", d.filter(col("doc_id") % 5 isin (1, 2)), "doc_id", "text")
-      graft.functions.LmIndex.append(
-        store, "lm", d.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text")
-      graft.functions.LmIndex.score(
-        store, "lm", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      // §2.6 overlap drill (the q_kn5_append shape at order 2): delta
+      // base ∥ build writes, score ∥ merge writes; physical append and
+      // the append==rebuild oracle unchanged.
+      graft.functions.LmIndex.appendDrill(store, "lm",
+        d.filter(col("doc_id") % 5 isin (1, 2)),
+        d.filter(col("doc_id") % 5 isin (3, 4)),
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2195,10 +2233,12 @@ object SparkEntry {
       // the count subtraction, not the build.
       val root = java.nio.file.Files.createTempDirectory("graft_lm_").toString
       val store = lm2hSharedStore(s, dir).cloneTo(root)
-      graft.functions.LmIndex.deleteDocs(
-        store, "lm", d.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text")
-      graft.functions.LmIndex.score(
-        store, "lm", d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      // §2.6: the held-out score reads only the checkpointed merged
+      // counts (row-identical to the swapped tables), so it overlaps
+      // the merge's five staged writes; the physical delete unchanged.
+      graft.functions.LmIndex.deleteDocsScored(
+        store, "lm", d.filter(col("doc_id") % 5 isin (3, 4)), "doc_id", "text",
+        scoreDocs = d.filter(col("doc_id") % 5 === 0))
         .orderBy("doc_id")
     }),
 
@@ -2459,10 +2499,12 @@ object SparkEntry {
       // ambient-normalized): on this corpus shape the base is
       // near-corpus-sized, so re-aggregating it costs what the corpus
       // pass costs, and writes+score dominate the query. Reverted to
-      // the direct capped build (r17 opt round 1).
-      graft.functions.LmIndex.build5(store, "lm5", d, "doc_id", "text",
-        maxVocab = 20L)
-      graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
+      // the direct capped build (r17 opt round 1). Round 18 instead
+      // overlaps the score with the seventeen staged writes (§2.6):
+      // the score reads the capped base-derived frames, bit-identical
+      // to the written tables (spec-pinned).
+      graft.functions.LmIndex.build5Scored(store, "lm5", d, "doc_id", "text",
+        docs = d, maxVocab = 20L)
         .orderBy("doc_id")
     }),
 
@@ -2476,11 +2518,18 @@ object SparkEntry {
       val d = pq(s, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_lm5_").toString
       val store = new graft.io.ParquetTableStore(s, root)
-      graft.functions.LmIndex.build5(
-        store, "lm5", d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
-      graft.functions.LmIndex.append5(
-        store, "lm5", d.filter(col("doc_id") % 3 === 0), "doc_id", "text")
-      graft.functions.LmIndex.score5(store, "lm5", d, "doc_id", "text")
+      // The drill helper overlaps the two independent-job pairs the
+      // sequential build5/append5/score5 chain left idle (guide §2.6):
+      // the delta's base pass runs with the build's staged writes, and
+      // the final score — reading only the checkpointed MERGED counts,
+      // row-identical to the swapped tables (spec-pinned) — runs with
+      // the merge's seventeen staged writes. The physical append is
+      // unchanged (every table staged and swapped); the oracle still
+      // retrains from scratch on the full corpus, so the hash match
+      // keeps pinning append == rebuild.
+      graft.functions.LmIndex.appendDrill5(store, "lm5",
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0), d, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2502,8 +2551,11 @@ object SparkEntry {
       val d = pq(ps, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_lm3_").toString
       val store = new graft.io.ParquetTableStore(ps, root)
-      graft.functions.LmIndex.build3(store, "lm3", d, "doc_id", "text")
-      graft.functions.LmIndex.score3(store, "lm3", d, "doc_id", "text")
+      // §2.6: the score (positional-mode lag frame, like the build's)
+      // reads the base-derived frames — bit-identical to the written
+      // tables — so it overlaps the nine staged writes.
+      graft.functions.LmIndex.build3Scored(store, "lm3", d, "doc_id", "text",
+        docs = d)
         .orderBy("doc_id")
     }),
 

@@ -227,6 +227,41 @@ object AnnIndex {
       Similarity.ivfInvertedLists(batch,
         store.load(s"${prefix}_centroids"), idCol, vecCol))
 
+  /** The IVF maintenance drill — [[buildIvf]] on `base`, [[appendIvf]]
+    * `batch`, serve `queries` from the appended index — with the §2.6
+    * overlaps (the q_kn5_append pattern for the ANN family): the index
+    * geometry is frozen at build time from the BASE corpus's stand-in
+    * centroids (nlist rows, checkpointed once), so the batch's
+    * assignment pass is independent of the build's staged writes and
+    * runs concurrently with them; the serve reads the checkpointed
+    * centroids, the pre-append lists files (the append only ADDS files)
+    * and the staged assignment checkpoint — row-identical to the
+    * post-append index — so it runs concurrently with the append
+    * commit. Physical build and append unchanged; the shared
+    * append == rebuild oracle keeps pinning the result. */
+  private[graft] def buildAppendTopKIvf(
+      store: TableStore, prefix: String,
+      base: DataFrame, batch: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = Similarity.ivfCentroids(base, idCol, vecCol, nlist)
+      .localCheckpoint()
+    val Seq(_, assignedAny) = graft.functions.Jobs.concurrently[Any](Seq(
+      () => buildIvfFromFrames(store, prefix, cents,
+        Similarity.ivfInvertedLists(base, cents, idCol, vecCol)),
+      () => Similarity.ivfInvertedLists(batch, cents, idCol, vecCol)
+        .localCheckpoint()))
+    val assigned = assignedAny.asInstanceOf[DataFrame]
+    val lists2 = minusTombstones(store, prefix,
+      store.load(s"${prefix}_lists").unionByName(assigned))
+    val Seq(_, servedAny) = graft.functions.Jobs.concurrently[Any](Seq(
+      () => { store.append(s"${prefix}_lists", assigned); () },
+      () => ivfTopKFrames(cents, lists2, queries, idCol, vecCol, k, nprobe,
+        pruneProbed = true).localCheckpoint()))
+    assigned.unpersist()
+    cents.unpersist()
+    servedAny.asInstanceOf[DataFrame]
+  }
+
   /** INCREMENTAL PQ maintenance: encode a new batch under the PERSISTED
     * codebook and append the codes — same frozen-geometry contract as
     * [[appendIvf]]. */

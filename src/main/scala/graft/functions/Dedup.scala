@@ -933,6 +933,43 @@ object Dedup {
     summed.select(col(idCol), hashVal.as("simhash"))
   }
 
+  /** BOTH SimHash widths from ONE corpus pass: (idCol, `simhash` 32-bit,
+    * `simhash64`) — the explode + per-token md5 is the whole
+    * corpus-scale cost of either fingerprint, and the two widths' vote
+    * tallies are per-bit sums over the SAME token rows, so computing
+    * them together costs one pass instead of two (guide §1.2: don't
+    * compute things twice). Moreover [[simhash64]]'s even-indexed votes
+    * ARE [[simhash]]'s votes (both are the high bit of md5 hex nibble
+    * m), so only 64 distinct sums exist: the 32 high-bit votes feed both
+    * hashes, the 32 second-bit votes only the wide one. Bit-for-bit
+    * identical to [[simhash]] / [[simhash64]] (spec-pinned). */
+  def simhashBoth(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val hiBit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bit2 = Seq("4", "5", "6", "7", "c", "d", "e", "f")
+    val hiVotes = (0 until 32).map { m =>
+      sum(when(substring(col("h"), m + 1, 1).isin(hiBit: _*), 1)
+        .otherwise(-1)).as(s"vh_$m")
+    }
+    val b2Votes = (0 until 32).map { m =>
+      sum(when(substring(col("h"), m + 1, 1).isin(bit2: _*), 1)
+        .otherwise(-1)).as(s"vb_$m")
+    }
+    val summed = toks.groupBy(idCol)
+      .agg(hiVotes.head, (hiVotes.tail ++ b2Votes): _*)
+    val hash32 = (0 until 32).map { m =>
+      when(col(s"vh_$m") > 0, lit(1L << (31 - m))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // 64-bit bit 2m is the high-bit vote of nibble m, bit 2m+1 its
+    // second-bit vote ([[simhash64]]'s layout); disjoint bits, sum = OR.
+    val hash64 = (0 until 32).map { m =>
+      when(col(s"vh_$m") > 0, lit(1L << (63 - 2 * m))).otherwise(lit(0L)) +
+        when(col(s"vb_$m") > 0, lit(1L << (62 - 2 * m))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col(idCol), hash32.as("simhash"), hash64.as("simhash64"))
+  }
+
   /** Banded exact hamming-≤k pairs over the 64-bit SimHash — identical
     * contract to [[simhashPairs]] with 2^32× the band key space; the
     * scale path once a fixed 32-bit hash's buckets saturate. */
@@ -942,6 +979,19 @@ object Dedup {
       s"bands need >= 2 bits each for selectivity; got maxHamming=$maxHamming")
     hammingPairs(simhash64(df, idCol, textCol), idCol, "simhash",
       bits = 64, maxHamming = maxHamming)
+  }
+
+  /** [[simhashPairs64]] over an ALREADY-COMPUTED [[simhashBoth]] frame
+    * (column `simhash64`) — the banding half alone, so the 64-bit pair
+    * screen shares the one combined fingerprint pass with the 32-bit
+    * consumers instead of re-running the corpus explode + token hash. */
+  def simhashPairs64From(
+      hashes: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"bands need >= 2 bits each for selectivity; got maxHamming=$maxHamming")
+    hammingPairs(
+      hashes.select(col(idCol), col("simhash64").as("simhash")),
+      idCol, "simhash", bits = 64, maxHamming = maxHamming)
   }
 
   /** Corpus size above which a 32-bit SimHash's band buckets saturate for
@@ -970,17 +1020,26 @@ object Dedup {
     simhashPairsAdaptiveFrom(df, simhash(df, idCol, textCol), idCol, textCol,
       maxHamming, targetOccupancy, rowCount)
 
-  /** [[simhashPairsAdaptive]] with the 32-bit fingerprint frame supplied
-    * by the caller (shared/persisted) — `hashes32` is LAZY and only read
-    * on the 32-bit branch, so the 64-bit escape pays nothing for it;
-    * identical switch, identical pairs. */
+  /** [[simhashPairsAdaptive]] with the fingerprint frame supplied by the
+    * caller (shared/persisted). `hashes` may be a plain [[simhash]]
+    * frame or a combined [[simhashBoth]] frame: when it carries a
+    * `simhash64` column the 64-bit escape reads it too
+    * ([[simhashPairs64From]]) — BOTH branches are then served by the one
+    * shared pass and the escape never re-runs the corpus explode. With a
+    * 32-bit-only frame the escape falls back to recomputing
+    * [[simhash64]] from the corpus (and, when the caller eagerly
+    * materialized `hashes`, that 32-bit cost is amortized by the other
+    * consumers of the shared frame, not avoided). Identical switch,
+    * identical pairs either way. */
   def simhashPairsAdaptiveFrom(
-      df: DataFrame, hashes32: DataFrame, idCol: String, textCol: String,
+      df: DataFrame, hashes: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 1, targetOccupancy: Long = 64,
       rowCount: Long = -1L): DataFrame = {
     val n = if (rowCount >= 0) rowCount else df.select(idCol).count()
     if (n <= simhashWidthThreshold(maxHamming, targetOccupancy))
-      simhashPairsFrom(hashes32, idCol, maxHamming)
+      simhashPairsFrom(hashes, idCol, maxHamming)
+    else if (hashes.columns.contains("simhash64"))
+      simhashPairs64From(hashes, idCol, maxHamming)
     else simhashPairs64(df, idCol, textCol, maxHamming)
   }
 }

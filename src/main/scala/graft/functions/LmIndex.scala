@@ -67,22 +67,23 @@ object LmIndex {
     * short-lived pool — guide §2.6: a later job's tasks back-fill the
     * tail of the current one; results keep input order. On failure the
     * queued siblings are cancelled and the first error rethrown. */
-  private def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val out = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(
-          thunks.map(t => scala.concurrent.Future(t()))),
-        scala.concurrent.duration.Duration.Inf)
-      pool.shutdown()
-      out
-    } catch {
-      case e: Throwable =>
-        pool.shutdownNow()
-        throw e
-    }
+  private def concurrently[A](thunks: Seq[() => A]): Seq[A] =
+    Jobs.concurrently(thunks)
+
+  /** Run a staged table write and an independent score-side job
+    * CONCURRENTLY (guide §2.6 — overlap independent jobs): the score
+    * reads only already-checkpointed count frames (never a store file),
+    * and those frames are row-identical to the tables the write swaps
+    * in (the framesFromCounts* == written-tables equalities, spec-
+    * pinned), so the score job back-fills the staging writes' stage
+    * tails instead of running serially after the swap. Returns the
+    * materialized (localCheckpoint) score frame. */
+  private def writeAndScore(
+      write: () => Unit, score: => DataFrame): DataFrame = {
+    val Seq(_, scored) = concurrently[Any](Seq(
+      () => { write(); () },
+      () => score.localCheckpoint()))
+    scored.asInstanceOf[DataFrame]
   }
 
   /** The reserved out-of-vocabulary token a [[build5]] vocabulary
@@ -302,13 +303,19 @@ object LmIndex {
     * the store swaps them — the round-1 storage invariant). */
   private def mergeCounts(
       store: TableStore, prefix: String,
-      delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
+      delta: DataFrame, idCol: String, textCol: String, sign: Long,
+      deltaBase: Option[DataFrame] = None,
+      scoreDocs: Option[DataFrame] = None): Option[DataFrame] = {
     // ONE delta pass: both merged tables derive from the checkpointed
     // base frame (the [[baseCounts]] discipline — the lazy modelFrames
-    // form charged one delta tokenize per merged table).
-    val dBase = baseCounts(
-      withPrev(tokens(delta, idCol, textCol), idCol), Seq("prev"))
-      .localCheckpoint()
+    // form charged one delta tokenize per merged table). `deltaBase`:
+    // the same frame computed earlier by the caller (e.g. overlapped
+    // with a preceding build's staged writes — [[appendDrill]]);
+    // lifetime stays with the caller.
+    val dBase = deltaBase.getOrElse(
+      baseCounts(
+        withPrev(tokens(delta, idCol, textCol), idCol), Seq("prev"))
+        .localCheckpoint())
     val dUni = dBase.groupBy("w").agg(sum(col("c")).cast("long").as("c1"))
     val dBig = dBase.filter(col("prev").isNotNull)
       .select(col("prev"), col("w"), col("c").as("c2"))
@@ -323,7 +330,7 @@ object LmIndex {
       .groupBy("prev", "w").agg(sum(col("c2")).cast("long").as("c2"))
       .filter(col("c2") =!= 0L)
       .localCheckpoint()
-    dBase.unpersist()
+    if (deltaBase.isEmpty) dBase.unpersist()
     try {
       // A negative merged count means the delta was NOT a subset of what
       // the model was trained on (deleting text never added, or adding a
@@ -341,12 +348,24 @@ object LmIndex {
       val cont = big.groupBy("w").agg(count(lit(1)).cast("long").as("n1c"))
       val stats = uni.agg(sum(col("c1")).cast("long").as("total_tokens"))
         .crossJoin(big.agg(count(lit(1)).cast("long").as("bigram_types")))
-      store.overwriteAll(Seq(
+      def write(): Unit = store.overwriteAll(Seq(
         s"${prefix}_uni" -> uni.sortWithinPartitions("w"),
         s"${prefix}_big" -> big.sortWithinPartitions("prev", "w"),
         s"${prefix}_ctx" -> ctx.sortWithinPartitions("prev"),
         s"${prefix}_cont" -> cont.sortWithinPartitions("w"),
         s"${prefix}_stats" -> stats))
+      scoreDocs match {
+        case None =>
+          write()
+          None
+        case Some(docs) =>
+          // Overlap the five-table staged write with the score-side job
+          // (§2.6): both read only the checkpointed merged counts, and
+          // the derived frames are row-identical to the written tables.
+          Some(writeAndScore(() => write(),
+            scoreFrames(KnModel(uni, big, ctx, cont, stats),
+              docs, idCol, textCol, discount = 0.75)))
+      }
     } finally {
       uni.unpersist()
       big.unpersist()
@@ -364,8 +383,47 @@ object LmIndex {
     * ledger, exactly as with a real KenLM count merge. */
   def append(
       store: TableStore, prefix: String,
-      delta: DataFrame, idCol: String, textCol: String): Unit =
+      delta: DataFrame, idCol: String, textCol: String): Unit = {
     mergeCounts(store, prefix, delta, idCol, textCol, sign = 1L)
+    ()
+  }
+
+  /** The order-2 maintenance drill — build on `train`, [[append]]
+    * `delta`, score `docs` against the appended model — with the same
+    * two §2.6 overlaps as [[appendDrill5]]: the delta's base pass runs
+    * concurrently with the build's staged writes, and the score (which
+    * reads only the checkpointed merged counts, row-identical to the
+    * written tables) runs concurrently with the merge's staged writes.
+    * Physical append unchanged; returns the materialized score frame
+    * (== [[score]] on the post-append store, row for row). */
+  private[graft] def appendDrill(
+      store: TableStore, prefix: String,
+      train: DataFrame, delta: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val Seq(_, db) = concurrently[Any](Seq(
+      () => { build(store, prefix, train, idCol, textCol); () },
+      () => baseCounts(
+        withPrev(tokens(delta, idCol, textCol), idCol), Seq("prev"))
+        .localCheckpoint()))
+    val base = db.asInstanceOf[DataFrame]
+    try mergeCounts(store, prefix, delta, idCol, textCol, sign = 1L,
+      deltaBase = Some(base), scoreDocs = Some(docs)).get
+    finally {
+      base.unpersist()
+      ()
+    }
+  }
+
+  /** [[deleteDocs]] with the held-out score OVERLAPPED with the merge's
+    * five-table staged write (§2.6) — the clone-then-mutate delete
+    * drill's serve side; same row-identity argument as [[appendDrill]].
+    * Returns the materialized score frame. */
+  private[graft] def deleteDocsScored(
+      store: TableStore, prefix: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      scoreDocs: DataFrame): DataFrame =
+    mergeCounts(store, prefix, docs, idCol, textCol, sign = -1L,
+      scoreDocs = Some(scoreDocs)).get
 
   /** Remove previously-added documents from the persisted model (the
     * GDPR-erasure path): their counts subtract, zero-count rows drop,
@@ -375,8 +433,10 @@ object LmIndex {
     * before the swap. */
   def deleteDocs(
       store: TableStore, prefix: String,
-      docs: DataFrame, idCol: String, textCol: String): Unit =
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
     mergeCounts(store, prefix, docs, idCol, textCol, sign = -1L)
+    ()
+  }
 
   /** Versioned rebuild under live serving — the [[LexIndex
     * .rebuildVersioned]] posture: [[build]] writes five tables through
@@ -811,6 +871,30 @@ object LmIndex {
     val base = base3Of(train, idCol, textCol).localCheckpoint()
     try build3FromBase(store, prefix, base)
     finally {
+      base.unpersist()
+      ()
+    }
+  }
+
+  /** [[build3]] with the score-side job OVERLAPPED with the nine staged
+    * table writes (guide §2.6 — the order-3 [[build5Scored]]): the score
+    * reads the base-derived frames ([[frames3FromBase]] — bit-identical
+    * to the written tables, spec-pinned), so it back-fills the write
+    * jobs' stage tails instead of running serially after the swap.
+    * Returns the materialized score frame (== [[score3]] on the
+    * just-built store, row for row). */
+  private[graft] def build3Scored(
+      store: TableStore, prefix: String,
+      train: DataFrame, idCol: String, textCol: String,
+      docs: DataFrame): DataFrame = {
+    val base = base3Of(train, idCol, textCol).localCheckpoint()
+    try {
+      val (uni, big, tri) = splitBase3(base)
+      writeAndScore(
+        () => writeTables3(store, prefix, uni, big, tri),
+        scoreFrames3(framesFromCounts3(uni, big, tri),
+          docs, idCol, textCol, discount = 0.75))
+    } finally {
       base.unpersist()
       ()
     }
@@ -1493,7 +1577,8 @@ object LmIndex {
       store: TableStore, prefix: String,
       uni: DataFrame, big: DataFrame, tri: DataFrame, four: DataFrame,
       five: DataFrame,
-      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L)): Unit = {
+      pruneMin: Seq[Long] = Seq(1L, 1L, 1L, 1L),
+      mTables: Option[(DataFrame, DataFrame, DataFrame)] = None): Unit = {
     val Seq(t2, t3, t4, t5) = pruneMin
     // Continuation counts derive from the FULL higher-order tables
     // (adjusted counts precede pruning — the KenLM order), then prune
@@ -1502,10 +1587,15 @@ object LmIndex {
     // overlap) measured 1-2 s WORSE at sf0.1 (8.8-9.6 s vs 7.7-7.8 s
     // for q_kn5_persisted_holdout) — three re-aggregations of one tiny
     // checkpointed base contend for the same cores overwriteAll's
-    // staging pool is about to use.
-    val m2 = derivedM2(tri).localCheckpoint()
-    val m3 = derivedM3(four).localCheckpoint()
-    val m4 = derivedM4(five).localCheckpoint()
+    // staging pool is about to use. `mTables`: the caller already HOLDS
+    // the three continuation tables (a pruned rebuild reading an
+    // unpruned store of the same corpus — [[build5PrunedFromStore]]);
+    // the derivation jobs are then skipped entirely.
+    val ownsM = mTables.isEmpty
+    val (m2, m3, m4) = mTables.getOrElse((
+      derivedM2(tri).localCheckpoint(),
+      derivedM3(four).localCheckpoint(),
+      derivedM4(five).localCheckpoint()))
     // Per-table switches keep the unpruned path BYTE-IDENTICAL to the
     // pre-pruning layout (no trivial filters, no all-zero pm columns in
     // unpruned tables — the build3 table-identity contract); a pruned
@@ -1565,10 +1655,30 @@ object LmIndex {
         .sortWithinPartitions("prev3", "prev2", "prev"),
       s"${prefix}_stats" -> stats))
     finally {
-      m2.unpersist(); m3.unpersist(); m4.unpersist()
+      if (ownsM) { m2.unpersist(); m3.unpersist(); m4.unpersist() }
       ()
     }
   }
+
+  /** Build a COUNT-PRUNED order-5 model from an already-built UNPRUNED
+    * store of the SAME training corpus — §1.2 across stores: the
+    * unpruned store's five gram tables ARE the full count tables a
+    * pruned build derives everything from (bit-identical by the
+    * build==frames table equalities), and its m2/m3/m4 tables ARE the
+    * full continuation counts, so the pruned build becomes
+    * vocabulary-bounded filter+aggregate WRITE jobs over stored tables —
+    * no corpus pass, no base re-aggregation, no m-table re-derivation.
+    * Identical tables to build5FromBase(base, pruneMin) (spec-pinned). */
+  private[graft] def build5PrunedFromStore(
+      src: TableStore, srcPrefix: String,
+      dst: TableStore, dstPrefix: String,
+      pruneMin: Seq[Long]): Unit =
+    writeTables5(dst, dstPrefix,
+      src.load(s"${srcPrefix}_uni"), src.load(s"${srcPrefix}_big"),
+      src.load(s"${srcPrefix}_tri"), src.load(s"${srcPrefix}_four"),
+      src.load(s"${srcPrefix}_five"), pruneMin,
+      mTables = Some((src.load(s"${srcPrefix}_m2"),
+        src.load(s"${srcPrefix}_m3"), src.load(s"${srcPrefix}_m4"))))
 
   /** Count-merge core for the order-5 model — [[mergeCounts3]]'s recipe
     * over FIVE count tables; the delta's counts come from one
@@ -1578,7 +1688,9 @@ object LmIndex {
     * GDPR-erasure contract) runs on all five before any swap. */
   private def mergeCounts5(
       store: TableStore, prefix: String,
-      delta: DataFrame, idCol: String, textCol: String, sign: Long): Unit = {
+      delta: DataFrame, idCol: String, textCol: String, sign: Long,
+      deltaBase: Option[DataFrame] = None,
+      scoreDocs: Option[DataFrame] = None): Option[DataFrame] = {
     // A count-pruned model is FROZEN: its stored gram tables are
     // missing the below-threshold rows, so a count merge would compound
     // new deltas onto incomplete counts and re-derive context totals
@@ -1591,10 +1703,16 @@ object LmIndex {
         "LmIndex: append5/deleteDocs5 on a COUNT-PRUNED model — merged " +
           "counts cannot reconstruct the pruned totals; rebuild5 on the " +
           "updated corpus instead (pruned models are frozen gate models)")
-    val pt = TextAnalysis.laggedTokens(tokens(delta, idCol, textCol), idCol,
-      Seq("prev", "prev2", "prev3", "prev4"))
-    val g = baseCounts(pt, Seq("prev4", "prev3", "prev2", "prev"))
-      .localCheckpoint()
+    // `deltaBase`: an already-checkpointed [[base5Of]] of the SAME delta
+    // the caller computed earlier (e.g. overlapped with the preceding
+    // build's staged writes — [[appendDrill5]]); lifetime stays with the
+    // caller. Without it the delta pays its base pass here.
+    val g = deltaBase.getOrElse(
+      baseCounts(
+        TextAnalysis.laggedTokens(tokens(delta, idCol, textCol), idCol,
+          Seq("prev", "prev2", "prev3", "prev4")),
+        Seq("prev4", "prev3", "prev2", "prev"))
+        .localCheckpoint())
     def merged(name: String, dd: DataFrame, keys: Seq[String], c: String) =
       store.load(s"${prefix}_$name")
         .unionByName(dd.select(keys.map(col) :+ (col(c) * lit(sign)).as(c): _*))
@@ -1626,14 +1744,28 @@ object LmIndex {
           "LmIndex delta drives a count negative — deletes must carry " +
             "exactly previously-added documents (GDPR-erasure contract); " +
             "rebuild the model if the original text is gone")
-        writeTables5(store, prefix, uni, big, tri, four, five)
+        scoreDocs match {
+          case None =>
+            writeTables5(store, prefix, uni, big, tri, four, five)
+            None
+          case Some(docs) =>
+            // Overlap the seventeen-table staged write with the score-
+            // side job (§2.6): both read only the checkpointed merged
+            // counts, and the frames are row-identical to the tables
+            // the swap publishes (framesFromCounts5 — spec-pinned), so
+            // scoring the frames == scoring the post-merge store.
+            val frames = framesFromCounts5(uni, big, tri, four, five)
+            Some(writeAndScore(
+              () => writeTables5(store, prefix, uni, big, tri, four, five),
+              scoreFrames5(frames, docs, idCol, textCol, discount = 0.75)))
+        }
       } finally {
         uni.unpersist(); big.unpersist(); tri.unpersist()
         four.unpersist(); five.unpersist()
         ()
       }
     } finally {
-      g.unpersist()
+      if (deltaBase.isEmpty) g.unpersist()
       ()
     }
   }
@@ -1643,15 +1775,84 @@ object LmIndex {
     * table-for-table (spec-pinned). */
   def append5(
       store: TableStore, prefix: String,
-      delta: DataFrame, idCol: String, textCol: String): Unit =
+      delta: DataFrame, idCol: String, textCol: String): Unit = {
     mergeCounts5(store, prefix, delta, idCol, textCol, sign = 1L)
+    ()
+  }
+
+  /** The order-5 maintenance drill — build on `train`, [[append5]]
+    * `delta`, score `docs` against the appended model — with BOTH §2.6
+    * overlaps the sequential form leaves on the table:
+    *
+    *   1. the delta's [[base5Of]] pass reads only the corpus, so it
+    *      runs concurrently with the build's seventeen staged writes;
+    *   2. the final score reads only the checkpointed MERGED counts
+    *      (row-identical to the tables the merge swaps in —
+    *      spec-pinned), so it runs concurrently with the merge's
+    *      seventeen staged writes instead of serially after them.
+    *
+    * The physical append still happens in full (every table staged and
+    * swapped — the store-swap invariant untouched); only the idle
+    * cluster time between the independent jobs is removed. Returns the
+    * materialized score frame (== [[score5]] on the post-append store,
+    * row for row). */
+  private[graft] def appendDrill5(
+      store: TableStore, prefix: String,
+      train: DataFrame, delta: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val Seq(_, db) = concurrently[Any](Seq(
+      () => { build5(store, prefix, train, idCol, textCol); () },
+      () => base5Of(delta, idCol, textCol).localCheckpoint()))
+    val base = db.asInstanceOf[DataFrame]
+    try mergeCounts5(store, prefix, delta, idCol, textCol, sign = 1L,
+      deltaBase = Some(base), scoreDocs = Some(docs)).get
+    finally {
+      base.unpersist()
+      ()
+    }
+  }
+
+  /** [[build5]] with the score-side job OVERLAPPED with the seventeen
+    * staged table writes (§2.6): the score reads the base-derived count
+    * frames (bit-identical to the written tables — the
+    * frames5FromBase/build5FromBase equalities, spec-pinned), so it
+    * back-fills the write jobs' stage tails. Unpruned builds only (a
+    * pruned model's frames differ from the unpruned derivations);
+    * `maxVocab` as in [[build5]]. Returns the materialized score frame
+    * (== [[score5]] on the just-built store, row for row). */
+  private[graft] def build5Scored(
+      store: TableStore, prefix: String,
+      train: DataFrame, idCol: String, textCol: String,
+      docs: DataFrame, maxVocab: Long = 0L): DataFrame = {
+    require(maxVocab >= 0L,
+      s"maxVocab must be >= 0 (0 = unbounded), got $maxVocab")
+    val toks0 = tokens(train, idCol, textCol)
+    val toks = if (maxVocab > 0L) capVocab(toks0, maxVocab) else toks0
+    val base = baseCounts(
+      TextAnalysis.laggedTokens(toks, idCol,
+        Seq("prev", "prev2", "prev3", "prev4")),
+      Seq("prev4", "prev3", "prev2", "prev"))
+      .localCheckpoint()
+    try {
+      val (uni, big, tri, four, five) = splitBase5(base)
+      writeAndScore(
+        () => writeTables5(store, prefix, uni, big, tri, four, five),
+        scoreFrames5(framesFromCounts5(uni, big, tri, four, five),
+          docs, idCol, textCol, discount = 0.75))
+    } finally {
+      base.unpersist()
+      ()
+    }
+  }
 
   /** [[deleteDocs]] for the order-5 model (spec-pinned: delete ==
     * rebuild-without-deleted). */
   def deleteDocs5(
       store: TableStore, prefix: String,
-      docs: DataFrame, idCol: String, textCol: String): Unit =
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
     mergeCounts5(store, prefix, docs, idCol, textCol, sign = -1L)
+    ()
+  }
 
   /** Load the order-5 model frames (lazy table reads). */
   def loadModel5(store: TableStore, prefix: String): Kn5Model =

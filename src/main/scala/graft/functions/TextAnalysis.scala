@@ -304,7 +304,19 @@ object TextAnalysis {
         transform(sequence(lit(1), length(col(textCol)) - 2),
           i => col(textCol).substr(i, lit(3))))
         .otherwise(array().cast("array<string>"))).as("tri"))
+    // The profile table is CHARSET-BOUNDED (one row per distinct
+    // trigram) but both `tots` and `triScores` derive from it — lazy, the
+    // corpus explode + pivot ran THREE times in one plan (the totals
+    // aggregation, the score table, and the scoring join each re-derived
+    // it; plans/r18/q_langid_trigram_before.txt shows three
+    // documents.parquet explode subtrees). Checkpoint the bounded
+    // profile once (§1.2: don't compute things twice); training cost is
+    // then exactly ONE profile pass + the scoring pass — the two
+    // inherent corpus explodes of train+score-in-one-query (r14
+    // adjudication; the per-(doc,tri) pre-aggregation stays MEASURED
+    // WORSE — 7.8 vs 6.9 s at sf0.1 — don't "optimize" it back in).
     val counts = tris.groupBy("tri").pivot(langCol, langs).count()
+      .localCheckpoint()
     val totAggs = langs.map(l =>
       sum(coalesce(col(l), lit(0L))).cast("long").as(s"tot_$l")) :+
       count(lit(1)).cast("long").as("v")
@@ -313,16 +325,17 @@ object TextAnalysis {
     // profile table (V rows × |langs| logs each), not per occurrence —
     // the occurrence join then moves only pre-rounded longs. Bit-
     // identical to inlining the math per occurrence (same values, same
-    // 1e-6 rounding). NOTE a per-(doc,tri) occurrence pre-aggregation
-    // was MEASURED WORSE here (7.8 vs 6.9 s at sf0.1): documents rarely
-    // repeat a trigram, so the added (doc,tri) shuffle outweighs the
-    // explode it saves — don't "optimize" it back in.
+    // 1e-6 rounding).
     val triScores = counts.crossJoin(broadcast(tots))
       .select(col("tri") +: langs.map(l =>
         round(log((coalesce(col(l), lit(0L)).cast("double") + 1.0) /
           (col(s"tot_$l").cast("double") + col("v").cast("double"))) * 1e6, 0)
           .cast("long").as(s"s_$l")): _*)
-    val scored = tris.join(triScores, Seq("tri"))
+    // BROADCAST the bounded score table and stream the corpus-scale
+    // occurrence frame (§3.1): the size-estimated plan had it BACKWARDS
+    // (the corpus explode broadcast, the profile streamed) — at scale
+    // the occurrence side must never build a hash relation.
+    val scored = tris.join(broadcast(triScores), Seq("tri"))
       .select(col(idCol) +: langs.map(l => col(s"s_$l")): _*)
     val perDoc = scored.groupBy(idCol)
       .agg(sum(col(s"s_${langs.head}")).as(s"score_${langs.head}"),

@@ -156,9 +156,16 @@ class ParquetTableStore(
     val dst = new Path(destRoot)
     val conf = spark.sparkContext.hadoopConfiguration
     if (!fs.exists(dst)) fs.mkdirs(dst)
+    else require(fs.listStatus(dst).isEmpty,
+      s"cloneTo target $destRoot is not empty — merging into a used root " +
+        "would mix stale tables into the fresh clone (r17 advice)")
     fs.listStatus(src).foreach { st =>
       val name = st.getPath.getName
-      if (name != "_history" && !name.contains(".tmp-"))
+      // Exact staging-dir convention (writeTmp: <table>.tmp-<8 hex>),
+      // not a substring test — a legitimate table whose NAME merely
+      // contains ".tmp-" elsewhere is still cloned (r17 advice).
+      val isStaging = name.matches(".*\\.tmp-[0-9a-f]{8}")
+      if (name != "_history" && !isStaging)
         org.apache.hadoop.fs.FileUtil.copy(
           fs, st.getPath, fs, new Path(dst, name), false, conf)
     }

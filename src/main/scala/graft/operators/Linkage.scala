@@ -124,8 +124,19 @@ object Linkage {
         when(col("bdist") >= 0, col("bdist").cast("long"))
           .otherwise(FarSentinel))
       .select(blockCols.map(col) ++
-        Seq(col("id_a"), col("id_b"), col("dist")): _*)
+        Seq(col("id_a"), col("id_b"),
+          // Carry the build threshold as column METADATA so a consumer
+          // with a stricter bound can validate compatibility instead of
+          // silently dropping true pairs (r17 advice) — metadata rides
+          // the column through select/filter/checkpoint, costs nothing.
+          col("dist").as("dist", new org.apache.spark.sql.types
+            .MetadataBuilder().putLong(ThresholdMetaKey, t.toLong)
+            .build())): _*)
   }
+
+  /** Metadata key [[bandedPairDistances]] stamps its build threshold
+    * under (on the `dist` column). */
+  private[graft] val ThresholdMetaKey = "graft.banded.threshold"
 
   /** The aggregation half of [[nearestNeighborWithinBlocks]] over an
     * explicit [[bandedPairDistances]] frame. */
@@ -166,6 +177,17 @@ object Linkage {
   def fuzzyDupPairsFrom(pairDists: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist.toLong < FarSentinel,
       s"maxDist must be a real distance bound, got $maxDist")
+    // A frame built with threshold < maxDist has already dropped true
+    // pairs to FarSentinel — fail loudly instead of silently screening
+    // an incompatible frame (r17 advice). Frames from other producers
+    // (no metadata) keep the caller-owns-compatibility contract.
+    val meta = pairDists.schema("dist").metadata
+    if (meta.contains(ThresholdMetaKey))
+      require(meta.getLong(ThresholdMetaKey) >= maxDist.toLong,
+        s"fuzzyDupPairsFrom(maxDist=$maxDist) over a pair-distance frame " +
+          s"built with threshold ${meta.getLong(ThresholdMetaKey)} — " +
+          "pairs beyond the build threshold were already dropped; rebuild " +
+          "bandedPairDistances with threshold >= maxDist")
     pairDists.filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
