@@ -134,7 +134,15 @@ object Dedup {
     * these same counts). */
   private[functions] def pairIntersectionSizes(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
+    // The shingle frame feeds THREE consumers below (both self-join
+    // sides + the per-doc sizes): as a lazy plan each reference re-ran
+    // the scan + explode (guide §5 — localCheckpoint the shared base of
+    // a multi-reference subtree; runtime exchange reuse does not cover
+    // the pre-exchange explode work). One materialization, three
+    // checkpoint scans; lifetime = session (the caller returns a lazy
+    // frame, so no unpersist point exists — the same contract as the
+    // shared fingerprint/score checkpoints).
+    val sh = shingleSets(df, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
@@ -165,10 +173,17 @@ object Dedup {
         // (measured 1.6× the linear floor; the decomposition restores
         // volume ∝ candidate pairs). A pair whose every shared shingle is
         // a stop-shingle is still lost — same recall contract.
-        val sh = shingleSets(df, idCol, textCol, n)
-        val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-        val withDf = sh
+        // The df-annotated shingle frame feeds FIVE consumers (capped
+        // self-join ×2, stop joins ×2, per-doc sizes): checkpoint it
+        // once so each reads materialized blocks instead of re-running
+        // scan + explode + the df window (guide §5; the plan previously
+        // evaluated the window subtree four times — 0 ReusedExchange in
+        // the dump). Sizes derive from the same frame (row set
+        // identical to the raw shingle frame; `df` is just ignored).
+        val withDf = shingleSets(df, idCol, textCol, n)
           .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .localCheckpoint()
+        val sizes = withDf.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
         val capped = withDf.filter(col("df") <= dfCap).drop("df")
         val stop = withDf.filter(col("df") > dfCap).drop("df")
         val interCapped = capped.select(col(idCol).as("id_a"), col("shingle"))
@@ -218,12 +233,17 @@ object Dedup {
   def jaccardPrefixFilterPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-    val ranked = sh
+    // The three-window ranked frame feeds FIVE consumers (prefix
+    // self-join ×2, verify joins ×2 via its shingle projection, sizes):
+    // checkpoint once (guide §5 — each lazy reference re-ran the scan +
+    // explode + all three window passes).
+    val ranked = shingleSets(df, idCol, textCol, n)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(idCol)))
       .withColumn("ord", row_number().over(
         Window.partitionBy(idCol).orderBy(col("df"), col("shingle"))))
+      .localCheckpoint()
+    val sh = ranked.select(col(idCol), col("shingle"))
     val prefix = ranked.filter(
       col("ord") <= col("sz") - ceil(col("sz") * threshold) + 1)
     val cand = prefix.select(col(idCol).as("id_a"), col("shingle"), col("sz").as("sz_a"))
@@ -233,7 +253,7 @@ object Dedup {
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
         greatest(col("sz_a"), col("sz_b")).cast("double") * threshold)
       .select("id_a", "id_b").distinct()
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val sizes = ranked.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))

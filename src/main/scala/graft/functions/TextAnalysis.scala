@@ -1772,13 +1772,18 @@ object TextAnalysis {
     * earlier content — the incremental-value signal used when ordering or
     * pruning training corpora. Docs shorter than one n-gram carry no
     * signal and are omitted (same contract as the shingle-based dedup
-    * family). Two keyed shuffles: first-occurrence agg on shingle, then
-    * the per-doc rollup. */
+    * family). Two keyed shuffles: first-occurrence window on shingle,
+    * then the per-doc rollup — the window form replaces the previous
+    * agg-then-self-join (guide §2.4: two operations keyed the same way
+    * share one exchange; the join also re-ran the scan + explode for
+    * its probe side). min-over-partition == joining the per-shingle
+    * min back, row for row. */
   def ngramNovelty(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingleSets(df, idCol, textCol, n)
-    val first = sh.groupBy("shingle").agg(min(col(idCol)).as("first_doc"))
-    sh.join(first, "shingle")
+    sh.withColumn("first_doc",
+        min(col(idCol)).over(Window.partitionBy("shingle")))
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_ngrams"),
         sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))

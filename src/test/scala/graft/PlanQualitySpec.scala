@@ -583,15 +583,21 @@ class PlanQualitySpec extends SparkSpec {
     // document-frequency window + the df <= dfCap filter BEFORE the
     // candidate self-join; the exact witness (q_dedup_jaccard) must stay
     // uncapped so it keeps pinning exactness.
-    // The shingle generator itself is lead-over-Window (doc_id-partitioned),
-    // so the discriminator is the SHINGLE-partitioned count window + cap
-    // filter, which only the guarded candidate path contains.
+    // The df-annotated shingle frame is localCheckpointed (r18 C11 — the
+    // five consumers read materialized blocks instead of re-running the
+    // window), so the df window itself sits INSIDE the checkpoint and the
+    // plan-visible discriminator is the cap filter over the checkpoint
+    // scan's df column (the r15 discipline: gate checkpointed subtrees
+    // via Scan ExistingRDD, not the operators the checkpoint swallowed).
     val plan = planOf("q_hard_negatives")
-    assert(plan.contains("windowspecdefinition(shingle"),
-      "df-cap window missing — candidates come from the raw inverted index")
+    assert("Scan ExistingRDD\\[[^\\]]*df#".r.findFirstIn(plan).isDefined,
+      "df-annotated checkpointed index missing — candidates come from " +
+        "the raw inverted index")
     assert(plan.contains("<= 1000"),
       "df <= dfCap filter missing from the candidate index")
-    assert(!planOf("q_dedup_jaccard").contains("windowspecdefinition(shingle"),
+    val witness = planOf("q_dedup_jaccard")
+    assert(!witness.contains("windowspecdefinition(shingle") &&
+      !"Scan ExistingRDD\\[[^\\]]*df#".r.findFirstIn(witness).isDefined,
       "exactness witness q_dedup_jaccard unexpectedly capped")
   }
 
